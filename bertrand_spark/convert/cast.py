@@ -1,0 +1,486 @@
+"""``cast()`` — the universal conversion engine (reference flagship verb).
+
+Reference: decorator stack ``bertrand/convert/base.py:146-201`` (attachable →
+columnwise → extension_func → catch_errors → dispatch); conversion matrix
+bool/int/float/complex/decimal/datetime/timedelta/string/object ×9 documented
+at ``convert/base.py:27-48``; per-pair implementations under
+``bertrand/convert/{integer,float,complex,decimal,boolean,datetime,timedelta,
+string,object}.py``; argument surface ``convert/arguments.py:82-1464``.
+
+Spark-first translation (SURVEY.md §3.1): the whole pipeline is **plan
+construction on the driver** — validate kwargs → resolve types → look up the
+(src-family, dst-family) overload → emit a native ``Column`` expression →
+``withColumn``.  No UDF appears anywhere in the matrix below; every rule is
+whole-stage-codegen-able, so a cast over 100 TB is one narrow projection with
+zero shuffle.  ``errors='raise'`` adds one validation aggregate (count of
+violations) — the only action — which Catalyst evaluates with pushed-down
+predicates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+import pyspark.sql.types as st
+
+from ..functions.rounding import round_col, snap_round, within_tol
+from ..functions.strings import (
+    FALSE_TOKENS,
+    TRUE_TOKENS,
+    base_to_int,
+    boolean_match,
+    int_to_base,
+    parse_complex,
+)
+from ..functions.temporal import (
+    AS_NS,
+    epoch_ns,
+    ns_to_timestamp,
+    parse_timedelta_string,
+    timestamp_to_ns,
+)
+from ..types.core import AnyType, DecoratedType, ScalarType, StructuredType, UnionType
+from ..types.resolve import resolve
+
+__all__ = ["cast", "cast_col", "CastError", "cast_overload", "CastArgs"]
+
+
+class CastError(ValueError):
+    """Raised when errors='raise' and a conversion produced violations."""
+
+
+@dataclass
+class CastArgs:
+    """Validated keyword surface (reference ``convert/arguments.py``)."""
+
+    tol: float = 1e-6                  # arguments.py:226
+    rounding: str | None = None        # arguments.py:342 (10 rules)
+    unit: str = "ns"                   # arguments.py:448
+    step_size: int = 1                 # arguments.py:554
+    since: str | int = "utc"           # arguments.py:603 (epoch)
+    tz: str | None = None              # arguments.py:760
+    day_first: bool = False            # arguments.py:858
+    year_first: bool = False           # arguments.py:920
+    as_hours: bool = False             # arguments.py:972
+    true: tuple = TRUE_TOKENS          # arguments.py:1012
+    false: tuple = FALSE_TOKENS        # arguments.py:1159
+    ignore_case: bool = True           # arguments.py:1219
+    format: str | None = None          # arguments.py:1263
+    base: int = 10                     # arguments.py:1324
+    call: Callable | None = None       # arguments.py:1423
+    downcast: bool = False             # arguments.py:1439
+    errors: str = "raise"              # arguments.py:1455
+
+    def __post_init__(self) -> None:
+        if self.errors not in ("raise", "ignore", "coerce"):
+            raise ValueError(f"errors must be raise|ignore|coerce, got {self.errors!r}")
+        if self.unit not in AS_NS and self.unit not in ("M", "Y"):
+            raise ValueError(f"unrecognized unit {self.unit!r}")
+        if not 0 <= self.base <= 36 or self.base == 1:
+            raise ValueError(f"base must be 0 or 2..36, got {self.base}")
+
+
+# family key of a type for matrix lookup
+def _family(t: AnyType) -> str:
+    if isinstance(t, DecoratedType):
+        return _family(t.wrapped)
+    if isinstance(t, UnionType):
+        raise ValueError("cannot cast to a union target; pick one member")
+    if isinstance(t, StructuredType):
+        return "struct"
+    assert isinstance(t, ScalarType)
+    root = t.root.name
+    if root in ("signed", "unsigned"):
+        return "int"
+    if root in ("datetime_ntz", "date"):
+        return "datetime"
+    return root
+
+
+# (src_family, dst_family) → fn(col, src, dst, args) -> Column
+_MATRIX: dict[tuple[str, str], Callable[..., Column]] = {}
+# user overloads take priority (reference @cast.overload, dispatch.py:371)
+_USER: dict[tuple[str, str], Callable[..., Column]] = {}
+
+
+def cast_overload(src: str, dst: str):
+    """Register a user conversion (reference ``@cast.overload``,
+    ``README.rst:332-344``)."""
+    def deco(fn: Callable[..., Column]):
+        _USER[(src, dst)] = fn
+        return fn
+    return deco
+
+
+def _rule(src: str, dst: str):
+    def deco(fn):
+        _MATRIX[(src, dst)] = fn
+        return fn
+    return deco
+
+
+def _spark_cast(col: Column, dst: ScalarType, coerce: bool) -> Column:
+    sp = dst.spark_type
+    return col.try_cast(sp) if coerce else col.cast(sp)
+
+
+def _int_bounds_ok(col: Column, dst: ScalarType) -> Column:
+    if dst.max == float("inf"):
+        return F.lit(True)
+    return col.between(F.lit(int(dst.min)), F.lit(int(dst.max)))
+
+
+# --- numeric sources -------------------------------------------------------
+@_rule("bool", "bool")
+@_rule("int", "int")
+@_rule("float", "float")
+@_rule("string", "string")
+def _identityish(col, src, dst, a: CastArgs):
+    return _spark_cast(col, dst, a.errors == "coerce")
+
+
+@_rule("int", "bool")
+def _int_to_bool(col, src, dst, a: CastArgs):
+    # reference convert/integer.py:28 — only 0/1 valid
+    ok = col.between(0, 1)
+    out = col.cast("boolean")
+    return F.when(ok, out).otherwise(F.lit(None).cast("boolean"))
+
+
+@_rule("bool", "int")
+@_rule("bool", "float")
+@_rule("bool", "decimal")
+def _bool_to_num(col, src, dst, a: CastArgs):
+    return _spark_cast(col, dst, a.errors == "coerce")
+
+
+@_rule("int", "float")
+def _int_to_float(col, src, dst, a: CastArgs):
+    # reference convert/integer.py:85 — detect precision loss by back-cast
+    out = _spark_cast(col, dst, False)
+    if a.errors == "coerce":
+        return F.when(out.cast("long") == col, out).otherwise(
+            F.lit(None).cast(dst.spark_type)
+        )
+    return out
+
+
+@_rule("float", "int")
+def _float_to_int(col, src, dst, a: CastArgs):
+    # reference convert/float.py:40 — snap_round + bounds
+    snapped = snap_round(col, a.tol, a.rounding, errors=a.errors)
+    ok = _int_bounds_ok(snapped, dst)
+    if a.rounding is None:
+        ok = ok & (snapped == F.floor(snapped))
+    out = snapped.cast(dst.spark_type)
+    return F.when(ok, out).otherwise(F.lit(None).cast(dst.spark_type))
+
+
+@_rule("float", "bool")
+def _float_to_bool(col, src, dst, a: CastArgs):
+    snapped = snap_round(col, a.tol, a.rounding, errors=a.errors)
+    ok = snapped.isin(0.0, 1.0)
+    return F.when(ok, snapped.cast("boolean")).otherwise(F.lit(None).cast("boolean"))
+
+
+@_rule("int", "decimal")
+@_rule("float", "decimal")
+def _num_to_decimal(col, src, dst, a: CastArgs):
+    sp = dst.spark_type if isinstance(dst.spark_type, st.DecimalType) else st.DecimalType(38, 18)
+    return col.try_cast(sp) if a.errors == "coerce" else col.cast(sp)
+
+
+@_rule("decimal", "int")
+def _dec_to_int(col, src, dst, a: CastArgs):
+    snapped = snap_round(col.cast("decimal(38,18)"), a.tol, a.rounding, errors=a.errors)
+    ok = _int_bounds_ok(snapped, dst)
+    return F.when(ok, snapped.cast(dst.spark_type)).otherwise(
+        F.lit(None).cast(dst.spark_type)
+    )
+
+
+@_rule("decimal", "float")
+@_rule("decimal", "decimal")
+@_rule("decimal", "bool")
+def _dec_to_num(col, src, dst, a: CastArgs):
+    if _family(dst) == "bool":
+        ok = col.isin(0, 1)
+        return F.when(ok, col.cast("boolean")).otherwise(F.lit(None).cast("boolean"))
+    return _spark_cast(col, dst, a.errors == "coerce")
+
+
+# --- complex (struct{re,im}) ----------------------------------------------
+@_rule("int", "complex")
+@_rule("float", "complex")
+@_rule("decimal", "complex")
+def _num_to_complex(col, src, dst, a: CastArgs):
+    # reference convert/integer.py:120
+    return F.struct(col.cast("double").alias("re"), F.lit(0.0).alias("im"))
+
+
+@_rule("complex", "float")
+@_rule("complex", "int")
+@_rule("complex", "decimal")
+@_rule("complex", "bool")
+def _complex_to_num(col, src, dst, a: CastArgs):
+    # reference convert/complex.py:13-126 — discard imag within tol
+    ok = F.abs(col["im"]) <= F.lit(a.tol)
+    re = F.when(ok, col["re"]).otherwise(F.lit(None))
+    inner_args = CastArgs(**{**a.__dict__, "errors": "coerce"})
+    fam = _family(dst)
+    inner = _MATRIX[("float", fam)](re, src, dst, inner_args)
+    return inner
+
+
+@_rule("complex", "complex")
+def _complex_identity(col, src, dst, a: CastArgs):
+    return col
+
+
+# --- datetime / timedelta --------------------------------------------------
+@_rule("int", "datetime")
+def _int_to_datetime(col, src, dst, a: CastArgs):
+    # reference convert/integer.py:161-312: count of `unit` since `since`
+    ns = col.cast("long") * F.lit(AS_NS.get(a.unit, 1)) * F.lit(a.step_size)
+    return ns_to_timestamp(ns, a.since, a.tz)
+
+
+@_rule("datetime", "int")
+def _datetime_to_int(col, src, dst, a: CastArgs):
+    # reference convert/datetime.py:67-121: ns since epoch → unit
+    ns = timestamp_to_ns(col.cast("timestamp"), a.since, a.tz)
+    div = AS_NS.get(a.unit, 1) * a.step_size
+    if div == 1:
+        return ns
+    from ..functions.rounding import round_div
+    return round_div(ns, F.lit(div), a.rounding or "down").cast("long")
+
+
+@_rule("int", "timedelta")
+def _int_to_timedelta(col, src, dst, a: CastArgs):
+    # ns LongType internal currency (SURVEY §7.4); boundary emits interval
+    ns = col.cast("long") * F.lit(AS_NS.get(a.unit, 1)) * F.lit(a.step_size)
+    return ns
+
+
+@_rule("timedelta", "int")
+def _timedelta_to_int(col, src, dst, a: CastArgs):
+    if isinstance(col, Column):
+        ns = col  # assumed ns LongType representation
+    div = AS_NS.get(a.unit, 1) * a.step_size
+    if div == 1:
+        return ns.cast("long")
+    from ..functions.rounding import round_div
+    return round_div(ns.cast("long"), F.lit(div), a.rounding or "down").cast("long")
+
+
+@_rule("datetime", "datetime")
+def _dt_to_dt(col, src, dst, a: CastArgs):
+    out = col.cast(dst.spark_type) if dst.spark_type else col
+    if a.tz:
+        out = F.from_utc_timestamp(out, a.tz)
+    return out
+
+
+@_rule("datetime", "string")
+def _dt_to_str(col, src, dst, a: CastArgs):
+    if a.format:
+        return F.date_format(col, a.format)
+    return col.cast("string")
+
+
+@_rule("datetime", "float")
+@_rule("datetime", "decimal")
+def _dt_to_float(col, src, dst, a: CastArgs):
+    ns = timestamp_to_ns(col.cast("timestamp"), a.since, a.tz)
+    return (ns.cast("double") / F.lit(float(AS_NS.get(a.unit, 1)))).cast(
+        dst.spark_type
+    )
+
+
+# --- string sources (the parsing layer) ------------------------------------
+@_rule("string", "bool")
+def _str_to_bool(col, src, dst, a: CastArgs):
+    # reference convert/string.py:26 + util/string.pyx:7
+    return boolean_match(col, a.true, a.false, a.ignore_case)
+
+
+@_rule("string", "int")
+def _str_to_int(col, src, dst, a: CastArgs):
+    out = base_to_int(col, a.base)
+    ok = _int_bounds_ok(out, dst)
+    return F.when(ok, out.cast(dst.spark_type)).otherwise(
+        F.lit(None).cast(dst.spark_type)
+    )
+
+
+@_rule("string", "float")
+def _str_to_float(col, src, dst, a: CastArgs):
+    low = F.lower(F.trim(col))
+    special = (
+        F.when(low.isin("inf", "+inf", "infinity", "+infinity"), F.lit(float("inf")))
+        .when(low.isin("-inf", "-infinity"), F.lit(float("-inf")))
+        .when(low == "nan", F.lit(float("nan")))
+    )
+    return F.coalesce(special.cast(dst.spark_type), col.try_cast(dst.spark_type))
+
+
+@_rule("string", "decimal")
+def _str_to_decimal(col, src, dst, a: CastArgs):
+    sp = dst.spark_type if isinstance(dst.spark_type, st.DecimalType) else st.DecimalType(38, 18)
+    return F.trim(col).try_cast(sp)
+
+
+@_rule("string", "complex")
+def _str_to_complex(col, src, dst, a: CastArgs):
+    return parse_complex(col)
+
+
+@_rule("string", "datetime")
+def _str_to_datetime(col, src, dst, a: CastArgs):
+    # reference convert/string.py:137-308: format → strptime; else ISO fast path
+    s = F.trim(col)
+    if a.format:
+        out = F.try_to_timestamp(s, F.lit(a.format))
+    else:
+        # ISO-8601 fast path (datetime.pyx:241): native cast handles it
+        out = s.try_cast("timestamp")
+    if a.tz:
+        out = F.from_utc_timestamp(out, a.tz)
+    return out
+
+
+@_rule("string", "timedelta")
+def _str_to_timedelta(col, src, dst, a: CastArgs):
+    return parse_timedelta_string(col, a.as_hours)
+
+
+# --- to-string (formatting) ------------------------------------------------
+@_rule("int", "string")
+def _int_to_str(col, src, dst, a: CastArgs):
+    # reference convert/integer.py:437 (radix) + base.py:433-452 (format)
+    if a.base != 10 and a.base != 0:
+        return int_to_base(col, a.base)
+    if a.format:
+        return F.format_string(a.format, col)
+    return col.cast("string")
+
+
+@_rule("float", "string")
+@_rule("decimal", "string")
+def _num_to_str(col, src, dst, a: CastArgs):
+    if a.format:
+        return F.format_string(a.format, col)
+    return col.cast("string")
+
+
+@_rule("bool", "string")
+def _bool_to_str(col, src, dst, a: CastArgs):
+    return col.cast("string")
+
+
+@_rule("complex", "string")
+def _complex_to_str(col, src, dst, a: CastArgs):
+    sign = F.when(col["im"] >= 0, F.lit("+")).otherwise(F.lit("-"))
+    return F.concat(
+        F.lit("("), col["re"].cast("string"), sign,
+        F.abs(col["im"]).cast("string"), F.lit("j)"),
+    )
+
+
+@_rule("timedelta", "string")
+def _td_to_str(col, src, dst, a: CastArgs):
+    from ..functions.temporal import td_ns_to_string
+    return td_ns_to_string(col.cast("long"))
+
+
+# --- public API ------------------------------------------------------------
+def cast_col(
+    col: Column,
+    src: Any,
+    dst: Any,
+    **kwargs: Any,
+) -> Column:
+    """Column-level cast: emit the conversion expression for (src→dst)."""
+    a = CastArgs(**kwargs)
+    s, d = resolve(src), resolve(dst)
+    key = (_family(s), _family(d))
+    fn = _USER.get(key) or _MATRIX.get(key)
+    if fn is None:
+        raise CastError(f"no conversion registered for {key[0]} → {key[1]}")
+    return fn(col, s, d, a)
+
+
+def _validate(df: DataFrame, name: str, before: Column, after: Column) -> None:
+    """errors='raise': one aggregate counting new NULLs introduced by cast."""
+    bad = df.select(
+        F.count(F.when(before.isNotNull() & after.isNull(), 1)).alias("n")
+    ).collect()[0]["n"]
+    if bad:
+        raise CastError(
+            f"cast of column {name!r} produced {bad} invalid value(s) "
+            f"(errors='raise'); use errors='coerce' to null them or "
+            f"errors='ignore' to keep the input"
+        )
+
+
+def cast(
+    df: DataFrame,
+    spec: Any,
+    cols: str | list[str] | None = None,
+    **kwargs: Any,
+) -> DataFrame:
+    """DataFrame-level cast (reference ``convert/base.py:146-201``).
+
+    ``spec`` may be a single type specifier (applied to ``cols`` or every
+    column it can apply to) or a mapping ``{column: spec}`` — the
+    ``columnwise`` broadcast of the reference (``convert/base.py:55-99``).
+    """
+    a = CastArgs(**kwargs)
+    observed = {f.name: resolve(f.dataType) for f in df.schema.fields}
+
+    if isinstance(spec, Mapping):
+        plan = {k: resolve(v) for k, v in spec.items()}
+    else:
+        target = resolve(spec)
+        if isinstance(target, StructuredType):
+            plan = dict(target.items())
+        else:
+            names = [cols] if isinstance(cols, str) else (cols or list(observed))
+            plan = {n: target for n in names}
+
+    out_cols: dict[str, Column] = {}
+    validations: list[tuple[str, Column, Column]] = []
+    for name, dst in plan.items():
+        if name not in observed:
+            raise CastError(f"no such column: {name!r}")
+        src = observed[name]
+        if isinstance(dst, DecoratedType):
+            dst = dst.wrapped  # decorator unwrap (convert/base.py:183-198)
+        # trivial-cast short-circuit (reference base.py:304-306)
+        if isinstance(dst, ScalarType) and isinstance(src, ScalarType) and (
+            src is dst or src.unparametrized is dst.unparametrized
+        ) and not a.downcast:
+            continue
+        try:
+            expr = cast_col(F.col(name), src, dst, **kwargs)
+        except CastError:
+            if a.errors == "ignore":
+                continue
+            raise
+        out_cols[name] = expr
+        if a.errors == "raise":
+            validations.append((name, F.col(name), expr))
+
+    if a.errors == "raise":
+        for name, before, after in validations:
+            _validate(df, name, before, after)
+
+    result = df.withColumns(out_cols) if out_cols else df
+    if a.downcast:
+        from .downcast import downcast as _dc
+        result = _dc(result, list(plan.keys()))
+    return result

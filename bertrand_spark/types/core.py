@@ -1,0 +1,716 @@
+"""Scalar/decorator/union type lattice over Spark DataTypes.
+
+Re-expresses the reference's type system (``bertrand/types/base/meta.py``:
+``TypeMeta`` at :4175, ``Type`` at :9241, ``UnionMeta`` at :5186,
+``StructuredMeta`` at :5686, ``DecoratorMeta`` at :4666) as a plain-Python
+driver-side registry wrapping ``pyspark.sql.types.DataType``.  The reference
+builds flyweight *classes* via metaclasses; we build flyweight *instances* —
+same observable surface (hierarchy navigation, aliases, parametrization,
+comparison ordering, set algebra) with idiomatic Python.
+
+Nothing in this module touches data: types are pure driver metadata, which is
+what makes ``detect``/``typecheck`` on a typed DataFrame O(1) at any scale
+(100 TB included) — they read ``df.schema``, never the rows.
+"""
+
+from __future__ import annotations
+
+import decimal
+import datetime as _dt
+from typing import Any, Iterable, Iterator, Mapping
+
+import pyspark.sql.types as st
+
+__all__ = [
+    "ScalarType",
+    "DecoratedType",
+    "UnionType",
+    "StructuredType",
+    "TypeRegistry",
+    "registry",
+    "EMPTY",
+]
+
+
+class ScalarType:
+    """One element type: flyweight, hashable, ordered.
+
+    Mirrors the reference's ``TypeMeta`` attribute surface
+    (``meta.py:3146-3469`` hierarchy navigation, ``meta.py:4588-4665``
+    comparison, ``meta.py:2335`` flyweight parametrization).
+    """
+
+    __slots__ = (
+        "name", "backend", "spark_type", "scalar", "itemsize",
+        "max", "min", "is_nullable", "missing", "parent", "_children",
+        "_default", "_nullable_twin", "params", "_base", "aliases",
+        "is_abstract",
+    )
+
+    def __init__(
+        self,
+        name: str,
+        *,
+        backend: str = "",
+        spark_type: st.DataType | None = None,
+        scalar: type | None = None,
+        itemsize: float = float("inf"),
+        max: float = float("inf"),
+        min: float = float("-inf"),
+        is_nullable: bool = True,
+        missing: Any = None,
+        parent: "ScalarType | None" = None,
+        aliases: Iterable[str] = (),
+        is_abstract: bool = False,
+        params: tuple = (),
+    ):
+        self.name = name
+        self.backend = backend
+        self.spark_type = spark_type
+        self.scalar = scalar
+        self.itemsize = itemsize
+        self.max = max
+        self.min = min
+        self.is_nullable = is_nullable
+        self.missing = missing
+        self.parent = parent
+        self._children: list[ScalarType] = []
+        self._default: ScalarType | None = None
+        self._nullable_twin: ScalarType | None = None
+        self.params = params
+        self._base: ScalarType | None = None
+        self.aliases = tuple(aliases)
+        self.is_abstract = is_abstract
+        if parent is not None:
+            parent._children.append(self)
+
+    # -- hierarchy navigation (reference meta.py:3146-3469) ----------------
+    @property
+    def root(self) -> "ScalarType":
+        t = self
+        while t.parent is not None:
+            t = t.parent
+        return t
+
+    @property
+    def subtypes(self) -> tuple["ScalarType", ...]:
+        return tuple(c for c in self._children if c.is_abstract or c.backend == "")
+
+    @property
+    def implementations(self) -> tuple["ScalarType", ...]:
+        return tuple(c for c in self._children if c.backend)
+
+    @property
+    def children(self) -> tuple["ScalarType", ...]:
+        out: list[ScalarType] = []
+        for c in self._children:
+            out.append(c)
+            out.extend(c.children)
+        return tuple(out)
+
+    @property
+    def leaves(self) -> tuple["ScalarType", ...]:
+        return tuple(c for c in self.children if not c._children) or (
+            () if self._children else (self,)
+        )
+
+    @property
+    def larger(self) -> tuple["ScalarType", ...]:
+        """Concrete siblings in the family that can hold strictly more."""
+        fam = self.root.leaves
+        bigger = [
+            t for t in fam
+            if t is not self and t.max >= self.max and t.min <= self.min
+            and (t.max > self.max or t.min < self.min or t.itemsize > self.itemsize)
+        ]
+        return tuple(sorted(bigger, key=lambda t: (t.max - t.min, t.itemsize)))
+
+    @property
+    def smaller(self) -> tuple["ScalarType", ...]:
+        fam = self.root.leaves
+        sm = [
+            t for t in fam
+            if t is not self and t.max <= self.max and t.min >= self.min
+            and t.itemsize < self.itemsize
+        ]
+        return tuple(sorted(sm, key=lambda t: (t.itemsize, t.max - t.min)))
+
+    # -- default / nullable links (reference meta.py:2478-2662) ------------
+    def as_default(self) -> "ScalarType":
+        return self._default or self
+
+    def as_nullable(self) -> "ScalarType":
+        return self._nullable_twin or self
+
+    # -- membership --------------------------------------------------------
+    def contains(self, other: "AnyType") -> bool:
+        if isinstance(other, UnionType):
+            return all(self.contains(t) for t in other)
+        if isinstance(other, DecoratedType):
+            return self.contains(other.wrapped)
+        if not isinstance(other, ScalarType):
+            return False
+        t: ScalarType | None = other
+        while t is not None:
+            if t is self:
+                return True
+            t = t.parent
+        # abstract family containment irrespective of backend
+        if self.is_abstract:
+            return False
+        return False
+
+    __contains__ = contains
+
+    def issubtype(self, other: "AnyType") -> bool:
+        if isinstance(other, UnionType):
+            return any(self.issubtype(t) for t in other)
+        if isinstance(other, ScalarType):
+            return other.contains(self)
+        return False
+
+    # -- parametrization flyweight (reference meta.py:2335) ----------------
+    def with_params(self, *params: Any) -> "ScalarType":
+        key = (self.name, self.backend, params)
+        cached = registry._flyweights.get(key)
+        if cached is not None:
+            return cached
+        clone = ScalarType(
+            self.name,
+            backend=self.backend,
+            spark_type=self.spark_type,
+            scalar=self.scalar,
+            itemsize=self.itemsize,
+            max=self.max,
+            min=self.min,
+            is_nullable=self.is_nullable,
+            missing=self.missing,
+            parent=None,
+            aliases=(),
+            is_abstract=self.is_abstract,
+            params=params,
+        )
+        clone.parent = self.parent
+        clone._base = self
+        registry._flyweights[key] = clone
+        return clone
+
+    @property
+    def unparametrized(self) -> "ScalarType":
+        return self._base or self
+
+    # -- ordering (reference meta.py:4588-4665 `_features`) -----------------
+    def _features(self) -> tuple:
+        rng = self.max - self.min
+        return (rng, self.itemsize, not self.is_nullable)
+
+    def __lt__(self, other: "ScalarType") -> bool:
+        if not isinstance(other, ScalarType):
+            return NotImplemented
+        return self._features() < other._features()
+
+    def __le__(self, other: "ScalarType") -> bool:
+        return self is other or self < other
+
+    def __repr__(self) -> str:
+        base = self.name if not self.backend else f"{self.name}[{self.backend}]"
+        if self.params:
+            inner = ", ".join(str(p) for p in self.params)
+            return f"{base.rstrip(']')}" + (
+                f", {inner}]" if self.backend else f"[{inner}]"
+            )
+        return base
+
+    def __str__(self) -> str:
+        return repr(self)
+
+    # -- operators ---------------------------------------------------------
+    def __or__(self, other: "AnyType") -> "UnionType":
+        return UnionType.from_types((self,)) | other
+
+    def __getitem__(self, args) -> "ScalarType":
+        if not isinstance(args, tuple):
+            args = (args,)
+        return self.with_params(*args)
+
+
+class DecoratedType:
+    """Decorator wrapper: ``Sparse[T, fill]`` / ``Categorical[T, levels]``.
+
+    Reference: ``DecoratorMeta`` at ``meta.py:4666``; sparse at
+    ``types/sparse.py:33``; categorical at ``types/categorical.py:20``.
+    Purely logical in Spark: recorded in column metadata, the physical
+    encoding is delegated to Parquet (RLE/dictionary).
+    """
+
+    __slots__ = ("decorator", "wrapped", "params")
+
+    def __init__(self, decorator: str, wrapped: "AnyType", params: tuple = ()):
+        self.decorator = decorator
+        self.wrapped = wrapped
+        self.params = params
+
+    @property
+    def spark_type(self) -> st.DataType | None:
+        w = self.wrapped
+        return w.spark_type if isinstance(w, (ScalarType, DecoratedType)) else None
+
+    def contains(self, other: "AnyType") -> bool:
+        if isinstance(other, DecoratedType):
+            return (
+                self.decorator == other.decorator
+                and _contains(self.wrapped, other.wrapped)
+            )
+        return False
+
+    __contains__ = contains
+
+    def __repr__(self) -> str:
+        inner = ", ".join([str(self.wrapped)] + [repr(p) for p in self.params])
+        return f"{self.decorator}[{inner}]"
+
+    def __or__(self, other: "AnyType") -> "UnionType":
+        return UnionType.from_types((self,)) | other
+
+
+def _contains(a: "AnyType", b: "AnyType") -> bool:
+    if isinstance(a, (ScalarType, DecoratedType, UnionType)):
+        return a.contains(b)
+    return a == b
+
+
+class UnionType:
+    """Ordered set of types behaving as one (reference ``UnionMeta``,
+    ``meta.py:5186``; set algebra at ``meta.py:3835-3962``)."""
+
+    __slots__ = ("_types",)
+
+    def __init__(self, types: Iterable["AnyType"]):
+        types = list(types)
+        # preserve first-seen order, dedup by identity/equality
+        ordered: list[Any] = []
+        for t in types:
+            if not any(t is u or (not isinstance(t, ScalarType) and t == u) for u in ordered):
+                ordered.append(t)
+        self._types = tuple(ordered)
+
+    @classmethod
+    def from_types(cls, types: Iterable["AnyType"]) -> "UnionType":
+        return cls(types)
+
+    def __iter__(self) -> Iterator["AnyType"]:
+        return iter(self._types)
+
+    def __len__(self) -> int:
+        return len(self._types)
+
+    def __bool__(self) -> bool:
+        return bool(self._types)
+
+    def contains(self, other: "AnyType") -> bool:
+        if isinstance(other, UnionType):
+            return all(self.contains(t) for t in other)
+        return any(_contains(t, other) for t in self._types)
+
+    __contains__ = contains
+
+    # set algebra (reference meta.py:5551, 3835-3962)
+    def __or__(self, other: "AnyType") -> "UnionType":
+        other_ts = list(other) if isinstance(other, UnionType) else [other]
+        return UnionType(list(self._types) + other_ts)
+
+    def __and__(self, other: "AnyType") -> "UnionType":
+        other_u = other if isinstance(other, UnionType) else UnionType([other])
+        return UnionType(t for t in self._types if other_u.contains(t))
+
+    def __sub__(self, other: "AnyType") -> "UnionType":
+        other_u = other if isinstance(other, UnionType) else UnionType([other])
+        return UnionType(t for t in self._types if not other_u.contains(t))
+
+    def __xor__(self, other: "AnyType") -> "UnionType":
+        other_u = other if isinstance(other, UnionType) else UnionType([other])
+        return (self - other_u) | (other_u - self)
+
+    def issubset(self, other: "AnyType") -> bool:
+        other_u = other if isinstance(other, UnionType) else UnionType([other])
+        return all(other_u.contains(t) for t in self._types)
+
+    def issuperset(self, other: "AnyType") -> bool:
+        return self.contains(other)
+
+    def isdisjoint(self, other: "AnyType") -> bool:
+        return len(self & other) == 0
+
+    def collapse(self) -> "UnionType":
+        """Drop members subsumed by other members (meta.py:3777)."""
+        keep = []
+        for t in self._types:
+            if not any(u is not t and _contains(u, t) for u in self._types):
+                keep.append(t)
+        return UnionType(keep)
+
+    def sorted(self) -> "UnionType":
+        scalars = [t for t in self._types if isinstance(t, ScalarType)]
+        rest = [t for t in self._types if not isinstance(t, ScalarType)]
+        return UnionType(sorted(scalars, key=lambda t: t._features()) + rest)
+
+    def __repr__(self) -> str:
+        return " | ".join(str(t) for t in self._types) if self._types else "Union[]"
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, UnionType) and self._types == other._types
+
+    def __hash__(self) -> int:
+        return hash(self._types)
+
+
+EMPTY = UnionType(())
+
+
+class StructuredType:
+    """Mapping of column name → type; models a DataFrame schema.
+
+    Reference ``StructuredMeta`` at ``meta.py:5686``; ``isinstance(df, U)``
+    schema check at ``meta.py:5971-5987``.
+    """
+
+    __slots__ = ("_columns",)
+
+    def __init__(self, columns: Mapping[str, "AnyType"]):
+        self._columns = dict(columns)
+
+    def keys(self):
+        return self._columns.keys()
+
+    def values(self):
+        return self._columns.values()
+
+    def items(self):
+        return self._columns.items()
+
+    def __getitem__(self, name: str) -> "AnyType":
+        return self._columns[name]
+
+    def __iter__(self):
+        return iter(self._columns)
+
+    def __len__(self):
+        return len(self._columns)
+
+    def contains(self, other: "AnyType") -> bool:
+        if not isinstance(other, StructuredType):
+            return False
+        return all(
+            name in other._columns and _contains(t, other._columns[name])
+            for name, t in self._columns.items()
+        )
+
+    __contains__ = contains
+
+    def to_spark_schema(self) -> st.StructType:
+        fields = []
+        for name, t in self._columns.items():
+            sp = getattr(t, "spark_type", None)
+            if sp is None and isinstance(t, UnionType) and len(t):
+                first = next(iter(t))
+                sp = getattr(first, "spark_type", None)
+            nullable = getattr(t, "is_nullable", True)
+            fields.append(st.StructField(name, sp or st.StringType(), nullable))
+        return st.StructType(fields)
+
+    def __repr__(self) -> str:
+        inner = ", ".join(f"{k}: {v}" for k, v in self._columns.items())
+        return f"{{{inner}}}"
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, StructuredType) and self._columns == other._columns
+
+
+AnyType = ScalarType | DecoratedType | UnionType | StructuredType
+
+
+class TypeRegistry:
+    """Global registry: aliases → types, spark-dtype → type, NA vocabulary.
+
+    Reference ``TypeRegistry`` at ``meta.py:532-855`` (aliases :563,
+    regex rebuild :581, na_strings :654).
+    """
+
+    def __init__(self) -> None:
+        self.aliases: dict[str, ScalarType] = {}
+        self.decorators: dict[str, str] = {}
+        self.by_spark: dict[str, ScalarType] = {}
+        self.by_scalar: dict[type, ScalarType] = {}
+        self.roots: list[ScalarType] = []
+        self._flyweights: dict = {}
+        # reference meta.py:654 — the NA-string vocabulary
+        self.na_strings: set[str] = {
+            "null", "none", "nan", "na", "n/a", "missing", "", "nat", "<na>",
+        }
+
+    def register(self, t: ScalarType, *, spark_default: bool = False) -> ScalarType:
+        for a in t.aliases:
+            self.aliases[a.lower()] = t
+        if t.parent is None:
+            self.roots.append(t)
+        if t.scalar is not None and t.scalar not in self.by_scalar:
+            self.by_scalar[t.scalar] = t
+        if spark_default and t.spark_type is not None:
+            self.by_spark[t.spark_type.simpleString()] = t
+        return t
+
+    def register_decorator(self, name: str, *aliases: str) -> None:
+        for a in (name, *aliases):
+            self.decorators[a.lower()] = name
+
+    def from_spark(self, dtype: st.DataType) -> "AnyType":
+        key = dtype.simpleString()
+        hit = self.by_spark.get(key)
+        if hit is not None:
+            return hit
+        # parametrized families
+        if isinstance(dtype, st.DecimalType):
+            base = self.aliases["decimal"]
+            return base.with_params(dtype.precision, dtype.scale)
+        if isinstance(dtype, st.ArrayType):
+            base = self.aliases["array"]
+            return base.with_params(self.from_spark(dtype.elementType))
+        if isinstance(dtype, st.MapType):
+            base = self.aliases["map"]
+            return base.with_params(
+                self.from_spark(dtype.keyType), self.from_spark(dtype.valueType)
+            )
+        if isinstance(dtype, st.StructType):
+            names = [f.name for f in dtype.fields]
+            if names == ["re", "im"]:  # complex surrogate (SURVEY §1.2)
+                return self.aliases["complex"].as_default()
+            return StructuredType(
+                {f.name: self.from_spark(f.dataType) for f in dtype.fields}
+            )
+        if isinstance(dtype, (st.VarcharType, st.CharType)):
+            return self.aliases["string"].with_params(dtype.length)
+        return self.aliases["object"]
+
+    def from_scalar_class(self, cls: type) -> "ScalarType | None":
+        for klass in cls.__mro__:
+            hit = self.by_scalar.get(klass)
+            if hit is not None:
+                return hit
+        return None
+
+
+registry = TypeRegistry()
+
+
+def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
+    """Construct the §1.2 lattice (SURVEY.md) with Spark physical types.
+
+    Widths/bounds mirror the reference (``bertrand/types/integer.py:10-363``,
+    ``float.py``, ``boolean.py`` etc.); backends collapse onto Spark's single
+    engine but the nullable/non-nullable split survives as a flag.
+    """
+    T: dict[str, ScalarType] = {}
+
+    def add(name, parent=None, *, aliases=(), abstract=False, **kw):
+        t = ScalarType(
+            name, parent=parent, aliases=aliases, is_abstract=abstract, **kw
+        )
+        reg.register(t, spark_default=kw.get("spark_default", False))
+        T[name] = t
+        return t
+
+    # --- boolean ---------------------------------------------------------
+    Bool = ScalarType(
+        "bool", spark_type=st.BooleanType(), scalar=bool, itemsize=1,
+        max=1, min=0, aliases=("bool", "boolean", "bool_", "bool8", "b1", "?"),
+        is_abstract=True,
+    )
+    reg.register(Bool)
+    reg.by_spark[st.BooleanType().simpleString()] = Bool
+    T["bool"] = Bool
+
+    # --- integers --------------------------------------------------------
+    Int = ScalarType("int", scalar=int, aliases=("int", "integer"), is_abstract=True,
+                     max=float("inf"), min=float("-inf"))
+    reg.register(Int)
+    T["int"] = Int
+    Signed = ScalarType("signed", parent=Int, aliases=("signed", "i"),
+                        is_abstract=True, max=2**63 - 1, min=-(2**63))
+    reg.register(Signed)
+    Unsigned = ScalarType("unsigned", parent=Int, aliases=("unsigned", "uint", "u"),
+                          is_abstract=True, max=2**64 - 1, min=0)
+    reg.register(Unsigned)
+    T["signed"], T["unsigned"] = Signed, Unsigned
+
+    widths = [
+        ("int8", 1, st.ByteType(), ("int8", "i1", "byte", "tinyint")),
+        ("int16", 2, st.ShortType(), ("int16", "i2", "short", "smallint")),
+        ("int32", 4, st.IntegerType(), ("int32", "i4", "cint")),
+        ("int64", 8, st.LongType(), ("int64", "i8", "long", "bigint")),
+    ]
+    for name, size, sp, al in widths:
+        bits = size * 8
+        t = ScalarType(
+            name, parent=Signed, spark_type=sp, scalar=int, itemsize=size,
+            max=2 ** (bits - 1) - 1, min=-(2 ** (bits - 1)), aliases=al,
+        )
+        reg.register(t, spark_default=False)
+        reg.by_spark[sp.simpleString()] = t
+        T[name] = t
+    Signed._default = T["int64"]
+    Int._default = T["int64"]
+
+    # unsigned: no Spark unsigned → widen to next signed (SURVEY §1.2)
+    uw = [
+        ("uint8", 1, st.ShortType(), ("uint8", "u1", "ubyte", "unsigned char")),
+        ("uint16", 2, st.IntegerType(), ("uint16", "u2", "ushort")),
+        ("uint32", 4, st.LongType(), ("uint32", "u4")),
+        ("uint64", 8, st.DecimalType(20, 0), ("uint64", "u8")),
+    ]
+    for name, size, sp, al in uw:
+        bits = size * 8
+        t = ScalarType(
+            name, parent=Unsigned, spark_type=sp, scalar=int, itemsize=size,
+            max=2 ** bits - 1, min=0, aliases=al,
+        )
+        reg.register(t)
+        T[name] = t
+    Unsigned._default = T["uint64"]
+
+    # python unbounded int → DecimalType(38, 0) surrogate
+    PyInt = ScalarType(
+        "pyint", parent=Int, spark_type=st.DecimalType(38, 0), scalar=int,
+        aliases=("pyint", "python int", "int[python]"), itemsize=float("inf"),
+    )
+    reg.register(PyInt)
+    T["pyint"] = PyInt
+
+    # --- floats ----------------------------------------------------------
+    Float = ScalarType("float", scalar=float, aliases=("float", "floating", "f"),
+                       is_abstract=True)
+    reg.register(Float)
+    T["float"] = Float
+    f16 = ScalarType("float16", parent=Float, spark_type=st.FloatType(),
+                     scalar=float, itemsize=2, max=65504.0, min=-65504.0,
+                     aliases=("float16", "f2", "half", "e"))
+    f32 = ScalarType("float32", parent=Float, spark_type=st.FloatType(),
+                     scalar=float, itemsize=4, max=3.4028235e38, min=-3.4028235e38,
+                     aliases=("float32", "f4", "single"))
+    f64 = ScalarType("float64", parent=Float, spark_type=st.DoubleType(),
+                     scalar=float, itemsize=8, max=1.7976931348623157e308,
+                     min=-1.7976931348623157e308,
+                     aliases=("float64", "f8", "double", "float_", "d"))
+    for t in (f16, f32, f64):
+        reg.register(t)
+    reg.by_spark[st.FloatType().simpleString()] = f32
+    reg.by_spark[st.DoubleType().simpleString()] = f64
+    Float._default = f64
+    T["float16"], T["float32"], T["float64"] = f16, f32, f64
+
+    # --- complex → struct{re,im} (SURVEY §1.2) ---------------------------
+    cplx_sp = st.StructType([
+        st.StructField("re", st.DoubleType()), st.StructField("im", st.DoubleType()),
+    ])
+    Complex = ScalarType("complex", scalar=complex, aliases=("complex", "cfloat", "c"),
+                         is_abstract=True)
+    reg.register(Complex)
+    c64 = ScalarType("complex64", parent=Complex, spark_type=cplx_sp,
+                     scalar=complex, itemsize=8, aliases=("complex64", "c8", "csingle"))
+    c128 = ScalarType("complex128", parent=Complex, spark_type=cplx_sp,
+                      scalar=complex, itemsize=16,
+                      aliases=("complex128", "c16", "cdouble"))
+    reg.register(c64); reg.register(c128)
+    Complex._default = c128
+    T["complex"], T["complex64"], T["complex128"] = Complex, c64, c128
+
+    # --- decimal ---------------------------------------------------------
+    Dec = ScalarType(
+        "decimal", spark_type=st.DecimalType(38, 18), scalar=decimal.Decimal,
+        itemsize=16, aliases=("decimal", "arbitrary precision"),
+    )
+    reg.register(Dec)
+    reg.by_spark[st.DecimalType(38, 18).simpleString()] = Dec
+    T["decimal"] = Dec
+
+    # --- string ----------------------------------------------------------
+    Str = ScalarType(
+        "string", spark_type=st.StringType(), scalar=str, itemsize=float("inf"),
+        aliases=("string", "str", "unicode", "U", "str0", "str_", "unicode_"),
+    )
+    reg.register(Str, spark_default=True)
+    T["string"] = Str
+
+    # --- datetime / timedelta -------------------------------------------
+    Dt = ScalarType(
+        "datetime", spark_type=st.TimestampType(), scalar=_dt.datetime,
+        itemsize=8, aliases=("datetime", "timestamp", "datetime64", "M8"),
+    )
+    reg.register(Dt, spark_default=True)
+    T["datetime"] = Dt
+    DtNtz = ScalarType(
+        "datetime_ntz", parent=Dt, spark_type=st.TimestampNTZType(),
+        scalar=_dt.datetime, itemsize=8, aliases=("timestamp_ntz", "datetime_ntz"),
+    )
+    reg.register(DtNtz, spark_default=True)
+    T["datetime_ntz"] = DtNtz
+    Date = ScalarType(
+        "date", spark_type=st.DateType(), scalar=_dt.date, itemsize=4,
+        aliases=("date",),
+    )
+    reg.register(Date, spark_default=True)
+    T["date"] = Date
+    Td = ScalarType(
+        "timedelta", spark_type=st.DayTimeIntervalType(), scalar=_dt.timedelta,
+        itemsize=8, aliases=("timedelta", "timedelta64", "m8", "duration"),
+    )
+    reg.register(Td, spark_default=True)
+    T["timedelta"] = Td
+
+    # --- missing / object / binary / nested ------------------------------
+    Missing = ScalarType(
+        "missing", spark_type=st.NullType(), scalar=type(None), itemsize=0,
+        aliases=("missing", "null", "void", "nulltype"),
+    )
+    reg.register(Missing, spark_default=True)
+    T["missing"] = Missing
+    Obj = ScalarType(
+        "object", spark_type=st.BinaryType(), scalar=object,
+        aliases=("object", "obj", "O", "pyobject", "object_", "object0"),
+    )
+    reg.register(Obj)
+    T["object"] = Obj
+    Bin = ScalarType(
+        "binary", spark_type=st.BinaryType(), scalar=bytes, aliases=("binary", "bytes"),
+    )
+    reg.register(Bin, spark_default=True)
+    T["binary"] = Bin
+    Arr = ScalarType("array", spark_type=st.ArrayType(st.StringType()),
+                     aliases=("array", "list", "vector"))
+    reg.register(Arr)
+    T["array"] = Arr
+    Mp = ScalarType("map", spark_type=st.MapType(st.StringType(), st.StringType()),
+                    aliases=("map", "dict"))
+    reg.register(Mp)
+    T["map"] = Mp
+
+    # decorators (reference types/sparse.py, types/categorical.py)
+    reg.register_decorator("sparse")
+    reg.register_decorator("categorical", "category", "cat")
+
+    # scalar-class lookups (detect on python literals)
+    reg.by_scalar[bool] = Bool
+    reg.by_scalar[int] = T["int64"]
+    reg.by_scalar[float] = f64
+    reg.by_scalar[complex] = c128
+    reg.by_scalar[decimal.Decimal] = Dec
+    reg.by_scalar[str] = Str
+    reg.by_scalar[_dt.datetime] = Dt
+    reg.by_scalar[_dt.date] = Date
+    reg.by_scalar[_dt.timedelta] = Td
+    reg.by_scalar[bytes] = Bin
+    reg.by_scalar[type(None)] = Missing
+
+    return T
+
+
+TYPES = _build_lattice(registry)

@@ -1,0 +1,155 @@
+"""``detect()`` / ``typecheck()`` — type inference and schema validation.
+
+Reference: ``detect`` at ``bertrand/types/base/meta.py:1697`` (scalar path
+:1897, dtype path :1912, elementwise path :1946), ``typecheck`` at
+``meta.py:4056``.
+
+Spark mapping (SURVEY.md §2.1 R2-R4):
+
+* typed DataFrame → read ``df.schema`` — **metadata only, no job**, the O(1)
+  contract the reference documents (``meta.py:1811-1814``).  This holds at
+  100 TB because no data is scanned.
+* string columns needing elementwise inference → a single distributed
+  classification pass built from native ``CASE WHEN rlike(...)`` expressions
+  (no Python UDF), producing a ``type_tag`` column; the per-row "RLE type
+  index" of the reference (``meta.py:1984-2020``) is replaced by the tag
+  column itself (Parquet RLE-encodes it for free).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .core import AnyType, ScalarType, StructuredType, UnionType, registry
+from .resolve import resolve
+
+__all__ = ["detect", "typecheck", "type_tag_column", "detect_elementwise"]
+
+# classification regexes for string-payload inference (reference
+# `_detect_elementwise` meta.py:1946; our version is one distributed pass)
+_INT_RE = r"^\s*[+-]?\d+\s*$"
+_FLOAT_RE = r"^\s*[+-]?(\d+\.\d*|\.\d+|\d+([eE][+-]?\d+))([eE][+-]?\d+)?\s*$"
+_BOOL_RE = r"(?i)^\s*(true|false|t|f|yes|no|y|n|on|off)\s*$"
+_ISO_DT_RE = (
+    r"^\s*\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?([+-]\d{2}:?\d{2}|Z)?)?\s*$"
+)
+
+_TAG_ORDER = ("missing", "bool", "int", "float", "datetime", "str")
+
+
+def type_tag_column(col: Column, na_strings: set[str] | None = None) -> Column:
+    """Native CASE WHEN classifier: string value → observed-type tag."""
+    nas = sorted(na_strings or registry.na_strings)
+    low = F.lower(F.trim(col))
+    return (
+        F.when(col.isNull() | low.isin(nas), F.lit("missing"))
+        .when(col.rlike(_BOOL_RE), F.lit("bool"))
+        .when(col.rlike(_INT_RE), F.lit("int"))
+        .when(col.rlike(_FLOAT_RE), F.lit("float"))
+        .when(col.rlike(_ISO_DT_RE), F.lit("datetime"))
+        .otherwise(F.lit("str"))
+    )
+
+
+_TAG_TO_TYPE = {
+    "missing": "missing",
+    "bool": "bool",
+    "int": "int64",
+    "float": "float64",
+    "datetime": "datetime",
+    "str": "string",
+}
+
+
+def detect_elementwise(df: DataFrame, column: str) -> UnionType:
+    """Distributed elementwise inference of a string column.
+
+    One aggregation job: tag each row natively, take the distinct tag set
+    with first-seen row order (min row id per tag) to reproduce the
+    reference's first-observed union ordering (``meta.py:1946-1983``).
+    """
+    tagged = df.select(
+        type_tag_column(F.col(column)).alias("__tag"),
+        F.monotonically_increasing_id().alias("__rid"),
+    )
+    rows = (
+        tagged.groupBy("__tag")
+        .agg(F.min("__rid").alias("first_seen"))
+        .orderBy("first_seen")
+        .collect()
+    )
+    types = [
+        resolve(_TAG_TO_TYPE[r["__tag"]]) for r in rows if r["__tag"] != "missing"
+    ]
+    if not types:
+        types = [resolve("missing")]
+    return UnionType(types)
+
+
+def detect(data: Any, drop_na: bool = True) -> AnyType:
+    """Infer the type of a scalar / sequence / Column-schema / DataFrame.
+
+    DataFrame path is **O(1)** — reads ``df.schema`` only (reference
+    contract ``meta.py:1803-1821``).
+    """
+    if isinstance(data, DataFrame):
+        return StructuredType(
+            {f.name: registry.from_spark(f.dataType) for f in data.schema.fields}
+        )
+    if data is None:
+        return resolve("missing")
+    # python scalar
+    if isinstance(data, (bool, int, float, complex, str, bytes)) or not hasattr(
+        data, "__iter__"
+    ):
+        hit = registry.from_scalar_class(type(data))
+        if hit is not None:
+            return hit
+        return registry.aliases["object"].with_params(type(data))
+    # iterable of scalars → elementwise union in first-seen order
+    types: list[AnyType] = []
+    saw_na = False
+    for item in data:
+        if item is None:
+            saw_na = True
+            continue
+        t = detect(item)
+        if not any(t is u for u in types):
+            types.append(t)
+    if saw_na and not drop_na:
+        types.append(resolve("missing"))
+    if not types:
+        return resolve("missing")
+    if len(types) == 1:
+        return types[0]
+    return UnionType(types)
+
+
+def typecheck(data: Any, spec: Any) -> bool:
+    """``issubclass(detect(data), resolve(spec))`` (reference
+    ``README.rst:118-127``, ``meta.py:4056``).  Metadata-only on DataFrames."""
+    target = resolve(spec)
+    observed = detect(data)
+    if isinstance(target, StructuredType):
+        if not isinstance(observed, StructuredType):
+            return False
+        return all(
+            name in observed.keys() and _check_one(observed[name], t)
+            for name, t in target.items()
+        )
+    return _check_one(observed, target)
+
+
+def _check_one(observed: AnyType, target: AnyType) -> bool:
+    if isinstance(observed, UnionType):
+        return all(_check_one(t, target) for t in observed)
+    if isinstance(target, (UnionType,)):
+        return any(_check_one(observed, t) for t in target)
+    if isinstance(target, ScalarType) and isinstance(observed, ScalarType):
+        return target.contains(observed) or observed is target
+    return target == observed or (
+        hasattr(target, "contains") and target.contains(observed)
+    )

@@ -1,0 +1,165 @@
+"""``resolve()`` — parse any type specifier into a type object.
+
+Re-implements the reference's mini-language (grammar at
+``bertrand/types/base/meta.py:1461-1693``; entry ``resolve`` at
+``meta.py:1143``): accepts Python classes, Spark ``DataType`` instances,
+numpy/pandas dtypes, strings like ``"int32"``, ``"int | float64"``,
+``"sparse[int, 23]"``, ``"foo: int32, bar: bool"``, PEP-604 unions, mappings
+and iterables.  Pure driver-side parsing — no Spark jobs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import pyspark.sql.types as st
+
+from .core import (
+    AnyType,
+    DecoratedType,
+    ScalarType,
+    StructuredType,
+    UnionType,
+    registry,
+)
+
+__all__ = ["resolve"]
+
+# tokenizer for the string grammar: ident, optional [params] with nesting
+_TOKEN = re.compile(r"\s*([A-Za-z_][\w .]*)\s*(\[)?")
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on `sep` at bracket-depth 0 (reference meta.py:1538 nested expr)."""
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_param(tok: str) -> Any:
+    tok = tok.strip()
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if (tok.startswith("'") and tok.endswith("'")) or (
+        tok.startswith('"') and tok.endswith('"')
+    ):
+        return tok[1:-1]
+    # nested type spec?
+    try:
+        return resolve(tok)
+    except ValueError:
+        return tok
+
+
+def _resolve_ident(name: str, params_src: str | None) -> AnyType:
+    low = name.strip().lower()
+    params = _split_top(params_src, ",") if params_src else []
+
+    # decorator types: sparse[...] / categorical[...]
+    if low in registry.decorators:
+        deco = registry.decorators[low]
+        if not params:
+            raise ValueError(f"decorator '{name}' requires a wrapped type")
+        wrapped = resolve(params[0])
+        extra = tuple(_parse_param(p) for p in params[1:])
+        return DecoratedType(deco, wrapped, extra)
+
+    # sized unicode "U32" (reference meta.py:1232-1235)
+    m = re.fullmatch(r"[uU](\d+)", name.strip())
+    if m:
+        return registry.aliases["string"].with_params(int(m.group(1)))
+
+    t = registry.aliases.get(low)
+    if t is None:
+        # backend suffix form "int64[pandas]" → backend collapses on Spark
+        raise ValueError(f"unrecognized type specifier: {name!r}")
+    if params:
+        # backend selectors resolve to the same Spark-backed type
+        if len(params) == 1 and params[0].lower() in (
+            "numpy", "pandas", "python", "pyarrow", "spark", "arrow",
+        ):
+            return t
+        return t.with_params(*(_parse_param(p) for p in params))
+    return t
+
+
+def _resolve_string(s: str) -> AnyType:
+    s = s.strip()
+    if not s:
+        raise ValueError("empty type specifier")
+
+    # structured: "col: spec, col2: spec" (reference meta.py:1508)
+    cols = _split_top(s, ",")
+    if any(":" in c and "[" not in c.split(":")[0] for c in cols) and all(
+        ":" in c for c in cols
+    ):
+        out = {}
+        for c in cols:
+            k, v = c.split(":", 1)
+            out[k.strip()] = resolve(v.strip())
+        return StructuredType(out)
+
+    # union: "a | b | c"
+    alts = _split_top(s, "|")
+    if len(alts) > 1:
+        return UnionType([resolve(a) for a in alts])
+
+    m = _TOKEN.match(s)
+    if not m:
+        raise ValueError(f"cannot parse type specifier: {s!r}")
+    name = m.group(1).strip()
+    rest = s[m.end():]
+    if m.group(2):  # opening bracket consumed
+        if not rest.endswith("]"):
+            raise ValueError(f"unbalanced brackets in: {s!r}")
+        return _resolve_ident(name, rest[:-1])
+    if rest.strip():
+        raise ValueError(f"trailing characters in type specifier: {s!r}")
+    return _resolve_ident(name, None)
+
+
+def resolve(target: Any) -> AnyType:
+    """Parse any type specifier → type object (reference ``meta.py:1143``)."""
+    if isinstance(target, (ScalarType, DecoratedType, UnionType, StructuredType)):
+        return target
+    if isinstance(target, str):
+        return _resolve_string(target)
+    if isinstance(target, st.DataType):
+        return registry.from_spark(target)
+    if isinstance(target, type):
+        hit = registry.from_scalar_class(target)
+        if hit is not None:
+            return hit
+        # any other Python class → Object[cls] escape hatch
+        return registry.aliases["object"].with_params(target)
+    if isinstance(target, Mapping):
+        return StructuredType({k: resolve(v) for k, v in target.items()})
+    if isinstance(target, slice):  # "col": spec as slice (reference grammar)
+        return StructuredType({str(target.start): resolve(target.stop)})
+    # numpy / pandas dtypes — optional deps, resolved by name
+    mod = type(target).__module__
+    if mod.startswith("numpy") or mod.startswith("pandas"):
+        return _resolve_string(str(target))
+    if hasattr(target, "__iter__"):
+        return UnionType([resolve(t) for t in target])
+    raise ValueError(f"cannot resolve type specifier: {target!r}")
