@@ -1,0 +1,343 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+North-star extensions (BASELINE.json); algorithms follow the published
+MinHash/LSH construction (Broder 1997; banding per Mining of Massive
+Datasets ch.3) and SimHash (Charikar 2002).
+
+Scale design notes (the whole point of these ops):
+
+* Exact dedup: hash-groupBy on a 64-bit fingerprint — one shuffle on a
+  uniformly-distributed key; no skew by construction.
+* MinHash: signatures are computed *per row* with native array expressions
+  (``transform`` + ``array_min`` over xxhash64) — no explode, no shuffle, no
+  Python.  LSH banding then shuffles only (band_id, band_hash) pairs —
+  ``num_bands × n_rows`` small tuples, not the documents themselves.
+* Candidate pairs come from an equi-join on band buckets (hash join on a
+  high-cardinality key).  Verification (exact Jaccard on shingle sets) runs
+  only on candidates — the classic LSH cost profile.
+* SimHash: explode-tokens → 64 per-bit partial sums → map-side combinable
+  groupBy; near-dup = Hamming distance via ``bit_count(xor)``, native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_ngrams, fingerprint, tokenize, word_ngrams
+
+__all__ = [
+    "exact_dedup", "exact_dup_groups",
+    "minhash_signature", "minhash_bands", "lsh_candidate_pairs",
+    "jaccard_shingles", "near_dup_pairs_minhash",
+    "simhash64", "near_dup_pairs_simhash",
+    "ngram_jaccard_pairs", "cosine_near_dup_pairs",
+]
+
+# deterministic (a, b) coefficients for the k minhash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    # xorshift-style deterministic sequence — stable across runs/machines
+    out, x = [], seed | 1
+    for _ in range(k):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        # a < 2^31 and hash values reduced mod 2^31 keep a*h + b < 2^63
+        # (Spark runs ANSI arithmetic — silent wraparound would throw)
+        a = (x % ((1 << 31) - 1)) + 1
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        b = x % ((1 << 61) - 1)
+        out.append((a, b))
+    return out
+
+
+# --- exact -----------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text", keep_by: str | None = None) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (hash groupBy).
+
+    ``keep_by``: column whose minimum decides the survivor (deterministic);
+    default keeps the row with the smallest ``keep_by``/first key.
+    """
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    if keep_by is None:
+        keep_by = df.columns[0]
+    survivors = with_fp.groupBy("__fp").agg(F.min(keep_by).alias(keep_by))
+    return (
+        with_fp.join(survivors, ["__fp", keep_by], "inner")
+        .drop("__fp")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fingerprint → group size for groups with >1 member (dup report)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+def minhash_signature(
+    text: Column, k: int = 32, shingle_n: int = 5, seed: int = 42
+) -> Column:
+    """k-permutation MinHash signature (array<bigint>), fully native.
+
+    Each permutation j: ``min over shingles of (a_j * h(s) + b_j) mod p``
+    with p = 2^61-1 (Broder's scheme); h = xxhash64 folded non-negative.
+    """
+    grams = char_ngrams(text, shingle_n)
+    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit((1 << 31) - 1)))
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    sigs = [
+        F.array_min(F.transform(hashes, _perm(a, b)))
+        for a, b in _perm_coeffs(k, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Banding: array of (band_id, band_hash) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig, i * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(num_bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH banding.
+
+    Only (id, band, bucket) tuples are shuffled; the self-join is an
+    equi-join on (band, bucket).  Pairs sharing multiple bands are deduped.
+    """
+    rows_per_band = k // num_bands
+    sig = minhash_signature(F.col(text_col), k, shingle_n, seed)
+    bands = (
+        df.select(F.col(id_col), F.explode(minhash_bands(sig, num_bands, rows_per_band)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a = bands.withColumnRenamed(id_col, "id_a")
+    bn = bands.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(bn, ["band", "bucket"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_shingles(text_a: Column, text_b: Column, shingle_n: int = 5) -> Column:
+    """Exact shingle-set Jaccard between two text columns (verification)."""
+    sa = F.array_distinct(char_ngrams(text_a, shingle_n))
+    sb = F.array_distinct(char_ngrams(text_b, shingle_n))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    uni = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification ≥ threshold.
+
+    The join back to texts is two hash joins on the id; at scale the texts
+    side is the big table and candidates are rare, so Spark broadcasts the
+    candidate list (AQE decides from runtime size).
+    """
+    cand = lsh_candidate_pairs(df, id_col, text_col, k, num_bands, shingle_n)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        cand.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "__ta"), "id_a")
+        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "__tb"), "id_b")
+    )
+    return (
+        joined.withColumn("jaccard", jaccard_shingles(F.col("__ta"), F.col("__tb"), shingle_n))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002), fully native.
+
+    explode(tokens) → per-bit ±1 partial sums → groupBy(id).  The 64 sums
+    are map-side combinable, so the shuffle carries 64 longs per document
+    regardless of document length.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split 64 bits into ``num_blocks`` blocks; any pair
+    within distance < num_blocks shares ≥1 exact block → equi-join per block
+    (no O(n²) scan), then verify with ``bit_count(xor)``.
+    """
+    sh = simhash64(df, id_col, text_col)
+    width = 64 // num_blocks
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key"
+    )
+    bn = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key"
+    )
+    return (
+        a.join(bn, ["blk", "key"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard (word-level) -------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup via inverted-index join.
+
+    explode(ngrams) → join on the gram → per-pair intersection counts →
+    Jaccard with |A|+|B|−|A∩B|.  Shuffles (gram → id) postings, the same
+    cost profile as building an inverted index.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = grams.withColumnRenamed(id_col, "id_a")
+    b = grams.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH + exact cosine verify.
+
+    Signature = sign bits of dot products with ``num_planes`` seeded random
+    hyperplanes (SimHash for angles, Charikar 2002); bucket equi-join; exact
+    cosine (``zip_with`` + ``aggregate``) only within buckets.
+    """
+    from .similarity import cosine_sim, random_hyperplane_signature
+
+    sig = random_hyperplane_signature(df, vec_col, num_planes, seed)
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__sig")
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__sig")
+    )
+    return (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,174 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Not in the reference (its surface stops at the type system); these extend the
+engine per the north star: language-ID, quality scoring, token counting,
+document fingerprinting.  Everything below is native Column expressions —
+regexp/array functions inside whole-stage codegen, no Python on the hot path,
+so a 100 TB documents table is one narrow projection pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize", "token_count", "bpe_ish_token_count",
+    "char_ngrams", "word_ngrams",
+    "quality_features", "quality_score",
+    "language_scores", "detect_language",
+    "fingerprint", "rolling_fingerprints",
+]
+
+# --- tokenization ----------------------------------------------------------
+_WORD_SPLIT = r"\s+"
+# GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empty-safe."""
+    return F.filter(F.split(F.lower(F.trim(text)), _WORD_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count via the GPT-2 pre-tokenizer regex (public
+    pattern) — counts matches natively with ``regexp_count``."""
+    return F.regexp_count(text, F.lit(_BPE_ISH))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingles (array<string>), native ``transform`` over an
+    index ``sequence`` — no explode, no shuffle."""
+    s = F.lower(F.regexp_replace(text, r"\s+", " "))
+    length = F.length(s)
+    return F.when(length < n, F.array(s)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), length - F.lit(n - 1)),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>)."""
+    toks = tokenize(text)
+    sz = F.size(toks)
+    return F.when(sz < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), sz - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+# --- quality scoring -------------------------------------------------------
+_STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",
+)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / digit ratios (C4-style heuristics)."""
+    length = F.length(text).cast("double")
+    toks = tokenize(text)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS_EN])))
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "n_tokens": F.size(toks).cast("long"),
+        "mean_token_len": F.when(n_tok > 0, length / n_tok).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            length > 0, F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double") / length
+        ).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(
+            length > 0, F.regexp_count(text, F.lit(r"\d")).cast("double") / length
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(
+            F.lit(0.0)
+        ),
+        "uppercase_ratio": F.when(
+            length > 0, F.regexp_count(text, F.lit(r"[A-Z]")).cast("double") / length
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality heuristic combining the features (monotone,
+    deterministic; thresholds follow common C4/Gopher-style filters)."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.2)
+    punct_ok = F.when(f["punct_ratio"] <= 0.3, 1.0).otherwise(0.4)
+    stop_ok = F.when(f["stopword_ratio"] >= 0.05, 1.0).otherwise(0.5)
+    mean_ok = F.when(
+        (f["mean_token_len"] >= 2.5) & (f["mean_token_len"] <= 12), 1.0
+    ).otherwise(0.5)
+    return (length_ok * punct_ok * stop_ok * mean_ok).cast("double")
+
+
+# --- language identification ----------------------------------------------
+# tiny public stopword seeds per language — the n-gram heuristic the north
+# star asks for; extensible via the registry pattern
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es": ("el", "la", "los", "las", "es", "una", "para", "con", "que", "por"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+
+
+def language_scores(text: Column) -> Column:
+    """struct of per-language marker-hit ratios."""
+    toks = tokenize(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    fields = []
+    for lang, words in _LANG_MARKERS.items():
+        hits = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).cast("double")
+        # zh has no whitespace tokens — also scan characters
+        if lang == "zh":
+            char_hits = sum(
+                (F.when(F.contains(text, F.lit(w)), 1.0).otherwise(0.0) for w in words),
+                F.lit(0.0),
+            )
+            hits = hits + char_hits
+        fields.append((hits / n).alias(lang))
+    return F.struct(*fields)
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over language_scores — ties break lexicographically smaller
+    language code first (deterministic)."""
+    scores = language_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in _LANG_MARKERS
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- fingerprinting --------------------------------------------------------
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: xxhash64 of whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def rolling_fingerprints(text: Column, n: int = 8, keep: int = 16) -> Column:
+    """Winnowing-style rolling fingerprint set: hash every char n-gram, keep
+    the ``keep`` smallest hashes (deterministic document sketch).  Native:
+    transform → array_sort → slice."""
+    grams = char_ngrams(text, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.slice(F.array_sort(hashes), 1, keep)
