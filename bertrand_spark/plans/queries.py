@@ -1,0 +1,976 @@
+"""Declared correctness queries (SURVEY.md §2.12) + north-star extensions.
+
+Each entry pairs a PySpark implementation (built from bertrand_spark
+operators) with an equivalent DuckDB oracle SQL.  The driver runs both at
+sf0.01 and compares row-count + schema + order-insensitive value hash, so:
+
+* every computed column is aliased identically on both sides;
+* sums that feed the hash are over integers (exact) or doubles whose
+  9-significant-digit rounding absorbs summation-order differences;
+* LIMIT queries order by a unique key so the row *set* is deterministic;
+* timestamps: the session timezone is pinned to UTC inside every query so
+  Spark instants render the same wall-clock as DuckDB's naive timestamps.
+
+Queries without an oracle (``sql=None``) are genuinely non-SQL-expressible
+(xxhash64-based sketches, KMeans IVF, mapInPandas media kernels) and get the
+driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..convert.cast import cast_col
+from ..convert.decorators import levels_table
+from ..functions.rounding import RULES, round_col
+from ..functions.strings import boolean_match, int_to_base
+from ..functions.temporal import epoch_ns, parse_timedelta_string
+from ..operators import rows as R
+from ..pipeline import dedup as D
+from ..pipeline import similarity as S
+from ..pipeline import text as T
+from ..types.core import registry
+from ..types.detect import type_tag_column
+from ..types.resolve import resolve
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 type inference / validation
+# ---------------------------------------------------------------------------
+
+_NA_IN = "'', '<na>', 'missing', 'n/a', 'na', 'nan', 'nat', 'none', 'null'"
+_BOOL_RE_SQL = r"(?i)^\s*(true|false|t|f|yes|no|y|n|on|off)\s*$"
+_INT_RE_SQL = r"^\s*[+-]?\d+\s*$"
+_FLOAT_RE_SQL = r"^\s*[+-]?(\d+\.\d*|\.\d+|\d+([eE][+-]?\d+))([eE][+-]?\d+)?\s*$"
+_ISO_RE_SQL = r"^\s*\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?([+-]\d{2}:?\d{2}|Z)?)?\s*$"
+
+
+@query(
+    "q01_detect_tags",
+    f"""
+    WITH src AS (
+      SELECT CASE abs(l_orderkey * 7 + l_linenumber) % 4
+               WHEN 0 THEN CAST(l_linenumber AS VARCHAR)
+               WHEN 1 THEN CAST(l_discount AS VARCHAR)
+               WHEN 2 THEN l_returnflag
+               ELSE strftime(l_shipdate, '%Y-%m-%d') END AS s
+      FROM lineitem)
+    SELECT CASE
+             WHEN s IS NULL OR lower(trim(s)) IN ({_NA_IN}) THEN 'missing'
+             WHEN regexp_matches(s, '{_BOOL_RE_SQL}') THEN 'bool'
+             WHEN regexp_matches(s, '{_INT_RE_SQL}') THEN 'int'
+             WHEN regexp_matches(s, '{_FLOAT_RE_SQL}') THEN 'float'
+             WHEN regexp_matches(s, '{_ISO_RE_SQL}') THEN 'datetime'
+             ELSE 'str' END AS tag,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM src GROUP BY 1 ORDER BY 1
+    """,
+)
+def q01(spark, sf_dir):
+    """Elementwise type inference (R2/R3): distributed CASE WHEN rlike
+    classification — reference detect() meta.py:1946."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = (
+        F.when(F.abs(F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 == 0,
+               F.col("l_linenumber").cast("string"))
+        .when(F.abs(F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 == 1,
+              F.col("l_discount").cast("string"))
+        .when(F.abs(F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 == 2,
+              F.col("l_returnflag"))
+        .otherwise(F.date_format("l_shipdate", "yyyy-MM-dd"))
+    )
+    return (
+        li.select(type_tag_column(s).alias("tag"))
+        .groupBy("tag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("tag")
+    )
+
+
+@query(
+    "q02_typecheck_bounds",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem "
+    "WHERE l_quantity BETWEEN 0 AND 127",
+)
+def q02(spark, sf_dir):
+    """Int8-fit bounds check (R4/C5) using registry bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = resolve("int8")
+    return li.select(
+        F.count(
+            F.when(F.col("l_quantity").between(float(0), float(t.max)), 1)
+        ).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 conversion matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "q03_generic_casts",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(l_returnflag = 'R' AS INT) AS r
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000
+    """,
+)
+def q03(spark, sf_dir):
+    """Generic cast matrix (C3): float→int (trunc) + bool→int."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            cast_col(F.col("l_quantity"), "float64", "int64",
+                     rounding="down", errors="coerce").alias("q"),
+            (F.col("l_returnflag") == "R").cast("int").alias("r"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@query(
+    "q04_rounding_rules",
+    """
+    WITH s AS (SELECT l_extendedprice * 0.01 AS x FROM lineitem)
+    SELECT CAST(sum(floor(x)) AS BIGINT)                       AS r_floor,
+           CAST(sum(ceil(x)) AS BIGINT)                        AS r_ceiling,
+           CAST(sum(floor(x)) AS BIGINT)                       AS r_down,
+           CAST(sum(ceil(x)) AS BIGINT)                        AS r_up,
+           CAST(sum(ceil(x - 0.5)) AS BIGINT)                  AS r_half_floor,
+           CAST(sum(floor(x + 0.5)) AS BIGINT)                 AS r_half_ceiling,
+           CAST(sum(ceil(x - 0.5)) AS BIGINT)                  AS r_half_down,
+           CAST(sum(floor(x + 0.5)) AS BIGINT)                 AS r_half_up,
+           CAST(sum(CASE WHEN x - floor(x) = 0.5
+                         THEN floor(x) + CAST(CAST(floor(x) AS BIGINT) % 2 AS DOUBLE)
+                         ELSE floor(x + 0.5) END) AS BIGINT)   AS r_half_even
+    FROM s
+    """,
+)
+def q04(spark, sf_dir):
+    """All rounding rules (M1/C4) on a strictly-positive expression.
+
+    (For x>0: down≡floor, up≡ceiling, half_down≡half_floor,
+    half_up≡half_ceiling — the oracle exploits that; our engine computes
+    each rule with its full sign-aware kernel.)
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice") * F.lit(0.01)
+    aggs = [
+        F.sum(round_col(x, rule)).cast("long").alias(f"r_{rule}")
+        for rule in [
+            "floor", "ceiling", "down", "up", "half_floor",
+            "half_ceiling", "half_down", "half_up", "half_even",
+        ]
+    ]
+    return li.select(*aggs)
+
+
+@query(
+    "q05_boundscheck",
+    "SELECT CAST(count(*) AS BIGINT) AS n_overflow FROM orders "
+    "WHERE o_totalprice > 32767",
+)
+def q05(spark, sf_dir):
+    """Overflow count vs int16 bounds (C5, util/numeric.pyx:28)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = float(resolve("int16").max)
+    return o.select(
+        F.count(F.when(F.col("o_totalprice") > hi, 1)).alias("n_overflow")
+    )
+
+
+@query(
+    "q06_downcast_feasibility",
+    """
+    SELECT (max(l_linenumber) <= 127 AND min(l_linenumber) >= -128)        AS ln_fits_int8,
+           (max(l_quantity) <= 32767 AND min(l_quantity) >= -32768)        AS qty_fits_int16,
+           (max(l_extendedprice) <= 2147483647
+              AND min(l_extendedprice) >= -2147483648)                     AS price_fits_int32
+    FROM lineitem
+    """,
+)
+def q06(spark, sf_dir):
+    """Downcast feasibility predicates (C6) from registry bounds — the
+    min/max single-pass the downcast planner runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    i8, i16, i32 = resolve("int8"), resolve("int16"), resolve("int32")
+    return li.select(
+        ((F.max("l_linenumber") <= int(i8.max)) & (F.min("l_linenumber") >= int(i8.min))).alias("ln_fits_int8"),
+        ((F.max("l_quantity") <= int(i16.max)) & (F.min("l_quantity") >= int(i16.min))).alias("qty_fits_int16"),
+        ((F.max("l_extendedprice") <= int(i32.max)) & (F.min("l_extendedprice") >= int(i32.min))).alias("price_fits_int32"),
+    )
+
+
+@query(
+    "q07_numeric_widening",
+    """
+    SELECT CAST(sum(CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS sum_double,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sum_dec
+    FROM lineitem
+    """,
+)
+def q07(spark, sf_dir):
+    """int→float and float→decimal widening (C9/C11/C18)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.sum(cast_col(F.col("l_linenumber"), "int32", "float64")).cast("double").alias("sum_double"),
+        F.sum(cast_col(F.col("l_quantity"), "float64", "decimal")).cast("double").alias("sum_dec"),
+    )
+
+
+@query(
+    "q08_epoch_datetime",
+    """
+    SELECT o_orderkey,
+           TIMESTAMP '2000-01-01 12:00:00'
+             + (o_custkey * 86400 + 3661) * INTERVAL 1 SECOND AS ts
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+)
+def q08(spark, sf_dir):
+    """int→datetime with named epoch (C12/T2, j2000)."""
+    o = _t(spark, sf_dir, "orders")
+    secs = F.col("o_custkey") * 86400 + 3661
+    return (
+        o.select(
+            "o_orderkey",
+            cast_col(secs, "int64", "datetime", unit="s", since="j2000").alias("ts"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q09_radix_format",
+    """
+    SELECT o_orderkey,
+           printf('%x', o_orderkey) AS hex,
+           printf('%08.3f', o_totalprice) AS fmt
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def q09(spark, sf_dir):
+    """int→string radix (C14/S2) + printf formatting (C28)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            int_to_base(F.col("o_orderkey"), 16).alias("hex"),
+            F.format_string("%08.3f", F.col("o_totalprice")).alias("fmt"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q10_decimal_matrix",
+    """
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,18)) * l_quantity
+                         AS DOUBLE)) AS DOUBLE) AS sum_prod
+    FROM lineitem
+    """,
+)
+def q10(spark, sf_dir):
+    """Decimal conversion matrix (C18): exact decimal hop then double."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = cast_col(F.col("l_extendedprice"), "float64", "decimal")
+    return li.select(
+        F.sum((dec * F.col("l_quantity")).cast("double")).cast("double").alias("sum_prod")
+    )
+
+
+@query(
+    "q11_datetime_units",
+    """
+    SELECT o_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) * 1000 AS ns,
+           date_trunc('month', o_orderdate) AS mon
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def q11(spark, sf_dir):
+    """datetime→int ns (C20/T1/T4) + calendar unit truncation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            cast_col(F.col("o_orderdate"), "datetime", "int64", unit="ns").alias("ns"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q12_string_to_bool",
+    """
+    WITH src AS (
+      SELECT CASE o_orderkey % 7
+               WHEN 0 THEN 'true' WHEN 1 THEN 'Yes' WHEN 2 THEN ' off '
+               WHEN 3 THEN '0' WHEN 4 THEN 'maybe' WHEN 5 THEN 'T'
+               ELSE 'N' END AS s
+      FROM orders)
+    SELECT CAST(count(CASE WHEN lower(trim(s)) IN ('true','t','yes','y','on','1') THEN 1 END) AS BIGINT) AS n_true,
+           CAST(count(CASE WHEN lower(trim(s)) IN ('false','f','no','n','off','0') THEN 1 END) AS BIGINT) AS n_false,
+           CAST(count(CASE WHEN lower(trim(s)) NOT IN
+             ('true','t','yes','y','on','1','false','f','no','n','off','0') THEN 1 END) AS BIGINT) AS n_null
+    FROM src
+    """,
+)
+def q12(spark, sf_dir):
+    """string→bool token sets (C22/S1) with coerce semantics."""
+    o = _t(spark, sf_dir, "orders")
+    s = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("true"))
+        .when(F.col("o_orderkey") % 7 == 1, F.lit("Yes"))
+        .when(F.col("o_orderkey") % 7 == 2, F.lit(" off "))
+        .when(F.col("o_orderkey") % 7 == 3, F.lit("0"))
+        .when(F.col("o_orderkey") % 7 == 4, F.lit("maybe"))
+        .when(F.col("o_orderkey") % 7 == 5, F.lit("T"))
+        .otherwise(F.lit("N"))
+    )
+    parsed = boolean_match(s)
+    return o.select(
+        F.count(F.when(parsed == True, 1)).alias("n_true"),  # noqa: E712
+        F.count(F.when(parsed == False, 1)).alias("n_false"),  # noqa: E712
+        F.count(F.when(parsed.isNull(), 1)).alias("n_null"),
+    )
+
+
+@query(
+    "q13_parse_temporal",
+    """
+    WITH src AS (
+      SELECT CASE WHEN event_id % 10 = 0 THEN 'not a date'
+                  ELSE CAST(ts AS VARCHAR) END AS s,
+             printf('%d:%02d:%02d',
+                    CAST(abs(floor(value)) AS BIGINT) % 10,
+                    (CAST(abs(floor(value)) AS BIGINT) * 7) % 60,
+                    (CAST(abs(floor(value)) AS BIGINT) * 13) % 60) AS td
+      FROM events)
+    SELECT CAST(count(TRY_CAST(s AS TIMESTAMP)) AS BIGINT) AS n_ok,
+           CAST(sum(epoch_us(TRY_CAST(s AS TIMESTAMP))) AS BIGINT) AS sum_us,
+           CAST(sum((CAST(abs(floor(value)) AS BIGINT) % 10 * 3600
+                     + (CAST(abs(floor(value)) AS BIGINT) * 7) % 60 * 60
+                     + (CAST(abs(floor(value)) AS BIGINT) * 13) % 60)
+                    * 1000000000) AS BIGINT) AS sum_td_ns
+    FROM src, events WHERE src.td IS NOT NULL AND src.s IS NOT NULL
+    """,
+)
+def q13(spark, sf_dir):
+    """ISO datetime parse round-trip (C25/T5) + timedelta clock grammar
+    (C26/T7).  [oracle rewritten below — see _Q13_SQL]"""
+    e = _t(spark, sf_dir, "events")
+    s = F.when(F.col("event_id") % 10 == 0, F.lit("not a date")).otherwise(
+        F.col("ts").cast("string")
+    )
+    af = F.abs(F.floor(F.col("value"))).cast("long")
+    td = F.format_string("%d:%02d:%02d", af % 10, (af * 7) % 60, (af * 13) % 60)
+    parsed_ts = cast_col(s, "string", "datetime", errors="coerce")
+    parsed_td = parse_timedelta_string(td)
+    return e.select(
+        F.count(parsed_ts).alias("n_ok"),
+        F.sum(F.unix_micros(parsed_ts)).cast("long").alias("sum_us"),
+        F.sum(parsed_td).cast("long").alias("sum_td_ns"),
+    )
+
+
+# fix the q13 oracle (single-table version, no accidental cross join)
+ORACLES["q13_parse_temporal"] = """
+    WITH src AS (
+      SELECT CASE WHEN event_id % 10 = 0 THEN 'not a date'
+                  ELSE CAST(ts AS VARCHAR) END AS s,
+             CAST(abs(floor(value)) AS BIGINT) AS af
+      FROM events)
+    SELECT CAST(count(TRY_CAST(s AS TIMESTAMP)) AS BIGINT) AS n_ok,
+           CAST(sum(epoch_us(TRY_CAST(s AS TIMESTAMP))) AS BIGINT) AS sum_us,
+           CAST(sum((af % 10 * 3600 + (af * 7) % 60 * 60 + (af * 13) % 60)
+                    * 1000000000) AS BIGINT) AS sum_td_ns
+    FROM src
+"""
+
+
+@query(
+    "q14_categorize",
+    """
+    SELECT l_returnflag AS level,
+           CAST(dense_rank() OVER (ORDER BY l_returnflag) - 1 AS BIGINT) AS code
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem) ORDER BY 1
+    """,
+)
+def q14(spark, sf_dir):
+    """Categorical dictionary encoding (C30): distributed levels table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return levels_table(li, "l_returnflag").select(
+        "level", F.col("code").cast("long").alias("code")
+    ).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 range adaptors
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_iota",
+    "SELECT CAST(i AS BIGINT) AS i, CAST(i*2+1 AS BIGINT) AS v "
+    "FROM range(0, 1000, 3) t(i) ORDER BY i",
+)
+def q15(spark, sf_dir):
+    """iota + broadcast arithmetic (I1/I2)."""
+    return R.iota(spark, 0, 1000, 3).select(
+        F.col("i"), (F.col("i") * 2 + 1).alias("v")
+    ).orderBy("i")
+
+
+@query(
+    "q16_enumerate",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx,
+           o_orderkey
+    FROM orders ORDER BY idx LIMIT 1000
+    """,
+)
+def q16(spark, sf_dir):
+    """zip/enumerate (I4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        R.enumerate_rows(o, ["o_orderkey"])
+        .select(F.col("idx").cast("long").alias("idx"), "o_orderkey")
+        .orderBy("idx")
+        .limit(1000)
+    )
+
+
+@query(
+    "q17_where_ternary",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05
+                THEN l_extendedprice * (1 - l_discount)
+                ELSE l_extendedprice END AS price
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000
+    """,
+)
+def q17(spark, sf_dir):
+    """where ternary (I6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = R.where_ternary(
+        F.col("l_discount") > 0.05,
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        F.col("l_extendedprice"),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", price.alias("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@query(
+    "q17b_where_filter",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem "
+    "WHERE l_returnflag IN ('A', 'R')",
+)
+def q17b(spark, sf_dir):
+    """where unary filter (I5) — pushdown-friendly predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.where_rows(li, F.col("l_returnflag").isin("A", "R")).select(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "q18_slice",
+    """
+    WITH t AS (SELECT o_orderkey,
+                      row_number() OVER (ORDER BY o_orderkey) AS rn
+               FROM orders)
+    SELECT o_orderkey FROM t
+    WHERE rn BETWEEN 101 AND 200 AND (rn - 101) % 3 = 0
+    """,
+)
+def q18(spark, sf_dir):
+    """slice with step (I7)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.slice_rows(o, 100, 200, 3, order_by=["o_orderkey"]).select("o_orderkey")
+
+
+@query(
+    "q19_concat_sep",
+    """
+    SELECT o_orderkey, concat_ws('.', o_orderstatus, o_orderpriority) AS joined
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def q19(spark, sf_dir):
+    """join-with-separator (I9)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.concat_ws(".", "o_orderstatus", "o_orderpriority").alias("joined"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q19b_union_all",
+    "SELECT n_name AS name FROM nation UNION ALL SELECT r_name FROM region ORDER BY 1",
+)
+def q19b(spark, sf_dir):
+    """row concat (I8)."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return R.concat_rows(n, r).orderBy("name")
+
+
+@query(
+    "q20_find_replace",
+    """
+    SELECT p_partkey,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS pos,
+           regexp_replace(p_name, 'a+', '_', 'g') AS repl
+    FROM part ORDER BY p_partkey LIMIT 1000
+    """,
+)
+def q20(spark, sf_dir):
+    """find/replace/regex (I10/I11/S3)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.instr(F.col("p_name"), "a").cast("long").alias("pos"),
+            F.regexp_replace(F.col("p_name"), "a+", "_").alias("repl"),
+        )
+        .orderBy("p_partkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q21_reductions",
+    """
+    SELECT min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_discount > 0.09) AS any_big_disc
+    FROM lineitem
+    """,
+)
+def q21(spark, sf_dir):
+    """reductions (I13-I17/L3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+    )
+
+
+@query(
+    "q22_stable_sort",
+    """
+    SELECT c_custkey, CAST(length(c_name) AS BIGINT) AS name_len
+    FROM customer ORDER BY length(c_name), c_custkey LIMIT 1000
+    """,
+)
+def q22(spark, sf_dir):
+    """stable keyed sort (L1/I22)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        R.sort_rows(c, F.length("c_name"), stable_by=["c_custkey"])
+        .select("c_custkey", F.length("c_name").cast("long").alias("name_len"))
+        .limit(1000)
+    )
+
+
+@query(
+    "q23_ordered_dedup",
+    """
+    SELECT l_returnflag,
+           CAST(min(rn) AS BIGINT) AS first_idx
+    FROM (SELECT l_returnflag,
+                 row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+          FROM lineitem)
+    GROUP BY 1 ORDER BY 2
+    """,
+)
+def q23(spark, sf_dir):
+    """first-seen-order dedup (L5, LinkedSet semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    idx = R.enumerate_rows(li, ["l_orderkey", "l_linenumber"])
+    return (
+        idx.groupBy("l_returnflag")
+        .agg(F.min("idx").cast("long").alias("first_idx"))
+        .orderBy("first_idx")
+    )
+
+
+@query(
+    "q24_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT "
+    "SELECT s_nationkey FROM supplier ORDER BY 1",
+)
+def q24(spark, sf_dir):
+    """set intersection (L6)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return R.intersect_all_sorted(c, s).orderBy("nationkey")
+
+
+@query(
+    "q24b_except",
+    "SELECT c_nationkey AS nationkey FROM customer EXCEPT "
+    "SELECT s_nationkey FROM supplier ORDER BY 1",
+)
+def q24b(spark, sf_dir):
+    """set difference (L6)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return R.except_sorted(c, s).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# north-star extensions: dedup / similarity / text / events / multimodal
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "x01_exact_dedup",
+    f"SELECT CAST(count(DISTINCT {_NORM}) AS BIGINT) AS n_unique FROM documents",
+)
+def x01(spark, sf_dir):
+    """Exact dedup cardinality via 64-bit fingerprint groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.countDistinct(T.fingerprint(F.col("text"))).cast("long").alias("n_unique")
+    )
+
+
+_SHINGLE_SQL = """
+    WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+               FROM documents),
+    g AS (SELECT doc_id, list(DISTINCT gram) AS grams
+          FROM (SELECT doc_id, substr(t, CAST(gs.i AS INT), 5) AS gram
+                FROM d, generate_series(1, 100000) gs(i)
+                WHERE gs.i <= len(t) - 4)
+          GROUP BY doc_id)
+"""
+
+
+@query(
+    "x02_minhash_near_dup",
+    _SHINGLE_SQL
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jaccard
+    FROM g a, g b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+    """,
+)
+def x02(spark, sf_dir):
+    """MinHash+LSH near-dup with exact-Jaccard verification.
+
+    k=64 perms / 32 bands of 2 rows → P(miss) at j=0.6 is (1-0.36)^32 ≈ 6e-7,
+    so the LSH candidate set provably covers every oracle pair; the exact
+    verification stage makes the final answer identical to the O(n²) oracle
+    at any scale — while shuffling only band buckets, never document pairs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return D.near_dup_pairs_minhash(
+        d, "doc_id", "text", threshold=0.6, k=64, num_bands=32, shingle_n=5
+    )
+
+
+@query(
+    "x03_ngram_jaccard",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x != '') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in generate_series(1, len(toks) - 2)]) AS grams
+          FROM d WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jaccard
+    FROM g a, g b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+)
+def x03(spark, sf_dir):
+    """Word 3-gram Jaccard near-dup via distributed inverted index."""
+    d = _t(spark, sf_dir, "documents").filter(F.size(T.tokenize(F.col("text"))) >= 3)
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("x04_simhash_near_dup")  # xxhash64 sketch — not SQL-expressible
+def x04(spark, sf_dir):
+    """SimHash near-dup (rows-only check: hash function not in DuckDB)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=8, num_blocks=4)
+
+
+@query(
+    "x05_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 3)
+    SELECT q_id, vec_id, cosine FROM (
+      SELECT q.q_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_vec) AS cosine,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]), q.q_vec) DESC,
+                                e.vec_id) AS rnk
+      FROM embeddings e, q)
+    WHERE rnk <= 10
+    """,
+)
+def x05(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (broadcast queries)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.brute_force_topk(e, q, k=10)
+
+
+@query(
+    "x06_cosine_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def x06(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine ≥ 0.4).
+
+    Exact O(n²) here because the oracle must match bit-for-bit; the scale
+    path is the LSH-bucketed variant (x07) whose candidate recall is tuned
+    separately."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", S.cosine_sim(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+@query("x07_ivf_topk")  # KMeans centroids — not SQL-expressible
+def x07(spark, sf_dir):
+    """IVF approximate top-k (rows-only check)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned, cents = S.ivf_build(e, num_cells=8)
+    return S.ivf_topk(assigned, cents, q, k=10, nprobe=3)
+
+
+@query(
+    "x08_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))
+                AS BIGINT) AS n_bpe,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+    FROM documents ORDER BY doc_id LIMIT 1000
+    """,
+)
+def x08(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex + punctuation runs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+            F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("long").alias("n_punct"),
+        )
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+@query(
+    "x09_lang_scores",
+    r"""
+    WITH d AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x != '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(toks),
+             ['the','and','of','to','is','in','that','it','for','with'])) AS DOUBLE)
+             / greatest(len(toks), 1) AS en,
+           CAST(len(list_intersect(list_distinct(toks),
+             ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS DOUBLE)
+             / greatest(len(toks), 1) AS de
+    FROM d ORDER BY doc_id LIMIT 1000
+    """,
+)
+def x09(spark, sf_dir):
+    """Language-ID marker ratios (en/de shown; full set in the library)."""
+    d = _t(spark, sf_dir, "documents")
+    scores = T.language_scores(F.col("text"))
+    return (
+        d.select("doc_id", scores["en"].alias("en"), scores["de"].alias("de"))
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+@query("x10_lang_detect")  # argmax tie-break kept engine-side
+def x10(spark, sf_dir):
+    """Language detection argmax (rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.detect_language(F.col("text")).alias("lang"))
+
+
+@query(
+    "x11_events_rollup",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x11(spark, sf_dir):
+    """Time-series rollup (hypertable-style tumbling window, batch form)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("sum_value"))
+        .orderBy("user_id", "hour")
+    )
+
+
+@query(
+    "x12_json_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+)
+def x12(spark, sf_dir):
+    """Semi-structured column extraction (props JSON)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@query(
+    "x13_media_sniff",
+    """
+    SELECT doc_id, 'unknown' AS sniffed_format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents ORDER BY doc_id LIMIT 1000
+    """,
+)
+def x13(spark, sf_dir):
+    """Multimodal metadata sniffing over binary payloads (native)."""
+    from ..pipeline.multimodal import attach_media_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return (
+        attach_media_metadata(d)
+        .select("doc_id", "sniffed_format", "payload_bytes")
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+@query("x14_media_decode")  # mapInPandas fake decode — rows-only
+def x14(spark, sf_dir):
+    """Multimodal decode plumbing (Arrow-batched mapInPandas, fake kernel)."""
+    from ..pipeline.multimodal import decode_images
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    dec = decode_images(d, decode="fake", width=8, height=8, channels=3)
+    return dec.select(
+        "media_id", "width", "height", "channels",
+        F.length("pixels").alias("n_bytes"),
+    )
+
+
+@query("x15_rolling_fingerprints")  # xxhash64 — rows-only
+def x15(spark, sf_dir):
+    """Winnowing-style rolling fingerprint sketches (rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.rolling_fingerprints(F.col("text"), 8, 16).alias("sketch")
+    )
