@@ -241,18 +241,38 @@ def _complex_identity(col, src, dst, a: CastArgs):
 
 
 # --- datetime / timedelta --------------------------------------------------
+def _epoch_base_ts(a: CastArgs) -> Column:
+    """The `since` epoch as a TimestampType instant (UTC)."""
+    return ns_to_timestamp(F.lit(0).cast("long"), a.since, None)
+
+
 @_rule("int", "datetime")
 def _int_to_datetime(col, src, dst, a: CastArgs):
-    # reference convert/integer.py:161-312: count of `unit` since `since`
-    ns = col.cast("long") * F.lit(AS_NS.get(a.unit, 1)) * F.lit(a.step_size)
+    # reference convert/integer.py:161-312: count of `unit` since `since`.
+    # M/Y are calendar-exact via timestampadd (ref unit.pyx:231-430 does
+    # real calendar math, not mean-length constants).
+    if a.unit in ("M", "Y"):
+        months = (
+            col.cast("long") * F.lit((12 if a.unit == "Y" else 1) * a.step_size)
+        ).cast("int")
+        out = F.timestampadd("MONTH", months, _epoch_base_ts(a))
+        return F.from_utc_timestamp(out, a.tz) if a.tz else out
+    ns = col.cast("long") * F.lit(AS_NS[a.unit]) * F.lit(a.step_size)
     return ns_to_timestamp(ns, a.since, a.tz)
 
 
 @_rule("datetime", "int")
 def _datetime_to_int(col, src, dst, a: CastArgs):
     # reference convert/datetime.py:67-121: ns since epoch → unit
+    if a.unit in ("M", "Y"):
+        ts = col.cast("timestamp")
+        if a.tz:
+            ts = F.to_utc_timestamp(ts, a.tz)
+        months = F.months_between(ts, _epoch_base_ts(a))
+        per = (12 if a.unit == "Y" else 1) * a.step_size
+        return round_col(months / F.lit(per), a.rounding or "down").cast("long")
     ns = timestamp_to_ns(col.cast("timestamp"), a.since, a.tz)
-    div = AS_NS.get(a.unit, 1) * a.step_size
+    div = AS_NS[a.unit] * a.step_size
     if div == 1:
         return ns
     from ..functions.rounding import round_div
@@ -261,20 +281,89 @@ def _datetime_to_int(col, src, dst, a: CastArgs):
 
 @_rule("int", "timedelta")
 def _int_to_timedelta(col, src, dst, a: CastArgs):
-    # ns LongType internal currency (SURVEY §7.4); boundary emits interval
-    ns = col.cast("long") * F.lit(AS_NS.get(a.unit, 1)) * F.lit(a.step_size)
-    return ns
+    # ns LongType internal currency (SURVEY §7.4); M/Y use epoch-free
+    # calendar means (ref unit.pyx:231-430 round_months_to_ns)
+    from ..functions.temporal import convert_unit
+    return convert_unit(col.cast("long") * F.lit(a.step_size), a.unit, "ns")
 
 
 @_rule("timedelta", "int")
 def _timedelta_to_int(col, src, dst, a: CastArgs):
-    if isinstance(col, Column):
-        ns = col  # assumed ns LongType representation
-    div = AS_NS.get(a.unit, 1) * a.step_size
-    if div == 1:
-        return ns.cast("long")
-    from ..functions.rounding import round_div
-    return round_div(ns.cast("long"), F.lit(div), a.rounding or "down").cast("long")
+    from ..functions.temporal import convert_unit
+    out = convert_unit(col.cast("long"), "ns", a.unit, a.rounding or "down")
+    if a.step_size != 1:
+        from ..functions.rounding import round_div
+        out = round_div(out, F.lit(a.step_size), a.rounding or "down")
+    return out.cast("long")
+
+
+@_rule("timedelta", "timedelta")
+def _td_identity(col, src, dst, a: CastArgs):
+    return col.cast("long")
+
+
+@_rule("datetime", "timedelta")
+def _dt_to_td(col, src, dst, a: CastArgs):
+    # ref convert/datetime.py:465 — offset from `since` as a duration
+    return timestamp_to_ns(col.cast("timestamp"), a.since, a.tz)
+
+
+@_rule("timedelta", "datetime")
+def _td_to_dt(col, src, dst, a: CastArgs):
+    # ref convert/timedelta.py:300 — duration anchored at `since`
+    return ns_to_timestamp(col.cast("long"), a.since, a.tz)
+
+
+@_rule("float", "datetime")
+@_rule("decimal", "datetime")
+def _float_to_datetime(col, src, dst, a: CastArgs):
+    # ref convert/float.py:214 / decimal.py:172 — fractional unit counts
+    if a.unit in ("M", "Y"):
+        months = F.round(
+            col.cast("double") * F.lit(float((12 if a.unit == "Y" else 1) * a.step_size))
+        ).cast("int")
+        out = F.timestampadd("MONTH", months, _epoch_base_ts(a))
+        return F.from_utc_timestamp(out, a.tz) if a.tz else out
+    ns = F.round(col.cast("double") * F.lit(float(AS_NS[a.unit] * a.step_size))).cast("long")
+    return ns_to_timestamp(ns, a.since, a.tz)
+
+
+@_rule("float", "timedelta")
+@_rule("decimal", "timedelta")
+def _float_to_timedelta(col, src, dst, a: CastArgs):
+    # ref convert/float.py:260 / decimal.py:208
+    from ..functions.temporal import ns_per_unit
+    per = float(ns_per_unit(a.unit) * a.step_size)
+    return F.round(col.cast("double") * F.lit(per)).cast("long")
+
+
+@_rule("bool", "datetime")
+def _bool_to_datetime(col, src, dst, a: CastArgs):
+    # ref convert/boolean.py:23 — True/False → 1/0 units since epoch
+    return _int_to_datetime(col.cast("int"), src, dst, a)
+
+
+@_rule("bool", "timedelta")
+def _bool_to_timedelta(col, src, dst, a: CastArgs):
+    # ref convert/boolean.py:35
+    return _int_to_timedelta(col.cast("int"), src, dst, a)
+
+
+@_rule("datetime", "bool")
+def _dt_to_bool(col, src, dst, a: CastArgs):
+    # ref convert/datetime.py:30 — via unit count, only 0/1 valid
+    i = _datetime_to_int(col, src, dst, a)
+    return F.when(i.between(0, 1), i.cast("boolean")).otherwise(
+        F.lit(None).cast("boolean")
+    )
+
+
+@_rule("timedelta", "bool")
+def _td_to_bool(col, src, dst, a: CastArgs):
+    i = _timedelta_to_int(col, src, dst, a)
+    return F.when(i.between(0, 1), i.cast("boolean")).otherwise(
+        F.lit(None).cast("boolean")
+    )
 
 
 @_rule("datetime", "datetime")
@@ -295,10 +384,36 @@ def _dt_to_str(col, src, dst, a: CastArgs):
 @_rule("datetime", "float")
 @_rule("datetime", "decimal")
 def _dt_to_float(col, src, dst, a: CastArgs):
+    from ..functions.temporal import ns_per_unit
     ns = timestamp_to_ns(col.cast("timestamp"), a.since, a.tz)
-    return (ns.cast("double") / F.lit(float(AS_NS.get(a.unit, 1)))).cast(
+    return (ns.cast("double") / F.lit(float(ns_per_unit(a.unit)))).cast(
         dst.spark_type
     )
+
+
+@_rule("timedelta", "float")
+@_rule("timedelta", "decimal")
+def _td_to_float(col, src, dst, a: CastArgs):
+    # ref convert/timedelta.py:140
+    from ..functions.temporal import ns_per_unit
+    per = float(ns_per_unit(a.unit) * a.step_size)
+    return (col.cast("double") / F.lit(per)).cast(dst.spark_type)
+
+
+@_rule("datetime", "complex")
+@_rule("timedelta", "complex")
+def _temporal_to_complex(col, src, dst, a: CastArgs):
+    # ref convert/datetime.py:183 — unit count as the real part
+    fam = _family(src)
+    re = (_dt_to_float if fam == "datetime" else _td_to_float)(
+        col, src, resolve_float64(), a
+    )
+    return F.struct(re.cast("double").alias("re"), F.lit(0.0).alias("im"))
+
+
+def resolve_float64():
+    from ..types.resolve import resolve as _r
+    return _r("float64")
 
 
 # --- string sources (the parsing layer) ------------------------------------
@@ -414,16 +529,24 @@ def cast_col(
     return fn(col, s, d, a)
 
 
-def _validate(df: DataFrame, name: str, before: Column, after: Column) -> None:
-    """errors='raise': one aggregate counting new NULLs introduced by cast."""
-    bad = df.select(
-        F.count(F.when(before.isNotNull() & after.isNull(), 1)).alias("n")
-    ).collect()[0]["n"]
+def _validate(df: DataFrame, validations: list[tuple[str, Column, Column]]) -> None:
+    """errors='raise': ONE aggregate job counting new NULLs across ALL cast
+    columns (same single-pass pattern as downcast_plan,
+    convert/downcast.py:79-93) — a 50-column cast costs one scan, not 50."""
+    if not validations:
+        return
+    aggs = [
+        F.count(F.when(before.isNotNull() & after.isNull(), 1)).alias(name)
+        for name, before, after in validations
+    ]
+    row = df.select(*aggs).collect()[0]
+    bad = {name: row[name] for name, _, _ in validations if row[name]}
     if bad:
+        detail = ", ".join(f"{k}: {v}" for k, v in bad.items())
         raise CastError(
-            f"cast of column {name!r} produced {bad} invalid value(s) "
-            f"(errors='raise'); use errors='coerce' to null them or "
-            f"errors='ignore' to keep the input"
+            f"cast produced invalid value(s) ({detail}) with errors='raise'; "
+            f"use errors='coerce' to null them or errors='ignore' to keep "
+            f"the input"
         )
 
 
@@ -476,8 +599,7 @@ def cast(
             validations.append((name, F.col(name), expr))
 
     if a.errors == "raise":
-        for name, before, after in validations:
-            _validate(df, name, before, after)
+        _validate(df, validations)
 
     result = df.withColumns(out_cols) if out_cols else df
     if a.downcast:

@@ -18,7 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
-    "AS_NS", "EPOCHS", "epoch_ns", "convert_unit",
+    "AS_NS", "EPOCHS", "epoch_ns", "convert_unit", "ns_per_unit",
     "ns_to_timestamp", "timestamp_to_ns",
     "parse_timedelta_string", "td_ns_to_string",
 ]
@@ -79,26 +79,29 @@ def epoch_ns(epoch: str | int) -> int:
     return EPOCHS[key]
 
 
+def ns_per_unit(u: str) -> int:
+    """ns per unit; calendar units (M/Y) use the proleptic-Gregorian means
+    the reference's ``round_months_to_ns``/``round_years_to_ns`` use for
+    epoch-free conversion (``unit.pyx:231-430``)."""
+    if u in AS_NS:
+        return AS_NS[u]
+    if u == "M":
+        return 2629746 * 10**9  # 30.436875 days
+    if u == "Y":
+        return 31556952 * 10**9  # 365.2425 days
+    raise ValueError(f"unrecognized unit {u!r}")
+
+
 def convert_unit(col: Column, from_unit: str, to_unit: str,
                  rule: str = "down") -> Column:
     """Integer count ``from_unit`` → count ``to_unit``
     (reference ``unit.pyx:77-230``).
 
-    Regular units are exact LongType ratio arithmetic.  Calendar units (M/Y)
-    use the 30.436875-day / 365.2425-day proleptic-Gregorian means the
-    reference's ``round_months_to_ns``/``round_years_to_ns`` use for
-    epoch-free conversion (``unit.pyx:231-430``).
+    Regular units are exact LongType ratio arithmetic; calendar units use
+    ``ns_per_unit`` means (epoch-free; anchored calendar-exact M/Y lives in
+    the datetime rules via ``timestampadd``/``months_between``).
     """
-    def ns_per(u: str) -> int:
-        if u in AS_NS:
-            return AS_NS[u]
-        if u == "M":
-            return 2629746 * 10**9  # 30.436875 days
-        if u == "Y":
-            return 31556952 * 10**9  # 365.2425 days
-        raise ValueError(f"unrecognized unit {u!r}")
-
-    f, t = ns_per(from_unit), ns_per(to_unit)
+    f, t = ns_per_unit(from_unit), ns_per_unit(to_unit)
     if f == t:
         return col
     if f % t == 0:
@@ -185,8 +188,8 @@ def parse_timedelta_string(col: Column, as_hours: bool = False) -> Column:
 
     # unit-word path: extract all "<num> <unit>" pairs, sum contributions
     pair_re = r"([+-]?\d+(?:\.\d+)?)\s*([a-zA-Z]+)"
-    nums = F.expr(f"regexp_extract_all(trim({_c(col)}), r'{pair_re}', 1)")
-    units = F.expr(f"regexp_extract_all(trim({_c(col)}), r'{pair_re}', 2)")
+    nums = F.regexp_extract_all(s, F.lit(pair_re), 1)
+    units = F.regexp_extract_all(s, F.lit(pair_re), 2)
     unit_map = F.map_from_arrays(
         F.array(*[F.lit(k) for k in _UNIT_WORDS]),
         F.array(*[F.lit(v) for v in _UNIT_WORDS.values()]),
@@ -209,12 +212,6 @@ def parse_timedelta_string(col: Column, as_hours: bool = False) -> Column:
         .when(has_words, word_val)
         .otherwise(F.lit(None).cast("long"))
     )
-
-
-def _c(col: Column) -> str:
-    """SQL text of a simple column reference (for expr() composition)."""
-    # Column._jc.toString() yields the expression text for simple refs
-    return col._jc.toString()  # noqa: SLF001
 
 
 def td_ns_to_string(ns: Column) -> Column:

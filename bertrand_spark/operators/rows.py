@@ -49,8 +49,7 @@ def with_row_id(df: DataFrame, order_by: Sequence[str | Column] | None = None) -
     if ROW_ID in df.columns:
         return df
     if order_by:
-        w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
-        return df.withColumn(ROW_ID, F.row_number().over(w) - 1)
+        return enumerate_rows(df, order_by).withColumnRenamed("idx", ROW_ID)
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 
 
@@ -64,10 +63,42 @@ def iota(spark: SparkSession, start: int, stop: int | None = None, step: int = 1
     return spark.range(start, stop, step).withColumnRenamed("id", "i")
 
 
-def enumerate_rows(df: DataFrame, order_by: Sequence[str]) -> DataFrame:
-    """(index, row) pairs (I4): dense 0-based ``idx`` column."""
-    w = Window.orderBy(*order_by)
-    return df.withColumn("idx", F.row_number().over(w) - 1)
+def enumerate_rows(df: DataFrame, order_by: Sequence[str | Column]) -> DataFrame:
+    """(index, row) pairs (I4): dense 0-based ``idx`` column.
+
+    Scale-safe zipWithIndex pattern — a global ``Window.orderBy`` funnels
+    every row through ONE task, so instead:
+
+    1. ``repartitionByRange(order_by)``: range partitioner ⇒ partition id
+       order == key order, equal keys co-located, all partitions parallel;
+    2. per-partition local rank: ``row_number`` over a window PARTITIONED
+       by ``spark_partition_id()`` (parallel, no funnel);
+    3. per-partition counts (tiny aggregate) → cumulative offsets →
+       broadcast-joined back; ``idx = offset + local - 1``.
+
+    Two passes over the data instead of one serial pass — the standard
+    distributed enumeration trade (RDD ``zipWithIndex`` does the same),
+    but with NO second full-data shuffle: ``monotonically_increasing_id``
+    after the range sort encodes (partition_id << 33 | local_row_number),
+    so local ranks come free with the sorted scan and only the per-
+    partition counts (numPartitions rows) shuffle for the offset cumsum.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    tagged = ranged.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftright(F.col("__mid"), 33)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    tagged = tagged.withColumn("__pid", pid).withColumn("__local", local)
+    counts = tagged.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn("idx", (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__mid", "__pid", "__local", "__off")
+    )
 
 
 def zip_rows(a: DataFrame, b: DataFrame, order_a: Sequence[str], order_b: Sequence[str]) -> DataFrame:
@@ -208,8 +239,9 @@ def intersect_all_sorted(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def except_sorted(a: DataFrame, b: DataFrame) -> DataFrame:
-    """EXCEPT (L6)."""
-    return a.exceptAll(b).distinct()
+    """EXCEPT (L6): set semantics — any key present in ``b`` is removed
+    entirely, regardless of multiplicity in ``a``."""
+    return a.distinct().subtract(b.distinct())
 
 
 def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -272,12 +304,10 @@ def max_rows(df: DataFrame, col: str, by: Column | None = None):
 
 
 def compare_lex(a: DataFrame, b: DataFrame, order_a: Sequence[str], order_b: Sequence[str], col: str) -> int:
-    """Lexicographic comparison (I14): zip + first difference."""
-    z = zip_rows(
-        a.select(*order_a, F.col(col).alias("__l")), b.select(*order_b, F.col(col).alias("__r")),
-        order_a, order_b,
-    )
-    z = enumerate_rows(z, ["__l", "__r"])
+    """Lexicographic comparison (I14): zip + first *positional* difference."""
+    ai = enumerate_rows(a.select(*order_a, F.col(col).alias("__l")), order_a)
+    bi = enumerate_rows(b.select(*order_b, F.col(col).alias("__r")), order_b)
+    z = ai.select("idx", "__l").join(bi.select("idx", "__r"), "idx", "inner")
     first_diff = (
         z.filter(F.col("__l") != F.col("__r"))
         .orderBy("idx")

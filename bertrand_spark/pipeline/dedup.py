@@ -86,24 +86,57 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --- MinHash + LSH ---------------------------------------------------------
+def shingle_hashes(text: Column, shingle_n: int = 5) -> Column:
+    """Distinct 31-bit shingle hashes for a text column (array<bigint>)."""
+    grams = char_ngrams(text, shingle_n)
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit((1 << 31) - 1)))
+    )
+
+
+def minhash_from_hashes(hashes: Column, k: int = 32, seed: int = 42) -> Column:
+    """k-permutation MinHash signature over a pre-computed hash array.
+
+    Each permutation j: ``min over shingles of (a_j * h + b_j) mod p`` with
+    p = 2^61-1 (Broder's scheme).  Implemented as ONE streaming
+    ``aggregate`` over the hash array with a k-wide running-minimum
+    accumulator (``zip_with(acc, perms(h), least)``): the hash array — and
+    therefore the whole shingle pipeline feeding it — is evaluated exactly
+    once per row no matter what Catalyst inlines, and the expression tree
+    is O(1) in k.  The round-1 version emitted k independent
+    ``array_min(transform(<whole shingle pipeline>))`` copies, which blew
+    codegen into interpreted fallback (~9 min for 500 docs).
+    """
+    coeffs = _perm_coeffs(k, seed)
+    A = F.array(*[F.lit(a) for a, _ in coeffs])
+    B = F.array(*[F.lit(b) for _, b in coeffs])
+    init = F.array_repeat(F.lit(_MERSENNE), k)
+    idx = F.sequence(F.lit(1), F.lit(k))
+
+    def merge(acc: Column, h: Column) -> Column:
+        perms = F.transform(
+            idx,
+            lambda j: F.pmod(
+                h * F.element_at(A, j.cast("int")) + F.element_at(B, j.cast("int")),
+                F.lit(_MERSENNE),
+            ),
+        )
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+
+    return F.aggregate(hashes, init, merge)
+
+
 def minhash_signature(
     text: Column, k: int = 32, shingle_n: int = 5, seed: int = 42
 ) -> Column:
     """k-permutation MinHash signature (array<bigint>), fully native.
 
-    Each permutation j: ``min over shingles of (a_j * h(s) + b_j) mod p``
-    with p = 2^61-1 (Broder's scheme); h = xxhash64 folded non-negative.
+    Column-level convenience; DataFrame-level callers should materialize
+    ``shingle_hashes`` in a separate projection first (see
+    ``lsh_candidate_pairs``) so Catalyst's CollapseProject cost guard keeps
+    the shingle pipeline evaluated once.
     """
-    grams = char_ngrams(text, shingle_n)
-    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit((1 << 31) - 1)))
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-
-    sigs = [
-        F.array_min(F.transform(hashes, _perm(a, b)))
-        for a, b in _perm_coeffs(k, seed)
-    ]
-    return F.array(*sigs)
+    return minhash_from_hashes(shingle_hashes(text, shingle_n), k, seed)
 
 
 def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -142,9 +175,19 @@ def lsh_candidate_pairs(
     equi-join on (band, bucket).  Pairs sharing multiple bands are deduped.
     """
     rows_per_band = k // num_bands
-    sig = minhash_signature(F.col(text_col), k, shingle_n, seed)
+    hashed = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__mh")
+    )
+    signed = hashed.select(
+        F.col(id_col), minhash_from_hashes(F.col("__mh"), k, seed).alias("__sig")
+    )
     bands = (
-        df.select(F.col(id_col), F.explode(minhash_bands(sig, num_bands, rows_per_band)).alias("bb"))
+        signed.select(
+            F.col(id_col),
+            F.explode(
+                minhash_bands(F.col("__sig"), num_bands, rows_per_band)
+            ).alias("bb"),
+        )
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     a = bands.withColumnRenamed(id_col, "id_a")
@@ -182,13 +225,30 @@ def near_dup_pairs_minhash(
     candidate list (AQE decides from runtime size).
     """
     cand = lsh_candidate_pairs(df, id_col, text_col, k, num_bands, shingle_n)
-    texts = df.select(F.col(id_col), F.col(text_col))
-    joined = (
-        cand.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "__ta"), "id_a")
-        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "__tb"), "id_b")
+    # materialize each document's distinct shingle set ONCE (one narrow
+    # projection over n docs), then join pairs to the prebuilt arrays —
+    # the per-pair work is a single array_intersect/union over materialized
+    # values, never a re-shingling of the text (that was ~2ms/pair).
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__g"),
     )
+    joined = (
+        cand.join(
+            grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga")),
+            "id_a",
+        )
+        .join(
+            grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
+    uni = (F.size(F.col("__ga")) + F.size(F.col("__gb"))).cast("double") - inter
     return (
-        joined.withColumn("jaccard", jaccard_shingles(F.col("__ta"), F.col("__tb"), shingle_n))
+        joined.withColumn(
+            "jaccard", F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+        )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

@@ -42,29 +42,47 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(_BPE_ISH))
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass the value into ``fn``.
+
+    An expression referenced inside a higher-order-function lambda is
+    re-evaluated at every element; a lambda *variable* is a bound value.
+    Wrapping in a 1-element array and transforming binds the value:
+    without this, ``char_ngrams`` re-ran lower+regexp_replace on the whole
+    string per gram — O(len²) per document (the round-1 x02 blowup).
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Character n-gram shingles (array<string>), native ``transform`` over an
-    index ``sequence`` — no explode, no shuffle."""
+    index ``sequence`` — no explode, no shuffle, O(len) per document."""
     s = F.lower(F.regexp_replace(text, r"\s+", " "))
-    length = F.length(s)
-    return F.when(length < n, F.array(s)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), length - F.lit(n - 1)),
-            lambda i: s.substr(i, F.lit(n)),
+
+    def build(t: Column) -> Column:
+        return F.when(F.length(t) < n, F.array(t)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
         )
-    )
+
+    return _bind(s, build)
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>)."""
-    toks = tokenize(text)
-    sz = F.size(toks)
-    return F.when(sz < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), sz - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    """Word n-gram shingles (array<string>), tokens evaluated once."""
+
+    def build(t: Column) -> Column:
+        sz = F.size(t)
+        return F.when(sz < n, F.array(F.concat_ws(" ", t))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), sz - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
         )
-    )
+
+    return _bind(tokenize(text), build)
 
 
 # --- quality scoring -------------------------------------------------------

@@ -50,8 +50,9 @@ def query(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.reader import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +322,7 @@ def q11(spark, sf_dir):
         o.select(
             "o_orderkey",
             cast_col(F.col("o_orderdate"), "datetime", "int64", unit="ns").alias("ns"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
         )
         .orderBy("o_orderkey")
         .limit(1000)
@@ -395,9 +396,11 @@ def q13(spark, sf_dir):
     td = F.format_string("%d:%02d:%02d", af % 10, (af * 7) % 60, (af * 13) % 60)
     parsed_ts = cast_col(s, "string", "datetime", errors="coerce")
     parsed_td = parse_timedelta_string(td)
+    # sum µs as deltas from 2024-01-01 so the 64-bit sum can't overflow
+    base_us = 1704067200000000
     return e.select(
         F.count(parsed_ts).alias("n_ok"),
-        F.sum(F.unix_micros(parsed_ts)).cast("long").alias("sum_us"),
+        F.sum(F.unix_micros(parsed_ts) - F.lit(base_us)).cast("long").alias("sum_us"),
         F.sum(parsed_td).cast("long").alias("sum_td_ns"),
     )
 
@@ -410,7 +413,8 @@ ORACLES["q13_parse_temporal"] = """
              CAST(abs(floor(value)) AS BIGINT) AS af
       FROM events)
     SELECT CAST(count(TRY_CAST(s AS TIMESTAMP)) AS BIGINT) AS n_ok,
-           CAST(sum(epoch_us(TRY_CAST(s AS TIMESTAMP))) AS BIGINT) AS sum_us,
+           CAST(sum(epoch_us(TRY_CAST(s AS TIMESTAMP)) - 1704067200000000)
+                AS BIGINT) AS sum_us,
            CAST(sum((af % 10 * 3600 + (af * 7) % 60 * 60 + (af * 13) % 60)
                     * 1000000000) AS BIGINT) AS sum_td_ns
     FROM src

@@ -1,0 +1,56 @@
+"""Parquet ingestion that survives TIMESTAMP(NANOS) columns.
+
+Spark 4 rejects parquet INT64 TIMESTAMP(NANOS,*) outright
+(``PARQUET_TYPE_ILLEGAL``) unless ``spark.sql.legacy.parquet.nanosAsLong``
+is set, in which case the column arrives as a raw ns LongType.  That raw
+ns count is exactly this engine's internal temporal currency (SURVEY §7.4,
+functions/temporal.py), so the ingestion layer:
+
+1. reads the parquet footer (driver-side metadata only — one footer fetch,
+   no data IO, scale-independent) to find timestamp[ns] columns;
+2. reads with ``nanosAsLong=true``;
+3. converts each ns column to Spark's µs TimestampType by truncating
+   division — matching DuckDB, which also truncates ns→µs on read, so
+   oracle comparisons line up bit-for-bit.
+
+Reference parity: the reference engine stores datetimes as ns-since-epoch
+int64 end-to-end (bertrand convert/datetime.py:67-121); Spark's µs
+TimestampType is the boundary representation here.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=256)
+def nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Names of timestamp[ns] columns in a parquet file/directory footer."""
+    import pyarrow.dataset as ds
+    import pyarrow as pa
+
+    schema = ds.dataset(path, format="parquet").schema
+    out = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            out.append(field.name)
+    return tuple(out)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing ns-timestamps to TimestampType."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # truncating ns→µs (positive epochs: div == floor), same as DuckDB's read
+    return df.withColumns(
+        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+    )

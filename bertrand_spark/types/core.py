@@ -190,7 +190,10 @@ class ScalarType:
             is_abstract=self.is_abstract,
             params=params,
         )
-        clone.parent = self.parent
+        # parent = self: a parametrized flyweight is a subtype of its own
+        # unparametrized base (reference meta.py:2335 — varchar(5) ∈ string),
+        # so contains()/typecheck/dispatch see it inside the base family.
+        clone.parent = self
         clone._base = self
         registry._flyweights[key] = clone
         return clone
