@@ -97,6 +97,11 @@ def _family(t: AnyType) -> str:
         return "int"
     if root in ("datetime_ntz", "date"):
         return "datetime"
+    if root == "binary":
+        # BinaryType is the carrier for pickled Python objects — the
+        # reference's dtype=object (SURVEY §2.2 C27); raw non-pickled
+        # binary fails unpickling and nulls under errors='coerce'
+        return "object"
     return root
 
 
@@ -255,7 +260,7 @@ def _int_to_datetime(col, src, dst, a: CastArgs):
         months = (
             col.cast("long") * F.lit((12 if a.unit == "Y" else 1) * a.step_size)
         ).cast("int")
-        out = F.timestampadd("MONTH", months, _epoch_base_ts(a))
+        out = F.timestamp_add("MONTH", months, _epoch_base_ts(a))
         return F.from_utc_timestamp(out, a.tz) if a.tz else out
     ns = col.cast("long") * F.lit(AS_NS[a.unit]) * F.lit(a.step_size)
     return ns_to_timestamp(ns, a.since, a.tz)
@@ -322,7 +327,7 @@ def _float_to_datetime(col, src, dst, a: CastArgs):
         months = F.round(
             col.cast("double") * F.lit(float((12 if a.unit == "Y" else 1) * a.step_size))
         ).cast("int")
-        out = F.timestampadd("MONTH", months, _epoch_base_ts(a))
+        out = F.timestamp_add("MONTH", months, _epoch_base_ts(a))
         return F.from_utc_timestamp(out, a.tz) if a.tz else out
     ns = F.round(col.cast("double") * F.lit(float(AS_NS[a.unit] * a.step_size))).cast("long")
     return ns_to_timestamp(ns, a.since, a.tz)

@@ -108,6 +108,36 @@ class DispatchFunc:
         fn = self._lookup(types)
         return fn(df, *cols, **kwargs)
 
+    def pipe(self, df: DataFrame, *cols: str, **kwargs: Any) -> DataFrame:
+        """Transform/aggregate/filtration return protocol (D6; reference
+        ``dispatch.py:554-585``).
+
+        The reference classifies a dispatched implementation's return by
+        shape — index-aligned Series → *transform* (substituted in place),
+        reduced value → *aggregation*, index subset → *filtration*.  The
+        Spark-shaped analogue classifies driver-side, with no action:
+
+        * ``Column`` of BooleanType → filtration: ``df.filter(col)``;
+        * any other ``Column``   → transform: substituted for ``cols[0]``;
+        * ``DataFrame``          → aggregation/restructure: returned as-is;
+        * anything else          → scalar aggregate, wrapped in a 1-row DF.
+
+        Column dtype comes from ``df.select(expr).schema`` — plan analysis
+        only, nothing executes.
+        """
+        import pyspark.sql.types as st
+
+        result = self(df, *cols, **kwargs)
+        if isinstance(result, DataFrame):
+            return result
+        if isinstance(result, Column):
+            dtype = df.select(result).schema[0].dataType
+            if isinstance(dtype, st.BooleanType):
+                return df.filter(result)
+            return df.withColumn(cols[0], result)
+        spark = df.sparkSession
+        return spark.createDataFrame([(result,)], [self.name])
+
 
 def _matches(declared: AnyType, observed: AnyType) -> bool:
     if isinstance(declared, UnionType):

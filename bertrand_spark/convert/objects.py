@@ -163,7 +163,8 @@ def _obj_to_timedelta(col, src, dst, a: CastArgs):
 @_rule("complex", "object")
 @_rule("object", "object")
 def _any_to_object(col, src, dst, a: CastArgs):
-    if src is not None and getattr(src, "name", "") == "object":
+    from .cast import _family
+    if src is not None and _family(src) == "object":
         return col  # already pickled binary
     fam_call = a.call
     if fam_call is None:

@@ -666,6 +666,83 @@ def q24b(spark, sf_dir):
     return R.except_sorted(c, s).orderBy("nationkey")
 
 
+@query(
+    "q25_dt_td_conversions",
+    """
+    SELECT o_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) * 1000 AS td_ns,
+           CAST(o_orderdate AS TIMESTAMP) AS back_ts,
+           CAST(epoch_us(o_orderdate) AS DOUBLE) / 3600000000.0 AS td_h
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def q25(spark, sf_dir):
+    """datetime↔timedelta matrix (C20/C21): anchored duration + back,
+    plus timedelta→float in hours (ref convert/datetime.py:465,
+    convert/timedelta.py:140)."""
+    o = _t(spark, sf_dir, "orders")
+    td = cast_col(F.col("o_orderdate"), "datetime", "timedelta")
+    return (
+        o.select(
+            "o_orderkey",
+            td.alias("td_ns"),
+            cast_col(td, "timedelta", "datetime").alias("back_ts"),
+            cast_col(td, "timedelta", "float64", unit="h").alias("td_h"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q26_calendar_units",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('month', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             AS months_since_epoch,
+           CAST(DATE '1970-01-01' + to_months(CAST(o_custkey % 600 AS INT))
+                AS TIMESTAMP) AS month_ts
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def q26(spark, sf_dir):
+    """Calendar-exact M units (T1/T3): datetime→month-count via
+    months_between and month-count→datetime via timestamp_add — real
+    calendar math, not 30.44-day means (ref unit.pyx:231-430,
+    calendar.pyx:55-389)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            cast_col(F.col("o_orderdate"), "datetime", "int64", unit="M").alias(
+                "months_since_epoch"
+            ),
+            cast_col(F.col("o_custkey") % 600, "int64", "datetime", unit="M").alias(
+                "month_ts"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q27_object_roundtrip",
+    "SELECT CAST(sum(o_orderkey) AS BIGINT) AS total FROM orders",
+)
+def q27(spark, sf_dir):
+    """Object escape hatch (C27/E1): long → pickled object column →
+    long, summed — pickle/unpickle is the identity, so the oracle is the
+    direct sum; this gates the Arrow-batched kernel plumbing
+    (ref convert/object.py:17-212, util/vector.pyx:45)."""
+    from ..convert.cast import cast as cast_df
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    obj = cast_df(o, {"o_orderkey": "object"})
+    back = cast_df(obj, {"o_orderkey": "int64"}, errors="coerce")
+    return back.select(F.sum("o_orderkey").cast("long").alias("total"))
+
+
 # ---------------------------------------------------------------------------
 # north-star extensions: dedup / similarity / text / events / multimodal
 # ---------------------------------------------------------------------------
