@@ -64,6 +64,7 @@ class CastArgs:
     tz: str | None = None              # arguments.py:760
     day_first: bool = False            # arguments.py:858
     year_first: bool = False           # arguments.py:920
+    fuzzy: bool = False                # datetime.pyx:292 dateutil fuzzy=True
     as_hours: bool = False             # arguments.py:972
     true: tuple = TRUE_TOKENS          # arguments.py:1012
     false: tuple = FALSE_TOKENS        # arguments.py:1159
@@ -461,13 +462,32 @@ def _str_to_complex(col, src, dst, a: CastArgs):
 
 @_rule("string", "datetime")
 def _str_to_datetime(col, src, dst, a: CastArgs):
-    # reference convert/string.py:137-308: format → strptime; else ISO fast path
+    # reference convert/string.py:137-308: format → strptime; else ISO fast
+    # path; day_first/year_first reorder ambiguous numeric dates
+    # (datetime.pyx:292 parserinfo); fuzzy falls back to a dateutil kernel.
     s = F.trim(col)
     if a.format:
         out = F.try_to_timestamp(s, F.lit(a.format))
     else:
-        # ISO-8601 fast path (datetime.pyx:241): native cast handles it
-        out = s.try_cast("timestamp")
+        # day_first/year_first: native try_to_timestamp over the candidate
+        # orderings (all codegen'd; first match wins), then the ISO fast
+        # path (datetime.pyx:241 — the native cast handles ISO-8601)
+        if a.day_first and a.year_first:
+            bases = ["yyyy/d/M", "yyyy.d.M", "yyyy d M"]
+        elif a.day_first:
+            bases = ["d/M/yyyy", "d-M-yyyy", "d.M.yyyy"]
+        elif a.year_first:
+            bases = ["yyyy/M/d", "yyyy.M.d"]
+        else:
+            bases = []
+        fmts = [b + t for b in bases for t in (" HH:mm:ss", " HH:mm", "")]
+        exprs = [F.try_to_timestamp(s, F.lit(f)) for f in fmts]
+        out = F.coalesce(*exprs, s.try_cast("timestamp")) if exprs else s.try_cast("timestamp")
+    if a.fuzzy:
+        # dateutil fuzzy=True semantics (datetime.pyx:292): Arrow-batched
+        # kernel, only consulted where the native paths returned NULL
+        from ..functions.temporal import fuzzy_parse_datetime
+        out = F.coalesce(out, fuzzy_parse_datetime(s, a.day_first, a.year_first))
     if a.tz:
         out = F.from_utc_timestamp(out, a.tz)
     return out
