@@ -537,6 +537,97 @@ def _td_to_str(col, src, dst, a: CastArgs):
     return td_ns_to_string(col.cast("long"))
 
 
+# --- anonymous cast (C31) ---------------------------------------------------
+def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, str]:
+    """Dominant parseable type per string/object column — ONE aggregate job
+    over all candidate columns (reference anonymous cast,
+    ``convert/base.py:156-163``: ``cast(df)`` detects then converts).
+
+    A column is promoted only when EVERY non-missing element parses as the
+    target family: all-bool → bool, all-int → int64, int/float mix →
+    float64, all-ISO-datetime → datetime; anything else stays put.
+    Object (pickled binary) columns tag via the Arrow kernel first.
+    """
+    from ..types.detect import type_tag_column
+
+    candidates: dict[str, Column] = {}
+    for f in df.schema.fields:
+        if cols is not None and f.name not in cols:
+            continue
+        if isinstance(f.dataType, st.StringType):
+            candidates[f.name] = type_tag_column(F.col(f.name))
+        elif isinstance(f.dataType, st.BinaryType):
+            from .objects import apply_with_errors
+
+            def _pytag(v: Any) -> str:
+                import datetime as _dt
+                import decimal as _decimal
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, int):
+                    return "int"
+                if isinstance(v, float):
+                    return "float"
+                if isinstance(v, complex):
+                    return "complex"
+                if isinstance(v, _decimal.Decimal):
+                    return "decimal"
+                if isinstance(v, _dt.datetime):
+                    return "datetime"
+                if isinstance(v, _dt.timedelta):
+                    return "timedelta"
+                if isinstance(v, str):
+                    return "str"
+                return "object"
+
+            candidates[f.name] = F.coalesce(
+                apply_with_errors(
+                    F.col(f.name), _pytag, "coerce", "string", unpickle=True
+                ),
+                F.lit("missing"),
+            )
+    if not candidates:
+        return {}
+
+    tags = ("missing", "bool", "int", "float", "complex", "decimal",
+            "datetime", "timedelta", "str", "object")
+    aggs = [
+        F.count(F.when(tag_expr == t, 1)).alias(f"{name}\tc{i}")
+        for name, tag_expr in candidates.items()
+        for i, t in enumerate(tags)
+    ]
+    row = df.select(*aggs).collect()[0]
+
+    plan: dict[str, str] = {}
+    for name in candidates:
+        counts = {t: row[f"{name}\tc{i}"] for i, t in enumerate(tags)}
+        present = {t for t, n in counts.items() if n > 0 and t != "missing"}
+        if not present:
+            continue
+        target = None
+        if present == {"bool"}:
+            target = "bool"
+        elif present == {"int"}:
+            target = "int64"
+        elif present <= {"int", "float"}:
+            target = "float64"
+        elif present == {"decimal"}:
+            target = "decimal"
+        elif present == {"complex"}:
+            target = "complex"
+        elif present == {"datetime"}:
+            target = "datetime"
+        elif present == {"timedelta"}:
+            target = "timedelta"
+        elif present == {"str"} and isinstance(
+            df.schema[name].dataType, st.BinaryType
+        ):
+            target = "string"
+        if target is not None:
+            plan[name] = target
+    return plan
+
+
 # --- public API ------------------------------------------------------------
 def cast_col(
     col: Column,
@@ -577,18 +668,27 @@ def _validate(df: DataFrame, validations: list[tuple[str, Column, Column]]) -> N
 
 def cast(
     df: DataFrame,
-    spec: Any,
+    spec: Any = None,
     cols: str | list[str] | None = None,
     **kwargs: Any,
 ) -> DataFrame:
     """DataFrame-level cast (reference ``convert/base.py:146-201``).
 
     ``spec`` may be a single type specifier (applied to ``cols`` or every
-    column it can apply to) or a mapping ``{column: spec}`` — the
-    ``columnwise`` broadcast of the reference (``convert/base.py:55-99``).
+    column it can apply to), a mapping ``{column: spec}`` — the
+    ``columnwise`` broadcast of the reference (``convert/base.py:55-99``) —
+    or ``None`` for the anonymous cast (C31, ``base.py:156-163``): infer
+    the best type of every string/object column and convert to it.
     """
     a = CastArgs(**kwargs)
     observed = {f.name: resolve(f.dataType) for f in df.schema.fields}
+
+    if spec is None:
+        spec = infer_best_types(
+            df, [cols] if isinstance(cols, str) else cols
+        )
+        if not spec:
+            return df
 
     if isinstance(spec, Mapping):
         plan = {k: resolve(v) for k, v in spec.items()}

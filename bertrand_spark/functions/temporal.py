@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -212,6 +213,42 @@ def parse_timedelta_string(col: Column, as_hours: bool = False) -> Column:
         .when(has_words, word_val)
         .otherwise(F.lit(None).cast("long"))
     )
+
+
+def fuzzy_parse_datetime(
+    col: Column, day_first: bool = False, year_first: bool = False
+) -> Column:
+    """dateutil fuzzy datetime parse (reference ``datetime.pyx:292``
+    ``string_to_pydatetime`` with ``fuzzy=True``).
+
+    Arrow-batched kernel — arbitrary-text date extraction has no native
+    Spark expression; the cast rule only consults this where the native
+    format/ISO paths returned NULL, so at scale it touches the residue,
+    not the bulk.  Unparseable → NULL (coerce semantics; the cast layer
+    handles raise).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("timestamp")
+    def kernel(s: pd.Series) -> pd.Series:
+        from dateutil import parser as du
+
+        info = du.parserinfo(dayfirst=day_first, yearfirst=year_first)
+        # default pins missing fields (ref: parse is anchored, not "now")
+        import datetime as dt
+        anchor = dt.datetime(1970, 1, 1)
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return du.parse(str(v), fuzzy=True, parserinfo=info, default=anchor)
+            except (du.ParserError, OverflowError, ValueError):
+                return None
+
+        return s.map(one)
+
+    return kernel(col)
 
 
 def td_ns_to_string(ns: Column) -> Column:

@@ -727,6 +727,39 @@ def q26(spark, sf_dir):
 
 
 @query(
+    "q28_anonymous_cast",
+    """
+    WITH src AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             CAST(o_totalprice AS VARCHAR) AS p,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'yes' ELSE 'no' END AS flag
+      FROM orders)
+    SELECT CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(p AS DOUBLE)) AS DOUBLE) AS sum_p,
+           CAST(count(CASE WHEN flag = 'yes' THEN 1 END) AS BIGINT) AS n_true
+    FROM src
+    """,
+)
+def q28(spark, sf_dir):
+    """Anonymous cast (C31, ref convert/base.py:156-163): ``cast(df)`` with
+    no target infers int64/float64/bool from all-string input, then the
+    typed aggregate runs on the inferred columns."""
+    from ..convert.cast import cast as cast_df
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast("string").alias("p"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("yes")).otherwise(F.lit("no")).alias("flag"),
+    )
+    typed = cast_df(o, errors="coerce")
+    return typed.select(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("p").cast("double").alias("sum_p"),
+        F.count(F.when(F.col("flag"), 1)).alias("n_true"),
+    )
+
+
+@query(
     "q27_object_roundtrip",
     "SELECT CAST(sum(o_orderkey) AS BIGINT) AS total FROM orders",
 )

@@ -43,8 +43,8 @@ class ScalarType:
     __slots__ = (
         "name", "backend", "spark_type", "scalar", "itemsize",
         "max", "min", "is_nullable", "missing", "parent", "_children",
-        "_default", "_nullable_twin", "params", "_base", "aliases",
-        "is_abstract",
+        "_default", "_nullable_twin", "_strict_twin", "params", "_base",
+        "aliases", "is_abstract",
     )
 
     def __init__(
@@ -77,6 +77,7 @@ class ScalarType:
         self._children: list[ScalarType] = []
         self._default: ScalarType | None = None
         self._nullable_twin: ScalarType | None = None
+        self._strict_twin: ScalarType | None = None
         self.params = params
         self._base: ScalarType | None = None
         self.aliases = tuple(aliases)
@@ -110,9 +111,15 @@ class ScalarType:
 
     @property
     def leaves(self) -> tuple["ScalarType", ...]:
-        return tuple(c for c in self.children if not c._children) or (
-            () if self._children else (self,)
-        )
+        # strict twins (R9) are representation variants, not family members
+        def walk(t: "ScalarType"):
+            kids = [c for c in t._children if c.backend != "strict"]
+            if not kids:
+                yield t
+            for c in kids:
+                yield from walk(c)
+
+        return tuple(walk(self))
 
     @property
     def larger(self) -> tuple["ScalarType", ...]:
@@ -140,7 +147,17 @@ class ScalarType:
         return self._default or self
 
     def as_nullable(self) -> "ScalarType":
+        """Nullable counterpart (reference numpy→pandas promotion,
+        meta.py:2478).  Spark columns are nullable by default, so the
+        concrete types ARE the nullable twins; a ``strict`` twin (mapped
+        from ``StructField(nullable=False)``) promotes back here."""
         return self._nullable_twin or self
+
+    def as_strict(self) -> "ScalarType":
+        """Non-nullable counterpart — detect() uses it for schema fields
+        declared ``nullable=False`` (the reference's numpy-backed,
+        NA-free representation, meta.py:2556)."""
+        return self._strict_twin or self
 
     # -- membership --------------------------------------------------------
     def contains(self, other: "AnyType") -> bool:
@@ -202,7 +219,8 @@ class ScalarType:
     def unparametrized(self) -> "ScalarType":
         return self._base or self
 
-    # -- ordering (reference meta.py:4588-4665 `_features`) -----------------
+    # -- ordering (reference meta.py:4588-4665 `_features` + explicit
+    #    comparison edges meta.py:396-531) -----------------------------------
     def _features(self) -> tuple:
         rng = self.max - self.min
         return (rng, self.itemsize, not self.is_nullable)
@@ -210,6 +228,11 @@ class ScalarType:
     def __lt__(self, other: "ScalarType") -> bool:
         if not isinstance(other, ScalarType):
             return NotImplemented
+        # explicit edges override the feature heuristic (R7)
+        if registry.edge_less(self, other):
+            return True
+        if registry.edge_less(other, self):
+            return False
         return self._features() < other._features()
 
     def __le__(self, other: "ScalarType") -> bool:
@@ -446,6 +469,11 @@ class TypeRegistry:
         self.by_scalar: dict[type, ScalarType] = {}
         self.roots: list[ScalarType] = []
         self._flyweights: dict = {}
+        # explicit comparison edges (R7, reference meta.py:396-531):
+        # a → set of types strictly greater than a; queries walk the
+        # transitive closure
+        self._edges: dict[int, set[int]] = {}
+        self._edge_types: dict[int, ScalarType] = {}
         # reference meta.py:654 — the NA-string vocabulary
         self.na_strings: set[str] = {
             "null", "none", "nan", "na", "n/a", "missing", "", "nat", "<na>",
@@ -461,6 +489,36 @@ class TypeRegistry:
         if spark_default and t.spark_type is not None:
             self.by_spark[t.spark_type.simpleString()] = t
         return t
+
+    def register_alias(self, alias: str, t: ScalarType) -> None:
+        """Runtime alias mutation (R5; reference rebuilds its resolve regex
+        on alias change, meta.py:581 — dict lookup here, instantly live)."""
+        self.aliases[alias.lower()] = t
+
+    def remove_alias(self, alias: str) -> None:
+        self.aliases.pop(alias.lower(), None)
+
+    def add_comparison_edge(self, smaller: ScalarType, larger: ScalarType) -> None:
+        """Declare ``smaller < larger``, overriding the feature heuristic
+        (R7; reference meta.py:396-531 edge graph)."""
+        self._edge_types[id(smaller)] = smaller
+        self._edge_types[id(larger)] = larger
+        self._edges.setdefault(id(smaller), set()).add(id(larger))
+
+    def edge_less(self, a: ScalarType, b: ScalarType) -> bool:
+        """True if an explicit edge path a < ... < b exists."""
+        target, seen = id(b), set()
+        stack = [id(a)]
+        while stack:
+            cur = stack.pop()
+            if cur in seen:
+                continue
+            seen.add(cur)
+            for nxt in self._edges.get(cur, ()):
+                if nxt == target:
+                    return True
+                stack.append(nxt)
+        return False
 
     def register_decorator(self, name: str, *aliases: str) -> None:
         for a in (name, *aliases):
@@ -716,4 +774,49 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     return T
 
 
+def _register_strict_twins(reg: TypeRegistry, T: dict[str, ScalarType]) -> None:
+    """R9: non-nullable twins for every concrete leaf (reference
+    meta.py:2478-2662 as_nullable/default links).
+
+    Spark columns are nullable unless the schema says otherwise, so the
+    registered concrete types are the *nullable* side; each gains a
+    ``strict`` twin representing ``StructField(nullable=False)`` data.
+    """
+    for name, t in list(T.items()):
+        if t.is_abstract or t.spark_type is None or t._children:
+            continue
+        twin = ScalarType(
+            t.name,
+            backend="strict",
+            spark_type=t.spark_type,
+            scalar=t.scalar,
+            itemsize=t.itemsize,
+            max=t.max,
+            min=t.min,
+            is_nullable=False,
+            missing=t.missing,
+            parent=t,
+            aliases=(f"{name}[strict]", f"strict[{name}]"),
+        )
+        reg.register(twin)
+        t._strict_twin = twin
+        t._nullable_twin = t
+        twin._nullable_twin = t
+        twin._strict_twin = twin
+        twin._default = t
+
+
 TYPES = _build_lattice(registry)
+_register_strict_twins(registry, TYPES)
+
+# canonical explicit comparison edges (R7): the reference pins the numeric
+# promotion order bool < int < float < complex irrespective of range
+# heuristics (meta.py:396-531)
+for _a, _b in (
+    ("bool", "int8"), ("int8", "int16"), ("int16", "int32"),
+    ("int32", "int64"), ("int64", "float64"), ("float32", "float64"),
+    ("float64", "complex128"), ("complex64", "complex128"),
+):
+    if _a in TYPES and _b in TYPES:
+        registry.add_comparison_edge(TYPES[_a], TYPES[_b])
+del _a, _b

@@ -96,8 +96,15 @@ def detect(data: Any, drop_na: bool = True) -> AnyType:
     contract ``meta.py:1803-1821``).
     """
     if isinstance(data, DataFrame):
+        def field_type(f):
+            t = registry.from_spark(f.dataType)
+            # nullable=False schema fields → strict twin (R9)
+            if not f.nullable and hasattr(t, "as_strict"):
+                return t.as_strict()
+            return t
+
         return StructuredType(
-            {f.name: registry.from_spark(f.dataType) for f in data.schema.fields}
+            {f.name: field_type(f) for f in data.schema.fields}
         )
     if data is None:
         return resolve("missing")

@@ -108,6 +108,12 @@ def _resolve_string(s: str) -> AnyType:
     if not s:
         raise ValueError("empty type specifier")
 
+    # whole-string alias wins before any grammar (R5: runtime aliases may
+    # contain brackets, e.g. "int64[strict]")
+    whole = registry.aliases.get(s.lower())
+    if whole is not None:
+        return whole
+
     # structured: "col: spec, col2: spec" (reference meta.py:1508)
     cols = _split_top(s, ",")
     if any(":" in c and "[" not in c.split(":")[0] for c in cols) and all(
