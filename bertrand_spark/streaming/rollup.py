@@ -1,0 +1,180 @@
+"""Structured Streaming operators: hypertable-style rollups, sessionization,
+streaming dedup, and custom stateful aggregation.
+
+The reference engine is batch-only (SURVEY §2: "Streaming: none anywhere"),
+but its operator surface — rollups over time, first-seen dedup, running
+aggregates — lifts naturally onto Structured Streaming, and a training-data
+pipeline at 100 TB ingests continuously.  Everything here is expressed so
+the SAME logical plan runs in batch or streaming mode: pass a batch
+DataFrame and you get the batch rollup; pass a ``readStream`` DataFrame and
+you get an incremental query with watermark-bounded state.
+
+Scale notes:
+* windowed aggregations are partial-aggregated map-side before the state
+  store shuffle (same profile as a batch groupBy);
+* watermarks bound state: with a ``delay`` watermark, window state older
+  than the watermark is evicted — memory is O(active windows), not O(time);
+* ``stream_dedup`` keeps one state entry per key within the watermark
+  horizon — exact dedup over an unbounded stream with bounded memory;
+* ``running_totals`` uses ``applyInPandasWithState`` (Arrow-batched
+  per-key state) — the custom-stateful-operator escape hatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
+    "read_events_stream",
+]
+
+
+def windowed_rollup(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: dict[str, Column],
+    slide: str | None = None,
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling/sliding time-window rollup (hypertable continuous
+    aggregate, batch and streaming alike).
+
+    ``aggs``: output name → aggregate expression.  With ``watermark`` on a
+    streaming input, late rows beyond the delay are dropped and completed
+    windows are finalized (append mode works).
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    named = [expr.alias(name) for name, expr in aggs.items()]
+    return df.groupBy(*keys, win.alias("win")).agg(*named).select(
+        *keys,
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[F.col(name) for name in aggs],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    aggs: dict[str, Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based) per key — ``session_window`` native op."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or {"n_events": F.count("*")}
+    named = [expr.alias(name) for name, expr in aggs.items()]
+    win = F.session_window(F.col(ts_col), gap)
+    return df.groupBy(*keys, win.alias("sess")).agg(*named).select(
+        *keys,
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        *[F.col(name) for name in aggs],
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exact dedup lifted to streams: ``dropDuplicates`` keyed state,
+    bounded by the watermark horizon (batch: plain dropDuplicates)."""
+    if watermark is not None and ts_col is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def running_totals(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    timeout_s: int = 3600,
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) emitted on
+    every micro-batch — ``applyInPandasWithState`` (Arrow-batched state).
+
+    Batch inputs fall back to a groupBy (same result, no state store).
+    """
+    out_schema = f"{key} long, n long, total double"
+    if not df.isStreaming:
+        return (
+            df.groupBy(key)
+            .agg(F.count("*").alias("n"), F.sum(value_col).cast("double").alias("total"))
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key_tuple: Any, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for batch in batches:
+            n += len(batch)
+            total += float(batch[value_col].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_s * 1000)
+        yield pd.DataFrame({key: [key_tuple[0]], "n": [n], "total": [total]})
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def read_events_stream(
+    spark, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """events.parquet as a file-source stream (ns timestamps normalized),
+    for end-to-end streaming tests against the batch oracle."""
+    import hashlib
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..sources.reader import nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY; stage the single file
+    # into a stable temp dir (in production the source is already a
+    # directory of arriving files — this shim is test-data plumbing only)
+    digest = hashlib.sha1(path.encode()).hexdigest()[:12]
+    stage = pathlib.Path(tempfile.gettempdir()) / f"bspark_stream_{digest}"
+    stage.mkdir(exist_ok=True)
+    target = stage / "part-00000.parquet"
+    if not target.exists():
+        shutil.copyfile(path, target)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format("parquet")
+        .load(str(stage))
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream

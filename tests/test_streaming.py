@@ -1,0 +1,104 @@
+"""Structured Streaming operators: stream result == batch oracle.
+
+Each test runs the SAME logical operator in streaming mode (file source,
+availableNow trigger, memory sink) and in batch mode, and compares — the
+strongest equivalence check Structured Streaming offers locally.
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertrand_spark.sources.reader import read_table
+from bertrand_spark.streaming import (
+    read_events_stream,
+    running_totals,
+    sessionize,
+    stream_dedup,
+    windowed_rollup,
+)
+
+
+def run_stream_to_memory(stream_df, mode="append"):
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+class TestWindowedRollup:
+    def test_stream_matches_batch(self, spark, sf_dir):
+        batch = read_table(spark, sf_dir, "events")
+        stream = read_events_stream(spark, sf_dir)
+
+        aggs = {
+            "n": F.count("*"),
+            "total": F.sum("value").cast("double"),
+        }
+        expected = windowed_rollup(batch, "ts", "1 hour", aggs, keys=["user_id"])
+        # complete mode emits every window at end-of-stream (append mode
+        # would correctly hold back windows newer than the watermark)
+        streamed = windowed_rollup(stream, "ts", "1 hour", aggs, keys=["user_id"])
+        name = run_stream_to_memory(streamed, mode="complete")
+        got = spark.sql(f"select * from {name}")
+        cols = ["user_id", "window_start", "window_end", "n"]
+        assert rows_set(got, cols) == rows_set(expected, cols)
+
+    def test_batch_path_is_plain_groupby(self, spark, sf_dir):
+        batch = read_table(spark, sf_dir, "events")
+        out = windowed_rollup(batch, "ts", "1 hour", {"n": F.count("*")})
+        assert not out.isStreaming
+        assert out.count() > 0
+
+
+class TestSessionize:
+    def test_sessions_stream_matches_batch(self, spark, sf_dir):
+        batch = read_table(spark, sf_dir, "events")
+        stream = read_events_stream(spark, sf_dir)
+        expected = sessionize(batch, "ts", "5 minutes", keys=["user_id"])
+        streamed = sessionize(stream, "ts", "5 minutes", keys=["user_id"])
+        name = run_stream_to_memory(streamed, mode="complete")
+        got = spark.sql(f"select * from {name}")
+        cols = ["user_id", "session_start", "n_events"]
+        assert rows_set(got, cols) == rows_set(expected, cols)
+
+
+class TestStreamDedup:
+    def test_dedup_stream_matches_batch(self, spark, sf_dir):
+        batch = read_table(spark, sf_dir, "events")
+        stream = read_events_stream(spark, sf_dir)
+        expected = batch.select("event_type").distinct()
+        streamed = stream_dedup(
+            stream.select("event_type", "ts"), ["event_type"], "ts", "1 minute"
+        ).select("event_type")
+        name = run_stream_to_memory(streamed, mode="append")
+        got = spark.sql(f"select * from {name}")
+        assert rows_set(got, ["event_type"]) == rows_set(expected, ["event_type"])
+
+
+class TestRunningTotals:
+    def test_stateful_totals_match_batch(self, spark, sf_dir):
+        batch = read_table(spark, sf_dir, "events")
+        stream = read_events_stream(spark, sf_dir)
+        expected = running_totals(batch, "user_id", "value")
+        streamed = running_totals(stream, "user_id", "value")
+        name = run_stream_to_memory(streamed, mode="update")
+        # update mode: last emission per key is the final running total
+        got = spark.sql(
+            f"select user_id, max(n) as n, max(total) as total "
+            f"from {name} group by user_id"
+        )
+        e = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in expected.collect()}
+        g = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in got.collect()}
+        assert e == g
