@@ -82,6 +82,19 @@ class CastArgs:
             raise ValueError(f"unrecognized unit {self.unit!r}")
         if not 0 <= self.base <= 36 or self.base == 1:
             raise ValueError(f"base must be 0 or 2..36, got {self.base}")
+        if self.tz == "local":
+            # T8: "local" resolves to the session timezone (reference
+            # tz resolution, convert/arguments.py:760 — system tz there;
+            # the session tz IS the engine's local clock)
+            from pyspark.sql import SparkSession
+
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                self.tz = s.conf.get("spark.sql.session.timeZone")
+            else:
+                import datetime as _dtm
+
+                self.tz = str(_dtm.datetime.now().astimezone().tzinfo)
 
 
 # family key of a type for matrix lookup

@@ -101,8 +101,48 @@ class DispatchFunc:
             f"{self.name}: no overload matches argument types {types}"
         )
 
-    def __call__(self, df: DataFrame, *cols: str, **kwargs: Any):
-        """Resolve from ``df.schema`` (homogeneous path — O(1) resolution)."""
+    @staticmethod
+    def normalize(data: Any) -> tuple[DataFrame, tuple[str, ...]]:
+        """Vector→frame call normalization (D2; reference
+        ``dispatch.py:554`` normalizes bare Series/arrays into frames).
+
+        Lists, tuples, pandas Series, and numpy arrays become a
+        single-column DataFrame named ``value``; DataFrames pass through.
+        """
+        if isinstance(data, DataFrame):
+            return data, ()
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession for normalization")
+        try:
+            import pandas as _pd
+
+            if isinstance(data, _pd.Series):
+                pdf = data.rename("value").to_frame()
+                return spark.createDataFrame(pdf), ("value",)
+        except ImportError:
+            pass
+        if hasattr(data, "tolist"):
+            data = data.tolist()
+        if isinstance(data, (list, tuple)):
+            return (
+                spark.createDataFrame([(v,) for v in data], ["value"]),
+                ("value",),
+            )
+        raise TypeError(f"cannot normalize {type(data).__name__} into a DataFrame")
+
+    def __call__(self, df: DataFrame | Any, *cols: str, **kwargs: Any):
+        """Resolve from ``df.schema`` (homogeneous path — O(1) resolution).
+
+        Non-DataFrame first arguments are normalized (D2): a bare vector
+        dispatches on its single ``value`` column.
+        """
+        if not isinstance(df, DataFrame):
+            df, default_cols = self.normalize(df)
+            if not cols:
+                cols = default_cols
         schema = {f.name: resolve(f.dataType) for f in df.schema.fields}
         types = tuple(schema[c] for c in cols)
         fn = self._lookup(types)

@@ -132,3 +132,43 @@ def round_div(num: Column, den: Column, rule: str = "floor") -> Column:
 def within_tol(a: Column, b: Column, tol: float) -> Column:
     """``abs(a-b) <= tol`` (reference ``util/numeric.pyx:285``)."""
     return F.abs(a - b) <= F.lit(tol)
+
+
+def within_tol_complex(a: Column, b: Column, tol: float | complex) -> Column:
+    """Complex-aware Tolerance (M2; reference ``Tolerance`` at
+    ``convert/arguments.py:226-341`` — a complex ``tol`` checks the real
+    and imaginary parts independently).
+
+    ``a``/``b`` are complex struct{re,im} columns; a scalar ``tol``
+    applies to both components.
+    """
+    if isinstance(tol, complex):
+        t_re, t_im = abs(tol.real), abs(tol.imag)
+    else:
+        t_re = t_im = float(tol)
+    return (F.abs(a["re"] - b["re"]) <= F.lit(t_re)) & (
+        F.abs(a["im"] - b["im"]) <= F.lit(t_im)
+    )
+
+
+def modpow(base: Column, exp: int, mod: int) -> Column:
+    """Modular exponentiation by repeated squaring (M6; reference
+    ``util/numeric.pyx`` ``pymodpow``) — unrolled into O(log exp) native
+    multiply-mod expressions, exact as long as ``mod² < 2^63``.
+    """
+    if exp < 0:
+        raise ValueError("modpow requires a non-negative exponent")
+    if mod <= 0:
+        raise ValueError("modpow requires a positive modulus")
+    if mod * mod >= (1 << 63):
+        raise ValueError("modulus too large for exact 64-bit squaring")
+    m = F.lit(mod)
+    result: Column = F.lit(1 % mod).cast("long")
+    cur = F.pmod(base.cast("long"), m)
+    while exp:
+        if exp & 1:
+            result = F.pmod(result * cur, m)
+        exp >>= 1
+        if exp:
+            cur = F.pmod(cur * cur, m)
+    return result

@@ -33,6 +33,7 @@ __all__ = [
     "all_rows", "any_rows", "count_rows", "contains_value",
     "min_rows", "max_rows", "compare_lex", "sample_rows", "split_frames",
     "sort_rows", "at_positions",
+    "exhaust", "distance_rows", "swap_rows", "move_rows",
 ]
 
 ROW_ID = "__row_id"
@@ -321,6 +322,65 @@ def compare_lex(a: DataFrame, b: DataFrame, order_a: Sequence[str], order_b: Seq
         return first_diff[0]["c"]
     na, nb = a.count(), b.count()
     return (na > nb) - (na < nb)
+
+
+def exhaust(df: DataFrame) -> int:
+    """Terminal drain (I18; reference ``iter/range.h`` exhaust): execute
+    the plan for its side effects and report the row count — one job, no
+    driver materialization (noop sink)."""
+    df.write.mode("overwrite").format("noop").save()
+    return df.count()
+
+
+def distance_rows(
+    df: DataFrame, pred_a: Column, pred_b: Column, order_by: Sequence[str]
+) -> int | None:
+    """Positional distance between the first match of two predicates
+    (L9; reference ``linked/algorithms/distance.h``): idx(b) − idx(a),
+    one enumerate + one filtered aggregate."""
+    idx = enumerate_rows(df, list(order_by))
+    row = idx.select(
+        F.min(F.when(pred_a, F.col("idx"))).alias("ia"),
+        F.min(F.when(pred_b, F.col("idx"))).alias("ib"),
+    ).collect()[0]
+    if row["ia"] is None or row["ib"] is None:
+        return None
+    return int(row["ib"] - row["ia"])
+
+
+def swap_rows(df: DataFrame, i: int, j: int, order_by: Sequence[str]) -> DataFrame:
+    """Swap the rows at positions i and j (L9 ``swap``): re-key the two
+    positions and re-sort — a projection + sort, no shuffle beyond it."""
+    idx = enumerate_rows(df, list(order_by))
+    remap = (
+        F.when(F.col("idx") == i, F.lit(j))
+        .when(F.col("idx") == j, F.lit(i))
+        .otherwise(F.col("idx"))
+    )
+    return idx.withColumn("idx", remap).orderBy("idx").drop("idx")
+
+
+def move_rows(
+    df: DataFrame, from_idx: int, to_idx: int, order_by: Sequence[str]
+) -> DataFrame:
+    """Move the row at ``from_idx`` to ``to_idx``, shifting the block
+    between them (L9 ``move``)."""
+    idx = enumerate_rows(df, list(order_by))
+    if from_idx == to_idx:
+        return idx.drop("idx")
+    if from_idx < to_idx:
+        shifted = F.when(
+            F.col("idx").between(from_idx + 1, to_idx), F.col("idx") - 1
+        )
+    else:
+        shifted = F.when(
+            F.col("idx").between(to_idx, from_idx - 1), F.col("idx") + 1
+        )
+    remap = (
+        F.when(F.col("idx") == from_idx, F.lit(to_idx))
+        .otherwise(F.coalesce(shifted, F.col("idx")))
+    )
+    return idx.withColumn("idx", remap).orderBy("idx").drop("idx")
 
 
 def sample_rows(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:

@@ -461,27 +461,56 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 8,
+    num_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH + exact cosine verify.
 
-    Signature = sign bits of dot products with ``num_planes`` seeded random
-    hyperplanes (SimHash for angles, Charikar 2002); bucket equi-join; exact
-    cosine (``zip_with`` + ``aggregate``) only within buckets.
+    Signature = sign bits of dot products with ``num_planes`` seeded
+    random hyperplanes per table (SimHash for angles, Charikar 2002);
+    candidates share a full signature in ANY of ``num_tables``
+    independent tables (OR-amplification — P(candidate) =
+    1-(1-p^k)^t with p = 1-θ/π).  High thresholds (≈0.95) work with one
+    table of many planes; mid thresholds need several short tables.
+    Exact cosine runs only within buckets.
     """
     from .similarity import cosine_sim, random_hyperplane_signature
 
-    sig = random_hyperplane_signature(df, vec_col, num_planes, seed)
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__sig")
+    sig = df
+    for t in range(num_tables):
+        sig = random_hyperplane_signature(
+            sig, vec_col, num_planes, seed + 7919 * t
+        ).withColumnRenamed("__sig", f"__sig{t}")
+    # one row per (vector, table): explode table signatures, bucket by
+    # (table, signature) — shuffles t small rows per vector, not pairs
+    tagged = sig.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"__sig{t}").alias("s")
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select(id_col, vec_col, F.col("ts.tbl").alias("tbl"), F.col("ts.s").alias("s"))
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "tbl", "s"
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__sig")
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "tbl", "s"
+    )
+    cand = (
+        a.join(b, ["tbl", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        a.join(b, "__sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
+        cand.withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -1091,3 +1091,53 @@ def x15(spark, sf_dir):
     return d.select(
         "doc_id", T.rolling_fingerprints(F.col("text"), 8, 16).alias("sketch")
     )
+
+
+@query("x16_cosine_near_dup")  # hyperplane LSH buckets — rows-only
+def x16(spark, sf_dir):
+    """Embedding near-dup via random-hyperplane LSH + exact cosine verify
+    (rows-only: the 8-plane bucketing is a recall/cost trade, not
+    exhaustive; the exact-oracle variant is x06)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return D.cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45, num_planes=3, num_tables=12)
+
+
+@query(
+    "x17_quality_scores",
+    r"""
+    WITH d AS (SELECT doc_id, text,
+                      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      x -> x != '')) AS n_tok
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '\d')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS digit_ratio
+    FROM d ORDER BY doc_id LIMIT 1000
+    """,
+)
+def x17(spark, sf_dir):
+    """Quality features (C4/Gopher-style length/punct/digit ratios) —
+    native regexp_count projections."""
+    d = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            feats["n_chars"].alias("n_chars"),
+            feats["n_tokens"].alias("n_tokens"),
+            feats["punct_ratio"].alias("punct_ratio"),
+            feats["digit_ratio"].alias("digit_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(1000)
+    )

@@ -186,6 +186,15 @@ class ScalarType:
             return other.contains(self)
         return False
 
+    # -- scalar-detection hook (R11; reference per-type from_scalar,
+    #    meta.py:700) --------------------------------------------------------
+    def from_scalar(self, value: Any) -> "ScalarType":
+        """Refine this type from an example scalar — e.g. a Decimal value
+        yields a precision/scale-parametrized decimal.  Hooks register via
+        ``registry.register_scalar_hook``; default is identity."""
+        hook = registry._scalar_hooks.get(self.name)
+        return hook(self, value) if hook else self
+
     # -- parametrization flyweight (reference meta.py:2335) ----------------
     def with_params(self, *params: Any) -> "ScalarType":
         key = (self.name, self.backend, params)
@@ -474,6 +483,8 @@ class TypeRegistry:
         # transitive closure
         self._edges: dict[int, set[int]] = {}
         self._edge_types: dict[int, ScalarType] = {}
+        # R11: per-type scalar refinement hooks (name → fn(type, value))
+        self._scalar_hooks: dict[str, Any] = {}
         # reference meta.py:654 — the NA-string vocabulary
         self.na_strings: set[str] = {
             "null", "none", "nan", "na", "n/a", "missing", "", "nat", "<na>",
@@ -489,6 +500,10 @@ class TypeRegistry:
         if spark_default and t.spark_type is not None:
             self.by_spark[t.spark_type.simpleString()] = t
         return t
+
+    def register_scalar_hook(self, name: str, fn) -> None:
+        """R11: hook refining ``from_scalar`` for the named type."""
+        self._scalar_hooks[name] = fn
 
     def register_alias(self, alias: str, t: ScalarType) -> None:
         """Runtime alias mutation (R5; reference rebuilds its resolve regex
@@ -808,6 +823,21 @@ def _register_strict_twins(reg: TypeRegistry, T: dict[str, ScalarType]) -> None:
 
 TYPES = _build_lattice(registry)
 _register_strict_twins(registry, TYPES)
+
+
+def _decimal_from_scalar(t: ScalarType, value: Any) -> ScalarType:
+    """R11 default hook: Decimal('12.345') → decimal(5, 3)."""
+    import decimal as _decimal
+
+    if isinstance(value, _decimal.Decimal):
+        sign, digits, exponent = value.as_tuple()
+        scale = max(0, -int(exponent))
+        precision = max(len(digits), scale)
+        return t.with_params(precision, scale)
+    return t
+
+
+registry.register_scalar_hook("decimal", _decimal_from_scalar)
 
 # canonical explicit comparison edges (R7): the reference pins the numeric
 # promotion order bool < int < float < complex irrespective of range

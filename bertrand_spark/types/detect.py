@@ -114,7 +114,7 @@ def detect(data: Any, drop_na: bool = True) -> AnyType:
     ):
         hit = registry.from_scalar_class(type(data))
         if hit is not None:
-            return hit
+            return hit.from_scalar(data)  # R11 per-type refinement hook
         return registry.aliases["object"].with_params(type(data))
     # iterable of scalars → elementwise union in first-seen order
     types: list[AnyType] = []
