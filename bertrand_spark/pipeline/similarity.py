@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot", "l2_norm", "cosine_sim",
     "random_hyperplane_signature",
-    "brute_force_topk", "ivf_build", "ivf_topk",
+    "brute_force_topk", "ivf_build", "ivf_topk", "ivf_write", "ivf_read",
 ]
 
 
@@ -206,3 +206,30 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def ivf_write(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index partitioned by ``__cell`` — probes then prune
+    whole cell directories at scan time (the layout half of nprobe
+    pruning at scale).  Centroids ride along as JSON."""
+    import json
+
+    assigned.write.mode(mode).partitionBy("__cell").parquet(f"{path}/vectors")
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "centroids string"
+    ).coalesce(1).write.mode(mode).json(f"{path}/centroids")
+
+
+def ivf_read(spark, path: str):
+    """Load a persisted IVF index → (assigned_df, centroids)."""
+    import json
+
+    assigned = spark.read.parquet(f"{path}/vectors")
+    row = spark.read.json(f"{path}/centroids").collect()[0]
+    return assigned, json.loads(row["centroids"])

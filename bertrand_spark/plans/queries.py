@@ -1093,6 +1093,82 @@ def x15(spark, sf_dir):
     )
 
 
+@query(
+    "q29_asof_join",
+    """
+    WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+               FROM events WHERE event_id % 2 = 1),
+         r AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+               WHERE event_id % 2 = 0)
+    SELECT l.event_id,
+           CAST(l.us AS BIGINT) AS us,
+           CAST(r.us AS BIGINT) AS matched_us,
+           CAST(r.value AS DOUBLE) AS matched_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.us >= r.us
+    ORDER BY l.event_id
+    """,
+)
+def q29(spark, sf_dir):
+    """As-of join (time-series point lookup Spark lacks natively):
+    union + per-key carry-forward window — one shuffle on the key, no
+    range explosion.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    r = e.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", F.unix_micros("ts").alias("us"), F.col("value")
+    )
+    out = asof_join(l, r, on="us", by=["user_id"], direction="backward")
+    return (
+        out.select(
+            "event_id",
+            F.col("us").cast("long").alias("us"),
+            F.col("us_right").cast("long").alias("matched_us"),
+            F.col("value_right").cast("double").alias("matched_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q30_range_join",
+    """
+    WITH r AS (SELECT o_orderkey AS interval_id, o_totalprice AS lo,
+                      o_totalprice + 5000 AS hi
+               FROM orders WHERE o_orderkey < 100)
+    SELECT l.l_orderkey, l.l_linenumber, r.interval_id
+    FROM lineitem l JOIN r
+      ON r.lo <= l.l_extendedprice AND l.l_extendedprice < r.hi
+    ORDER BY l.l_orderkey, l.l_linenumber, r.interval_id
+    """,
+)
+def q30(spark, sf_dir):
+    """Range (point-in-interval) join via bucketized equi-join + residual
+    filter — no broadcast-nested-loop; shuffles only matching buckets."""
+    from ..operators.joins import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    r = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey").alias("interval_id"),
+            F.col("o_totalprice").alias("lo"),
+            (F.col("o_totalprice") + 5000).alias("hi"),
+        )
+    )
+    out = range_join(li, r, "l_extendedprice", "lo", "hi", bucket_width=5000)
+    return out.select("l_orderkey", "l_linenumber", "interval_id").orderBy(
+        "l_orderkey", "l_linenumber", "interval_id"
+    )
+
+
 @query("x16_cosine_near_dup")  # hyperplane LSH buckets — rows-only
 def x16(spark, sf_dir):
     """Embedding near-dup via random-hyperplane LSH + exact cosine verify

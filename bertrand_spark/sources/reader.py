@@ -41,6 +41,45 @@ def nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def read_csv_inferred(
+    spark: SparkSession, path: str, header: bool = True, **options: str
+) -> DataFrame:
+    """CSV ingestion with ENGINE type inference (C31), not Spark's sampler.
+
+    Reads all-string, then the anonymous cast classifies every column in
+    ONE full-data aggregate and promotes all-parseable columns — unlike
+    ``inferSchema=true``, which samples and re-reads, this sees every row
+    (a column with one stray word stays string instead of failing later).
+    """
+    from ..convert.cast import cast
+
+    raw = spark.read.options(header=str(header).lower(), **options).csv(path)
+    return cast(raw, errors="coerce")
+
+
+def read_json_inferred(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """JSON-lines ingestion; string fields re-classified by the engine."""
+    from ..convert.cast import cast
+
+    raw = spark.read.options(**options).json(path)
+    return cast(raw, errors="coerce")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned sink — the layout half of partition pruning: filters on
+    ``partition_by`` columns prune whole directories at read time."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing ns-timestamps to TimestampType."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
