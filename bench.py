@@ -64,6 +64,13 @@ def main() -> None:
 
     from bertrand_spark.plans.queries import QUERIES
 
+    # untimed warmup: JVM codegen + parquet reader init otherwise land on
+    # the first timed query (~7s of pure startup attributed to q01)
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    spark.range(1000).select((F.col("id") * 2).alias("v")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

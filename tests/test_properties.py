@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) — the reference's test strategy
+(SURVEY §5): generate adversarial inputs, assert engine kernels agree with
+Python reference semantics.  Each example batches its cases into ONE
+DataFrame so a property costs a handful of Spark jobs, not hundreds.
+"""
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st_
+from pyspark.sql import functions as F
+
+from bertrand_spark.convert.cast import cast_col
+from bertrand_spark.functions.rounding import round_col
+from bertrand_spark.functions.strings import base_to_int, int_to_base
+from bertrand_spark.functions.temporal import parse_timedelta_string
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+
+def py_round(x: float, rule: str) -> int:
+    if rule == "floor":
+        return math.floor(x)
+    if rule == "ceiling":
+        return math.ceil(x)
+    if rule == "down":
+        return math.trunc(x)
+    if rule == "up":
+        return math.ceil(x) if x > 0 else math.floor(x)
+    if rule == "half_floor":
+        return math.ceil(x - 0.5)
+    if rule == "half_ceiling":
+        return math.floor(x + 0.5)
+    if rule == "half_up":  # ties away from zero
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    if rule == "half_down":  # ties toward zero
+        return math.ceil(x - 0.5) if x >= 0 else math.floor(x + 0.5)
+    if rule == "half_even":
+        f = math.floor(x)
+        if x - f == 0.5:
+            return f if f % 2 == 0 else f + 1
+        return math.floor(x + 0.5)
+    raise ValueError(rule)
+
+
+class TestRoundingProperties:
+    @given(
+        st_.lists(
+            st_.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=50,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_rules_match_python(self, spark, xs):
+        # exact .5 ties are covered by the explicit grid below; random
+        # floats check the bulk behavior
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        rules = ["floor", "ceiling", "down", "up", "half_even"]
+        out = df.select(
+            "x", *[round_col(F.col("x"), r).alias(r) for r in rules]
+        ).collect()
+        for row in out:
+            for r in rules:
+                assert row[r] == pytest.approx(py_round(row["x"], r)), (
+                    row["x"], r,
+                )
+
+    def test_tie_grid(self, spark):
+        xs = [i / 2 for i in range(-9, 10)]  # ...-4.5, -4.0, ... 4.5
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        rules = [
+            "floor", "ceiling", "down", "up",
+            "half_floor", "half_ceiling", "half_down", "half_up", "half_even",
+        ]
+        out = df.select(
+            "x", *[round_col(F.col("x"), r).alias(r) for r in rules]
+        ).collect()
+        for row in out:
+            for r in rules:
+                assert row[r] == py_round(row["x"], r), (row["x"], r)
+
+
+class TestRadixProperties:
+    @given(
+        st_.lists(st_.integers(min_value=-(2**40), max_value=2**40),
+                  min_size=1, max_size=50),
+        st_.integers(min_value=2, max_value=36),
+    )
+    @settings(**SETTINGS)
+    def test_roundtrip(self, spark, xs, base):
+        df = spark.createDataFrame([(x,) for x in xs], "x long")
+        out = df.select(
+            "x",
+            base_to_int(int_to_base(F.col("x"), base), base).alias("back"),
+        ).collect()
+        for row in out:
+            assert row["back"] == row["x"], (row["x"], base)
+
+
+class TestTimedeltaGrammar:
+    @given(
+        st_.lists(
+            st_.tuples(
+                st_.integers(min_value=0, max_value=99),   # hours
+                st_.integers(min_value=0, max_value=59),   # minutes
+                st_.integers(min_value=0, max_value=59),   # seconds
+            ),
+            min_size=1, max_size=30,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_clock_roundtrip(self, spark, parts):
+        rows = [(f"{h}:{m:02d}:{s:02d}", (h * 3600 + m * 60 + s) * 10**9)
+                for h, m, s in parts]
+        df = spark.createDataFrame(rows, "s string, expected long")
+        out = df.select(
+            "expected", parse_timedelta_string(F.col("s")).alias("got")
+        ).collect()
+        for row in out:
+            assert row["got"] == row["expected"]
+
+
+class TestEpochRoundtrip:
+    @given(
+        st_.lists(st_.integers(min_value=-10**9, max_value=10**9),
+                  min_size=1, max_size=50),
+        st_.sampled_from(["s", "ms", "us"]),
+    )
+    @settings(**SETTINGS)
+    def test_int_datetime_int(self, spark, xs, unit):
+        df = spark.createDataFrame([(x,) for x in xs], "x long")
+        ts = cast_col(F.col("x"), "int64", "datetime", unit=unit)
+        back = cast_col(ts, "datetime", "int64", unit=unit)
+        out = df.select("x", back.alias("back")).collect()
+        for row in out:
+            assert row["back"] == row["x"], (row["x"], unit)
