@@ -249,6 +249,74 @@ def minhash_prep_vectorized(
     return kernel
 
 
+def minhash_banded_vectorized(
+    k: int = 192,
+    num_bands: int = 64,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> Column:
+    """Fused kernel variant emitting BAND BUCKETS directly:
+    struct{bk: array<bigint>, hs: array<bigint>} where ``bk[i]`` hashes
+    the i-th row-group of the signature.
+
+    The native banding expression (num_bands structs × concat_ws ×
+    element_at over the signature array) compiles into a very large
+    codegen unit — hashing the band slices inside the numpy kernel keeps
+    the JVM side down to a posexplode.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _perm_coeffs(k, seed)
+    M = np.uint64(_MERSENNE)
+    rows_per_band = k // num_bands
+
+    @pandas_udf("bk: array<bigint>, hs: array<bigint>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        import re
+        import zlib
+
+        A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
+        bks, hsets = [], []
+        for t in texts:
+            if t is None:
+                bks.append(None)
+                hsets.append(None)
+                continue
+            s = re.sub(r"\s+", " ", t.lower())
+            grams = (
+                {s[i : i + shingle_n] for i in range(len(s) - shingle_n + 1)}
+                if len(s) >= shingle_n
+                else {s}
+            )
+            raw = [g.encode("utf-8") for g in grams]
+            h32 = np.fromiter(
+                (zlib.crc32(g) for g in raw), dtype=np.uint64, count=len(raw)
+            )
+            salt = np.fromiter(
+                (zlib.crc32(g + b"\x01") for g in raw),
+                dtype=np.uint64,
+                count=len(raw),
+            )
+            sig = ((A * h32[None, :] + B) % M).min(axis=1)
+            band_view = sig.reshape(num_bands, rows_per_band)
+            bk = np.fromiter(
+                (
+                    (np.uint64(zlib.crc32(band_view[i].tobytes())) << np.uint64(32))
+                    | np.uint64(zlib.crc32(band_view[i].tobytes() + b"\x01"))
+                    for i in range(num_bands)
+                ),
+                dtype=np.uint64,
+                count=num_bands,
+            )
+            bks.append(bk.astype(np.int64))
+            hsets.append(((h32 << np.uint64(32)) | salt).astype(np.int64))
+        return pd.DataFrame({"bk": bks, "hs": hsets})
+
+    return kernel
+
+
 def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     """Banding: array of (band_id, band_hash) structs."""
     return F.array(
@@ -358,22 +426,15 @@ def near_dup_pairs_minhash(
     # verification joins all read the same materialized rows.  Collision
     # odds per candidate pair ~|A||B|/2^64 ≈ 5e-15, so Jaccard over the
     # hash sets equals Jaccard over the string shingle sets.
-    rows_per_band = k // num_bands
-    kernel = minhash_prep_vectorized(k, shingle_n)
+    kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
     prep = df.select(
         F.col(id_col), kernel(F.col(text_col)).alias("__p")
     ).select(
-        F.col(id_col), F.col("__p.sig").alias("__sig"), F.col("__p.hs").alias("__g")
+        F.col(id_col), F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
     ).persist()
 
-    bands = (
-        prep.select(
-            F.col(id_col),
-            F.explode(
-                minhash_bands(F.col("__sig"), num_bands, rows_per_band)
-            ).alias("bb"),
-        )
-        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = prep.select(
+        F.col(id_col), F.posexplode(F.col("__bk")).alias("band", "bucket")
     )
     a = bands.withColumnRenamed(id_col, "id_a")
     bn = bands.withColumnRenamed(id_col, "id_b")
