@@ -1169,6 +1169,79 @@ def q30(spark, sf_dir):
     )
 
 
+_X18_SURVIVOR_SQL = r"""
+    WITH q AS (
+      SELECT doc_id, text,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x != '')) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS punct
+      FROM documents),
+    filtered AS (
+      SELECT * FROM q WHERE n_tok >= 5 AND punct <= 0.3),
+    exact AS (
+      SELECT f.* FROM filtered f
+      JOIN (SELECT norm, min(doc_id) AS keeper FROM filtered GROUP BY norm) k
+        ON f.norm = k.norm AND f.doc_id = k.keeper),
+    g AS (
+      SELECT doc_id, n_tok,
+             list_distinct([substr(norm, i, 5)
+                            for i in generate_series(1, len(norm) - 4)]) AS grams
+      FROM exact WHERE len(norm) >= 5
+      UNION ALL
+      SELECT doc_id, n_tok, [norm] AS grams FROM exact WHERE len(norm) < 5),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.6)
+    SELECT g.doc_id, g.n_tok FROM g
+    WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@query(
+    "x18_pipeline_end_to_end",
+    f"""
+    {_X18_SURVIVOR_SQL.replace("SELECT g.doc_id, g.n_tok FROM g",
+                               "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+                               "CAST(sum(g.n_tok) AS BIGINT) AS total_tokens FROM g")}
+    """,
+)
+def x18(spark, sf_dir):
+    """Full training-data pipeline, composed from the engine's operators
+    and oracle-checked end-to-end: quality filter (length + punctuation)
+    → exact dedup (fingerprint groupBy, min-id survivor) → near-dup
+    removal (MinHash LSH, drop any doc with an earlier ≥0.6-Jaccard
+    neighbor) → corpus statistics.  Every stage is the same code path a
+    100 TB run would use."""
+    d = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    filtered = d.select(
+        "doc_id", "text",
+        feats["n_tokens"].alias("n_tok"),
+        feats["punct_ratio"].alias("punct"),
+    ).filter((F.col("n_tok") >= 5) & (F.col("punct") <= 0.3))
+
+    fp = T.fingerprint(F.col("text"))
+    with_fp = filtered.withColumn("__fp", fp)
+    keepers = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = with_fp.join(keepers, ["__fp", "doc_id"], "inner").drop("__fp")
+
+    pairs = D.near_dup_pairs_minhash(
+        exact, "doc_id", "text", threshold=0.6, k=192, num_bands=64, shingle_n=5
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = exact.join(dropped, "doc_id", "left_anti")
+    return kept.select(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
 @query("x16_cosine_near_dup")  # hyperplane LSH buckets — rows-only
 def x16(spark, sf_dir):
     """Embedding near-dup via random-hyperplane LSH + exact cosine verify
