@@ -405,9 +405,8 @@ def _dt_to_str(col, src, dst, a: CastArgs):
 def _dt_to_float(col, src, dst, a: CastArgs):
     from ..functions.temporal import ns_per_unit
     ns = timestamp_to_ns(col.cast("timestamp"), a.since, a.tz)
-    return (ns.cast("double") / F.lit(float(ns_per_unit(a.unit)))).cast(
-        dst.spark_type
-    )
+    per = float(ns_per_unit(a.unit) * a.step_size)
+    return (ns.cast("double") / F.lit(per)).cast(dst.spark_type)
 
 
 @_rule("timedelta", "float")
@@ -486,11 +485,11 @@ def _str_to_datetime(col, src, dst, a: CastArgs):
         # orderings (all codegen'd; first match wins), then the ISO fast
         # path (datetime.pyx:241 — the native cast handles ISO-8601)
         if a.day_first and a.year_first:
-            bases = ["yyyy/d/M", "yyyy.d.M", "yyyy d M"]
+            bases = ["yyyy/d/M", "yyyy-d-M", "yyyy.d.M", "yyyy d M"]
         elif a.day_first:
             bases = ["d/M/yyyy", "d-M-yyyy", "d.M.yyyy"]
         elif a.year_first:
-            bases = ["yyyy/M/d", "yyyy.M.d"]
+            bases = ["yyyy/M/d", "yyyy.M.d"]  # yyyy-M-d is the ISO fast path
         else:
             bases = []
         fmts = [b + t for b in bases for t in (" HH:mm:ss", " HH:mm", "")]
@@ -658,18 +657,25 @@ def cast_col(
     return fn(col, s, d, a)
 
 
-def _validate(df: DataFrame, validations: list[tuple[str, Column, Column]]) -> None:
-    """errors='raise': ONE aggregate job counting new NULLs across ALL cast
-    columns (same single-pass pattern as downcast_plan,
-    convert/downcast.py:79-93) — a 50-column cast costs one scan, not 50."""
+def _violation_counts(
+    df: DataFrame, validations: list[tuple[str, Column, Column]]
+) -> dict[str, int]:
+    """ONE aggregate job counting new NULLs across ALL cast columns (same
+    single-pass pattern as downcast_plan, convert/downcast.py:79-93) — a
+    50-column cast costs one scan, not 50."""
     if not validations:
-        return
+        return {}
     aggs = [
         F.count(F.when(before.isNotNull() & after.isNull(), 1)).alias(name)
         for name, before, after in validations
     ]
     row = df.select(*aggs).collect()[0]
-    bad = {name: row[name] for name, _, _ in validations if row[name]}
+    return {name: row[name] for name, _, _ in validations if row[name]}
+
+
+def _validate(df: DataFrame, validations: list[tuple[str, Column, Column]]) -> None:
+    """errors='raise': raise when any column produced violations."""
+    bad = _violation_counts(df, validations)
     if bad:
         detail = ", ".join(f"{k}: {v}" for k, v in bad.items())
         raise CastError(
@@ -726,18 +732,28 @@ def cast(
             src is dst or src.unparametrized is dst.unparametrized
         ) and not a.downcast:
             continue
+        # reference 'ignore' semantics (convert/base.py catch_errors): a
+        # failing conversion keeps the INPUT column unchanged.  Build the
+        # expression in coerce mode so the job can't crash, then one
+        # validation aggregate decides which columns to revert.
+        build_kwargs = (
+            {**kwargs, "errors": "coerce"} if a.errors == "ignore" else kwargs
+        )
         try:
-            expr = cast_col(F.col(name), src, dst, **kwargs)
+            expr = cast_col(F.col(name), src, dst, **build_kwargs)
         except CastError:
             if a.errors == "ignore":
                 continue
             raise
         out_cols[name] = expr
-        if a.errors == "raise":
+        if a.errors in ("raise", "ignore"):
             validations.append((name, F.col(name), expr))
 
     if a.errors == "raise":
         _validate(df, validations)
+    elif a.errors == "ignore":
+        for name in _violation_counts(df, validations):
+            out_cols.pop(name, None)  # keep the input column
 
     result = df.withColumns(out_cols) if out_cols else df
     if a.downcast:

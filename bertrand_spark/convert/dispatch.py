@@ -167,6 +167,10 @@ class DispatchFunc:
         """
         import pyspark.sql.types as st
 
+        if not isinstance(df, DataFrame):
+            df, default_cols = self.normalize(df)
+            if not cols:
+                cols = default_cols
         result = self(df, *cols, **kwargs)
         if isinstance(result, DataFrame):
             return result
@@ -174,6 +178,11 @@ class DispatchFunc:
             dtype = df.select(result).schema[0].dataType
             if isinstance(dtype, st.BooleanType):
                 return df.filter(result)
+            if not cols:
+                raise ValueError(
+                    f"{self.name}.pipe: a transform result needs a target "
+                    "column — pass the column name"
+                )
             return df.withColumn(cols[0], result)
         spark = df.sparkSession
         return spark.createDataFrame([(result,)], [self.name])

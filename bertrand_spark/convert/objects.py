@@ -160,7 +160,6 @@ def _obj_to_timedelta(col, src, dst, a: CastArgs):
 @_rule("string", "object")
 @_rule("datetime", "object")
 @_rule("timedelta", "object")
-@_rule("complex", "object")
 @_rule("object", "object")
 def _any_to_object(col, src, dst, a: CastArgs):
     from .cast import _family
@@ -170,3 +169,12 @@ def _any_to_object(col, src, dst, a: CastArgs):
     if fam_call is None:
         return pickle_column(col, a.errors)
     return apply_with_errors(col, fam_call, a.errors, "binary", pickle_result=True)
+
+
+@_rule("complex", "object")
+def _complex_to_object(col, src, dst, a: CastArgs):
+    # struct columns arrive in a pandas_udf as a DataFrame, not a Series —
+    # flatten to array<double> first, rebuild the complex Python-side
+    arr = F.array(col["re"], col["im"])
+    call = a.call or (lambda v: complex(float(v[0]), float(v[1])))
+    return apply_with_errors(arr, call, a.errors, "binary", pickle_result=True)

@@ -160,7 +160,17 @@ def salted_join(
     AQE's skew-join handles moderate skew automatically; explicit salting
     is for pathological keys (power-law joins) where one key exceeds a
     single task's memory.
+
+    Only inner/left joins are supported: the right side is replicated per
+    salt, so an unmatched right row would surface once per salt under
+    right/full outer semantics.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(right rows are replicated per salt)"
+        )
     on = list(on)
     l2 = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r2 = right.withColumn(

@@ -50,6 +50,19 @@ def with_row_id(df: DataFrame, order_by: Sequence[str | Column] | None = None) -
     if ROW_ID in df.columns:
         return df
     if order_by:
+        if "idx" in df.columns:
+            # preserve a pre-existing user column named 'idx'
+            tmp = "__user_idx_shadow"
+            shadowed = df.withColumnRenamed("idx", tmp)
+            order_by = [
+                tmp if (isinstance(c, str) and c == "idx") else c
+                for c in order_by
+            ]
+            return (
+                enumerate_rows(shadowed, order_by)
+                .withColumnRenamed("idx", ROW_ID)
+                .withColumnRenamed(tmp, "idx")
+            )
         return enumerate_rows(df, order_by).withColumnRenamed("idx", ROW_ID)
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 
@@ -326,10 +339,15 @@ def compare_lex(a: DataFrame, b: DataFrame, order_a: Sequence[str], order_b: Seq
 
 def exhaust(df: DataFrame) -> int:
     """Terminal drain (I18; reference ``iter/range.h`` exhaust): execute
-    the plan for its side effects and report the row count — one job, no
-    driver materialization (noop sink)."""
-    df.write.mode("overwrite").format("noop").save()
-    return df.count()
+    the plan for its side effects and report the row count — ONE job, no
+    driver materialization (noop sink + observe metric)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    return int(obs.get["n"])
 
 
 def distance_rows(

@@ -413,12 +413,18 @@ def near_dup_pairs_minhash(
     k: int = 32,
     num_bands: int = 8,
     shingle_n: int = 5,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verification ≥ threshold.
 
     The join back to texts is two hash joins on the id; at scale the texts
     side is the big table and candidates are rare, so Spark broadcasts the
     candidate list (AQE decides from runtime size).
+
+    ``persist``: cache the per-doc prep table for the run; the cache
+    entry lives until the caller unpersists or ``spark.catalog
+    .clearCache()`` — pass ``persist=False`` in long-lived sessions that
+    call this repeatedly on large corpora.
     """
     # ONE fused Arrow pass per document produces both the signature (for
     # banding) and the 64-bit shingle-hash set (for verification); the
@@ -431,7 +437,9 @@ def near_dup_pairs_minhash(
         F.col(id_col), kernel(F.col(text_col)).alias("__p")
     ).select(
         F.col(id_col), F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
-    ).persist()
+    )
+    if persist:
+        prep = prep.persist()
 
     bands = prep.select(
         F.col(id_col), F.posexplode(F.col("__bk")).alias("band", "bucket")

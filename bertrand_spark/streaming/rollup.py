@@ -113,7 +113,8 @@ def running_totals(
 
     Batch inputs fall back to a groupBy (same result, no state store).
     """
-    out_schema = f"{key} long, n long, total double"
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n long, total double"
     if not df.isStreaming:
         return (
             df.groupBy(key)
