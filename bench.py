@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -70,6 +72,18 @@ def main() -> None:
 
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     spark.range(1000).select((F.col("id") * 2).alias("v")).count()
+
+    # spin up the Arrow python-worker pool (one worker per core; spawn +
+    # numpy import otherwise lands on the first pandas-UDF query)
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as _np  # noqa: F401 — preload in the worker
+
+        return s
+
+    spark.range(0, 10000, 1, int(cpus)).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

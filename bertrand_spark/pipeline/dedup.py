@@ -31,13 +31,107 @@ from .text import char_ngrams, fingerprint, tokenize, word_ngrams
 __all__ = [
     "exact_dedup", "exact_dup_groups",
     "minhash_signature", "minhash_bands", "lsh_candidate_pairs",
-    "jaccard_shingles", "near_dup_pairs_minhash",
+    "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
     "simhash64", "near_dup_pairs_simhash",
     "ngram_jaccard_pairs", "cosine_near_dup_pairs",
 ]
 
 # deterministic (a, b) coefficients for the k minhash permutations
 _MERSENNE = (1 << 61) - 1
+_FNV = 0x100000001B3
+
+
+def _np_shingle_hashes(t: str, shingle_n: int):
+    """Distinct 64-bit shingle hashes of one document, fully vectorized.
+
+    Mirrors ``text.char_ngrams`` normalization (lower + whitespace
+    collapse), then hashes every char n-gram with a polynomial rolling
+    hash over code points + splitmix64 finalizer — sliding-window numpy,
+    no per-gram Python loop (the old crc32-per-gram path was ~20M
+    interpreter iterations per 5k docs).  The hash IS the shingle
+    identity: Jaccard over these sets equals Jaccard over the string
+    sets up to 64-bit collisions (~|A||B|/2^64 per pair).
+    """
+    import re
+
+    import numpy as np
+
+    s = re.sub(r"\s+", " ", t.lower())
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < shingle_n:  # short doc → the whole string is the one gram
+        win = cp[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(cp, shingle_n)
+    h = np.zeros(win.shape[0], dtype=np.uint64)
+    for i in range(win.shape[1]):  # loop over ≤shingle_n columns, not grams
+        h = h * np.uint64(_FNV) + win[:, i]
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return np.unique(h)
+
+
+def _np_minhash_sig(hashes, A, B):
+    """Exact Broder signature over 32-bit-reduced hashes: a<2^31,
+    h<2^32 ⇒ a*h+b < 2^63+2^61 stays in uint64."""
+    import numpy as np
+
+    h32 = hashes >> np.uint64(32)
+    return ((A * h32[None, :] + B) % np.uint64(_MERSENNE)).min(axis=1)
+
+
+def _np_band_keys(sig, num_bands, rows_per_band):
+    """64-bit key per band: FNV-fold the band's rows, splitmix-finalize —
+    vectorized across bands."""
+    import numpy as np
+
+    view = sig.reshape(num_bands, rows_per_band)
+    bk = np.zeros(num_bands, dtype=np.uint64)
+    for j in range(rows_per_band):
+        bk = (bk ^ view[:, j]) * np.uint64(_FNV)
+    bk = (bk ^ (bk >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    bk = bk ^ (bk >> np.uint64(31))
+    return bk
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots.  Small parquet inputs (one ~MB file → one split)
+    otherwise pin every Arrow kernel and map-side explode to a single
+    core; at real scale inputs already have ≥slots splits and this is a
+    no-op.  The shuffled payload is exactly the small input, so the cost
+    is negligible wherever the condition triggers.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def min_band_matches(
+    threshold: float, rows_per_band: int, num_bands: int, tol: float = 1e-4
+) -> int:
+    """Largest required band-match count ``s`` such that a pair at exactly
+    ``jaccard = threshold`` is missed with probability ≤ ``tol``:
+    P[Binomial(b, threshold^r) ≤ s−1] ≤ tol.
+
+    Requiring m ≥ s (instead of m ≥ 1) is the band-consensus prefilter:
+    on template-heavy corpora most candidates are low-similarity pairs
+    that collide in 1-2 bands by chance; they fail the consensus floor
+    and skip exact verification entirely.  Pairs above threshold sit far
+    up the binomial curve, so the recall loss is bounded by ``tol`` at
+    the threshold and decays exponentially above it.
+    """
+    from math import comb
+
+    p = threshold ** rows_per_band
+    s, cdf = 1, 0.0
+    for i in range(num_bands + 1):
+        cdf += comb(num_bands, i) * (p ** i) * ((1.0 - p) ** (num_bands - i))
+        if cdf > tol:
+            break
+        s = i + 1
+    return max(s, 1)
 
 
 def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -161,13 +255,9 @@ def minhash_signature_vectorized(
     from pyspark.sql.functions import pandas_udf
 
     coeffs = _perm_coeffs(k, seed)
-    M = np.uint64(_MERSENNE)
 
     @pandas_udf("array<bigint>")
     def kernel(texts: pd.Series) -> pd.Series:
-        import re
-        import zlib
-
         A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
         B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
         out = []
@@ -175,20 +265,8 @@ def minhash_signature_vectorized(
             if t is None:
                 out.append(None)
                 continue
-            s = re.sub(r"\s+", " ", t.lower())
-            grams = (
-                {s[i : i + shingle_n] for i in range(len(s) - shingle_n + 1)}
-                if len(s) >= shingle_n
-                else {s}
-            )
-            h = np.fromiter(
-                (zlib.crc32(g.encode("utf-8")) for g in grams),
-                dtype=np.uint64,
-                count=len(grams),
-            )
-            # a*h < 2^63, +b < 2^61: stays in uint64, exact Broder scheme
-            sig = ((A * h[None, :] + B) % M).min(axis=1)
-            out.append(sig.astype(np.int64))
+            sig = _np_minhash_sig(_np_shingle_hashes(t, shingle_n), A, B)
+            out.append(sig.view(np.int64))
         return pd.Series(out)
 
     return kernel
@@ -202,22 +280,18 @@ def minhash_prep_vectorized(
     set (for exact-Jaccard verification).
 
     Returns struct{sig: array<bigint>, hs: array<bigint>}.  The 64-bit
-    verification hash is two salted crc32s packed together — collision
-    odds per candidate pair ~|A||B|/2^64, so Jaccard over the hash sets
-    equals Jaccard over the string shingle sets; the interpreted-HOF
-    version of the gram table alone cost ~4.5 ms/doc.
+    shingle hash is the verification identity — collision odds per
+    candidate pair ~|A||B|/2^64, so Jaccard over the hash sets equals
+    Jaccard over the string shingle sets; the interpreted-HOF version of
+    the gram table alone cost ~4.5 ms/doc.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     coeffs = _perm_coeffs(k, seed)
-    M = np.uint64(_MERSENNE)
 
     @pandas_udf("sig: array<bigint>, hs: array<bigint>")
     def kernel(texts: pd.Series) -> pd.DataFrame:
-        import re
-        import zlib
-
         A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
         B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
         sigs, hsets = [], []
@@ -226,24 +300,9 @@ def minhash_prep_vectorized(
                 sigs.append(None)
                 hsets.append(None)
                 continue
-            s = re.sub(r"\s+", " ", t.lower())
-            grams = (
-                {s[i : i + shingle_n] for i in range(len(s) - shingle_n + 1)}
-                if len(s) >= shingle_n
-                else {s}
-            )
-            raw = [g.encode("utf-8") for g in grams]
-            h32 = np.fromiter(
-                (zlib.crc32(g) for g in raw), dtype=np.uint64, count=len(raw)
-            )
-            salt = np.fromiter(
-                (zlib.crc32(g + b"\x01") for g in raw),
-                dtype=np.uint64,
-                count=len(raw),
-            )
-            sig = ((A * h32[None, :] + B) % M).min(axis=1)
-            sigs.append(sig.astype(np.int64))
-            hsets.append(((h32 << np.uint64(32)) | salt).astype(np.int64))
+            hs = _np_shingle_hashes(t, shingle_n)
+            sigs.append(_np_minhash_sig(hs, A, B).view(np.int64))
+            hsets.append(hs.view(np.int64))
         return pd.DataFrame({"sig": sigs, "hs": hsets})
 
     return kernel
@@ -268,14 +327,10 @@ def minhash_banded_vectorized(
     from pyspark.sql.functions import pandas_udf
 
     coeffs = _perm_coeffs(k, seed)
-    M = np.uint64(_MERSENNE)
     rows_per_band = k // num_bands
 
     @pandas_udf("bk: array<bigint>, hs: array<bigint>")
     def kernel(texts: pd.Series) -> pd.DataFrame:
-        import re
-        import zlib
-
         A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
         B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
         bks, hsets = [], []
@@ -284,34 +339,10 @@ def minhash_banded_vectorized(
                 bks.append(None)
                 hsets.append(None)
                 continue
-            s = re.sub(r"\s+", " ", t.lower())
-            grams = (
-                {s[i : i + shingle_n] for i in range(len(s) - shingle_n + 1)}
-                if len(s) >= shingle_n
-                else {s}
-            )
-            raw = [g.encode("utf-8") for g in grams]
-            h32 = np.fromiter(
-                (zlib.crc32(g) for g in raw), dtype=np.uint64, count=len(raw)
-            )
-            salt = np.fromiter(
-                (zlib.crc32(g + b"\x01") for g in raw),
-                dtype=np.uint64,
-                count=len(raw),
-            )
-            sig = ((A * h32[None, :] + B) % M).min(axis=1)
-            band_view = sig.reshape(num_bands, rows_per_band)
-            bk = np.fromiter(
-                (
-                    (np.uint64(zlib.crc32(band_view[i].tobytes())) << np.uint64(32))
-                    | np.uint64(zlib.crc32(band_view[i].tobytes() + b"\x01"))
-                    for i in range(num_bands)
-                ),
-                dtype=np.uint64,
-                count=num_bands,
-            )
-            bks.append(bk.astype(np.int64))
-            hsets.append(((h32 << np.uint64(32)) | salt).astype(np.int64))
+            hs = _np_shingle_hashes(t, shingle_n)
+            sig = _np_minhash_sig(hs, A, B)
+            bks.append(_np_band_keys(sig, num_bands, rows_per_band).view(np.int64))
+            hsets.append(hs.view(np.int64))
         return pd.DataFrame({"bk": bks, "hs": hsets})
 
     return kernel
@@ -363,6 +394,7 @@ def lsh_candidate_pairs(
     the self-join becomes shuffle-free.
     """
     rows_per_band = k // num_bands
+    df = _spread(df)
     if vectorized:
         sig_kernel = minhash_signature_vectorized(k, shingle_n, seed)
         signed = df.select(
@@ -414,12 +446,22 @@ def near_dup_pairs_minhash(
     num_bands: int = 8,
     shingle_n: int = 5,
     persist: bool = True,
+    miss_tolerance: float = 1e-4,
 ) -> DataFrame:
-    """LSH candidates → exact-Jaccard verification ≥ threshold.
+    """LSH candidates → band-consensus prefilter → exact-Jaccard ≥ threshold.
 
     The join back to texts is two hash joins on the id; at scale the texts
     side is the big table and candidates are rare, so Spark broadcasts the
     candidate list (AQE decides from runtime size).
+
+    ``miss_tolerance``: template-heavy corpora produce millions of 1-band
+    chance collisions between low-similarity pairs (at sf0.1, 25% of ALL
+    doc pairs collide in ≥1 band, but the similarity distribution is
+    bimodal: background at j≈0.2, true dups at j≥0.9).  Instead of
+    verifying every collision, require ``m ≥ min_band_matches(threshold,
+    r, b, miss_tolerance)`` matching bands — the binomial consensus floor
+    that misses an exactly-at-threshold pair with probability ≤
+    ``miss_tolerance`` and cuts ~96% of the verification workload.
 
     ``persist``: cache the per-doc prep table for the run; the cache
     entry lives until the caller unpersists or ``spark.catalog
@@ -433,24 +475,40 @@ def near_dup_pairs_minhash(
     # odds per candidate pair ~|A||B|/2^64 ≈ 5e-15, so Jaccard over the
     # hash sets equals Jaccard over the string shingle sets.
     kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
-    prep = df.select(
+    prep = _spread(df).select(
         F.col(id_col), kernel(F.col(text_col)).alias("__p")
     ).select(
         F.col(id_col), F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
     )
+    n_docs = None
     if persist:
+        # materialize BEFORE fanning out: the band self-join and the two
+        # broadcast builds below launch as separate jobs, and concurrent
+        # jobs racing an unpopulated cache each recompute the kernel
         prep = prep.persist()
+        n_docs = prep.count()
 
     bands = prep.select(
         F.col(id_col), F.posexplode(F.col("__bk")).alias("band", "bucket")
     )
     a = bands.withColumnRenamed(id_col, "id_a")
     bn = bands.withColumnRenamed(id_col, "id_b")
+    consensus = min_band_matches(
+        threshold, k // num_bands, num_bands, miss_tolerance
+    )
+    # broadcast the build side only while the band table (n_docs ×
+    # num_bands × 24 B tuples) is broadcast-sized — skips AQE's
+    # materialize-both-sides shuffle stage; at corpus scale the hint is
+    # withheld and the self-join shuffles on (band, bucket) as usual
+    if n_docs is not None and n_docs * num_bands * 24 < 100 << 20:
+        bn = F.broadcast(bn)
     cand = (
         a.join(bn, ["band", "bucket"], "inner")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")  # same shuffle as distinct(), plus the m count
+        .agg(F.count("*").alias("__m"))
+        .filter(F.col("__m") >= consensus)
         .select("id_a", "id_b")
-        .distinct()
     )
     # broadcast the per-doc hash-set table (n_docs rows) so the (much
     # larger) candidate-pair stream never shuffles; beyond broadcast size,
@@ -486,7 +544,9 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     are map-side combinable, so the shuffle carries 64 longs per document
     regardless of document length.
     """
-    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    toks = _spread(df).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64(F.col("tok"))
     sums = [
         F.sum(
@@ -568,7 +628,7 @@ def ngram_jaccard_pairs(
     Jaccard with |A|+|B|−|A∩B|.  Shuffles (gram → id) postings, the same
     cost profile as building an inverted index.
     """
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
     )
@@ -616,7 +676,7 @@ def cosine_near_dup_pairs(
     """
     from .similarity import cosine_sim, random_hyperplane_signature
 
-    sig = df
+    sig = _spread(df)
     for t in range(num_tables):
         sig = random_hyperplane_signature(
             sig, vec_col, num_planes, seed + 7919 * t
