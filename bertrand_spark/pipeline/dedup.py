@@ -26,13 +26,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.reader import spread as _spread
 from .text import char_ngrams, fingerprint, tokenize, word_ngrams
 
 __all__ = [
     "exact_dedup", "exact_dup_groups",
     "minhash_signature", "minhash_bands", "lsh_candidate_pairs",
     "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
-    "simhash64", "near_dup_pairs_simhash",
+    "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
     "ngram_jaccard_pairs", "cosine_near_dup_pairs",
 ]
 
@@ -92,20 +93,6 @@ def _np_band_keys(sig, num_bands, rows_per_band):
     bk = (bk ^ (bk >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     bk = bk ^ (bk >> np.uint64(31))
     return bk
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input has fewer partitions than the
-    cluster has slots.  Small parquet inputs (one ~MB file → one split)
-    otherwise pin every Arrow kernel and map-side explode to a single
-    core; at real scale inputs already have ≥slots splits and this is a
-    no-op.  The shuffled payload is exactly the small input, so the cost
-    is negligible wherever the condition triggers.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def min_band_matches(
@@ -509,6 +496,12 @@ def near_dup_pairs_minhash(
         .agg(F.count("*").alias("__m"))
         .filter(F.col("__m") >= consensus)
         .select("id_a", "id_b")
+        # stage break: without it Catalyst fuses agg + consensus filter +
+        # both verification joins + the jaccard math into ONE generated
+        # method that exceeds the JIT/hugeMethodLimit and the whole
+        # pipeline runs interpreted (~100 µs/row over the full agg input).
+        # The exchange carries only the post-consensus pairs (16 B each).
+        .repartition("id_a")
     )
     # broadcast the per-doc hash-set table (n_docs rows) so the (much
     # larger) candidate-pair stream never shuffles; beyond broadcast size,
@@ -563,20 +556,100 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash64_vectorized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document via one Arrow kernel — NO shuffle.
+
+    The native version shuffles 64 longs per document; this one is a pure
+    narrow projection (the per-bit vote runs inside numpy per document),
+    which is the better plan at any scale — the whole sketch phase is one
+    map pass over the corpus.
+
+    Token hash = first 16 hex chars of md5 (portable: DuckDB's
+    ``CAST('0x'||substr(md5(t),1,16) AS UBIGINT)`` reproduces it exactly,
+    so SimHash results are oracle-checkable).  Tokenization mirrors
+    ``text.tokenize``: lower, trim, split on whitespace.  Documents with
+    no tokens yield NULL (the oracle's token-less docs vanish in its
+    explode, so both sides exclude them from the pair universe).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def kernel(texts: pd.Series) -> pd.Series:
+        bits = np.arange(64, dtype=np.uint64)
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in re.split(r"\s+", t.lower().strip()) if w]
+            if not toks:
+                out.append(None)
+                continue
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+                    for w in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            votes = (
+                ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+                * 2
+                - 1
+            ).sum(axis=0)
+            sim = int(
+                np.bitwise_or.reduce(
+                    np.where(votes > 0, np.uint64(1) << bits, np.uint64(0))
+                )
+            )
+            out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+        return pd.Series(out, dtype="Int64")
+
+    return (
+        _spread(df)
+        .select(F.col(id_col), kernel(F.col(text_col)).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+    )
+
+
 def near_dup_pairs_simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     num_blocks: int = 4,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole blocking: split 64 bits into ``num_blocks`` blocks; any pair
     within distance < num_blocks shares ≥1 exact block → equi-join per block
     (no O(n²) scan), then verify with ``bit_count(xor)``.
+
+    Recall is EXACT only while ``max_hamming < num_blocks`` (a pair can
+    differ in at most ``max_hamming`` blocks, so some block matches
+    exactly); beyond that blocking is a heuristic.
     """
-    sh = simhash64(df, id_col, text_col)
+    if max_hamming >= num_blocks:
+        import warnings
+
+        warnings.warn(
+            f"max_hamming={max_hamming} >= num_blocks={num_blocks}: "
+            "pigeonhole recall is no longer exact",
+            stacklevel=2,
+        )
+    sh = (
+        simhash64_vectorized(df, id_col, text_col)
+        if vectorized
+        else simhash64(df, id_col, text_col)
+    )
     width = 64 // num_blocks
     blocks = sh.select(
         F.col(id_col),
@@ -632,6 +705,10 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
     )
+    # the posting list feeds BOTH self-join sides and the size table; the
+    # n-gram HOF pipeline is the expensive part, so materialize it once
+    grams = grams.persist()
+    grams.count()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = grams.withColumnRenamed(id_col, "id_a")
     b = grams.withColumnRenamed(id_col, "id_b")

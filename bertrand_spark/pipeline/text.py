@@ -183,10 +183,26 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
-def rolling_fingerprints(text: Column, n: int = 8, keep: int = 16) -> Column:
+def rolling_fingerprints(
+    text: Column, n: int = 8, keep: int = 16, portable: bool = False
+) -> Column:
     """Winnowing-style rolling fingerprint set: hash every char n-gram, keep
     the ``keep`` smallest hashes (deterministic document sketch).  Native:
-    transform → array_sort → slice."""
+    transform → array_sort → slice.
+
+    ``portable=True`` hashes with the first 15 hex chars of md5 (60 bits,
+    sign-safe) instead of xxhash64 — bit-identical to DuckDB's
+    ``CAST('0x'||substr(md5(g),1,15) AS BIGINT)``, making sketches
+    oracle-checkable; xxhash64 stays the default (faster, JVM-native).
+    """
     grams = char_ngrams(text, n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    if portable:
+        hashes = F.transform(
+            grams,
+            lambda g: F.conv(
+                F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    else:
+        hashes = F.transform(grams, lambda g: F.xxhash64(g))
     return F.slice(F.array_sort(hashes), 1, keep)

@@ -55,6 +55,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread: for CPU-heavy per-row work (regex classification,
+    multi-format parsing) over the single-row-group testdata files, which
+    otherwise scan in one task."""
+    from ..sources.reader import read_table, spread
+
+    return spread(read_table(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # §2.1 type inference / validation
 # ---------------------------------------------------------------------------
@@ -90,7 +99,7 @@ _ISO_RE_SQL = r"^\s*\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?([+-]\d{2}
 def q01(spark, sf_dir):
     """Elementwise type inference (R2/R3): distributed CASE WHEN rlike
     classification — reference detect() meta.py:1946."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     s = (
         F.when(F.abs(F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 == 0,
                F.col("l_linenumber").cast("string"))
@@ -388,7 +397,7 @@ def q12(spark, sf_dir):
 def q13(spark, sf_dir):
     """ISO datetime parse round-trip (C25/T5) + timedelta clock grammar
     (C26/T7).  [oracle rewritten below — see _Q13_SQL]"""
-    e = _t(spark, sf_dir, "events")
+    e = _tw(spark, sf_dir, "events")
     s = F.when(F.col("event_id") % 10 == 0, F.lit("not a date")).otherwise(
         F.col("ts").cast("string")
     )
@@ -864,11 +873,44 @@ def x03(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@query("x04_simhash_near_dup")  # xxhash64 sketch — not SQL-expressible
+@query(
+    "x04_simhash_near_dup",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '')) AS tok
+            FROM documents)
+    ), th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(range(64)) AS b) b
+      GROUP BY 1, 2
+    ), sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END)
+                  AS UBIGINT) AS s
+      FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
 def x04(spark, sf_dir):
-    """SimHash near-dup (rows-only check: hash function not in DuckDB)."""
+    """SimHash near-dup, oracle-exact: md5-derived token hashes (portable
+    to DuckDB), Hamming ≤ 3 < num_blocks=4 so pigeonhole blocking recall
+    is exact — the engine's blocked equi-join provably finds every pair
+    the O(n²) oracle finds."""
     d = _t(spark, sf_dir, "documents")
-    return D.near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=8, num_blocks=4)
+    return D.near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=3, num_blocks=4)
 
 
 @query(
@@ -999,11 +1041,43 @@ def x09(spark, sf_dir):
     )
 
 
-@query("x10_lang_detect")  # argmax tie-break kept engine-side
+def _x10_oracle() -> str:
+    from ..pipeline.text import _LANG_MARKERS
+
+    score_cols, best_args = [], []
+    for lang, words in _LANG_MARKERS.items():
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        hits = f"CAST(len(list_intersect(list_distinct(toks), {lst})) AS DOUBLE)"
+        if lang == "zh":
+            chars = " + ".join(
+                f"(CASE WHEN contains(text, '{w}') THEN 1.0 ELSE 0.0 END)"
+                for w in words
+            )
+            hits = f"({hits} + {chars})"
+        score_cols.append(f"{hits} / greatest(len(toks), 1) AS s_{lang}")
+        best_args.append(f"{{'score': s_{lang}, 'lang': '{lang}'}}")
+    return rf"""
+    WITH d AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x != '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, {", ".join(score_cols)} FROM d),
+    b AS (SELECT doc_id, list_max([{", ".join(best_args)}]) AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang
+    FROM b
+    """
+
+
+@query("x10_lang_detect")
 def x10(spark, sf_dir):
-    """Language detection argmax (rows-only)."""
+    """Language detection argmax; oracle replicates the (score, lang)
+    struct-max tie-break (equal scores → lexicographically larger code)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.detect_language(F.col("text")).alias("lang"))
+
+
+ORACLES["x10_lang_detect"] = _x10_oracle()
 
 
 @query(
@@ -1084,12 +1158,33 @@ def x14(spark, sf_dir):
     )
 
 
-@query("x15_rolling_fingerprints")  # xxhash64 — rows-only
+@query(
+    "x15_rolling_fingerprints",
+    """
+    WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 8 THEN [t]
+                      ELSE [substr(t, CAST(i AS INT), 8)
+                            for i in range(1, len(t) - 6)] END AS grams
+          FROM d),
+    h AS (SELECT doc_id,
+                 list_sort(list_transform(grams,
+                   g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS hs
+          FROM g)
+    SELECT doc_id, unnest(hs[1:16]) AS fp FROM h
+    """,
+)
 def x15(spark, sf_dir):
-    """Winnowing-style rolling fingerprint sketches (rows-only)."""
+    """Winnowing-style rolling fingerprint sketches, oracle-exact: 60-bit
+    md5-prefix gram hashes (portable to DuckDB), exploded to (doc_id, fp)
+    rows for robust value comparison."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", T.rolling_fingerprints(F.col("text"), 8, 16).alias("sketch")
+        "doc_id",
+        F.explode(
+            T.rolling_fingerprints(F.col("text"), 8, 16, portable=True)
+        ).alias("fp"),
     )
 
 

@@ -80,6 +80,21 @@ def write_partitioned(
     w.save(path)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots.  Single-row-group parquet files (every testdata
+    table) admit exactly ONE scan task no matter what
+    ``maxPartitionBytes`` says, which serializes any CPU-heavy downstream
+    stage (regex classification, Arrow kernels, explodes); at real scale
+    inputs have ≥slots splits and this is a no-op.  Where it does fire,
+    the shuffled payload is the small input itself.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing ns-timestamps to TimestampType."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
