@@ -501,7 +501,13 @@ def near_dup_pairs_minhash(
         # method that exceeds the JIT/hugeMethodLimit and the whole
         # pipeline runs interpreted (~100 µs/row over the full agg input).
         # The exchange carries only the post-consensus pairs (16 B each).
-        .repartition("id_a")
+        # The partition count is pinned: the pair stream is BYTE-small but
+        # CPU-heavy downstream (~85 µs/intersect), and with a bare
+        # repartition AQE coalesces the 3 MB exchange to ONE partition,
+        # serializing verification (15 s single-task vs 2 s at 32-way).
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a"
+        )
     )
     # broadcast the per-doc hash-set table (n_docs rows) so the (much
     # larger) candidate-pair stream never shuffles; beyond broadcast size,
