@@ -20,6 +20,12 @@ __all__ = [
     "map_keys_ordered", "map_values_ordered", "map_sorted_by_key",
     "map_filter_entries", "map_merge", "map_zip",
     "map_invert", "map_contains_key", "map_size",
+    # set algebra on keys (linked.pyi:440-475 SET section)
+    "map_intersection", "map_difference", "map_symmetric_difference",
+    "map_union_left",
+    # L11 navigable (BST-ordered) views
+    "map_range", "map_first_key", "map_last_key",
+    "map_floor_key", "map_ceiling_key", "map_index_of_key",
 ]
 
 
@@ -109,3 +115,80 @@ def map_contains_key(m: Column, key: Any) -> Column:
 
 def map_size(m: Column) -> Column:
     return F.size(m)
+
+
+# --- set algebra on keys (LinkedDict SET section, linked.pyi:440-475) ------
+def map_intersection(m: Column, keys: Column) -> Column:
+    """Entries whose key is in ``keys`` (array column) —
+    ``d.intersection(other)`` (linked.pyi:446)."""
+    return F.map_filter(m, lambda k, v: F.array_contains(keys, k))
+
+
+def map_difference(m: Column, keys: Column) -> Column:
+    """Entries whose key is NOT in ``keys`` — ``d.difference``
+    (linked.pyi:449)."""
+    return F.map_filter(m, lambda k, v: ~F.array_contains(keys, k))
+
+
+def map_symmetric_difference(a: Column, b: Column) -> Column:
+    """Entries present in exactly one side — ``d.symmetric_difference``
+    (linked.pyi:450).  Key order: a-only entries then b-only entries
+    (matches the reference's append semantics)."""
+    return F.map_concat(
+        F.map_filter(a, lambda k, v: ~F.map_contains_key(b, k)),
+        F.map_filter(b, lambda k, v: ~F.map_contains_key(a, k)),
+    )
+
+
+def map_union_left(a: Column, b: Column) -> Column:
+    """Union where the LEFT side wins on key conflicts and b's novel keys
+    append — ``d.union_left`` (linked.pyi:443)."""
+    return F.map_concat(
+        a, F.map_filter(b, lambda k, v: ~F.map_contains_key(a, k))
+    )
+
+
+# --- L11: navigable (BST-ordered) views ------------------------------------
+def map_range(m: Column, lo: Any = None, hi: Any = None) -> Column:
+    """Entries with ``lo ≤ key ≤ hi``, sorted by key — the BST range scan
+    (L11; NavigableMap.subMap semantics).  Open ends via None."""
+    entries = F.array_sort(F.map_entries(m))
+
+    def keep(e: Column) -> Column:
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (e["key"] >= F.lit(lo))
+        if hi is not None:
+            c = c & (e["key"] <= F.lit(hi))
+        return c
+
+    return F.filter(entries, keep)
+
+
+def map_first_key(m: Column) -> Column:
+    """Smallest key (BST leftmost; NavigableMap.firstKey)."""
+    return F.array_min(F.map_keys(m))
+
+
+def map_last_key(m: Column) -> Column:
+    """Largest key (BST rightmost; NavigableMap.lastKey)."""
+    return F.array_max(F.map_keys(m))
+
+
+def map_floor_key(m: Column, key: Any) -> Column:
+    """Largest key ≤ ``key`` (NavigableMap.floorKey) — NULL when none."""
+    ks = F.map_keys(m)
+    return F.array_max(F.filter(ks, lambda k: k <= F.lit(key)))
+
+
+def map_ceiling_key(m: Column, key: Any) -> Column:
+    """Smallest key ≥ ``key`` (NavigableMap.ceilingKey) — NULL when none."""
+    ks = F.map_keys(m)
+    return F.array_min(F.filter(ks, lambda k: k >= F.lit(key)))
+
+
+def map_index_of_key(m: Column, key: Any) -> Column:
+    """0-based position of ``key`` in entry order — ``d.index(key)``
+    (linked.pyi:427); NULL when absent (the reference raises)."""
+    pos = F.array_position(F.map_keys(m), F.lit(key))
+    return F.when(pos > 0, pos - 1)

@@ -1264,6 +1264,95 @@ def q30(spark, sf_dir):
     )
 
 
+@query(
+    "q31_regex_dialect",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{4,}) the', 1) AS before_the,
+           len(regexp_extract_all(text, '[a-z]{6,}')) AS long_words,
+           regexp_replace(text, '([aeiou])\1', '<\1\1>', 'g') AS doubled,
+           CASE WHEN regexp_matches(text, '^\s*[A-Z]')
+                THEN 1 ELSE 0 END AS starts_upper
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q31(spark, sf_dir):
+    """S3 regex dialect layer: PCRE2/Python-spelled patterns (named
+    groups, backreferences, python replacement syntax) translated onto
+    Spark's Java-regex expressions (ref regex.h:961-1418).  The oracle
+    spells the same semantics in RE2 for DuckDB — three dialects, one
+    answer."""
+    from ..functions import regex as RX
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        d.select(
+            "doc_id",
+            F.coalesce(
+                RX.regex_extract(c, r"(?P<w>[a-z]{4,}) the", 1), F.lit("")
+            ).alias("before_the"),
+            F.size(RX.regex_findall(c, r"[a-z]{6,}")).cast("long").alias(
+                "long_words"
+            ),
+            RX.regex_sub(c, r"(?P<v>[aeiou])(?P=v)", r"<\g<v>\g<v>>").alias(
+                "doubled"
+            ),
+            F.when(RX.regex_match(c, r"\s*[A-Z]"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("starts_upper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("q32_map_ops")
+def q32(spark, sf_dir):
+    """L10/L11 map-column ops: navigable (BST-ordered) views over a
+    constructed per-row map (ref structs/linked.pyi:352-494 + BST
+    variants).  The oracle derives the same floor/ceiling answers
+    arithmetically — an independent derivation, not a map re-impl.
+    [oracle rewritten below — see _Q32_SQL]"""
+    from ..operators import maps as M
+
+    n = _t(spark, sf_dir, "nation")
+    k1 = (F.col("n_nationkey") % 7).cast("long")
+    m = F.map_from_arrays(
+        F.array(k1, k1 + 10, k1 + 20),
+        F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+    )
+    return (
+        n.select(F.col("n_nationkey").alias("k"), m.alias("m"))
+        .select(
+            "k",
+            M.map_first_key(F.col("m")).alias("first_key"),
+            M.map_last_key(F.col("m")).alias("last_key"),
+            M.map_floor_key(F.col("m"), 15).alias("floor_15"),
+            M.map_ceiling_key(F.col("m"), 15).alias("ceil_15"),
+            F.size(M.map_range(F.col("m"), 5, 25)).alias("in_range"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLES["q32_map_ops"] = """
+    WITH base AS (
+      SELECT n_nationkey AS k,
+             CAST(n_nationkey % 7 AS BIGINT)      AS k1,
+             CAST(n_nationkey % 7 + 10 AS BIGINT) AS k2,
+             CAST(n_nationkey % 7 + 20 AS BIGINT) AS k3
+      FROM nation)
+    SELECT k,
+           k1 AS first_key, k3 AS last_key,
+           CASE WHEN k2 <= 15 THEN k2 ELSE k1 END AS floor_15,
+           CASE WHEN k2 >= 15 THEN k2 ELSE k3 END AS ceil_15,
+           CAST(CASE WHEN k1 >= 5 THEN 1 ELSE 0 END
+              + CASE WHEN k2 BETWEEN 5 AND 25 THEN 1 ELSE 0 END
+              + CASE WHEN k3 <= 25 THEN 1 ELSE 0 END AS INT) AS in_range
+    FROM base ORDER BY k
+"""
+
+
 _X18_SURVIVOR_SQL = r"""
     WITH q AS (
       SELECT doc_id, text,

@@ -88,8 +88,35 @@ def spread(df: DataFrame) -> DataFrame:
     stage (regex classification, Arrow kernels, explodes); at real scale
     inputs have ≥slots splits and this is a no-op.  Where it does fire,
     the shuffled payload is the small input itself.
+
+    The partition probe is driver-cheap: for plain scans it stats the
+    input files (``df.rdd.getNumPartitions()`` re-plans the query into an
+    RDD, ~1 s of driver time PER CALL); only computed frames fall back to
+    the RDD probe.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import os
+        from urllib.parse import urlparse
+
+        total = 0
+        for f in files:
+            p = urlparse(f).path or f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                # non-local fs: trust the planner's split count instead
+                return df
+        # few files + small bytes ⇒ the scan cannot parallelize (≤1 task
+        # per file / row group) and the shuffle payload is modest.  Large
+        # inputs split fine natively — never reshuffle those.
+        if len(files) < target and total < (256 << 20):
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
