@@ -85,31 +85,34 @@ def main() -> None:
 
     spark.range(0, 10000, 1, int(cpus)).select(_warm("id")).count()
 
-    # untimed per-query warmup at the smallest SF: whole-stage codegen
-    # compiles each query's generated class once (Janino caches on source
-    # text, so the sf-dir literal must not appear in the plan — it doesn't;
-    # only scan paths differ).  First-run compile of the big CASE WHEN /
-    # regex expressions otherwise adds 2-5 s per query to the timed run:
-    # the bench measures steady-state throughput, not compiler latency.
+    # untimed per-query warmup at the smallest SF, run IMMEDIATELY before
+    # each timed run: whole-stage codegen compiles each query's generated
+    # classes once (Janino caches on source text, so the sf-dir literal
+    # must not appear in the plan — it doesn't; only scan paths differ).
+    # First-run compile of the big CASE WHEN / regex expressions otherwise
+    # adds 2-5 s per query to the timed run — and the codegen cache is a
+    # bounded LRU (~100 classes), so warming ALL queries up front evicts
+    # the earliest entries before they're timed.  The bench measures
+    # steady-state throughput, not compiler latency.
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in HEADLINE:
-            fn = QUERIES.get(name)
-            if fn is None:
-                continue
-            try:
-                fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
-            except Exception:
-                pass
-        # free the warmup runs' persisted tables (minhash prep, posting
-        # lists) so the timed runs start with clean storage memory
-        spark.catalog.clearCache()
+    warm = (
+        os.path.isdir(warm_dir)
+        and os.path.abspath(warm_dir) != os.path.abspath(sf_dir)
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        if warm:
+            try:
+                fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+                # free the warmup's persisted tables (minhash prep,
+                # posting lists) before the timed run
+                spark.catalog.clearCache()
+            except Exception:
+                pass
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -118,6 +121,7 @@ def main() -> None:
         except Exception as exc:  # record the failure, keep benching
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
