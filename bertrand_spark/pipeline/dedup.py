@@ -700,12 +700,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup via inverted-index join.
 
     explode(ngrams) → join on the gram → per-pair intersection counts →
     Jaccard with |A|+|B|−|A∩B|.  Shuffles (gram → id) postings, the same
     cost profile as building an inverted index.
+
+    ``max_df``: stop-gram cap — drop grams whose document frequency
+    exceeds it BEFORE the self-join.  A gram shared by d documents emits
+    d·(d−1)/2 pair rows, so boilerplate grams ("terms and conditions")
+    quadratically dominate the join at corpus scale while contributing
+    almost nothing to any pair's Jaccard.  ``None`` (default) keeps the
+    computation exact — |A|/|B| still count ALL grams either way, so with
+    a cap the reported jaccard is a LOWER bound: pairs can only be
+    missed, never invented.  At 100 TB set e.g. ``max_df=10_000``; the
+    df table costs one extra groupBy over the (already materialized)
+    posting list.
     """
     grams = _spread(df).select(
         F.col(id_col),
@@ -716,8 +728,17 @@ def ngram_jaccard_pairs(
     grams = grams.persist()
     grams.count()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = grams.withColumnRenamed(id_col, "id_a")
-    b = grams.withColumnRenamed(id_col, "id_b")
+    joinable = grams
+    if max_df is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        joinable = grams.join(rare, "gram")
+    a = joinable.withColumnRenamed(id_col, "id_a")
+    b = joinable.withColumnRenamed(id_col, "id_b")
     inter = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -117,6 +117,29 @@ class TestDedup:
         ids = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (1, 2) in ids and (1, 3) not in ids
 
+    def test_ngram_jaccard_stop_gram_cap(self, spark):
+        # "a b" appears in all 3 docs; max_df=2 drops it from the join.
+        # Pair (1,2) still shares rarer grams; jaccard becomes a lower
+        # bound (pairs may be missed, never invented).
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e z"), (3, "a b x y w v")],
+            ["doc_id", "text"],
+        )
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(df, n=2, threshold=0.1).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(
+                df, n=2, threshold=0.1, max_df=2
+            ).collect()
+        }
+        assert set(capped) <= set(exact)
+        for k, v in capped.items():
+            assert v <= exact[k] + 1e-9
+        assert (1, 3) in exact and (1, 3) not in capped  # only shared "a b"
+
     def test_on_real_documents(self, docs):
         # sanity: runs on the driver-provided table without error
         assert D.exact_dedup(docs, "text", keep_by="doc_id").count() == docs.count()
