@@ -73,6 +73,8 @@ class CastArgs:
     base: int = 10                     # arguments.py:1324
     call: Callable | None = None       # arguments.py:1423
     downcast: bool = False             # arguments.py:1439
+    as_interval: bool = False          # C13: emit DayTimeIntervalType
+    #   instead of the ns-LongType currency on timedelta targets
     errors: str = "raise"              # arguments.py:1455
 
     def __post_init__(self) -> None:
@@ -654,7 +656,12 @@ def cast_col(
     fn = _USER.get(key) or _MATRIX.get(key)
     if fn is None:
         raise CastError(f"no conversion registered for {key[0]} → {key[1]}")
-    return fn(col, s, d, a)
+    out = fn(col, s, d, a)
+    if a.as_interval and key[1] == "timedelta":
+        from ..functions.temporal import ns_to_interval
+
+        out = ns_to_interval(out)  # C13: typed interval at the boundary
+    return out
 
 
 def _violation_counts(
@@ -739,8 +746,16 @@ def cast(
         build_kwargs = (
             {**kwargs, "errors": "coerce"} if a.errors == "ignore" else kwargs
         )
+        # C13: a real DayTimeIntervalType column enters the matrix as ns
+        # (a bare CAST(interval AS BIGINT) would truncate to whole
+        # seconds inside the timedelta rules)
+        in_col = F.col(name)
+        if isinstance(df.schema[name].dataType, st.DayTimeIntervalType):
+            from ..functions.temporal import interval_to_ns
+
+            in_col = interval_to_ns(in_col)
         try:
-            expr = cast_col(F.col(name), src, dst, **build_kwargs)
+            expr = cast_col(in_col, src, dst, **build_kwargs)
         except CastError:
             if a.errors == "ignore":
                 continue

@@ -22,6 +22,7 @@ __all__ = [
     "AS_NS", "EPOCHS", "epoch_ns", "convert_unit", "ns_per_unit",
     "ns_to_timestamp", "timestamp_to_ns",
     "parse_timedelta_string", "td_ns_to_string",
+    "ns_to_interval", "interval_to_ns",
 ]
 
 # --- unit table (reference unit.pyx:49-65) --------------------------------
@@ -149,6 +150,32 @@ _UNIT_WORDS = {
     "w": 7 * 86400 * 10**9, "wk": 7 * 86400 * 10**9, "week": 7 * 86400 * 10**9,
     "weeks": 7 * 86400 * 10**9,
 }
+
+
+def ns_to_interval(ns: Column) -> Column:
+    """ns LongType → ``DayTimeIntervalType`` (C13 interval boundary;
+    reference ``convert/timedelta.py`` emits real timedelta64 at the
+    edge).  Spark intervals carry µs resolution, so sub-µs truncates —
+    the engine's internal currency stays ns; this is the typed exit.
+    """
+    secs = ns.cast("long").cast("decimal(38,9)") / F.lit(1000000000).cast(
+        "decimal(19,0)"
+    )
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+
+
+def interval_to_ns(iv: Column) -> Column:
+    """``DayTimeIntervalType`` → ns LongType, exact to the interval's µs
+    resolution.  A bare ``CAST(interval AS BIGINT)`` yields whole units
+    of the interval's END field (seconds for DAY TO SECOND) — silently
+    truncating sub-second parts — so decompose instead; components carry
+    a consistent sign for negative intervals."""
+    d = F.extract(F.lit("DAY"), iv).cast("long")
+    h = F.extract(F.lit("HOUR"), iv).cast("long")
+    m = F.extract(F.lit("MINUTE"), iv).cast("long")
+    s = F.extract(F.lit("SECOND"), iv)  # decimal(8,6), fractional
+    whole = (d * 86400 + h * 3600 + m * 60) * F.lit(1000000000).cast("long")
+    return (whole + (s * F.lit(1000000000)).cast("long")).cast("long")
 
 
 def parse_timedelta_string(col: Column, as_hours: bool = False) -> Column:

@@ -57,6 +57,54 @@ class TestObjectEscapeHatch:
         assert one(out)["x"] == 9
 
 
+# --- C13: DayTimeIntervalType boundary -------------------------------------
+class TestIntervalBoundary:
+    def test_ns_interval_roundtrip(self, spark):
+        from bertrand_spark.functions.temporal import (
+            interval_to_ns, ns_to_interval,
+        )
+
+        ns_vals = [0, 1_000, 86_400 * 10**9 + 5_123_456_000, -3_600 * 10**9]
+        df = spark.createDataFrame([(v,) for v in ns_vals], "ns long")
+        out = df.select(
+            "ns", interval_to_ns(ns_to_interval(F.col("ns"))).alias("back")
+        ).collect()
+        for r in out:
+            # intervals carry µs resolution: round-trip exact to 1000 ns
+            assert abs(r["back"] - r["ns"]) < 1000
+
+    def test_interval_to_ns_not_seconds_truncated(self, spark):
+        from bertrand_spark.functions.temporal import interval_to_ns
+
+        df = spark.range(1).select(
+            F.make_dt_interval(
+                F.lit(1), F.lit(2), F.lit(3), F.lit(4.5)
+            ).alias("iv")
+        )
+        v = one(df.select(interval_to_ns(F.col("iv")).alias("v")))["v"]
+        assert v == ((24 + 2) * 3600 + 3 * 60) * 10**9 + 4_500_000_000 + 86400 * 0
+
+    def test_cast_emits_interval(self, spark):
+        import pyspark.sql.types as st
+
+        df = spark.createDataFrame([(90,)], "x long")
+        out = df.select(
+            cast_col(
+                F.col("x"), "int64", "timedelta", unit="s", as_interval=True
+            ).alias("iv")
+        )
+        assert isinstance(out.schema["iv"].dataType, st.DayTimeIntervalType)
+        assert str(one(out)["iv"]) == "0:01:30"
+
+    def test_dataframe_cast_consumes_interval(self, spark):
+        df = spark.range(1).select(
+            F.make_dt_interval(F.lit(0), F.lit(1), F.lit(0), F.lit(30.5)).alias("iv")
+        )
+        out = cast(df, {"iv": "float64"}, unit="m")
+        v = one(out)["iv"]
+        assert v == pytest.approx(60.5083333333)
+
+
 # --- temporal matrix holes (C18-C21) ---------------------------------------
 class TestTemporalMatrix:
     def test_datetime_to_timedelta(self, spark):
