@@ -77,42 +77,128 @@ def iota(spark: SparkSession, start: int, stop: int | None = None, step: int = 1
     return spark.range(start, stop, step).withColumnRenamed("id", "i")
 
 
+def _numeric_view(df: DataFrame, first: Column):
+    """A numeric, order-preserving view of the first order key, or None
+    when the type has no cheap numeric order embedding (strings)."""
+    import pyspark.sql.types as st
+
+    dtype = df.select(first.alias("__k")).schema["__k"].dataType
+    if isinstance(dtype, (st.NumericType, st.BooleanType)):
+        return first.cast("double")
+    if isinstance(dtype, st.TimestampType):
+        return first.cast("double")  # epoch seconds, order-preserving
+    if isinstance(dtype, st.DateType):
+        return F.datediff(first, F.lit("1970-01-01")).cast("double")
+    return None
+
+
+def _string_boundaries(df: DataFrame, first: Column, n_parts: int) -> list:
+    """Deterministic bucket boundaries for a non-numeric key: a
+    value-hash-filtered sample (pure function of the DATA — no RNG, no
+    partitioning dependence), sorted UNDER SPARK'S OWN COLLATION, split
+    into quantiles.  Boundary quality affects only load balance — never
+    correctness."""
+    sample = (
+        df.select(first.alias("__k"))
+        .filter(
+            first.isNotNull()
+            & (F.pmod(F.xxhash64(first.cast("string")), F.lit(199)) == 0)
+        )
+        .limit(n_parts * 64)
+        .orderBy("__k")  # Spark collation, ≤ n_parts*64 rows
+        .collect()
+    )
+    keys = [r["__k"] for r in sample]
+    if len(keys) < 2 * n_parts:
+        return []
+    step = len(keys) / n_parts
+    bounds = []
+    for i in range(1, n_parts):
+        v = keys[int(i * step)]
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+    return bounds
+
+
 def enumerate_rows(df: DataFrame, order_by: Sequence[str | Column]) -> DataFrame:
     """(index, row) pairs (I4): dense 0-based ``idx`` column.
 
-    Scale-safe zipWithIndex pattern — a global ``Window.orderBy`` funnels
-    every row through ONE task, so instead:
+    Scale-safe AND deterministic zipWithIndex.  A global
+    ``Window.orderBy`` funnels every row through ONE task; the classic
+    fix — ``repartitionByRange`` + per-partition ranks + an offset join —
+    is subtly WRONG on DataFrames: the counts job and the result job are
+    separate query executions, each re-plans the exchange with a fresh
+    RDD id, and ``RangePartitioner`` seeds its reservoir sample with that
+    id — so the two jobs see DIFFERENT partitionings and the offsets
+    corrupt (observed: 6M rows → 5.79M distinct idx).  Physical
+    partitioning is never stable across jobs; only row VALUES are.
 
-    1. ``repartitionByRange(order_by)``: range partitioner ⇒ partition id
-       order == key order, equal keys co-located, all partitions parallel;
-    2. per-partition local rank: ``row_number`` over a window PARTITIONED
-       by ``spark_partition_id()`` (parallel, no funnel);
-    3. per-partition counts (tiny aggregate) → cumulative offsets →
-       broadcast-joined back; ``idx = offset + local - 1``.
+    So every step here is a pure function of the data:
 
-    Two passes over the data instead of one serial pass — the standard
-    distributed enumeration trade (RDD ``zipWithIndex`` does the same),
-    but with NO second full-data shuffle: ``monotonically_increasing_id``
-    after the range sort encodes (partition_id << 33 | local_row_number),
-    so local ranks come free with the sorted scan and only the per-
-    partition counts (numPartitions rows) shuffle for the offset cumsum.
+    1. bucket boundaries for the first order key — a deterministic
+       value-hash sample, collected once, embedded as LITERALS;
+    2. ``__bucket`` = CASE-chain over those literals (pure projection);
+    3. local rank: ``row_number`` over ``partitionBy(__bucket)
+       .orderBy(order_by)`` — one shuffle, one task PER BUCKET, parallel;
+    4. bucket counts (tiny agg, deterministic) → cumulative offsets
+       embedded as a literal map; ``idx = offset[__bucket] + local − 1``.
+
+    Ties on the first key all land in one bucket, preserving global
+    order.  Degenerate/tiny inputs (no boundaries) collapse to a single
+    bucket — the plain global window, correct at that size.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    tagged = ranged.withColumn("__mid", F.monotonically_increasing_id())
-    pid = F.shiftright(F.col("__mid"), 33)
-    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
-    tagged = tagged.withColumn("__pid", pid).withColumn("__local", local)
-    counts = tagged.groupBy("__pid").agg(F.count("*").alias("__n"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
-    )
-    return (
-        tagged.join(F.broadcast(offsets), "__pid")
-        .withColumn("idx", (F.col("__off") + F.col("__local")).cast("long"))
-        .drop("__mid", "__pid", "__local", "__off")
-    )
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    first = cols[0]
+
+    num = _numeric_view(df, first)
+    if num is not None:
+        row = df.agg(
+            F.min(num).alias("mn"), F.max(num).alias("mx")
+        ).first()
+        mn, mx = row["mn"], row["mx"]
+        if mn is None or mx is None or mn == mx:
+            bucket = F.lit(0)
+        else:
+            # uniform numeric buckets: one codegen-friendly expression,
+            # value skew costs balance, never correctness
+            bucket = F.when(num.isNull(), F.lit(-1)).otherwise(
+                F.width_bucket(
+                    num, F.lit(float(mn)), F.lit(float(mx)), F.lit(n_parts)
+                )
+            )
+    else:
+        bounds = _string_boundaries(df, first, n_parts)
+        if bounds:
+            # bucket = count of boundaries strictly below the key; the
+            # boundary array is tiny, the HOF runs once per row
+            barr = F.array(*[F.lit(b) for b in bounds])
+            bucket = F.when(first.isNull(), F.lit(-1)).otherwise(
+                F.size(F.filter(barr, lambda b: b < first))
+            )
+        else:
+            bucket = F.lit(0)
+
+    tagged = df.withColumn("__bucket", bucket)
+    w = Window.partitionBy("__bucket").orderBy(*cols)
+    tagged = tagged.withColumn("__local", F.row_number().over(w))
+    counts = {
+        r["__bucket"]: r["__n"]
+        for r in tagged.groupBy("__bucket").agg(F.count("*").alias("__n")).collect()
+    }
+    off, acc = {}, 0
+    for b in sorted(counts):
+        off[b] = acc
+        acc += counts[b]
+    if len(off) > 1:
+        omap = F.create_map(
+            *[F.lit(x) for b in off for x in (b, off[b])]
+        )
+        idx = F.element_at(omap, F.col("__bucket")) + F.col("__local") - 1
+    else:
+        idx = F.col("__local") - 1
+    return tagged.withColumn("idx", idx.cast("long")).drop("__bucket", "__local")
 
 
 def zip_rows(a: DataFrame, b: DataFrame, order_a: Sequence[str], order_b: Sequence[str]) -> DataFrame:

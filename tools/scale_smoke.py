@@ -1,0 +1,134 @@
+"""Scale smoke: run the scale-sensitive operators at ~10-60x the bench
+rows (synthetic multiplication of sf0.1, in memory — no files written)
+and report wall times + the parallelism actually achieved.
+
+This is the "would it survive 100x?" check: the operators exercised here
+are exactly the ones whose naive implementations degrade superlinearly
+(global windows, unpinned exchanges, interpreted HOF kernels, posting
+self-joins).  A run that completes with all stages >1 task and roughly
+linear time vs the multiplier is the evidence.
+
+Usage::
+
+    python tools/scale_smoke.py [multiplier]   # default 10
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .appName("scale_smoke")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bertrand_spark.convert.cast import cast
+    from bertrand_spark.operators import rows as R
+    from bertrand_spark.pipeline import dedup as D
+    from bertrand_spark.sources.reader import read_table
+
+    def blow_up(df, id_col):
+        """mult copies with distinct ids — keys stay unique so dedup /
+        enumerate semantics are preserved while volume scales."""
+        reps = spark.range(mult).select(F.col("id").alias("__rep"))
+        return (
+            df.crossJoin(reps)
+            .withColumn(id_col, F.col(id_col) * mult + F.col("__rep"))
+            .drop("__rep")
+            .repartition(128)
+        )
+
+    li = blow_up(
+        read_table(spark, SF_DIR, "lineitem").withColumn(
+            "__rid",
+            F.monotonically_increasing_id(),
+        ),
+        "__rid",
+    ).persist()
+    n_li = li.count()
+    docs = blow_up(read_table(spark, SF_DIR, "documents"), "doc_id").persist()
+    n_docs = docs.count()
+    print(f"rows: lineitem x{mult} = {n_li:,}; documents x{mult} = {n_docs:,}")
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        print(f"{name:32s} {dt:7.2f}s   {out}")
+
+    # 1. cast matrix: narrow projection, should scale with scan only
+    timed(
+        "cast 4 cols + raise-validate",
+        lambda: cast(
+            li.select("__rid", "l_quantity", "l_extendedprice", "l_discount"),
+            {"l_quantity": "int32", "l_extendedprice": "decimal",
+             "l_discount": "float32"},
+            rounding="half_even",
+        ).write.mode("overwrite").format("noop").save(),
+    )
+
+    # 2. scale-safe enumeration (the old global-window killer)
+    def enum():
+        out = R.enumerate_rows(li.select("__rid", "l_orderkey"), ["__rid"])
+        parts = out.rdd.getNumPartitions()
+        mx = out.agg(F.max("idx")).first()[0]
+        return f"partitions={parts} max_idx={mx:,}"
+
+    timed(f"enumerate_rows {n_li:,} rows", enum)
+
+    # 3. first-seen dedup over the enumerated stream
+    timed(
+        "ordered dedup (keyed)",
+        lambda: (
+            R.dedup_ordered(
+                li.select("__rid", "l_suppkey"), ["l_suppkey"], ["__rid"]
+            ).write.mode("overwrite").format("noop").save()
+        ),
+    )
+
+    # 4. MinHash near-dup: the full LSH pipeline at mult x docs
+    timed(
+        f"minhash near-dup {n_docs:,} docs",
+        lambda: "pairs=%d"
+        % D.near_dup_pairs_minhash(
+            docs, "doc_id", "text", threshold=0.6, k=192, num_bands=64
+        ).count(),
+    )
+
+    # 5. SimHash near-dup
+    timed(
+        f"simhash near-dup {n_docs:,} docs",
+        lambda: "pairs=%d"
+        % D.near_dup_pairs_simhash(
+            docs, "doc_id", "text", max_hamming=3, num_blocks=4
+        ).count(),
+    )
+
+    # 6. exact dedup
+    timed(
+        "exact dedup",
+        lambda: "kept=%d" % D.exact_dedup(docs, "text", keep_by="doc_id").count(),
+    )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
