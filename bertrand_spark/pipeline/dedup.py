@@ -434,6 +434,7 @@ def near_dup_pairs_minhash(
     shingle_n: int = 5,
     persist: bool = True,
     miss_tolerance: float = 1e-4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates → band-consensus prefilter → exact-Jaccard ≥ threshold.
 
@@ -454,6 +455,15 @@ def near_dup_pairs_minhash(
     entry lives until the caller unpersists or ``spark.catalog
     .clearCache()`` — pass ``persist=False`` in long-lived sessions that
     call this repeatedly on large corpora.
+
+    ``max_bucket``: skip (band, bucket) groups with more than this many
+    members before the self-join.  A bucket of d docs emits d²/2 pair
+    rows, so a corpus with many IDENTICAL copies (which collide in EVERY
+    band) degrades quadratically — run ``exact_dedup`` first (identical
+    copies are exact dups; near-dup LSH is the wrong tool for them), and
+    use this cap as the belt-and-suspenders guard.  With the cap a
+    same-bucket pair can be missed; ``None`` (default) keeps recall
+    exact.
     """
     # ONE fused Arrow pass per document produces both the signature (for
     # banding) and the 64-bit shingle-hash set (for verification); the
@@ -478,6 +488,14 @@ def near_dup_pairs_minhash(
     bands = prep.select(
         F.col(id_col), F.posexplode(F.col("__bk")).alias("band", "bucket")
     )
+    if max_bucket is not None:
+        small_buckets = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("band", "bucket")
+        )
+        bands = bands.join(small_buckets, ["band", "bucket"])
     a = bands.withColumnRenamed(id_col, "id_a")
     bn = bands.withColumnRenamed(id_col, "id_b")
     consensus = min_band_matches(
