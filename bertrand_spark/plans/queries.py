@@ -1100,6 +1100,56 @@ def x11(spark, sf_dir):
 
 
 @query(
+    "x19_stream_rollup",
+    """
+    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x19(spark, sf_dir):
+    """STRUCTURED STREAMING rollup, oracle-exact: the same tumbling-window
+    aggregate as x11 executed as a stream (file source → watermark →
+    window agg → memory sink, availableNow trigger).  availableNow
+    processes the complete input and terminates, so the streaming result
+    is deterministic and hash-comparable against the batch SQL oracle —
+    the stream/batch-parity contract (streaming/rollup.py) enforced by
+    the correctness gate itself.
+    """
+    import uuid
+
+    from ..streaming.rollup import read_events_stream, windowed_rollup
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    rolled = windowed_rollup(
+        stream,
+        "ts",
+        "1 hour",
+        {
+            "n": F.count("*"),
+            "sum_value": F.sum("value").cast("double"),
+        },
+        keys=["user_id"],
+        watermark="1 minute",
+    )
+    name = "mem_x19_" + uuid.uuid4().hex[:8]
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .select("user_id", "window_start", "n", "sum_value")
+        .orderBy("user_id", "window_start")
+    )
+
+
+@query(
     "x12_json_extract",
     """
     SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
