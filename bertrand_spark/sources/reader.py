@@ -123,15 +123,28 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing ns-timestamps to TimestampType."""
+    """Read one testdata table, normalizing event-time columns to µs
+    TimestampType (the engine's boundary representation).
+
+    Two parquet shapes occur in the wild and both normalize here:
+    * INT64 TIMESTAMP(NANOS) — Spark 4 rejects it outright, so read with
+      ``nanosAsLong`` and truncate ns→µs (positive epochs: div == floor),
+      same as DuckDB's read;
+    * TIMESTAMP_NTZ (isAdjustedToUTC=false) — valid but rejected by
+      instant-typed functions (``unix_micros``, watermarks).  With the
+      session timezone pinned UTC the cast to TimestampType is a pure
+      reinterpretation: no value shift vs. DuckDB's naive TIMESTAMP.
+    """
+    from pyspark.sql import types as st
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = nanos_timestamp_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # truncating ns→µs (positive epochs: div == floor), same as DuckDB's read
-    return df.withColumns(
-        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
-    )
+    fixes = {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+    for field in df.schema:
+        if isinstance(field.dataType, st.TimestampNTZType):
+            fixes[field.name] = F.col(field.name).cast("timestamp")
+    return df.withColumns(fixes) if fixes else df

@@ -34,6 +34,18 @@ __all__ = [
 ]
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (ltz); testdata event times arrive as
+    TIMESTAMP_NTZ.  With the session timezone pinned to UTC the cast is a
+    pure reinterpretation (no value shift), so stream results still match
+    the batch/DuckDB oracle computed on the naive timestamps."""
+    from pyspark.sql import types as st
+
+    if isinstance(df.schema[ts_col].dataType, st.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_rollup(
     df: DataFrame,
     ts_col: str,
@@ -51,7 +63,7 @@ def windowed_rollup(
     windows are finalized (append mode works).
     """
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     win = (
         F.window(F.col(ts_col), window, slide)
         if slide
@@ -76,7 +88,7 @@ def sessionize(
 ) -> DataFrame:
     """Session windows (gap-based) per key — ``session_window`` native op."""
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     aggs = aggs or {"n_events": F.count("*")}
     named = [expr.alias(name) for name, expr in aggs.items()]
     win = F.session_window(F.col(ts_col), gap)
@@ -97,7 +109,7 @@ def stream_dedup(
     """Exact dedup lifted to streams: ``dropDuplicates`` keyed state,
     bounded by the watermark horizon (batch: plain dropDuplicates)."""
     if watermark is not None and ts_col is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
 
@@ -178,4 +190,11 @@ def read_events_stream(
     )
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    from pyspark.sql import types as st
+
+    for field in stream.schema:
+        if isinstance(field.dataType, st.TimestampNTZType):
+            stream = stream.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
+            )
     return stream
