@@ -741,6 +741,12 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
     )
+    # 64-bit gram identity: the join/shuffle key drops from a ~25 B
+    # 3-word string to 8 B and the hash-join compares longs — ~2× on the
+    # posting self-join, the dominant stage.  Collision odds per pair
+    # ~|A||B|/2^64 (same argument as the MinHash verification sets), so
+    # intersection counts — and the reported Jaccard — are unchanged.
+    grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     # the posting list feeds BOTH self-join sides and the size table; the
     # n-gram HOF pipeline is the expensive part, so materialize it once
     grams = grams.persist()

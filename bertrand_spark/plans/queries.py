@@ -832,17 +832,21 @@ _SHINGLE_SQL = """
 def x02(spark, sf_dir):
     """MinHash+LSH near-dup with exact-Jaccard verification.
 
-    k=192 perms / 64 bands of 3 rows → P(miss) at j=0.6 is
-    (1-0.216)^64 ≈ 1.7e-7, so the LSH candidate set covers every oracle
-    pair; exact verification (64-bit hashed shingle sets) makes the final
-    answer identical to the O(n²) oracle — while shuffling only band
-    buckets, never document pairs.  r=3 (vs 2) cuts low-similarity
-    candidate noise ~3× on template-heavy corpora; signatures come from
-    the Arrow-vectorized kernel.
+    k=770 perms / 154 bands of 5 rows: a band collides at exactly
+    j=0.6 with p=0.6^5≈0.078, so E[matching bands]=12 and the
+    binomial consensus floor (m ≥ 2) misses a threshold pair with
+    P[Binom(154,0.078) ≤ 1] ≈ 5e-5 ≤ the 1e-4 tolerance; exact
+    verification (64-bit hashed shingle sets) then makes the answer
+    identical to the O(n²) oracle.  r=5 (vs the earlier r=3) is the
+    template-heavy-corpus setting: background pairs at j≈0.2 collide
+    per band with p=3e-4 instead of 8e-3, which cuts the band-join
+    traffic ~6× and the post-consensus false-candidate count from
+    ~200k to ~none at sf0.1 (the extra perms are vectorized numpy —
+    nearly free next to the shuffle they avoid).
     """
     d = _t(spark, sf_dir, "documents")
     return D.near_dup_pairs_minhash(
-        d, "doc_id", "text", threshold=0.6, k=192, num_bands=64, shingle_n=5
+        d, "doc_id", "text", threshold=0.6, k=770, num_bands=154, shingle_n=5
     )
 
 

@@ -40,16 +40,35 @@ _ISO_DT_RE = (
 _TAG_ORDER = ("missing", "bool", "int", "float", "datetime", "str")
 
 
+_BOOL_STRINGS = ("true", "false", "t", "f", "yes", "no", "y", "n", "on", "off")
+
+
 def type_tag_column(col: Column, na_strings: set[str] | None = None) -> Column:
-    """Native CASE WHEN classifier: string value → observed-type tag."""
+    """Native CASE WHEN classifier: string value → observed-type tag.
+
+    The regexes define the semantics; each is guarded by a strictly
+    weaker native prefilter so non-matching rows never enter the Java
+    regex engine (the dominant per-row cost on mixed-payload columns):
+
+    * bool — the regex is exactly a case-insensitive trimmed set match,
+      so it IS an ``isin`` on ``lower(trim(s))``: no regex at all;
+    * int/float — every regex match parses as a double (huge digit
+      strings overflow to ±Infinity, which is still non-null), so
+      ``try_cast(double) IS NOT NULL`` gates both regexes; letters and
+      date strings fail the cast in a few character reads;
+    * datetime — every ISO match has ``-`` as the 5th character of the
+      trimmed string; numeric and word payloads skip the regex.
+    """
     nas = sorted(na_strings or registry.na_strings)
     low = F.lower(F.trim(col))
+    numeric_ok = col.try_cast("double").isNotNull()
+    iso_ok = F.substring(F.trim(col), 5, 1) == "-"
     return (
         F.when(col.isNull() | low.isin(nas), F.lit("missing"))
-        .when(col.rlike(_BOOL_RE), F.lit("bool"))
-        .when(col.rlike(_INT_RE), F.lit("int"))
-        .when(col.rlike(_FLOAT_RE), F.lit("float"))
-        .when(col.rlike(_ISO_DT_RE), F.lit("datetime"))
+        .when(low.isin(*_BOOL_STRINGS), F.lit("bool"))
+        .when(numeric_ok & col.rlike(_INT_RE), F.lit("int"))
+        .when(numeric_ok & col.rlike(_FLOAT_RE), F.lit("float"))
+        .when(iso_ok & col.rlike(_ISO_DT_RE), F.lit("datetime"))
         .otherwise(F.lit("str"))
     )
 
