@@ -802,43 +802,43 @@ def cosine_near_dup_pairs(
     table of many planes; mid thresholds need several short tables.
     Exact cosine runs only within buckets.
     """
-    from .similarity import cosine_sim, random_hyperplane_signature
+    from .similarity import cosine_sim, hyperplane_signatures_vectorized
 
-    sig = _spread(df)
-    for t in range(num_tables):
-        sig = random_hyperplane_signature(
-            sig, vec_col, num_planes, seed + 7919 * t
-        ).withColumnRenamed("__sig", f"__sig{t}")
-    # one row per (vector, table): explode table signatures, bucket by
-    # (table, signature) — shuffles t small rows per vector, not pairs
-    tagged = sig.select(
+    # one Arrow pass computes every table's signature (a single
+    # batch × planes matrix multiply); one row per (vector, table) after
+    # posexplode — shuffles t 16-byte rows per vector, never pairs
+    sig_kernel = hyperplane_signatures_vectorized(num_planes, num_tables, seed)
+    tagged = _spread(df).select(
         F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), F.col(f"__sig{t}").alias("s")
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("ts"),
-    ).select(id_col, vec_col, F.col("ts.tbl").alias("tbl"), F.col("ts.s").alias("s"))
-    a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "tbl", "s"
+        F.posexplode(sig_kernel(F.col(vec_col))).alias("tbl", "s"),
     )
-    b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "tbl", "s"
-    )
+    # candidate generation joins IDS ONLY: carrying the vectors through
+    # the bucket self-join replicates every embedding once per colliding
+    # pair per table (at 2k vectors × 12 tables that is ~GBs of array
+    # copies and GC thrash; at corpus scale it is fatal).  The (tbl, s)
+    # join shuffles 16-byte rows, the dedup'd pair list is then verified
+    # against two broadcast copies of the (id → vector) table — the same
+    # verify-small-candidates profile as the MinHash path.
+    a = tagged.select(F.col(id_col).alias("id_a"), "tbl", "s")
+    b = tagged.select(F.col(id_col).alias("id_b"), "tbl", "s")
     cand = (
         a.join(b, ["tbl", "s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    va = F.broadcast(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    )
+    vb = F.broadcast(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     )
     return (
-        cand.withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -69,6 +70,58 @@ def _seeded_planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
             v.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
         planes.append(v)
     return planes
+
+
+def hyperplane_signatures_vectorized(
+    num_planes: int, num_tables: int, seed: int = 42
+):
+    """Arrow kernel: ALL hyperplane-table signatures in one matrix multiply.
+
+    The expression path evaluates ``num_tables × num_planes`` dot
+    products per vector as higher-order functions — CodegenFallback,
+    interpreted row-at-a-time.  Here the whole batch stacks into one
+    (batch × dim) float64 matrix and a single ``@ planes.T`` yields every
+    sign bit at once; per-table bit-packing is a vectorized fold.  Plane
+    coefficients reproduce ``_seeded_planes`` exactly (same xorshift +
+    Box–Muller stream), so the bucketing — and therefore the candidate
+    set — is identical to the expression path's.
+
+    Returns a pandas_udf: ``array<bigint>`` of ``num_tables`` packed
+    signatures for an ``array<double>`` input column.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def kernel(vecs: pd.Series) -> pd.Series:
+        planes_cache: dict[int, "np.ndarray"] = {}
+
+        def planes_for(dim: int) -> "np.ndarray":
+            got = planes_cache.get(dim)
+            if got is None:
+                got = np.array(
+                    [
+                        _seeded_planes(dim, num_planes, seed + 7919 * t)
+                        for t in range(num_tables)
+                    ],
+                    dtype=np.float64,
+                ).reshape(num_tables * num_planes, dim)
+                planes_cache[dim] = got
+            return got
+
+        mask = vecs.notna().to_numpy()
+        out: list = [None] * len(vecs)
+        if mask.any():
+            M = np.stack(vecs.to_numpy()[mask])  # (rows, dim)
+            bits = (M @ planes_for(M.shape[1]).T) >= 0  # (rows, t*p)
+            bits = bits.reshape(len(M), num_tables, num_planes)
+            weights = (1 << np.arange(num_planes, dtype=np.int64))
+            sigs = (bits * weights).sum(axis=2).astype(np.int64)  # (rows, t)
+            for pos, sig in zip(np.nonzero(mask)[0], sigs):
+                out[pos] = sig
+        return pd.Series(out, dtype=object)
+
+    return kernel
 
 
 def random_hyperplane_signature(
