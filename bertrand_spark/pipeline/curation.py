@@ -1,0 +1,213 @@
+"""Training-corpus curation operators: decontamination, PII redaction,
+sequence packing, deterministic sampling, repetition scoring.
+
+These are the pre-training hygiene steps a 100 TB pipeline runs after
+dedup (pipeline/dedup.py) and quality scoring (pipeline/text.py):
+
+* ``decontaminate`` — drop/flag documents sharing any word n-gram with a
+  benchmark/eval set (the published GPT-3 appendix-C style n-gram
+  decontamination).  The benchmark side is small by contract → its gram
+  set broadcasts; the corpus side is one explode + broadcast semi-join,
+  a map-only plan at any scale.
+* ``redact_pii`` — regex scrubbing (emails, phone numbers, IPv4, SSN-ish
+  ids) as native ``regexp_replace`` chains: narrow projection, zero
+  shuffle, whole-stage codegen.  Patterns stay in the regex subset whose
+  semantics agree between Java regex and RE2-family engines (char
+  classes, bounded repetition, no lookaround) so results are
+  oracle-comparable bit-for-bit.
+* ``pack_sequences`` — assign documents to fixed-token-budget training
+  bins: contiguous greedy packing within hash shards.  Each shard packs
+  independently (window over the shard, not a global window — the
+  serial portion is O(docs/shard) per task, shards run parallel), which
+  is both the scale-safe plan and a deterministic spec an oracle can
+  replay.
+* ``sample_deterministic`` — keep a fixed fraction via an md5-derived
+  bucket of the id: engine-independent (any SQL dialect computes the
+  same buckets — unlike ``rand()`` or ``TABLESAMPLE``), stable across
+  runs/partitionings, and trivially stratifiable by keying the hash
+  with a stratum label.
+* ``repetition_score`` — intra-document repetition (Gopher-style rule):
+  1 − |distinct n-grams| / |n-grams|.  High scores mark boilerplate /
+  degenerate generations for filtering.
+
+Reference parity: the reference engine has no corpus ops (it is a
+type-system library); these extend the north-star LLM-pipeline surface
+(BASELINE.json) the same way dedup/similarity do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_ngrams
+
+__all__ = [
+    "benchmark_ngrams", "decontaminate",
+    "redact_pii", "PII_PATTERNS",
+    "pack_sequences", "sample_deterministic", "repetition_score",
+]
+
+
+# --- decontamination -------------------------------------------------------
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct 64-bit word-n-gram hashes of the benchmark/eval set.
+
+    Small by contract (eval sets are thousands of rows); the result is
+    the broadcast side of every decontamination join.
+    """
+    return (
+        bench.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+        )
+        .select(F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    mode: str = "drop",
+) -> DataFrame:
+    """Remove (or flag) corpus documents that share ANY word ``n``-gram
+    with the benchmark set.
+
+    ``mode='drop'`` returns the clean corpus; ``mode='flag'`` returns the
+    corpus with a ``contaminated`` boolean.  Plan shape: corpus explodes
+    to (id, gram-hash) — never shuffling text — the gram stream
+    semi-joins the BROADCAST benchmark gram set (map-side, no shuffle),
+    and only the small hit-id list joins back against the corpus.
+    64-bit gram identity: collision odds per (doc, benchmark-gram) pair
+    are ~2^-64, the same trade the dedup family documents.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError("mode must be drop|flag")
+    grams = F.broadcast(benchmark_ngrams(bench, text_col, n))
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("__g"))
+    hit_ids = (
+        doc_grams.join(grams, doc_grams["__g"] == grams["g"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return corpus.join(hit_ids, id_col, "left_anti")
+    flagged = hit_ids.withColumn("contaminated", F.lit(True))
+    return corpus.join(flagged, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+# Dialect-portable subset: no lookaround, no \b-dependent corner cases
+# beyond ASCII, no possessive quantifiers.  Order matters: emails before
+# generic digit runs so "a@b.co" is not half-eaten by the phone rule.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    (r"(\+?\d{1,2}[ .-])?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
+    (r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
+)
+
+
+def redact_pii(
+    text: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+) -> Column:
+    """Chained native ``regexp_replace`` — one narrow projection."""
+    out = text
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# --- sequence packing ------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the standard pretraining
+    loader layout): within a shard, documents are concatenated in id
+    order and cut into fixed ``budget``-token training chunks; each
+    document is assigned the chunk index where its first token lands.
+
+    Output adds ``shard`` (= id mod ``num_shards``) and ``bin`` (chunk
+    index within the shard), plus ``offset`` — the document's first
+    token position inside its bin, which is exactly what a loader needs
+    to materialize the chunk.
+
+    Scale: one shuffle onto shards; each shard packs under a window
+    whose serial portion is the shard length, so parallelism =
+    ``num_shards`` regardless of corpus size (at 100 TB raise
+    ``num_shards`` to ~cluster cores × 4; chunks never span shards by
+    design, so packing is unaffected).  Deterministic and closed-form
+    (``bin = floor(cumulative_tokens_before / budget)``), so any SQL
+    engine replays it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__cum_before", cum_before)
+        .withColumn(
+            "bin", F.floor(F.col("__cum_before") / F.lit(budget)).cast("long")
+        )
+        .withColumn(
+            "offset", F.pmod(F.col("__cum_before"), F.lit(budget)).cast("long")
+        )
+        .drop("__cum_before")
+    )
+
+
+# --- deterministic sampling ------------------------------------------------
+def sample_deterministic(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    buckets: int = 10_000,
+    stratum: Column | None = None,
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen by an md5-derived bucket of the
+    id — engine-independent (md5 is identical everywhere, unlike
+    ``rand()``/TABLESAMPLE), stable under repartitioning, and reproducible
+    forever.  ``stratum`` keys the hash per stratum so each group is
+    sampled at the same rate independently (deterministic stratified
+    sampling).  Plan: one narrow filter, no shuffle, no RNG state.
+    """
+    key = F.col(id_col).cast("string")
+    if stratum is not None:
+        key = F.concat_ws("|", stratum, key)
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    return df.filter(bucket < int(round(fraction * buckets)))
+
+
+# --- repetition scoring ----------------------------------------------------
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Intra-document repetition: 1 − |distinct word n-grams| / |n-grams|
+    (0 = no repetition; → 1 for looping/boilerplate text)."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))

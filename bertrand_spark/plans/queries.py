@@ -29,6 +29,7 @@ from ..functions.rounding import RULES, round_col
 from ..functions.strings import boolean_match, int_to_base
 from ..functions.temporal import epoch_ns, parse_timedelta_string
 from ..operators import rows as R
+from ..pipeline import curation as CU
 from ..pipeline import dedup as D
 from ..pipeline import similarity as S
 from ..pipeline import text as T
@@ -1511,7 +1512,7 @@ def x18(spark, sf_dir):
     exact = with_fp.join(keepers, ["__fp", "doc_id"], "inner").drop("__fp")
 
     pairs = D.near_dup_pairs_minhash(
-        exact, "doc_id", "text", threshold=0.6, k=192, num_bands=64, shingle_n=5
+        exact, "doc_id", "text", threshold=0.6, k=770, num_bands=154, shingle_n=5
     )
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = exact.join(dropped, "doc_id", "left_anti")
@@ -1587,4 +1588,172 @@ def x17(spark, sf_dir):
         )
         .orderBy("doc_id")
         .limit(1000)
+    )
+
+
+# --- training-corpus curation (pipeline/curation.py) -----------------------
+_TOKS_SQL = r"""
+d AS (SELECT doc_id, source, n_chars, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents)
+"""
+
+
+@query(
+    "x20_decontaminate",
+    f"""
+    WITH {_TOKS_SQL},
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                      ELSE [array_to_string(toks[i:i+7], ' ')
+                            for i in generate_series(1, len(toks) - 7)] END AS grams
+          FROM d),
+    bg AS (SELECT DISTINCT unnest(grams) AS bgram FROM g WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT doc_id
+             FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+             JOIN bg ON dg.gram = bg.bgram)
+    SELECT d.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+    FROM d LEFT JOIN hits USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def x20(spark, sf_dir):
+    """Benchmark decontamination (8-gram overlap, GPT-3 appendix-C
+    style): every corpus document sharing any word 8-gram with the
+    pseudo-eval set (doc_id % 97 == 0) is flagged.  Corpus explodes to
+    (id, gram-hash) only; the eval gram set broadcasts — map-side at any
+    corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text")
+    bench = corpus.filter(F.col("doc_id") % 97 == 0)
+    return (
+        CU.decontaminate(corpus, bench, "doc_id", "text", n=8, mode="flag")
+        .select("doc_id", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x21_redact_pii",
+    r"""
+    WITH s AS (SELECT c_custkey,
+                      'reach user' || CAST(c_custkey AS VARCHAR)
+                      || '@mail.example.com or (555) 123-'
+                      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                      || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                      || '.9 ssn 987-65-'
+                      || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+                      || ' done' AS raw
+               FROM customer)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+               '(\+?\d{1,2}[ .-])?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}', '<PHONE>', 'g'),
+             '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g') AS clean
+    FROM s ORDER BY c_custkey
+    """,
+)
+def x21(spark, sf_dir):
+    """PII redaction: chained native regexp_replace over a synthetic
+    PII-bearing column (emails, SSNs, phones, IPv4) — one narrow
+    projection, zero shuffle.  Patterns stay inside the regex subset
+    where Java regex and RE2 dialects agree, which the oracle proves."""
+    c = _tw(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("reach user"), F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com or (555) 123-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".9 ssn 987-65-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" done"),
+    )
+    return (
+        c.select("c_custkey", CU.redact_pii(raw).alias("clean"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "x22_pack_sequences",
+    """
+    WITH p AS (SELECT doc_id, n_chars,
+                      CAST(doc_id % 32 AS INTEGER) AS shard
+               FROM documents),
+    c AS (SELECT doc_id, shard,
+                 COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_before
+          FROM p)
+    SELECT doc_id, shard,
+           CAST(floor(cum_before / 4096) AS BIGINT) AS bin,
+           CAST(cum_before % 4096 AS BIGINT) AS "offset"
+    FROM c ORDER BY doc_id
+    """,
+)
+def x22(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing: shard-parallel running
+    sums assign each document its training-chunk index and intra-chunk
+    offset.  No global window — parallelism is num_shards at any corpus
+    size."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        CU.pack_sequences(d, "n_chars", "doc_id", budget=4096, num_shards=32)
+        .select("doc_id", "shard", "bin", "offset")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x23_stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < 1000
+    ORDER BY doc_id
+    """,
+)
+def x23(spark, sf_dir):
+    """Deterministic stratified sampling: md5-bucket of (stratum|id)
+    keeps 10% of each source independently — engine-independent (the oracle
+    computes the identical buckets), repartition-stable, no RNG state."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CU.sample_deterministic(
+            d.select("doc_id", "source"), "doc_id", 0.1, stratum=F.col("source")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x24_repetition_score",
+    f"""
+    WITH {_TOKS_SQL},
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE [array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)] END AS grams
+          FROM d)
+    SELECT doc_id,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE)
+                ELSE 0.0 END AS rep_score
+    FROM g ORDER BY doc_id
+    """,
+)
+def x24(spark, sf_dir):
+    """Intra-document repetition (Gopher-style duplicate-3-gram ratio):
+    1 − |distinct grams|/|grams|, a native array projection that flags
+    boilerplate and degenerate text for filtering."""
+    d = _tw(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", CU.repetition_score(F.col("text"), 3).alias("rep_score"))
+        .orderBy("doc_id")
     )

@@ -1,0 +1,110 @@
+"""Curation operators: decontamination, redaction, packing, sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertrand_spark.pipeline import curation as CU
+from bertrand_spark.sources.reader import read_table
+
+
+class TestDecontaminate:
+    def test_drop_removes_every_flagged_doc(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        flagged = CU.decontaminate(d, bench, mode="flag")
+        dropped = CU.decontaminate(d, bench, mode="drop")
+        n_bad = flagged.filter(F.col("contaminated")).count()
+        assert dropped.count() == d.count() - n_bad
+        # a benchmark doc shares all its grams with itself -> always flagged
+        assert (
+            flagged.filter((F.col("doc_id") % 97 == 0) & ~F.col("contaminated")).count()
+            == 0
+        )
+
+    def test_clean_corpus_untouched(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three four")],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(9, "zeta eta theta iota")], ["doc_id", "text"])
+        assert CU.decontaminate(corpus, bench, n=2).count() == 2
+
+
+class TestRedact:
+    def test_each_pattern_fires(self, spark):
+        df = spark.createDataFrame(
+            [("mail a.user@site.org ssn 123-45-6789 tel (555) 867-5309 ip 192.168.0.1",)],
+            ["t"],
+        )
+        out = df.select(CU.redact_pii(F.col("t")).alias("c")).first()["c"]
+        for token in ("<EMAIL>", "<SSN>", "<PHONE>", "<IP>"):
+            assert token in out
+        assert "867" not in out and "@" not in out
+
+
+class TestPack:
+    def test_bins_monotone_and_offsets_bounded(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        out = CU.pack_sequences(d, "n_chars", "doc_id", budget=4096, num_shards=8)
+        rows = out.orderBy("shard", "doc_id").collect()
+        last = {}
+        for r in rows:
+            assert 0 <= r["offset"] < 4096
+            prev = last.get(r["shard"], -1)
+            assert r["bin"] >= prev  # bins never decrease along the shard walk
+            last[r["shard"]] = r["bin"]
+
+    def test_chunk_accounting_matches_totals(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        out = CU.pack_sequences(d, "n_chars", "doc_id", budget=1000, num_shards=4)
+        # the last doc's bin*budget + offset equals the tokens before it
+        per_shard = (
+            out.groupBy("shard")
+            .agg(
+                F.max(F.struct("doc_id", "bin", "offset")).alias("last"),
+                F.sum("n_chars").alias("total"),
+            )
+            .collect()
+        )
+        by_id = {r["doc_id"]: r for r in out.collect()}
+        for r in per_shard:
+            lid = r["last"]["doc_id"]
+            before = r["total"] - by_id[lid]["n_chars"]
+            assert r["last"]["bin"] * 1000 + r["last"]["offset"] == before
+
+
+class TestSample:
+    def test_deterministic_and_stratified(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+        s1 = CU.sample_deterministic(d, "doc_id", 0.2, stratum=F.col("source"))
+        s2 = CU.sample_deterministic(
+            d.repartition(7), "doc_id", 0.2, stratum=F.col("source")
+        )
+        ids1 = {r["doc_id"] for r in s1.collect()}
+        ids2 = {r["doc_id"] for r in s2.collect()}
+        assert ids1 == ids2  # stable under repartitioning
+        n, k = d.count(), len(ids1)
+        assert 0.1 < k / n < 0.35  # fraction in the right ballpark
+
+    def test_subset_property(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents").select("doc_id")
+        small = {r["doc_id"] for r in CU.sample_deterministic(d, "doc_id", 0.1).collect()}
+        big = {r["doc_id"] for r in CU.sample_deterministic(d, "doc_id", 0.3).collect()}
+        assert small <= big  # nested samples: raising the rate only adds rows
+
+
+class TestRepetition:
+    def test_looping_text_scores_high(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam spam spam spam"),
+             (2, "all words here are totally distinct tokens friend")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", CU.repetition_score(F.col("text"), 3).alias("s")
+            ).collect()
+        }
+        assert rows[1] > 0.8
+        assert rows[2] == 0.0
