@@ -40,6 +40,10 @@ HEADLINE = [
     "x05_cosine_topk",
     "x08_token_stats",
     "x11_events_rollup",
+    "x16_cosine_near_dup",
+    # corpus curation
+    "x20_decontaminate",
+    "x22_pack_sequences",
 ]
 
 

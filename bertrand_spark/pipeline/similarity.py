@@ -124,6 +124,101 @@ def hyperplane_signatures_vectorized(
     return kernel
 
 
+def cosine_all_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via blocked GEMM — the right
+    plan for low/moderate thresholds where LSH cannot prune.
+
+    Hyperplane LSH's per-band collision probability for an UNRELATED
+    pair is 0.5^planes versus (1−θ/π)^planes at the threshold; below
+    cos≈0.8 that gap is so small that guaranteed-recall banding admits
+    nearly every pair — candidate generation costs more than scoring
+    everything.  Production all-pairs-similarity at such thresholds is
+    blocked matrix multiplication: split the n vectors into B blocks,
+    ship each block PAIR to one task, and let BLAS do the n_i × n_j
+    score tile at hardware speed.
+
+    Plan shape: vectors replicate B times onto their block-pair groups
+    (one shuffle of n·B rows — B ≈ √cluster-cores keeps tiles square),
+    then ``applyInPandas`` per (bi, bj) group computes the tile GEMM and
+    emits only pairs ≥ threshold.  O(n²·d) FLOPs total — the same as any
+    exact method — but sequential-scan memory access and SIMD GEMM
+    instead of a per-pair expression interpreter, and the quadratic work
+    spreads over B·(B+1)/2 independent tasks.
+
+    The LSH variant (``dedup.cosine_near_dup_pairs``) remains the scale
+    path for HIGH thresholds (≈0.9 near-duplicates), where banding
+    prunes candidates by orders of magnitude.
+    """
+    import numpy as np
+
+    out_schema = f"id_a long, id_b long, cosine double"
+    thr = float(threshold)
+
+    def tile(key, pdf: pd.DataFrame):
+        bi, bj = key
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1] if bi != bj else a
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        A = np.stack(a["__v"].to_numpy())
+        Bm = np.stack(b["__v"].to_numpy())
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(Bm, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sims = (A / na[:, None]) @ (Bm / nb[:, None]).T
+        ia = a[id_col].to_numpy()
+        ib = b[id_col].to_numpy()
+        ii, jj = np.nonzero(sims >= thr)
+        id_a, id_b, cs = ia[ii], ib[jj], sims[ii, jj]
+        if bi == bj:
+            # both orientations are present in the square tile: keep one
+            # and drop the self-pairs
+            keep = id_a < id_b
+            id_a, id_b, cs = id_a[keep], id_b[keep], cs[keep]
+        else:
+            # a cross-block pair appears in exactly ONE tile — orient it,
+            # never drop it
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cs})
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__b", F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int"))
+    # block-pair fan-out: a vector in block k meets every block m exactly
+    # once, in tile (min(k,m), max(k,m)); it is the tile's LEFT side when
+    # k ≤ m and the RIGHT side otherwise — nb structs per row, no branches
+    k = F.col("__b")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+        lambda m: F.struct(
+            F.least(k, m).cast("int").alias("bi"),
+            F.greatest(k, m).cast("int").alias("bj"),
+            F.when(k <= m, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        ),
+    )
+    fanned = base.select(
+        id_col, "__v", F.explode(pairs).alias("p")
+    ).select(
+        id_col, "__v",
+        F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"),
+        F.col("p.__side").alias("__side"),
+    )
+    return (
+        fanned.groupBy("bi", "bj")
+        .applyInPandas(tile, out_schema)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def random_hyperplane_signature(
     df: DataFrame, vec_col: str, num_planes: int = 8, seed: int = 42
 ) -> DataFrame:

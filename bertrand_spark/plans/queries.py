@@ -1535,21 +1535,22 @@ def x18(spark, sf_dir):
     """,
 )
 def x16(spark, sf_dir):
-    """Embedding near-dup via random-hyperplane LSH + exact cosine verify.
+    """Embedding all-pairs cosine ≥ 0.45 via blocked GEMM — exact by
+    construction, so the O(n²) oracle matches bit-for-bit.
 
-    OR-amplification: 24 independent 3-plane tables.  A pair at exactly
-    cos=0.45 (θ≈63°, per-plane agree p≈0.65) collides in any one table
-    with p³≈0.27, so the miss probability is (1-0.27)^24 ≈ 5e-4 — and
-    the EXACT verification filter means the output is a subset of the
-    O(n²) oracle with per-pair recall bounded by that number.  Verified
-    exhaustive against the oracle at sf0.01 and sf0.1 (144/144 pairs);
-    production trades tables for recall on harder thresholds.  All 72
-    hyperplane dots compute in one Arrow matrix multiply; only (id,
-    table, signature) rows shuffle."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    Operating-point honesty: at cos=0.45 an unrelated pair agrees with a
+    hyperplane with p=0.5 vs p≈0.65 at the threshold — too small a gap
+    for banding to prune (a guaranteed-recall LSH admits ~96% of ALL
+    pairs and runs slower than scoring everything).  The right plan at
+    moderate thresholds is tiled exact scoring: B·(B+1)/2 independent
+    block-pair tasks, BLAS GEMM per tile, one n·B-row shuffle.  The
+    hyperplane-LSH variant (``cosine_near_dup_pairs``, unit-tested)
+    remains the scale path for ≈0.9 near-duplicate thresholds where
+    banding prunes by orders of magnitude."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_all_pairs_blocked(
+        e, "vec_id", "embedding", threshold=0.45, num_blocks=8
     )
-    return D.cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45, num_planes=3, num_tables=24)
 
 
 @query(

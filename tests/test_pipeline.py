@@ -230,3 +230,57 @@ class TestMultimodal:
         assert [r["frame_index"] for r in frames] == [0, 5, 10]
         feats = M.extract_audio_features(df).collect()[0]["features"]
         assert len(feats) == 16
+
+
+class TestCosinePairs:
+    def _exact(self, spark, e, threshold):
+        from bertrand_spark.pipeline.similarity import cosine_sim
+
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+        return {
+            (r["id_a"], r["id_b"])
+            for r in (
+                a.crossJoin(b)
+                .filter(F.col("id_a") < F.col("id_b"))
+                .withColumn("c", cosine_sim(F.col("__va"), F.col("__vb")))
+                .filter(F.col("c") >= threshold)
+            ).collect()
+        }
+
+    def test_blocked_gemm_is_exact(self, spark, sf_dir):
+        from bertrand_spark.pipeline.similarity import cosine_all_pairs_blocked
+        from bertrand_spark.sources.reader import read_table
+
+        e = read_table(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        ex = self._exact(spark, e, 0.45)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_all_pairs_blocked(
+                e, "vec_id", "embedding", threshold=0.45, num_blocks=5
+            ).collect()
+        }
+        assert got == ex and len(ex) > 0
+
+    def test_lsh_high_threshold_subset_and_recall(self, spark, sf_dir):
+        # the hyperplane-LSH operating envelope: HIGH thresholds. Output
+        # must be an exact-verified SUBSET; with 12x6-plane tables at 0.8
+        # the per-pair miss bound is (1-p^6)^12 with p=1-acos(0.8)/pi.
+        from bertrand_spark.pipeline.dedup import cosine_near_dup_pairs
+        from bertrand_spark.sources.reader import read_table
+
+        e = read_table(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        ex = self._exact(spark, e, 0.8)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_near_dup_pairs(
+                e, "vec_id", "embedding", threshold=0.8, num_planes=6, num_tables=12
+            ).collect()
+        }
+        assert got <= ex  # exact verification: never a false positive
+        if ex:
+            assert len(got) >= 0.9 * len(ex)  # OR-amplified recall

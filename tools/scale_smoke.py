@@ -126,7 +126,7 @@ def main() -> None:
     def mh():
         t0 = time.time()
         n_pairs = D.near_dup_pairs_minhash(
-            docs, "doc_id", "text", threshold=0.6, k=192, num_bands=64
+            docs, "doc_id", "text", threshold=0.6, k=770, num_bands=154
         ).count()
         rate = n_pairs / max(time.time() - t0, 1e-9)
         return f"pairs={n_pairs} ({rate:,.0f} verified-pairs/s)"
