@@ -1758,3 +1758,87 @@ def x24(spark, sf_dir):
         d.select("doc_id", CU.repetition_score(F.col("text"), 3).alias("rep_score"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x25_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+)
+def x25(spark, sf_dir):
+    """STRUCTURED STREAMING exact dedup, oracle-exact: keyed
+    ``dropDuplicatesWithinWatermark`` state over the event stream must
+    emit precisely SELECT DISTINCT — the streaming-state analogue of the
+    batch hash-groupBy dedup, with memory bounded by the watermark
+    horizon instead of the key universe."""
+    import uuid
+
+    from ..streaming.rollup import read_events_stream, stream_dedup
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    deduped = stream_dedup(
+        stream.select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        "ts",
+        "1 minute",
+    ).select("user_id", "event_type")
+    name = "mem_x25_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+@query(
+    "x26_stream_sessions",
+    """
+    WITH m AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def x26(spark, sf_dir):
+    """STRUCTURED STREAMING sessionization, oracle-exact: native
+    ``session_window`` (gap 5 min) state must reproduce the lag/cumsum
+    session reconstruction in SQL — sessions merge while consecutive
+    events are < gap apart (half-open windows: an exact-gap interval
+    starts a new session on both sides)."""
+    import uuid
+
+    from ..streaming.rollup import read_events_stream, sessionize
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    sess = sessionize(
+        stream.select("user_id", "ts"),
+        "ts",
+        "5 minutes",
+        keys=["user_id"],
+        watermark="1 minute",
+    ).select("user_id", "session_start", F.col("n_events").cast("long").alias("n_events"))
+    name = "mem_x26_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).orderBy("user_id", "session_start")
