@@ -65,6 +65,28 @@ def read_json_inferred(spark: SparkSession, path: str, **options: str) -> DataFr
     return cast(raw, errors="coerce")
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingestion — schema-carrying like parquet, so no engine
+    inference pass is needed; timestamp normalization matches
+    ``read_table`` (ORC stores µs TIMESTAMP, nothing to fix)."""
+    return spark.read.orc(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, classify: bool = False
+) -> DataFrame:
+    """Line-oriented text ingestion: one ``value`` string column per
+    line (the raw-corpus entry point for the curation/dedup pipeline).
+    ``classify=True`` additionally runs the engine's elementwise
+    type-tagger so downstream casts know what the lines hold."""
+    df = spark.read.text(path)
+    if classify:
+        from ..types.detect import type_tag_column
+
+        df = df.withColumn("tag", type_tag_column(F.col("value")))
+    return df
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -74,3 +74,30 @@ class TestIvfPersistence:
             assert 0 < len(rows) <= 3
             # self-match comes back first with cosine ~1
             assert abs(rows[0]["cosine"] - 1.0) < 1e-9
+
+
+class TestMoreFormats:
+    def test_orc_round_trip(self, spark, sf_dir, tmp_path):
+        from bertrand_spark.sources.reader import read_orc, read_table, write_partitioned
+
+        src = read_table(spark, sf_dir, "nation")
+        dest = str(tmp_path / "nation_orc")
+        write_partitioned(src, dest, partition_by=["n_regionkey"], fmt="orc")
+        back = read_orc(spark, dest)
+        assert back.count() == src.count()
+        a = {tuple(r) for r in src.select("n_nationkey", "n_name").collect()}
+        b = {tuple(r) for r in back.select("n_nationkey", "n_name").collect()}
+        assert a == b
+
+    def test_text_lines_classified(self, spark, tmp_path):
+        from bertrand_spark.sources.reader import read_text_lines
+
+        p = tmp_path / "corpus.txt"
+        p.write_text("hello world\n42\n3.14\n2024-01-02\ntrue\n")
+        out = read_text_lines(spark, str(p), classify=True)
+        tags = {r["value"]: r["tag"] for r in out.collect()}
+        assert tags["42"] == "int"
+        assert tags["3.14"] == "float"
+        assert tags["2024-01-02"] == "datetime"
+        assert tags["true"] == "bool"
+        assert tags["hello world"] == "str"
