@@ -1842,3 +1842,109 @@ def x26(spark, sf_dir):
     )
     q.awaitTermination(180)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@query(
+    "q33_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE') AND o_orderstatus = 'F'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q33(spark, sf_dir):
+    """TPC-H-Q5-style multi-way join: the fact tables shuffle once on
+    their join keys while customer/nation/region ride broadcast hash
+    joins (AQE picks them from runtime sizes — plan_audit verifies no
+    nested loops).  The declarative form is the whole point: Catalyst
+    reorders and Tungsten codegens; nothing is hand-scheduled."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q34_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_extendedprice) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q34(spark, sf_dir):
+    """ROLLUP hierarchy totals (flag → flag+status → grand total) in one
+    pass — the grouping-sets surface the reference lacks (SURVEY §2.10)
+    and Spark computes with a single shuffle via an expand node."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_extendedprice").cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q35_window_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(lag(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey LIMIT 5000
+    """,
+)
+def q35(spark, sf_dir):
+    """Per-key window functions (rank / lag / moving average): partitioned
+    windows — every customer's frame evaluates independently in its
+    shuffle partition, no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wavg = w.rowsBetween(-2, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.avg("o_totalprice").over(wavg).cast("double").alias("mov_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(5000)
+    )
