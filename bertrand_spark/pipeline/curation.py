@@ -44,6 +44,7 @@ from .text import word_ngrams
 
 __all__ = [
     "benchmark_ngrams", "decontaminate",
+    "bloom_table", "decontaminate_bloom",
     "redact_pii", "PII_PATTERNS",
     "pack_sequences", "sample_deterministic", "repetition_score",
 ]
@@ -95,6 +96,115 @@ def decontaminate(
     ).select(id_col, F.xxhash64("__g").alias("__g"))
     hit_ids = (
         doc_grams.join(grams, doc_grams["__g"] == grams["g"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return corpus.join(hit_ids, id_col, "left_anti")
+    flagged = hit_ids.withColumn("contaminated", F.lit(True))
+    return corpus.join(flagged, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
+def bloom_table(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter sketch of the benchmark gram set, stored as a
+    compacted (word → 64-bit mask) DataFrame of at most ``num_bits/64``
+    rows — the scale path for benchmark sets too large to broadcast
+    exactly (``decontaminate`` broadcasts the full gram set; this
+    broadcasts a fixed-size sketch no matter how many grams).
+
+    Bit positions come from ``xxhash64(gram, seed_i) mod num_bits``;
+    the build is one explode + groupBy(word) with map-side ``bit_or``
+    combining, so the shuffle carries at most ``num_bits/64`` rows.
+    """
+    grams = benchmark_ngrams(bench, text_col, n)
+    probes = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("g", F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        probes.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+    mode: str = "drop",
+) -> DataFrame:
+    """Bloom-filter decontamination: one-sided error — every document
+    the exact method flags is flagged here too (no false negatives);
+    a clean document is falsely flagged with probability ≈
+    (1-e^(-k·G/m))^k per gram (G benchmark grams, m bits, k hashes),
+    i.e. over-dropping by a tunable hair, which is the safe direction
+    for decontamination.
+
+    Plan: the corpus gram stream probes the broadcast (word → mask)
+    sketch with ``num_hashes`` equi-joins folded into one join on the
+    exploded probe positions; a gram is "present" iff ALL its probe
+    bits are set; a document is contaminated iff ANY gram is present.
+    Memory is O(num_bits) regardless of benchmark size.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError("mode must be drop|flag")
+    bloom = F.broadcast(bloom_table(bench, text_col, n, num_bits, num_hashes))
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+    )
+    # the 64-bit gram identity (xxhash64 of the string) is what
+    # benchmark_ngrams stores, so probe positions derive from IT on both
+    # sides: pos_i = xxhash64(gram_id, i) mod num_bits
+    doc_grams = doc_grams.select(id_col, F.xxhash64("__g").alias("__gid"))
+    probes = doc_grams.select(
+        id_col,
+        "__gid",  # per-GRAM group key
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("__gid", F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        "__gid",
+        (F.col("pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("__bit"),
+    )
+    hit_ids = (
+        probes.join(bloom, "word", "left")
+        .withColumn(
+            "__set",
+            (F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("__bit")) != 0),
+        )
+        .groupBy(id_col, "__gid")
+        .agg(F.min(F.col("__set").cast("int")).alias("__all_set"))
+        .filter(F.col("__all_set") == 1)
         .select(id_col)
         .distinct()
     )

@@ -108,3 +108,42 @@ class TestRepetition:
         }
         assert rows[1] > 0.8
         assert rows[2] == 0.0
+
+
+class TestBloomDecontaminate:
+    def test_superset_of_exact_and_fp_bounded(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        exact = {
+            r["doc_id"]
+            for r in CU.decontaminate(d, bench, mode="flag")
+            .filter(F.col("contaminated"))
+            .collect()
+        }
+        bloom = {
+            r["doc_id"]
+            for r in CU.decontaminate_bloom(d, bench, mode="flag")
+            .filter(F.col("contaminated"))
+            .collect()
+        }
+        assert exact <= bloom  # one-sided error: never a false negative
+        n = d.count()
+        # 2^22 bits vs a few thousand grams -> false positives ~0
+        assert len(bloom - exact) <= max(1, n // 100)
+
+    def test_tiny_filter_still_superset(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "completely unrelated words about sparkling data engines"),
+             (3, "the quick brown fox jumps over the lazy dog again")],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        out = CU.decontaminate_bloom(
+            corpus, bench, n=8, num_bits=1 << 12, num_hashes=3, mode="flag"
+        )
+        flags = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+        assert flags[1] and flags[3]  # share the 8-gram with the benchmark
