@@ -1948,3 +1948,40 @@ def q35(spark, sf_dir):
         .orderBy("o_custkey", "o_orderkey")
         .limit(5000)
     )
+
+
+@query(
+    "x27_corpus_stats",
+    r"""
+    WITH d AS (SELECT source,
+                      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      x -> x != '')) AS n
+               FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(avg(n) AS DOUBLE) AS mean_tok,
+           CAST(quantile_cont(n, 0.5) AS DOUBLE) AS med_tok,
+           CAST(quantile_cont(n, 0.95) AS DOUBLE) AS p95_tok
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def x27(spark, sf_dir):
+    """Per-source corpus report (the summary a curation run publishes):
+    doc counts, mean/median/p95 token counts.  Exact interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) in one
+    map-side-combinable aggregate; at 100 TB swap ``percentile`` for
+    ``approx_percentile`` with a documented error bound — the plan shape
+    is identical."""
+    from ..pipeline.text import token_count
+
+    d = _tw(spark, sf_dir, "documents")
+    return (
+        d.select("source", token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("n").cast("double").alias("mean_tok"),
+            F.percentile("n", F.lit(0.5)).cast("double").alias("med_tok"),
+            F.percentile("n", F.lit(0.95)).cast("double").alias("p95_tok"),
+        )
+        .orderBy("source")
+    )
