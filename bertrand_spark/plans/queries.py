@@ -1985,3 +1985,38 @@ def x27(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q36_profile",
+    """
+    SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_str,
+           CAST(max(o_custkey) AS VARCHAR) AS max_str,
+           CAST(avg(o_custkey) AS DOUBLE) AS mean
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate), CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR), NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus), NULL
+    FROM orders
+    ORDER BY "column"
+    """,
+)
+def q36(spark, sf_dir):
+    """One-pass column profiling (functions/profile.py): per-column row/
+    null/distinct counts, min/max, numeric means — ALL columns in ONE
+    aggregate job (the same single-job discipline as cast validation).
+    The distributed measurement counterpart of detect/typecheck."""
+    from ..functions.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_custkey", "o_orderdate", "o_orderstatus"]
+    ).orderBy("column")

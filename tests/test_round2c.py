@@ -110,3 +110,31 @@ class TestLocalTz:
 
         a = CastArgs(tz="local")
         assert a.tz == spark.conf.get("spark.sql.session.timeZone")
+
+
+class TestProfile:
+    def test_single_job_and_hll_mode(self, spark, sf_dir):
+        from bertrand_spark.functions.profile import profile_table
+        from bertrand_spark.sources.reader import read_table
+
+        o = read_table(spark, sf_dir, "orders")
+        exact = {r["column"]: r for r in profile_table(o, ["o_custkey"]).collect()}
+        assert exact["o_custkey"]["n_nulls"] == 0
+        assert exact["o_custkey"]["n_distinct"] > 0
+        hll = {
+            r["column"]: r
+            for r in profile_table(o, ["o_custkey"], exact=False).collect()
+        }
+        nd, approx = exact["o_custkey"]["n_distinct"], hll["o_custkey"]["n_distinct"]
+        assert abs(approx - nd) / nd < 0.1  # HLL within its error bound
+
+    def test_nulls_counted(self, spark):
+        from bertrand_spark.functions.profile import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (None, "c")], ["x", "s"]
+        )
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        assert prof["x"]["n_nulls"] == 1 and prof["s"]["n_nulls"] == 1
+        assert prof["x"]["mean"] == 1.5
+        assert prof["s"]["mean"] is None
