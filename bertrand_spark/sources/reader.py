@@ -65,6 +65,27 @@ def read_json_inferred(spark: SparkSession, path: str, **options: str) -> DataFr
     return cast(raw, errors="coerce")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table layout — the co-located-join half
+    of the scale design: two tables bucketed on their join key with the
+    same bucket count join with ZERO exchanges (each bucket pair is a
+    local sort-merge), and groupBy on the bucket key skips its shuffle
+    too.  At 100 TB this is how the repeatedly-joined fact tables and
+    the LSH band table are stored (SCALE.md).  ``sort_cols`` defaults to
+    the bucket columns so the merge side needs no sort either.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.saveAsTable(table)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC ingestion — schema-carrying like parquet, so no engine
     inference pass is needed; timestamp normalization matches

@@ -101,3 +101,34 @@ class TestMoreFormats:
         assert tags["2024-01-02"] == "datetime"
         assert tags["true"] == "bool"
         assert tags["hello world"] == "str"
+
+
+class TestBucketedLayout:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir):
+        """The SCALE.md co-location claim, proven on a real plan: equal
+        bucketing on the join key eliminates every shuffle from the join."""
+        from bertrand_spark.sources.reader import write_bucketed
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(li, "t_li_bucketed", ["l_orderkey"], num_buckets=8)
+        write_bucketed(o, "t_o_bucketed", ["o_orderkey"], num_buckets=8)
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # forbid broadcast so the join would otherwise shuffle both sides
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("t_li_bucketed").join(
+                spark.table("t_o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert j.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+            spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
