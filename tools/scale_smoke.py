@@ -148,6 +148,60 @@ def main() -> None:
         lambda: "kept=%d" % D.exact_dedup(docs, "text", keep_by="doc_id").count(),
     )
 
+    # 7. pathological skew join: 80% of the fact rows share ONE key and
+    # the right side is too big to broadcast, so the plain shuffle join
+    # funnels the hot key into one sort-merge task.  Three plans:
+    # (a) shuffle join with AQE skew splitting DISABLED — the serialized
+    #     baseline; (b) AQE skew splitting ON (the default; splits the
+    #     skewed partition by mapper ranges); (c) explicit salted_join —
+    #     the belt-and-suspenders path for keys AQE cannot split (e.g.
+    #     a skewed AGGREGATION key, or a single key past task memory).
+    # NOTE broadcast is force-disabled for all three: if the right side
+    # fits a broadcast there is no skew problem to solve.
+    from bertrand_spark.operators.joins import salted_join
+
+    hot = li.select(
+        F.when(F.rand(7) < 0.8, F.lit(0))
+        .otherwise((F.rand(11) * 200_000).cast("long"))
+        .alias("k"),
+        F.col("l_quantity").alias("v"),
+    )
+    dim = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    def _with_conf(pairs, fn):
+        old = {k: spark.conf.get(k) for k in pairs}
+        for k, v in pairs.items():
+            spark.conf.set(k, v)
+        try:
+            return fn()
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+
+    no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    timed(
+        f"skewed join 80%-hot (AQE skew OFF)",
+        lambda: _with_conf(
+            {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"},
+            lambda: "rows=%d" % hot.join(dim, "k").count(),
+        ),
+    )
+    timed(
+        "same, AQE skew split ON",
+        lambda: _with_conf(
+            no_bcast, lambda: "rows=%d" % hot.join(dim, "k").count()
+        ),
+    )
+    timed(
+        "same, salted_join(salt=32)",
+        lambda: _with_conf(
+            no_bcast,
+            lambda: "rows=%d" % salted_join(hot, dim, ["k"], salt=32).count(),
+        ),
+    )
+
     spark.stop()
 
 
