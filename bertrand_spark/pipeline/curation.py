@@ -54,17 +54,69 @@ __all__ = [
 def benchmark_ngrams(
     bench: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:
-    """Distinct 64-bit word-n-gram hashes of the benchmark/eval set.
+    """Distinct 64-bit word-n-gram hashes of the benchmark/eval set
+    (texts of ≥ n tokens only — shorter eval texts are matched whole by
+    ``_short_bench_grams``, because their single fallback gram could
+    never equal any corpus n-gram).
 
     Small by contract (eval sets are thousands of rows); the result is
     the broadcast side of every decontamination join.
     """
+    from .text import token_count
+
     return (
-        bench.select(
+        bench.filter(token_count(F.col(text_col)) >= n)
+        .select(
             F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
         )
         .select(F.xxhash64("g").alias("g"))
         .distinct()
+    )
+
+
+def _norm_tokens_str(text: Column) -> Column:
+    """Lowercased, whitespace-normalized token string (the exact string
+    ``word_ngrams`` grams are substrings of)."""
+    from .text import tokenize
+
+    return F.array_join(tokenize(text), " ")
+
+
+def _short_bench_grams(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Whole-text grams of benchmark texts SHORTER than n tokens.
+
+    A 4-token eval answer produces no 8-gram, so n-gram matching alone
+    would silently never flag a corpus document quoting it (a false
+    negative — the unsafe direction).  These short texts are matched by
+    token-boundary containment instead; the table is tiny by contract
+    (a subset of an already-small eval set) and broadcasts.
+    """
+    from .text import token_count
+
+    k = token_count(F.col(text_col))
+    return (
+        bench.filter((k > 0) & (k < n))
+        .select(_norm_tokens_str(F.col(text_col)).alias("sg"))
+        .distinct()
+    )
+
+
+def _containment_hits(
+    corpus: DataFrame, short: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus ids whose token string contains any short benchmark text
+    at token boundaries (space-padded substring check against the
+    broadcast short-gram list — map-side, no shuffle of text)."""
+    padded = F.concat(F.lit(" "), _norm_tokens_str(F.col(text_col)), F.lit(" "))
+    return (
+        corpus.select(F.col(id_col), padded.alias("__pt"))
+        .crossJoin(F.broadcast(short))
+        .filter(
+            F.col("__pt").contains(F.concat(F.lit(" "), F.col("sg"), F.lit(" ")))
+        )
+        .select(id_col)
     )
 
 
@@ -84,8 +136,12 @@ def decontaminate(
     to (id, gram-hash) — never shuffling text — the gram stream
     semi-joins the BROADCAST benchmark gram set (map-side, no shuffle),
     and only the small hit-id list joins back against the corpus.
-    64-bit gram identity: collision odds per (doc, benchmark-gram) pair
-    are ~2^-64, the same trade the dedup family documents.
+    Benchmark texts SHORTER than n tokens (which have no n-gram) are
+    matched whole, by token-boundary containment against the broadcast
+    short-text list — without this, quoting a short eval answer verbatim
+    would never be flagged.  64-bit gram identity: collision odds per
+    (doc, benchmark-gram) pair are ~2^-64, the same trade the dedup
+    family documents.
     """
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be drop|flag")
@@ -97,8 +153,20 @@ def decontaminate(
     hit_ids = (
         doc_grams.join(grams, doc_grams["__g"] == grams["g"], "left_semi")
         .select(id_col)
+        .unionByName(
+            _containment_hits(
+                corpus, _short_bench_grams(bench, text_col, n), id_col, text_col
+            )
+        )
         .distinct()
     )
+    return _apply_hits(corpus, hit_ids, id_col, mode)
+
+
+def _apply_hits(
+    corpus: DataFrame, hit_ids: DataFrame, id_col: str, mode: str
+) -> DataFrame:
+    """drop → anti-join the hit list; flag → left-join a boolean."""
     if mode == "drop":
         return corpus.join(hit_ids, id_col, "left_anti")
     flagged = hit_ids.withColumn("contaminated", F.lit(True))
@@ -125,23 +193,37 @@ def bloom_table(
     combining, so the shuffle carries at most ``num_bits/64`` rows.
     """
     grams = benchmark_ngrams(bench, text_col, n)
-    probes = grams.select(
+    probes = _bloom_wordbits(grams, "g", num_bits, num_hashes, keep=())
+    return probes.groupBy("word").agg(F.bit_or("__bit").alias("mask"))
+
+
+def _bloom_wordbits(
+    df: DataFrame,
+    gram_id_col: str,
+    num_bits: int,
+    num_hashes: int,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """The ONE definition of the bloom layout, shared by build and probe
+    (divergence here would silently break the no-false-negative
+    invariant): probe positions ``pos_i = xxhash64(gram_id, i) mod
+    num_bits``, stored as (word = pos div 64, __bit = 1 << pos mod 64).
+    ``keep``: extra columns carried through the explode.
+    """
+    return df.select(
+        *keep,
         F.explode(
             F.array(
                 *[
-                    F.pmod(F.xxhash64("g", F.lit(i)), F.lit(num_bits))
+                    F.pmod(F.xxhash64(gram_id_col, F.lit(i)), F.lit(num_bits))
                     for i in range(num_hashes)
                 ]
             )
-        ).alias("pos")
-    )
-    return (
-        probes.select(
-            (F.col("pos") / 64).cast("long").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("m").alias("mask"))
+        ).alias("pos"),
+    ).select(
+        *keep,
+        F.floor(F.col("pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("__bit"),
     )
 
 
@@ -171,30 +253,15 @@ def decontaminate_bloom(
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be drop|flag")
     bloom = F.broadcast(bloom_table(bench, text_col, n, num_bits, num_hashes))
+    # the 64-bit gram identity (xxhash64 of the string) is what
+    # benchmark_ngrams stores, so probe positions derive from IT on both
+    # sides — via the same _bloom_wordbits helper as the build
     doc_grams = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
-    )
-    # the 64-bit gram identity (xxhash64 of the string) is what
-    # benchmark_ngrams stores, so probe positions derive from IT on both
-    # sides: pos_i = xxhash64(gram_id, i) mod num_bits
-    doc_grams = doc_grams.select(id_col, F.xxhash64("__g").alias("__gid"))
-    probes = doc_grams.select(
-        id_col,
-        "__gid",  # per-GRAM group key
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("__gid", F.lit(i)), F.lit(num_bits))
-                    for i in range(num_hashes)
-                ]
-            )
-        ).alias("pos"),
-    ).select(
-        id_col,
-        "__gid",
-        (F.col("pos") / 64).cast("long").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("__bit"),
+    ).select(id_col, F.xxhash64("__g").alias("__gid"))
+    probes = _bloom_wordbits(
+        doc_grams, "__gid", num_bits, num_hashes, keep=(id_col, "__gid")
     )
     hit_ids = (
         probes.join(bloom, "word", "left")
@@ -206,14 +273,16 @@ def decontaminate_bloom(
         .agg(F.min(F.col("__set").cast("int")).alias("__all_set"))
         .filter(F.col("__all_set") == 1)
         .select(id_col)
+        # short benchmark texts are few even when the gram set is huge —
+        # they stay on the exact containment path (no sketch needed)
+        .unionByName(
+            _containment_hits(
+                corpus, _short_bench_grams(bench, text_col, n), id_col, text_col
+            )
+        )
         .distinct()
     )
-    if mode == "drop":
-        return corpus.join(hit_ids, id_col, "left_anti")
-    flagged = hit_ids.withColumn("contaminated", F.lit(True))
-    return corpus.join(flagged, id_col, "left").withColumn(
-        "contaminated", F.coalesce("contaminated", F.lit(False))
-    )
+    return _apply_hits(corpus, hit_ids, id_col, mode)
 
 
 # --- PII redaction ---------------------------------------------------------

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dot", "l2_norm", "cosine_sim",
-    "random_hyperplane_signature",
+    "random_hyperplane_signature", "hyperplane_signatures_vectorized",
+    "cosine_all_pairs_blocked",
     "brute_force_topk", "ivf_build", "ivf_topk", "ivf_write", "ivf_read",
 ]
 
@@ -92,23 +93,26 @@ def hyperplane_signatures_vectorized(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    # closure-level cache: the pure-Python Box–Muller plane generation
+    # (tables × planes × dim iterations) runs once per worker process,
+    # not once per Arrow batch
+    planes_cache: dict[int, "np.ndarray"] = {}
+
+    def planes_for(dim: int) -> "np.ndarray":
+        got = planes_cache.get(dim)
+        if got is None:
+            got = np.array(
+                [
+                    _seeded_planes(dim, num_planes, seed + 7919 * t)
+                    for t in range(num_tables)
+                ],
+                dtype=np.float64,
+            ).reshape(num_tables * num_planes, dim)
+            planes_cache[dim] = got
+        return got
+
     @pandas_udf("array<bigint>")
     def kernel(vecs: pd.Series) -> pd.Series:
-        planes_cache: dict[int, "np.ndarray"] = {}
-
-        def planes_for(dim: int) -> "np.ndarray":
-            got = planes_cache.get(dim)
-            if got is None:
-                got = np.array(
-                    [
-                        _seeded_planes(dim, num_planes, seed + 7919 * t)
-                        for t in range(num_tables)
-                    ],
-                    dtype=np.float64,
-                ).reshape(num_tables * num_planes, dim)
-                planes_cache[dim] = got
-            return got
-
         mask = vecs.notna().to_numpy()
         out: list = [None] * len(vecs)
         if mask.any():
@@ -222,8 +226,15 @@ def cosine_all_pairs_blocked(
 def random_hyperplane_signature(
     df: DataFrame, vec_col: str, num_planes: int = 8, seed: int = 42
 ) -> DataFrame:
-    """Append ``__sig``: bit-packed signs of ⟨v, plane_i⟩ (angle LSH)."""
-    dim = len(df.select(vec_col).first()[0])
+    """Append ``__sig``: bit-packed signs of ⟨v, plane_i⟩ (angle LSH).
+
+    Note the eager ``first()`` probe for the dimension: empty inputs (or
+    a null first vector) get a null signature column instead of a
+    plan-build crash."""
+    probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        return df.withColumn("__sig", F.lit(None).cast("long"))
+    dim = len(probe[0])
     planes = _seeded_planes(dim, num_planes, seed)
     sig = None
     for i, p in enumerate(planes):
@@ -339,7 +350,21 @@ def ivf_topk(
         for _, cell in d[:nprobe]:
             probe_rows.append((q[q_id_col], cell, qv))
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(probe_rows, [q_id_col, "__cell", q_vec_col])
+    # explicit schema (id type taken from the queries frame): an empty
+    # query batch — normal in a scheduled pipeline — must yield an empty
+    # result, not a schema-inference error
+    from pyspark.sql import types as st
+
+    probes = spark.createDataFrame(
+        probe_rows,
+        st.StructType(
+            [
+                st.StructField(q_id_col, queries.schema[q_id_col].dataType),
+                st.StructField("__cell", st.IntegerType()),
+                st.StructField(q_vec_col, st.ArrayType(st.DoubleType())),
+            ]
+        ),
+    )
     joined = assigned.join(F.broadcast(probes), "__cell")
     scored = joined.select(
         F.col(q_id_col),

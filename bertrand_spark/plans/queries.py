@@ -1605,15 +1605,22 @@ d AS (SELECT doc_id, source, n_chars, text,
     "x20_decontaminate",
     f"""
     WITH {_TOKS_SQL},
-    g AS (SELECT doc_id,
+    g AS (SELECT doc_id, len(toks) AS nt,
                  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
                       ELSE [array_to_string(toks[i:i+7], ' ')
                             for i in generate_series(1, len(toks) - 7)] END AS grams
           FROM d),
-    bg AS (SELECT DISTINCT unnest(grams) AS bgram FROM g WHERE doc_id % 97 = 0),
-    hits AS (SELECT DISTINCT doc_id
-             FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
-             JOIN bg ON dg.gram = bg.bgram)
+    bg AS (SELECT DISTINCT unnest(grams) AS bgram FROM g
+           WHERE doc_id % 97 = 0 AND nt >= 8),
+    sb AS (SELECT DISTINCT array_to_string(toks, ' ') AS sg FROM d
+           WHERE doc_id % 97 = 0 AND len(toks) > 0 AND len(toks) < 8),
+    ghits AS (SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+              JOIN bg ON dg.gram = bg.bgram),
+    chits AS (SELECT DISTINCT d.doc_id FROM d, sb
+              WHERE contains(' ' || array_to_string(d.toks, ' ') || ' ',
+                             ' ' || sb.sg || ' ')),
+    hits AS (SELECT doc_id FROM ghits UNION SELECT doc_id FROM chits)
     SELECT d.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
     FROM d LEFT JOIN hits USING (doc_id)
     ORDER BY d.doc_id
@@ -1622,9 +1629,11 @@ d AS (SELECT doc_id, source, n_chars, text,
 def x20(spark, sf_dir):
     """Benchmark decontamination (8-gram overlap, GPT-3 appendix-C
     style): every corpus document sharing any word 8-gram with the
-    pseudo-eval set (doc_id % 97 == 0) is flagged.  Corpus explodes to
-    (id, gram-hash) only; the eval gram set broadcasts — map-side at any
-    corpus size."""
+    pseudo-eval set (doc_id % 97 == 0) is flagged; eval texts shorter
+    than 8 tokens are matched whole by token-boundary containment (they
+    have no 8-gram — n-gram-only matching would silently never flag
+    them).  Corpus explodes to (id, gram-hash) only; the eval gram set
+    and short-text list broadcast — map-side at any corpus size."""
     d = _t(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text")
     bench = corpus.filter(F.col("doc_id") % 97 == 0)

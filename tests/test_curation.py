@@ -147,3 +147,56 @@ class TestBloomDecontaminate:
         )
         flags = {r["doc_id"]: r["contaminated"] for r in out.collect()}
         assert flags[1] and flags[3]  # share the 8-gram with the benchmark
+
+
+class TestShortBenchmarkTexts:
+    def test_short_eval_text_is_caught(self, spark):
+        # 4-token eval answer quoted inside a 12-token corpus doc: n-gram
+        # matching alone can never flag it (no 8-gram exists on the bench
+        # side) — the containment path must
+        corpus = spark.createDataFrame(
+            [(1, "as everyone knows the answer is paris which ends the quiz"),
+             (2, "completely unrelated corpus document with many boring words here")],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(9, "the answer is paris")], ["doc_id", "text"])
+        for fn in (CU.decontaminate, CU.decontaminate_bloom):
+            flags = {
+                r["doc_id"]: r["contaminated"]
+                for r in fn(corpus, bench, mode="flag").collect()
+            }
+            assert flags[1], fn.__name__
+            assert not flags[2], fn.__name__
+
+    def test_token_boundary_respected(self, spark):
+        # 'is par' appears as a CHARACTER substring but not at token
+        # boundaries -> must NOT be flagged
+        corpus = spark.createDataFrame(
+            [(1, "this is parsed text not the quoted answer anywhere")],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(9, "is par")], ["doc_id", "text"])
+        out = CU.decontaminate(corpus, bench, mode="flag").collect()
+        assert not out[0]["contaminated"]
+
+
+class TestEmptyInputs:
+    def test_hyperplane_signature_empty_frame(self, spark):
+        from bertrand_spark.pipeline.similarity import random_hyperplane_signature
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        out = random_hyperplane_signature(empty, "embedding", 4)
+        assert out.count() == 0 and "__sig" in out.columns
+
+    def test_ivf_topk_empty_queries(self, spark, sf_dir):
+        from bertrand_spark.pipeline.similarity import ivf_build, ivf_topk
+        from bertrand_spark.sources.reader import read_table
+
+        e = read_table(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        q = e.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        assigned, cents = ivf_build(e, num_cells=4)
+        assert ivf_topk(assigned, cents, q, k=5, nprobe=2).count() == 0
