@@ -38,17 +38,21 @@ def profile_table(
     setting, where an exact global NDV per column is rarely worth its
     expand-node shuffle.
     """
-    cols = columns or df.columns
-    aggs = []
-    for c in cols:
-        dt = df.schema[c].dataType
-        ndv = (
-            F.count_distinct(F.col(c))
-            if exact
-            else F.approx_count_distinct(F.col(c))
+    cols = list(columns) if columns is not None else df.columns
+    if not cols:  # explicit empty selection → empty profile, no job
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows long, n_nulls long, n_distinct long, "
+            "min_str string, max_str string, mean double",
         )
+    aggs = []
+    for i, c in enumerate(cols):
+        dt = df.schema[c].dataType
+        # backtick-quote so names containing dots resolve verbatim
+        col = F.col("`" + c.replace("`", "``") + "`")
+        ndv = F.count_distinct(col) if exact else F.approx_count_distinct(col)
         mean = (
-            F.avg(F.col(c)).cast("double")
+            F.avg(col).cast("double")
             if isinstance(dt, _NUMERIC)
             else F.lit(None).cast("double")
         )
@@ -56,15 +60,15 @@ def profile_table(
             F.struct(
                 F.lit(c).alias("column"),
                 F.count(F.lit(1)).alias("n_rows"),
-                (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
                 ndv.cast("long").alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_str"),
-                F.max(F.col(c)).cast("string").alias("max_str"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
                 mean.alias("mean"),
-            ).alias(f"__p_{c}")
+            ).alias(f"__p_{i}")  # index alias: immune to special chars
         )
     row = df.agg(*aggs)
     stacked = row.select(
-        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+        F.explode(F.array(*[row[f"__p_{i}"] for i in range(len(cols))])).alias("p")
     )
     return stacked.select("p.*")

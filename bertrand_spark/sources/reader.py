@@ -26,13 +26,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-@lru_cache(maxsize=256)
 def nanos_timestamp_columns(path: str) -> tuple[str, ...]:
-    """Names of timestamp[ns] columns in a parquet file/directory footer."""
+    """Names of timestamp[ns] columns in a parquet file/directory footer.
+
+    Cached on (path, mtime, size) so a file regenerated in place gets a
+    fresh footer read instead of a stale column list.
+    """
+    import os
+
+    try:
+        stat = os.stat(path)
+        key = (path, stat.st_mtime_ns, stat.st_size)
+    except OSError:
+        key = (path, 0, 0)
+    return _nanos_timestamp_columns_cached(key)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns_cached(key: tuple) -> tuple[str, ...]:
     import pyarrow.dataset as ds
     import pyarrow as pa
 
-    schema = ds.dataset(path, format="parquet").schema
+    schema = ds.dataset(key[0], format="parquet").schema
     out = []
     for field in schema:
         t = field.type
@@ -177,6 +192,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       instant-typed functions (``unix_micros``, watermarks).  With the
       session timezone pinned UTC the cast to TimestampType is a pure
       reinterpretation: no value shift vs. DuckDB's naive TIMESTAMP.
+
+    Session-conf caveat: ``nanosAsLong`` must stay set for the returned
+    (lazy) DataFrame to execute, so it is NOT restored afterwards — a
+    later bare ``spark.read.parquet`` on a ns-timestamp file will
+    return raw ns longs instead of failing.  Read through this function
+    (the engine's ingestion contract) and the conversion is applied.
     """
     from pyspark.sql import types as st
 

@@ -125,8 +125,6 @@ def running_totals(
 
     Batch inputs fall back to a groupBy (same result, no state store).
     """
-    key_type = df.schema[key].dataType.simpleString()
-    out_schema = f"{key} {key_type}, n long, total double"
     if not df.isStreaming:
         return (
             df.groupBy(key)
@@ -138,6 +136,12 @@ def running_totals(
     def update(
         key_tuple: Any, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle key: evict the state (the bounded-memory contract) and
+            # emit nothing — re-arming here would re-emit an unchanged
+            # row every interval forever
+            state.remove()
+            return
         (n, total) = state.get if state.exists else (0, 0.0)
         for batch in batches:
             n += len(batch)
@@ -146,9 +150,18 @@ def running_totals(
         state.setTimeoutDuration(timeout_s * 1000)
         yield pd.DataFrame({key: [key_tuple[0]], "n": [n], "total": [total]})
 
+    from pyspark.sql import types as st
+
+    out_struct = st.StructType(
+        [
+            st.StructField(key, df.schema[key].dataType),
+            st.StructField("n", st.LongType()),
+            st.StructField("total", st.DoubleType()),
+        ]
+    )
     return df.groupBy(key).applyInPandasWithState(
         update,
-        outputStructType=out_schema,
+        outputStructType=out_struct,
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
@@ -176,7 +189,12 @@ def read_events_stream(
     # the file stream source requires a DIRECTORY; stage the single file
     # into a stable temp dir (in production the source is already a
     # directory of arriving files — this shim is test-data plumbing only)
-    digest = hashlib.sha1(path.encode()).hexdigest()[:12]
+    # key the staged copy on (path, mtime, size) so a regenerated file at
+    # the same path re-stages instead of replaying stale data
+    stat = pathlib.Path(path).stat()
+    digest = hashlib.sha1(
+        f"{path}|{stat.st_mtime_ns}|{stat.st_size}".encode()
+    ).hexdigest()[:12]
     stage = pathlib.Path(tempfile.gettempdir()) / f"bspark_stream_{digest}"
     stage.mkdir(exist_ok=True)
     target = stage / "part-00000.parquet"

@@ -138,3 +138,11 @@ class TestProfile:
         assert prof["x"]["n_nulls"] == 1 and prof["s"]["n_nulls"] == 1
         assert prof["x"]["mean"] == 1.5
         assert prof["s"]["mean"] is None
+
+    def test_dotted_names_and_empty_selection(self, spark):
+        from bertrand_spark.functions.profile import profile_table
+
+        df = spark.createDataFrame([(1, 2.0)], ["user.id", "score"])
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        assert prof["user.id"]["n_rows"] == 1
+        assert profile_table(df, []).count() == 0
