@@ -1486,9 +1486,43 @@ _X18_SURVIVOR_SQL = r"""
 @query(
     "x18_pipeline_end_to_end",
     f"""
-    {_X18_SURVIVOR_SQL.replace("SELECT g.doc_id, g.n_tok FROM g",
-                               "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
-                               "CAST(sum(g.n_tok) AS BIGINT) AS total_tokens FROM g")}
+    {_X18_SURVIVOR_SQL
+     .replace("SELECT g.doc_id, g.n_tok FROM g",
+              ", surv AS (SELECT g.doc_id, g.n_tok FROM g")
+     .replace("NOT IN (SELECT doc_id FROM dropped)",
+              "NOT IN (SELECT doc_id FROM dropped))")},
+    d2 AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x != '') AS toks
+           FROM documents),
+    g8 AS (SELECT doc_id, len(toks) AS nt,
+                  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                       ELSE [array_to_string(toks[i:i+7], ' ')
+                             for i in generate_series(1, len(toks) - 7)] END AS grams
+           FROM d2),
+    bg AS (SELECT DISTINCT unnest(grams) AS bgram FROM g8
+           WHERE doc_id % 97 = 0 AND nt >= 8),
+    sb AS (SELECT DISTINCT array_to_string(toks, ' ') AS sg FROM d2
+           WHERE doc_id % 97 = 0 AND len(toks) > 0 AND len(toks) < 8),
+    cont AS (SELECT DISTINCT doc_id
+             FROM (SELECT doc_id, unnest(grams) AS gram FROM g8) dg
+             JOIN bg ON dg.gram = bg.bgram
+             UNION
+             SELECT DISTINCT d2.doc_id FROM d2, sb
+             WHERE contains(' ' || array_to_string(d2.toks, ' ') || ' ',
+                            ' ' || sb.sg || ' ')),
+    clean AS (SELECT * FROM surv
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    packed AS (SELECT doc_id, n_tok, CAST(doc_id % 16 AS INTEGER) AS shard,
+                      COALESCE(sum(n_tok) OVER (PARTITION BY doc_id % 16
+                               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum
+               FROM clean)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT (shard, CAST(floor(cum / 2048) AS BIGINT)))
+                AS BIGINT) AS n_bins
+    FROM packed
     """,
 )
 def x18(spark, sf_dir):
@@ -1496,7 +1530,10 @@ def x18(spark, sf_dir):
     and oracle-checked end-to-end: quality filter (length + punctuation)
     → exact dedup (fingerprint groupBy, min-id survivor) → near-dup
     removal (MinHash LSH, drop any doc with an earlier ≥0.6-Jaccard
-    neighbor) → corpus statistics.  Every stage is the same code path a
+    neighbor) → benchmark decontamination (8-gram overlap + short-text
+    containment vs the doc_id%97 pseudo-eval set) → sequence packing
+    (concat-and-chunk, 2048-token bins over 16 shards) → corpus report
+    (docs, tokens, training bins).  Every stage is the same code path a
     100 TB run would use."""
     d = _t(spark, sf_dir, "documents")
     feats = T.quality_features(F.col("text"))
@@ -1516,9 +1553,19 @@ def x18(spark, sf_dir):
     )
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = exact.join(dropped, "doc_id", "left_anti")
-    return kept.select(
+
+    bench = d.select("doc_id", "text").filter(F.col("doc_id") % 97 == 0)
+    clean = CU.decontaminate(
+        kept.select("doc_id", "text", "n_tok"), bench, "doc_id", "text", n=8
+    )
+    packed = CU.pack_sequences(
+        clean.select("doc_id", "n_tok"), "n_tok", "doc_id",
+        budget=2048, num_shards=16,
+    )
+    return packed.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.count_distinct(F.struct("shard", "bin")).cast("long").alias("n_bins"),
     )
 
 
