@@ -34,7 +34,7 @@ __all__ = [
     "minhash_signature", "minhash_bands", "lsh_candidate_pairs",
     "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
-    "ngram_jaccard_pairs", "cosine_near_dup_pairs",
+    "ngram_jaccard_pairs", "word_gram_hashes_vectorized", "cosine_near_dup_pairs",
 ]
 
 # deterministic (a, b) coefficients for the k minhash permutations
@@ -712,6 +712,57 @@ def near_dup_pairs_simhash(
 
 
 # --- n-gram Jaccard (word-level) -------------------------------------------
+def word_gram_hashes_vectorized(n: int = 3):
+    """Arrow kernel: distinct 64-bit word-n-gram hashes per document.
+
+    The expression path (``word_ngrams``: transform/slice/concat_ws
+    HOFs) is CodegenFallback — interpreted per element; this kernel
+    tokenizes and hashes each batch in Python with a fixed 64-bit
+    blake2b gram identity (stable across processes, unlike ``hash()``).
+    Token/gram semantics mirror ``text.tokenize``/``word_ngrams``
+    exactly: lowercase, trim, split on whitespace, drop empties; texts
+    with fewer than n tokens contribute their whole token string as the
+    single gram.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+")
+
+    @pandas_udf("array<bigint>")
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in ws.split(t.strip().lower()) if w]
+            if not toks:
+                out.append([])
+                continue
+            if len(toks) < n:
+                grams = {" ".join(toks)}
+            else:
+                grams = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+            out.append(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for g in grams
+                ]
+            )
+        return pd.Series(out)
+
+    return kernel
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -719,6 +770,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup via inverted-index join.
 
@@ -737,16 +789,23 @@ def ngram_jaccard_pairs(
     df table costs one extra groupBy over the (already materialized)
     posting list.
     """
-    grams = _spread(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
-    )
     # 64-bit gram identity: the join/shuffle key drops from a ~25 B
     # 3-word string to 8 B and the hash-join compares longs — ~2× on the
     # posting self-join, the dominant stage.  Collision odds per pair
     # ~|A||B|/2^64 (same argument as the MinHash verification sets), so
     # intersection counts — and the reported Jaccard — are unchanged.
-    grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+    if vectorized:
+        gram_kernel = word_gram_hashes_vectorized(n)
+        grams = _spread(df).select(
+            F.col(id_col), F.explode(gram_kernel(F.col(text_col))).alias("gram")
+        )
+    else:
+        grams = _spread(df).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+                "gram"
+            ),
+        ).select(id_col, F.xxhash64("gram").alias("gram"))
     # the posting list feeds BOTH self-join sides and the size table; the
     # n-gram HOF pipeline is the expensive part, so materialize it once
     grams = grams.persist()
