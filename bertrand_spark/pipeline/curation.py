@@ -60,16 +60,18 @@ def benchmark_ngrams(
     never equal any corpus n-gram).
 
     Small by contract (eval sets are thousands of rows); the result is
-    the broadcast side of every decontamination join.
+    the broadcast side of every decontamination join.  Gram identity is
+    the Arrow kernel's stable 64-bit hash (``dedup.
+    word_gram_hashes_vectorized``) — the corpus side uses the same
+    kernel, so build and probe identities agree by construction.
     """
     from .text import token_count
+    from .dedup import word_gram_hashes_vectorized
 
+    kernel = word_gram_hashes_vectorized(n)
     return (
         bench.filter(token_count(F.col(text_col)) >= n)
-        .select(
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
-        )
-        .select(F.xxhash64("g").alias("g"))
+        .select(F.explode(kernel(F.col(text_col))).alias("g"))
         .distinct()
     )
 
@@ -145,11 +147,13 @@ def decontaminate(
     """
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be drop|flag")
+    from .dedup import word_gram_hashes_vectorized
+
     grams = F.broadcast(benchmark_ngrams(bench, text_col, n))
+    kernel = word_gram_hashes_vectorized(n)
     doc_grams = corpus.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
-    ).select(id_col, F.xxhash64("__g").alias("__g"))
+        F.col(id_col), F.explode(kernel(F.col(text_col))).alias("__g")
+    )
     hit_ids = (
         doc_grams.join(grams, doc_grams["__g"] == grams["g"], "left_semi")
         .select(id_col)
@@ -252,14 +256,16 @@ def decontaminate_bloom(
     """
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be drop|flag")
+    from .dedup import word_gram_hashes_vectorized
+
     bloom = F.broadcast(bloom_table(bench, text_col, n, num_bits, num_hashes))
-    # the 64-bit gram identity (xxhash64 of the string) is what
+    # the 64-bit gram identity (the Arrow kernel's hash) is what
     # benchmark_ngrams stores, so probe positions derive from IT on both
     # sides — via the same _bloom_wordbits helper as the build
+    kernel = word_gram_hashes_vectorized(n)
     doc_grams = corpus.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
-    ).select(id_col, F.xxhash64("__g").alias("__gid"))
+        F.col(id_col), F.explode(kernel(F.col(text_col))).alias("__gid")
+    )
     probes = _bloom_wordbits(
         doc_grams, "__gid", num_bits, num_hashes, keep=(id_col, "__gid")
     )
