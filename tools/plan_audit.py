@@ -19,14 +19,25 @@ import sys
 
 def audit_plan(name: str, plan: str) -> list[str]:
     flags: list[str] = []
-    # x05/x06 are *documented* exhaustive baselines (broadcast cross-score /
-    # exact pairwise oracle); their nested-loop is the contract, not a bug
-    if "BroadcastNestedLoopJoin" in plan and not ("x05" in name or "x06" in name):
+    # Documented nested-loop contracts, not bugs:
+    # - x05/x06: exhaustive baselines (broadcast cross-score / exact
+    #   pairwise oracle);
+    # - x18/x20: decontamination's short-eval-text containment check — a
+    #   cross join against a BROADCAST list bounded by the (small by
+    #   contract) eval set, curation.py _containment_hits.
+    _bnlj_ok = ("x05", "x06", "x18", "x20")
+    if "BroadcastNestedLoopJoin" in plan and not any(k in name for k in _bnlj_ok):
         flags.append("nested-loop join (O(n*m)) in the plan")
     n_single = len(re.findall(r"Exchange SinglePartition", plan))
     # window/global-sort funnels: a SinglePartition exchange feeding a Sort
-    # or Window over non-trivial input
-    if n_single and re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*(Window|Sort)", plan):
+    # or Window over non-trivial input.  q36 is exempt: its sort runs on
+    # the per-COLUMN profile rows (one row per profiled column) produced
+    # by a global aggregate — bounded by the schema width, not the data.
+    if (
+        n_single
+        and "q36" not in name
+        and re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*(Window|Sort)", plan)
+    ):
         flags.append(f"{n_single} single-partition exchange(s) feeding sort/window")
     scans = re.findall(r"FileScan parquet[^\n]*ReadSchema: ([^\n]*)", plan)
     for rs in scans:
