@@ -2076,3 +2076,40 @@ def q36(spark, sf_dir):
     return profile_table(
         o, ["o_custkey", "o_orderdate", "o_orderstatus"]
     ).orderBy("column")
+
+
+@query(
+    "q37_promo_share",
+    """
+    SELECT CAST(100.0 * sum(CASE WHEN p.p_type IN ('ECONOMY', 'SMALL')
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0 END)
+                / sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+           AS promo_share,
+    CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1995-09-01'
+      AND l.l_shipdate < DATE '1995-10-01'
+    """,
+)
+def q37(spark, sf_dir):
+    """TPC-H-Q14-shaped promo-revenue share: the fact table's date filter
+    pushes to the parquet scan, the (small) part dimension rides a
+    broadcast hash join, and the conditional aggregate is one map-side
+    combinable pass — the canonical star-join probe."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").isin("ECONOMY", "SMALL"), rev).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (100.0 * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
