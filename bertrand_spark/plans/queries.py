@@ -2113,3 +2113,39 @@ def q37(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q38_semi_anti_join",
+    """
+    SELECT 'never_ordered' AS cohort, CAST(count(*) AS BIGINT) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'ordered_1995', CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '1995-01-01'
+                  AND o.o_orderdate < DATE '1996-01-01')
+    ORDER BY cohort
+    """,
+)
+def q38(spark, sf_dir):
+    """Semi/anti join primitives (EXISTS / NOT EXISTS): both sides plan
+    as broadcast or shuffled semi-joins that never materialize the
+    probe's payload — the idiom every engine-internal hit-list join
+    (decontamination, dedup survivors, dispatch NA-reinsertion) builds
+    on, pinned here directly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    never = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("never_ordered").alias("cohort"), "n")
+    active = c.join(o95, c["c_custkey"] == o95["o_custkey"], "left_semi").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("ordered_1995").alias("cohort"), "n")
+    return never.unionByName(active).orderBy("cohort")
