@@ -2149,3 +2149,119 @@ def q38(spark, sf_dir):
         F.count("*").alias("n")
     ).select(F.lit("ordered_1995").alias("cohort"), "n")
     return never.unionByName(active).orderBy("cohort")
+
+
+@query(
+    "x28_stream_stream_join",
+    """
+    SELECT a.user_id AS user_id, a.event_id AS click_id,
+           b.event_id AS purchase_id, CAST(b.value AS DOUBLE) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def x28(spark, sf_dir):
+    """STRUCTURED STREAMING stream-stream join, oracle-exact: clicks and
+    purchases read as two watermarked streams (4 time-ordered micro-batches
+    each), inner-joined on user with the purchase constrained to the hour
+    after the click.  The event-time range condition is what bounds the
+    join state (streaming/rollup.py:stream_stream_join); the batch SQL
+    oracle is the same join, so the correctness gate enforces
+    stream/batch parity including cross-micro-batch matches (a click in
+    batch 0 pairing a purchase in batch 2)."""
+    import uuid
+
+    from ..streaming.rollup import read_events_stream_split, stream_stream_join
+
+    clicks = (
+        read_events_stream_split(spark, sf_dir, n_files=4, order_by="ts")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+    )
+    purchases = (
+        read_events_stream_split(spark, sf_dir, n_files=4, order_by="ts")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = stream_stream_join(
+        clicks.withColumnRenamed("user_id", "key"),
+        purchases.withColumnRenamed("p_user_id", "key"),
+        key="key",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        within="1 hour",
+        watermark="1 minute",
+    ).select(
+        F.col("l.key").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+    name = "mem_x28_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "x29_foreachbatch_sink",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS DOUBLE) AS total
+    FROM events
+    WHERE event_type IN ('purchase', 'click') AND value > 10
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x29(spark, sf_dir):
+    """STRUCTURED STREAMING foreachBatch parquet sink, oracle-exact: a
+    4-micro-batch stream of filtered events lands via the idempotent
+    per-epoch overwrite sink (streaming/rollup.py:foreach_batch_parquet_sink
+    — replayed epochs overwrite their own ``ingest_batch=<id>`` directory
+    instead of duplicating), then the sink directory is read back and
+    aggregated; the batch SQL oracle is the same filter+aggregate straight
+    off the source table, so the gate proves the sink delivered every row
+    exactly once."""
+    import tempfile
+    import uuid
+
+    from ..streaming.rollup import (
+        foreach_batch_parquet_sink,
+        read_events_stream_split,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    out = f"{tempfile.gettempdir()}/bspark_x29_{run}/sink"
+    ckpt = f"{tempfile.gettempdir()}/bspark_x29_{run}/ckpt"
+    stream = (
+        read_events_stream_split(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type").isin("purchase", "click") & (F.col("value") > 10))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_parquet_sink(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    landed = spark.read.parquet(f"{out}/ingest_batch=*")
+    return (
+        landed.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("total"))
+        .orderBy("user_id")
+    )

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
-    "read_events_stream",
+    "read_events_stream", "read_events_stream_split", "stream_stream_join",
+    "foreach_batch_parquet_sink",
 ]
 
 
@@ -166,6 +167,147 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    watermark: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: rows from ``right`` matched to rows
+    of ``left`` with the same ``key`` whose event time falls in
+    ``[left_ts, left_ts + within]``.
+
+    This is THE bounded-state shape for joining two live topics: Spark's
+    stream-stream join requires (a) a watermark on both inputs and (b) an
+    event-time range constraint tying the two clocks together — together
+    they let the state store evict left rows once ``left_ts + within`` is
+    past the right watermark and right rows once ``right_ts`` is past the
+    left watermark + range.  Without the range condition the join state
+    grows without bound; with it, state is O(key cardinality × window),
+    independent of stream length — the property that matters on an
+    unbounded 100 TB/day feed.
+
+    Batch inputs get the identical logical join (same results, no state),
+    preserving the module's batch/stream parity contract.  ``within`` is a
+    SQL interval string (e.g. ``'1 hour'``).  The two inputs must not share
+    column names apart from ``key``; event-time columns are compared with
+    an inclusive-start, inclusive-end range.
+    """
+    if left.isStreaming:
+        left = _watermarkable(left, left_ts).withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = _watermarkable(right, right_ts).withWatermark(right_ts, watermark)
+    l, r = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, how)
+
+
+def foreach_batch_parquet_sink(out_dir: str):
+    """Idempotent ``foreachBatch`` parquet writer: each micro-batch lands in
+    its own ``ingest_batch=<id>`` directory with ``overwrite`` mode, so a
+    replayed batch (failure → restart from checkpoint) overwrites its own
+    output instead of duplicating rows — the standard exactly-once recipe
+    for sinks without transactional commit (parquet/object storage).
+
+    The batch id is Spark's monotonically increasing epoch id, stable
+    across replays of the same epoch; downstream readers glob
+    ``out_dir/ingest_batch=*`` and see each epoch exactly once.  At scale
+    the per-batch write parallelism is the batch's own partitioning — no
+    coalesce, no driver collect.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={batch_id}"
+            )
+        )
+
+    return write
+
+
+def read_events_stream_split(
+    spark, sf_dir: str, n_files: int = 4, order_by: str | None = None
+) -> DataFrame:
+    """events.parquet staged as ``n_files`` row-sliced parquet files so a
+    ``maxFilesPerTrigger=1`` file-source stream runs a REAL multi-batch
+    incremental query (one micro-batch per slice) — exercising state
+    carry-over between batches, which the single-file stager cannot.
+    Slices are contiguous row ranges of the source order (driver-side
+    pyarrow slice, test-data plumbing only; production inputs already
+    arrive as many files).
+
+    ``order_by``: sort the rows by this column before slicing, so batches
+    arrive in event-time order — the arrival model watermarks assume.  A
+    stream-stream join consumer needs this: with random-time slices the
+    watermark after batch 0 would leap to near max(ts) and evict join
+    state that batch 1 still matches (that is bona-fide LATE DATA, which
+    watermark semantics drop by design, not a bug)."""
+    import hashlib
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.reader import nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stat = pathlib.Path(path).stat()
+    digest = hashlib.sha1(
+        f"{path}|{stat.st_mtime_ns}|{stat.st_size}|{n_files}|{order_by}".encode()
+    ).hexdigest()[:12]
+    stage = pathlib.Path(tempfile.gettempdir()) / f"bspark_streamN_{digest}"
+    if not stage.exists():
+        tmp = stage.with_suffix(".tmp")
+        if tmp.exists():
+            import shutil
+
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        table = pq.read_table(path)
+        if order_by is not None:
+            table = table.sort_by(order_by)
+        n = table.num_rows
+        step = max(1, -(-n // n_files))
+        for i in range(n_files):
+            sl = table.slice(i * step, step)
+            if sl.num_rows:
+                pq.write_table(sl, tmp / f"part-{i:05d}.parquet")
+        tmp.rename(stage)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(stage))
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    from pyspark.sql import types as st
+
+    for field in stream.schema:
+        if isinstance(field.dataType, st.TimestampNTZType):
+            stream = stream.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
+            )
+    return stream
 
 
 def read_events_stream(
