@@ -97,8 +97,12 @@ class DispatchFunc:
                 return ov.fn
         if self._fallback is not None:
             return self._fallback
+        from ..errors import shorten_list
+
         raise TypeError(
-            f"{self.name}: no overload matches argument types {types}"
+            f"{self.name}: no overload matches argument types {types}; "
+            f"registered signatures: "
+            f"{shorten_list([ov.signature for ov in self._table])}"
         )
 
     @staticmethod

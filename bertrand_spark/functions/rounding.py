@@ -54,6 +54,18 @@ def round_col(col: Column, rule: str = "half_even", decimals: int = 0) -> Column
         r = _half_adjust(x, "up")
     elif rule == "half_even":
         r = F.bround(x, 0)
+    elif rule == "half_odd":
+        # ties to the nearest ODD integer (reference math.h:710-768,1244:
+        # "half_down when the truncated quotient is odd, half_up when
+        # even").  Sign-correct at |x| < 1: ±0.5 → ±1 (trunc 0 is even →
+        # half_up/away), where the reference's float specialization's
+        # modf/fmod formulation loses the sign of -0.0.
+        trunc = F.signum(x) * F.floor(F.abs(x))
+        tie = (F.abs(x) - F.floor(F.abs(x))) == F.lit(0.5)
+        odd = F.pmod(trunc, 2) == 1
+        r = F.when(
+            tie, F.when(odd, trunc).otherwise(trunc + F.signum(x))
+        ).otherwise(F.signum(x) * F.floor(F.abs(x) + F.lit(0.5)))
     else:
         raise ValueError(
             f"unknown rounding rule {rule!r}; expected one of {sorted(RULES)}"
@@ -64,6 +76,7 @@ def round_col(col: Column, rule: str = "half_even", decimals: int = 0) -> Column
 RULES = {
     "floor", "ceiling", "down", "up",
     "half_floor", "half_ceiling", "half_down", "half_up", "half_even",
+    "half_odd",
 }
 
 
@@ -105,9 +118,25 @@ def round_div(num: Column, den: Column, rule: str = "floor") -> Column:
     if rule == "up":  # away from zero
         neg = (num < 0) != (den < 0)
         return q + F.when(~neg & (r != 0), F.lit(1)).otherwise(F.lit(0))
-    if rule in ("half_up", "half_down", "half_even", "half_floor", "half_ceiling"):
+    if rule in (
+        "half_up", "half_down", "half_even", "half_floor", "half_ceiling",
+        "half_odd",
+    ):
         twice_r = 2 * r
         da = F.abs(den)
+        if rule == "half_odd":
+            # reference math.h:748-768: at a tie, behave as half_down if
+            # the TOWARD-ZERO quotient is odd, half_up if even — which
+            # lands the result on the nearest odd integer
+            neg = (num < 0) != (den < 0)
+            qt = q + F.when(neg & (r != 0), F.lit(1)).otherwise(F.lit(0))
+            odd_q = F.pmod(qt, 2) == 1
+            over = F.abs(twice_r) > da
+            tie = F.abs(twice_r) == da
+            tie_bump = F.when(odd_q, neg).otherwise(~neg)
+            return q + F.when(over | (tie & tie_bump), F.lit(1)).otherwise(
+                F.lit(0)
+            )
         if rule == "half_floor":
             bump = F.abs(twice_r) > da
         elif rule == "half_ceiling":

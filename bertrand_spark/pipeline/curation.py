@@ -314,6 +314,28 @@ def redact_pii(
 
 
 # --- sequence packing ------------------------------------------------------
+def shard_expr(df: DataFrame, id_col: str, num_shards: int) -> Column:
+    """Deterministic shard assignment that is safe for ANY id type.
+
+    Integral ids shard by ``pmod(id, n)`` (the SQL-replayable fast path);
+    everything else hashes through an md5-derived bucket — bare
+    ``pmod(string_id, n)`` would cast-to-null and silently collapse every
+    row into a NULL shard.  The md5 form is engine-independent and spells
+    ``('0x' || substr(md5(id), 1, 8))::BIGINT % n`` in SQL.
+    """
+    from pyspark.sql import types as st
+
+    dt = df.schema[id_col].dataType
+    if isinstance(
+        dt, (st.ByteType, st.ShortType, st.IntegerType, st.LongType)
+    ):
+        return F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(bucket, F.lit(num_shards)).cast("int")
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
@@ -341,7 +363,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+    shard = shard_expr(df, id_col, num_shards)
     w = (
         Window.partitionBy("shard")
         .orderBy(F.col(id_col).asc())
@@ -377,10 +399,17 @@ def sample_deterministic(
     forever.  ``stratum`` keys the hash per stratum so each group is
     sampled at the same rate independently (deterministic stratified
     sampling).  Plan: one narrow filter, no shuffle, no RNG state.
+
+    NULL strata hash as the empty string (``coalesce(stratum, '')``),
+    so a NULL-stratum row is still deterministically sampled — and the
+    SQL replay must spell the same coalesce, because bare ``||``
+    NULL-propagates and would silently drop the row instead.
     """
     key = F.col(id_col).cast("string")
     if stratum is not None:
-        key = F.concat_ws("|", stratum, key)
+        key = F.concat(
+            F.coalesce(stratum.cast("string"), F.lit("")), F.lit("|"), key
+        )
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
     return df.filter(bucket < int(round(fraction * buckets)))
 

@@ -722,14 +722,20 @@ def word_gram_hashes_vectorized(n: int = 3):
     Token/gram semantics mirror ``text.tokenize``/``word_ngrams``
     exactly: lowercase, trim, split on whitespace, drop empties; texts
     with fewer than n tokens contribute their whole token string as the
-    single gram.
+    single gram.  "Whitespace" is pinned to the ASCII class
+    ``[ \\t\\n\\x0b\\f\\r]`` — Java's ``\\s`` (the expression path) and
+    RE2's ``\\s`` (the DuckDB oracles) are ASCII-only, while Python's
+    ``\\s``/``str.strip()`` also match NBSP, U+0085, etc.; without the
+    pin, Unicode-whitespace text silently diverges from both the oracle
+    and ``decontaminate``'s own short-text containment path.
     """
     import hashlib
     import re
 
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    ascii_ws = " \t\n\x0b\f\r"
 
     @pandas_udf("array<bigint>")
     def kernel(texts: pd.Series) -> pd.Series:
@@ -738,7 +744,7 @@ def word_gram_hashes_vectorized(n: int = 3):
             if t is None:
                 out.append(None)
                 continue
-            toks = [w for w in ws.split(t.strip().lower()) if w]
+            toks = [w for w in ws.split(t.strip(ascii_ws).lower()) if w]
             if not toks:
                 out.append([])
                 continue
@@ -875,9 +881,12 @@ def cosine_near_dup_pairs(
     # the bucket self-join replicates every embedding once per colliding
     # pair per table (at 2k vectors × 12 tables that is ~GBs of array
     # copies and GC thrash; at corpus scale it is fatal).  The (tbl, s)
-    # join shuffles 16-byte rows, the dedup'd pair list is then verified
-    # against two broadcast copies of the (id → vector) table — the same
-    # verify-small-candidates profile as the MinHash path.
+    # join shuffles 16-byte rows; verification then broadcasts only the
+    # vectors OF CANDIDATE IDS (semi-join first — candidates are small
+    # by construction, the full embedding table is not), the same
+    # verify-small profile as the MinHash path.  ``cand`` feeds the
+    # semi-join and the verify join, so it is persisted once instead of
+    # re-running the LSH self-join per consumer.
     a = tagged.select(F.col(id_col).alias("id_a"), "tbl", "s")
     b = tagged.select(F.col(id_col).alias("id_b"), "tbl", "s")
     cand = (
@@ -886,13 +895,20 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
+        .persist()
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
+    hit_a = cand.select(F.col("id_a").alias(id_col))
+    hit_b = cand.select(F.col("id_b").alias(id_col))
     va = F.broadcast(
-        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vecs.join(hit_a, id_col, "left_semi").select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
     )
     vb = F.broadcast(
-        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        vecs.join(hit_b, id_col, "left_semi").select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
     )
     return (
         cand.join(va, "id_a")

@@ -160,11 +160,12 @@ def cosine_all_pairs_blocked(
     prunes candidates by orders of magnitude.
     """
     import numpy as np
+    from typing import Tuple
 
     out_schema = f"id_a long, id_b long, cosine double"
     thr = float(threshold)
 
-    def tile(key, pdf: pd.DataFrame):
+    def tile(key: Tuple[int, int], pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
         a = pdf[pdf["__side"] == 0]
         b = pdf[pdf["__side"] == 1] if bi != bj else a
@@ -194,9 +195,11 @@ def cosine_all_pairs_blocked(
             id_a, id_b = lo, hi
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cs})
 
+    from .curation import shard_expr
+
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__b", F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int"))
+    ).withColumn("__b", shard_expr(df, id_col, num_blocks))
     # block-pair fan-out: a vector in block k meets every block m exactly
     # once, in tile (min(k,m), max(k,m)); it is the tile's LEFT side when
     # k ≤ m and the RIGHT side otherwise — nb structs per row, no branches

@@ -31,7 +31,7 @@ __all__ = ["detect", "typecheck", "type_tag_column", "detect_elementwise"]
 # classification regexes for string-payload inference (reference
 # `_detect_elementwise` meta.py:1946; our version is one distributed pass)
 _INT_RE = r"^\s*[+-]?\d+\s*$"
-_FLOAT_RE = r"^\s*[+-]?(\d+\.\d*|\.\d+|\d+([eE][+-]?\d+))([eE][+-]?\d+)?\s*$"
+_FLOAT_RE = r"^\s*[+-]?((\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)\s*$"
 _BOOL_RE = r"(?i)^\s*(true|false|t|f|yes|no|y|n|on|off)\s*$"
 _ISO_DT_RE = (
     r"^\s*\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?([+-]\d{2}:?\d{2}|Z)?)?\s*$"

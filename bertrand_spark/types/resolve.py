@@ -92,7 +92,12 @@ def _resolve_ident(name: str, params_src: str | None) -> AnyType:
     t = registry.aliases.get(low)
     if t is None:
         # backend suffix form "int64[pandas]" → backend collapses on Spark
-        raise ValueError(f"unrecognized type specifier: {name!r}")
+        from ..errors import shorten_list
+
+        raise ValueError(
+            f"unrecognized type specifier: {name!r}; known aliases include "
+            f"{shorten_list(sorted(registry.aliases))}"
+        )
     if params:
         # backend selectors resolve to the same Spark-backed type
         if len(params) == 1 and params[0].lower() in (

@@ -1,0 +1,243 @@
+"""Round-3 additions: half_odd rounding (M5 completion), shorten_list (E3),
+stream-stream join / foreachBatch sink batch parity, shard-expr id-type
+guard, NULL-stratum sampling semantics, _FLOAT_RE tightening, ASCII
+whitespace pinning in the word-gram kernel."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertrand_spark.errors import shorten_list
+from bertrand_spark.functions.rounding import RULES, round_col, round_div
+
+
+def one(df):
+    return df.collect()[0]
+
+
+# --- half_odd (M5; reference math.h:710-768,1244) ---------------------------
+class TestHalfOdd:
+    def test_in_rules(self):
+        assert "half_odd" in RULES
+
+    def test_ties_to_nearest_odd(self, spark):
+        vals = [-2.5, -1.5, -0.5, 0.5, 1.5, 2.5, 3.5, 4.5]
+        expect = [-3.0, -1.0, -1.0, 1.0, 1.0, 3.0, 3.0, 5.0]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        rows = df.select(
+            "x", round_col(F.col("x"), "half_odd").alias("r")
+        ).collect()
+        got = {r["x"]: r["r"] for r in rows}
+        for v, e in zip(vals, expect):
+            assert got[v] == e, (v, got[v], e)
+            assert int(got[v]) % 2 != 0  # every tie lands on an odd integer
+
+    def test_non_ties_round_nearest(self, spark):
+        vals = [0.25, -0.25, 1.75, -1.75, 2.0, -3.0]
+        expect = [0.0, -0.0, 2.0, -2.0, 2.0, -3.0]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        rows = df.select(
+            "x", round_col(F.col("x"), "half_odd").alias("r")
+        ).collect()
+        got = {r["x"]: r["r"] for r in rows}
+        for v, e in zip(vals, expect):
+            assert got[v] == e, (v, got[v], e)
+
+    def test_round_div_half_odd(self, spark):
+        cases = [(5, 2, 3), (3, 2, 1), (-5, 2, -3), (-3, 2, -1),
+                 (1, 2, 1), (-1, 2, -1), (7, 2, 3), (4, 2, 2),
+                 (5, -2, -3), (-5, -2, 3)]
+        df = spark.createDataFrame(
+            [(n, d) for n, d, _ in cases], ["n", "d"]
+        )
+        rows = df.select(
+            "n", "d",
+            round_div(F.col("n"), F.col("d"), "half_odd").cast("long").alias("q"),
+        ).collect()
+        got = {(r["n"], r["d"]): r["q"] for r in rows}
+        for n, d, e in cases:
+            assert got[(n, d)] == e, (n, d, got[(n, d)], e)
+
+    def test_matches_column_rule_on_exact_halves(self, spark):
+        # round_div(n, 2) must agree with round_col(n/2) for every rule
+        df = spark.createDataFrame([(n,) for n in range(-9, 10)], ["n"])
+        for rule in sorted(RULES):
+            rows = df.select(
+                "n",
+                round_div(F.col("n"), F.lit(2), rule).cast("double").alias("dv"),
+                round_col(F.col("n") / F.lit(2.0), rule).alias("cl"),
+            ).collect()
+            for r in rows:
+                assert r["dv"] == r["cl"], (rule, r["n"], r["dv"], r["cl"])
+
+
+# --- shorten_list (E3; reference util/error.py) -----------------------------
+class TestShortenList:
+    def test_short_passthrough(self):
+        assert shorten_list([1, 2, 3]) == "[1, 2, 3]"
+
+    def test_abridged(self):
+        out = shorten_list(list(range(20)))
+        assert out == "[0, 1, 2, 3, 4, ...] (20)"
+
+    def test_used_in_resolve_error(self):
+        from bertrand_spark.types.resolve import resolve
+
+        with pytest.raises(ValueError, match=r"known aliases include"):
+            resolve("no_such_type_xyz")
+
+
+# --- stream-stream join: batch parity ---------------------------------------
+class TestStreamStreamJoinBatch:
+    def test_batch_inputs_same_logical_join(self, spark):
+        from bertrand_spark.streaming.rollup import stream_stream_join
+
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, base, "a"), (2, base, "b")],
+            ["key", "lts", "ltag"],
+        )
+        right = spark.createDataFrame(
+            [
+                (1, base + dt.timedelta(minutes=30), "r1"),   # in window
+                (1, base + dt.timedelta(minutes=90), "r2"),   # outside
+                (2, base - dt.timedelta(minutes=1), "r3"),    # before left
+            ],
+            ["key", "rts", "rtag"],
+        )
+        out = stream_stream_join(
+            left, right, key="key", left_ts="lts", right_ts="rts",
+            within="1 hour",
+        ).select("ltag", "rtag").collect()
+        assert [(r["ltag"], r["rtag"]) for r in out] == [("a", "r1")]
+
+
+# --- foreachBatch sink: idempotent replay ------------------------------------
+class TestForeachBatchSink:
+    def test_replayed_epoch_overwrites(self, spark, tmp_path):
+        from bertrand_spark.streaming.rollup import foreach_batch_parquet_sink
+
+        sink = foreach_batch_parquet_sink(str(tmp_path))
+        df = spark.range(10).withColumnRenamed("id", "v")
+        sink(df, 0)
+        sink(df, 0)  # replay of the same epoch must not duplicate
+        sink(df.filter(F.col("v") < 5), 1)
+        landed = spark.read.parquet(f"{tmp_path}/ingest_batch=*")
+        assert landed.count() == 15
+
+
+# --- shard_expr id-type guard ------------------------------------------------
+class TestShardExpr:
+    def test_integral_ids_mod(self, spark):
+        from bertrand_spark.pipeline.curation import shard_expr
+
+        df = spark.range(100).withColumnRenamed("id", "k")
+        got = df.select(shard_expr(df, "k", 8).alias("s")).distinct().collect()
+        assert sorted(r["s"] for r in got) == list(range(8))
+
+    def test_string_ids_never_null(self, spark):
+        from bertrand_spark.pipeline.curation import shard_expr
+
+        df = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(50)], ["k"]
+        )
+        out = df.select(shard_expr(df, "k", 8).alias("s"))
+        assert out.filter(F.col("s").isNull()).count() == 0
+        assert out.select(F.min("s"), F.max("s")).collect()[0][1] <= 7
+
+    def test_pack_sequences_string_ids(self, spark):
+        from bertrand_spark.pipeline.curation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(f"d{i}", 100) for i in range(20)], ["doc", "n_tok"]
+        )
+        packed = pack_sequences(df, "n_tok", "doc", budget=250, num_shards=4)
+        assert packed.filter(F.col("shard").isNull()).count() == 0
+
+
+# --- NULL-stratum deterministic sampling -------------------------------------
+class TestNullStratumSampling:
+    def test_null_stratum_rows_participate(self, spark):
+        import duckdb
+
+        from bertrand_spark.pipeline.curation import sample_deterministic
+
+        rows = [(i, None if i % 3 == 0 else f"s{i % 2}") for i in range(300)]
+        df = spark.createDataFrame(rows, ["id", "src"])
+        kept = sample_deterministic(
+            df, "id", 0.5, buckets=100, stratum=F.col("src")
+        )
+        got = sorted(r["id"] for r in kept.collect())
+        # engine-independent replay with the SAME coalesce('') semantics
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = sorted(
+            r[0]
+            for r in con.sql(
+                "SELECT id FROM t WHERE ('0x' || substr(md5("
+                "coalesce(src,'') || '|' || CAST(id AS VARCHAR)), 1, 8))"
+                "::BIGINT % 100 < 50"
+            ).fetchall()
+        )
+        assert got == want
+        # NULL-stratum ids must be eligible for keeping, not auto-dropped
+        assert any(i % 3 == 0 for i in got)
+
+
+# --- _FLOAT_RE: no stacked exponents ----------------------------------------
+class TestFloatRegexTightened:
+    def test_double_exponent_is_str(self, spark):
+        from bertrand_spark.types.detect import type_tag_column
+
+        df = spark.createDataFrame(
+            [("1e5e5",), ("1e5",), ("1.5e-3",), (".5",), ("2.",), ("7",)],
+            ["s"],
+        )
+        rows = df.select("s", type_tag_column(F.col("s")).alias("t")).collect()
+        got = {r["s"]: r["t"] for r in rows}
+        assert got["1e5e5"] == "str"
+        assert got["1e5"] == "float"
+        assert got["1.5e-3"] == "float"
+        assert got[".5"] == "float"
+        assert got["2."] == "float"
+        assert got["7"] == "int"
+
+
+# --- ASCII whitespace pin in word-gram kernel --------------------------------
+class TestAsciiWhitespacePin:
+    def test_nbsp_not_a_separator(self, spark):
+        from bertrand_spark.pipeline.dedup import word_gram_hashes_vectorized
+
+        kernel = word_gram_hashes_vectorized(n=2)
+        # NBSP joins "b c" into ONE token under ASCII-\s semantics
+        df = spark.createDataFrame(
+            [("a b c d",), ("a b c d",)], ["text"]
+        )
+        rows = df.select(
+            "text", F.size(kernel(F.col("text"))).alias("n")
+        ).collect()
+        got = {r["text"]: r["n"] for r in rows}
+        # "a", "b c", "d" → 2 bigrams; "a b c d" → 3 bigrams
+        assert got["a b c d"] == 2
+        assert got["a b c d"] == 3
+
+    def test_matches_java_regex_tokenization(self, spark):
+        from bertrand_spark.pipeline.dedup import word_gram_hashes_vectorized
+
+        kernel = word_gram_hashes_vectorized(n=2)
+        texts = [("x y z w v",), ("plain ascii words here",)]
+        df = spark.createDataFrame(texts, ["text"])
+        # Java \s is ASCII-only: split there too and compare gram COUNTS
+        java_side = df.select(
+            "text",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("n_tok"),
+            F.size(kernel(F.col("text"))).alias("n_grams"),
+        ).collect()
+        for r in java_side:
+            assert r["n_grams"] == max(1, r["n_tok"] - 1), r
