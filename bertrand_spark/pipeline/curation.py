@@ -313,6 +313,30 @@ def redact_pii(
     return out
 
 
+def materialize_stage(
+    df: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Cut lineage at a pipeline-stage boundary.
+
+    A multi-stage curation pipeline (filter → dedup → near-dup →
+    decontaminate → pack) re-executes every upstream stage once per
+    downstream consumer unless the boundary is materialized — on the
+    end-to-end composition that is a ~69-exchange plan re-running the
+    quality-filter+fingerprint scan several times.  With
+    ``checkpoint_dir`` set, the frame is reliably checkpointed there
+    (survives executor loss — the 100 TB setting, where recomputing a
+    multi-TB lineage on a lost executor is worse than the write);
+    without it, ``localCheckpoint`` stores partition blocks on executors
+    (cheap, but lost blocks force a full recompute — fine in local mode
+    or on stable clusters).  Both truncate the plan, so downstream
+    stages start from a materialized scan instead of the whole lineage.
+    """
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 # --- sequence packing ------------------------------------------------------
 def shard_expr(df: DataFrame, id_col: str, num_shards: int) -> Column:
     """Deterministic shard assignment that is safe for ANY id type.

@@ -917,3 +917,89 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- auto-regime selection --------------------------------------------------
+def near_dup_plan(metric: str, threshold: float) -> tuple[str, dict]:
+    """Pick the near-duplicate algorithm + parameters for an operating
+    point — the measured regime rules, as a dispatchable function instead
+    of documentation prose.
+
+    jaccard (text):
+      * t ≥ 0.45 → MinHash LSH banding; rows-per-band chosen so the
+        S-curve midpoint (1/b)^(1/r) sits near the threshold: longer
+        bands at high t collapse the background collision rate (j^r),
+        shorter bands at moderate t protect recall.  k stays ~768 — extra
+        permutations are nearly free inside the fused Arrow kernel.
+      * t < 0.45 → exact inverted-index n-gram join
+        (``ngram_jaccard_pairs``): below the S-curve's useful range LSH
+        admits most pairs anyway, so candidate generation costs more
+        than scoring; the posting join with a ``max_df`` stop-gram cap
+        is the scalable exact plan.
+    cosine (embeddings):
+      * t ≥ 0.9 → hyperplane LSH (``cosine_near_dup_pairs``): per-band
+        agreement for unrelated pairs is 0.5^planes vs (1−θ/π)^planes
+        at the threshold — a real gap only at high thresholds.
+      * t < 0.9 → blocked-GEMM exact scoring
+        (``similarity.cosine_all_pairs_blocked``): at moderate
+        thresholds a guaranteed-recall LSH admits ~everything (measured:
+        ~96% of all pairs at t=0.45) and loses to BLAS tiles.
+    hamming (text → 64-bit SimHash):
+      * ``threshold`` is the max Hamming distance; pigeonhole blocking
+        needs ``num_blocks > max_hamming`` for exact recall.
+    """
+    m = metric.lower()
+    if m == "jaccard":
+        if threshold >= 0.85:
+            return "minhash", dict(k=768, num_bands=96, shingle_n=5)   # r=8
+        if threshold >= 0.7:
+            return "minhash", dict(k=768, num_bands=128, shingle_n=5)  # r=6
+        if threshold >= 0.45:
+            return "minhash", dict(k=770, num_bands=154, shingle_n=5)  # r=5
+        return "ngram_jaccard", dict(n=3)
+    if m == "cosine":
+        if threshold >= 0.9:
+            return "hyperplane_lsh", dict(num_planes=12, num_tables=4)
+        return "blocked_gemm", dict(num_blocks=8)
+    if m == "hamming":
+        max_h = int(threshold)
+        return "simhash", dict(max_hamming=max_h, num_blocks=max_h + 1)
+    raise ValueError(
+        f"unknown near-dup metric {metric!r}; expected jaccard|cosine|hamming"
+    )
+
+
+def near_dup(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    metric: str = "jaccard",
+    threshold: float = 0.8,
+    **overrides,
+) -> DataFrame:
+    """Near-duplicate pairs with the algorithm chosen by
+    :func:`near_dup_plan` for (metric, threshold); ``overrides`` replace
+    individual tuned parameters.  Returns ``(id_a, id_b, score)`` where
+    score is ``jaccard``, ``cosine``, or ``hamming`` per the metric.
+    """
+    algo, params = near_dup_plan(metric, threshold)
+    params.update(overrides)
+    if algo == "minhash":
+        return near_dup_pairs_minhash(
+            df, id_col, value_col, threshold=threshold, **params
+        )
+    if algo == "ngram_jaccard":
+        return ngram_jaccard_pairs(
+            df, id_col, value_col, threshold=threshold, **params
+        )
+    if algo == "hyperplane_lsh":
+        return cosine_near_dup_pairs(
+            df, id_col, value_col, threshold=threshold, **params
+        )
+    if algo == "blocked_gemm":
+        from .similarity import cosine_all_pairs_blocked
+
+        return cosine_all_pairs_blocked(
+            df, id_col, value_col, threshold=threshold, **params
+        )
+    return near_dup_pairs_simhash(df, id_col, value_col, **params)

@@ -1525,7 +1525,7 @@ _X18_SURVIVOR_SQL = r"""
     FROM packed
     """,
 )
-def x18(spark, sf_dir):
+def x18(spark, sf_dir, checkpoint_dir=None):
     """Full training-data pipeline, composed from the engine's operators
     and oracle-checked end-to-end: quality filter (length + punctuation)
     → exact dedup (fingerprint groupBy, min-id survivor) → near-dup
@@ -1534,7 +1534,15 @@ def x18(spark, sf_dir):
     containment vs the doc_id%97 pseudo-eval set) → sequence packing
     (concat-and-chunk, 2048-token bins over 16 shards) → corpus report
     (docs, tokens, training bins).  Every stage is the same code path a
-    100 TB run would use."""
+    100 TB run would use.
+
+    The post-exact-dedup frame is materialized (``materialize_stage``)
+    before fanning out to the MinHash pair-finder and the survivor
+    anti-join: without the cut, both consumers re-execute the
+    quality-filter + fingerprint scan and the composed plan carries ~69
+    exchanges; with it, downstream stages start from the materialized
+    stage.  ``checkpoint_dir`` (kwarg) switches the cut from
+    executor-local blocks to a reliable checkpoint for cluster runs."""
     d = _t(spark, sf_dir, "documents")
     feats = T.quality_features(F.col("text"))
     filtered = d.select(
@@ -1546,13 +1554,21 @@ def x18(spark, sf_dir):
     fp = T.fingerprint(F.col("text"))
     with_fp = filtered.withColumn("__fp", fp)
     keepers = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = with_fp.join(keepers, ["__fp", "doc_id"], "inner").drop("__fp")
+    exact = CU.materialize_stage(
+        with_fp.join(keepers, ["__fp", "doc_id"], "inner").drop("__fp"),
+        checkpoint_dir=checkpoint_dir,
+    )
 
     pairs = D.near_dup_pairs_minhash(
         exact, "doc_id", "text", threshold=0.6, k=770, num_bands=154, shingle_n=5
     )
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = exact.join(dropped, "doc_id", "left_anti")
+    # decontaminate consumes its corpus three times (gram explode,
+    # short-text containment, final anti-join) — cut lineage here too
+    kept = CU.materialize_stage(
+        exact.join(dropped, "doc_id", "left_anti"),
+        checkpoint_dir=checkpoint_dir,
+    )
 
     bench = d.select("doc_id", "text").filter(F.col("doc_id") % 97 == 0)
     clean = CU.decontaminate(

@@ -241,3 +241,60 @@ class TestAsciiWhitespacePin:
         ).collect()
         for r in java_side:
             assert r["n_grams"] == max(1, r["n_tok"] - 1), r
+
+
+# --- near-dup auto-regime selector ------------------------------------------
+class TestNearDupSelector:
+    def test_plan_picks_documented_regimes(self):
+        from bertrand_spark.pipeline.dedup import near_dup_plan
+
+        assert near_dup_plan("jaccard", 0.9)[0] == "minhash"
+        assert near_dup_plan("jaccard", 0.9)[1]["num_bands"] == 96   # r=8
+        assert near_dup_plan("jaccard", 0.6)[1]["num_bands"] == 154  # r=5
+        assert near_dup_plan("jaccard", 0.3)[0] == "ngram_jaccard"
+        assert near_dup_plan("cosine", 0.95)[0] == "hyperplane_lsh"
+        assert near_dup_plan("cosine", 0.45)[0] == "blocked_gemm"
+        algo, p = near_dup_plan("hamming", 3)
+        assert algo == "simhash" and p["num_blocks"] > p["max_hamming"]
+        with pytest.raises(ValueError, match="unknown near-dup metric"):
+            near_dup_plan("euclid", 0.5)
+
+    def test_selector_matches_primitive_cosine(self, spark, sf_dir):
+        from bertrand_spark.pipeline.dedup import near_dup
+        from bertrand_spark.pipeline.similarity import (
+            cosine_all_pairs_blocked,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        via_selector = sorted(
+            (r["id_a"], r["id_b"])
+            for r in near_dup(
+                e, "vec_id", "embedding", metric="cosine", threshold=0.45
+            ).collect()
+        )
+        direct = sorted(
+            (r["id_a"], r["id_b"])
+            for r in cosine_all_pairs_blocked(
+                e, "vec_id", "embedding", threshold=0.45
+            ).collect()
+        )
+        assert via_selector == direct
+
+    def test_selector_matches_primitive_jaccard(self, spark, sf_dir):
+        from bertrand_spark.pipeline.dedup import near_dup, near_dup_pairs_minhash
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        via_selector = sorted(
+            (r["id_a"], r["id_b"])
+            for r in near_dup(
+                d, "doc_id", "text", metric="jaccard", threshold=0.6
+            ).collect()
+        )
+        direct = sorted(
+            (r["id_a"], r["id_b"])
+            for r in near_dup_pairs_minhash(
+                d, "doc_id", "text", threshold=0.6,
+                k=770, num_bands=154, shingle_n=5,
+            ).collect()
+        )
+        assert via_selector == direct
