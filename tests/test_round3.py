@@ -298,3 +298,71 @@ class TestNearDupSelector:
             ).collect()
         )
         assert via_selector == direct
+
+
+# --- multimodal: optional real-codec path + vectorized resize ---------------
+class TestMultimodalCodecs:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, b"\x89PNG\r\n fakebytes"), (2, b"\xff\xd8\xff jpegish")],
+            ["media_id", "payload"],
+        )
+
+    def test_auto_falls_back_to_fake_without_pil(self, spark):
+        """No PIL in this container: 'auto' must equal 'fake' bit-for-bit."""
+        from bertrand_spark.pipeline import multimodal as M
+
+        if M._pil_image_module() is not None:
+            pytest.skip("PIL present; fallback path not reachable")
+        df = self._df(spark)
+        auto = {r["media_id"]: r["pixels"] for r in M.decode_images(df, decode="auto").collect()}
+        fake = {r["media_id"]: r["pixels"] for r in M.decode_images(df, decode="fake").collect()}
+        assert auto == fake
+
+    def test_real_raises_without_pil(self, spark):
+        from bertrand_spark.pipeline import multimodal as M
+
+        if M._pil_image_module() is not None:
+            pytest.skip("PIL present")
+        df = self._df(spark)
+        with pytest.raises(Exception):
+            M.decode_images(df, decode="real").collect()
+
+    def test_real_decode_with_pil(self, spark):
+        """Runs only when PIL exists: real PNG → native-size RGB pixels."""
+        from bertrand_spark.pipeline import multimodal as M
+
+        Image = M._pil_image_module()
+        if Image is None:
+            pytest.skip("PIL not installed in this container")
+        import io
+
+        img = Image.new("RGB", (5, 3), (10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        df = spark.createDataFrame([(1, buf.getvalue())], ["media_id", "payload"])
+        r = M.decode_images(df, decode="real").collect()[0]
+        assert (r["width"], r["height"], r["channels"]) == (5, 3, 3)
+        assert r["pixels"] == bytes([10, 20, 30]) * 15
+
+    def test_resize_vectorized_exact(self, spark):
+        """Nearest-neighbor resize matches the index formula exactly."""
+        from bertrand_spark.pipeline import multimodal as M
+
+        w, h, c = 4, 2, 3
+        src = bytes(range(w * h * c))
+        df = spark.createDataFrame(
+            [(7, w, h, c, src)],
+            "media_id long, width int, height int, channels int, pixels binary",
+        )
+        out_w, out_h = 2, 4
+        r = M.resize_images(df, out_w, out_h).collect()[0]
+        expect = bytearray()
+        for y in range(out_h):
+            sy = min(h - 1, y * h // out_h)
+            for x in range(out_w):
+                sx = min(w - 1, x * w // out_w)
+                base = (sy * w + sx) * c
+                expect += src[base:base + c]
+        assert r["pixels"] == bytes(expect)
+        assert (r["width"], r["height"], r["channels"]) == (out_w, out_h, c)

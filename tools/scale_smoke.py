@@ -88,6 +88,31 @@ def main() -> None:
         dt = time.time() - t0
         print(f"{name:32s} {dt:7.2f}s   {out}")
 
+    # 0. elementwise detect throughput — the BASELINE.md anchor (reference
+    # object-scan: 4.5 M elem/s/core).  At sf0.1 the wall time is Spark
+    # fixed cost; at mult>=10 (sf>=1-equivalent rows) per-row cost
+    # dominates and rows/s/core becomes comparable to the anchor.
+    from bertrand_spark.types.detect import type_tag_column
+
+    def det():
+        t0 = time.time()
+        s = F.when(
+            F.abs(F.col("l_orderkey") * 7 + F.col("__rid")) % 4 == 0,
+            F.col("l_linenumber").cast("string"),
+        ).otherwise(F.col("l_returnflag"))
+        out = (
+            li.select(type_tag_column(s).alias("tag"))
+            .groupBy("tag").count().collect()
+        )
+        dt = time.time() - t0
+        rate = n_li / dt
+        return (
+            f"tags={len(out)} {rate/1e6:,.2f}M rows/s "
+            f"({rate/32/1e6:,.3f}M rows/s/core)"
+        )
+
+    timed(f"elementwise detect {n_li:,} rows", det)
+
     # 1. cast matrix: narrow projection, should scale with scan only
     timed(
         "cast 4 cols + raise-validate",
