@@ -2288,3 +2288,82 @@ def x29(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("total"))
         .orderBy("user_id")
     )
+
+
+# --- x30/x31: near-dup clustering (pairs → components → canonical keep) -----
+# The oracle computes the SAME pair set as x02 (exact O(n²) shingle
+# Jaccard), then transitively closes it with a recursive CTE: reach(id, r)
+# holds every (node, seed-reachable-from) pair, so min(r) per node is the
+# component minimum — exactly what large-star/small-star converges to.
+_CLUSTER_ORACLE = _SHINGLE_SQL.replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a, g b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+    labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@query(
+    "x30_dedup_clusters",
+    _CLUSTER_ORACLE
+    + """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM labels ORDER BY doc_id
+    """,
+)
+def x30(spark, sf_dir):
+    """Near-dup pairs → connected components → per-doc cluster label.
+
+    MinHash pair generation is x02's exact-verified configuration; the
+    transitive-closure step is the large-star/small-star alternation
+    (pipeline/graph.py — Kiveris et al. SOCC'14), so every stage is the
+    shuffle-on-key shape that survives 100 TB.  Singleton docs label
+    themselves.
+    """
+    from ..pipeline.graph import cluster_labels
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_minhash(
+        d, "doc_id", "text", threshold=0.6, k=770, num_bands=154, shingle_n=5
+    )
+    return cluster_labels(d, pairs, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "x31_dedup_canonical",
+    _CLUSTER_ORACLE
+    + """
+    SELECT CAST(d2.doc_id AS BIGINT) AS doc_id, d2.source,
+           CAST(d2.n_chars AS BIGINT) AS n_chars
+    FROM documents d2 JOIN labels l
+      ON l.doc_id = d2.doc_id AND l.cluster_id = d2.doc_id
+    ORDER BY d2.doc_id
+    """,
+)
+def x31(spark, sf_dir):
+    """Keep one canonical doc (minimum id) per near-dup cluster.
+
+    The corpus-side materialization of x30: a left-anti join against the
+    (small) non-canonical member list — the corpus never shuffles on
+    anything but its own id column.
+    """
+    from ..pipeline.graph import dedup_keep_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_minhash(
+        d, "doc_id", "text", threshold=0.6, k=770, num_bands=154, shingle_n=5
+    )
+    return dedup_keep_canonical(d, pairs, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    ).orderBy("doc_id")

@@ -366,3 +366,80 @@ class TestMultimodalCodecs:
                 expect += src[base:base + c]
         assert r["pixels"] == bytes(expect)
         assert (r["width"], r["height"], r["channels"]) == (out_w, out_h, c)
+
+
+# --- connected components (pipeline/graph.py) -------------------------------
+class TestConnectedComponents:
+    def _uf(self, edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        comp = {}
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(comp[find(n)]) for n in nodes}
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        from bertrand_spark.pipeline.graph import connected_components
+
+        rng = random.Random(7)
+        for n, m in [(10, 6), (60, 45), (300, 260)]:
+            edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+            real = [(a, b) for a, b in edges if a != b]
+            nodes = {x for e in real for x in e}
+            expect = self._uf(real, nodes)
+            df = spark.createDataFrame(edges, ["id_a", "id_b"])
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(df).collect()
+            }
+            assert got == expect
+
+    def test_chain_converges_logarithmically(self, spark):
+        """A 120-link chain — the worst case for naive label propagation —
+        must still produce one component (large-star/small-star collapses
+        path length geometrically)."""
+        from bertrand_spark.pipeline.graph import connected_components
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], ["id_a", "id_b"]
+        )
+        got = connected_components(df).collect()
+        assert len(got) == 121 and all(r["component"] == 0 for r in got)
+
+    def test_labels_and_canonical(self, spark):
+        from bertrand_spark.pipeline.graph import (
+            cluster_labels,
+            dedup_keep_canonical,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+        )
+        lab = {
+            r["doc_id"]: r["cluster_id"]
+            for r in cluster_labels(docs, pairs).collect()
+        }
+        assert lab == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+        kept = sorted(
+            r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect()
+        )
+        assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+    def test_empty_and_self_loops(self, spark):
+        from bertrand_spark.pipeline.graph import connected_components
+
+        df = spark.createDataFrame([(5, 5), (6, 6)], ["id_a", "id_b"])
+        assert connected_components(df).count() == 0
