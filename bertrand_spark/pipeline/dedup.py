@@ -35,6 +35,7 @@ __all__ = [
     "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
     "ngram_jaccard_pairs", "word_gram_hashes_vectorized", "cosine_near_dup_pairs",
+    "fuzzy_join_minhash",
 ]
 
 # deterministic (a, b) coefficients for the k minhash permutations
@@ -550,6 +551,95 @@ def near_dup_pairs_minhash(
         .withColumn("jaccard", F.when(uni > 0, inter / uni).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def fuzzy_join_minhash(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    left_text: str = "text",
+    right_text: str = "text",
+    threshold: float = 0.7,
+    k: int = 770,
+    num_bands: int = 154,
+    shingle_n: int = 5,
+    persist: bool = True,
+    miss_tolerance: float = 1e-4,
+) -> DataFrame:
+    """Fuzzy JOIN between two corpora: pairs (left, right) with exact
+    shingle-set Jaccard ≥ ``threshold``, candidates from shared LSH
+    bands.
+
+    The two-table sibling of :func:`near_dup_pairs_minhash` (decontam-
+    style matching where BOTH sides are too big to broadcast as text):
+    each side gets the same fused signature+shingle-set kernel, the band
+    tables equi-join on (band, bucket) — 24-byte tuples, shuffled on the
+    bucket key — and the binomial band-consensus floor plus exact
+    verification make the result identical to the O(|L|·|R|) oracle.
+    Returns ``(id_l, id_r, jaccard)``.
+
+    At 100 TB: same profile as the self-join path — only (id, band,
+    bucket) shuffles for candidate generation; verification broadcasts
+    the candidate ids' hash sets (small by construction).  If one side is
+    a compact benchmark/probe set, pass it as ``right`` — its band table
+    gets the broadcast hint when it is provably broadcast-sized.
+    """
+    kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
+
+    def _prep(df, id_col, text_col, out_id):
+        p = _spread(df).select(
+            F.col(id_col).alias(out_id), kernel(F.col(text_col)).alias("__p")
+        ).select(
+            out_id, F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
+        )
+        n = None
+        if persist:
+            p = p.persist()
+            n = p.count()
+        return p, n
+
+    prep_l, _ = _prep(left, left_id, left_text, "id_l")
+    prep_r, n_r = _prep(right, right_id, right_text, "id_r")
+
+    bands_l = prep_l.select(
+        "id_l", F.posexplode("__bk").alias("band", "bucket")
+    )
+    bands_r = prep_r.select(
+        "id_r", F.posexplode("__bk").alias("band", "bucket")
+    )
+    if n_r is not None and n_r * num_bands * 24 < 100 << 20:
+        bands_r = F.broadcast(bands_r)
+    consensus = min_band_matches(
+        threshold, k // num_bands, num_bands, miss_tolerance
+    )
+    cand = (
+        bands_l.join(bands_r, ["band", "bucket"], "inner")
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("__m"))
+        .filter(F.col("__m") >= consensus)
+        .select("id_l", "id_r")
+        # pinned-width stage break for the CPU-heavy verify (see
+        # near_dup_pairs_minhash for why AQE must not coalesce this)
+        .repartition(
+            left.sparkSession.sparkContext.defaultParallelism, "id_l"
+        )
+    )
+    gl = F.broadcast(prep_l.select("id_l", F.col("__g").alias("__gl")))
+    gr = F.broadcast(prep_r.select("id_r", F.col("__g").alias("__gr")))
+    joined = cand.join(gl, "id_l").join(gr, "id_r")
+    sa, sb = F.size("__gl"), F.size("__gr")
+    size_ok = F.least(sa, sb).cast("double") >= F.lit(threshold) * F.greatest(
+        sa, sb
+    ).cast("double")
+    inter = F.size(F.array_intersect("__gl", "__gr")).cast("double")
+    uni = (sa + sb).cast("double") - inter
+    return (
+        joined.filter(size_ok)
+        .withColumn("jaccard", F.when(uni > 0, inter / uni).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_l", "id_r", "jaccard")
     )
 
 

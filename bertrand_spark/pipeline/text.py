@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokenize", "token_count", "bpe_ish_token_count",
     "char_ngrams", "word_ngrams",
-    "quality_features", "quality_score",
+    "quality_features", "quality_score", "gopher_quality_flags",
     "language_scores", "detect_language",
     "fingerprint", "rolling_fingerprints",
 ]
@@ -128,6 +128,57 @@ def quality_score(text: Column) -> Column:
         (f["mean_token_len"] >= 2.5) & (f["mean_token_len"] <= 12), 1.0
     ).otherwise(0.5)
     return (length_ok * punct_ok * stop_ok * mean_ok).cast("double")
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """Gopher-style document filter rules (Rae et al. 2021, §A1.1) as
+    individual boolean flags plus the conjunction — fully native
+    expressions, no UDF, no shuffle.
+
+    Rules (the published operating points):
+    * 50 ≤ word count ≤ 100,000
+    * 3 ≤ mean word length ≤ 10
+    * symbol-to-word ratio (``#`` or ``...``) ≤ 0.1
+    * ≥ 80% of words contain at least one alphabetic character
+    * ≥ 2 distinct stopwords from {the, be, to, of, and, that, have, with}
+    """
+    toks = tokenize(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    mean_len = F.when(n > 0, total_len / nd).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(n > 0, (n_hash + n_ellipsis).cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(n > 0, n_alpha.cast("double") / nd).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "wordcount_ok": (n >= 50) & (n <= 100_000),
+        "meanlen_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "symbol_ok": symbol_ratio <= 0.1,
+        "alpha_ok": alpha_frac >= 0.8,
+        "stopword_ok": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    flags["keep"] = keep
+    return flags
 
 
 # --- language identification ----------------------------------------------

@@ -2367,3 +2367,246 @@ def x31(spark, sf_dir):
     return dedup_keep_canonical(d, pairs, "doc_id").select(
         "doc_id", "source", "n_chars"
     ).orderBy("doc_id")
+
+
+# --- x32: cross-corpus fuzzy join ------------------------------------------
+@query(
+    "x32_fuzzy_join",
+    _SHINGLE_SQL
+    + """
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jaccard
+    FROM g a, g b
+    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+    """,
+)
+def x32(spark, sf_dir):
+    """Fuzzy JOIN between two corpora (even-id docs × odd-id docs) via
+    two-table MinHash LSH — candidates from shared bands, exact-Jaccard
+    verified, identical to the O(|L|·|R|) oracle.  The decontamination /
+    cross-snapshot matching shape where neither side broadcasts as text.
+    """
+    d = _t(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") % 2 == 0)
+    right = d.filter(F.col("doc_id") % 2 == 1)
+    return D.fuzzy_join_minhash(
+        left, right, threshold=0.6, k=770, num_bands=154, shingle_n=5
+    )
+
+
+# --- x33: Gopher-style quality rules ----------------------------------------
+@query(
+    "x33_gopher_rules",
+    """
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks,
+             text
+      FROM documents),
+    f AS (
+      SELECT source,
+             len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                            AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_len,
+             CASE WHEN len(toks) > 0
+                  THEN CAST((len(text) - len(replace(text, '#', '')))
+                            + (len(text) - len(replace(text, '...', ''))) / 3
+                            AS DOUBLE) / len(toks) ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                            AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_frac,
+             len(list_intersect(list_distinct(toks),
+                                ['the','be','to','of','and','that','have','with']))
+               AS stop_hits
+      FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wordcount_ok,
+           CAST(sum(CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_meanlen_ok,
+           CAST(sum(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_symbol_ok,
+           CAST(sum(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alpha_ok,
+           CAST(sum(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stopword_ok,
+           CAST(sum(CASE WHEN n >= 50 AND n <= 100000
+                          AND mean_len >= 3.0 AND mean_len <= 10.0
+                          AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                          AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def x33(spark, sf_dir):
+    """Gopher document-filter rules (Rae et al. 2021) as native
+    expressions; per-source pass counts (integer-exact for the hash
+    compare).  No UDF, no extra shuffle beyond the final groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    flags = T.gopher_quality_flags(F.col("text"))
+    agg = [
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.when(flags[k], 1).otherwise(0)).alias(f"n_{k}")
+            for k in ("wordcount_ok", "meanlen_ok", "symbol_ok", "alpha_ok",
+                      "stopword_ok", "keep")
+        ],
+    ]
+    return (
+        d.groupBy("source").agg(*agg)
+        .withColumnRenamed("n_stopword_ok", "n_stopword_ok")
+        .withColumnRenamed("n_keep", "n_keep")
+        .orderBy("source")
+    )
+
+
+# --- x34: TF-IDF top terms ---------------------------------------------------
+@query(
+    "x34_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x != ''))
+             AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE) * nd / df AS score
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+           CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def x34(spark, sf_dir):
+    """TF-IDF top-3 terms per document.
+
+    idf is the LINEAR form N/df (not log) so the score is a ratio of
+    small exact integers — bit-identical across engines, which makes the
+    (score DESC, term ASC) ranking deterministic without an epsilon band.
+    explode → two groupBys (partial aggs) → broadcast docfreq join →
+    per-doc window; the window partitions by doc_id, so no global sort.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a driver-side scalar (one bounded 1-row aggregate job)
+    # instead of a 1-row broadcast cross join — keeps the nested-loop
+    # operator out of the hot plan entirely
+    nd = d.agg(F.countDistinct("doc_id")).first()[0]
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        "doc_id", "term",
+        (F.col("tf").cast("double") * F.lit(nd) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.col("rank").cast("int").alias("rank"), "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+# --- x35: chunk-level dedup with reassembly ---------------------------------
+@query(
+    "x35_chunk_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x != '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, CAST(gs.i AS BIGINT) AS idx,
+             array_to_string(toks[(CAST(gs.i AS INT)*10+1):(CAST(gs.i AS INT)*10+10)], ' ') AS chunk
+      FROM d, generate_series(0, 100000) gs(i)
+      WHERE len(toks) > 0 AND gs.i < ceil(len(toks)/10.0)),
+    k AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM c),
+    r AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+             count(*) AS n_kept
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT CAST(d2.doc_id AS BIGINT) AS doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d2 LEFT JOIN r USING (doc_id) ORDER BY d2.doc_id
+    """,
+)
+def x35(spark, sf_dir):
+    """Chunk-level exact dedup with document reassembly (the span-dedup
+    pretraining op): 10-token chunks, first occurrence (doc_id, idx) wins
+    corpus-wide, surviving chunks rejoin in order.
+
+    Native end-to-end: chunking is transform-over-sequence (no explode
+    until the dedup shuffle), first-occurrence is one window partitioned
+    by chunk (shuffle on chunk — at 100 TB hash the chunk to 16 bytes
+    first; here the chunk IS the join key so the oracle can mirror it),
+    reassembly is groupBy(doc_id) with an in-group sort_array.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    n = F.size(toks)
+    nchunks = F.ceil(n / F.lit(10.0)).cast("long")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nchunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, (i * 10 + 1).cast("int"), 10), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = d.select("doc_id", F.posexplode(chunks).alias("idx", "chunk")).select(
+        "doc_id", F.col("idx").cast("long").alias("idx"), "chunk"
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    kept = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    r = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        d.select("doc_id")
+        .join(r, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

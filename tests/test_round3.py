@@ -443,3 +443,97 @@ class TestConnectedComponents:
 
         df = spark.createDataFrame([(5, 5), (6, 6)], ["id_a", "id_b"])
         assert connected_components(df).count() == 0
+
+
+# --- fuzzy join + gopher rules + chunk dedup --------------------------------
+class TestFuzzyJoin:
+    def test_matches_self_join_restricted(self, spark, sf_dir):
+        """Two-table LSH join over an even/odd split must equal the
+        self-join result restricted to cross-parity pairs."""
+        from bertrand_spark.pipeline.dedup import (
+            fuzzy_join_minhash,
+            near_dup_pairs_minhash,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        left = d.filter(F.col("doc_id") % 2 == 0)
+        right = d.filter(F.col("doc_id") % 2 == 1)
+        got = {
+            (r["id_l"], r["id_r"])
+            for r in fuzzy_join_minhash(
+                left, right, threshold=0.6, k=770, num_bands=154
+            ).collect()
+        }
+        self_pairs = near_dup_pairs_minhash(
+            d, "doc_id", "text", threshold=0.6, k=770, num_bands=154
+        ).collect()
+        expect = set()
+        for r in self_pairs:
+            a, b = r["id_a"], r["id_b"]
+            if a % 2 == 0 and b % 2 == 1:
+                expect.add((a, b))
+            elif b % 2 == 0 and a % 2 == 1:
+                expect.add((b, a))
+        assert got == expect and len(got) > 0
+
+    def test_disjoint_corpora_no_pairs(self, spark):
+        from bertrand_spark.pipeline.dedup import fuzzy_join_minhash
+
+        l = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"],
+        )
+        r = spark.createDataFrame(
+            [(2, "one two three four five six seven eight nine ten")],
+            ["doc_id", "text"],
+        )
+        assert fuzzy_join_minhash(l, r, threshold=0.5, k=64, num_bands=16).count() == 0
+
+
+class TestGopherRules:
+    def test_flags_shape(self, spark):
+        from bertrand_spark.pipeline.text import gopher_quality_flags
+
+        # 60 words, mean length in [3,10], ≥2 gopher stopwords, alphabetic
+        good = " ".join(
+            ["the", "quick", "brown", "foxes", "jump", "with", "lazy",
+             "dogs", "today", "again"] * 6
+        )
+        bad_short = "tiny doc"
+        bad_symbols = " ".join(["####"] * 60)
+        df = spark.createDataFrame(
+            [(1, good), (2, bad_short), (3, bad_symbols)], ["id", "text"]
+        )
+        flags = gopher_quality_flags(F.col("text"))
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id", *[v.alias(k) for k, v in flags.items()]
+            ).collect()
+        }
+        assert rows[1]["keep"] is True
+        assert rows[2]["wordcount_ok"] is False and rows[2]["keep"] is False
+        assert rows[3]["symbol_ok"] is False and rows[3]["alpha_ok"] is False
+
+
+class TestChunkDedup:
+    def test_first_occurrence_wins_and_reassembles(self, spark):
+        from bertrand_spark.plans.queries import QUERIES  # noqa: F401 — x35 math inline
+
+        # two docs sharing their first 10-token chunk: doc 2 loses it
+        shared = " ".join(f"w{i}" for i in range(10))
+        uniq = " ".join(f"u{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, shared + " " + uniq), (2, shared + " tail piece")],
+            ["doc_id", "text"],
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            out = {
+                r["doc_id"]: (r["clean_text"], r["n_kept"])
+                for r in QUERIES["x35_chunk_dedup"](spark, td).collect()
+            }
+        assert out[1] == (shared + " " + uniq, 2)
+        assert out[2] == ("tail piece", 1)

@@ -49,7 +49,9 @@ def audit_plan(name: str, plan: str) -> list[str]:
     # x02/x03 are LSH/posting-join dedups (sig shuffle + band join +
     # verify), x18 chains six curation stages (and already cuts lineage
     # with materialize_stage — 69 exchanges before the cut, ~7 after).
-    _PIPELINE_CEILING = {"x02": 16, "x03": 16, "x18": 16}
+    # x32 is the TWO-corpus LSH join: both sides pay prep+band exchanges
+    # that the self-join variants share, so its floor is ~2x x02's shape.
+    _PIPELINE_CEILING = {"x02": 16, "x03": 16, "x18": 16, "x32": 12}
     ceiling = next(
         (v for k, v in _PIPELINE_CEILING.items() if k in name), 6
     )
