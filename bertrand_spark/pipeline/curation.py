@@ -47,6 +47,7 @@ __all__ = [
     "bloom_table", "decontaminate_bloom",
     "redact_pii", "PII_PATTERNS",
     "pack_sequences", "sample_deterministic", "repetition_score",
+    "temperature_resample",
 ]
 
 
@@ -436,6 +437,52 @@ def sample_deterministic(
         )
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
     return df.filter(bucket < int(round(fraction * buckets)))
+
+
+def temperature_resample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    p^alpha recipe): downsample each source s at rate
+    ``(n_min / n_s)^(1-alpha)`` so the smallest source keeps everything
+    and large sources flatten toward it; alpha=1 keeps the natural
+    distribution, alpha→0 equalizes.
+
+    Row selection reuses :func:`sample_deterministic`'s md5-bucket
+    convention — engine-independent, repartition-stable, reproducible.
+    ``alpha=0.5`` (default) computes rates with IEEE ``sqrt``, which is
+    correctly rounded everywhere, so the kept SET is bit-deterministic
+    across engines; other alphas go through ``pow``, whose last-ulp can
+    differ between libms — fine for sampling, noted for oracle replay.
+
+    Plan: per-source counts (one groupBy of the source key), a 1-row
+    scalar aggregate for n_min, a broadcast join of the tiny rate table,
+    and a narrow filter — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n")).first()[0]
+    if n_min is None:
+        return df.limit(0)
+    ratio = F.lit(float(n_min)) / F.col("__n").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.select(
+        source_col, F.floor(rate * buckets).cast("long").alias("__thr")
+    )
+    key = F.concat(
+        F.coalesce(F.col(source_col).cast("string"), F.lit("")),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("__thr"))
+        .drop("__thr")
+    )
 
 
 # --- repetition scoring ----------------------------------------------------

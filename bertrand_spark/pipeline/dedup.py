@@ -30,7 +30,7 @@ from ..sources.reader import spread as _spread
 from .text import char_ngrams, fingerprint, tokenize, word_ngrams
 
 __all__ = [
-    "exact_dedup", "exact_dup_groups",
+    "exact_dedup", "exact_dedup_incremental", "exact_dup_groups",
     "minhash_signature", "minhash_bands", "lsh_candidate_pairs",
     "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
@@ -156,6 +156,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", keep_by: str | None = Non
         with_fp.join(survivors, ["__fp", keep_by], "inner")
         .drop("__fp")
     )
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    keep_by: str | None = None,
+    seen_fp_col: str | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus/fingerprint store —
+    the continuously-crawled-corpus pattern: never re-shuffle the whole
+    historical corpus, only the batch and the (16-byte) fingerprint keys.
+
+    ``seen``: previously-ingested docs (fingerprinted here via
+    ``text_col``) or, preferably at scale, a persisted fingerprint store
+    (pass ``seen_fp_col``).  Keeps rows of ``new_df`` that are (a) the
+    minimum-``keep_by`` member of their fingerprint group *within the
+    batch* and (b) absent from ``seen`` — one groupBy + one left-anti
+    join, both shuffling on the fingerprint key only.
+    """
+    if seen_fp_col is None:
+        store = seen.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    else:
+        store = seen.select(F.col(seen_fp_col).alias("__fp")).distinct()
+    batch = exact_dedup(new_df, text_col, keep_by).withColumn(
+        "__fp", fingerprint(F.col(text_col))
+    )
+    return batch.join(store, "__fp", "left_anti").drop("__fp")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:

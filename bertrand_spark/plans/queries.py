@@ -2610,3 +2610,65 @@ def x35(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- x36: incremental (cross-snapshot) exact dedup ---------------------------
+@query(
+    "x36_incremental_dedup",
+    f"""
+    WITH norm AS (SELECT doc_id, source, n_chars, {_NORM} AS t FROM documents),
+    newb AS (SELECT * FROM norm WHERE doc_id % 3 = 0),
+    old AS (SELECT DISTINCT t FROM norm WHERE doc_id % 3 != 0),
+    first_in_batch AS (SELECT t, min(doc_id) AS doc_id FROM newb GROUP BY t)
+    SELECT n.doc_id, n.source, CAST(n.n_chars AS BIGINT) AS n_chars
+    FROM newb n
+    JOIN first_in_batch f ON f.t = n.t AND f.doc_id = n.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.t = n.t)
+    ORDER BY n.doc_id
+    """,
+)
+def x36(spark, sf_dir):
+    """Incremental exact dedup: a new crawl batch (doc_id % 3 = 0) deduped
+    within itself AND against the already-ingested corpus (the rest) —
+    batch groupBy + left-anti join on 16-byte fingerprints; the history
+    never re-shuffles.  The continuously-crawled-corpus pattern."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    return (
+        D.exact_dedup_incremental(new, old, "text", keep_by="doc_id")
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+# --- x37: temperature resampling across sources ------------------------------
+@query(
+    "x37_temperature_resample",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS nmin FROM c),
+    r AS (SELECT source,
+                 CAST(floor(10000 * sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / n))
+                      AS BIGINT) AS thr
+          FROM c)
+    SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5(coalesce(d.source, '') || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < r.thr
+    ORDER BY d.doc_id
+    """,
+)
+def x37(spark, sf_dir):
+    """Temperature resampling (p^alpha source rebalancing, alpha=0.5):
+    each source keeps sqrt(n_min/n_s) of its rows via the deterministic
+    md5-bucket — IEEE sqrt is correctly rounded in every engine, so the
+    kept set is bit-identical to the oracle.  The corpus never shuffles;
+    only the tiny per-source rate table joins (broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CU.temperature_resample(
+            d.select("doc_id", "source"), "source", "doc_id", alpha=0.5
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -537,3 +537,75 @@ class TestChunkDedup:
             }
         assert out[1] == (shared + " " + uniq, 2)
         assert out[2] == ("tail piece", 1)
+
+
+# --- incremental dedup + temperature resample -------------------------------
+class TestIncrementalDedup:
+    def test_batch_and_store_semantics(self, spark):
+        from bertrand_spark.pipeline.dedup import exact_dedup_incremental
+
+        old = spark.createDataFrame(
+            [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [
+                (30, "seen before"),      # dup of store → dropped
+                (31, "fresh one"),        # kept
+                (32, "fresh one"),        # batch dup of 31 → dropped
+                (33, "another fresh"),    # kept
+            ],
+            ["doc_id", "text"],
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in exact_dedup_incremental(new, old, "text", "doc_id").collect()
+        )
+        assert kept == [31, 33]
+
+    def test_fingerprint_store_variant(self, spark):
+        from bertrand_spark.pipeline.dedup import exact_dedup_incremental
+        from bertrand_spark.pipeline.text import fingerprint
+
+        old = spark.createDataFrame([(1, "seen before")], ["doc_id", "text"])
+        store = old.select(fingerprint(F.col("text")).alias("fp"))
+        new = spark.createDataFrame(
+            [(30, "seen before"), (31, "fresh")], ["doc_id", "text"]
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in exact_dedup_incremental(
+                new, store, "text", "doc_id", seen_fp_col="fp"
+            ).collect()
+        )
+        assert kept == [31]
+
+
+class TestTemperatureResample:
+    def test_rates_flatten_distribution(self, spark):
+        from bertrand_spark.pipeline.curation import temperature_resample
+
+        rows = [(i, "big") for i in range(900)] + [
+            (10_000 + i, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = temperature_resample(df, "source", "doc_id", alpha=0.5)
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        # small source: rate sqrt(100/100)=1 → all kept
+        assert counts["small"] == 100
+        # big source: rate sqrt(100/900)=1/3 → ~300 of 900, md5-bucket noise
+        assert 250 <= counts["big"] <= 350
+
+    def test_deterministic(self, spark):
+        from bertrand_spark.pipeline.curation import temperature_resample
+
+        rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        a = sorted(r["doc_id"] for r in temperature_resample(df).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_resample(df.repartition(7)).collect()
+        )
+        assert a == b and len(a) > 0
