@@ -48,6 +48,11 @@ HEADLINE = [
     # corpus curation
     "x20_decontaminate",
     "x22_pack_sequences",
+    # round-3 flagships: clustering, cross-corpus join, tf-idf, span dedup
+    "x30_dedup_clusters",
+    "x32_fuzzy_join",
+    "x34_tfidf_top_terms",
+    "x35_chunk_dedup",
 ]
 
 
