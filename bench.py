@@ -137,18 +137,17 @@ def main() -> None:
         # identical plan) — the min is the engine's number, the max is the
         # host's.  Standard practice (hyperfine reports min for the same
         # reason).
+        best = None
         try:
-            best = None
             for _ in range(2):
                 t0 = time.time()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
                 spark.catalog.clearCache()
-            timings[name] = round(best, 3)
-        except Exception as exc:  # record the failure, keep benching
-            timings[name] = -1.0
+        except Exception as exc:  # keep a successful first run's timing
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        timings[name] = round(best, 3) if best is not None else -1.0
         spark.catalog.clearCache()
         # drop dead generated classes + unreferenced shuffles between
         # queries (untimed) so later queries don't pay earlier queries' GC

@@ -339,6 +339,18 @@ def materialize_stage(
 
 
 # --- sequence packing ------------------------------------------------------
+def md5_bucket(key: Column, buckets: int) -> Column:
+    """THE engine's deterministic-bucket convention, in one place:
+    ``conv(substr(md5(key), 1, 8), 16, 10) % buckets`` — spelled
+    ``('0x' || substr(md5(key), 1, 8))::BIGINT % buckets`` in SQL.
+    Engine-independent, repartition-stable, no RNG state.  Every sampler/
+    sharder below routes through this helper so the convention cannot
+    drift between functions (or from the SQL-oracle spelling)."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
 def shard_expr(df: DataFrame, id_col: str, num_shards: int) -> Column:
     """Deterministic shard assignment that is safe for ANY id type.
 
@@ -355,10 +367,7 @@ def shard_expr(df: DataFrame, id_col: str, num_shards: int) -> Column:
         dt, (st.ByteType, st.ShortType, st.IntegerType, st.LongType)
     ):
         return F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    return F.pmod(bucket, F.lit(num_shards)).cast("int")
+    return md5_bucket(F.col(id_col).cast("string"), num_shards).cast("int")
 
 
 def pack_sequences(
@@ -435,8 +444,7 @@ def sample_deterministic(
         key = F.concat(
             F.coalesce(stratum.cast("string"), F.lit("")), F.lit("|"), key
         )
-    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
-    return df.filter(bucket < int(round(fraction * buckets)))
+    return df.filter(md5_bucket(key, buckets) < int(round(fraction * buckets)))
 
 
 def temperature_resample(
@@ -459,29 +467,39 @@ def temperature_resample(
     across engines; other alphas go through ``pow``, whose last-ulp can
     differ between libms — fine for sampling, noted for oracle replay.
 
-    Plan: per-source counts (one groupBy of the source key), a 1-row
-    scalar aggregate for n_min, a broadcast join of the tiny rate table,
-    and a narrow filter — the corpus itself never shuffles.
+    Plan: ONE groupBy of the source key, collected to the driver (the
+    per-source table is small by contract — sources are categorical), a
+    broadcast join of the tiny rate table (null-safe, so a NULL source is
+    a first-class stratum, matching :func:`sample_deterministic`'s
+    NULL-retention semantics), and a narrow md5-bucket filter — the
+    corpus itself never shuffles and is scanned exactly once.
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    n_min = counts.agg(F.min("__n")).first()[0]
-    if n_min is None:
+    import math
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    if not counts:
         return df.limit(0)
-    ratio = F.lit(float(n_min)) / F.col("__n").cast("double")
-    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
-    rates = counts.select(
-        source_col, F.floor(rate * buckets).cast("long").alias("__thr")
+    n_min = min(r["__n"] for r in counts)
+    rows = []
+    for r in counts:
+        ratio = float(n_min) / float(r["__n"])
+        rate = math.sqrt(ratio) if alpha == 0.5 else ratio ** (1.0 - alpha)
+        rows.append((r[source_col], int(math.floor(rate * buckets))))
+    rates = df.sparkSession.createDataFrame(
+        rows, schema=df.select(source_col).schema.add("__thr", "long")
     )
     key = F.concat(
         F.coalesce(F.col(source_col).cast("string"), F.lit("")),
         F.lit("|"),
         F.col(id_col).cast("string"),
     )
-    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    joined = df.join(
+        F.broadcast(rates.withColumnRenamed(source_col, "__src")),
+        F.col(source_col).eqNullSafe(F.col("__src")),
+    )
     return (
-        df.join(F.broadcast(rates), source_col)
-        .filter(bucket < F.col("__thr"))
-        .drop("__thr")
+        joined.filter(md5_bucket(key, buckets) < F.col("__thr"))
+        .drop("__src", "__thr")
     )
 
 

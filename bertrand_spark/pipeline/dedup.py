@@ -453,6 +453,71 @@ def jaccard_shingles(text_a: Column, text_b: Column, shingle_n: int = 5) -> Colu
     return F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
 
 
+def _minhash_prep(
+    df: DataFrame, id_col: str, text_col: str, kernel, out_id: str,
+    persist: bool,
+):
+    """Fused signature+shingle-set pass → (out_id, __bk, __g) [+ count]."""
+    p = _spread(df).select(
+        F.col(id_col).alias(out_id), kernel(F.col(text_col)).alias("__p")
+    ).select(
+        out_id, F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
+    )
+    n = None
+    if persist:
+        # materialize BEFORE fanning out: concurrent jobs racing an
+        # unpopulated cache each recompute the kernel
+        p = p.persist()
+        n = p.count()
+    return p, n
+
+
+def _verify_candidates(
+    cand: DataFrame,
+    prep_a: DataFrame,
+    prep_b: DataFrame,
+    a_id: str,
+    b_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list.
+
+    ``cand``: (a_id, b_id) pairs, already consensus-filtered and
+    repartitioned; ``prep_x``: (x_id, ..., __g) hash-set tables.  The
+    hash-set side tables are SEMI-JOINED to the candidate ids before the
+    broadcast — candidates are small by construction, the per-doc table
+    is not, and broadcasting the full table is the one unscalable step
+    at corpus size (the id lists themselves broadcast trivially).
+    ``cand`` feeds both semi-joins and the verify join, so callers pass
+    it persisted.
+    """
+    ga = F.broadcast(
+        prep_a.select(a_id, F.col("__g").alias("__ga")).join(
+            F.broadcast(cand.select(a_id).distinct()), a_id, "left_semi"
+        )
+    )
+    gb = F.broadcast(
+        prep_b.select(b_id, F.col("__g").alias("__gb")).join(
+            F.broadcast(cand.select(b_id).distinct()), b_id, "left_semi"
+        )
+    )
+    joined = cand.join(ga, a_id).join(gb, b_id)
+    # Size-ratio prefilter: j ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) — an
+    # int compare that skips the intersect when sizes rule the pair out.
+    sa, sb = F.size(F.col("__ga")), F.size(F.col("__gb"))
+    size_ok = F.least(sa, sb).cast("double") >= F.lit(threshold) * F.greatest(
+        sa, sb
+    ).cast("double")
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
+    uni = (sa + sb).cast("double") - inter
+    return (
+        joined.filter(size_ok)
+        .withColumn("jaccard", F.when(uni > 0, inter / uni).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(a_id, b_id, "jaccard")
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -501,18 +566,7 @@ def near_dup_pairs_minhash(
     # odds per candidate pair ~|A||B|/2^64 ≈ 5e-15, so Jaccard over the
     # hash sets equals Jaccard over the string shingle sets.
     kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
-    prep = _spread(df).select(
-        F.col(id_col), kernel(F.col(text_col)).alias("__p")
-    ).select(
-        F.col(id_col), F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
-    )
-    n_docs = None
-    if persist:
-        # materialize BEFORE fanning out: the band self-join and the two
-        # broadcast builds below launch as separate jobs, and concurrent
-        # jobs racing an unpopulated cache each recompute the kernel
-        prep = prep.persist()
-        n_docs = prep.count()
+    prep, n_docs = _minhash_prep(df, id_col, text_col, kernel, id_col, persist)
 
     bands = prep.select(
         F.col(id_col), F.posexplode(F.col("__bk")).alias("band", "bucket")
@@ -555,30 +609,14 @@ def near_dup_pairs_minhash(
         .repartition(
             df.sparkSession.sparkContext.defaultParallelism, "id_a"
         )
+        # cand feeds the two semi-joins and the verify join (3 consumers)
+        .persist()
     )
-    # broadcast the per-doc hash-set table (n_docs rows) so the (much
-    # larger) candidate-pair stream never shuffles; beyond broadcast size,
-    # drop the hint and AQE picks a shuffled hash join on the id keys.
-    # Size-ratio prefilter: j ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) — an
-    # int compare that skips the intersect when sizes rule the pair out.
-    ga = F.broadcast(
-        prep.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
-    )
-    gb = F.broadcast(
-        prep.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
-    )
-    joined = cand.join(ga, "id_a").join(gb, "id_b")
-    sa, sb = F.size(F.col("__ga")), F.size(F.col("__gb"))
-    size_ok = F.least(sa, sb).cast("double") >= F.lit(threshold) * F.greatest(
-        sa, sb
-    ).cast("double")
-    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
-    uni = (sa + sb).cast("double") - inter
-    return (
-        joined.filter(size_ok)
-        .withColumn("jaccard", F.when(uni > 0, inter / uni).otherwise(F.lit(0.0)))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+    return _verify_candidates(
+        cand,
+        prep.withColumnRenamed(id_col, "id_a"),
+        prep.withColumnRenamed(id_col, "id_b"),
+        "id_a", "id_b", threshold,
     )
 
 
@@ -615,21 +653,8 @@ def fuzzy_join_minhash(
     gets the broadcast hint when it is provably broadcast-sized.
     """
     kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
-
-    def _prep(df, id_col, text_col, out_id):
-        p = _spread(df).select(
-            F.col(id_col).alias(out_id), kernel(F.col(text_col)).alias("__p")
-        ).select(
-            out_id, F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
-        )
-        n = None
-        if persist:
-            p = p.persist()
-            n = p.count()
-        return p, n
-
-    prep_l, _ = _prep(left, left_id, left_text, "id_l")
-    prep_r, n_r = _prep(right, right_id, right_text, "id_r")
+    prep_l, _ = _minhash_prep(left, left_id, left_text, kernel, "id_l", persist)
+    prep_r, n_r = _minhash_prep(right, right_id, right_text, kernel, "id_r", persist)
 
     bands_l = prep_l.select(
         "id_l", F.posexplode("__bk").alias("band", "bucket")
@@ -653,22 +678,9 @@ def fuzzy_join_minhash(
         .repartition(
             left.sparkSession.sparkContext.defaultParallelism, "id_l"
         )
+        .persist()
     )
-    gl = F.broadcast(prep_l.select("id_l", F.col("__g").alias("__gl")))
-    gr = F.broadcast(prep_r.select("id_r", F.col("__g").alias("__gr")))
-    joined = cand.join(gl, "id_l").join(gr, "id_r")
-    sa, sb = F.size("__gl"), F.size("__gr")
-    size_ok = F.least(sa, sb).cast("double") >= F.lit(threshold) * F.greatest(
-        sa, sb
-    ).cast("double")
-    inter = F.size(F.array_intersect("__gl", "__gr")).cast("double")
-    uni = (sa + sb).cast("double") - inter
-    return (
-        joined.filter(size_ok)
-        .withColumn("jaccard", F.when(uni > 0, inter / uni).otherwise(F.lit(0.0)))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_l", "id_r", "jaccard")
-    )
+    return _verify_candidates(cand, prep_l, prep_r, "id_l", "id_r", threshold)
 
 
 # --- SimHash ---------------------------------------------------------------

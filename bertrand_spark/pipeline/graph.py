@@ -62,8 +62,41 @@ def connected_components(
     Alternates large-star / small-star until the edge set is a fixpoint
     (checked with a count + order-insensitive xxhash64 aggregate — one
     tiny 1-row action per round, not a collect of data).
+
+    Each round ``localCheckpoint``s the new edge set (cuts the iterative
+    lineage) and frees the PREVIOUS round's checkpoint blocks — without
+    the explicit unpersist every superseded round's materialized copy
+    sits in executor storage until driver GC, which on a big edge set
+    multiplies storage by the round count.
     """
-    canon = _canonical(edges, src, dst).localCheckpoint()
+    sc = edges.sparkSession.sparkContext
+
+    def _ckpt(df, prev_ids):
+        """localCheckpoint df; return (df, its block ids) and free the
+        superseded round's blocks (safe: nothing references them now)."""
+        jmap = sc._jsc.getPersistentRDDs()
+        before = set()
+        it = jmap.keySet().iterator()
+        while it.hasNext():
+            before.add(it.next())
+        out = df.localCheckpoint()
+        jmap = sc._jsc.getPersistentRDDs()
+        mine = []
+        it = jmap.keySet().iterator()
+        while it.hasNext():
+            i = it.next()
+            if i not in before:
+                mine.append(i)
+        for i in prev_ids:
+            try:
+                rdd = sc._jsc.getPersistentRDDs().get(i)
+                if rdd is not None:
+                    rdd.unpersist()
+            except Exception:
+                pass  # best-effort: leaked blocks only cost memory
+        return out, mine
+
+    canon, ckpt_ids = _ckpt(_canonical(edges, src, dst), [])
 
     def _fingerprint(e: DataFrame):
         # bit_xor, not sum: order-insensitive AND overflow-free under ANSI
@@ -104,7 +137,9 @@ def connected_components(
             .filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
         )
-        canon = part_center.union(part_small).distinct().localCheckpoint()
+        canon, ckpt_ids = _ckpt(
+            part_center.union(part_small).distinct(), ckpt_ids
+        )
 
         cur = _fingerprint(canon)
         if cur == prev:

@@ -89,13 +89,19 @@ def _pil_image_module():
 
 
 def _real_decode(Image, payload: bytes, channels: int):
-    """PIL decode → (width, height, channels, raw bytes); native size."""
+    """PIL decode → (width, height, channels, raw bytes); native size.
+    Corrupt/empty/NULL payloads return an all-None row instead of killing
+    the task — on real crawl corpora broken images are routine, and one
+    bad row must not abort a 100 TB job."""
     import io
 
-    img = Image.open(io.BytesIO(payload))
-    img = img.convert("RGB" if channels == 3 else "L")
-    w, h = img.size
-    return w, h, channels, img.tobytes()
+    try:
+        img = Image.open(io.BytesIO(payload))
+        img = img.convert("RGB" if channels == 3 else "L")
+        w, h = img.size
+        return w, h, channels, img.tobytes()
+    except Exception:
+        return None, None, None, None
 
 
 def decode_images(
@@ -113,6 +119,7 @@ def decode_images(
     holds one batch, never the partition.  Modes:
 
     - ``'real'``  — PIL decode at native size; ImportError without PIL.
+      Undecodable payloads yield NULL dims/pixels (see ``_real_decode``).
     - ``'auto'``  — PIL when the worker can import it, else the fake.
     - ``'fake'``  — deterministic payload-hash pixels, fixed ``width`` ×
       ``height`` × ``channels`` (production schema, no codec needed).

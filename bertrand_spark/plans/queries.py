@@ -2458,12 +2458,7 @@ def x33(spark, sf_dir):
                       "stopword_ok", "keep")
         ],
     ]
-    return (
-        d.groupBy("source").agg(*agg)
-        .withColumnRenamed("n_stopword_ok", "n_stopword_ok")
-        .withColumnRenamed("n_keep", "n_keep")
-        .orderBy("source")
-    )
+    return d.groupBy("source").agg(*agg).orderBy("source")
 
 
 # --- x34: TF-IDF top terms ---------------------------------------------------

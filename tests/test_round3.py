@@ -609,3 +609,16 @@ class TestTemperatureResample:
             for r in temperature_resample(df.repartition(7)).collect()
         )
         assert a == b and len(a) > 0
+
+    def test_null_source_is_a_stratum(self, spark):
+        """Review fix: NULL sources must participate (null-safe rate join)
+        — here NULL is the smallest source, so ALL its rows are kept."""
+        from bertrand_spark.pipeline.curation import temperature_resample
+
+        rows = [(i, "big") for i in range(400)] + [(1000 + i, None) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_resample(df, "source", "doc_id", alpha=0.5)
+        kept_null = out.filter(F.col("source").isNull()).count()
+        assert kept_null == 4  # rate sqrt(4/4) = 1
+        kept_big = out.filter(F.col("source") == "big").count()
+        assert 20 <= kept_big <= 60  # rate sqrt(4/400) = 0.1
