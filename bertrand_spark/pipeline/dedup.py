@@ -35,7 +35,7 @@ __all__ = [
     "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
     "ngram_jaccard_pairs", "word_gram_hashes_vectorized", "cosine_near_dup_pairs",
-    "fuzzy_join_minhash",
+    "fuzzy_join_minhash", "near_dup", "near_dup_plan", "semantic_dedup",
 ]
 
 # deterministic (a, b) coefficients for the k minhash permutations
@@ -1133,3 +1133,27 @@ def near_dup(
             df, id_col, value_col, threshold=threshold, **params
         )
     return near_dup_pairs_simhash(df, id_col, value_col, **params)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    value_col: str = "text",
+    metric: str = "jaccard",
+    threshold: float = 0.8,
+    **overrides,
+) -> DataFrame:
+    """End-user near-duplicate REMOVAL in one call: pairs from the
+    auto-selected algorithm (:func:`near_dup`), transitive clusters from
+    large-star/small-star (:mod:`.graph`), minimum-id survivor per
+    cluster — returns the deduplicated rows of ``df``.
+
+    The composition every pretraining pipeline hand-writes: run
+    ``exact_dedup`` first (identical copies are the LSH pathology), then
+    this for the near-dup tail.  Every stage is shuffle-on-key; the
+    corpus itself only ever joins on its own id column.
+    """
+    from .graph import dedup_keep_canonical
+
+    pairs = near_dup(df, id_col, value_col, metric, threshold, **overrides)
+    return dedup_keep_canonical(df, pairs, id_col)

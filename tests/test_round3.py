@@ -622,3 +622,21 @@ class TestTemperatureResample:
         assert kept_null == 4  # rate sqrt(4/4) = 1
         kept_big = out.filter(F.col("source") == "big").count()
         assert 20 <= kept_big <= 60  # rate sqrt(4/400) = 0.1
+
+
+class TestSemanticDedup:
+    def test_equals_manual_composition(self, spark, sf_dir):
+        from bertrand_spark.pipeline.dedup import near_dup, semantic_dedup
+        from bertrand_spark.pipeline.graph import dedup_keep_canonical
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = sorted(
+            r["doc_id"]
+            for r in semantic_dedup(d, "doc_id", "text", "jaccard", 0.6).collect()
+        )
+        pairs = near_dup(d, "doc_id", "text", "jaccard", 0.6)
+        want = sorted(
+            r["doc_id"] for r in dedup_keep_canonical(d, pairs, "doc_id").collect()
+        )
+        assert got == want
+        assert 0 < len(got) <= d.count()
