@@ -44,7 +44,13 @@ def audit_plan(name: str, plan: str) -> list[str]:
         ncols = rs.count(",") + 1 if rs.strip("<>") else 0
         if ncols > 12:
             flags.append(f"scan reads {ncols} columns — check pruning")
-    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    # count DISTINCT exchange lines: a persisted subtree is printed once
+    # per consumer (InMemoryRelation embeds its child plan), but its
+    # exchanges execute once at cache fill — identical expr-ids in the
+    # repeated prints make the set() collapse exactly those duplicates
+    n_exchanges = len(
+        {ln.strip() for ln in plan.splitlines() if re.search(r"\bExchange\b", ln)}
+    )
     # Composed multi-stage pipelines legitimately carry more exchanges:
     # x02/x03 are LSH/posting-join dedups (sig shuffle + band join +
     # verify), x18 chains six curation stages (and already cuts lineage
