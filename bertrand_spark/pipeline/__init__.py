@@ -1,0 +1,40 @@
+"""Large-scale training-data pipeline operators.
+
+The user-facing surface, re-exported for discoverability (each module's
+own ``__all__`` is authoritative):
+
+* :mod:`.dedup` — exact / incremental / MinHash+LSH / SimHash / n-gram /
+  embedding near-dup, auto-regime :func:`~.dedup.near_dup`, one-call
+  :func:`~.dedup.semantic_dedup`, cross-corpus
+  :func:`~.dedup.fuzzy_join_minhash`
+* :mod:`.graph` — large-star/small-star connected components, cluster
+  labels, keep-canonical dedup
+* :mod:`.similarity` — brute-force / blocked-GEMM cosine, IVF ANN
+* :mod:`.text` — tokenization, quality features, Gopher rules,
+  language-ID, fingerprints
+* :mod:`.curation` — decontamination, PII redaction, sequence packing,
+  deterministic sampling, temperature resampling, repetition scoring
+* :mod:`.multimodal` — binary media columns, sniff/decode/resize/frame
+  plumbing (optional PIL real decode)
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dedup_incremental,
+    fuzzy_join_minhash,
+    near_dup,
+    near_dup_pairs_minhash,
+    semantic_dedup,
+)
+from .graph import (  # noqa: F401
+    cluster_labels,
+    connected_components,
+    dedup_keep_canonical,
+)
+from .curation import (  # noqa: F401
+    decontaminate,
+    pack_sequences,
+    redact_pii,
+    sample_deterministic,
+    temperature_resample,
+)
