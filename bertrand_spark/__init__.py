@@ -25,7 +25,7 @@ from .types.resolve import resolve
 from .types.detect import detect, detect_elementwise, typecheck, type_tag_column
 from .convert import CastArgs, CastError, cast, cast_col, cast_overload
 from .convert.downcast import boundscheck, downcast, downcast_plan
-from .api import attach, detach
+from .api import attach, audit_scale, detach
 from .decorators import attachable, extension_func
 
 __version__ = "0.1.0"
@@ -36,5 +36,5 @@ __all__ = [
     "resolve", "detect", "detect_elementwise", "typecheck", "type_tag_column",
     "cast", "cast_col", "cast_overload", "CastArgs", "CastError",
     "boundscheck", "downcast", "downcast_plan",
-    "attach", "detach", "attachable", "extension_func",
+    "attach", "audit_scale", "detach", "attachable", "extension_func",
 ]

@@ -101,3 +101,28 @@ def detach() -> None:
     """Restore ``DataFrame`` to its pre-attach state."""
     for a in (_cast_attach, typecheck_, detect_, downcast_):
         a.detach()
+
+
+def audit_scale(df: DataFrame, name: str = "<df>") -> list:
+    """Audit a DataFrame's physical plan for 100 TB anti-patterns — the
+    same checks CI runs over every declared query (``tools/plan_audit``:
+    nested-loop joins, single-partition funnels feeding sorts/windows,
+    unpruned scans, shuffle-heavy plans), exposed as a user API so a
+    pipeline author can gate their own composition before submitting it
+    to a cluster::
+
+        flags = bs.audit_scale(my_pipeline_df)
+        assert not flags, flags
+
+    Returns a list of human-readable flag strings (empty = clean).
+    """
+    import os
+    import sys
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from plan_audit import audit_plan  # noqa: PLC0415 — repo-local tool
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return audit_plan(name, plan)

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "read_events_stream_split", "stream_stream_join",
-    "foreach_batch_parquet_sink",
+    "foreach_batch_parquet_sink", "stream_dedup_against_store",
 ]
 
 
@@ -113,6 +113,28 @@ def stream_dedup(
         df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
+
+
+def stream_dedup_against_store(
+    stream: DataFrame,
+    store: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Incremental dedup of a stream against a STATIC historical store —
+    the streaming sibling of ``dedup.exact_dedup_incremental``.
+
+    Composition: a stream-static left-anti join (re-planned per
+    micro-batch, so a refreshed store parquet is picked up without
+    restarting the query) drops rows already ingested historically, then
+    :func:`stream_dedup` drops within-stream repeats with
+    watermark-bounded keyed state.  The store side should be a compact
+    key/fingerprint table — it is the build side of a broadcast-or-hash
+    anti join every micro-batch, never stream state.
+    """
+    fresh = stream.join(store.select(*keys).distinct(), list(keys), "left_anti")
+    return stream_dedup(fresh, keys, ts_col, watermark)
 
 
 def running_totals(

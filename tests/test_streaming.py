@@ -102,3 +102,23 @@ class TestRunningTotals:
         e = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in expected.collect()}
         g = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in got.collect()}
         assert e == g
+
+
+class TestStreamDedupAgainstStore:
+    def test_stream_static_anti_join_matches_batch(self, spark, sf_dir, tmp_path):
+        """Streamed events deduped against a static store == the batch
+        incremental-dedup semantics on the same split."""
+        from bertrand_spark.streaming.rollup import stream_dedup_against_store
+
+        ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+        # store = users seen in even events; stream = all events
+        store = ev.filter(F.col("event_id") % 2 == 0).select("user_id").distinct()
+        src = str(tmp_path / "stream_src")
+        ev.write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = stream_dedup_against_store(stream, store, ["user_id"])
+        name = run_stream_to_memory(out)
+        got = rows_set(spark.table(name).select("user_id"), ["user_id"])
+        batch = ev.join(store, "user_id", "left_anti").dropDuplicates(["user_id"])
+        want = rows_set(batch.select("user_id"), ["user_id"])
+        assert got == want
