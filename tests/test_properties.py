@@ -138,3 +138,38 @@ class TestEpochRoundtrip:
         out = df.select("x", back.alias("back")).collect()
         for row in out:
             assert row["back"] == row["x"], (row["x"], unit)
+
+
+# --- connected components: property vs union-find ---------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st_.lists(
+        st_.tuples(st_.integers(0, 40), st_.integers(0, 40)),
+        min_size=1, max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from bertrand_spark.pipeline.graph import connected_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    nodes = {x for e in real for x in e}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    comp = {}
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expect = {n: min(comp[find(n)]) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expect
