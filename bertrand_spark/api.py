@@ -116,13 +116,7 @@ def audit_scale(df: DataFrame, name: str = "<df>") -> list:
 
     Returns a list of human-readable flag strings (empty = clean).
     """
-    import os
-    import sys
-
-    tools = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
-    if tools not in sys.path:
-        sys.path.insert(0, tools)
-    from plan_audit import audit_plan  # noqa: PLC0415 — repo-local tool
+    from .plans.audit import audit_plan
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     return audit_plan(name, plan)

@@ -609,9 +609,14 @@ def near_dup_pairs_minhash(
         .repartition(
             df.sparkSession.sparkContext.defaultParallelism, "id_a"
         )
-        # cand feeds the two semi-joins and the verify join (3 consumers)
-        .persist()
     )
+    if persist:
+        # cand feeds the two broadcast semi-join builds and the verify
+        # join (3 consumers, submitted concurrently on the broadcast
+        # thread pool) — materialize BEFORE fan-out or each build races
+        # the unpopulated cache and recomputes the band self-join
+        cand = cand.persist()
+        cand.count()
     return _verify_candidates(
         cand,
         prep.withColumnRenamed(id_col, "id_a"),
@@ -678,8 +683,12 @@ def fuzzy_join_minhash(
         .repartition(
             left.sparkSession.sparkContext.defaultParallelism, "id_l"
         )
-        .persist()
     )
+    if persist:
+        # materialize before the 3-consumer fan-out (see
+        # near_dup_pairs_minhash's identical comment)
+        cand = cand.persist()
+        cand.count()
     return _verify_candidates(cand, prep_l, prep_r, "id_l", "id_r", threshold)
 
 

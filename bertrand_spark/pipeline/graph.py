@@ -71,22 +71,30 @@ def connected_components(
     """
     sc = edges.sparkSession.sparkContext
 
-    def _ckpt(df, prev_ids):
-        """localCheckpoint df; return (df, its block ids) and free the
-        superseded round's blocks (safe: nothing references them now)."""
+    def _persisted_ids():
         jmap = sc._jsc.getPersistentRDDs()
-        before = set()
+        out = set()
         it = jmap.keySet().iterator()
         while it.hasNext():
-            before.add(it.next())
+            out.add(it.next())
+        return out
+
+    def _ckpt(df, prev_ids, track=True):
+        """localCheckpoint df; free the superseded round's blocks (safe:
+        nothing references them once the new checkpoint is materialized).
+
+        Ownership is claimed ONLY when exactly one new persistent RDD
+        appeared during the (eager) checkpoint call — if the job also
+        materialized caller caches (possible on the FIRST action, when
+        upstream persists are still unpopulated) or a concurrent thread
+        persisted something, the diff is ambiguous and we free nothing
+        (a bounded leak beats unpersisting someone else's blocks).
+        """
+        before = _persisted_ids() if track else set()
         out = df.localCheckpoint()
-        jmap = sc._jsc.getPersistentRDDs()
-        mine = []
-        it = jmap.keySet().iterator()
-        while it.hasNext():
-            i = it.next()
-            if i not in before:
-                mine.append(i)
+        mine = list(_persisted_ids() - before) if track else []
+        if len(mine) != 1:
+            mine = []
         for i in prev_ids:
             try:
                 rdd = sc._jsc.getPersistentRDDs().get(i)
@@ -96,7 +104,11 @@ def connected_components(
                 pass  # best-effort: leaked blocks only cost memory
         return out, mine
 
-    canon, ckpt_ids = _ckpt(_canonical(edges, src, dst), [])
+    # round 0 is the first action on the input lineage: upstream caches
+    # (e.g. a near-dup pipeline's prep/cand persists) materialize inside
+    # it, so ownership of new RDD ids is unknowable — don't track (the
+    # one initial checkpoint leaks; every later round is cleaned)
+    canon, ckpt_ids = _ckpt(_canonical(edges, src, dst), [], track=False)
 
     def _fingerprint(e: DataFrame):
         # bit_xor, not sum: order-insensitive AND overflow-free under ANSI

@@ -172,6 +172,11 @@ def resize_images(
     numpy-vectorized per image: reshape to (H, W, C) and fancy-index with
     precomputed source rows/cols — no per-pixel Python loop.  Works on real
     and fake pixel buffers alike (the kernel only sees bytes + dims).
+
+    Rows the decoder could not decode (NULL dims/pixels — see
+    ``_real_decode``) pass through as all-None rows rather than crashing
+    the kernel, preserving the one-bad-row-must-not-abort contract end
+    to end.
     """
     import numpy as np
 
@@ -184,6 +189,9 @@ def resize_images(
                 pdf["media_id"], pdf["width"], pdf["height"],
                 pdf["channels"], pdf["pixels"],
             ):
+                if src is None or pd.isna(w) or pd.isna(h) or pd.isna(c):
+                    rows.append((mid, None, None, None, None))
+                    continue
                 w, h, c = int(w), int(h), int(c)
                 img = np.frombuffer(src, dtype=np.uint8).reshape(h, w, c)
                 sy = np.minimum(h - 1, np.arange(out_h) * h // out_h)

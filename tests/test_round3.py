@@ -640,3 +640,16 @@ class TestSemanticDedup:
         )
         assert got == want
         assert 0 < len(got) <= d.count()
+
+    def test_resize_passes_through_undecoded_rows(self, spark):
+        """NULL decode rows (corrupt payloads on the real path) must flow
+        through resize as all-None rows, not crash the kernel."""
+        from bertrand_spark.pipeline import multimodal as M
+
+        df = spark.createDataFrame(
+            [(1, 2, 2, 3, bytes(range(12))), (2, None, None, None, None)],
+            "media_id long, width int, height int, channels int, pixels binary",
+        )
+        rows = {r["media_id"]: r for r in M.resize_images(df, 1, 1).collect()}
+        assert rows[1]["pixels"] is not None
+        assert rows[2]["pixels"] is None and rows[2]["width"] is None

@@ -17,53 +17,10 @@ import re
 import sys
 
 
-def audit_plan(name: str, plan: str) -> list[str]:
-    flags: list[str] = []
-    # Documented nested-loop contracts, not bugs:
-    # - x05/x06: exhaustive baselines (broadcast cross-score / exact
-    #   pairwise oracle);
-    # - x18/x20: decontamination's short-eval-text containment check — a
-    #   cross join against a BROADCAST list bounded by the (small by
-    #   contract) eval set, curation.py _containment_hits.
-    _bnlj_ok = ("x05", "x06", "x18", "x20")
-    if "BroadcastNestedLoopJoin" in plan and not any(k in name for k in _bnlj_ok):
-        flags.append("nested-loop join (O(n*m)) in the plan")
-    n_single = len(re.findall(r"Exchange SinglePartition", plan))
-    # window/global-sort funnels: a SinglePartition exchange feeding a Sort
-    # or Window over non-trivial input.  q36 is exempt: its sort runs on
-    # the per-COLUMN profile rows (one row per profiled column) produced
-    # by a global aggregate — bounded by the schema width, not the data.
-    if (
-        n_single
-        and "q36" not in name
-        and re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*(Window|Sort)", plan)
-    ):
-        flags.append(f"{n_single} single-partition exchange(s) feeding sort/window")
-    scans = re.findall(r"FileScan parquet[^\n]*ReadSchema: ([^\n]*)", plan)
-    for rs in scans:
-        ncols = rs.count(",") + 1 if rs.strip("<>") else 0
-        if ncols > 12:
-            flags.append(f"scan reads {ncols} columns — check pruning")
-    # count DISTINCT exchange lines: a persisted subtree is printed once
-    # per consumer (InMemoryRelation embeds its child plan), but its
-    # exchanges execute once at cache fill — identical expr-ids in the
-    # repeated prints make the set() collapse exactly those duplicates
-    n_exchanges = len(
-        {ln.strip() for ln in plan.splitlines() if re.search(r"\bExchange\b", ln)}
-    )
-    # Composed multi-stage pipelines legitimately carry more exchanges:
-    # x02/x03 are LSH/posting-join dedups (sig shuffle + band join +
-    # verify), x18 chains six curation stages (and already cuts lineage
-    # with materialize_stage — 69 exchanges before the cut, ~7 after).
-    # x32 is the TWO-corpus LSH join: both sides pay prep+band exchanges
-    # that the self-join variants share, so its floor is ~2x x02's shape.
-    _PIPELINE_CEILING = {"x02": 16, "x03": 16, "x18": 16, "x32": 12}
-    ceiling = next(
-        (v for k, v in _PIPELINE_CEILING.items() if k in name), 6
-    )
-    if n_exchanges > ceiling:
-        flags.append(f"{n_exchanges} exchanges — shuffle-heavy plan")
-    return flags
+import sys as _sys
+
+_sys.path.insert(0, "/root/repo")
+from bertrand_spark.plans.audit import audit_plan  # noqa: E402,F401 — CLI + CI import surface
 
 
 def main() -> int:
