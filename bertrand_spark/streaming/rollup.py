@@ -32,6 +32,7 @@ __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "read_events_stream_split", "stream_stream_join",
     "foreach_batch_parquet_sink", "stream_dedup_against_store",
+    "stream_curation_pipeline",
 ]
 
 
@@ -135,6 +136,38 @@ def stream_dedup_against_store(
     """
     fresh = stream.join(store.select(*keys).distinct(), list(keys), "left_anti")
     return stream_dedup(fresh, keys, ts_col, watermark)
+
+
+def stream_curation_pipeline(
+    stream: DataFrame,
+    store: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """The pretraining ingest pipeline lifted onto a stream: quality
+    filter → dedup against the historical store → within-stream exact
+    dedup — the streaming sibling of the batch x18 composition.
+
+    Every stage is streaming-legal by construction: the quality score is
+    a narrow native projection (stateless), the store anti-join is
+    stream-static (re-planned per micro-batch, store refreshes picked up
+    live), and the within-stream dedup is keyed state bounded by the
+    watermark horizon.  Pass a batch DataFrame and the SAME composition
+    runs as a batch query — the equivalence the tests assert.
+    """
+    from ..pipeline.text import fingerprint, quality_score
+
+    out = stream.filter(quality_score(F.col(text_col)) >= min_quality)
+    out = out.withColumn("__fp", fingerprint(F.col(text_col)))
+    if store is not None:
+        store_fp = store.select(
+            fingerprint(F.col(text_col)).alias("__fp")
+        ).distinct()
+        out = out.join(store_fp, "__fp", "left_anti")
+    return stream_dedup(out, ["__fp"], ts_col, watermark).drop("__fp")
 
 
 def running_totals(

@@ -122,3 +122,39 @@ class TestStreamDedupAgainstStore:
         batch = ev.join(store, "user_id", "left_anti").dropDuplicates(["user_id"])
         want = rows_set(batch.select("user_id"), ["user_id"])
         assert got == want
+
+
+class TestStreamCurationPipeline:
+    def test_stream_matches_batch_composition(self, spark, sf_dir, tmp_path):
+        """quality filter -> store anti-join -> within-stream dedup,
+        streamed over documents == the identical batch composition."""
+        from bertrand_spark.streaming.rollup import stream_curation_pipeline
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        store = docs.filter(F.col("doc_id") % 5 == 0)
+        src = str(tmp_path / "docs_src")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = stream_curation_pipeline(stream, store, min_quality=0.5)
+        name = run_stream_to_memory(out)
+        got = rows_set(spark.table(name).select("doc_id"), ["doc_id"])
+        # batch equivalent of the same composition (dedup keeps SOME doc
+        # per fingerprint; compare fingerprint SETS, which are order-free)
+        from bertrand_spark.pipeline.text import fingerprint, quality_score
+
+        batch = (
+            docs.filter(quality_score(F.col("text")) >= 0.5)
+            .withColumn("__fp", fingerprint(F.col("text")))
+            .join(
+                store.select(fingerprint(F.col("text")).alias("__fp")).distinct(),
+                "__fp", "left_anti",
+            )
+        )
+        got_fps = rows_set(
+            docs.withColumn("__fp", fingerprint(F.col("text")))
+            .join(spark.table(name).select("doc_id"), "doc_id")
+            .select("__fp"),
+            ["__fp"],
+        )
+        want_fps = rows_set(batch.select("__fp").distinct(), ["__fp"])
+        assert got_fps == want_fps and len(got) == len(want_fps)
