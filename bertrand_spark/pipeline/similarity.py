@@ -28,6 +28,7 @@ __all__ = [
     "random_hyperplane_signature", "hyperplane_signatures_vectorized",
     "cosine_all_pairs_blocked",
     "brute_force_topk", "ivf_build", "ivf_topk", "ivf_write", "ivf_read",
+    "pq_train", "pq_encode", "pq_topk",
 ]
 
 
@@ -409,3 +410,152 @@ def ivf_read(spark, path: str):
     assigned = spark.read.parquet(f"{path}/vectors")
     row = spark.read.json(f"{path}/centroids").collect()[0]
     return assigned, json.loads(row["centroids"])
+
+
+# --- product quantization (IVF-PQ memory-compression path) ------------------
+def pq_train(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample_fraction: float = 1.0,
+    max_sample: int = 100_000,
+    seed: int = 42,
+    iters: int = 15,
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    each d-dim vector into ``m`` subvectors and k-means each subspace to
+    ``2**nbits`` centroids.
+
+    Training runs on a bounded driver-side SAMPLE (``max_sample`` rows —
+    same contract as Spark ML's KMeans sampled fit; codebooks are a few
+    hundred KB regardless of corpus size).  Returns ``codebooks`` of
+    shape [m][ksub][d/m] (plain lists — broadcastable, serializable).
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(vec_col)
+        .sample(min(sample_fraction, 1.0), seed)
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub, ksub = d // m, 1 << nbits
+    rng = np.random.default_rng(seed)
+    codebooks = []
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        k = min(ksub, len(sub))
+        cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):  # Lloyd, vectorized
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        codebooks.append(cent.tolist())
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to ``m`` uint8-sized codes (``__pq`` array<int>) —
+    an Arrow map pass against the broadcast codebooks; the encoded corpus
+    is ~d*4/m× smaller than the raw float vectors (64-dim float → 8 bytes
+    at m=8), which is what lets a 100 TB embedding corpus fit an ANN
+    serving tier."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = [np.array(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def kernel(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            codes = [
+                int(
+                    (((x[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2).sum(axis=1))
+                    .argmin()
+                )
+                for j in range(m)
+            ]
+            out.append(codes)
+        return pd.Series(out)
+
+    return df.withColumn("__pq", kernel(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, precompute the m×ksub
+    LUT of subspace squared distances, score every code word as m LUT
+    lookups (never reconstructing vectors), window top-k per query.
+
+    Queries are small by contract (broadcast); the corpus side reads only
+    (id, codes).  Returns (q_id, vec_id, adc_dist, rank).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    cb = [np.array(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    luts = {}
+    for r in q_rows:
+        q = np.asarray(r[q_vec_col], dtype=np.float64)
+        luts[r[q_id_col]] = np.stack(
+            [((q[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2).sum(axis=1) for j in range(m)]
+        )  # [m, ksub]
+
+    q_ids = sorted(luts)
+
+    @pandas_udf("array<double>")
+    def score(codes: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(m)
+        for c in codes:
+            if c is None:
+                out.append(None)
+                continue
+            cc = np.asarray(c, dtype=np.int64)
+            out.append([float(luts[q][idx, cc].sum()) for q in q_ids])
+        return pd.Series(out)
+
+    scored = encoded.select(
+        id_col, F.posexplode(score(F.col("__pq"))).alias("__qi", "adc_dist")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in q_ids]), F.col("__qi") + 1
+        ).alias(q_id_col),
+        id_col,
+        "adc_dist",
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -653,3 +653,61 @@ class TestSemanticDedup:
         rows = {r["media_id"]: r for r in M.resize_images(df, 1, 1).collect()}
         assert rows[1]["pixels"] is not None
         assert rows[2]["pixels"] is None and rows[2]["width"] is None
+
+
+# --- product quantization ----------------------------------------------------
+class TestProductQuantization:
+    def test_recall_vs_exact_l2(self, spark, sf_dir):
+        """PQ ADC top-10 must recover most of the exact-L2 top-10 (the
+        standard recall@k acceptance for a compressed ANN index)."""
+        from bertrand_spark.pipeline.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cb = pq_train(e, "embedding", m=8, nbits=6, seed=7)
+        enc = pq_encode(e, cb).select("vec_id", "__pq").persist()
+        enc.count()
+        queries = (
+            e.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"), "embedding")
+        )
+        approx = pq_topk(enc, queries, cb, k=10)
+        got = {
+            q: {r["vec_id"] for r in rows}
+            for q, rows in _group(approx.collect(), "q_id").items()
+        }
+        # exact L2 top-10 via a cross join on this small fixture
+        qv = {r["q_id"]: r["embedding"] for r in queries.collect()}
+        base = [(r["vec_id"], r["embedding"]) for r in e.collect()]
+        import numpy as np
+
+        recalls = []
+        for q, qe in qv.items():
+            d = sorted(
+                (float(np.sum((np.array(v) - np.array(qe)) ** 2)), vid)
+                for vid, v in base
+            )
+            exact = {vid for _, vid in d[:10]}
+            recalls.append(len(exact & got[q]) / 10)
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_codes_shape_and_determinism(self, spark, sf_dir):
+        from bertrand_spark.pipeline.similarity import pq_encode, pq_train
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        cb = pq_train(e, "embedding", m=4, nbits=4, seed=3)
+        assert len(cb) == 4 and all(len(c) <= 16 for c in cb)
+        a = {r["vec_id"]: tuple(r["__pq"]) for r in pq_encode(e, cb).collect()}
+        b = {r["vec_id"]: tuple(r["__pq"]) for r in pq_encode(e, cb).collect()}
+        assert a == b
+        assert all(len(v) == 4 for v in a.values())
+
+
+def _group(rows, key):
+    out = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
