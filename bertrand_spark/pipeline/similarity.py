@@ -28,7 +28,7 @@ __all__ = [
     "random_hyperplane_signature", "hyperplane_signatures_vectorized",
     "cosine_all_pairs_blocked",
     "brute_force_topk", "ivf_build", "ivf_topk", "ivf_write", "ivf_read",
-    "pq_train", "pq_encode", "pq_topk",
+    "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
 ]
 
 
@@ -558,4 +558,60 @@ def pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    assigned: DataFrame,
+    centroids,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF×PQ: probe the ``nprobe`` nearest cells (partition pruning),
+    then ADC-score ONLY those cells' PQ codes — the full production ANN
+    shape: IVF cuts the scan fan-out, PQ cuts the bytes per scanned row.
+
+    ``assigned`` must carry ``__cell`` (from :func:`ivf_build`) and
+    ``__pq`` (from :func:`pq_encode`).  Recall is bounded by both the
+    probe coverage and the quantization error; raise ``nprobe``/``m`` to
+    trade cost for recall.  Returns (q_id, vec_id, adc_dist, rank).
+    """
+    probe_cells: dict = {}
+    for q in queries.collect():  # queries small by contract
+        qv = list(q[q_vec_col])
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, c)), i)
+            for i, c in enumerate(centroids)
+        )
+        probe_cells[q[q_id_col]] = [cell for _, cell in d[:nprobe]]
+    cells = sorted({c for cs in probe_cells.values() for c in cs})
+    pruned = assigned.filter(F.col("__cell").isin(cells))
+    out = pq_topk(
+        pruned, queries, codebooks, k=k, id_col=id_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+    # drop (query, row) scores from cells the query did not probe: the
+    # shared pruned frame is the UNION of all queries' cells
+    probe_df = out.sparkSession.createDataFrame(
+        [(q, c) for q, cs in probe_cells.items() for c in cs],
+        schema=queries.select(q_id_col).schema.add("__cell", "integer"),
+    )
+    cell_of = assigned.select(id_col, "__cell")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.drop("rank")
+        .join(cell_of, id_col)
+        .join(F.broadcast(probe_df), [q_id_col, "__cell"], "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__cell")
     )
