@@ -53,6 +53,9 @@ HEADLINE = [
     "x32_fuzzy_join",
     "x34_tfidf_top_terms",
     "x35_chunk_dedup",
+    # round-3b: star-join top-N + exact kNN graph
+    "q40_shipping_priority",
+    "x38_knn_graph",
 ]
 
 

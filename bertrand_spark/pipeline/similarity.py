@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot", "l2_norm", "cosine_sim",
     "random_hyperplane_signature", "hyperplane_signatures_vectorized",
-    "cosine_all_pairs_blocked",
+    "cosine_all_pairs_blocked", "knn_graph",
     "brute_force_topk", "ivf_build", "ivf_topk", "ivf_write", "ivf_read",
     "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
 ]
@@ -224,6 +224,125 @@ def cosine_all_pairs_blocked(
         fanned.groupBy("bi", "bj")
         .applyInPandas(tile, out_schema)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over an embedding column
+    (directed edges ``src → dst`` with cosine similarity and rank).
+
+    Two-level top-k keeps the quadratic score matrix out of the shuffle:
+    each GEMM tile emits only its per-row top-k (tile output is
+    O(rows·k), never O(rows²)), then ONE hash-partitioned window per
+    ``src`` merges the ≤ k·num_blocks tile candidates down to the global
+    top-k.  Exact by construction — a vector meets every other vector in
+    exactly one tile, and a global winner is necessarily within the
+    per-tile top-k of the tile that scored it.  Total ordering is
+    (cosine desc, dst asc) at BOTH levels: tile frames are pre-sorted by
+    id so numpy's stable argsort breaks float-equal ties by dst, and the
+    merge window repeats the same keys — deterministic under retries and
+    across engines.
+
+    Plan shape mirrors ``cosine_all_pairs_blocked``: one n·B-row
+    fan-out shuffle, B(B+1)/2 independent BLAS tile tasks, one window
+    partitioned by src (never a global sort).  At 100 TB this is the
+    exact-kNN baseline the ANN tiers (ivf_topk / ivf_pq_topk) are
+    measured against."""
+    import numpy as np
+    from typing import Tuple
+
+    from pyspark.sql import Window
+
+    from .curation import shard_expr
+
+    kk = int(k)
+    out_schema = "src long, dst long, cosine double"
+
+    def topk_rows(sims, An, Bn, src_ids, dst_ids) -> "pd.DataFrame":
+        # dst_ids ascending + stable argsort of -sims ⇒ (cos desc, dst asc).
+        # The GEMM picks the candidates; the EMITTED cosine is recomputed
+        # per pair with a tile-shape-INDEPENDENT reduction (row-wise
+        # multiply-sum over dim) so a pair's score is bit-identical no
+        # matter which tile scored it — without this, mathematically equal
+        # cosines (duplicate vectors) differ by 1 ulp across tiles and the
+        # merge window's tie-break becomes nondeterministic.
+        take = min(kk, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        src_idx = np.repeat(np.arange(len(src_ids)), take)
+        dst_idx = order.ravel()
+        keep = np.isfinite(np.take_along_axis(sims, order, axis=1).ravel())
+        src_idx, dst_idx = src_idx[keep], dst_idx[keep]
+        cs = (An[src_idx] * Bn[dst_idx]).sum(axis=1)
+        return pd.DataFrame(
+            {"src": src_ids[src_idx], "dst": dst_ids[dst_idx], "cosine": cs}
+        )
+
+    def tile(key: Tuple[int, int], pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1] if bi != bj else a
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        A = np.stack(a["__v"].to_numpy())
+        Bm = np.stack(b["__v"].to_numpy())
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(Bm, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        An = A / na[:, None]
+        Bn = Bm / nb[:, None]
+        sims = An @ Bn.T
+        ia = a[id_col].to_numpy()
+        ib = b[id_col].to_numpy()
+        if bi == bj:
+            np.fill_diagonal(sims, -np.inf)
+            return topk_rows(sims, An, Bn, ia, ib)
+        return pd.concat(
+            [
+                topk_rows(sims, An, Bn, ia, ib),
+                topk_rows(sims.T, Bn, An, ib, ia),
+            ],
+            ignore_index=True,
+        )
+
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .withColumn("__b", shard_expr(df, id_col, num_blocks))
+    )
+    kcol = F.col("__b")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+        lambda m: F.struct(
+            F.least(kcol, m).cast("int").alias("bi"),
+            F.greatest(kcol, m).cast("int").alias("bj"),
+            F.when(kcol <= m, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        ),
+    )
+    fanned = base.select(id_col, "__v", F.explode(pairs).alias("p")).select(
+        id_col,
+        "__v",
+        F.col("p.bi").alias("bi"),
+        F.col("p.bj").alias("bj"),
+        F.col("p.__side").alias("__side"),
+    )
+    edges = fanned.groupBy("bi", "bj").applyInPandas(tile, out_schema)
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
+        .select("src", "dst", "cosine", F.col("rn").cast("int").alias("rn"))
     )
 
 

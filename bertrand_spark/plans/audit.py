@@ -19,7 +19,9 @@ import re
 # - x18/x20: decontamination's short-eval-text containment check — a cross
 #   join against a BROADCAST list bounded by the (small by contract) eval
 #   set, curation.py _containment_hits.
-_BNLJ_OK = ("x05", "x06", "x18", "x20")
+# - q45: the scalar-subquery idiom — a ONE-row broadcast aggregate crossed
+#   into the filter (TPC-H Q22 shape); bounded by construction.
+_BNLJ_OK = ("x05", "x06", "x18", "x20", "q45")
 
 # Composed multi-stage pipelines legitimately carry more exchanges:
 # x02/x03 are LSH/posting-join dedups (sig shuffle + band join + verify),

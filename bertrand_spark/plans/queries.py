@@ -2667,3 +2667,387 @@ def x37(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.13 round-3b relational widening: the TPC-H shapes a reference user's
+# reporting queries take, each one pinning a distinct planner behavior
+# (pushdown+agg, join-order, scalar subquery, grouping sets, top-N).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc,
+           CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE)
+             AS sum_charge,
+           CAST(avg(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(avg(l_extendedprice) AS DOUBLE) AS avg_price,
+           CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q39(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: the canonical scan→filter→agg
+    probe.  The date predicate pushes to the parquet scan, the eight
+    aggregates are one map-side-combinable pass over the biggest table,
+    and the group-key cardinality (≤6) makes the reduce side free — the
+    plan every warehouse engine is first measured on."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("double").alias("sum_base"),
+            F.sum(disc).cast("double").alias("sum_disc"),
+            F.sum(disc * (1 + F.col("l_tax"))).cast("double").alias("sum_charge"),
+            F.avg("l_quantity").cast("double").alias("avg_qty"),
+            F.avg("l_extendedprice").cast("double").alias("avg_price"),
+            F.avg("l_discount").cast("double").alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q40_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15'
+      AND l.l_shipdate > DATE '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q40(spark, sf_dir):
+    """TPC-H-Q3-shaped shipping priority: selective dimension filter →
+    two fact joins → top-N by aggregate.  customer rides a broadcast
+    hash join (post-filter it is tiny), lineitem/orders shuffle once on
+    the orderkey, and the LIMIT plans as TakeOrderedAndProject —
+    per-partition heaps, never a global sort of the aggregate."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            li["l_orderkey"].alias("orderkey"),
+            o["o_orderdate"].alias("orderdate"),
+            o["o_orderpriority"].alias("priority"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q41_revenue_forecast",
+    """
+    SELECT CAST(sum(l_extendedprice * l_discount) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q41(spark, sf_dir):
+    """TPC-H-Q6-shaped revenue forecast: a pure filter+aggregate with NO
+    join and NO group key — the pushdown showcase.  All four predicates
+    reach the parquet scan (plan_audit checks PushedFilters) and the
+    single global sum is a two-level partial aggregate; at 100 TB this
+    query is scan-bandwidth-bound, exactly as it should be."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q42_returned_items",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q42(spark, sf_dir):
+    """TPC-H-Q10-shaped returned-item report: fact-side filters prune
+    both scans before the orderkey shuffle, nation broadcasts, and the
+    per-customer aggregate feeds a top-20 TakeOrderedAndProject.  The
+    'who cost us the most returns last quarter' report shape."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q43_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180
+    )
+    SELECT c.c_name AS name, o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+           o.o_orderdate AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 100
+    """,
+)
+def q43(spark, sf_dir):
+    """TPC-H-Q18-shaped large-volume orders: an aggregate-derived key
+    set (HAVING over the fact table) semi-joins back into the detail
+    join.  The big-order id list is small → broadcast semi-join; the
+    quantity re-aggregation groups on the already-co-partitioned
+    orderkey, so AQE elides the second exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q44_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_totalprice) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q44(spark, sf_dir):
+    """CUBE + grouping_id: all four grouping sets of (status, priority)
+    in one pass — completes the grouping-sets surface next to q34's
+    ROLLUP.  Spark's expand node multiplies rows once map-side; the
+    grouping_id bit-encoding (left col = high bit) matches DuckDB's."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q45_above_average",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_rich_idle,
+           CAST(sum(c.c_acctbal) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q45(spark, sf_dir):
+    """TPC-H-Q22-shaped scalar-subquery + anti-join: above-average-
+    balance customers with no recent (2000+) order.  The scalar average
+    is a 1-row aggregate broadcast into the filter (never a collect),
+    the NOT EXISTS plans as a shuffled/broadcast anti-join on custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_rich_idle"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- x38: exact k-NN graph over embeddings -----------------------------------
+@query(
+    "x38_knn_graph",
+    """
+    WITH sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rn
+      FROM sims
+    )
+    SELECT src, dst, cosine, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3 ORDER BY src, rn
+    """,
+)
+def x38(spark, sf_dir):
+    """Exact 3-NN graph over the embedding corpus (similarity.knn_graph):
+    per-tile BLAS top-k then one src-partitioned merge window — the
+    deduplication/retrieval primitive ('for every document, its nearest
+    neighbors') that IVF/PQ approximate.  Cross-engine determinism note:
+    ranks tie-break on (cosine desc, dst asc) in both engines, and
+    float64 cosine agreement is ~1e-15 — the same robustness argument
+    measured for x16."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.knn_graph(e, "vec_id", "embedding", k=3, num_blocks=8).orderBy(
+        "src", "rn"
+    )
+
+
+# --- x39: adaptive per-language quality gate ---------------------------------
+@query(
+    "x39_adaptive_length_filter",
+    r"""
+    WITH d AS (SELECT doc_id, lang,
+                      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      x -> x != '')) AS n_tok
+               FROM documents),
+    bounds AS (SELECT lang, quantile_cont(n_tok, 0.05) AS lo,
+                      quantile_cont(n_tok, 0.95) AS hi
+               FROM d GROUP BY lang)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(avg(d.n_tok) AS DOUBLE) AS mean_tok
+    FROM d JOIN bounds b ON d.lang = b.lang
+    WHERE d.n_tok >= b.lo AND d.n_tok <= b.hi
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def x39(spark, sf_dir):
+    """Adaptive quality gate: per-language token-length bounds learned
+    from the corpus itself (p05/p95), then applied as a filter — the
+    data-dependent thresholding a real curation run uses instead of
+    global constants.  One percentile aggregate (tiny: one row per
+    language) broadcasts back onto the scan; the corpus is read once and
+    never shuffles.  Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (exact interpolation on identical doubles — deterministic)."""
+    d = _tw(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", T.token_count(F.col("text")).alias("n_tok"))
+    bounds = toks.groupBy("lang").agg(
+        F.percentile("n_tok", 0.05).alias("__lo"),
+        F.percentile("n_tok", 0.95).alias("__hi"),
+    )
+    return (
+        toks.join(F.broadcast(bounds), "lang")
+        .filter((F.col("n_tok") >= F.col("__lo")) & (F.col("n_tok") <= F.col("__hi")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.avg("n_tok").cast("double").alias("mean_tok"),
+        )
+        .orderBy("lang")
+    )

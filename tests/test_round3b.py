@@ -1,0 +1,134 @@
+"""Round-3b additions: exact kNN graph (two-level top-k correctness vs a
+brute-force pandas oracle, tie determinism, null/empty handling) and the
+TPC-H-shaped relational widening queries' invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bertrand_spark.pipeline.similarity import knn_graph
+
+
+def _mk_vectors(spark, n=40, dim=8, seed=7, with_null=False, dupes=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    for d in range(dupes):
+        # exact duplicate vectors force cosine==1.0 ties at the top
+        rows.append((n + d, rows[d][1]))
+    if with_null:
+        rows.append((n + dupes, None))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _brute_knn(df, k):
+    pdf = df.toPandas()
+    pdf = pdf[pdf["embedding"].notna()]
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy())
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    sims = Mn @ Mn.T
+    out = []
+    for i in range(len(ids)):
+        cands = sorted(
+            ((sims[i, j], ids[j]) for j in range(len(ids)) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rn, (c, j) in enumerate(cands, start=1):
+            out.append((ids[i], j, rn))
+    return set(out)
+
+
+class TestKnnGraph:
+    def test_matches_bruteforce(self, spark):
+        df = _mk_vectors(spark, n=40)
+        got = {
+            (r["src"], r["dst"], r["rn"])
+            for r in knn_graph(df, k=3, num_blocks=4).collect()
+        }
+        assert got == _brute_knn(df, 3)
+
+    def test_duplicate_vectors_tie_break_by_dst(self, spark):
+        # three exact copies of vector 0/1/2: cosine 1.0 ties resolve by
+        # ascending dst in every tile and in the merge window
+        df = _mk_vectors(spark, n=10, dupes=3)
+        got = {
+            (r["src"], r["dst"], r["rn"])
+            for r in knn_graph(df, k=4, num_blocks=3).collect()
+        }
+        assert got == _brute_knn(df, 4)
+
+    def test_k_larger_than_corpus(self, spark):
+        df = _mk_vectors(spark, n=5)
+        rows = knn_graph(df, k=99, num_blocks=2).collect()
+        # every node emits exactly n-1 neighbors, ranks 1..n-1
+        per_src = {}
+        for r in rows:
+            per_src.setdefault(r["src"], []).append(r["rn"])
+        assert set(per_src) == set(range(5))
+        for rns in per_src.values():
+            assert sorted(rns) == [1, 2, 3, 4]
+
+    def test_null_vectors_dropped(self, spark):
+        df = _mk_vectors(spark, n=8, with_null=True)
+        rows = knn_graph(df, k=2, num_blocks=2).collect()
+        ids = {r["src"] for r in rows} | {r["dst"] for r in rows}
+        assert 8 not in ids  # the null-embedding id never appears
+        assert len(rows) == 8 * 2
+
+    def test_single_block_degenerate(self, spark):
+        df = _mk_vectors(spark, n=12)
+        got = {
+            (r["src"], r["dst"], r["rn"])
+            for r in knn_graph(df, k=2, num_blocks=1).collect()
+        }
+        assert got == _brute_knn(df, 2)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestRelationalWidening:
+    @pytest.fixture(scope="class")
+    def q(self):
+        from bertrand_spark.plans.queries import QUERIES
+
+        return QUERIES
+
+    def test_q39_group_count_bounded(self, spark, q):
+        rows = q["q39_pricing_summary"](spark, SF).collect()
+        assert 0 < len(rows) <= 6  # |returnflag| x |linestatus|
+        for r in rows:
+            assert r["sum_disc"] <= r["sum_base"] + 1e-9
+
+    def test_q40_topn_sorted(self, spark, q):
+        rows = q["q40_shipping_priority"](spark, SF).collect()
+        assert len(rows) <= 10
+        revs = [r["revenue"] for r in rows]
+        assert revs == sorted(revs, reverse=True)
+
+    def test_q41_single_row(self, spark, q):
+        rows = q["q41_revenue_forecast"](spark, SF).collect()
+        assert len(rows) == 1 and rows[0]["n"] >= 0
+
+    def test_q44_cube_totals_consistent(self, spark, q):
+        rows = q["q44_cube_orders"](spark, SF).collect()
+        grand = [r for r in rows if r["gid"] == 3]
+        assert len(grand) == 1
+        finest = sum(r["n"] for r in rows if r["gid"] == 0)
+        assert finest == grand[0]["n"]
+
+    def test_q45_excludes_recent_orderers(self, spark, q):
+        # every reported group only counts customers with no 2000+ order
+        rows = q["q45_above_average"](spark, SF).collect()
+        for r in rows:
+            assert r["n_rich_idle"] > 0
+
+    def test_x39_bounds_reduce_corpus(self, spark, q):
+        from bertrand_spark.sources.reader import read_table
+
+        rows = q["x39_adaptive_length_filter"](spark, SF).collect()
+        total_kept = sum(r["n_kept"] for r in rows)
+        n_docs = read_table(spark, SF, "documents").count()
+        assert 0 < total_kept <= n_docs
