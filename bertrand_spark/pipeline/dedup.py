@@ -453,23 +453,37 @@ def jaccard_shingles(text_a: Column, text_b: Column, shingle_n: int = 5) -> Colu
     return F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
 
 
+# A prep table whose hash-set payload measures below this broadcasts
+# whole for verification (one pipelined job); above it, the semi-join
+# path trims it to the candidate ids first.
+_DIRECT_BROADCAST_BYTES = 100 << 20
+
+
 def _minhash_prep(
     df: DataFrame, id_col: str, text_col: str, kernel, out_id: str,
     persist: bool,
 ):
-    """Fused signature+shingle-set pass → (out_id, __bk, __g) [+ count]."""
+    """Fused signature+shingle-set pass → (out_id, __bk, __g)
+    [+ (count, hash-set payload bytes) when persisted]."""
     p = _spread(df).select(
         F.col(id_col).alias(out_id), kernel(F.col(text_col)).alias("__p")
     ).select(
         out_id, F.col("__p.bk").alias("__bk"), F.col("__p.hs").alias("__g")
     )
-    n = None
+    n = g_bytes = None
     if persist:
         # materialize BEFORE fanning out: concurrent jobs racing an
-        # unpopulated cache each recompute the kernel
+        # unpopulated cache each recompute the kernel.  The same job
+        # MEASURES the hash-set payload (rows + 16 B/hash incl. array
+        # overhead) — the evidence the verify step's broadcast-vs-
+        # semi-join decision needs.
         p = p.persist()
-        n = p.count()
-    return p, n
+        row = p.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.size("__g")), F.lit(0)).alias("h"),
+        ).first()
+        n, g_bytes = row["n"], row["h"] * 16
+    return p, n, g_bytes
 
 
 def _verify_candidates(
@@ -479,28 +493,37 @@ def _verify_candidates(
     a_id: str,
     b_id: str,
     threshold: float,
+    direct: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair list.
 
     ``cand``: (a_id, b_id) pairs, already consensus-filtered and
-    repartitioned; ``prep_x``: (x_id, ..., __g) hash-set tables.  The
-    hash-set side tables are SEMI-JOINED to the candidate ids before the
+    repartitioned; ``prep_x``: (x_id, ..., __g) hash-set tables.
+
+    ``direct=True`` (caller MEASURED the prep payload below the
+    broadcast budget): broadcast the whole hash-set tables — the verify
+    collapses into one pipelined job with the candidate generation, no
+    materialization barrier.  ``direct=False`` (corpus scale): the
+    hash-set tables are SEMI-JOINED to the candidate ids before the
     broadcast — candidates are small by construction, the per-doc table
     is not, and broadcasting the full table is the one unscalable step
-    at corpus size (the id lists themselves broadcast trivially).
-    ``cand`` feeds both semi-joins and the verify join, so callers pass
-    it persisted.
+    at corpus size (the id lists themselves broadcast trivially);
+    ``cand`` then feeds three consumers, so callers pass it persisted.
     """
-    ga = F.broadcast(
-        prep_a.select(a_id, F.col("__g").alias("__ga")).join(
-            F.broadcast(cand.select(a_id).distinct()), a_id, "left_semi"
+    if direct:
+        ga = F.broadcast(prep_a.select(a_id, F.col("__g").alias("__ga")))
+        gb = F.broadcast(prep_b.select(b_id, F.col("__g").alias("__gb")))
+    else:
+        ga = F.broadcast(
+            prep_a.select(a_id, F.col("__g").alias("__ga")).join(
+                F.broadcast(cand.select(a_id).distinct()), a_id, "left_semi"
+            )
         )
-    )
-    gb = F.broadcast(
-        prep_b.select(b_id, F.col("__g").alias("__gb")).join(
-            F.broadcast(cand.select(b_id).distinct()), b_id, "left_semi"
+        gb = F.broadcast(
+            prep_b.select(b_id, F.col("__g").alias("__gb")).join(
+                F.broadcast(cand.select(b_id).distinct()), b_id, "left_semi"
+            )
         )
-    )
     joined = cand.join(ga, a_id).join(gb, b_id)
     # Size-ratio prefilter: j ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) — an
     # int compare that skips the intersect when sizes rule the pair out.
@@ -566,7 +589,9 @@ def near_dup_pairs_minhash(
     # odds per candidate pair ~|A||B|/2^64 ≈ 5e-15, so Jaccard over the
     # hash sets equals Jaccard over the string shingle sets.
     kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
-    prep, n_docs = _minhash_prep(df, id_col, text_col, kernel, id_col, persist)
+    prep, n_docs, g_bytes = _minhash_prep(
+        df, id_col, text_col, kernel, id_col, persist
+    )
 
     bands = prep.select(
         F.col(id_col), F.posexplode(F.col("__bk")).alias("band", "bucket")
@@ -610,11 +635,16 @@ def near_dup_pairs_minhash(
             df.sparkSession.sparkContext.defaultParallelism, "id_a"
         )
     )
-    if persist:
-        # cand feeds the two broadcast semi-join builds and the verify
-        # join (3 consumers, submitted concurrently on the broadcast
-        # thread pool) — materialize BEFORE fan-out or each build races
-        # the unpopulated cache and recomputes the band self-join
+    # measured-direct regime: the whole hash-set table fits the broadcast
+    # budget → verification fuses with candidate generation into ONE
+    # pipelined job (cand has a single consumer — no materialization
+    # barrier).  Otherwise: persist cand, which then feeds the two
+    # broadcast semi-join builds and the verify join (3 consumers,
+    # submitted concurrently on the broadcast thread pool) — materialize
+    # BEFORE fan-out or each build races the unpopulated cache and
+    # recomputes the band self-join.
+    direct = g_bytes is not None and 2 * g_bytes < _DIRECT_BROADCAST_BYTES
+    if persist and not direct:
         cand = cand.persist()
         cand.count()
     return _verify_candidates(
@@ -622,6 +652,7 @@ def near_dup_pairs_minhash(
         prep.withColumnRenamed(id_col, "id_a"),
         prep.withColumnRenamed(id_col, "id_b"),
         "id_a", "id_b", threshold,
+        direct=direct,
     )
 
 
@@ -658,8 +689,12 @@ def fuzzy_join_minhash(
     gets the broadcast hint when it is provably broadcast-sized.
     """
     kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
-    prep_l, _ = _minhash_prep(left, left_id, left_text, kernel, "id_l", persist)
-    prep_r, n_r = _minhash_prep(right, right_id, right_text, kernel, "id_r", persist)
+    prep_l, _, gb_l = _minhash_prep(
+        left, left_id, left_text, kernel, "id_l", persist
+    )
+    prep_r, n_r, gb_r = _minhash_prep(
+        right, right_id, right_text, kernel, "id_r", persist
+    )
 
     bands_l = prep_l.select(
         "id_l", F.posexplode("__bk").alias("band", "bucket")
@@ -684,12 +719,20 @@ def fuzzy_join_minhash(
             left.sparkSession.sparkContext.defaultParallelism, "id_l"
         )
     )
-    if persist:
-        # materialize before the 3-consumer fan-out (see
-        # near_dup_pairs_minhash's identical comment)
+    # measured-direct regime (see near_dup_pairs_minhash): both hash-set
+    # tables under the broadcast budget -> one pipelined job; otherwise
+    # persist cand before the 3-consumer fan-out
+    direct = (
+        gb_l is not None
+        and gb_r is not None
+        and 2 * (gb_l + gb_r) < _DIRECT_BROADCAST_BYTES
+    )
+    if persist and not direct:
         cand = cand.persist()
         cand.count()
-    return _verify_candidates(cand, prep_l, prep_r, "id_l", "id_r", threshold)
+    return _verify_candidates(
+        cand, prep_l, prep_r, "id_l", "id_r", threshold, direct=direct
+    )
 
 
 # --- SimHash ---------------------------------------------------------------

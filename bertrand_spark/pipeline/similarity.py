@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot", "l2_norm", "cosine_sim",
     "random_hyperplane_signature", "hyperplane_signatures_vectorized",
-    "cosine_all_pairs_blocked", "knn_graph",
+    "cosine_all_pairs_blocked", "knn_graph", "ann_recall",
     "brute_force_topk", "ivf_build", "ivf_topk", "ivf_write", "ivf_read",
     "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
 ]
@@ -343,6 +343,61 @@ def knn_graph(
         edges.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= kk)
         .select("src", "dst", "cosine", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "src",
+    id_col: str = "dst",
+    summarize: bool = True,
+) -> DataFrame:
+    """Recall of an ANN result against the exact neighbor set — the
+    quality metric every approximate tier (ivf_topk, ivf_pq_topk,
+    hyperplane LSH) is tuned by.
+
+    Both inputs are edge lists ``(query_col, id_col, ...)``; ``exact``
+    is typically :func:`knn_graph` (or ``brute_force_topk`` renamed).
+    Per query: recall = |approx ∩ exact| / |exact|.  Queries the ANN
+    returned nothing for still count (recall 0) — a silently-empty
+    probe is exactly the failure mode this metric exists to catch.
+
+    ``summarize=False`` returns per-query rows (query, n_exact, n_hit,
+    recall); ``summarize=True`` one row (n_queries, mean_recall,
+    micro_recall).  Plan: one left-semi join on (query, id) + one
+    aggregate — both sides are edge lists (k rows per query), never
+    vectors, so the comparison costs O(edges) at any corpus size."""
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
+    )
+    a = approx.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i")
+    )
+    hits = e.join(a, ["__q", "__i"], "left_semi")
+    per_query = (
+        e.groupBy("__q")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("__q").agg(F.count("*").alias("n_hit")),
+            "__q",
+            "left",
+        )
+        .select(
+            F.col("__q").alias("query"),
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")
+            ).cast("double").alias("recall"),
+        )
+    )
+    if not summarize:
+        return per_query
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.avg("recall").cast("double").alias("mean_recall"),
+        (F.sum("n_hit") / F.sum("n_exact")).cast("double").alias("micro_recall"),
     )
 
 

@@ -132,3 +132,54 @@ class TestRelationalWidening:
         total_kept = sum(r["n_kept"] for r in rows)
         n_docs = read_table(spark, SF, "documents").count()
         assert 0 < total_kept <= n_docs
+
+
+class TestAnnRecall:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return _mk_vectors(spark, n=60, dim=8, seed=11)
+
+    @pytest.fixture(scope="class")
+    def exact(self, corpus):
+        return knn_graph(corpus, k=5, num_blocks=4).cache()
+
+    def _approx(self, corpus, nprobe):
+        from bertrand_spark.pipeline.similarity import ivf_build, ivf_topk
+
+        assigned, cents = ivf_build(corpus, num_cells=4, seed=3)
+        q = corpus.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        # drop the self-match (cosine 1.0 with itself) to mirror knn_graph
+        return (
+            ivf_topk(assigned, cents, q, k=6, nprobe=nprobe)
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(F.col("q_id").alias("src"), F.col("vec_id").alias("dst"))
+        )
+
+    def test_exhaustive_probe_full_recall(self, spark, corpus, exact):
+        from bertrand_spark.pipeline.similarity import ann_recall
+
+        row = ann_recall(exact, self._approx(corpus, nprobe=4)).collect()[0]
+        assert row["n_queries"] == 60
+        assert row["mean_recall"] == pytest.approx(1.0)
+        assert row["micro_recall"] == pytest.approx(1.0)
+
+    def test_pruned_probe_partial_recall(self, spark, corpus, exact):
+        from bertrand_spark.pipeline.similarity import ann_recall
+
+        per_q = ann_recall(
+            exact, self._approx(corpus, nprobe=1), summarize=False
+        ).collect()
+        assert len(per_q) == 60
+        for r in per_q:
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["n_hit"] <= r["n_exact"] == 5
+
+    def test_empty_approx_is_zero_not_missing(self, spark, corpus, exact):
+        from bertrand_spark.pipeline.similarity import ann_recall
+
+        empty = exact.filter(F.lit(False)).select("src", "dst")
+        row = ann_recall(exact, empty).collect()[0]
+        assert row["n_queries"] == 60
+        assert row["mean_recall"] == 0.0
