@@ -183,3 +183,38 @@ class TestAnnRecall:
         row = ann_recall(exact, empty).collect()[0]
         assert row["n_queries"] == 60
         assert row["mean_recall"] == 0.0
+
+
+class TestTwoPhaseComponents:
+    def _random_edges(self, spark, seed):
+        rng = np.random.default_rng(seed)
+        edges = {(int(a), int(b)) for a, b in rng.integers(0, 40, (60, 2)) if a != b}
+        return spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+        )
+
+    def test_local_finish_equals_iterative(self, spark):
+        from bertrand_spark.pipeline.graph import connected_components
+
+        for seed in (1, 2, 3):
+            df = self._random_edges(spark, seed)
+            local = {
+                (r["id"], r["component"])
+                for r in connected_components(df).collect()
+            }
+            iterative = {
+                (r["id"], r["component"])
+                for r in connected_components(df, local_threshold=0).collect()
+            }
+            assert local == iterative
+
+    def test_chain_components_local(self, spark):
+        # a 50-link chain: worst case for star-rounds, trivial locally
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+        )
+        from bertrand_spark.pipeline.graph import connected_components
+
+        rows = connected_components(df).collect()
+        assert {r["component"] for r in rows} == {0}
+        assert {r["id"] for r in rows} == set(range(51))
