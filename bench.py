@@ -25,6 +25,11 @@ HEADLINE = [
     # are independent, so order is bench hygiene, not semantics.
     "x02_minhash_near_dup",
     "x03_ngram_jaccard",
+    # ...same hygiene for the round-3 composites (near-dup clustering and
+    # the two-corpus LSH join): they run 2x slower after 20 queries of
+    # JVM history than they do fresh
+    "x30_dedup_clusters",
+    "x32_fuzzy_join",
     # cast/type engine over the biggest table
     "q01_detect_tags",
     "q03_generic_casts",
@@ -48,9 +53,8 @@ HEADLINE = [
     # corpus curation
     "x20_decontaminate",
     "x22_pack_sequences",
-    # round-3 flagships: clustering, cross-corpus join, tf-idf, span dedup
-    "x30_dedup_clusters",
-    "x32_fuzzy_join",
+    # round-3 flagships: tf-idf, span dedup (clustering + fuzzy join run
+    # up top with the other heavies)
     "x34_tfidf_top_terms",
     "x35_chunk_dedup",
     # round-3b: star-join top-N + exact kNN graph

@@ -173,6 +173,32 @@ def main() -> None:
         lambda: "kept=%d" % D.exact_dedup(docs, "text", keep_by="doc_id").count(),
     )
 
+    # 6b. exact kNN graph over mult x embeddings (perturbed copies so the
+    # geometry isn't degenerate).  Work is O(n²·d) BY CONSTRUCTION —
+    # judge the scored-pairs/s, not the total.
+    from bertrand_spark.pipeline.similarity import knn_graph
+
+    emb = (
+        blow_up(read_table(spark, SF_DIR, "embeddings"), "vec_id")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + (F.col("vec_id") % mult).cast("double") * 1e-3,
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    n_emb = emb.count()
+
+    def knn():
+        t0 = time.time()
+        n_edges = knn_graph(emb, "vec_id", "embedding", k=5, num_blocks=16).count()
+        rate = n_emb * n_emb / max(time.time() - t0, 1e-9)
+        return f"edges={n_edges:,} ({rate/1e6:,.0f}M scored-pairs/s)"
+
+    timed(f"exact kNN graph {n_emb:,} vecs", knn)
+
     # 7. pathological skew join: 80% of the fact rows share ONE key and
     # the right side is too big to broadcast, so the plain shuffle join
     # funnels the hot key into one sort-merge task.  Three plans:
