@@ -6,6 +6,7 @@ from .rollup import (
     running_totals,
     sessionize,
     stream_dedup,
+    stream_ann_enrich,
     stream_curation_pipeline,
     stream_dedup_against_store,
     stream_stream_join,
@@ -16,4 +17,5 @@ __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "stream_stream_join", "foreach_batch_parquet_sink",
     "stream_dedup_against_store", "stream_curation_pipeline",
+    "stream_ann_enrich",
 ]

@@ -32,7 +32,7 @@ __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "read_events_stream_split", "stream_stream_join",
     "foreach_batch_parquet_sink", "stream_dedup_against_store",
-    "stream_curation_pipeline",
+    "stream_curation_pipeline", "stream_ann_enrich",
 ]
 
 
@@ -292,6 +292,58 @@ def foreach_batch_parquet_sink(out_dir: str):
         )
 
     return write
+
+
+def stream_ann_enrich(
+    assigned: DataFrame,
+    centroids: list,
+    out_dir: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+):
+    """ANN serving on a stream: a ``foreachBatch`` handler that runs each
+    micro-batch of query vectors through :func:`~bertrand_spark.pipeline
+    .similarity.ivf_topk` against a prebuilt IVF index and lands the
+    (q_id, vec_id, cosine) edges in an idempotent per-epoch parquet sink
+    (same exactly-once recipe as :func:`foreach_batch_parquet_sink`).
+
+    The index side is STATIC within the handler — ``assigned`` re-plans
+    per micro-batch, so republishing the cell table (ivf_write) is picked
+    up without restarting the query.  ``ivf_topk``'s driver-side probe
+    list is bounded by the micro-batch row count — at scale the batch
+    size IS the knob (maxFilesPerTrigger / maxOffsetsPerTrigger), which
+    makes the per-epoch collect bounded by configuration, not by data.
+
+    Wire it up::
+
+        q = (queries_stream.writeStream
+             .foreachBatch(stream_ann_enrich(assigned, cents, out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    from ..pipeline.similarity import ivf_topk
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = ivf_topk(
+            assigned,
+            centroids,
+            batch_df,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            q_id_col=q_id_col,
+            q_vec_col=q_vec_col,
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/ingest_batch={batch_id}")
+
+    return enrich
 
 
 def read_events_stream_split(

@@ -158,3 +158,45 @@ class TestStreamCurationPipeline:
         )
         want_fps = rows_set(batch.select("__fp").distinct(), ["__fp"])
         assert got_fps == want_fps and len(got) == len(want_fps)
+
+
+class TestStreamAnnEnrich:
+    def test_streamed_topk_equals_batch(self, spark, sf_dir, tmp_path):
+        from bertrand_spark.pipeline.similarity import ivf_build, ivf_topk
+        from bertrand_spark.streaming import stream_ann_enrich
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        assigned, cents = ivf_build(emb, num_cells=4, seed=5)
+        assigned = assigned.persist()
+        assigned.count()
+
+        queries = emb.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        expected = rows_set(
+            ivf_topk(assigned, cents, queries, k=3, nprobe=2),
+            ["q_id", "vec_id"],
+        )
+
+        # stage the queries as files; one micro-batch per file
+        qdir = str(tmp_path / "queries")
+        queries.repartition(3).write.parquet(qdir)
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(qdir)
+        )
+        out = str(tmp_path / "enriched")
+        q = (
+            stream.writeStream.foreachBatch(
+                stream_ann_enrich(assigned, cents, out, k=3, nprobe=2)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = rows_set(spark.read.parquet(out), ["q_id", "vec_id"])
+        assert got == expected
+        assigned.unpersist()
