@@ -9,6 +9,7 @@ so a 100 TB documents table is one narrow projection pass.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -18,6 +19,7 @@ __all__ = [
     "quality_features", "quality_score", "gopher_quality_flags",
     "language_scores", "detect_language",
     "fingerprint", "rolling_fingerprints",
+    "hashing_embed", "embed_documents",
 ]
 
 # --- tokenization ----------------------------------------------------------
@@ -257,3 +259,75 @@ def rolling_fingerprints(
     else:
         hashes = F.transform(grams, lambda g: F.xxhash64(g))
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def hashing_embed(dim: int = 64, ngram: int = 1, seed: int = 42):
+    """Feature-hashing ("hashing trick") document embedding kernel
+    (Weinberger et al., ICML 2009): token (or word n-gram) counts
+    scatter into ``dim`` buckets by one hash, a second independent sign
+    hash debiases the collisions, and the vector is l2-normalized —
+    cosine between embeddings approximates token-profile similarity
+    with no vocabulary, no training, and no model artifact to ship.
+
+    Returns an Arrow-batched ``pandas_udf`` producing ``array<double>``:
+    one narrow map pass at any corpus size (the honest, deterministic
+    baseline embedder that makes the ANN/semantic-dedup stack —
+    knn_graph, cosine_near_dup_pairs, ivf_topk — runnable on raw text;
+    swap in a learned encoder behind the same column signature when one
+    is available).  Hashes are crc32-based — stable across workers,
+    sessions, and machines (Python's builtin ``hash`` is per-process
+    salted and MUST NOT be used here).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n = int(ngram)
+    d = int(dim)
+    salt_b = str(seed).encode()
+    salt_s = str(seed * 31 + 7).encode()
+
+    @pandas_udf("array<double>")
+    def kernel(texts: pd.Series) -> pd.Series:
+        import re
+        import zlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in re.split(r"\s+", t.lower().strip()) if w]
+            if n > 1:
+                toks = [
+                    " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+                ] or ([" ".join(toks)] if toks else [])
+            v = np.zeros(d, dtype=np.float64)
+            for g in toks:
+                gb = g.encode()
+                bucket = zlib.crc32(salt_b + gb) % d
+                sign = 1.0 if zlib.crc32(salt_s + gb) & 1 else -1.0
+                v[bucket] += sign
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                v /= norm
+            out.append(v.tolist())
+        return pd.Series(out, dtype=object)
+
+    return kernel
+
+
+def embed_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    ngram: int = 1,
+    seed: int = 42,
+):
+    """(id, embedding) table from raw text via :func:`hashing_embed` —
+    the input shape every similarity operator in the engine consumes."""
+    kernel = hashing_embed(dim, ngram, seed)
+    return df.select(
+        F.col(id_col), kernel(F.col(text_col)).alias("embedding")
+    )
