@@ -1164,6 +1164,25 @@ def near_dup(
     individual tuned parameters.  Returns ``(id_a, id_b, score)`` where
     score is ``jaccard``, ``cosine``, or ``hamming`` per the metric.
     """
+    # cosine over a STRING column: embed it first (feature-hashing BoW,
+    # deterministic) so `near_dup(df, 'doc_id', 'text', metric='cosine')`
+    # works on raw text — the same (id, embedding) shape a learned
+    # encoder would produce.  `embed_dim`/`embed_ngram` override the
+    # defaults.
+    if metric == "cosine":
+        from pyspark.sql.types import StringType
+
+        if isinstance(df.schema[value_col].dataType, StringType):
+            from .text import embed_documents
+
+            df = embed_documents(
+                df,
+                id_col,
+                value_col,
+                dim=int(overrides.pop("embed_dim", 256)),
+                ngram=int(overrides.pop("embed_ngram", 1)),
+            )
+            value_col = "embedding"
     algo, params = near_dup_plan(metric, threshold)
     params.update(overrides)
     if algo == "minhash":

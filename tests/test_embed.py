@@ -68,3 +68,43 @@ class TestHashingEmbed:
         n = d.count()
         assert len(rows) == 2 * n
         assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
+
+
+class TestSemanticDedupFromText:
+    def test_cosine_metric_on_raw_text(self, spark):
+        from bertrand_spark.pipeline.dedup import near_dup, semantic_dedup
+
+        base = (
+            "distributed query engines shuffle partitioned data across "
+            "executors while the optimizer prunes columns and pushes filters"
+        )
+        rows = [
+            (0, base),
+            (1, base + " efficiently"),          # near-dup of 0
+            (2, "totally different cooking recipe butter flour sugar"),
+            (3, "yet another unrelated document about mountain weather"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = near_dup(df, "doc_id", "text", metric="cosine", threshold=0.7)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got
+        assert all({a, b} <= {0, 1} for a, b in got)
+
+        kept = semantic_dedup(
+            df, "doc_id", "text", metric="cosine", threshold=0.7
+        )
+        assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3}
+
+    def test_embedding_column_input_unchanged(self, spark):
+        # arrays still go straight to the vector path (no re-embedding)
+        from bertrand_spark.pipeline.dedup import near_dup
+
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in near_dup(
+                df, "vec_id", "embedding", metric="cosine", threshold=0.7
+            ).collect()
+        }
+        assert got == {(0, 1)}
