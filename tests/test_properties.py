@@ -173,3 +173,86 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == expect
+
+
+class TestKnnGraphProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st_.integers(min_value=4, max_value=24),   # corpus size
+        st_.integers(min_value=2, max_value=6),    # dim
+        st_.integers(min_value=1, max_value=4),    # k
+        st_.integers(min_value=1, max_value=4),    # num_blocks
+        st_.integers(min_value=0, max_value=2**31),
+    )
+    def test_matches_bruteforce(self, spark, n, dim, k, blocks, seed):
+        import numpy as np
+
+        from bertrand_spark.pipeline.similarity import knn_graph
+
+        rng = np.random.default_rng(seed)
+        M = rng.normal(size=(n, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["src"], r["dst"], r["rn"])
+            for r in knn_graph(df, k=k, num_blocks=blocks).collect()
+        }
+        Mn = M / np.linalg.norm(M, axis=1)[:, None]
+        sims = Mn @ Mn.T
+        want = set()
+        for i in range(n):
+            cands = sorted(
+                ((sims[i, j], j) for j in range(n) if j != i),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            for rn, (_, j) in enumerate(cands, start=1):
+                want.add((i, j, rn))
+        assert got == want
+
+
+class TestZorderProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st_.lists(
+            st_.tuples(
+                st_.integers(min_value=0, max_value=255),
+                st_.integers(min_value=0, max_value=255),
+            ),
+            min_size=1,
+            max_size=50,
+            unique=True,
+        )
+    )
+    def test_interleave_matches_reference(self, spark, pts):
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.sources.layout import zorder_value
+
+        df = spark.createDataFrame(pts, "a long, b long")
+        got = df.select(
+            "a", "b", zorder_value([F.col("a"), F.col("b")], bits=8).alias("z")
+        ).collect()
+        for r in got:
+            ref = 0
+            for i in range(8):
+                ref |= ((r["a"] >> i) & 1) << (2 * i)
+                ref |= ((r["b"] >> i) & 1) << (2 * i + 1)
+            assert r["z"] == ref
+
+    def test_axis_monotone(self, spark):
+        # with the other coordinate fixed at 0, the key is monotone in
+        # each axis (interleaving preserves per-axis order)
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.sources.layout import zorder_value
+
+        df = spark.createDataFrame([(i,) for i in range(256)], "a long")
+        za = [
+            r["z"]
+            for r in df.select(
+                zorder_value([F.col("a"), F.lit(0)], bits=8).alias("z")
+            ).orderBy("a").collect()
+        ]
+        assert za == sorted(za)
