@@ -25,7 +25,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "salted_join"]
+__all__ = ["asof_join", "range_join", "salted_join", "skew_report"]
 
 
 def asof_join(
@@ -177,3 +177,45 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l2.join(r2, on + ["__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    top: int = 10,
+) -> DataFrame:
+    """Per-column key-skew diagnostic: the measurement that decides
+    between a plain shuffle join, AQE skew splitting, and
+    :func:`salted_join` BEFORE the 100 TB job runs.
+
+    For each column: total rows, approx distinct keys, the ``top``
+    heaviest keys with their counts, and ``skew_factor`` = heaviest
+    count / mean count per key (1.0 = perfectly uniform; ≥ executor
+    count means one task outweighs the whole cluster's average).  One
+    groupBy per column over (col, count) pairs — the heavy-key search
+    aggregates counts, never rows, so the report costs a scan plus
+    key-cardinality shuffles regardless of data size.
+    """
+    out = None
+    for c in cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("key")).agg(
+            F.count("*").alias("cnt")
+        )
+        stats = counts.agg(
+            F.lit(c).alias("column"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_key_rows"),
+            (F.max("cnt") / F.avg("cnt")).cast("double").alias("skew_factor"),
+        )
+        # heavy keys via orderBy+limit → TakeOrderedAndProject (per-
+        # partition heaps); collect_list then folds ≤ `top` rows — never
+        # an array of the whole key space
+        topk = (
+            counts.orderBy(F.col("cnt").desc(), F.col("key"))
+            .limit(top)
+            .agg(F.collect_list(F.struct("cnt", "key")).alias("top_keys"))
+        )
+        rep = stats.crossJoin(topk)  # two 1-row frames
+        out = rep if out is None else out.unionByName(rep)
+    return out

@@ -1,5 +1,6 @@
 """asof/range/salted join semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from bertrand_spark.operators.joins import asof_join, range_join, salted_join
@@ -94,3 +95,34 @@ class TestSaltedJoin:
         assert by_key(salted.collect(), "k", "v", "tag") == by_key(
             plain.collect(), "k", "v", "tag"
         )
+
+
+class TestSkewReport:
+    def test_uniform_vs_hot_key(self, spark):
+        from bertrand_spark.operators.joins import skew_report
+
+        uniform = [(i % 100, i) for i in range(10_000)]
+        hot = [(0 if i % 5 else i, i) for i in range(10_000)]
+        df = spark.createDataFrame(
+            [(u, h) for (u, _), (h, _) in zip(uniform, hot)], "u long, h long"
+        )
+        rows = {r["column"]: r for r in skew_report(df, ["u", "h"], top=3).collect()}
+        assert rows["u"]["n_rows"] == rows["h"]["n_rows"] == 10_000
+        assert rows["u"]["skew_factor"] == pytest.approx(1.0)
+        assert rows["h"]["skew_factor"] > 100
+        # heaviest key of the hot column is 0, with ~80% of the rows
+        top = rows["h"]["top_keys"][0]
+        assert top["key"] == "0" and top["cnt"] == rows["h"]["max_key_rows"]
+        assert top["cnt"] >= 7_900
+        assert len(rows["h"]["top_keys"]) == 3
+
+    def test_null_keys_counted(self, spark):
+        from bertrand_spark.operators.joins import skew_report
+
+        df = spark.createDataFrame(
+            [(None,)] * 50 + [(1,)] * 10, "k long"
+        )
+        r = skew_report(df, ["k"]).collect()[0]
+        assert r["n_rows"] == 60
+        assert r["n_keys"] == 2
+        assert r["max_key_rows"] == 50
