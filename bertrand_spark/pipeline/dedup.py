@@ -36,6 +36,7 @@ __all__ = [
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
     "ngram_jaccard_pairs", "word_gram_hashes_vectorized", "cosine_near_dup_pairs",
     "fuzzy_join_minhash", "near_dup", "near_dup_plan", "semantic_dedup",
+    "write_band_table", "candidate_pairs_from_band_table",
 ]
 
 # deterministic (a, b) coefficients for the k minhash permutations
@@ -1228,3 +1229,72 @@ def semantic_dedup(
 
     pairs = near_dup(df, id_col, value_col, metric, threshold, **overrides)
     return dedup_keep_canonical(df, pairs, id_col)
+
+
+# --- bucketed band-table path (the shuffle-free LSH self-join) --------------
+def write_band_table(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 770,
+    num_bands: int = 154,
+    shingle_n: int = 5,
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the LSH band table `(id, band, bucket)` BUCKETED on its
+    self-join key — the SCALE.md path that makes the candidate-generation
+    join shuffle-free at corpus scale.
+
+    The band self-join is the one shuffle MinHash pays per run; a corpus
+    deduplicated repeatedly (every ingest batch, every re-crawl) pays it
+    every time.  Bucketing the band table once on (band, bucket) makes
+    every subsequent self- or cross-join against it a ZERO-exchange local
+    sort-merge (Spark aligns the bucket files), so re-runs cost only the
+    new batch's prep.  Banding math and downstream verification are
+    unchanged — :func:`candidate_pairs_from_band_table` feeds the same
+    consensus filter + exact verify as the in-memory path.
+    """
+    from ..sources.reader import write_bucketed
+
+    kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
+    bands = (
+        _spread(df)
+        .select(F.col(id_col), kernel(F.col(text_col)).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("__p.bk")).alias("band", "bucket"),
+        )
+    )
+    write_bucketed(bands, table, ["band", "bucket"], num_buckets=num_buckets)
+
+
+def candidate_pairs_from_band_table(
+    spark,
+    table: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    rows_per_band: int = 5,
+    num_bands: int = 154,
+    miss_tolerance: float = 1e-4,
+) -> DataFrame:
+    """Consensus-filtered candidate pairs from a bucketed band table:
+    the same banding/consensus semantics as ``near_dup_pairs_minhash``'s
+    inline path, but the self-join reads two aligned bucketed scans —
+    no exchange on either side.  Feed the result to exact verification
+    (``_verify_candidates`` via the prep table, or re-hash the candidate
+    texts) exactly like the inline path."""
+    bands = spark.table(table)
+    a = bands.withColumnRenamed(id_col, "id_a")
+    b = bands.withColumnRenamed(id_col, "id_b")
+    consensus = min_band_matches(
+        threshold, rows_per_band, num_bands, miss_tolerance
+    )
+    return (
+        a.join(b, ["band", "bucket"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__m"))
+        .filter(F.col("__m") >= consensus)
+        .select("id_a", "id_b")
+    )

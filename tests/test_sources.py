@@ -132,3 +132,67 @@ class TestBucketedLayout:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
             spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
             spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+class TestBandTableBucketed:
+    def test_bucketed_band_join_no_exchange_and_same_candidates(
+        self, spark, sf_dir
+    ):
+        from bertrand_spark.pipeline.dedup import (
+            candidate_pairs_from_band_table,
+            min_band_matches,
+            minhash_banded_vectorized,
+            write_band_table,
+        )
+        from bertrand_spark.sources.reader import read_table, spread
+
+        d = read_table(spark, sf_dir, "documents").limit(200)
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # at test size the planner would broadcast the band table;
+            # force the sort-merge path the bucket layout exists for
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            write_band_table(
+                d, "t_bands", k=770, num_bands=154, shingle_n=5, num_buckets=8
+            )
+            cand = candidate_pairs_from_band_table(
+                spark, "t_bands", threshold=0.6, rows_per_band=5, num_bands=154
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            # both scan sides are bucket-aligned: NO exchange on the join
+            # key (band/bucket); the only exchange in the plan is the
+            # pair-groupBy above the join
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            for ln in plan.splitlines():
+                if "Exchange" in ln:
+                    assert "band" not in ln, ln
+            got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+
+            # same candidates as the inline (shuffled) band join
+            kernel = minhash_banded_vectorized(770, 154, 5)
+            bands = (
+                spread(d)
+                .select(F.col("doc_id"), kernel(F.col("text")).alias("__p"))
+                .select(
+                    "doc_id",
+                    F.posexplode("__p.bk").alias("band", "bucket"),
+                )
+            )
+            a = bands.withColumnRenamed("doc_id", "id_a")
+            b = bands.withColumnRenamed("doc_id", "id_b")
+            consensus = min_band_matches(0.6, 5, 154, 1e-4)
+            want = {
+                (r["id_a"], r["id_b"])
+                for r in (
+                    a.join(b, ["band", "bucket"])
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .groupBy("id_a", "id_b")
+                    .agg(F.count("*").alias("m"))
+                    .filter(F.col("m") >= consensus)
+                ).collect()
+            }
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP TABLE IF EXISTS t_bands")
