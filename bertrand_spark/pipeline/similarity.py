@@ -517,37 +517,75 @@ def ivf_topk(
     filtered by cell (partition pruning when stored partitioned by cell)
     before any scoring.
     """
-    probe_rows = []
-    for q in queries.collect():  # queries are small by contract
-        qv = list(q[q_vec_col])
+    import numpy as np
+
+    # per-cell probe map, built driver-side (queries are small by
+    # contract — the micro-batch/probe-set regime; the knob bounding this
+    # is the caller's batch size).  Query vectors are normalized HERE so
+    # the executor-side work is one GEMM per Arrow batch.
+    cell_qids: dict[int, list] = {}
+    cell_qvecs: dict[int, list] = {}
+    for q in queries.collect():
+        qv = np.asarray(list(q[q_vec_col]), dtype=np.float64)
         d = [
-            (sum((a - b) ** 2 for a, b in zip(qv, c)), i)
+            (float(((qv - np.asarray(c)) ** 2).sum()), i)
             for i, c in enumerate(centroids)
         ]
         d.sort()
+        nq = float(np.linalg.norm(qv))
+        qn = qv / nq if nq > 0 else qv
         for _, cell in d[:nprobe]:
-            probe_rows.append((q[q_id_col], cell, qv))
+            cell_qids.setdefault(cell, []).append(q[q_id_col])
+            cell_qvecs.setdefault(cell, []).append(qn)
+    probe_map = {
+        c: (cell_qids[c], np.stack(cell_qvecs[c])) for c in cell_qids
+    }
+    probed_cells = sorted(probe_map)
+
     spark = assigned.sparkSession
-    # explicit schema (id type taken from the queries frame): an empty
-    # query batch — normal in a scheduled pipeline — must yield an empty
-    # result, not a schema-inference error
     from pyspark.sql import types as st
 
-    probes = spark.createDataFrame(
-        probe_rows,
-        st.StructType(
-            [
-                st.StructField(q_id_col, queries.schema[q_id_col].dataType),
-                st.StructField("__cell", st.IntegerType()),
-                st.StructField(q_vec_col, st.ArrayType(st.DoubleType())),
-            ]
-        ),
+    out_schema = st.StructType(
+        [
+            st.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            st.StructField(id_col, assigned.schema[id_col].dataType),
+            st.StructField("cosine", st.DoubleType()),
+        ]
     )
-    joined = assigned.join(F.broadcast(probes), "__cell")
-    scored = joined.select(
-        F.col(q_id_col),
-        F.col(id_col),
-        cosine_sim(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    if not probed_cells:  # empty query batch → empty result, same schema
+        return spark.createDataFrame([], out_schema)
+
+    # scoring = one BLAS GEMM per (Arrow batch, probed cell): no join, no
+    # per-pair interpreted HOF, and the query matrix rides the closure —
+    # candidate vectors never pair-replicate.  The `isin(probed_cells)`
+    # filter is what partition pruning keys on when `assigned` comes from
+    # an ivf_write store partitioned by __cell.
+    def score(batches):
+        for pdf in batches:
+            for cell, grp in pdf.groupby("__cell"):
+                entry = probe_map.get(cell)
+                if entry is None or len(grp) == 0:
+                    continue
+                qids, Q = entry
+                M = np.stack(grp[vec_col].to_numpy())
+                norms = np.linalg.norm(M, axis=1)
+                norms[norms == 0] = 1.0
+                sims = (M / norms[:, None]) @ Q.T  # (rows, nq)
+                n_rows, n_q = sims.shape
+                yield pd.DataFrame(
+                    {
+                        q_id_col: np.tile(np.asarray(qids), n_rows),
+                        id_col: np.repeat(grp[id_col].to_numpy(), n_q),
+                        "cosine": sims.ravel(),
+                    }
+                )
+
+    scored = (
+        assigned.filter(
+            F.col("__cell").isin(probed_cells) & F.col(vec_col).isNotNull()
+        )
+        .select(id_col, vec_col, "__cell")
+        .mapInPandas(score, out_schema)
     )
     from pyspark.sql import Window
 
