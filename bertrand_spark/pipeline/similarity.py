@@ -434,17 +434,57 @@ def brute_force_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """Exact cosine top-k per query: broadcast(queries) × vectors.
+    """Exact cosine top-k per query — the scan-bound baseline.
 
-    Result: (q_id, vec_id, cosine) — top k per query via a window rank over
-    per-partition partial top-k (Catalyst rewrites orderBy+limit patterns;
-    the rank window shuffles only (q_id, cand) pairs).
+    Result: (q_id, vec_id, cosine).  The query matrix (small by
+    contract, same bounded-batch rule as IVF probing) is collected,
+    normalized once, and shipped in the ``mapInPandas`` closure; every
+    Arrow batch of corpus vectors scores against ALL queries with one
+    BLAS GEMM — no cross join, no per-pair interpreted HOF, the corpus
+    is scanned exactly once.  The rank window shuffles only (q_id,
+    candidate) pairs.
     """
-    joined = vectors.crossJoin(F.broadcast(queries))
-    scored = joined.select(
-        F.col(q_id_col),
-        F.col(id_col),
-        cosine_sim(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    import numpy as np
+
+    from pyspark.sql import types as st
+
+    qrows = [r for r in queries.collect() if r[q_vec_col] is not None]
+    out_schema = st.StructType(
+        [
+            st.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            st.StructField(id_col, vectors.schema[id_col].dataType),
+            st.StructField("cosine", st.DoubleType()),
+        ]
+    )
+    if not qrows:
+        return vectors.sparkSession.createDataFrame([], out_schema)
+    qids = np.asarray([r[q_id_col] for r in qrows])
+    Q = np.stack([np.asarray(list(r[q_vec_col]), dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy())
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (M / norms[:, None]) @ Qn.T  # (rows, nq)
+            n_rows, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    q_id_col: np.tile(qids, n_rows),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_q),
+                    "cosine": sims.ravel(),
+                }
+            )
+
+    scored = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(score, out_schema)
     )
     from pyspark.sql import Window
 
