@@ -9,6 +9,7 @@ from .rollup import (
     stream_ann_enrich,
     stream_curation_pipeline,
     stream_dedup_against_store,
+    stream_fuzzy_dedup,
     stream_stream_join,
     windowed_rollup,
 )
@@ -17,5 +18,5 @@ __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "stream_stream_join", "foreach_batch_parquet_sink",
     "stream_dedup_against_store", "stream_curation_pipeline",
-    "stream_ann_enrich",
+    "stream_ann_enrich", "stream_fuzzy_dedup",
 ]

@@ -32,7 +32,7 @@ __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "read_events_stream_split", "stream_stream_join",
     "foreach_batch_parquet_sink", "stream_dedup_against_store",
-    "stream_curation_pipeline", "stream_ann_enrich",
+    "stream_curation_pipeline", "stream_ann_enrich", "stream_fuzzy_dedup",
 ]
 
 
@@ -344,6 +344,57 @@ def stream_ann_enrich(
         out.write.mode("overwrite").parquet(f"{out_dir}/ingest_batch={batch_id}")
 
     return enrich
+
+
+def stream_fuzzy_dedup(
+    store: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 770,
+    num_bands: int = 154,
+    shingle_n: int = 5,
+):
+    """Streaming NEAR-duplicate dedup against a historical corpus: a
+    ``foreachBatch`` handler that fuzzy-joins each micro-batch of
+    documents against the static store (two-table MinHash LSH, exact
+    Jaccard verified), drops batch rows with a match ≥ ``threshold``,
+    and lands the kept rows in the idempotent per-epoch parquet sink.
+
+    The fuzzy sibling of :func:`stream_dedup_against_store` (which is
+    exact-fingerprint only): a re-crawled page with a new timestamp or
+    boilerplate tweak sails through exact dedup but is caught here.
+    Cost profile per micro-batch is `dedup.fuzzy_join_minhash`'s: both
+    sides pay one fused Arrow prep pass, only (id, band, bucket) tuples
+    shuffle, and the store side re-plans every batch so a refreshed
+    corpus parquet is picked up live.  At production scale, keep the
+    store's band table bucketed (``dedup.write_band_table``) and the
+    per-batch join is shuffle-free on the store side.
+    """
+    from ..pipeline.dedup import fuzzy_join_minhash
+
+    def dedup(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hits = fuzzy_join_minhash(
+            batch_df,
+            store,
+            left_id=id_col,
+            right_id=id_col,
+            left_text=text_col,
+            right_text=text_col,
+            threshold=threshold,
+            k=k,
+            num_bands=num_bands,
+            shingle_n=shingle_n,
+        ).select(F.col("id_l").alias(id_col)).distinct()
+        kept = batch_df.join(hits, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={batch_id}"
+        )
+
+    return dedup
 
 
 def read_events_stream_split(

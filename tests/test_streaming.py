@@ -200,3 +200,55 @@ class TestStreamAnnEnrich:
         got = rows_set(spark.read.parquet(out), ["q_id", "vec_id"])
         assert got == expected
         assigned.unpersist()
+
+
+class TestStreamFuzzyDedup:
+    def test_streamed_near_dup_filter_equals_batch(self, spark, sf_dir, tmp_path):
+        from bertrand_spark.pipeline.dedup import fuzzy_join_minhash
+        from bertrand_spark.streaming import stream_fuzzy_dedup
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # store = even ids; the stream carries odd ids plus near-copies
+        # of two store docs (suffix tweak -> not exact dups)
+        store = docs.filter(F.col("doc_id") % 2 == 0).persist()
+        store.count()
+        near = (
+            store.limit(2)
+            .select(
+                (F.col("doc_id") + 100_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+        )
+        stream_src = docs.filter(F.col("doc_id") % 2 == 1).unionByName(near)
+
+        expected_hits = {
+            r["id_l"]
+            for r in fuzzy_join_minhash(
+                stream_src, store, threshold=0.7
+            ).collect()
+        }
+        assert {r["doc_id"] for r in near.collect()} <= expected_hits
+        expected_kept = {
+            r["doc_id"] for r in stream_src.collect()
+        } - expected_hits
+
+        qdir = str(tmp_path / "in")
+        stream_src.repartition(2).write.parquet(qdir)
+        stream = (
+            spark.readStream.schema(stream_src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(qdir)
+        )
+        out = str(tmp_path / "kept")
+        q = (
+            stream.writeStream.foreachBatch(
+                stream_fuzzy_dedup(store, out, threshold=0.7)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == expected_kept
+        store.unpersist()
