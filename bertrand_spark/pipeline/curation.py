@@ -46,7 +46,8 @@ __all__ = [
     "benchmark_ngrams", "decontaminate",
     "bloom_table", "decontaminate_bloom",
     "redact_pii", "PII_PATTERNS",
-    "pack_sequences", "sample_deterministic", "repetition_score",
+    "pack_sequences", "sample_deterministic", "sample_per_group",
+    "repetition_score",
     "temperature_resample",
 ]
 
@@ -445,6 +446,38 @@ def sample_deterministic(
             F.coalesce(stratum.cast("string"), F.lit("")), F.lit("|"), key
         )
     return df.filter(md5_bucket(key, buckets) < int(round(fraction * buckets)))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Keep a deterministic fixed COUNT of rows per group (e.g. "at most
+    N documents per domain") — the quota sibling of the rate-based
+    :func:`sample_deterministic`.
+
+    Selection ranks each group's rows by the md5 hash of the id (an
+    engine-independent uniform order: no RNG state, stable under
+    repartitioning/retries, reproducible forever) and keeps the first
+    ``n`` — an unbiased uniform sample without replacement per group.
+    Plan: ONE window partitioned by the group (hash-partition shuffle,
+    per-group frames evaluate independently — never a global sort).
+    Groups hotter than a task can hold still rank in one partition; for
+    pathological single-group skew, pre-split the group key (salting)
+    or raise the quota filter earlier with `skew_report` evidence.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__rn")
+    )
 
 
 def temperature_resample(

@@ -200,3 +200,33 @@ class TestEmptyInputs:
         )
         assigned, cents = ivf_build(e, num_cells=4)
         assert ivf_topk(assigned, cents, q, k=5, nprobe=2).count() == 0
+
+
+class TestSamplePerGroup:
+    def test_quota_and_determinism(self, spark):
+        from bertrand_spark.pipeline.curation import sample_per_group
+
+        rows = [(f"s{i % 3}", i) for i in range(300)]
+        df = spark.createDataFrame(rows, "src string, id long")
+        out1 = sample_per_group(df, "src", "id", 10)
+        got1 = {(r["src"], r["id"]) for r in out1.collect()}
+        # exactly 10 per group
+        per = {}
+        for s, i in got1:
+            per[s] = per.get(s, 0) + 1
+        assert per == {"s0": 10, "s1": 10, "s2": 10}
+        # deterministic across runs and repartitioning
+        got2 = {
+            (r["src"], r["id"])
+            for r in sample_per_group(df.repartition(7), "src", "id", 10).collect()
+        }
+        assert got1 == got2
+
+    def test_small_groups_kept_whole(self, spark):
+        from bertrand_spark.pipeline.curation import sample_per_group
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "src string, id long"
+        )
+        got = {(r["src"], r["id"]) for r in sample_per_group(df, "src", "id", 5).collect()}
+        assert got == {("a", 1), ("a", 2), ("b", 3)}
