@@ -36,5 +36,18 @@ from .curation import (  # noqa: F401
     pack_sequences,
     redact_pii,
     sample_deterministic,
+    sample_per_group,
     temperature_resample,
+)
+from .similarity import (  # noqa: F401
+    ann_recall,
+    brute_force_topk,
+    cosine_all_pairs_blocked,
+    ivf_build,
+    ivf_topk,
+    knn_graph,
+)
+from .text import (  # noqa: F401
+    embed_documents,
+    hashing_embed,
 )
