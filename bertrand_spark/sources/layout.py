@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_key", "write_zordered"]
+__all__ = ["zorder_value", "zorder_key", "write_zordered", "compact_parquet"]
 
 
 def zorder_value(rank_cols: list[Column], bits: int = 16) -> Column:
@@ -116,3 +116,49 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each (optionally re-sorted) and return the output
+    file count.
+
+    The operational problem: streaming sinks and per-epoch writers leave
+    thousands of KB-scale files; every downstream scan then pays one
+    task + one open per file and the NameNode/listing pays the metadata.
+    Sizing comes from the actual input bytes (summed over
+    ``df.inputFiles()``), not a row-count guess, so compression ratio is
+    accounted for.  One repartition shuffle (or a range partition by
+    ``sort_cols``, which also gives min/max pruning on them — pass the
+    Z-order key columns through :func:`write_zordered` instead when you
+    want multi-dimensional locality).
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(src)
+    total = 0
+    for f in df.inputFiles():
+        p = urlparse(f)
+        path = p.path if p.scheme in ("", "file") else None
+        if path and os.path.exists(path):
+            total += os.path.getsize(path)
+    if total == 0:  # non-local or empty input: fall back to row estimate
+        total = df.count() * 256  # conservative bytes/row guess
+    n_files = max(1, math.ceil(total / (target_mb << 20)))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst)
+    return n_files

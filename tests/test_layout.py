@@ -116,3 +116,32 @@ class TestZorderWrite:
         # monotone in a's rank alone
         zs = [r["__z"] for r in got]
         assert zs == sorted(zs)
+
+
+class TestCompactParquet:
+    def test_compacts_many_small_files(self, spark, tmp_path):
+        from bertrand_spark.sources.layout import compact_parquet
+
+        src = str(tmp_path / "small")
+        spark.range(10_000).repartition(50).write.parquet(src)
+        import glob
+
+        assert len(glob.glob(f"{src}/*.parquet")) == 50
+        dst = str(tmp_path / "compact")
+        n = compact_parquet(spark, src, dst, target_mb=256)
+        assert n == 1
+        assert len(glob.glob(f"{dst}/*.parquet")) == 1
+        assert spark.read.parquet(dst).count() == 10_000
+
+    def test_sorted_compaction_prunes(self, spark, tmp_path):
+        from bertrand_spark.sources.layout import compact_parquet
+
+        src = str(tmp_path / "src")
+        spark.range(5_000).selectExpr("id", "id % 100 as k").repartition(
+            20
+        ).write.parquet(src)
+        dst = str(tmp_path / "dst")
+        compact_parquet(spark, src, dst, target_mb=256, sort_cols=["k"])
+        back = spark.read.parquet(dst)
+        assert back.count() == 5_000
+        assert {r["k"] for r in back.filter("k = 7").collect()} == {7}
