@@ -256,3 +256,31 @@ class TestZorderProperties:
             ).orderBy("a").collect()
         ]
         assert za == sorted(za)
+
+
+class TestSamplePerGroupProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st_.lists(
+            st_.tuples(
+                st_.sampled_from(["a", "b", "c", "d"]),
+                st_.integers(min_value=0, max_value=10_000),
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        st_.integers(min_value=1, max_value=8),
+    )
+    def test_quota_respected_and_subset(self, spark, rows, n):
+        from bertrand_spark.pipeline.curation import sample_per_group
+
+        rows = list({(g, i) for g, i in rows})  # unique ids per group
+        df = spark.createDataFrame(rows, "g string, id long")
+        got = [(r["g"], r["id"]) for r in sample_per_group(df, "g", "id", n).collect()]
+        assert set(got) <= set(rows)
+        from collections import Counter
+
+        sizes = Counter(g for g, _ in rows)
+        kept = Counter(g for g, _ in got)
+        for g, total in sizes.items():
+            assert kept[g] == min(n, total)
