@@ -36,7 +36,7 @@ __all__ = [
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
     "ngram_jaccard_pairs", "word_gram_hashes_vectorized", "cosine_near_dup_pairs",
     "fuzzy_join_minhash", "near_dup", "near_dup_plan", "semantic_dedup",
-    "write_band_table", "candidate_pairs_from_band_table",
+    "write_band_table", "candidate_pairs_from_band_table", "dedup_report",
 ]
 
 # deterministic (a, b) coefficients for the k minhash permutations
@@ -1298,3 +1298,38 @@ def candidate_pairs_from_band_table(
         .filter(F.col("__m") >= consensus)
         .select("id_a", "id_b")
     )
+
+
+def dedup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+) -> DataFrame:
+    """Duplication summary: rows, distinct fingerprints, duplicate rows
+    and duplication rate — overall, or per ``by`` group (the per-source
+    table a dedup run publishes next to its corpus stats).
+
+    One groupBy over 16-byte fingerprints (+ the group key) then a
+    count-distinct aggregate — map-side combinable, no text shuffles
+    (only fingerprints and the group key move).
+    """
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    keys = [by] if by else []
+    out = (
+        df.select(*keys, fp)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("__fp").alias("n_unique"),
+        )
+        .select(
+            *keys,
+            "n_rows",
+            "n_unique",
+            (F.col("n_rows") - F.col("n_unique")).alias("n_dup_rows"),
+            (
+                (F.col("n_rows") - F.col("n_unique")) / F.col("n_rows")
+            ).cast("double").alias("dup_rate"),
+        )
+    )
+    return out.orderBy(by) if by else out

@@ -284,3 +284,35 @@ class TestCosinePairs:
         assert got <= ex  # exact verification: never a false positive
         if ex:
             assert len(got) >= 0.9 * len(ex)  # OR-amplified recall
+
+
+class TestDedupReport:
+    def test_overall_and_per_source(self, spark):
+        from bertrand_spark.pipeline.dedup import dedup_report
+
+        rows = (
+            [("a", "same text")] * 3
+            + [("a", "unique one")]
+            + [("b", "other text")] * 2
+            + [("b", "fresh")]
+        )
+        df = spark.createDataFrame(
+            [(s, t) for s, t in rows], "source string, text string"
+        )
+        overall = dedup_report(df, "text").collect()[0]
+        assert overall["n_rows"] == 7
+        assert overall["n_unique"] == 4
+        assert overall["n_dup_rows"] == 3
+        per = {r["source"]: r for r in dedup_report(df, "text", by="source").collect()}
+        assert per["a"]["n_dup_rows"] == 2
+        assert per["b"]["n_dup_rows"] == 1
+        assert per["b"]["dup_rate"] == 1 / 3
+
+    def test_whitespace_case_normalized(self, spark):
+        from bertrand_spark.pipeline.dedup import dedup_report
+
+        df = spark.createDataFrame(
+            [("Hello  World",), ("hello world",)], "text string"
+        )
+        r = dedup_report(df, "text").collect()[0]
+        assert r["n_unique"] == 1  # fingerprint normalizes case+whitespace
