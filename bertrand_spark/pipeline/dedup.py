@@ -1169,7 +1169,11 @@ def near_dup(
     # deterministic) so `near_dup(df, 'doc_id', 'text', metric='cosine')`
     # works on raw text — the same (id, embedding) shape a learned
     # encoder would produce.  `embed_dim`/`embed_ngram` override the
-    # defaults.
+    # defaults; they are consumed HERE unconditionally so an
+    # already-embedded input doesn't leak them into the algorithm kwargs.
+    metric = metric.lower()
+    embed_dim = int(overrides.pop("embed_dim", 256))
+    embed_ngram = int(overrides.pop("embed_ngram", 1))
     if metric == "cosine":
         from pyspark.sql.types import StringType
 
@@ -1177,11 +1181,7 @@ def near_dup(
             from .text import embed_documents
 
             df = embed_documents(
-                df,
-                id_col,
-                value_col,
-                dim=int(overrides.pop("embed_dim", 256)),
-                ngram=int(overrides.pop("embed_ngram", 1)),
+                df, id_col, value_col, dim=embed_dim, ngram=embed_ngram
             )
             value_col = "embedding"
     algo, params = near_dup_plan(metric, threshold)
@@ -1267,6 +1267,15 @@ def write_band_table(
         )
     )
     write_bucketed(bands, table, ["band", "bucket"], num_buckets=num_buckets)
+    # the banding geometry IS the table's semantics: persist it alongside
+    # so readers derive the consensus floor from the TRUE parameters
+    # instead of trusting call-site defaults (a k/num_bands mismatch
+    # silently collapses recall otherwise)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(k), int(num_bands), int(shingle_n))],
+        "k int, num_bands int, shingle_n int",
+    ).write.mode("overwrite").saveAsTable(f"{table}__params")
 
 
 def candidate_pairs_from_band_table(
@@ -1274,8 +1283,7 @@ def candidate_pairs_from_band_table(
     table: str,
     id_col: str = "doc_id",
     threshold: float = 0.7,
-    rows_per_band: int = 5,
-    num_bands: int = 154,
+    max_bucket: int | None = None,
     miss_tolerance: float = 1e-4,
 ) -> DataFrame:
     """Consensus-filtered candidate pairs from a bucketed band table:
@@ -1283,8 +1291,26 @@ def candidate_pairs_from_band_table(
     inline path, but the self-join reads two aligned bucketed scans —
     no exchange on either side.  Feed the result to exact verification
     (``_verify_candidates`` via the prep table, or re-hash the candidate
-    texts) exactly like the inline path."""
+    texts) exactly like the inline path.
+
+    The banding geometry (k, num_bands) is read from the ``__params``
+    companion table :func:`write_band_table` wrote — the consensus floor
+    always matches the table's true parameters.  ``max_bucket`` is the
+    same hot-bucket quadratic guard as the inline path (a bucket of d
+    docs emits d²/2 pair rows; run ``exact_dedup`` first, cap as
+    belt-and-suspenders)."""
+    prow = spark.table(f"{table}__params").first()
+    num_bands = prow["num_bands"]
+    rows_per_band = prow["k"] // num_bands
     bands = spark.table(table)
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("band", "bucket")
+        )
+        bands = bands.join(small, ["band", "bucket"])
     a = bands.withColumnRenamed(id_col, "id_a")
     b = bands.withColumnRenamed(id_col, "id_b")
     consensus = min_band_matches(

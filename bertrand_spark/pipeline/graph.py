@@ -63,15 +63,17 @@ def connected_components(
     TWO-PHASE: alternates large-star / small-star (each round one
     checkpointed distributed job) while the edge count exceeds
     ``local_threshold``; once the (contracted) edge set is measurably
-    small it is collected and finished with driver-side union-find in
-    one pass.  The count comes free from the per-round fingerprint
-    aggregate, so the collect is BOUNDED BY CONSTRUCTION (≤ threshold
-    edges ≈ 16 MB at the default) — the same bounded-small contract as
-    the candidate-id broadcasts elsewhere.  This is the production CC
-    shape: star rounds shrink a billion-edge graph geometrically, but
-    below memory scale each extra round is pure job-overhead (~1 s) that
-    a local union-find replaces with microseconds.  Pass
-    ``local_threshold=0`` to force the fully-iterative path.
+    small it is pulled to the driver (Arrow ``toPandas`` — two int64
+    columns ≈ 16 B/edge, ~16 MB at the default; the union-find dict adds
+    Python overhead on top, budget ~10× that on the driver heap) and
+    finished with union-find in one pass.  The count comes free from
+    the per-round fingerprint aggregate, so the collect is BOUNDED BY
+    CONSTRUCTION — the same bounded-small contract as the candidate-id
+    broadcasts elsewhere.  This is the production CC shape: star rounds
+    shrink a billion-edge graph geometrically, but below memory scale
+    each extra round is pure job-overhead (~1 s) that a local union-find
+    replaces with microseconds.  Pass ``local_threshold=0`` to force the
+    fully-iterative path, or lower it on a memory-tight driver.
 
     Fixpoint detection: count + order-insensitive xxhash64 aggregate —
     one tiny 1-row action per round, never a collect of unbounded data.
@@ -98,12 +100,15 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = canon_df.select("hi", "lo").collect()
-        nodes = set()
-        for row in rows:
-            nodes.add(row["hi"])
-            nodes.add(row["lo"])
-            ra, rb = find(row["hi"]), find(row["lo"])
+        # Arrow transfer + plain Python scalars: ~10-30x lighter on the
+        # driver heap than a list of Row objects at the same edge count
+        pdf = canon_df.select("hi", "lo").toPandas()
+        his = pdf["hi"].tolist()
+        los = pdf["lo"].tolist()
+        nodes = set(his)
+        nodes.update(los)
+        for h, l in zip(his, los):
+            ra, rb = find(h), find(l)
             if ra != rb:
                 # the smaller id stays the root → label = component min
                 if rb < ra:

@@ -261,8 +261,19 @@ def knn_graph(
 
     from .curation import shard_expr
 
+    from pyspark.sql import types as st
+
     kk = int(k)
-    out_schema = "src long, dst long, cosine double"
+    # id-typed output schema (string/long/... ids all work — same rule as
+    # brute_force_topk/ivf_topk)
+    id_type = df.schema[id_col].dataType
+    out_schema = st.StructType(
+        [
+            st.StructField("src", id_type),
+            st.StructField("dst", id_type),
+            st.StructField("cosine", st.DoubleType()),
+        ]
+    )
 
     def topk_rows(sims, An, Bn, src_ids, dst_ids) -> "pd.DataFrame":
         # dst_ids ascending + stable argsort of -sims ⇒ (cos desc, dst asc).
@@ -566,6 +577,8 @@ def ivf_topk(
     cell_qids: dict[int, list] = {}
     cell_qvecs: dict[int, list] = {}
     for q in queries.collect():
+        if q[q_vec_col] is None:  # malformed record ≠ wedged stream
+            continue
         qv = np.asarray(list(q[q_vec_col]), dtype=np.float64)
         d = [
             (float(((qv - np.asarray(c)) ** 2).sum()), i)

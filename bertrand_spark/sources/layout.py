@@ -133,26 +133,28 @@ def compact_parquet(
     The operational problem: streaming sinks and per-epoch writers leave
     thousands of KB-scale files; every downstream scan then pays one
     task + one open per file and the NameNode/listing pays the metadata.
-    Sizing comes from the actual input bytes (summed over
-    ``df.inputFiles()``), not a row-count guess, so compression ratio is
-    accounted for.  One repartition shuffle (or a range partition by
-    ``sort_cols``, which also gives min/max pruning on them — pass the
-    Z-order key columns through :func:`write_zordered` instead when you
-    want multi-dimensional locality).
+    Sizing comes from the actual input bytes — summed via the Hadoop
+    FileSystem API, so it works on ANY scheme (file://, hdfs://, s3a://,
+    …), not just local paths — never a row-count guess, so compression
+    ratio is accounted for.  One repartition shuffle (or a range
+    partition by ``sort_cols``, which also gives min/max pruning on
+    them — pass the Z-order key columns through :func:`write_zordered`
+    instead when you want multi-dimensional locality).
     """
     import math
-    import os
-    from urllib.parse import urlparse
 
     df = spark.read.parquet(src)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     total = 0
+    fs = None
     for f in df.inputFiles():
-        p = urlparse(f)
-        path = p.path if p.scheme in ("", "file") else None
-        if path and os.path.exists(path):
-            total += os.path.getsize(path)
-    if total == 0:  # non-local or empty input: fall back to row estimate
-        total = df.count() * 256  # conservative bytes/row guess
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if fs is None:
+            fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    if total == 0:  # empty input: one empty output file
+        total = 1
     n_files = max(1, math.ceil(total / (target_mb << 20)))
     if sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(

@@ -327,6 +327,8 @@ def stream_ann_enrich(
     """
     from ..pipeline.similarity import ivf_topk
 
+    sink = foreach_batch_parquet_sink(out_dir)
+
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -341,7 +343,7 @@ def stream_ann_enrich(
             q_id_col=q_id_col,
             q_vec_col=q_vec_col,
         )
-        out.write.mode("overwrite").parquet(f"{out_dir}/ingest_batch={batch_id}")
+        sink(out, batch_id)
 
     return enrich
 
@@ -374,25 +376,40 @@ def stream_fuzzy_dedup(
     """
     from ..pipeline.dedup import fuzzy_join_minhash
 
+    sink = foreach_batch_parquet_sink(out_dir)
+
     def dedup(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hits = fuzzy_join_minhash(
-            batch_df,
-            store,
-            left_id=id_col,
-            right_id=id_col,
-            left_text=text_col,
-            right_text=text_col,
-            threshold=threshold,
-            k=k,
-            num_bands=num_bands,
-            shingle_n=shingle_n,
-        ).select(F.col("id_l").alias(id_col)).distinct()
-        kept = batch_df.join(hits, id_col, "left_anti")
-        kept.write.mode("overwrite").parquet(
-            f"{out_dir}/ingest_batch={batch_id}"
-        )
+        sc = batch_df.sparkSession.sparkContext
+        # fuzzy_join_minhash persists its prep/cand tables (load-bearing
+        # for the multi-consumer fan-out) — on a long-running stream
+        # those epoch-scoped caches must be FREED after the write or
+        # executor storage grows without bound.  The handler runs
+        # synchronously inside this epoch, so every persistent RDD that
+        # appears during it belongs to this batch.
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        try:
+            hits = fuzzy_join_minhash(
+                batch_df,
+                store,
+                left_id=id_col,
+                right_id=id_col,
+                left_text=text_col,
+                right_text=text_col,
+                threshold=threshold,
+                k=k,
+                num_bands=num_bands,
+                shingle_n=shingle_n,
+            ).select(F.col("id_l").alias(id_col)).distinct()
+            kept = batch_df.join(hits, id_col, "left_anti")
+            sink(kept, batch_id)
+        finally:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in set(jmap.keySet().toArray()) - before:
+                rdd = jmap.get(rid)
+                if rdd is not None:
+                    rdd.unpersist()
 
     return dedup
 

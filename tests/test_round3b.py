@@ -218,3 +218,40 @@ class TestTwoPhaseComponents:
         rows = connected_components(df).collect()
         assert {r["component"] for r in rows} == {0}
         assert {r["id"] for r in rows} == set(range(51))
+
+
+class TestReviewFixesR3:
+    def test_knn_graph_string_ids(self, spark):
+        # id-typed output schema: string ids flow through tiles + merge
+        rows = [(f"doc-{i:03d}", [float(i), float(i % 3), 1.0]) for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        out = knn_graph(df, k=2, num_blocks=3).collect()
+        assert len(out) == 24
+        assert all(isinstance(r["src"], str) and isinstance(r["dst"], str) for r in out)
+
+    def test_ivf_topk_null_query_vector_skipped(self, spark):
+        from bertrand_spark.pipeline.similarity import ivf_build, ivf_topk
+
+        vecs = _mk_vectors(spark, n=10)
+        assigned, cents = ivf_build(vecs, num_cells=2, seed=1)
+        q = spark.createDataFrame(
+            [(0, [1.0] * 8), (1, None)], "q_id long, q_vec array<double>"
+        )
+        rows = ivf_topk(assigned, cents, q, k=3, nprobe=2).collect()
+        assert {r["q_id"] for r in rows} == {0}  # null query skipped, no crash
+
+    def test_near_dup_embed_overrides_consumed_on_array_input(self, spark):
+        from bertrand_spark.pipeline.dedup import near_dup
+
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # embed_dim must NOT leak into the vector algorithm's kwargs, and
+        # metric is case-insensitive
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in near_dup(
+                df, "vec_id", "embedding", metric="Cosine",
+                threshold=0.7, embed_dim=128,
+            ).collect()
+        }
+        assert got == {(0, 1)}

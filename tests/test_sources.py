@@ -156,8 +156,8 @@ class TestBandTableBucketed:
                 d, "t_bands", k=770, num_bands=154, shingle_n=5, num_buckets=8
             )
             cand = candidate_pairs_from_band_table(
-                spark, "t_bands", threshold=0.6, rows_per_band=5, num_bands=154
-            )
+                spark, "t_bands", threshold=0.6
+            )  # banding geometry comes from the __params companion
             plan = cand._jdf.queryExecution().executedPlan().toString()
             # both scan sides are bucket-aligned: NO exchange on the join
             # key (band/bucket); the only exchange in the plan is the
@@ -196,3 +196,4 @@ class TestBandTableBucketed:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
             spark.sql("DROP TABLE IF EXISTS t_bands")
+            spark.sql("DROP TABLE IF EXISTS t_bands__params")
