@@ -1283,8 +1283,11 @@ def candidate_pairs_from_band_table(
     table: str,
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    *,
     max_bucket: int | None = None,
     miss_tolerance: float = 1e-4,
+    num_bands: int | None = None,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Consensus-filtered candidate pairs from a bucketed band table:
     the same banding/consensus semantics as ``near_dup_pairs_minhash``'s
@@ -1295,13 +1298,27 @@ def candidate_pairs_from_band_table(
 
     The banding geometry (k, num_bands) is read from the ``__params``
     companion table :func:`write_band_table` wrote — the consensus floor
-    always matches the table's true parameters.  ``max_bucket`` is the
-    same hot-bucket quadratic guard as the inline path (a bucket of d
-    docs emits d²/2 pair rows; run ``exact_dedup`` first, cap as
-    belt-and-suspenders)."""
-    prow = spark.table(f"{table}__params").first()
-    num_bands = prow["num_bands"]
-    rows_per_band = prow["k"] // num_bands
+    always matches the table's true parameters.  For a band table
+    written WITHOUT a companion (older layout), pass keyword-only
+    ``num_bands`` + ``rows_per_band`` explicitly; geometry is never
+    silently defaulted.  ``max_bucket`` is the same hot-bucket quadratic
+    guard as the inline path (a bucket of d docs emits d²/2 pair rows;
+    run ``exact_dedup`` first, cap as belt-and-suspenders).  All tuning
+    arguments are keyword-only so a call written against an older
+    signature fails loudly instead of reinterpreting positions."""
+    if num_bands is None or rows_per_band is None:
+        try:
+            prow = spark.table(f"{table}__params").first()
+        except Exception:
+            prow = None
+        if prow is None:
+            raise ValueError(
+                f"no '{table}__params' companion table and no explicit "
+                "num_bands/rows_per_band — cannot derive the consensus "
+                "floor for this band table"
+            )
+        num_bands = prow["num_bands"]
+        rows_per_band = prow["k"] // num_bands
     bands = spark.table(table)
     if max_bucket is not None:
         small = (

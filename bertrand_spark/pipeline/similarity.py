@@ -459,7 +459,14 @@ def brute_force_topk(
 
     from pyspark.sql import types as st
 
-    qrows = [r for r in queries.collect() if r[q_vec_col] is not None]
+    parsed = []
+    dim = 0
+    for r in queries.collect():
+        qv = _parse_query_vec(r[q_vec_col], dim)
+        if qv is None:
+            continue
+        dim = dim or qv.size  # first valid vector fixes the dimension
+        parsed.append((r[q_id_col], qv))
     out_schema = st.StructType(
         [
             st.StructField(q_id_col, queries.schema[q_id_col].dataType),
@@ -467,10 +474,10 @@ def brute_force_topk(
             st.StructField("cosine", st.DoubleType()),
         ]
     )
-    if not qrows:
+    if not parsed:
         return vectors.sparkSession.createDataFrame([], out_schema)
-    qids = np.asarray([r[q_id_col] for r in qrows])
-    Q = np.stack([np.asarray(list(r[q_vec_col]), dtype=np.float64) for r in qrows])
+    qids = np.asarray([qid for qid, _ in parsed])
+    Q = np.stack([qv for _, qv in parsed])
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0] = 1.0
     Qn = Q / qn[:, None]
@@ -551,6 +558,27 @@ def ivf_build(
     return assigned, centroids
 
 
+def _parse_query_vec(raw, dim: int):
+    """Driver-side query-vector validation: returns a float64 numpy
+    vector or None for anything unscoreable (null, empty, null elements,
+    non-numeric, wrong dimension when ``dim`` > 0).  The guard exists so
+    ONE malformed record in a streamed micro-batch cannot crash the
+    foreachBatch epoch into a checkpoint replay loop."""
+    import numpy as np
+
+    if raw is None:
+        return None
+    try:
+        qv = np.asarray(list(raw), dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    if qv.ndim != 1 or qv.size == 0 or not np.isfinite(qv).all():
+        return None
+    if dim and qv.size != dim:
+        return None
+    return qv
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -574,12 +602,16 @@ def ivf_topk(
     # contract — the micro-batch/probe-set regime; the knob bounding this
     # is the caller's batch size).  Query vectors are normalized HERE so
     # the executor-side work is one GEMM per Arrow batch.
+    dim = len(centroids[0]) if centroids else 0
     cell_qids: dict[int, list] = {}
     cell_qvecs: dict[int, list] = {}
     for q in queries.collect():
-        if q[q_vec_col] is None:  # malformed record ≠ wedged stream
+        # malformed record ≠ wedged stream: skip anything that cannot
+        # score (null / empty / null-element / wrong-dimension vectors) —
+        # one bad streamed row must not crash the foreachBatch epoch
+        qv = _parse_query_vec(q[q_vec_col], dim)
+        if qv is None:
             continue
-        qv = np.asarray(list(q[q_vec_col]), dtype=np.float64)
         d = [
             (float(((qv - np.asarray(c)) ** 2).sum()), i)
             for i, c in enumerate(centroids)

@@ -146,13 +146,23 @@ def compact_parquet(
     df = spark.read.parquet(src)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    total = 0
-    fs = None
-    for f in df.inputFiles():
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        if fs is None:
-            fs = p.getFileSystem(hconf)
-        total += fs.getFileStatus(p).getLen()
+    root = jvm.org.apache.hadoop.fs.Path(src)
+    fs = root.getFileSystem(hconf)
+    try:
+        # ONE metadata call for the whole tree — compacting a 20k-file
+        # sink directory must not pay 20k serial driver RPCs first
+        total = fs.getContentSummary(root).getLength()
+    except Exception:
+        # fall back to per-file stats, skipping files deleted between
+        # the listing and the stat (live sink directories churn)
+        total = 0
+        for f in df.inputFiles():
+            try:
+                total += fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(f)
+                ).getLen()
+            except Exception:
+                continue
     if total == 0:  # empty input: one empty output file
         total = 1
     n_files = max(1, math.ceil(total / (target_mb << 20)))

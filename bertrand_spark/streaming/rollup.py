@@ -357,12 +357,24 @@ def stream_fuzzy_dedup(
     k: int = 770,
     num_bands: int = 154,
     shingle_n: int = 5,
+    unpersist_caches: bool = True,
 ):
     """Streaming NEAR-duplicate dedup against a historical corpus: a
     ``foreachBatch`` handler that fuzzy-joins each micro-batch of
     documents against the static store (two-table MinHash LSH, exact
     Jaccard verified), drops batch rows with a match ≥ ``threshold``,
     and lands the kept rows in the idempotent per-epoch parquet sink.
+
+    ``unpersist_caches`` (default on): after each epoch's write, free
+    every RDD persisted DURING the epoch — the fuzzy join's prep/cand
+    caches are epoch-scoped and would otherwise grow executor storage
+    without bound on a long-running stream.  The diff-based ownership
+    assumes this stream is the only thing persisting in the
+    SparkContext while an epoch runs; if OTHER queries/threads share
+    the session and persist concurrently, pass ``unpersist_caches=
+    False`` (their caches must not be freed from under them — the same
+    ambiguity rule ``graph.py``'s checkpoint cleanup follows) and
+    recycle the session periodically instead.
 
     The fuzzy sibling of :func:`stream_dedup_against_store` (which is
     exact-fingerprint only): a re-crawled page with a new timestamp or
@@ -383,12 +395,14 @@ def stream_fuzzy_dedup(
             return
         sc = batch_df.sparkSession.sparkContext
         # fuzzy_join_minhash persists its prep/cand tables (load-bearing
-        # for the multi-consumer fan-out) — on a long-running stream
-        # those epoch-scoped caches must be FREED after the write or
-        # executor storage grows without bound.  The handler runs
-        # synchronously inside this epoch, so every persistent RDD that
-        # appears during it belongs to this batch.
-        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        # for the multi-consumer fan-out) — epoch-scoped caches freed
+        # after the write (see unpersist_caches docstring for the
+        # single-writer ownership assumption)
+        before = (
+            set(sc._jsc.getPersistentRDDs().keySet().toArray())
+            if unpersist_caches
+            else None
+        )
         try:
             hits = fuzzy_join_minhash(
                 batch_df,
@@ -405,11 +419,12 @@ def stream_fuzzy_dedup(
             kept = batch_df.join(hits, id_col, "left_anti")
             sink(kept, batch_id)
         finally:
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in set(jmap.keySet().toArray()) - before:
-                rdd = jmap.get(rid)
-                if rdd is not None:
-                    rdd.unpersist()
+            if before is not None:
+                jmap = sc._jsc.getPersistentRDDs()
+                for rid in set(jmap.keySet().toArray()) - before:
+                    rdd = jmap.get(rid)
+                    if rdd is not None:
+                        rdd.unpersist()
 
     return dedup
 

@@ -255,3 +255,28 @@ class TestReviewFixesR3:
             ).collect()
         }
         assert got == {(0, 1)}
+
+    def test_ivf_topk_malformed_vectors_skipped(self, spark):
+        from bertrand_spark.pipeline.similarity import ivf_build, ivf_topk
+
+        vecs = _mk_vectors(spark, n=10)
+        assigned, cents = ivf_build(vecs, num_cells=2, seed=1)
+        q = spark.createDataFrame(
+            [
+                (0, [1.0] * 8),
+                (1, None),
+                (2, []),                  # empty
+                (3, [1.0] * 5),           # wrong dimension
+                (4, [1.0] * 7 + [None]),  # null element
+            ],
+            "q_id long, q_vec array<double>",
+        )
+        rows = ivf_topk(assigned, cents, q, k=3, nprobe=2).collect()
+        assert {r["q_id"] for r in rows} == {0}
+
+    def test_band_table_legacy_requires_explicit_geometry(self, spark):
+        from bertrand_spark.pipeline.dedup import candidate_pairs_from_band_table
+
+        with pytest.raises(Exception):
+            # no table, no params, no explicit geometry -> loud failure
+            candidate_pairs_from_band_table(spark, "nonexistent_band_tbl")
