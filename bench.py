@@ -60,6 +60,8 @@ HEADLINE = [
     # round-3b: star-join top-N + exact kNN graph
     "q40_shipping_priority",
     "x38_knn_graph",
+    # the flagship: the whole pretraining composition as ONE query
+    "x18_pipeline_end_to_end",
 ]
 
 
@@ -170,6 +172,7 @@ def main() -> None:
         n_runs = 3 if name in (
             "x02_minhash_near_dup", "x03_ngram_jaccard",
             "x30_dedup_clusters", "x32_fuzzy_join",
+            "x18_pipeline_end_to_end",
         ) else 2
         best = None
         try:
