@@ -3051,3 +3051,49 @@ def x39(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver coverage rotation (round 4)
+# ---------------------------------------------------------------------------
+# The driver's correctness gate runs exactly the FIRST 50 keys of
+# ``queries()`` (CORRECTNESS_r02/_r03 each contain precisely
+# ``list(QUERIES)[:50]``).  Rounds 1-3 left 37 queries — every round-2b/3
+# flagship — without a driver row.  Reorder so those 37 occupy slots 1-37,
+# followed by 13 representative queries with two rounds of green driver
+# history, so CORRECTNESS_r04 attests the whole previously-unchecked set.
+# Registration order above is unchanged; only the public dict order rotates.
+_DRIVER_ROTATION = [
+    # never driver-checked through round 3 (37)
+    "q32_map_ops", "x18_pipeline_end_to_end", "x16_cosine_near_dup",
+    "x17_quality_scores", "x20_decontaminate", "x21_redact_pii",
+    "x22_pack_sequences", "x23_stratified_sample", "x24_repetition_score",
+    "x25_stream_dedup", "x26_stream_sessions", "q33_revenue_by_nation",
+    "q34_rollup_revenue", "q35_window_functions", "x27_corpus_stats",
+    "q36_profile", "q37_promo_share", "q38_semi_anti_join",
+    "x28_stream_stream_join", "x29_foreachbatch_sink", "x30_dedup_clusters",
+    "x31_dedup_canonical", "x32_fuzzy_join", "x33_gopher_rules",
+    "x34_tfidf_top_terms", "x35_chunk_dedup", "x36_incremental_dedup",
+    "x37_temperature_resample", "q39_pricing_summary",
+    "q40_shipping_priority", "q41_revenue_forecast", "q42_returned_items",
+    "q43_large_orders", "q44_cube_orders", "q45_above_average",
+    "x38_knn_graph", "x39_adaptive_length_filter",
+    # driver-green in r02 AND r03; refreshed in slots 38-50 (13)
+    "q01_detect_tags", "q04_rounding_rules", "q13_parse_temporal",
+    "q23_ordered_dedup", "q29_asof_join", "q30_range_join",
+    "x01_exact_dedup", "x02_minhash_near_dup", "x03_ngram_jaccard",
+    "x04_simhash_near_dup", "x05_cosine_topk", "x08_token_stats",
+    "x11_events_rollup",
+]
+
+
+def _rotated(d: dict) -> dict:
+    head = {k: d[k] for k in _DRIVER_ROTATION if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
+_missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]
+if _missing:  # a renamed query must fail loudly, not silently drop coverage
+    raise RuntimeError(f"driver rotation references unknown queries: {_missing}")
+QUERIES = _rotated(QUERIES)
+ORACLES = _rotated(ORACLES)
