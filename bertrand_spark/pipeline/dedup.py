@@ -59,7 +59,10 @@ def _np_shingle_hashes(t: str, shingle_n: int):
 
     import numpy as np
 
-    s = re.sub(r"\s+", " ", t.lower())
+    # ASCII-pinned whitespace: Java's \s (expression path) and RE2's \s
+    # (DuckDB oracles) are ASCII-only; Python's \s also matches NBSP,
+    # U+0085, ... and would silently diverge on non-ASCII-whitespace text.
+    s = re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower())
     cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     if len(cp) < shingle_n:  # short doc → the whole string is the one gram
         win = cp[None, :]
@@ -794,7 +797,15 @@ def simhash64_vectorized(
             if t is None:
                 out.append(None)
                 continue
-            toks = [w for w in re.split(r"\s+", t.lower().strip()) if w]
+            # ASCII-pinned: match the expression path (Java \s) and the
+            # DuckDB oracle (RE2 \s), both ASCII-only — not Python's \s.
+            toks = [
+                w
+                for w in re.split(
+                    r"[ \t\n\x0b\f\r]+", t.lower().strip(" \t\n\x0b\f\r")
+                )
+                if w
+            ]
             if not toks:
                 out.append(None)
                 continue
