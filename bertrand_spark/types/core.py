@@ -676,12 +676,26 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
                      scalar=float, itemsize=8, max=1.7976931348623157e308,
                      min=-1.7976931348623157e308,
                      aliases=("float64", "f8", "double", "float_", "d"))
-    for t in (f16, f32, f64):
+    # float80: x86 extended precision (reference types/float.py:22,
+    # Float80/longdouble).  Spark has no 80-bit float, so the physical
+    # carrier is DoubleType — a DOCUMENTED precision delta: the logical
+    # type's 64-bit significand / ±1.19e4932 range degrade to double's
+    # 53 bits / ±1.80e308.  max/min here are the carrier's enforceable
+    # bounds (boundscheck against the wider logical range would pass
+    # values the stored double cannot hold).  itemsize 16 mirrors
+    # numpy.longdouble storage on x86-64.
+    f80 = ScalarType("float80", parent=Float, spark_type=st.DoubleType(),
+                     scalar=float, itemsize=16, max=1.7976931348623157e308,
+                     min=-1.7976931348623157e308,
+                     aliases=("float80", "f10", "longdouble", "long double",
+                              "longfloat"))
+    for t in (f16, f32, f64, f80):
         reg.register(t)
     reg.by_spark[st.FloatType().simpleString()] = f32
     reg.by_spark[st.DoubleType().simpleString()] = f64
     Float._default = f64
     T["float16"], T["float32"], T["float64"] = f16, f32, f64
+    T["float80"] = f80
 
     # --- complex → struct{re,im} (SURVEY §1.2) ---------------------------
     cplx_sp = st.StructType([
@@ -695,9 +709,17 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     c128 = ScalarType("complex128", parent=Complex, spark_type=cplx_sp,
                       scalar=complex, itemsize=16,
                       aliases=("complex128", "c16", "cdouble"))
-    reg.register(c64); reg.register(c128)
+    # complex160: paired longdouble (reference types/complex.py:22,
+    # Complex160/clongdouble).  Carrier is the same struct{re,im} of
+    # doubles — see float80 above for the documented precision delta.
+    c160 = ScalarType("complex160", parent=Complex, spark_type=cplx_sp,
+                      scalar=complex, itemsize=32,
+                      aliases=("complex160", "c20", "clongdouble",
+                               "clongfloat", "long complex"))
+    reg.register(c64); reg.register(c128); reg.register(c160)
     Complex._default = c128
     T["complex"], T["complex64"], T["complex128"] = Complex, c64, c128
+    T["complex160"] = c160
 
     # --- decimal ---------------------------------------------------------
     Dec = ScalarType(
@@ -846,6 +868,8 @@ for _a, _b in (
     ("bool", "int8"), ("int8", "int16"), ("int16", "int32"),
     ("int32", "int64"), ("int64", "float64"), ("float32", "float64"),
     ("float64", "complex128"), ("complex64", "complex128"),
+    ("float64", "float80"), ("complex128", "complex160"),
+    ("float80", "complex160"),
 ):
     if _a in TYPES and _b in TYPES:
         registry.add_comparison_edge(TYPES[_a], TYPES[_b])

@@ -52,10 +52,20 @@ def type_tag_column(col: Column, na_strings: set[str] | None = None) -> Column:
 
     * bool — the regex is exactly a case-insensitive trimmed set match,
       so it IS an ``isin`` on ``lower(trim(s))``: no regex at all;
-    * int/float — every regex match parses as a double (huge digit
-      strings overflow to ±Infinity, which is still non-null), so
+    * int/float — every regex match parses as a double, so
       ``try_cast(double) IS NOT NULL`` gates both regexes; letters and
-      date strings fail the cast in a few character reads;
+      date strings fail the cast in a few character reads.  Why the
+      claim holds: the anchored patterns admit exactly
+      ``[+-]? digits [.digits] [eE[+-]digits]`` with at most ONE
+      exponent group (``^...$`` anchoring means stacked-exponent shapes
+      like ``1e5e5`` match neither the regex nor the cast — they
+      classify ``str``; pinned by a unit test), and Java's double
+      parser accepts every such shape, with out-of-range exponents
+      overflowing to ±Infinity / underflowing to 0.0 — both non-null.
+      The gate also passes some NON-matches (``inf``, ``infinity``
+      parse as double but classify ``str``; ``nan`` is caught earlier
+      by the NA set) — safe, since the gate only needs to be weaker
+      than the regexes, never stricter;
     * datetime — every ISO match has ``-`` as the 5th character of the
       trimmed string; numeric and word payloads skip the regex.
     """

@@ -145,3 +145,109 @@ class TestUnicodeWhitespaceParity:
         }
         assert got == want
         assert got[0] == 1  # ["hello world foo"] → one 2-gram
+
+
+class TestFloat80Complex160:
+    """Verdict item 3: reference types/float.py:22 (Float80/longdouble)
+    and types/complex.py:22 (Complex160) — DoubleType carrier with a
+    documented precision delta; full alias + cast-edge coverage."""
+
+    def test_resolve_aliases(self):
+        from bertrand_spark.types.resolve import resolve
+
+        f80 = resolve("float80")
+        assert f80.name == "float80"
+        for alias in ("longdouble", "long double", "longfloat", "f10"):
+            assert resolve(alias) is f80
+        c160 = resolve("complex160")
+        assert c160.name == "complex160"
+        for alias in ("clongdouble", "clongfloat", "c20"):
+            assert resolve(alias) is c160
+
+    def test_carrier_types(self):
+        import pyspark.sql.types as st
+
+        from bertrand_spark.types.resolve import resolve
+
+        assert resolve("float80").spark_type == st.DoubleType()
+        c = resolve("complex160").spark_type
+        assert [f.name for f in c.fields] == ["re", "im"]
+
+    def test_comparison_edges(self):
+        from bertrand_spark.types.core import TYPES, registry
+
+        assert registry.edge_less(TYPES["float64"], TYPES["float80"])
+        assert registry.edge_less(TYPES["complex128"], TYPES["complex160"])
+        assert registry.edge_less(TYPES["float80"], TYPES["complex160"])
+
+    def test_cast_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.convert.cast import cast_col
+
+        df = spark.range(5).select(F.col("id").cast("int").alias("x"))
+        r = df.select(cast_col(F.col("x"), "int32", "float80").alias("y"))
+        assert r.schema["y"].dataType.simpleString() == "double"
+        assert r.collect()[2]["y"] == 2.0
+        r = df.select(cast_col(F.col("x"), "int32", "complex160").alias("y"))
+        assert r.collect()[2]["y"].asDict() == {"re": 2.0, "im": 0.0}
+        d2 = df.select(F.col("x").cast("double").alias("f"))
+        assert (
+            d2.select(cast_col(F.col("f"), "float80", "int32").alias("y"))
+            .collect()[2]["y"]
+            == 2
+        )
+        assert (
+            d2.select(cast_col(F.col("f"), "float80", "string").alias("y"))
+            .collect()[2]["y"]
+            == "2.0"
+        )
+
+
+class TestFloatRegexPin:
+    """Verdict item 7: pin the stacked-exponent classification — shapes
+    like ``1e5e5`` match neither _FLOAT_RE nor try_cast(double) and
+    classify ``str``; the try_cast gate stays strictly weaker than the
+    regexes on every match."""
+
+    def test_stacked_exponent_is_str(self, spark):
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.types.detect import type_tag_column
+
+        vals = ["1e5e5", "1.5e5e5", "1e5", "1.5", ".5e3", "1e99999",
+                "1e-99999", "inf", "infinity"]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        tags = {
+            r["s"]: r["tag"]
+            for r in df.select(
+                "s", type_tag_column(F.col("s")).alias("tag")
+            ).collect()
+        }
+        assert tags["1e5e5"] == "str"
+        assert tags["1.5e5e5"] == "str"
+        assert tags["1e5"] == "float"
+        assert tags[".5e3"] == "float"
+        assert tags["1e99999"] == "float"   # overflow → Infinity, non-null
+        assert tags["1e-99999"] == "float"  # underflow → 0.0, non-null
+        assert tags["inf"] == "str"         # cast-parses but regex-rejects
+        assert tags["infinity"] == "str"
+
+    def test_gate_weaker_than_regex(self, spark):
+        """No string that matches _INT_RE/_FLOAT_RE fails
+        try_cast(double): property-sampled shapes across the grammar."""
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.types.detect import _FLOAT_RE, _INT_RE
+
+        shapes = [
+            "1", "+1", "-1", "007", "1.0", "-1.", ".5", "+.5", "1e3",
+            "1E-3", "1.5e+300", "9" * 400, "." + "9" * 200,
+            ("9" * 200) + "e" + ("9" * 18), "  1.5  ", "\t-2e4\n",
+        ]
+        df = spark.createDataFrame([(s,) for s in shapes], "s string")
+        bad = df.filter(
+            (F.col("s").rlike(_INT_RE) | F.col("s").rlike(_FLOAT_RE))
+            & F.col("s").try_cast("double").isNull()
+        ).count()
+        assert bad == 0
