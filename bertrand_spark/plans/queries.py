@@ -1606,7 +1606,10 @@ def x16(spark, sf_dir):
     away at sf0.1 — ~11 orders of magnitude above any float64
     summation-order discrepancy between numpy GEMM and DuckDB's
     list_cosine_similarity, so set membership at the threshold cannot
-    flip between the two engines on this data.
+    flip between the two engines on this data.  Enforced (not just
+    asserted): tests/test_round4.py::TestFloatThresholdSpectralGap
+    re-measures the gap for x16/x06 thresholds and the x05/x38 rank
+    boundaries on every run.
 
     Operating-point honesty: at cos=0.45 an unrelated pair agrees with a
     hyperplane with p=0.5 vs p≈0.65 at the threshold — too small a gap

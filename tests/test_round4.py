@@ -251,3 +251,66 @@ class TestFloatRegexPin:
             & F.col("s").try_cast("double").isNull()
         ).count()
         assert bad == 0
+
+
+class TestFloatThresholdSpectralGap:
+    """Verdict item 4: every float-threshold / rank-boundary oracle is
+    only as robust as the data's distance to the decision boundary.
+    numpy float64 GEMM vs DuckDB list_cosine_similarity can disagree by
+    ~1e-15 (summation order); these tests measure the actual gap in the
+    driver's testdata and assert it is orders of magnitude larger, so
+    set membership cannot flip between engines.
+
+    Thresholds under audit: x16 (cosine >= 0.45), x06 (>= 0.4), and the
+    rank boundaries of x05 (top-10 per query) and x38 (3-NN per src).
+    """
+
+    ENGINE_EPS = 1e-9  # >> observed cross-engine discrepancy (~1e-15)
+
+    @staticmethod
+    def _cosines(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return m @ m.T
+
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_pair_thresholds_have_gap(self, sf_dir):
+        import numpy as np
+
+        c = self._cosines(sf_dir)
+        iu = np.triu_indices_from(c, k=1)
+        vals = c[iu]
+        for thr in (0.45, 0.4):  # x16, x06
+            gap = np.abs(vals - thr).min()
+            assert gap > self.ENGINE_EPS, (
+                f"{sf_dir}: nearest cosine sits {gap:.2e} from {thr} — "
+                "within cross-engine float noise; pick a new threshold"
+            )
+
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_rank_boundaries_have_gap_or_exact_tie(self, sf_dir):
+        """x05 (k=10, 3 queries) and x38 (k=3, all srcs): the k-th vs
+        (k+1)-th cosine per anchor must differ by >> engine noise OR be
+        exactly equal (the (cosine DESC, id ASC) tie-break then picks
+        the same row in both engines)."""
+        import numpy as np
+
+        c = self._cosines(sf_dir)
+        np.fill_diagonal(c, -np.inf)  # x38 excludes self; x05's top-1 is
+        # the query itself — boundary behavior is identical either way
+        for k, anchors in ((10, range(3)), (3, range(c.shape[0]))):
+            for i in anchors:
+                row = np.sort(c[i])[::-1]
+                boundary = row[k - 1] - row[k]
+                assert boundary == 0.0 or boundary > self.ENGINE_EPS, (
+                    f"{sf_dir}: anchor {i} k={k} boundary gap "
+                    f"{boundary:.2e} is inside engine noise"
+                )
