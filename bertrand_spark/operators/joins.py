@@ -188,14 +188,18 @@ def skew_report(
     between a plain shuffle join, AQE skew splitting, and
     :func:`salted_join` BEFORE the 100 TB job runs.
 
-    For each column: total rows, approx distinct keys, the ``top``
-    heaviest keys with their counts, and ``skew_factor`` = heaviest
-    count / mean count per key (1.0 = perfectly uniform; ≥ executor
-    count means one task outweighs the whole cluster's average).  One
-    groupBy per column over (col, count) pairs — the heavy-key search
-    aggregates counts, never rows, so the report costs a scan plus
-    key-cardinality shuffles regardless of data size.
+    For each column: total rows, exact distinct keys (a full per-key
+    count is already required for the heavy-key search, so exactness is
+    free), the ``top`` heaviest keys with their counts, and
+    ``skew_factor`` = heaviest count / mean count per key (1.0 =
+    perfectly uniform; ≥ executor count means one task outweighs the
+    whole cluster's average).  One groupBy per column over (col, count)
+    pairs — the heavy-key search aggregates counts, never rows, so the
+    report costs a scan plus key-cardinality shuffles regardless of
+    data size.
     """
+    if not cols:
+        raise ValueError("skew_report: cols must name at least one column")
     out = None
     for c in cols:
         counts = df.groupBy(F.col(c).cast("string").alias("key")).agg(

@@ -485,8 +485,16 @@ def _minhash_prep(
         row = p.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(F.size("__g")), F.lit(0)).alias("h"),
+            # the id column rides along in the broadcast: measure it too
+            # (wide string ids — URLs — can dwarf short docs' hash sets)
+            F.coalesce(
+                F.sum(F.length(F.col(out_id).cast("string"))), F.lit(0)
+            ).alias("idb"),
         ).first()
-        n, g_bytes = row["n"], row["h"] * 16
+        # 16 B per hash (value + array overhead); ids at measured string
+        # length + 24 B per-row object/offset overhead
+        n = row["n"]
+        g_bytes = row["h"] * 16 + row["idb"] + 24 * n
     return p, n, g_bytes
 
 
@@ -1328,8 +1336,16 @@ def candidate_pairs_from_band_table(
                 "num_bands/rows_per_band — cannot derive the consensus "
                 "floor for this band table"
             )
-        num_bands = prow["num_bands"]
-        rows_per_band = prow["k"] // num_bands
+        # Honor an explicitly provided half of the geometry (e.g. a
+        # caller correcting a stale params table) and fill only the
+        # missing half — never silently discard a passed value.
+        if num_bands is None and rows_per_band is None:
+            num_bands = prow["num_bands"]
+            rows_per_band = prow["k"] // num_bands
+        elif rows_per_band is None:
+            rows_per_band = prow["k"] // num_bands
+        else:
+            num_bands = prow["k"] // rows_per_band
     bands = spark.table(table)
     if max_bucket is not None:
         small = (

@@ -132,6 +132,15 @@ def connected_components(
             out.add(it.next())
         return out
 
+    def _free(ids):
+        for i in ids:
+            try:
+                rdd = sc._jsc.getPersistentRDDs().get(i)
+                if rdd is not None:
+                    rdd.unpersist()
+            except Exception:
+                pass  # best-effort: leaked blocks only cost memory
+
     def _ckpt(df, prev_ids, track=True):
         """localCheckpoint df; free the superseded round's blocks (safe:
         nothing references them once the new checkpoint is materialized).
@@ -148,13 +157,7 @@ def connected_components(
         mine = list(_persisted_ids() - before) if track else []
         if len(mine) != 1:
             mine = []
-        for i in prev_ids:
-            try:
-                rdd = sc._jsc.getPersistentRDDs().get(i)
-                if rdd is not None:
-                    rdd.unpersist()
-            except Exception:
-                pass  # best-effort: leaked blocks only cost memory
+        _free(prev_ids)
         return out, mine
 
     # round 0 is the first action on the input lineage: upstream caches
@@ -175,7 +178,14 @@ def connected_components(
     prev = _fingerprint(canon)
     for _ in range(max_iter):
         if local_threshold and prev[0] <= local_threshold:
-            return _local_finish(canon)
+            # _local_finish materializes canon into the driver (toPandas)
+            # and returns a locally-backed DataFrame, so this round's
+            # checkpoint blocks are dead afterwards — free them here or
+            # each per-micro-batch call (e.g. cluster_labels) leaks one
+            # checkpointed edge set into executor storage until GC.
+            out = _local_finish(canon)
+            _free(ckpt_ids)
+            return out
         # large-star: every canonical edge (hi, lo), seen from its smaller
         # endpoint lo, re-attaches hi to m(lo) = min(Γ(lo) ∪ {lo}).
         sym = canon.select("hi", "lo").union(
