@@ -253,6 +253,52 @@ def main() -> None:
         ),
     )
 
+    # --- round-4: the relational suite at sf1-equivalent rows ------------
+    # q39-q45 are the TPC-H shapes a 100x scale-up stresses first (full
+    # scan+agg, 3-way join top-N, CUBE, correlated-agg).  Materialize the
+    # multiplied tables to parquet ONCE and run the REAL registered
+    # queries against that dir — same code path as the driver, including
+    # read_table normalization; keys multiply consistently (o_orderkey
+    # and l_orderkey share the formula, so joins stay referentially
+    # intact; customer/supplier/part/nation/region pass through).
+    import shutil
+    import tempfile
+
+    rel_dir = tempfile.mkdtemp(prefix="scale_rel_")
+    try:
+        ords = blow_up(read_table(spark, SF_DIR, "orders"), "o_orderkey")
+        li_rel = blow_up(
+            read_table(spark, SF_DIR, "lineitem"), "l_orderkey"
+        )
+        ords.write.mode("overwrite").parquet(f"{rel_dir}/orders.parquet")
+        li_rel.write.mode("overwrite").parquet(f"{rel_dir}/lineitem.parquet")
+        for t in ("customer", "supplier", "part", "nation", "region"):
+            read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+                f"{rel_dir}/{t}.parquet"
+            )
+        n_li_rel = li_rel.count()
+
+        from bertrand_spark.plans.queries import QUERIES
+
+        for qname in (
+            "q39_pricing_summary", "q40_shipping_priority",
+            "q41_revenue_forecast", "q42_returned_items",
+            "q43_large_orders", "q44_cube_orders", "q45_above_average",
+        ):
+            fn = QUERIES[qname]
+            fn(spark, rel_dir).write.mode("overwrite").format("noop").save()  # warm
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, rel_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            spark.catalog.clearCache()
+            print(
+                f"{qname:32s} {dt:7.2f}s   lineitem_rows={n_li_rel:,} "
+                f"({n_li_rel / dt / 1e6:.1f} M rows/s)"
+            )
+    finally:
+        shutil.rmtree(rel_dir, ignore_errors=True)
+
     spark.stop()
 
 
