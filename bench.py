@@ -66,6 +66,9 @@ HEADLINE = [
     # compare by name.
     "q39_pricing_summary",
     "q44_cube_orders",
+    # round-4: full Q5 shape incl. the supplier nation-cycle — the
+    # hardest join-ordering probe in the suite
+    "q47_supplier_nation_cycle",
     # the flagship: the whole pretraining composition as ONE query
     "x18_pipeline_end_to_end",
 ]

@@ -3056,6 +3056,178 @@ def x39(spark, sf_dir):
     )
 
 
+# --- round 4: the remaining TPC-H plan shapes (Q4/Q5/Q12/Q16) ---------------
+@query(
+    "q46_late_orders_exists",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1998-01-01'
+      AND o.o_orderdate < DATE '1998-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q46(spark, sf_dir):
+    """TPC-H-Q4-shaped EXISTS probe (adapted: no commit/receipt dates in
+    the testdata, so "late" = shipped >60 days after order date): a LEFT
+    SEMI join with a mixed equi + non-equi predicate.  The semi join
+    carries only orders rows (no lineitem payload ever shuffles past the
+    match test), the date window pushes to the orders scan, and the
+    non-equi part evaluates inside the join — the shape that degrades to
+    a disaster if an engine rewrites EXISTS as join+distinct."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q47_supplier_nation_cycle",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q47(spark, sf_dir):
+    """Full TPC-H Q5 including the defining supplier cycle
+    ``c_nationkey = s_nationkey`` (q33 is the acyclic variant): six
+    relations where the cycle edge closes AFTER both fact joins, so the
+    optimizer must keep it as a post-join filter rather than a join key.
+    lineitem/orders shuffle once on their keys; customer, supplier,
+    nation, region ride broadcasts (plan_audit: no nested loops)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@query(
+    "q48_priority_class_agg",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1998-01-01'
+      AND l.l_shipdate < DATE '1999-01-01'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def q48(spark, sf_dir):
+    """TPC-H-Q12-shaped conditional aggregation (adapted: grouped by
+    l_returnflag — the testdata carries no l_shipmode): one fact-fact
+    join where the filter lands on the LINEITEM side before the join and
+    both CASE sums fold into a single map-side-combinable aggregate —
+    never two passes, never a pivot shuffle."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
+    "q49_supplier_part_counts",
+    """
+    WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (5, 10, 15, 20)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def q49(spark, sf_dir):
+    """TPC-H-Q16-shaped distinct-count with an exclusion subquery
+    (adapted: lineitem stands in for partsupp; negative-balance
+    suppliers for the complaint list): the NOT IN lowers to a broadcast
+    LEFT ANTI join (the exclusion set is provably small), the p_size IN
+    filter pushes to the part scan, and count(DISTINCT) expands to the
+    standard two-phase aggregate — partial distinct per partition, then
+    one exchange on the group key."""
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15, 20))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.col("p_size").alias("size")
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 4)
 # ---------------------------------------------------------------------------

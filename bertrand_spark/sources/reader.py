@@ -44,16 +44,56 @@ def nanos_timestamp_columns(path: str) -> tuple[str, ...]:
 
 @lru_cache(maxsize=256)
 def _nanos_timestamp_columns_cached(key: tuple) -> tuple[str, ...]:
-    import pyarrow.dataset as ds
-    import pyarrow as pa
+    """INT64 TIMESTAMP(NANOS) columns only — read from the PARQUET
+    schema, not the Arrow view of it: pyarrow maps legacy INT96
+    timestamps (Spark's default output type) to ``timestamp[ns]`` too,
+    but Spark reads INT96 back as µs TimestampType natively, and
+    flagging it would apply a bogus ns→µs division to an already-µs
+    column (this bit any re-written table, e.g. scale_smoke's
+    multiplied parquet)."""
+    import os
 
-    schema = ds.dataset(key[0], format="parquet").schema
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    path = key[0]
+    # one representative data file: footer schema is uniform per table
+    if os.path.isdir(path):
+        frag = next(
+            (
+                os.path.join(r, f)
+                for r, _, fs in os.walk(path)
+                for f in sorted(fs)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ),
+            None,
+        )
+        if frag is None:
+            return ()
+    else:
+        frag = path
+    import json
+
+    schema = pq.ParquetFile(frag).schema  # parquet schema, not arrow
     out = []
-    for field in schema:
-        t = field.type
-        if pa.types.is_timestamp(t) and t.unit == "ns":
-            out.append(field.name)
-    return tuple(out)
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = col.logical_type
+        if col.physical_type != "INT64" or lt is None or lt.type != "TIMESTAMP":
+            continue
+        try:
+            unit = json.loads(lt.to_json()).get("timeUnit")
+        except Exception:
+            unit = "nanoseconds" if "nanoseconds" in str(lt) else None
+        if unit == "nanoseconds":
+            out.append(col.name)
+    if not out:
+        return ()
+    # preserve top-level column order/names as the arrow schema exposes
+    # them (parquet flattens nested paths; timestamps here are top-level)
+    names = set(out)
+    arrow = ds.dataset(path, format="parquet").schema
+    return tuple(f.name for f in arrow if f.name in names)
 
 
 def read_csv_inferred(

@@ -25,6 +25,9 @@ SF_DIR = "/root/testdata/sf0.1"
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # 'all' (default) runs every section; 'relational' runs only the
+    # round-4 q39-q49 suite (the full run exceeds a 10-min budget)
+    section = sys.argv[2] if len(sys.argv) > 2 else "all"
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -54,6 +57,11 @@ def main() -> None:
             .drop("__rep")
             .repartition(128)
         )
+
+    if section == "relational":
+        _relational(spark, F, blow_up, read_table, mult)
+        spark.stop()
+        return
 
     li = blow_up(
         read_table(spark, SF_DIR, "lineitem").withColumn(
@@ -253,14 +261,23 @@ def main() -> None:
         ),
     )
 
-    # --- round-4: the relational suite at sf1-equivalent rows ------------
-    # q39-q45 are the TPC-H shapes a 100x scale-up stresses first (full
-    # scan+agg, 3-way join top-N, CUBE, correlated-agg).  Materialize the
-    # multiplied tables to parquet ONCE and run the REAL registered
-    # queries against that dir — same code path as the driver, including
-    # read_table normalization; keys multiply consistently (o_orderkey
-    # and l_orderkey share the formula, so joins stay referentially
-    # intact; customer/supplier/part/nation/region pass through).
+    _relational(spark, F, blow_up, read_table, mult)
+
+    spark.stop()
+
+
+def _relational(spark, F, blow_up, read_table, mult) -> None:
+    """Round-4: the relational suite at sf1-equivalent rows.
+
+    q39-q49 are the TPC-H shapes a 100x scale-up stresses first (full
+    scan+agg, 3-way join top-N, CUBE, correlated-agg, EXISTS semi,
+    6-way cycle join, distinct-count + anti).  Materialize the
+    multiplied tables to parquet ONCE and run the REAL registered
+    queries against that dir — same code path as the driver, including
+    read_table normalization; keys multiply consistently (o_orderkey
+    and l_orderkey share the formula, so joins stay referentially
+    intact; customer/supplier/part/nation/region pass through).
+    """
     import shutil
     import tempfile
 
@@ -276,7 +293,7 @@ def main() -> None:
             read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
                 f"{rel_dir}/{t}.parquet"
             )
-        n_li_rel = li_rel.count()
+        n_li_rel = spark.read.parquet(f"{rel_dir}/lineitem.parquet").count()
 
         from bertrand_spark.plans.queries import QUERIES
 
@@ -284,6 +301,8 @@ def main() -> None:
             "q39_pricing_summary", "q40_shipping_priority",
             "q41_revenue_forecast", "q42_returned_items",
             "q43_large_orders", "q44_cube_orders", "q45_above_average",
+            "q46_late_orders_exists", "q47_supplier_nation_cycle",
+            "q48_priority_class_agg", "q49_supplier_part_counts",
         ):
             fn = QUERIES[qname]
             fn(spark, rel_dir).write.mode("overwrite").format("noop").save()  # warm
@@ -298,8 +317,6 @@ def main() -> None:
             )
     finally:
         shutil.rmtree(rel_dir, ignore_errors=True)
-
-    spark.stop()
 
 
 if __name__ == "__main__":
