@@ -141,6 +141,7 @@ def main() -> None:
         return round(best, 3)
 
     probe_before = host_probe()
+    probes: dict[str, float] = {"before": probe_before}
 
     # untimed per-query warmup at the smallest SF, run IMMEDIATELY before
     # each timed run: whole-stage codegen compiles each query's generated
@@ -201,6 +202,13 @@ def main() -> None:
         except Exception as exc:  # keep a successful first run's timing
             print(f"bench error in {name}: {exc}", file=sys.stderr)
         timings[name] = round(best, 3) if best is not None else -1.0
+        # mid-run probe after the composite heavies: this VM has
+        # minutes-long phases where identical plans run uniformly
+        # 1.3-30x slower; a probe at both ends can read healthy while
+        # the middle of the run sat in a degraded phase.  Three probe
+        # points make a phase-shifted bench self-evident in the JSON.
+        if name == "x32_fuzzy_join":
+            probes["after_heavies"] = host_probe()
         spark.catalog.clearCache()
         # drop dead generated classes + unreferenced shuffles between
         # queries (untimed) so later queries don't pay earlier queries' GC
@@ -218,7 +226,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_probe_sec": {
-                    "before": probe_before,
+                    **probes,
                     "after": host_probe(),
                     "healthy": 0.2,
                 },
