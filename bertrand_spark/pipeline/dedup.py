@@ -1004,21 +1004,25 @@ def ngram_jaccard_pairs(
     # intersection counts — and the reported Jaccard — are unchanged.
     if vectorized:
         gram_kernel = word_gram_hashes_vectorized(n)
-        grams = _spread(df).select(
-            F.col(id_col), F.explode(gram_kernel(F.col(text_col))).alias("gram")
+        base = _spread(df).select(
+            F.col(id_col), gram_kernel(F.col(text_col)).alias("__ga")
         )
     else:
-        grams = _spread(df).select(
+        base = _spread(df).select(
             F.col(id_col),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-                "gram"
-            ),
-        ).select(id_col, F.xxhash64("gram").alias("gram"))
-    # the posting list feeds BOTH self-join sides and the size table; the
-    # n-gram HOF pipeline is the expensive part, so materialize it once
-    grams = grams.persist()
-    grams.count()
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+            F.transform(
+                F.array_distinct(word_ngrams(F.col(text_col), n)),
+                lambda g: F.xxhash64(g),
+            ).alias("__ga"),
+        )
+    # materialize at the ARRAY level, once: the gram pipeline is the
+    # expensive part and feeds three consumers — |A| sizes (narrow:
+    # F.size over the array, NO groupBy shuffle over the posting list),
+    # and both self-join sides (narrow explode each)
+    base = base.filter(F.col("__ga").isNotNull()).persist()
+    base.count()
+    sizes = base.select(F.col(id_col), F.size("__ga").alias("sz"))
+    grams = base.select(F.col(id_col), F.explode("__ga").alias("gram"))
     joinable = grams
     if max_df is not None:
         rare = (
