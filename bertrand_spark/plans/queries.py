@@ -2874,11 +2874,17 @@ def q42(spark, sf_dir):
     """,
 )
 def q43(spark, sf_dir):
-    """TPC-H-Q18-shaped large-volume orders: an aggregate-derived key
-    set (HAVING over the fact table) semi-joins back into the detail
-    join.  The big-order id list is small → broadcast semi-join; the
-    quantity re-aggregation groups on the already-co-partitioned
-    orderkey, so AQE elides the second exchange."""
+    """TPC-H-Q18-shaped large-volume orders, single-aggregation plan:
+    the HAVING aggregate's per-order quantity sum IS the query's
+    ``sum_qty`` (orderkey is the finest group key — each surviving
+    order has exactly one orders row and one customer), so lineitem is
+    scanned and aggregated ONCE and never rejoined.  The filtered
+    aggregate is tiny relative to the fact table; AQE converts its
+    joins into orders/customer to broadcasts at runtime (no static hint
+    — at 100 TB the survivor count is data-dependent and a wrong
+    forced broadcast is worse than a shuffle).  vs the naive shape
+    (semi-join back into lineitem + re-aggregate): one lineitem
+    shuffle instead of two, no second scan."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -2886,20 +2892,18 @@ def q43(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__sq"))
         .filter(F.col("__sq") > 180)
-        .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(
+        .select(
             F.col("c_name").alias("name"),
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("__sq").cast("double").alias("sum_qty"),
         )
-        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
         .orderBy(F.col("totalprice").desc(), F.col("orderkey"))
         .limit(100)
     )
