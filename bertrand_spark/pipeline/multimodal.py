@@ -184,21 +184,35 @@ def _png_decode(payload: bytes, channels: int):
                     cur[k::nch] = np.cumsum(cur[k::nch], dtype=np.uint64) % 256
             elif f == 2:  # Up
                 cur = line + prev
-            elif f == 3:  # Average — sequential in x
-                cur = line
-                for j in range(stride):
-                    a = int(cur[j - nch]) if j >= nch else 0
-                    cur[j] = (int(cur[j]) + (a + int(prev[j])) // 2) % 256
-            elif f == 4:  # Paeth — sequential in x
-                cur = line
-                for j in range(stride):
-                    a = int(cur[j - nch]) if j >= nch else 0
-                    b = int(prev[j])
-                    c = int(prev[j - nch]) if j >= nch else 0
+            elif f == 3:  # Average — sequential in x, vectorized per pixel
+                # the a-predictor (left pixel) is a prefix dependency, so
+                # iterate pixels (w steps) not bytes (w*nch steps), with
+                # the nch channel lanes as one int32 vector op per step
+                cur = line.astype(np.int32)
+                pv = prev.astype(np.int32)
+                a = np.zeros(nch, dtype=np.int32)
+                for px0 in range(0, stride, nch):
+                    sl = slice(px0, px0 + nch)
+                    a = (cur[sl] + (a + pv[sl]) // 2) & 0xFF
+                    cur[sl] = a
+                cur = cur.astype(np.uint8)
+            elif f == 4:  # Paeth — sequential in x, vectorized per pixel
+                cur = line.astype(np.int32)
+                pv = prev.astype(np.int32)
+                a = np.zeros(nch, dtype=np.int32)
+                c = np.zeros(nch, dtype=np.int32)
+                for px0 in range(0, stride, nch):
+                    sl = slice(px0, px0 + nch)
+                    b = pv[sl]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[j] = (int(cur[j]) + pred) % 256
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    a = (cur[sl] + pred) & 0xFF
+                    cur[sl] = a
+                    c = b
+                cur = cur.astype(np.uint8)
             else:
                 return None, None, None, None
             img[y] = cur
@@ -216,10 +230,17 @@ def _png_decode(payload: bytes, channels: int):
         if channels == 3 and nch == 1:
             px = np.repeat(px, 3, axis=2)
         elif channels == 1 and nch == 3:
+            # PIL's exact RGB→L fixed-point (ImagingConvert.c:
+            # ``L24(rgb) >> 16`` with L24 = R*19595 + G*38470 + B*7471,
+            # truncating) — NOT a */1000 integer formula, which diverges
+            # from PIL on some triples (e.g. RGB(6,215,0): 127 vs 128);
+            # bit-parity keeps pixel hashes identical whether a worker
+            # decodes via PIL or this fallback, so mixed-environment
+            # clusters stay deterministic.
             r = px[:, :, 0].astype(np.uint32)
             g = px[:, :, 1].astype(np.uint32)
             b = px[:, :, 2].astype(np.uint32)
-            px = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
             px = px[:, :, None]
         return int(w), int(h), channels, px.astype(np.uint8).tobytes()
     except Exception:
@@ -279,6 +300,21 @@ def decode_images(
         # stdlib PNG decoder otherwise (_real_decode handles Image=None).
         # 'auto' only goes real when PIL exists; else the fake below.
         use_real = decode == "real" or (decode == "auto" and Image is not None)
+        if decode == "real" and Image is None:
+            # loud, once per worker: the fallback decodes PNG ONLY —
+            # on a JPEG/WebP corpus a missing-PIL executor image would
+            # otherwise complete "successfully" with all-NULL rows.
+            # Use decode='strict' to hard-assert codecs exist instead.
+            import warnings
+
+            warnings.warn(
+                "decode='real' without PIL: stdlib fallback decodes PNG "
+                "only; every non-PNG payload will yield NULL rows. "
+                "Install PIL in the executor image, or use "
+                "decode='strict' to fail fast.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         for pdf in it:
             if decode == "strict":
                 raise NotImplementedError(

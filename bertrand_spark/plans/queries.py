@@ -3257,12 +3257,17 @@ _DRIVER_ROTATION = [
     "q40_shipping_priority", "q41_revenue_forecast", "q42_returned_items",
     "q43_large_orders", "q44_cube_orders", "q45_above_average",
     "x38_knn_graph", "x39_adaptive_length_filter",
-    # driver-green in r02 AND r03; refreshed in slots 38-50 (13)
-    "q01_detect_tags", "q04_rounding_rules", "q13_parse_temporal",
-    "q23_ordered_dedup", "q29_asof_join", "q30_range_join",
-    "x01_exact_dedup", "x02_minhash_near_dup", "x03_ngram_jaccard",
-    "x04_simhash_near_dup", "x05_cosine_topk", "x08_token_stats",
-    "x11_events_rollup",
+    # new in round 4 — zero driver history, must be inside the first 50
+    "q46_late_orders_exists", "q47_supplier_nation_cycle",
+    "q48_priority_class_agg", "q49_supplier_part_counts",
+    # driver-green in r02 AND r03; refreshed in slots 42-50 (9) —
+    # prioritizing the queries whose kernels/plans changed this round
+    # (x02/x03/x04 tokenizer pins, q01 anchor) over untouched shapes
+    # (q04 is exercised by the driver's entry() smoke every round;
+    # x05/x08/x11 are simple and twice-green)
+    "q01_detect_tags", "q13_parse_temporal", "q23_ordered_dedup",
+    "q29_asof_join", "q30_range_join", "x01_exact_dedup",
+    "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
 ]
 
 

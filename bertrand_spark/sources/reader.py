@@ -51,30 +51,21 @@ def _nanos_timestamp_columns_cached(key: tuple) -> tuple[str, ...]:
     flagging it would apply a bogus ns→µs division to an already-µs
     column (this bit any re-written table, e.g. scale_smoke's
     multiplied parquet)."""
-    import os
-
-    import pyarrow.dataset as ds
-    import pyarrow.parquet as pq
-
-    path = key[0]
-    # one representative data file: footer schema is uniform per table
-    if os.path.isdir(path):
-        frag = next(
-            (
-                os.path.join(r, f)
-                for r, _, fs in os.walk(path)
-                for f in sorted(fs)
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            ),
-            None,
-        )
-        if frag is None:
-            return ()
-    else:
-        frag = path
     import json
 
-    schema = pq.ParquetFile(frag).schema  # parquet schema, not arrow
+    import pyarrow.dataset as ds
+
+    path = key[0]
+    # ds.dataset resolves the filesystem from the URI (local, s3://,
+    # hdfs://, ...) and enumerates data fragments, skipping _SUCCESS
+    # etc. — one representative fragment suffices, footer schema is
+    # uniform per table.  The PARQUET footer metadata (not the Arrow
+    # view) distinguishes INT64-NANOS from legacy INT96.
+    dset = ds.dataset(path, format="parquet")
+    frag = next(iter(dset.get_fragments()), None)
+    if frag is None:
+        return ()
+    schema = frag.metadata.schema  # parquet schema, not arrow
     out = []
     for i in range(len(schema)):
         col = schema.column(i)
@@ -92,8 +83,7 @@ def _nanos_timestamp_columns_cached(key: tuple) -> tuple[str, ...]:
     # preserve top-level column order/names as the arrow schema exposes
     # them (parquet flattens nested paths; timestamps here are top-level)
     names = set(out)
-    arrow = ds.dataset(path, format="parquet").schema
-    return tuple(f.name for f in arrow if f.name in names)
+    return tuple(f.name for f in dset.schema if f.name in names)
 
 
 def read_csv_inferred(

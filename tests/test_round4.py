@@ -451,11 +451,18 @@ class TestStdlibPngCodec:
         rgb = np.random.default_rng(3).integers(0, 256, (2, 5, 3), dtype=np.uint8)
         w, h, c, px = _png_decode(png_encode(5, 2, 3, rgb.tobytes()), 1)
         assert (w, h, c) == (5, 2, 1)
+        # PIL's exact fixed-point RGB->L (truncating >>16) — parity with
+        # a PIL-ful worker is the contract, not a */1000 approximation
         r = rgb[:, :, 0].astype(np.uint32)
         gg = rgb[:, :, 1].astype(np.uint32)
         b = rgb[:, :, 2].astype(np.uint32)
-        want = ((r * 299 + gg * 587 + b * 114) // 1000).astype(np.uint8)
+        want = ((r * 19595 + gg * 38470 + b * 7471) >> 16).astype(np.uint8)
         assert px == want.tobytes()
+        # the triple where //1000 truncation diverges from PIL (127 vs 128)
+        _, _, _, px1 = _png_decode(
+            png_encode(1, 1, 3, bytes([6, 215, 0])), 1
+        )
+        assert px1 == bytes([128])
 
     def test_rgba_alpha_dropped(self):
         import numpy as np

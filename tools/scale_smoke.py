@@ -59,7 +59,7 @@ def main() -> None:
         )
 
     if section == "relational":
-        _relational(spark, F, blow_up, read_table, mult)
+        _relational(spark, F, blow_up, read_table)
         spark.stop()
         return
 
@@ -261,12 +261,12 @@ def main() -> None:
         ),
     )
 
-    _relational(spark, F, blow_up, read_table, mult)
+    _relational(spark, F, blow_up, read_table)
 
     spark.stop()
 
 
-def _relational(spark, F, blow_up, read_table, mult) -> None:
+def _relational(spark, F, blow_up, read_table) -> None:
     """Round-4: the relational suite at sf1-equivalent rows.
 
     q39-q49 are the TPC-H shapes a 100x scale-up stresses first (full
