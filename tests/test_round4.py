@@ -549,3 +549,50 @@ class TestNanosDetectionShapes:
         assert nanos_timestamp_columns(
             "/root/testdata/sf0.001/events.parquet"
         ) == ()
+
+
+class TestPngCodecProperties:
+    """Property round-trips: arbitrary sizes/channels/filter mixes."""
+
+    def test_random_roundtrips(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        rng = np.random.default_rng(42)
+        for _ in range(25):
+            h = int(rng.integers(1, 12))
+            w = int(rng.integers(1, 12))
+            c = int(rng.choice([1, 3, 4]))
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            dw, dh, dc, px = _png_decode(png_encode(w, h, c, img.tobytes()), 3)
+            assert (dw, dh, dc) == (w, h, 3)
+            if c == 3:
+                want = img
+            elif c == 1:
+                want = np.repeat(img, 3, axis=2)
+            else:  # RGBA → alpha dropped
+                want = img[:, :, :3]
+            assert px == want.tobytes(), f"shape {(h, w, c)}"
+
+    def test_random_filter_mixes(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode
+
+        rng = np.random.default_rng(77)
+        for _ in range(15):
+            h = int(rng.integers(2, 10))
+            w = int(rng.integers(2, 10))
+            nch = int(rng.choice([1, 3, 4]))
+            img = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+            ftypes = [int(x) for x in rng.integers(0, 5, h)]
+            payload = _png_forward_filter(img, nch, ftypes)
+            dw, dh, dc, px = _png_decode(payload, 3)
+            assert (dw, dh) == (w, h)
+            want = (
+                np.repeat(img, 3, axis=2)
+                if nch == 1
+                else (img if nch == 3 else img[:, :, :3])
+            )
+            assert px == want.tobytes(), f"shape {(h, w, nch)} filters {ftypes}"
