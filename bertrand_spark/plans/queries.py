@@ -3238,10 +3238,13 @@ def q49(spark, sf_dir):
 # The driver's correctness gate runs exactly the FIRST 50 keys of
 # ``queries()`` (CORRECTNESS_r02/_r03 each contain precisely
 # ``list(QUERIES)[:50]``).  Rounds 1-3 left 37 queries — every round-2b/3
-# flagship — without a driver row.  Reorder so those 37 occupy slots 1-37,
-# followed by 13 representative queries with two rounds of green driver
-# history, so CORRECTNESS_r04 attests the whole previously-unchecked set.
-# Registration order above is unchanged; only the public dict order rotates.
+# flagship — without a driver row.  Reorder so those 37 plus the four new
+# round-4 queries (q46-q49, zero driver history) occupy slots 1-41,
+# followed by 9 refresh queries with two rounds of green driver history,
+# so CORRECTNESS_r04 attests every previously-unchecked name.
+# Registration order above is unchanged; only the public dict order
+# rotates.  Future rounds: rotate again so the then-unchecked tail
+# (q03-q12, q14-q22 etc.) cycles back through the window.
 _DRIVER_ROTATION = [
     # never driver-checked through round 3 (37)
     "q32_map_ops", "x18_pipeline_end_to_end", "x16_cosine_near_dup",
