@@ -158,6 +158,19 @@ def resolve(target: Any) -> AnyType:
     if isinstance(target, st.DataType):
         return registry.from_spark(target)
     if isinstance(target, type):
+        # numpy scalar classes resolve by their DTYPE name first:
+        # np.float32/np.int32/np.longdouble/... carry no Python builtin
+        # in their MRO except `object`, so from_scalar_class would fall
+        # through to the Object escape hatch (every MRO ends in object).
+        # np.float64/np.complex128 work either way (they subclass
+        # float/complex); non-dtype numpy classes fall through.
+        if getattr(target, "__module__", "").startswith("numpy"):
+            try:
+                import numpy as np
+
+                return _resolve_string(str(np.dtype(target)))
+            except Exception:
+                pass  # not a dtype-convertible class → scalar lookup
         hit = registry.from_scalar_class(target)
         if hit is not None:
             return hit

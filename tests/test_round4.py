@@ -596,3 +596,33 @@ class TestPngCodecProperties:
                 else (img if nch == 3 else img[:, :, :3])
             )
             assert px == want.tobytes(), f"shape {(h, w, nch)} filters {ftypes}"
+
+
+class TestNumpyClassResolution:
+    """numpy scalar CLASSES (not just dtypes/strings) resolve to the
+    lattice: np.float32's MRO carries no Python builtin except object,
+    so the scalar-class walk alone would hit the Object escape hatch —
+    dtype-name resolution runs first for numpy classes."""
+
+    def test_all_numpy_scalar_classes(self):
+        import numpy as np
+
+        from bertrand_spark.types.resolve import resolve
+
+        want = {
+            np.float32: "float32", np.int32: "int32", np.int8: "int8",
+            np.uint16: "uint16", np.longdouble: "float80",
+            np.clongdouble: "complex160", np.bool_: "bool",
+            np.float64: "float64", np.complex64: "complex64",
+            np.complex128: "complex128",
+        }
+        for cls, name in want.items():
+            assert resolve(cls).name == name, cls
+        assert resolve(np.str_).name == "string"
+        assert resolve(np.bytes_).name == "binary"
+        # linux numpy spellings of the extended types
+        assert resolve("float128").name == "float80"
+        assert resolve("complex256").name == "complex160"
+        # non-dtype classes still take the Object escape hatch
+        class Custom: pass
+        assert resolve(Custom).name == "object"
