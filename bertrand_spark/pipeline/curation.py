@@ -48,7 +48,7 @@ __all__ = [
     "redact_pii", "PII_PATTERNS",
     "pack_sequences", "sample_deterministic", "sample_per_group",
     "repetition_score",
-    "temperature_resample",
+    "temperature_resample", "mix_corpus",
 ]
 
 
@@ -547,3 +547,78 @@ def repetition_score(text: Column, n: int = 3) -> Column:
         F.lit(1.0)
         - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample-only corpus mixing to TARGET proportions — "make the
+    training mix 60% web / 30% code / 10% books" in one call.
+
+    Solves for the largest total ``T`` achievable without upsampling:
+    ``T = min_s(n_s / w_s)`` over the requested sources, then keeps each
+    source at rate ``w_s * T / n_s`` (the binding source keeps 100%; the
+    rest downsample so realized proportions hit the targets).  Sources
+    absent from ``weights`` are dropped — a mix is a whitelist.
+
+    Row selection reuses the engine's md5-bucket convention
+    (:func:`md5_bucket` keyed per source like
+    :func:`sample_deterministic`) so the kept SET is engine-independent,
+    repartition-stable, and reproducible forever.  Rates go through
+    IEEE double divide/multiply only (correctly rounded everywhere), so
+    a SQL oracle spelling the same ``floor(buckets * w * T / n)``
+    reproduces the thresholds bit-for-bit.
+
+    Plan: one groupBy of the source key collected to the driver (small
+    by contract — sources are categorical), a broadcast of the tiny
+    threshold table, and a narrow filter; the corpus never shuffles and
+    is scanned once.  At 100 TB this is the same shape as
+    :func:`temperature_resample` — safe by construction.
+    """
+    import math
+
+    if not weights:
+        raise ValueError("mix_corpus: weights must name at least one source")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mix_corpus: weights must be positive")
+    total_w = float(sum(weights.values()))
+    counts = {
+        r[source_col]: r["__n"]
+        for r in df.filter(F.col(source_col).isin(*weights))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(
+            f"mix_corpus: requested sources absent from the corpus: {missing}"
+        )
+    # largest downsample-only total, then per-source keep thresholds
+    T = min(counts[s] / (weights[s] / total_w) for s in weights)
+    rows = [
+        (
+            s,
+            int(
+                math.floor(
+                    buckets * ((weights[s] / total_w) * T / counts[s])
+                )
+            ),
+        )
+        for s in sorted(weights)
+    ]
+    thr = df.sparkSession.createDataFrame(
+        rows, schema=df.select(source_col).schema.add("__thr", "long")
+    ).withColumnRenamed(source_col, "__src")
+    key = F.concat(
+        F.col(source_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")
+    )
+    return (
+        df.join(F.broadcast(thr), F.col(source_col) == F.col("__src"))
+        .filter(md5_bucket(key, buckets) < F.col("__thr"))
+        .drop("__src", "__thr")
+    )

@@ -2672,6 +2672,48 @@ def x37(spark, sf_dir):
     )
 
 
+# --- x40: corpus mixing to target proportions --------------------------------
+@query(
+    "x40_mix_corpus",
+    """
+    WITH w(source, wt) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                                  ('src1', CAST(0.25 AS DOUBLE)),
+                                  ('src2', CAST(0.25 AS DOUBLE))),
+    c AS (SELECT d.source, count(*) AS n
+          FROM documents d JOIN w ON d.source = w.source GROUP BY d.source),
+    t AS (SELECT min(c.n / w.wt) AS T FROM c JOIN w ON c.source = w.source),
+    thr AS (SELECT c.source,
+                   CAST(floor(10000 * (w.wt * (SELECT T FROM t) / c.n))
+                        AS BIGINT) AS thr
+            FROM c JOIN w ON c.source = w.source)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE ('0x' || substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < thr.thr
+    ORDER BY d.doc_id
+    """,
+)
+def x40(spark, sf_dir):
+    """Corpus mixing to target proportions (curation.mix_corpus): solve
+    the largest downsample-only total for a 50/25/25 three-source mix,
+    keep each source at its solved rate via the md5-bucket convention.
+    Weights are exact binary fractions and every rate computation is
+    IEEE divide/multiply, so the DuckDB oracle's thresholds — and the
+    kept SET — are bit-identical.  The corpus never shuffles; only the
+    3-row threshold table broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CU.mix_corpus(
+            d.select("doc_id", "source"),
+            {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+            "source",
+            "doc_id",
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.13 round-3b relational widening: the TPC-H shapes a reference user's
 # reporting queries take, each one pinning a distinct planner behavior
@@ -3263,13 +3305,14 @@ _DRIVER_ROTATION = [
     # new in round 4 — zero driver history, must be inside the first 50
     "q46_late_orders_exists", "q47_supplier_nation_cycle",
     "q48_priority_class_agg", "q49_supplier_part_counts",
-    # driver-green in r02 AND r03; refreshed in slots 42-50 (9) —
+    "x40_mix_corpus",
+    # driver-green in r02 AND r03; refreshed in slots 43-50 (8) —
     # prioritizing the queries whose kernels/plans changed this round
     # (x02/x03/x04 tokenizer pins, q01 anchor) over untouched shapes
     # (q04 is exercised by the driver's entry() smoke every round;
-    # x05/x08/x11 are simple and twice-green)
+    # x01/x05/x08/x11 are simple and twice-green)
     "q01_detect_tags", "q13_parse_temporal", "q23_ordered_dedup",
-    "q29_asof_join", "q30_range_join", "x01_exact_dedup",
+    "q29_asof_join", "q30_range_join",
     "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
 ]
 

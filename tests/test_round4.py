@@ -626,3 +626,36 @@ class TestNumpyClassResolution:
         # non-dtype classes still take the Object escape hatch
         class Custom: pass
         assert resolve(Custom).name == "object"
+
+
+class TestMixCorpus:
+    def test_proportions_and_determinism(self, spark):
+        from bertrand_spark.pipeline.curation import mix_corpus
+
+        rows = [(i, f"s{i % 4}") for i in range(4000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mix_corpus(df, {"s0": 0.5, "s1": 0.25, "s2": 0.25})
+        got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()}
+        assert set(got) == {"s0", "s1", "s2"}  # s3 dropped: mix is a whitelist
+        # binding source (s0, rate 1.0) keeps everything; others ~half
+        assert got["s0"] == 1000
+        for s in ("s1", "s2"):
+            assert 400 <= got[s] <= 600  # md5-bucket rate 0.5 of 1000
+        # deterministic: same call → identical kept set
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in mix_corpus(
+            df, {"s0": 0.5, "s1": 0.25, "s2": 0.25}).collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        from bertrand_spark.pipeline.curation import mix_corpus
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError, match="at least one"):
+            mix_corpus(df, {})
+        with pytest.raises(ValueError, match="positive"):
+            mix_corpus(df, {"a": 0.0})
+        with pytest.raises(ValueError, match="absent"):
+            mix_corpus(df, {"a": 0.5, "zz": 0.5})
