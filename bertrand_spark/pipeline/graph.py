@@ -258,15 +258,43 @@ def dedup_keep_canonical(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    prefer: str | None = None,
 ) -> DataFrame:
-    """Drop all but the minimum-id member of each near-dup cluster.
+    """Drop all but one canonical member of each near-dup cluster.
+
+    ``prefer=None`` keeps the minimum-id member.  ``prefer="<column>"``
+    keeps the member with the HIGHEST value of that ``df`` column
+    (quality score, length, recency-as-number, ...), ties broken by
+    minimum id — "of these near-duplicates, keep the best one", which is
+    what a curation run actually wants (the min-id pick is arbitrary).
 
     The anti-join side (non-canonical members) is exactly the component
-    map minus its centers — small by construction (bounded by the number
-    of near-dup docs, not the corpus).
+    map minus its chosen representatives — small by construction
+    (bounded by the number of near-dup docs, not the corpus).  With
+    ``prefer`` the ranking window partitions by component over that same
+    small member list (one hash shuffle of the members; the corpus
+    itself still only anti-joins on its id).
     """
     comp = connected_components(pairs, src, dst)
-    drop = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    if prefer is None:
+        drop = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        scored = comp.join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(prefer).alias("__sc")
+            ),
+            "id",
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("__sc").desc_nulls_last(), F.col("id")
+        )
+        drop = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(drop, id_col, "left_anti")

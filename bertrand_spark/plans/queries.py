@@ -2372,6 +2372,40 @@ def x31(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- x41: quality-preferring canonical dedup ---------------------------------
+@query(
+    "x41_dedup_keep_best",
+    _CLUSTER_ORACLE
+    + """
+    , ranked AS (
+      SELECT l.doc_id, l.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def x41(spark, sf_dir):
+    """Quality-preferring canonical dedup: keep the LONGEST member of
+    each near-dup cluster (ties → min id) instead of the arbitrary
+    min-id pick — what a curation run actually wants.  Same pair stage
+    as x30/x31; the ranking window runs over the small component map
+    only, and the corpus anti-joins on its id as before."""
+    from ..pipeline.graph import dedup_keep_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_minhash(
+        d, "doc_id", "text", threshold=0.6, k=770, num_bands=154, shingle_n=5
+    )
+    return (
+        dedup_keep_canonical(d, pairs, "doc_id", prefer="n_chars")
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 # --- x32: cross-corpus fuzzy join ------------------------------------------
 @query(
     "x32_fuzzy_join",
@@ -3305,13 +3339,13 @@ _DRIVER_ROTATION = [
     # new in round 4 — zero driver history, must be inside the first 50
     "q46_late_orders_exists", "q47_supplier_nation_cycle",
     "q48_priority_class_agg", "q49_supplier_part_counts",
-    "x40_mix_corpus",
-    # driver-green in r02 AND r03; refreshed in slots 43-50 (8) —
+    "x40_mix_corpus", "x41_dedup_keep_best",
+    # driver-green in r02 AND r03; refreshed in slots 44-50 (7) —
     # prioritizing the queries whose kernels/plans changed this round
     # (x02/x03/x04 tokenizer pins, q01 anchor) over untouched shapes
     # (q04 is exercised by the driver's entry() smoke every round;
-    # x01/x05/x08/x11 are simple and twice-green)
-    "q01_detect_tags", "q13_parse_temporal", "q23_ordered_dedup",
+    # x01/x05/x08/x11/q23 are simple and twice-green)
+    "q01_detect_tags", "q13_parse_temporal",
     "q29_asof_join", "q30_range_join",
     "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
 ]

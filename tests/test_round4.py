@@ -659,3 +659,30 @@ class TestMixCorpus:
             mix_corpus(df, {"a": 0.0})
         with pytest.raises(ValueError, match="absent"):
             mix_corpus(df, {"a": 0.5, "zz": 0.5})
+
+
+class TestKeepBestCanonical:
+    def test_prefer_column_keeps_argmax(self, spark):
+        from bertrand_spark.pipeline.graph import dedup_keep_canonical
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7)],
+            "doc_id long, score long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        # cluster {1,2,3}: keep 2 (score 99); cluster {4,5}: tie -> min id 4
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_keep_canonical(
+                df, pairs, "doc_id", prefer="score"
+            ).collect()
+        )
+        assert kept == [2, 4]
+        # default min-id behavior unchanged
+        kept_min = sorted(
+            r["doc_id"]
+            for r in dedup_keep_canonical(df, pairs, "doc_id").collect()
+        )
+        assert kept_min == [1, 4]
