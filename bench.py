@@ -140,8 +140,19 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
+    # if the run STARTS inside a degraded host phase (documented: this
+    # VM has minutes-long uniform 1.3-30x slowdowns), every min-of-N
+    # below is polluted at once.  Wait — bounded to ~2 min — for a
+    # healthy probe before timing anything; record how long we waited.
     probe_before = host_probe()
+    waited = 0.0
+    while probe_before > 0.2 * 1.15 and waited < 120:
+        time.sleep(20)
+        waited += 20
+        probe_before = host_probe()
     probes: dict[str, float] = {"before": probe_before}
+    if waited:
+        probes["healthy_wait_sec"] = waited
 
     # untimed per-query warmup at the smallest SF, run IMMEDIATELY before
     # each timed run: whole-stage codegen compiles each query's generated
