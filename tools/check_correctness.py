@@ -5,6 +5,9 @@ Runs every ``queries()`` entry at sf0.01 and compares against
 (order-insensitive).  Usage::
 
     python tools/check_correctness.py [name_substring ...]
+
+Env: ``SPARK_GRAFT_CHECK_SF_DIR`` overrides the scale factor (e.g.
+``/root/testdata/sf0.1`` for a 10x replay of the gate).
 """
 
 from __future__ import annotations
@@ -17,7 +20,9 @@ import traceback
 import duckdb
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
