@@ -64,10 +64,17 @@ class TestUnicodeWhitespaceParity:
               FROM th, (SELECT unnest(range(64)) AS b) b
               GROUP BY 1, 2
             )
+            , sk AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b
+                         ELSE 0 END)::HUGEINT AS u
+              FROM votes GROUP BY 1
+            )
             SELECT doc_id,
-                   CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b
-                            ELSE 0 END) AS BIGINT) AS s
-            FROM votes GROUP BY 1
+                   CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+                            THEN 18446744073709551616::HUGEINT
+                            ELSE 0::HUGEINT END AS BIGINT) AS s
+            FROM sk
             """
         ).fetchall()
         want = dict(oracle)
@@ -686,3 +693,85 @@ class TestKeepBestCanonical:
             for r in dedup_keep_canonical(df, pairs, "doc_id").collect()
         )
         assert kept_min == [1, 4]
+
+
+class TestKernelParityProperties:
+    """Randomized cross-engine parity: random Unicode text (exotic
+    whitespace inside words, CJK, emoji, empties) through the SimHash
+    Arrow kernel must match the DuckDB x04-oracle sketch -- the
+    generalization of the fixed NBSP/NEL cases above."""
+
+    @staticmethod
+    def _oracle_simhash(texts):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        return dict(
+            con.execute(
+                """
+                WITH toks AS (
+                  SELECT doc_id,
+                         unnest(list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w <> '')) AS tok
+                  FROM documents
+                ), th AS (
+                  SELECT doc_id,
+                         CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+                  FROM toks
+                ), votes AS (
+                  SELECT doc_id, b.b AS b,
+                         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2
+                )
+                , sk AS (
+                  SELECT doc_id,
+                         SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b
+                             ELSE 0 END)::HUGEINT AS u
+                  FROM votes GROUP BY 1
+                )
+                SELECT doc_id,
+                       CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+                                THEN 18446744073709551616::HUGEINT
+                                ELSE 0::HUGEINT END AS BIGINT) AS s
+                FROM sk
+                """
+            ).fetchall()
+        )
+
+    def test_simhash_parity_random_unicode(self, spark):
+        import random
+
+        rng = random.Random(1234)
+        # word alphabet: latin, accents, CJK, emoji, digits, and words
+        # with NBSP (\xa0) / NEL (\x85) INSIDE them (must NOT split);
+        # separator alphabet: the ASCII class both engines split on
+        words = ["h\xe9llo", "w\xf6rld", "\u6570\u636e", "\U0001f680x",
+                 "a", "Bb", "c3", "nb\xa0sp", "ne\x85l", "\ufb01ne"]
+        seps = [" ", "\t", "\n", "\x0c", "  ", " \t "]
+        texts = []
+        for _ in range(40):
+            n = rng.randint(0, 6)
+            texts.append(
+                "".join(
+                    rng.choice(words) + rng.choice(seps) for _ in range(n)
+                ).strip()
+                or rng.choice(["", " ", "\t\t"])
+            )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        from bertrand_spark.pipeline.dedup import simhash64_vectorized
+
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash64_vectorized(df, "doc_id", "text").collect()
+            if r["simhash"] is not None
+        }
+        want = self._oracle_simhash(texts)
+        assert got == want
