@@ -3281,9 +3281,12 @@ def q48(spark, sf_dir):
 def q49(spark, sf_dir):
     """TPC-H-Q16-shaped distinct-count with an exclusion subquery
     (adapted: lineitem stands in for partsupp; negative-balance
-    suppliers for the complaint list): the NOT IN lowers to a broadcast
-    LEFT ANTI join (the exclusion set is provably small), the p_size IN
-    filter pushes to the part scan, and count(DISTINCT) expands to the
+    suppliers for the complaint list): the NOT IN lowers to a LEFT ANTI
+    join whose build side AQE converts to a broadcast from its runtime
+    size (no static hint — the exclusion set is a data-dependent
+    fraction of the supplier dimension, and a forced broadcast of a
+    surprise-large side is worse than a shuffle), the p_size IN filter
+    pushes to the part scan, and count(DISTINCT) expands to the
     standard two-phase aggregate — partial distinct per partition, then
     one exchange on the group key."""
     excl = (
@@ -3295,7 +3298,7 @@ def q49(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(
-            F.broadcast(excl),
+            excl,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
