@@ -2530,8 +2530,12 @@ def x34(spark, sf_dir):
     idf is the LINEAR form N/df (not log) so the score is a ratio of
     small exact integers — bit-identical across engines, which makes the
     (score DESC, term ASC) ranking deterministic without an epsilon band.
-    explode → two groupBys (partial aggs) → broadcast docfreq join →
-    per-doc window; the window partitions by doc_id, so no global sort.
+    explode → two groupBys (partial aggs) → docfreq join (no static
+    broadcast hint: docfreq is VOCABULARY-sized — at web-corpus scale
+    hundreds of millions of terms, far past any broadcast budget — so
+    AQE picks broadcast at bench scale and a term-key shuffle join at
+    corpus scale) → per-doc window; the window partitions by doc_id,
+    so no global sort.
     """
     from pyspark.sql import Window
 
@@ -2545,7 +2549,7 @@ def x34(spark, sf_dir):
     # instead of a 1-row broadcast cross join — keeps the nested-loop
     # operator out of the hot plan entirely
     nd = d.agg(F.countDistinct("doc_id")).first()[0]
-    scored = tf.join(F.broadcast(docfreq), "term").select(
+    scored = tf.join(docfreq, "term").select(
         "doc_id", "term",
         (F.col("tf").cast("double") * F.lit(nd) / F.col("df")).alias("score"),
     )
