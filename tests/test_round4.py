@@ -775,3 +775,66 @@ class TestKernelParityProperties:
         }
         want = self._oracle_simhash(texts)
         assert got == want
+
+
+class TestCodecFuzz:
+    """Robustness: NO payload may crash the decoder — corrupt bytes
+    return the all-None row (the one-bad-row-must-not-abort contract)."""
+
+    def test_bit_flips_never_crash(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+        good = bytearray(png_encode(6, 6, 3, img.tobytes()))
+        for _ in range(60):
+            bad = bytearray(good)
+            pos = int(rng.integers(0, len(bad)))
+            bad[pos] ^= int(rng.integers(1, 256))
+            out = _png_decode(bytes(bad), 3)  # must not raise
+            assert isinstance(out, tuple) and len(out) == 4
+            w, h, c, px = out
+            if px is not None:  # flip hit a non-load-bearing byte
+                assert c == 3 and len(px) == w * h * 3
+
+    def test_truncations_never_crash(self):
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        good = png_encode(4, 4, 1, bytes(range(16)))
+        for cut in range(0, len(good), 3):
+            out = _png_decode(good[:cut], 3)
+            assert isinstance(out, tuple) and len(out) == 4
+
+
+class TestMixCorpusProperties:
+    def test_random_weights_respect_proportions(self, spark):
+        """For random weights over uniform groups: the binding source
+        keeps ~everything; realized proportions track the targets
+        (within md5-bucket granularity)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.pipeline.curation import mix_corpus
+
+        rng = random.Random(99)
+        rows = [(i, f"g{i % 5}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        for _ in range(3):
+            raw = [rng.uniform(0.05, 1.0) for _ in range(3)]
+            tot = sum(raw)
+            weights = {f"g{j}": raw[j] / tot for j in range(3)}
+            out = (
+                mix_corpus(df, weights)
+                .groupBy("source")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            got = {r["source"]: r["n"] for r in out}
+            kept_total = sum(got.values())
+            assert set(got) == set(weights)
+            for s, w in weights.items():
+                # within 10% of target share + bucket noise
+                assert abs(got[s] / kept_total - w) < 0.1, (s, w, got)
