@@ -688,11 +688,16 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
                      scalar=float, itemsize=16, max=1.7976931348623157e308,
                      min=-1.7976931348623157e308,
                      aliases=("float80", "f10", "longdouble", "long double",
-                              # numpy's LINUX names for x87 extended
+                              "long float", "longfloat",
+                              # numpy's LINUX name for x87 extended
                               # (storage 16 B, precision still 80-bit —
                               # not IEEE binary128, which no mainstream
-                              # hardware implements)
-                              "longfloat", "float128", "f16"))
+                              # hardware implements).  Deliberately NO
+                              # "f16" alias: numpy's byte-count code
+                              # collides with the ML spelling of half
+                              # precision and would silently hand a
+                              # half-precision user an 80-bit type.
+                              "float128"))
     for t in (f16, f32, f64, f80):
         reg.register(t)
     reg.by_spark[st.FloatType().simpleString()] = f32
@@ -719,8 +724,10 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     c160 = ScalarType("complex160", parent=Complex, spark_type=cplx_sp,
                       scalar=complex, itemsize=32,
                       aliases=("complex160", "c20", "clongdouble",
-                               "clongfloat", "long complex",
-                               "complex256", "c32"))
+                               "clongfloat", "long complex", "longcomplex",
+                               "complex longdouble", "complex longfloat",
+                               "complex long double", "complex long float",
+                               "complex256"))
     reg.register(c64); reg.register(c128); reg.register(c160)
     Complex._default = c128
     T["complex"], T["complex64"], T["complex128"] = Complex, c64, c128
