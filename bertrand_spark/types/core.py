@@ -473,6 +473,10 @@ class TypeRegistry:
 
     def __init__(self) -> None:
         self.aliases: dict[str, ScalarType] = {}
+        # exact-case overrides for aliases that are only distinguishable
+        # by case (numpy's 'M8' datetime64 vs 'm8' timedelta64): resolve
+        # consults this table BEFORE the case-insensitive one
+        self.aliases_exact: dict[str, ScalarType] = {}
         self.decorators: dict[str, str] = {}
         self.by_spark: dict[str, ScalarType] = {}
         self.by_scalar: dict[type, ScalarType] = {}
@@ -775,6 +779,20 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     )
     reg.register(Td, spark_default=True)
     T["timedelta"] = Td
+    # numpy's case-sensitive codes: 'M8' is datetime64, 'm8' timedelta64.
+    # The case-insensitive table can hold only one (registration order
+    # made 'M8' silently resolve to TIMEDELTA); the exact-case table is
+    # consulted first, so 'M8' is correct while bare 'm8' stays timedelta.
+    reg.aliases_exact["M8"] = Dt
+    reg.aliases_exact["m8"] = Td
+    # same class of collision: numpy 'U' (unicode string) had clobbered
+    # the reference's 'u' (unsigned) in the case-insensitive table
+    reg.aliases_exact["u"] = T["unsigned"]
+    reg.aliases_exact["U"] = T["string"]
+    # reference types/float.py:143 & complex.py:116 single-char codes,
+    # case-distinguished: 'g' longdouble, 'G' clongdouble
+    reg.aliases_exact["g"] = T["float80"]
+    reg.aliases_exact["G"] = T["complex160"]
 
     # --- missing / object / binary / nested ------------------------------
     Missing = ScalarType(

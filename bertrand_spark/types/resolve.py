@@ -89,7 +89,7 @@ def _resolve_ident(name: str, params_src: str | None) -> AnyType:
     if m:
         return registry.aliases["string"].with_params(int(m.group(1)))
 
-    t = registry.aliases.get(low)
+    t = registry.aliases_exact.get(name.strip()) or registry.aliases.get(low)
     if t is None:
         # backend suffix form "int64[pandas]" → backend collapses on Spark
         from ..errors import shorten_list
@@ -115,7 +115,7 @@ def _resolve_string(s: str) -> AnyType:
 
     # whole-string alias wins before any grammar (R5: runtime aliases may
     # contain brackets, e.g. "int64[strict]")
-    whole = registry.aliases.get(s.lower())
+    whole = registry.aliases_exact.get(s) or registry.aliases.get(s.lower())
     if whole is not None:
         return whole
 

@@ -838,3 +838,28 @@ class TestMixCorpusProperties:
             for s, w in weights.items():
                 # within 10% of target share + bucket noise
                 assert abs(got[s] / kept_total - w) < 0.1, (s, w, got)
+
+
+class TestCaseSensitiveAliases:
+    """numpy single-char codes are case-distinguished ('M8' datetime64
+    vs 'm8' timedelta64, 'U' unicode vs 'u' unsigned, 'g' longdouble vs
+    'G' clongdouble); the case-insensitive alias table silently held
+    only the last registration ('M8' resolved to TIMEDELTA).  The
+    exact-case table is consulted first and pins all six."""
+
+    def test_exact_case_codes(self):
+        from bertrand_spark.types.resolve import resolve
+
+        assert resolve("M8").name == "datetime"
+        assert resolve("m8").name == "timedelta"
+        assert resolve("U").name == "string"
+        assert resolve("u").name == "unsigned"
+        assert resolve("g").name == "float80"
+        assert resolve("G").name == "complex160"
+
+    def test_insensitive_aliases_still_work(self):
+        from bertrand_spark.types.resolve import resolve
+
+        assert resolve("DATETIME64").name == "datetime"
+        assert resolve("Timedelta").name == "timedelta"
+        assert resolve("STRING").name == "string"
