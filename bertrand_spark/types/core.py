@@ -794,6 +794,49 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     reg.aliases_exact["g"] = T["float80"]
     reg.aliases_exact["G"] = T["complex160"]
 
+    # reference platform_specific_aliases (types/integer.py:270-355):
+    # C-language type names at their LP64 (linux x86-64) widths — the
+    # platform the reference's numpy resolves them to.  Word-form names
+    # are case-insensitive; single-char C codes are case-DISTINGUISHED
+    # (numpy convention) and live in the exact table.
+    for _a, _t in {
+        "char": "int8", "signed char": "int8",
+        "short int": "int16", "short integer": "int16",
+        "signed short": "int16", "signed short int": "int16",
+        "signed short integer": "int16",
+        "intc": "int32", "signed intc": "int32",
+        "long int": "int64", "long integer": "int64",
+        "signed long": "int64", "signed long int": "int64",
+        "signed long integer": "int64",
+        "long long": "int64", "long long int": "int64",
+        "long long integer": "int64", "signed long long": "int64",
+        "signed long long int": "int64",
+        "signed long long integer": "int64",
+        "longlong": "int64", "signed longlong": "int64",
+        "ssize_t": "int64", "intp": "int64", "int0": "int64",
+        "unsigned byte": "uint8",
+        "unsigned short": "uint16", "unsigned short int": "uint16",
+        "unsigned short integer": "uint16",
+        "unsigned intc": "uint32", "uintc": "uint32",
+        "unsigned long": "uint64", "unsigned long int": "uint64",
+        "unsigned long integer": "uint64", "ulong": "uint64",
+        "unsigned long long": "uint64",
+        "unsigned long long int": "uint64",
+        "unsigned long long integer": "uint64",
+        "ulonglong": "uint64", "unsigned longlong": "uint64",
+        "size_t": "uint64", "uintp": "uint64", "uint0": "uint64",
+    }.items():
+        reg.register_alias(_a, T[_t])
+    for _a, _t in {
+        "b": "int8", "h": "int16", "l": "int64", "q": "int64",
+        "p": "int64", "B": "uint8", "H": "uint16", "I": "uint32",
+        "L": "uint64", "Q": "uint64", "P": "uint64",
+        # complex single-char codes (complex.py:25,68): 'D' cdouble,
+        # 'F' csingle — lowercase 'd'/'f' stay float64 / abstract float
+        "D": "complex128", "F": "complex64",
+    }.items():
+        reg.aliases_exact[_a] = T[_t]
+
     # --- missing / object / binary / nested ------------------------------
     Missing = ScalarType(
         "missing", spark_type=st.NullType(), scalar=type(None), itemsize=0,

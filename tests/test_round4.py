@@ -863,3 +863,29 @@ class TestCaseSensitiveAliases:
         assert resolve("DATETIME64").name == "datetime"
         assert resolve("Timedelta").name == "timedelta"
         assert resolve("STRING").name == "string"
+
+
+class TestPlatformAliasSurface:
+    """Reference platform_specific_aliases (types/integer.py:270-355,
+    complex.py:25,68): C-language type names at LP64 widths plus the
+    case-distinguished single-char numpy/C codes."""
+
+    def test_full_surface(self):
+        from bertrand_spark.types.resolve import resolve
+
+        cases = {
+            "char": "int8", "signed char": "int8", "short": "int16",
+            "intc": "int32", "long": "int64", "long long": "int64",
+            "ssize_t": "int64", "intp": "int64",
+            "unsigned char": "uint8", "unsigned short": "uint16",
+            "uintc": "uint32", "unsigned long": "uint64",
+            "unsigned long long": "uint64", "size_t": "uint64",
+            "ulonglong": "uint64",
+            "b": "int8", "h": "int16", "l": "int64", "q": "int64",
+            "p": "int64", "B": "uint8", "H": "uint16", "I": "uint32",
+            "L": "uint64", "Q": "uint64", "P": "uint64",
+            "D": "complex128", "F": "complex64",
+            "d": "float64", "i": "signed",
+        }
+        for alias, want in cases.items():
+            assert resolve(alias).name == want, alias
