@@ -789,6 +789,15 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     # the reference's 'u' (unsigned) in the case-insensitive table
     reg.aliases_exact["u"] = T["unsigned"]
     reg.aliases_exact["U"] = T["string"]
+    # reference library-qualified spellings (datetime.py:22-108,
+    # timedelta.py:31-61): "pandas.Timestamp", "np.datetime64", ...
+    for _a in ("pandas.timestamp", "pd.timestamp", "pydatetime",
+               "datetime.datetime", "numpy.datetime64", "np.datetime64"):
+        reg.register_alias(_a, Dt)
+    for _a in ("pandas.timedelta", "pd.timedelta", "pytimedelta",
+               "datetime.timedelta", "numpy.timedelta64",
+               "np.timedelta64"):
+        reg.register_alias(_a, Td)
     # reference types/float.py:143 & complex.py:116 single-char codes,
     # case-distinguished: 'g' longdouble, 'G' clongdouble
     reg.aliases_exact["g"] = T["float80"]
@@ -840,7 +849,11 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     # --- missing / object / binary / nested ------------------------------
     Missing = ScalarType(
         "missing", spark_type=st.NullType(), scalar=type(None), itemsize=0,
-        aliases=("missing", "null", "void", "nulltype"),
+        # reference missing.py:12-15 adds the NA-word spellings as TYPE
+        # aliases ("none"/"nan"/"na" here are type specifiers; the VALUE
+        # vocabulary lives in registry.na_strings)
+        aliases=("missing", "null", "void", "nulltype", "none", "nan",
+                 "na", "nonetype"),
     )
     reg.register(Missing, spark_default=True)
     T["missing"] = Missing
