@@ -857,6 +857,12 @@ def _build_lattice(reg: TypeRegistry) -> dict[str, ScalarType]:
     )
     reg.register(Missing, spark_default=True)
     T["missing"] = Missing
+    try:  # reference missing.py:14 also maps pandas' NA singleton class
+        import pandas as _pd
+
+        reg.by_scalar[type(_pd.NA)] = Missing
+    except ImportError:
+        pass
     Obj = ScalarType(
         "object", spark_type=st.BinaryType(), scalar=object,
         aliases=("object", "obj", "O", "pyobject", "object_", "object0"),
