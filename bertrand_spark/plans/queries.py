@@ -3202,9 +3202,13 @@ def q46(spark, sf_dir):
 def q47(spark, sf_dir):
     """Full TPC-H Q5 including the defining supplier cycle
     ``c_nationkey = s_nationkey`` (q33 is the acyclic variant): six
-    relations where the cycle edge closes AFTER both fact joins, so the
-    optimizer must keep it as a post-join filter rather than a join key.
-    lineitem/orders shuffle once on their keys; customer, supplier,
+    relations where the cycle edge closes AFTER both fact joins.
+    Declared as a post-join filter, but Catalyst does better: the
+    verified physical plan folds the cycle predicate INTO the supplier
+    join's keys (``[l_suppkey, c_nationkey] = [s_suppkey,
+    s_nationkey]``), so the equal-nation constraint prunes DURING the
+    hash probe instead of after it.  The date filter pushes to the
+    orders scan, every scan is column-pruned, and customer, supplier,
     nation, region ride broadcasts (plan_audit: no nested loops)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
