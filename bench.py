@@ -73,6 +73,15 @@ HEADLINE = [
     "x18_pipeline_end_to_end",
 ]
 
+# the multi-stage composites: double-warmed, min-of-3, and re-sampled at
+# the end of the run — ONE list so a future addition cannot get half the
+# treatment
+COMPOSITES = (
+    "x02_minhash_near_dup", "x03_ngram_jaccard",
+    "x30_dedup_clusters", "x32_fuzzy_join",
+    "x18_pipeline_end_to_end",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,11 +188,7 @@ def main() -> None:
         # run3 ~3.5s for x02 at sf0.1) — warm their exact plan shape
         # TWICE at sf0.001 so C2-compiled code is already live when the
         # timed runs start (round-4 item 5: close the 4.1s-vs-3.5s gap)
-        composite = name in (
-            "x02_minhash_near_dup", "x03_ngram_jaccard",
-            "x30_dedup_clusters", "x32_fuzzy_join",
-            "x18_pipeline_end_to_end",
-        )
+        composite = name in COMPOSITES
         if warm:
             try:
                 for _ in range(2 if composite else 1):
@@ -236,11 +241,7 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None or name not in timings or timings[name] < 0:
             continue
-        if name not in (
-            "x02_minhash_near_dup", "x03_ngram_jaccard",
-            "x30_dedup_clusters", "x32_fuzzy_join",
-            "x18_pipeline_end_to_end",
-        ):
+        if name not in COMPOSITES:
             continue
         try:
             t0 = time.time()

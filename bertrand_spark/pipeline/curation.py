@@ -571,7 +571,12 @@ def mix_corpus(
     repartition-stable, and reproducible forever.  Rates go through
     IEEE double divide/multiply only (correctly rounded everywhere), so
     a SQL oracle spelling the same ``floor(buckets * w * T / n)``
-    reproduces the thresholds bit-for-bit.
+    reproduces the thresholds bit-for-bit — with one carve-out both
+    sides must share: the BINDING source's threshold is pinned to
+    ``buckets`` outright (its rate is mathematically 1, but the float
+    expression can evaluate 0.999...8 and floor would shave a bucket
+    off the source the solve promised to keep whole); a SQL replay of
+    a non-binary-weight mix must clamp the argmin source the same way.
 
     Plan: one groupBy of the source key collected to the driver (small
     by contract — sources are categorical), a broadcast of the tiny
@@ -600,17 +605,19 @@ def mix_corpus(
         )
     # largest downsample-only total, then per-source keep thresholds
     T = min(counts[s] / (weights[s] / total_w) for s in weights)
-    rows = [
-        (
-            s,
-            int(
-                math.floor(
-                    buckets * ((weights[s] / total_w) * T / counts[s])
-                )
-            ),
-        )
-        for s in sorted(weights)
-    ]
+
+    def _thr(s: str) -> int:
+        # binding source(s) keep 100% BY CONSTRUCTION: for the argmin,
+        # w*T/n is mathematically 1 but floats can evaluate
+        # w*(n/w)/n = 0.9999999999999998 (non-binary weights), and
+        # floor() would then silently drop one bucket (~0.01%) of the
+        # very source the solve promised to keep whole.  Detect binding
+        # by re-evaluating the SAME expression that produced T.
+        if counts[s] / (weights[s] / total_w) == T:
+            return buckets
+        return int(math.floor(buckets * ((weights[s] / total_w) * T / counts[s])))
+
+    rows = [(s, _thr(s)) for s in sorted(weights)]
     thr = df.sparkSession.createDataFrame(
         rows, schema=df.select(source_col).schema.add("__thr", "long")
     ).withColumnRenamed(source_col, "__src")

@@ -1007,14 +1007,18 @@ def ngram_jaccard_pairs(
         base = _spread(df).select(
             F.col(id_col), gram_kernel(F.col(text_col)).alias("__ga")
         )
+        hash_after_explode = False
     else:
+        # keep the GRAM STRINGS in the array and hash AFTER the explode:
+        # xxhash64 over exploded rows runs in whole-stage codegen,
+        # whereas hashing inside an F.transform lambda is interpreted
+        # per element (the measured ~24x HOF tax this repo's perf notes
+        # document)
         base = _spread(df).select(
             F.col(id_col),
-            F.transform(
-                F.array_distinct(word_ngrams(F.col(text_col), n)),
-                lambda g: F.xxhash64(g),
-            ).alias("__ga"),
+            F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__ga"),
         )
+        hash_after_explode = True
     # materialize at the ARRAY level, once: the gram pipeline is the
     # expensive part and feeds three consumers — |A| sizes (narrow:
     # F.size over the array, NO groupBy shuffle over the posting list),
@@ -1023,6 +1027,8 @@ def ngram_jaccard_pairs(
     base.count()
     sizes = base.select(F.col(id_col), F.size("__ga").alias("sz"))
     grams = base.select(F.col(id_col), F.explode("__ga").alias("gram"))
+    if hash_after_explode:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     joinable = grams
     if max_df is not None:
         rare = (

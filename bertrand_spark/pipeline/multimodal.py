@@ -293,6 +293,23 @@ def decode_images(
     """
     if decode not in ("fake", "strict", "real", "auto"):
         raise ValueError("decode must be 'fake', 'strict', 'real' or 'auto'")
+    if decode == "real" and _pil_image_module() is None:
+        # DRIVER-side, where an operator actually sees it (the
+        # worker-side warning below lands in executor stderr): without
+        # PIL the stdlib fallback decodes PNG only, so a JPEG/WebP
+        # corpus would complete with all-NULL rows.  Executor PIL
+        # availability can still differ from the driver's — the worker
+        # warning stays as the second line of defense.
+        import warnings
+
+        warnings.warn(
+            "decode='real' but PIL is not importable on the DRIVER: "
+            "the stdlib fallback decodes PNG only — every non-PNG "
+            "payload will yield NULL rows.  Install PIL in the "
+            "executor image, or use decode='strict' to fail fast.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = _pil_image_module() if decode in ("real", "auto") else None

@@ -69,6 +69,14 @@ def _nanos_timestamp_columns_cached(key: tuple) -> tuple[str, ...]:
     out = []
     for i in range(len(schema)):
         col = schema.column(i)
+        # TOP-LEVEL leaves only: parquet flattens nested paths, and a
+        # nested ns leaf whose LEAF name matches a top-level column
+        # would otherwise falsely flag that column (the div-1000 fix —
+        # and the arrow-era behavior — applies to top-level columns
+        # only).  For a top-level leaf path == name; nested paths are
+        # dotted.
+        if "." in col.path:
+            continue
         lt = col.logical_type
         if col.physical_type != "INT64" or lt is None or lt.type != "TIMESTAMP":
             continue

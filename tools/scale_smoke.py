@@ -10,7 +10,8 @@ linear time vs the multiplier is the evidence.
 
 Usage::
 
-    python tools/scale_smoke.py [multiplier]   # default 10
+    python tools/scale_smoke.py [multiplier] [section]
+    # multiplier default 10; section: core (default) | relational | streaming
 """
 
 from __future__ import annotations
@@ -25,9 +26,11 @@ SF_DIR = "/root/testdata/sf0.1"
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    # 'all' (default) runs every section; 'relational' runs only the
-    # round-4 q39-q49 suite (the full run exceeds a 10-min budget)
-    section = sys.argv[2] if len(sys.argv) > 2 else "all"
+    # sections: 'core' (default) = the original operator sweep;
+    # 'relational' = the round-4 q39-q49 suite; 'streaming' = measured
+    # micro-batch throughput.  Each fits a 10-minute budget ALONE —
+    # there is deliberately no run-everything mode.
+    section = sys.argv[2] if len(sys.argv) > 2 else "core"
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -345,14 +348,14 @@ def _streaming(spark, F, blow_up, read_table, mult) -> None:
     ckpt_root = tempfile.mkdtemp(prefix="scale_ckpt_")
     try:
         ev = blow_up(read_table(spark, SF_DIR, "events"), "event_id")
-        # event-time order across files so watermarks see the arrival
-        # model they assume (random slices would mark most rows late)
-        ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
-            f"{stage}/tmp"
+        # range-partition by event time so the ASCENDING part-file order
+        # (what maxFilesPerTrigger consumes) matches the arrival model
+        # watermarks assume; within-file order is irrelevant to
+        # watermark advancement (it tracks per-batch max event time),
+        # so no global sort and no double materialization
+        ev.repartitionByRange(16, "ts").write.mode("overwrite").parquet(
+            f"{stage}/events"
         )
-        spark.read.parquet(f"{stage}/tmp").repartitionByRange(
-            16, "ts"
-        ).write.mode("overwrite").parquet(f"{stage}/events")
         n_ev = spark.read.parquet(f"{stage}/events").count()
         schema = spark.read.parquet(f"{stage}/events").schema
 
