@@ -889,3 +889,47 @@ class TestPlatformAliasSurface:
         }
         for alias, want in cases.items():
             assert resolve(alias).name == want, alias
+
+
+class TestSecondReviewRegressions:
+    def test_nested_ns_leaf_does_not_flag_toplevel(self, tmp_path):
+        """A nested ns-timestamp leaf whose LEAF name matches a
+        top-level us column must not trigger the ns->us division on the
+        top-level column (parquet flattens paths; match on full path)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bertrand_spark.sources.reader import nanos_timestamp_columns
+
+        p = str(tmp_path / "nested.parquet")
+        t = pa.table({
+            "a": pa.array(
+                [{"ts": np.datetime64(1, "ns")}],
+                type=pa.struct([("ts", pa.timestamp("ns"))]),
+            ),
+            "ts": pa.array(np.array([1], dtype="datetime64[us]")),
+        })
+        pq.write_table(t, p)
+        assert nanos_timestamp_columns(p) == ()
+
+    def test_mix_corpus_binding_source_keeps_all(self, spark):
+        """Non-binary weights (30/70): floor(buckets * w*T/n) would give
+        9999 for the binding source via float round-down; the clamp must
+        keep 100% of it."""
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.pipeline.curation import mix_corpus
+
+        rows = [(i, "a" if i % 2 == 0 else "b") for i in range(10000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {
+            r["source"]: r["n"]
+            for r in mix_corpus(df, {"a": 0.3, "b": 0.7})
+            .groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got["b"] == 5000  # binding source: every row kept
+        share = got["a"] / (got["a"] + got["b"])
+        assert abs(share - 0.3) < 0.02
