@@ -590,6 +590,12 @@ def mix_corpus(
         raise ValueError("mix_corpus: weights must name at least one source")
     if any(w <= 0 for w in weights.values()):
         raise ValueError("mix_corpus: weights must be positive")
+    clash = [c for c in ("__src", "__thr") if c in df.columns]
+    if clash:  # the join temp columns would shadow (then .drop()) user data
+        raise ValueError(
+            f"mix_corpus: input already has reserved column(s) {clash}; "
+            "rename them before mixing"
+        )
     total_w = float(sum(weights.values()))
     counts = {
         r[source_col]: r["__n"]

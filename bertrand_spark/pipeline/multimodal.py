@@ -99,6 +99,17 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     import struct
     import zlib
 
+    if channels not in (1, 3, 4):
+        raise ValueError(
+            f"png_encode: unsupported channels={channels} "
+            "(supported: 1=gray, 3=RGB, 4=RGBA; gray+alpha=2 is not)"
+        )
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"png_encode: pixel buffer is {len(pixels)} bytes, expected "
+            f"{width}*{height}*{channels} = {width * height * channels}"
+            " — a short buffer would silently emit a corrupt PNG"
+        )
     color_type = {1: 0, 3: 2, 4: 6}[channels]
     raw = b"".join(
         b"\x00" + pixels[y * width * channels : (y + 1) * width * channels]

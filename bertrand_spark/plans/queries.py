@@ -3275,7 +3275,8 @@ def q48(spark, sf_dir):
 @query(
     "q49_supplier_part_counts",
     """
-    WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    WITH excl AS (SELECT s_suppkey FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
     SELECT p.p_brand AS brand, p.p_size AS size,
            CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
     FROM lineitem l
@@ -3290,7 +3291,13 @@ def q49(spark, sf_dir):
     """TPC-H-Q16-shaped distinct-count with an exclusion subquery
     (adapted: lineitem stands in for partsupp; negative-balance
     suppliers for the complaint list): the NOT IN lowers to a LEFT ANTI
-    join whose build side AQE converts to a broadcast from its runtime
+    join — an equivalence that holds ONLY because the exclusion set is
+    null-free (SQL NOT IN returns no rows when the subquery yields a
+    NULL; an anti join keeps non-matching rows).  Both the oracle and
+    this plan filter ``s_suppkey IS NOT NULL`` explicitly so the
+    equivalence is by construction, not by data luck — reuse on
+    nullable keys stays correct.  The anti join's build side AQE
+    converts to a broadcast from its runtime
     size (no static hint — the exclusion set is a data-dependent
     fraction of the supplier dimension, and a forced broadcast of a
     surprise-large side is worse than a shuffle), the p_size IN filter
@@ -3299,7 +3306,7 @@ def q49(spark, sf_dir):
     one exchange on the group key."""
     excl = (
         _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
         .select("s_suppkey")
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15, 20))

@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Footer-sample width for mixed-writer directories: a table whose first
+# k fragments are all INT96 but carries an INT64-NANOS file beyond them
+# is out of contract (tables the engine writes are single-writer); k=8
+# bounds metadata reads while catching the realistic append case.
+_NANOS_SAMPLE_FRAGMENTS = 8
+
+
 def nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     """Names of timestamp[ns] columns in a parquet file/directory footer.
 
@@ -58,34 +65,42 @@ def _nanos_timestamp_columns_cached(key: tuple) -> tuple[str, ...]:
     path = key[0]
     # ds.dataset resolves the filesystem from the URI (local, s3://,
     # hdfs://, ...) and enumerates data fragments, skipping _SUCCESS
-    # etc. — one representative fragment suffices, footer schema is
-    # uniform per table.  The PARQUET footer metadata (not the Arrow
-    # view) distinguishes INT64-NANOS from legacy INT96.
+    # etc.  The PARQUET footer metadata (not the Arrow view)
+    # distinguishes INT64-NANOS from legacy INT96.  Footer schemas are
+    # ALMOST always uniform per table, but a directory with mixed
+    # writers (INT96 files plus INT64-NANOS files appended later) would
+    # break that; sample up to ``_NANOS_SAMPLE_FRAGMENTS`` footers and
+    # UNION the flagged column sets so a later-appended ns file still
+    # gets its normalization.  Footer reads are metadata-only
+    # (kilobytes), so the extra probes cost ~nothing relative to a
+    # table load.
     dset = ds.dataset(path, format="parquet")
-    frag = next(iter(dset.get_fragments()), None)
-    if frag is None:
-        return ()
-    schema = frag.metadata.schema  # parquet schema, not arrow
-    out = []
-    for i in range(len(schema)):
-        col = schema.column(i)
-        # TOP-LEVEL leaves only: parquet flattens nested paths, and a
-        # nested ns leaf whose LEAF name matches a top-level column
-        # would otherwise falsely flag that column (the div-1000 fix —
-        # and the arrow-era behavior — applies to top-level columns
-        # only).  For a top-level leaf path == name; nested paths are
-        # dotted.
-        if "." in col.path:
-            continue
-        lt = col.logical_type
-        if col.physical_type != "INT64" or lt is None or lt.type != "TIMESTAMP":
-            continue
-        try:
-            unit = json.loads(lt.to_json()).get("timeUnit")
-        except Exception:
-            unit = "nanoseconds" if "nanoseconds" in str(lt) else None
-        if unit == "nanoseconds":
-            out.append(col.name)
+    out: list[str] = []
+    n_sampled = 0
+    for frag in dset.get_fragments():
+        if n_sampled >= _NANOS_SAMPLE_FRAGMENTS:
+            break
+        n_sampled += 1
+        schema = frag.metadata.schema  # parquet schema, not arrow
+        for i in range(len(schema)):
+            col = schema.column(i)
+            # TOP-LEVEL leaves only: parquet flattens nested paths, and
+            # a nested ns leaf whose LEAF name matches a top-level
+            # column would otherwise falsely flag that column (the
+            # div-1000 fix — and the arrow-era behavior — applies to
+            # top-level columns only).  For a top-level leaf
+            # path == name; nested paths are dotted.
+            if "." in col.path:
+                continue
+            lt = col.logical_type
+            if col.physical_type != "INT64" or lt is None or lt.type != "TIMESTAMP":
+                continue
+            try:
+                unit = json.loads(lt.to_json()).get("timeUnit")
+            except Exception:
+                unit = "nanoseconds" if "nanoseconds" in str(lt) else None
+            if unit == "nanoseconds" and col.name not in out:
+                out.append(col.name)
     if not out:
         return ()
     # preserve top-level column order/names as the arrow schema exposes

@@ -1,0 +1,134 @@
+"""Round-5 regression tests.
+
+Covers the round-4 ADVICE items:
+1. ``png_encode`` input validation (unsupported channel counts, short
+   pixel buffers) — a bad fixture must fail loudly, never emit a
+   corrupt-but-CRC-valid PNG that the decoder then rejects as all-None.
+2. ``mix_corpus`` reserved-column collision guard (``__src``/``__thr``).
+3. ``nanos_timestamp_columns`` multi-fragment sampling: a mixed-writer
+   directory whose FIRST fragment is not ns must still flag a column
+   that a later fragment stores as INT64 TIMESTAMP(NANOS).
+4. ``q49``'s NOT-IN / anti-join equivalence is explicit: both the plan
+   and the oracle filter NULL keys out of the exclusion set, so the
+   plan stays correct on nullable keys (not just on null-free TPC-H
+   data).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestPngEncodeValidation:
+    def test_gray_alpha_rejected_with_message(self):
+        from bertrand_spark.pipeline.multimodal import png_encode
+
+        with pytest.raises(ValueError, match="channels=2"):
+            png_encode(2, 2, 2, b"\x00" * 8)
+
+    def test_short_pixel_buffer_rejected(self):
+        from bertrand_spark.pipeline.multimodal import png_encode
+
+        with pytest.raises(ValueError, match="pixel buffer"):
+            png_encode(4, 4, 3, b"\x00" * 10)  # needs 48 bytes
+
+    def test_valid_still_roundtrips(self):
+        from bertrand_spark.pipeline.multimodal import _png_decode, png_encode
+
+        pixels = bytes(range(2 * 2 * 3))
+        payload = png_encode(2, 2, 3, pixels)
+        w, h, c, raw = _png_decode(payload, 3)
+        assert (w, h, c, raw) == (2, 2, 3, pixels)
+
+
+class TestMixCorpusReservedColumns:
+    @pytest.mark.parametrize("col", ["__src", "__thr"])
+    def test_collision_raises(self, spark, col):
+        from bertrand_spark.pipeline.curation import mix_corpus
+
+        df = spark.createDataFrame(
+            [(1, "web", 0)], f"doc_id long, source string, {col} int"
+        )
+        with pytest.raises(ValueError, match="reserved column"):
+            mix_corpus(df, {"web": 1.0})
+
+
+class TestNanosMixedWriterDirectory:
+    def test_union_over_fragments(self, tmp_path):
+        """First fragment µs, second ns — the ns column must be flagged
+        (pre-fix, only the first footer was read and the ns file's
+        column silently skipped its ns→µs normalization)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bertrand_spark.sources.reader import nanos_timestamp_columns
+
+        d = tmp_path / "mixed.parquet"
+        d.mkdir()
+        us = pa.table(
+            {"ts": pa.array(np.array([1, 2], dtype="datetime64[us]"))}
+        )
+        ns = pa.table(
+            {"ts": pa.array(np.array([1, 2], dtype="datetime64[ns]"))}
+        )
+        # fragment enumeration is name-ordered: the µs file sorts first
+        pq.write_table(us, str(d / "part-a.parquet"))
+        pq.write_table(ns, str(d / "part-b.parquet"))
+        assert nanos_timestamp_columns(str(d)) == ("ts",)
+
+    def test_uniform_us_stays_silent(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bertrand_spark.sources.reader import nanos_timestamp_columns
+
+        d = tmp_path / "us.parquet"
+        d.mkdir()
+        t = pa.table({"ts": pa.array(np.array([1], dtype="datetime64[us]"))})
+        pq.write_table(t, str(d / "part-a.parquet"))
+        pq.write_table(t, str(d / "part-b.parquet"))
+        assert nanos_timestamp_columns(str(d)) == ()
+
+
+class TestQ49NullableKeys:
+    def test_anti_join_matches_not_in_with_null_keys(self, spark, tmp_path):
+        """With a NULL in the exclusion set, bare SQL NOT IN returns no
+        rows; q49 pins the null-free precondition by filtering NULL keys
+        in BOTH the plan and the oracle, so they agree even on nullable
+        data.  Exercise the plan shape on a tiny nullable fixture."""
+        import duckdb
+
+        sup = spark.createDataFrame(
+            [(1, -5.0), (None, -1.0), (2, 10.0)],
+            "s_suppkey long, s_acctbal double",
+        )
+        li = spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 200)], "l_suppkey long, l_partkey long"
+        )
+        excl = sup.filter(
+            (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
+        ).select("s_suppkey")
+        got = sorted(
+            r["l_suppkey"]
+            for r in li.join(
+                excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            ).collect()
+        )
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                """
+                SELECT l_suppkey FROM (VALUES (1,100),(2,100),(3,200))
+                    AS li(l_suppkey, l_partkey)
+                WHERE l_suppkey NOT IN (
+                    SELECT s_suppkey
+                    FROM (VALUES (1,-5.0),(NULL,-1.0),(2,10.0))
+                        AS s(s_suppkey, s_acctbal)
+                    WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
+                """
+            ).fetchall()
+        )
+        assert got == want == [2, 3]
