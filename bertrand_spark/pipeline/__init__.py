@@ -21,10 +21,12 @@ own ``__all__`` is authoritative):
 from .dedup import (  # noqa: F401
     exact_dedup,
     exact_dedup_incremental,
+    exact_dedup_incremental_store,
     fuzzy_join_minhash,
     near_dup,
     near_dup_pairs_minhash,
     semantic_dedup,
+    write_fingerprint_store,
 )
 from .graph import (  # noqa: F401
     cluster_labels,

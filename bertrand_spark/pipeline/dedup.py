@@ -190,6 +190,66 @@ def exact_dedup_incremental(
     return batch.join(store, "__fp", "left_anti").drop("__fp")
 
 
+def write_fingerprint_store(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    fp_col: str | None = None,
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's distinct fingerprints as a table BUCKETED (and
+    sorted) on the fingerprint — the production-scale history side of
+    :func:`exact_dedup_incremental_store`.
+
+    The SCALE.md contract this realizes: the history store is re-read by
+    every future ingest batch, so its shuffle must be paid ONCE at write
+    time, not per batch.  A bucketed layout gives every subsequent
+    anti join a zero-exchange (and zero-sort) history side — the batch
+    alone shuffles, into the store's fixed bucket count.
+
+    ``mode="append"`` ingests a new batch's fingerprints (dedup'd within
+    the batch only; cross-append duplicate keys are harmless to an anti
+    join and are collapsed on the next compaction rewrite).
+    """
+    from ..sources.reader import write_bucketed
+
+    if fp_col is None:
+        fps = df.select(fingerprint(F.col(text_col)).alias("fp"))
+    else:
+        fps = df.select(F.col(fp_col).alias("fp"))
+    write_bucketed(fps.distinct(), table, ["fp"], num_buckets=num_buckets, mode=mode)
+
+
+def exact_dedup_incremental_store(
+    new_df: DataFrame,
+    store_table: str,
+    text_col: str = "text",
+    keep_by: str | None = None,
+) -> DataFrame:
+    """Store-backed :func:`exact_dedup_incremental`: dedup a new batch
+    against a PERSISTED bucketed fingerprint store
+    (:func:`write_fingerprint_store`) instead of an inline DataFrame.
+
+    Identical results to the inline path (oracle-equivalence is
+    unit-gated); the difference is the physical plan — the history side
+    is scanned straight out of its buckets with NO Exchange and no
+    sort (the store is written sorted), so per-batch cost is
+    O(batch) + a metadata-cheap history scan, never a history shuffle.
+    This is the 100 TB continuous-ingest shape: the fingerprint store
+    outgrows any single batch by orders of magnitude, and re-shuffling
+    it per batch would dominate the whole pipeline.
+    """
+    spark = new_df.sparkSession
+    # alias-aware output partitioning carries the bucket distribution
+    # through the rename, so the join still sees the store pre-hashed
+    store = spark.table(store_table).select(F.col("fp").alias("__fp"))
+    batch = exact_dedup(new_df, text_col, keep_by).withColumn(
+        "__fp", fingerprint(F.col(text_col))
+    )
+    return batch.join(store, "__fp", "left_anti").drop("__fp")
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fingerprint → group size for groups with >1 member (dup report)."""
     return (

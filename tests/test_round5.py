@@ -93,6 +93,95 @@ class TestNanosMixedWriterDirectory:
         assert nanos_timestamp_columns(str(d)) == ()
 
 
+def _walk_jplan(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _walk_jplan(cs.apply(i))
+
+
+class TestBucketedFingerprintStore:
+    """SCALE.md's incremental-dedup promise, realized: the history side
+    of the continuous-ingest anti join is a bucketed fingerprint store,
+    so per-batch cost never includes a history shuffle."""
+
+    @pytest.fixture()
+    def store(self, spark, sf_dir):
+        from bertrand_spark.pipeline.dedup import write_fingerprint_store
+        from bertrand_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        spark.sql("DROP TABLE IF EXISTS t_fp_store_r5")
+        write_fingerprint_store(hist, "t_fp_store_r5", num_buckets=8)
+        yield docs, hist
+        spark.sql("DROP TABLE IF EXISTS t_fp_store_r5")
+
+    def test_history_side_has_no_exchange(self, spark, store):
+        from bertrand_spark.pipeline.dedup import exact_dedup_incremental_store
+
+        docs, _ = store
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # forbid broadcast: at scale the store dwarfs any batch, so
+            # the plan under test is the sort-merge anti join
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = exact_dedup_incremental_store(batch, "t_fp_store_r5")
+            jplan = out._jdf.queryExecution().executedPlan()
+            if jplan.nodeName() == "AdaptiveSparkPlan":
+                jplan = jplan.initialPlan()
+            anti = next(
+                n
+                for n in _walk_jplan(jplan)
+                if "Join" in n.nodeName()
+                and "t_fp_store_r5" in n.children().apply(1).toString()
+            )
+            history = anti.children().apply(1).toString()
+            assert "Exchange" not in history  # paid once at write time
+            assert "Bucketed: true" in history
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_store_path_equals_inline_path(self, spark, store):
+        from bertrand_spark.pipeline.dedup import (
+            exact_dedup_incremental,
+            exact_dedup_incremental_store,
+        )
+
+        docs, hist = store
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        got = sorted(
+            r["doc_id"]
+            for r in exact_dedup_incremental_store(batch, "t_fp_store_r5").collect()
+        )
+        want = sorted(
+            r["doc_id"] for r in exact_dedup_incremental(batch, hist).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_append_extends_history(self, spark, store):
+        from bertrand_spark.pipeline.dedup import (
+            exact_dedup_incremental,
+            exact_dedup_incremental_store,
+            write_fingerprint_store,
+        )
+
+        docs, hist = store
+        b1 = docs.filter(F.col("doc_id") % 4 == 1)
+        write_fingerprint_store(b1, "t_fp_store_r5", mode="append", num_buckets=8)
+        b2 = docs.filter(F.col("doc_id") % 4 == 3)
+        got = sorted(
+            r["doc_id"]
+            for r in exact_dedup_incremental_store(b2, "t_fp_store_r5").collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in exact_dedup_incremental(b2, hist.unionByName(b1)).collect()
+        )
+        assert got == want
+
+
 class TestQ49NullableKeys:
     def test_anti_join_matches_not_in_with_null_keys(self, spark, tmp_path):
         """With a NULL in the exclusion set, bare SQL NOT IN returns no
