@@ -710,34 +710,11 @@ def ivf_read(spark, path: str):
 
 
 # --- product quantization (IVF-PQ memory-compression path) ------------------
-def pq_train(
-    vectors: DataFrame,
-    vec_col: str = "embedding",
-    m: int = 8,
-    nbits: int = 8,
-    sample_fraction: float = 1.0,
-    max_sample: int = 100_000,
-    seed: int = 42,
-    iters: int = 15,
-):
-    """Train product-quantization codebooks (Jégou et al. 2011): split
-    each d-dim vector into ``m`` subvectors and k-means each subspace to
-    ``2**nbits`` centroids.
-
-    Training runs on a bounded driver-side SAMPLE (``max_sample`` rows —
-    same contract as Spark ML's KMeans sampled fit; codebooks are a few
-    hundred KB regardless of corpus size).  Returns ``codebooks`` of
-    shape [m][ksub][d/m] (plain lists — broadcastable, serializable).
-    """
+def _pq_kmeans(X, m: int, nbits: int, seed: int, iters: int):
+    """Per-subspace Lloyd k-means over a driver-side sample matrix —
+    the shared trainer behind raw and residual codebooks."""
     import numpy as np
 
-    rows = (
-        vectors.select(vec_col)
-        .sample(min(sample_fraction, 1.0), seed)
-        .limit(max_sample)
-        .collect()
-    )
-    X = np.array([r[0] for r in rows], dtype=np.float64)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -759,42 +736,112 @@ def pq_train(
     return codebooks
 
 
+def pq_train(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample_fraction: float = 1.0,
+    max_sample: int = 100_000,
+    seed: int = 42,
+    iters: int = 15,
+    centroids=None,
+    cell_col: str = "__cell",
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    each d-dim vector into ``m`` subvectors and k-means each subspace to
+    ``2**nbits`` centroids.
+
+    Training runs on a bounded driver-side SAMPLE (``max_sample`` rows —
+    same contract as Spark ML's KMeans sampled fit; codebooks are a few
+    hundred KB regardless of corpus size).  Returns ``codebooks`` of
+    shape [m][ksub][d/m] (plain lists — broadcastable, serializable).
+
+    ``centroids`` (from :func:`ivf_build`) switches to RESIDUAL training
+    — the IVFADC scheme (Jégou et al. 2011 §III): quantize
+    ``v − centroid(cell(v))`` instead of ``v``.  Residuals concentrate
+    around the origin with strictly less variance than the raw vectors
+    (the coarse quantizer has already absorbed the cell-level spread),
+    so the same (m, nbits) budget quantizes tighter and recall rises at
+    identical cost.  ``vectors`` must then carry ``cell_col``.
+    """
+    import numpy as np
+
+    cols = [vec_col] if centroids is None else [vec_col, cell_col]
+    rows = (
+        vectors.select(*cols)
+        .sample(min(sample_fraction, 1.0), seed)
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if centroids is not None:
+        C = np.array(centroids, dtype=np.float64)
+        cells = np.array([r[1] for r in rows], dtype=np.int64)
+        X = X - C[cells]
+    return _pq_kmeans(X, m, nbits, seed, iters)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks,
     vec_col: str = "embedding",
+    centroids=None,
+    cell_col: str = "__cell",
 ) -> DataFrame:
     """Encode vectors to ``m`` uint8-sized codes (``__pq`` array<int>) —
     an Arrow map pass against the broadcast codebooks; the encoded corpus
     is ~d*4/m× smaller than the raw float vectors (64-dim float → 8 bytes
     at m=8), which is what lets a 100 TB embedding corpus fit an ANN
-    serving tier."""
+    serving tier.
+
+    With ``centroids`` the RESIDUAL ``v − centroid(cell)`` is encoded
+    (IVFADC — pair with residual-trained codebooks and
+    ``ivf_pq_topk(..., residual=True)``); ``df`` must carry
+    ``cell_col``."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     cb = [np.array(c, dtype=np.float64) for c in codebooks]
     m = len(cb)
     dsub = cb[0].shape[1]
+    C = None if centroids is None else np.array(centroids, dtype=np.float64)
+
+    def _codes(x):
+        return [
+            int(
+                (((x[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2).sum(axis=1))
+                .argmin()
+            )
+            for j in range(m)
+        ]
+
+    if C is None:
+
+        @pandas_udf("array<int>")
+        def kernel(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                if v is None:
+                    out.append(None)
+                    continue
+                out.append(_codes(np.asarray(v, dtype=np.float64)))
+            return pd.Series(out)
+
+        return df.withColumn("__pq", kernel(F.col(vec_col)))
 
     @pandas_udf("array<int>")
-    def kernel(vecs: pd.Series) -> pd.Series:
+    def res_kernel(vecs: pd.Series, cells: pd.Series) -> pd.Series:
         out = []
-        for v in vecs:
-            if v is None:
+        for v, cell in zip(vecs, cells):
+            if v is None or cell is None:
                 out.append(None)
                 continue
-            x = np.asarray(v, dtype=np.float64)
-            codes = [
-                int(
-                    (((x[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2).sum(axis=1))
-                    .argmin()
-                )
-                for j in range(m)
-            ]
-            out.append(codes)
+            x = np.asarray(v, dtype=np.float64) - C[int(cell)]
+            out.append(_codes(x))
         return pd.Series(out)
 
-    return df.withColumn("__pq", kernel(F.col(vec_col)))
+    return df.withColumn("__pq", res_kernel(F.col(vec_col), F.col(cell_col)))
 
 
 def pq_topk(
@@ -868,6 +915,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     q_vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF×PQ: probe the ``nprobe`` nearest cells (partition pruning),
     then ADC-score ONLY those cells' PQ codes — the full production ANN
@@ -877,8 +925,17 @@ def ivf_pq_topk(
     ``__pq`` (from :func:`pq_encode`).  Recall is bounded by both the
     probe coverage and the quantization error; raise ``nprobe``/``m`` to
     trade cost for recall.  Returns (q_id, vec_id, adc_dist, rank).
+
+    ``residual=True`` selects the IVFADC scoring path for codes produced
+    by residual :func:`pq_train`/:func:`pq_encode`: the ADC lookup table
+    is built per (query, probed cell) from the query RESIDUAL
+    ``q − centroid(cell)``, so distances compare against what was
+    actually encoded.  Cost shape is unchanged — the LUTs stay a
+    driver-side table of ``nprobe × m × ksub`` doubles per query riding
+    the closure, and scoring is still m lookups per code word.
     """
     probe_cells: dict = {}
+    q_vecs: dict = {}
     for q in queries.collect():  # queries small by contract
         qv = list(q[q_vec_col])
         d = sorted(
@@ -886,8 +943,14 @@ def ivf_pq_topk(
             for i, c in enumerate(centroids)
         )
         probe_cells[q[q_id_col]] = [cell for _, cell in d[:nprobe]]
+        q_vecs[q[q_id_col]] = qv
     cells = sorted({c for cs in probe_cells.values() for c in cs})
     pruned = assigned.filter(F.col("__cell").isin(cells))
+    if residual:
+        return _ivf_pq_topk_residual(
+            pruned, centroids, codebooks, probe_cells, q_vecs,
+            k=k, id_col=id_col, q_id_col=q_id_col,
+        )
     out = pq_topk(
         pruned, queries, codebooks, k=k, id_col=id_col,
         q_id_col=q_id_col, q_vec_col=q_vec_col,
@@ -911,4 +974,81 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop("__cell")
+    )
+
+
+def _ivf_pq_topk_residual(
+    pruned: DataFrame,
+    centroids,
+    codebooks,
+    probe_cells: dict,
+    q_vecs: dict,
+    k: int,
+    id_col: str,
+    q_id_col: str,
+) -> DataFrame:
+    """IVFADC scoring: per (query, probed cell) LUT over the QUERY
+    RESIDUAL, applied to rows of that cell only.  A (query, cell) pair
+    the query did not probe scores NULL and is filtered — no
+    post-hoc semi-join cleanup needed (the LUT table itself encodes the
+    probe set)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    cb = [np.array(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    Cm = np.array(centroids, dtype=np.float64)
+    q_ids = sorted(probe_cells)
+    luts = {}  # (query position, cell) -> [m, ksub] subspace distances
+    for qi, q in enumerate(q_ids):
+        qv = np.asarray(q_vecs[q], dtype=np.float64)
+        for cell in probe_cells[q]:
+            r = qv - Cm[cell]
+            luts[(qi, cell)] = np.stack(
+                [
+                    ((r[j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+
+    @pandas_udf("array<double>")
+    def score(codes: pd.Series, cells: pd.Series) -> pd.Series:
+        idx = np.arange(m)
+        out = []
+        for c, cell in zip(codes, cells):
+            if c is None or cell is None:
+                out.append(None)
+                continue
+            cc = np.asarray(c, dtype=np.int64)
+            cell = int(cell)
+            out.append(
+                [
+                    float(luts[(qi, cell)][idx, cc].sum())
+                    if (qi, cell) in luts
+                    else None
+                    for qi in range(len(q_ids))
+                ]
+            )
+        return pd.Series(out)
+
+    scored = pruned.select(
+        id_col,
+        F.posexplode(score(F.col("__pq"), F.col("__cell"))).alias(
+            "__qi", "adc_dist"
+        ),
+    ).filter(F.col("adc_dist").isNotNull()).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in q_ids]), F.col("__qi") + 1
+        ).alias(q_id_col),
+        id_col,
+        "adc_dist",
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
