@@ -373,6 +373,48 @@ def decode_images(
     return df.select(id_col, payload_col).mapInPandas(batches, _DECODED_SCHEMA)
 
 
+def decode_format_report(
+    df: DataFrame,
+    decoded: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-format decode outcome counts — makes the stdlib fallback's
+    blind spot operationally VISIBLE instead of warn-only: without PIL,
+    a JPEG/WebP corpus decodes to all-NULL rows, and this report is
+    where that shows up as ``n_null == n_total`` for the format.
+
+    ``df`` is the payload table fed to :func:`decode_images`;
+    ``decoded`` its output.  Returns one row per sniffed format
+    (magic-byte sniff, no decode) with
+    (sniffed_format, n_total, n_decoded, n_null, decoder) where
+    ``decoder`` names the active real-decode path — ``'pil'`` when PIL
+    imports on the driver, else ``'stdlib-png'``.  Executor images can
+    differ from the driver; an executor-side PIL gap still surfaces
+    here as unexpected n_null, which is exactly the signal operators
+    watch.  Plan: one id join + a categorical groupBy — O(rows), tiny
+    result, safe at any corpus size.
+    """
+    fmt = attach_media_metadata(df, payload_col).select(
+        F.col(id_col).alias("media_id"), "sniffed_format"
+    )
+    ok = decoded.select(
+        "media_id", F.col("pixels").isNotNull().alias("__ok")
+    )
+    decoder = "pil" if _pil_image_module() is not None else "stdlib-png"
+    return (
+        fmt.join(ok, "media_id")
+        .groupBy("sniffed_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n_decoded"),
+            F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("n_null"),
+        )
+        .withColumn("decoder", F.lit(decoder))
+        .orderBy("sniffed_format")
+    )
+
+
 def resize_images(
     decoded: DataFrame, out_w: int, out_h: int
 ) -> DataFrame:

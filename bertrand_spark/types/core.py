@@ -198,7 +198,17 @@ class ScalarType:
     # -- parametrization flyweight (reference meta.py:2335) ----------------
     def with_params(self, *params: Any) -> "ScalarType":
         key = (self.name, self.backend, params)
-        cached = registry._flyweights.get(key)
+        try:
+            cached = registry._flyweights.get(key)
+        except TypeError:
+            # every legitimate parameter (int, str, bool, class, scalar
+            # type) is hashable; an unhashable one (e.g. a structured
+            # type smuggled through "int64[k: spec]" — round-5 fuzz
+            # finding) is a malformed specifier, not a cache miss
+            raise ValueError(
+                f"invalid (unhashable) parameters for {self.name!r}: "
+                f"{params!r}"
+            ) from None
         if cached is not None:
             return cached
         clone = ScalarType(

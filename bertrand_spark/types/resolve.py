@@ -108,10 +108,30 @@ def _resolve_ident(name: str, params_src: str | None) -> AnyType:
     return t
 
 
+# Far beyond any real specifier (reference grammar nests ~4 deep) but
+# far below the Python stack: the parser recurses once per bracket
+# level, and an adversarial "sparse[sparse[...["-style input must get a
+# ValueError, not a RecursionError mid-parse (round-5 fuzz finding).
+_MAX_SPEC_DEPTH = 64
+
+
 def _resolve_string(s: str) -> AnyType:
     s = s.strip()
     if not s:
         raise ValueError("empty type specifier")
+
+    depth = mx = 0
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            mx = max(mx, depth)
+        elif ch == "]":
+            depth -= 1
+    if mx > _MAX_SPEC_DEPTH:
+        raise ValueError(
+            f"type specifier nests {mx} bracket levels deep "
+            f"(max {_MAX_SPEC_DEPTH}): {s[:80]!r}..."
+        )
 
     # whole-string alias wins before any grammar (R5: runtime aliases may
     # contain brackets, e.g. "int64[strict]")

@@ -268,6 +268,107 @@ class TestResidualPq:
             assert min(rs, key=lambda r: r["adc_dist"])["vec_id"] == q
 
 
+class TestDecodeFormatReport:
+    def test_fallback_blind_spot_is_visible(self, spark):
+        """Without PIL, PNG decodes and JPEG yields NULL rows — the
+        report must show exactly that, per format, with the active
+        decoder named (the round-4 VERDICT 'format-share metric')."""
+        import warnings
+
+        from bertrand_spark.pipeline.multimodal import (
+            decode_format_report, decode_images, png_encode,
+        )
+
+        png = png_encode(2, 2, 3, bytes(12))
+        jpeg = b"\xff\xd8\xff\xe0" + b"notarealjpeg" * 4
+        df = spark.createDataFrame(
+            [(1, png), (2, jpeg)], "media_id long, payload binary"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            decoded = decode_images(df, decode="real")
+        rep = {
+            r["sniffed_format"]: r
+            for r in decode_format_report(df, decoded).collect()
+        }
+        assert set(rep) == {"png", "jpeg"}
+        assert rep["png"]["n_total"] == 1 and rep["png"]["n_decoded"] == 1
+        assert rep["jpeg"]["n_total"] == 1 and rep["jpeg"]["n_null"] == 1
+        # this container has no PIL: the active path must say so
+        assert rep["jpeg"]["decoder"] == "stdlib-png"
+
+
+class TestResolveGrammarFuzz:
+    """Crash/hang safety for the resolve() mini-language (reference
+    grammar meta.py:1461-1693) — the most user-facing driver-side
+    surface.  Contract: ANY string either resolves to a type object or
+    raises ValueError; no other exception class, no unbounded
+    recursion (the round-5 depth-guard finding: 500-deep
+    ``sparse[sparse[...`` used to RecursionError mid-parse)."""
+
+    def _check(self, s):
+        from bertrand_spark.types.resolve import resolve
+
+        try:
+            resolve(s)
+        except ValueError:
+            pass  # graceful rejection IS the contract
+
+    def test_grammar_soup(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        alphabet = "abintfloatdecimal64[]|,:'\"U0 .-+_"
+        soup = hst.text(alphabet=alphabet, min_size=0, max_size=80)
+
+        @settings(max_examples=300, deadline=None)
+        @given(soup)
+        def run(s):
+            self._check(s)
+
+        run()
+
+    def test_structured_adversarial(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        base = hst.sampled_from(
+            ["int64", "float32", "string", "bool", "nosuchtype", "U32", ""]
+        )
+        deco = hst.sampled_from(["sparse", "categorical", "int64", "x"])
+        spec = hst.recursive(
+            base,
+            lambda children: hst.builds(
+                lambda d, c: f"{d}[{c}]", deco, children
+            )
+            | hst.builds(lambda a, b: f"{a}|{b}", children, children)
+            | hst.builds(lambda a, b: f"k1: {a}, k2: {b}", children, children),
+            max_leaves=20,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(spec)
+        def run(s):
+            self._check(s)
+
+        run()
+
+    def test_pathological_literals(self):
+        # deterministic worst cases pinned outside hypothesis
+        cases = [
+            "sparse[" * 500 + "int64" + "]" * 500,
+            "[" * 200,
+            "]" * 200,
+            "a" * 100_000,
+            "a|" * 2000 + "b",
+            "int64[" + "x," * 5000 + "1]",
+            '"' * 9,
+            "\x00\x01",
+        ]
+        for s in cases:
+            self._check(s)
+
+
 class TestQ49NullableKeys:
     def test_anti_join_matches_not_in_with_null_keys(self, spark, tmp_path):
         """With a NULL in the exclusion set, bare SQL NOT IN returns no
