@@ -369,6 +369,62 @@ class TestResolveGrammarFuzz:
             self._check(s)
 
 
+class TestRocksDBStateStore:
+    def test_stream_dedup_parity_under_rocksdb(self, spark, sf_dir):
+        """The provider flip SCALE.md prescribes for unbounded state at
+        100 TB must be a pure physical swap: stream dedup under
+        RocksDBStateStoreProvider returns exactly what the heap-backed
+        default (and the batch oracle) returns."""
+        import uuid
+
+        from bertrand_spark.sources.reader import read_table
+        from bertrand_spark.streaming import read_events_stream, stream_dedup
+
+        old = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            stream = read_events_stream(spark, sf_dir)
+            streamed = stream_dedup(
+                stream.select("event_type", "ts"), ["event_type"], "ts",
+                "1 minute",
+            ).select("event_type")
+            name = "mem_" + uuid.uuid4().hex[:8]
+            q = (
+                streamed.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            # the run must actually have used RocksDB, not silently
+            # fallen back
+            metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+            assert any(k.startswith("rocksdb") for k in metrics)
+            got = {r["event_type"] for r in spark.sql(f"select * from {name}").collect()}
+            want = {
+                r["event_type"]
+                for r in read_table(spark, sf_dir, "events")
+                .select("event_type")
+                .distinct()
+                .collect()
+            }
+            assert got == want
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", old
+                )
+
+
 class TestQ49NullableKeys:
     def test_anti_join_matches_not_in_with_null_keys(self, spark, tmp_path):
         """With a NULL in the exclusion set, bare SQL NOT IN returns no

@@ -368,17 +368,37 @@ def _streaming(spark, F, blow_up, read_table, mult) -> None:
         # volume, not to input volume.
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
-        def run(name, build):
+        # round-5: measure BOTH state store providers.  The default
+        # HDFSBackedStateStore keeps state on the JVM heap — at 100 TB
+        # keyed-dedup state is the first thing that outgrows executor
+        # heap; RocksDBStateStoreProvider (built into OSS Spark,
+        # rocksdbjni ships in pyspark's jars) spills state to local
+        # disk with a bounded block cache, trading per-op latency for
+        # unbounded state capacity.  Same queries, same data, same
+        # micro-batch cadence — the delta IS the provider overhead.
+        _ROCKSDB = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+
+        def run(name, build, provider=None):
+            if provider:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", provider
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
             src = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 2)
                 .format("parquet")
                 .load(f"{stage}/events")
             )
+            tag = "rocksdb" if provider else "heap"
             q = (
                 build(src)
                 .writeStream.format("noop")
-                .option("checkpointLocation", f"{ckpt_root}/{name}")
+                .option("checkpointLocation", f"{ckpt_root}/{name}-{tag}")
                 .trigger(availableNow=True)
                 .start()
             )
@@ -386,24 +406,27 @@ def _streaming(spark, F, blow_up, read_table, mult) -> None:
             q.awaitTermination()
             dt = time.time() - t0
             print(
-                f"{name:32s} {dt:7.2f}s   events={n_ev:,} "
+                f"{name:26s} [{tag:7s}] {dt:7.2f}s   events={n_ev:,} "
                 f"({n_ev / dt / 1e6:.2f} M events/s, 8 micro-batches)"
             )
 
-        run(
-            "stream windowed rollup",
-            lambda s: windowed_rollup(
-                s, "ts", "1 hour",
-                {"n": F.count("*"), "v": F.sum("value")},
-                keys=["event_type"], watermark="30 minutes",
-            ),
-        )
-        run(
-            "stream keyed dedup",
-            lambda s: stream_dedup(
-                s, ["user_id", "event_type"], "ts", watermark="30 minutes"
-            ),
-        )
+        for provider in (None, _ROCKSDB):
+            run(
+                "stream windowed rollup",
+                lambda s: windowed_rollup(
+                    s, "ts", "1 hour",
+                    {"n": F.count("*"), "v": F.sum("value")},
+                    keys=["event_type"], watermark="30 minutes",
+                ),
+                provider,
+            )
+            run(
+                "stream keyed dedup",
+                lambda s: stream_dedup(
+                    s, ["user_id", "event_type"], "ts", watermark="30 minutes"
+                ),
+                provider,
+            )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt_root, ignore_errors=True)
