@@ -2965,9 +2965,19 @@ def q43(spark, sf_dir):
     forced broadcast is worse than a shuffle).  vs the naive shape
     (semi-join back into lineitem + re-aggregate): one lineitem
     shuffle instead of two, no second scan."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    return q43_plan(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def q43_plan(li, o, c):
+    """q43's logical plan over caller-supplied frames — lets the scale
+    harness run the IDENTICAL plan against bucketed tables: lineitem
+    bucketed on l_orderkey satisfies the groupBy's hash requirement
+    straight off the scan (no fact exchange), and orders bucketed on
+    o_orderkey co-locates the join."""
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__sq"))

@@ -65,6 +65,10 @@ def main() -> None:
         _relational(spark, F, blow_up, read_table)
         spark.stop()
         return
+    if section == "relational50":
+        _relational_50x(spark, F, blow_up, read_table)
+        spark.stop()
+        return
     if section == "streaming":
         _streaming(spark, F, blow_up, read_table, mult)
         spark.stop()
@@ -326,6 +330,76 @@ def _relational(spark, F, blow_up, read_table) -> None:
         shutil.rmtree(rel_dir, ignore_errors=True)
 
 
+
+
+def _relational_50x(spark, F, blow_up, read_table) -> None:
+    """Round-5: the two LINEAR relational shapes (q42/q43 — both bound
+    by the orders/orderkey-grained aggregate) at 50x (~30M lineitem
+    rows, sf5-equivalent), to confirm the asymptote, plus a
+    bucketed-layout variant of q43 answering SCALE.md's open question:
+    does bucketing lineitem+orders on the orderkey remove q43's one
+    fact shuffle?  (Run with `python tools/scale_smoke.py 50
+    relational50` — the mult argument is fixed at the call site by the
+    blow_up closure, so pass 50.)
+    """
+    import shutil
+    import tempfile
+
+    rel_dir = tempfile.mkdtemp(prefix="scale_rel50_")
+    try:
+        ords = blow_up(read_table(spark, SF_DIR, "orders"), "o_orderkey")
+        li_rel = blow_up(read_table(spark, SF_DIR, "lineitem"), "l_orderkey")
+        ords.write.mode("overwrite").parquet(f"{rel_dir}/orders.parquet")
+        li_rel.write.mode("overwrite").parquet(f"{rel_dir}/lineitem.parquet")
+        for t in ("customer", "nation"):
+            read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+                f"{rel_dir}/{t}.parquet"
+            )
+        n_li = spark.read.parquet(f"{rel_dir}/lineitem.parquet").count()
+
+        from bertrand_spark.plans.queries import QUERIES, q43_plan
+
+        def timed_noop(name, df, n=n_li):
+            df.write.mode("overwrite").format("noop").save()  # warm
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            print(
+                f"{name:32s} {dt:7.2f}s   lineitem_rows={n:,} "
+                f"({n / dt / 1e6:.1f} M rows/s)"
+            )
+
+        for qname in ("q42_returned_items", "q43_large_orders"):
+            timed_noop(qname, QUERIES[qname](spark, rel_dir))
+
+        # --- bucketed variant: same logical q43, lineitem+orders
+        # bucketed on the orderkey (write cost paid once, amortized
+        # across every orderkey-grained query) ---------------------------
+        from bertrand_spark.sources.reader import write_bucketed
+
+        spark.sql("DROP TABLE IF EXISTS s50_lineitem")
+        spark.sql("DROP TABLE IF EXISTS s50_orders")
+        write_bucketed(
+            spark.read.parquet(f"{rel_dir}/lineitem.parquet"),
+            "s50_lineitem", ["l_orderkey"], num_buckets=128,
+        )
+        write_bucketed(
+            spark.read.parquet(f"{rel_dir}/orders.parquet"),
+            "s50_orders", ["o_orderkey"], num_buckets=128,
+        )
+        bucketed = q43_plan(
+            spark.table("s50_lineitem"),
+            spark.table("s50_orders"),
+            spark.read.parquet(f"{rel_dir}/customer.parquet"),
+        )
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange")
+        timed_noop(f"q43 bucketed (exchanges={n_ex})", bucketed)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS s50_lineitem")
+        spark.sql("DROP TABLE IF EXISTS s50_orders")
+        shutil.rmtree(rel_dir, ignore_errors=True)
 
 
 def _streaming(spark, F, blow_up, read_table, mult) -> None:
