@@ -3337,45 +3337,43 @@ def q49(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Driver coverage rotation (round 4)
+# Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
-# The driver's correctness gate runs exactly the FIRST 50 keys of
-# ``queries()`` (CORRECTNESS_r02/_r03 each contain precisely
-# ``list(QUERIES)[:50]``).  Rounds 1-3 left 37 queries — every round-2b/3
-# flagship — without a driver row.  Reorder so those 37 plus the four new
-# round-4 queries (q46-q49, zero driver history) occupy slots 1-41,
-# followed by 9 refresh queries with two rounds of green driver history,
-# so CORRECTNESS_r04 attests every previously-unchecked name.
-# Registration order above is unchanged; only the public dict order
-# rotates.  Future rounds: rotate again so the then-unchecked tail
-# (q03-q12, q14-q22 etc.) cycles back through the window.
+# STANDING POLICY (two-round rotation): the driver's correctness gate runs
+# exactly the FIRST 50 keys of ``queries()``.  With 93 oracle-backed queries
+# and a 50-slot window, every query must re-enter the window at least every
+# other round so no driver attestation is more than two rounds stale.  Each
+# round: (a) the queries NOT attested last round fill the leading slots;
+# (b) the remaining slots refresh queries whose kernels/plans this round
+# touched.  Registration order above is unchanged; only the public dict
+# order rotates.  A name here that no longer exists in QUERIES raises at
+# import (see below) so a rename cannot silently drop coverage.
+#
+# Round 6: CORRECTNESS_r05 attested the same 50 names as r04, leaving the
+# other 43 with r02/r03-era driver rows.  Those 43 fill slots 1-43; the 7
+# refresh slots take queries round 6's code changes touch (q49 null-safe
+# NOT IN filter, x25/x36 store-backed dedup paths, q42/q43 relational50
+# focus) plus heavy anchors x30 and q01.
 _DRIVER_ROTATION = [
-    # never driver-checked through round 3 (37)
-    "q32_map_ops", "x18_pipeline_end_to_end", "x16_cosine_near_dup",
-    "x17_quality_scores", "x20_decontaminate", "x21_redact_pii",
-    "x22_pack_sequences", "x23_stratified_sample", "x24_repetition_score",
-    "x25_stream_dedup", "x26_stream_sessions", "q33_revenue_by_nation",
-    "q34_rollup_revenue", "q35_window_functions", "x27_corpus_stats",
-    "q36_profile", "q37_promo_share", "q38_semi_anti_join",
-    "x28_stream_stream_join", "x29_foreachbatch_sink", "x30_dedup_clusters",
-    "x31_dedup_canonical", "x32_fuzzy_join", "x33_gopher_rules",
-    "x34_tfidf_top_terms", "x35_chunk_dedup", "x36_incremental_dedup",
-    "x37_temperature_resample", "q39_pricing_summary",
-    "q40_shipping_priority", "q41_revenue_forecast", "q42_returned_items",
-    "q43_large_orders", "q44_cube_orders", "q45_above_average",
-    "x38_knn_graph", "x39_adaptive_length_filter",
-    # new in round 4 — zero driver history, must be inside the first 50
-    "q46_late_orders_exists", "q47_supplier_nation_cycle",
-    "q48_priority_class_agg", "q49_supplier_part_counts",
-    "x40_mix_corpus", "x41_dedup_keep_best",
-    # driver-green in r02 AND r03; refreshed in slots 44-50 (7) —
-    # prioritizing the queries whose kernels/plans changed this round
-    # (x02/x03/x04 tokenizer pins, q01 anchor) over untouched shapes
-    # (q04 is exercised by the driver's entry() smoke every round;
-    # x01/x05/x08/x11/q23 are simple and twice-green)
-    "q01_detect_tags", "q13_parse_temporal",
-    "q29_asof_join", "q30_range_join",
-    "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
+    # driver rows stale since r02/r03 (43) — re-attest all of them in r06
+    "q02_typecheck_bounds", "q03_generic_casts", "q04_rounding_rules",
+    "q05_boundscheck", "q06_downcast_feasibility", "q07_numeric_widening",
+    "q08_epoch_datetime", "q09_radix_format", "q10_decimal_matrix",
+    "q11_datetime_units", "q12_string_to_bool", "q14_categorize",
+    "q15_iota", "q16_enumerate", "q17_where_ternary", "q17b_where_filter",
+    "q18_slice", "q19_concat_sep", "q19b_union_all", "q20_find_replace",
+    "q21_reductions", "q22_stable_sort", "q23_ordered_dedup",
+    "q24_intersect", "q24b_except", "q25_dt_td_conversions",
+    "q26_calendar_units", "q27_object_roundtrip", "q28_anonymous_cast",
+    "q31_regex_dialect", "x01_exact_dedup", "x05_cosine_topk",
+    "x06_cosine_pairs", "x07_ivf_topk", "x08_token_stats",
+    "x09_lang_scores", "x10_lang_detect", "x11_events_rollup",
+    "x12_json_extract", "x13_media_sniff", "x14_media_decode",
+    "x15_rolling_fingerprints", "x19_stream_rollup",
+    # refresh slots 44-50 (7): queries round 6 touches or heavy anchors
+    "q49_supplier_part_counts", "x36_incremental_dedup", "x25_stream_dedup",
+    "q42_returned_items", "q43_large_orders", "x30_dedup_clusters",
+    "q01_detect_tags",
 ]
 
 
