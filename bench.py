@@ -250,6 +250,45 @@ def main() -> None:
         except Exception:
             pass
         spark.catalog.clearCache()
+    probes["after"] = host_probe()
+    # mid-run degradation handling (round-6, from the r5 postmortem: a
+    # run whose mid/end probes read 0.163/0.154 s overstated every query
+    # 25-40%).  If ANY probe read degraded, the min-of-N for queries
+    # timed in that phase is polluted at once (the degradation is
+    # uniform), so: wait — bounded — for a healthy probe, then re-run
+    # one timed pass over every query and min it in.  If the host never
+    # recovers inside the bound, the record is explicitly marked
+    # degraded instead of silently shipping inflated numbers.
+    _healthy = 0.2 * 1.15
+    degraded = any(
+        v > _healthy for k, v in probes.items() if k != "healthy_wait_sec"
+    )
+    if degraded:
+        waited = 0.0
+        p = probes["after"]
+        while p > _healthy and waited < 90:
+            time.sleep(15)
+            waited += 15
+            p = host_probe()
+        probes["resample_probe"] = p
+        if p <= _healthy:
+            for name in HEADLINE:
+                fn = QUERIES.get(name)
+                if fn is None or timings.get(name, -1.0) < 0:
+                    continue
+                try:
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    timings[name] = min(
+                        timings[name], round(time.time() - t0, 3)
+                    )
+                except Exception:
+                    pass
+                spark.catalog.clearCache()
+            probes["after_resample"] = host_probe()
+            degraded = probes["after_resample"] > _healthy
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -259,9 +298,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "degraded_host": degraded,
                 "host_probe_sec": {
                     **probes,
-                    "after": host_probe(),
                     "healthy": 0.2,
                 },
             }

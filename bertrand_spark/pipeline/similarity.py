@@ -767,13 +767,26 @@ def pq_train(
     """
     import numpy as np
 
-    cols = [vec_col] if centroids is None else [vec_col, cell_col]
+    # NULL vectors — and, in residual mode, NULL cells (a row whose
+    # embedding was NULL at ivf_build time gets a NULL cell) — are
+    # droppable for TRAINING (pq_encode's kernel already null-guards
+    # them to NULL codes); without the filter np.array over a
+    # None-bearing sample raises an opaque TypeError (round-5 ADVICE).
+    sampled = vectors.select(
+        [vec_col] if centroids is None else [vec_col, cell_col]
+    ).filter(F.col(vec_col).isNotNull())
+    if centroids is not None:
+        sampled = sampled.filter(F.col(cell_col).isNotNull())
     rows = (
-        vectors.select(*cols)
-        .sample(min(sample_fraction, 1.0), seed)
+        sampled.sample(min(sample_fraction, 1.0), seed)
         .limit(max_sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"pq_train: no non-null rows to sample from {vec_col!r}"
+            + ("" if centroids is None else f" with non-null {cell_col!r}")
+        )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     if centroids is not None:
         C = np.array(centroids, dtype=np.float64)

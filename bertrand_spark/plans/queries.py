@@ -3292,6 +3292,7 @@ def q48(spark, sf_dir):
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size IN (5, 10, 15, 20)
+      AND l.l_suppkey IS NOT NULL
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
     GROUP BY p.p_brand, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
@@ -3301,12 +3302,15 @@ def q49(spark, sf_dir):
     """TPC-H-Q16-shaped distinct-count with an exclusion subquery
     (adapted: lineitem stands in for partsupp; negative-balance
     suppliers for the complaint list): the NOT IN lowers to a LEFT ANTI
-    join — an equivalence that holds ONLY because the exclusion set is
-    null-free (SQL NOT IN returns no rows when the subquery yields a
-    NULL; an anti join keeps non-matching rows).  Both the oracle and
-    this plan filter ``s_suppkey IS NOT NULL`` explicitly so the
-    equivalence is by construction, not by data luck — reuse on
-    nullable keys stays correct.  The anti join's build side AQE
+    join — an equivalence that needs BOTH sides null-free (a NULL in
+    the subquery makes SQL NOT IN return no rows at all, and a NULL
+    probe key yields UNKNOWN → dropped by NOT IN but kept by the anti
+    join).  Both the oracle and this plan therefore filter
+    ``s_suppkey IS NOT NULL`` on the build side AND
+    ``l_suppkey IS NOT NULL`` on the probe side, so the equivalence is
+    by construction on arbitrary nullable keys, not by TPC-H data luck
+    (round-5 ADVICE: the probe-side pin was missing).  The anti join's
+    build side AQE
     converts to a broadcast from its runtime
     size (no static hint — the exclusion set is a data-dependent
     fraction of the supplier dimension, and a forced broadcast of a
@@ -3320,7 +3324,11 @@ def q49(spark, sf_dir):
         .select("s_suppkey")
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15, 20))
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     return (
         li.join(
             excl,

@@ -26,10 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-# Footer-sample width for mixed-writer directories: a table whose first
-# k fragments are all INT96 but carries an INT64-NANOS file beyond them
-# is out of contract (tables the engine writes are single-writer); k=8
-# bounds metadata reads while catching the realistic append case.
+# Footer-sample width for mixed-writer directories: a table whose
+# sampled fragments are all INT96 but carries an INT64-NANOS file
+# elsewhere is out of contract (tables the engine writes are
+# single-writer); sampling the FIRST k AND LAST k fragments (appended
+# files typically enumerate last) bounds metadata reads while catching
+# both the original files and the realistic append case.  When a
+# directory has more fragments than 2k, a debug log records the
+# sampling so a silently-missed mixed-writer file is diagnosable
+# (round-5 ADVICE).
 _NANOS_SAMPLE_FRAGMENTS = 8
 
 
@@ -76,11 +81,27 @@ def _nanos_timestamp_columns_cached(key: tuple) -> tuple[str, ...]:
     # table load.
     dset = ds.dataset(path, format="parquet")
     out: list[str] = []
-    n_sampled = 0
-    for frag in dset.get_fragments():
-        if n_sampled >= _NANOS_SAMPLE_FRAGMENTS:
-            break
-        n_sampled += 1
+    # fragment enumeration is a file listing (no footer IO yet); the
+    # order is filesystem-dependent, so take both ends of the listing —
+    # appended files usually sort last, and "first k" alone would miss
+    # them entirely.
+    frags = list(dset.get_fragments())
+    k = _NANOS_SAMPLE_FRAGMENTS
+    if len(frags) > 2 * k:
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "nanos footer sampling: %s has %d fragments; probing the "
+            "first %d and last %d — a mixed-writer INT64-NANOS file in "
+            "the unsampled middle would be missed (raise "
+            "_NANOS_SAMPLE_FRAGMENTS if this table has interleaved "
+            "writers)",
+            path, len(frags), k, k,
+        )
+        sample = frags[:k] + frags[-k:]
+    else:
+        sample = frags
+    for frag in sample:
         schema = frag.metadata.schema  # parquet schema, not arrow
         for i in range(len(schema)):
             col = schema.column(i)

@@ -112,7 +112,30 @@ def _resolve_ident(name: str, params_src: str | None) -> AnyType:
 # far below the Python stack: the parser recurses once per bracket
 # level, and an adversarial "sparse[sparse[...["-style input must get a
 # ValueError, not a RecursionError mid-parse (round-5 fuzz finding).
+# The bracket pre-scan alone is not enough — structured specs recurse
+# once per top-level colon ("a: a: a: ... int64") and nested
+# mappings/iterables recurse without any string at all, so resolve()
+# also threads an explicit depth counter (round-5 ADVICE).
 _MAX_SPEC_DEPTH = 64
+
+import threading as _threading
+
+_depth_state = _threading.local()
+
+
+def _enter_depth(s: Any) -> None:
+    d = getattr(_depth_state, "d", 0) + 1
+    if d > _MAX_SPEC_DEPTH:
+        _depth_state.d = 0
+        raise ValueError(
+            f"type specifier recursion exceeds {_MAX_SPEC_DEPTH} levels "
+            f"(adversarial or malformed input): {str(s)[:80]!r}..."
+        )
+    _depth_state.d = d
+
+
+def _exit_depth() -> None:
+    _depth_state.d = max(0, getattr(_depth_state, "d", 1) - 1)
 
 
 def _resolve_string(s: str) -> AnyType:
@@ -173,6 +196,14 @@ def resolve(target: Any) -> AnyType:
     """Parse any type specifier → type object (reference ``meta.py:1143``)."""
     if isinstance(target, (ScalarType, DecoratedType, UnionType, StructuredType)):
         return target
+    _enter_depth(target)
+    try:
+        return _resolve_inner(target)
+    finally:
+        _exit_depth()
+
+
+def _resolve_inner(target: Any) -> AnyType:
     if isinstance(target, str):
         return _resolve_string(target)
     if isinstance(target, st.DataType):

@@ -92,6 +92,30 @@ class TestNanosMixedWriterDirectory:
         pq.write_table(t, str(d / "part-b.parquet"))
         assert nanos_timestamp_columns(str(d)) == ()
 
+    def test_appended_ns_beyond_sample_width(self, tmp_path):
+        """Round-6 (r5 ADVICE): a ns file appended as the LAST of 20
+        fragments — beyond the old first-8 sample — must still be
+        flagged, because the sampler now probes both ends of the
+        fragment listing (appends typically sort last)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bertrand_spark.sources.reader import nanos_timestamp_columns
+
+        d = tmp_path / "appended.parquet"
+        d.mkdir()
+        us = pa.table(
+            {"ts": pa.array(np.array([1, 2], dtype="datetime64[us]"))}
+        )
+        ns = pa.table(
+            {"ts": pa.array(np.array([1, 2], dtype="datetime64[ns]"))}
+        )
+        for i in range(19):
+            pq.write_table(us, str(d / f"part-{i:03d}.parquet"))
+        pq.write_table(ns, str(d / "part-019.parquet"))  # sorts last
+        assert nanos_timestamp_columns(str(d)) == ("ts",)
+
 
 def _walk_jplan(node):
     yield node
@@ -242,6 +266,44 @@ class TestResidualPq:
         )
         assert res >= raw + 0.03
 
+    def test_null_vec_and_cell_rows_excluded_from_training(self, spark, stack):
+        """Round-6 (r5 ADVICE): rows whose embedding was NULL at
+        ivf_build time carry a NULL __cell; pq_train must skip them in
+        the training sample (pq_encode already null-guards) instead of
+        crashing with an opaque numpy TypeError, and an all-null input
+        must raise a clear ValueError naming the column."""
+        from pyspark.sql import types as T
+
+        from bertrand_spark.pipeline.similarity import pq_train
+
+        e, assigned, centroids, _, _ = stack
+        null_row = spark.createDataFrame(
+            [(10**9, None, None)],
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField(
+                        "embedding", T.ArrayType(T.DoubleType())
+                    ),
+                    T.StructField("__cell", T.IntegerType()),
+                ]
+            ),
+        )
+        with_nulls = assigned.select(
+            "vec_id", "embedding", "__cell"
+        ).unionByName(null_row)
+        cb = pq_train(
+            with_nulls, "embedding", m=4, nbits=4, seed=3,
+            centroids=centroids,
+        )
+        assert len(cb) == 4
+        all_null = null_row.union(null_row)
+        with pytest.raises(ValueError, match="embedding"):
+            pq_train(
+                all_null, "embedding", m=4, nbits=4, seed=3,
+                centroids=centroids,
+            )
+
     def test_residual_ranks_well_formed(self, stack):
         from bertrand_spark.pipeline.similarity import (
             ivf_pq_topk, pq_encode, pq_train,
@@ -364,9 +426,40 @@ class TestResolveGrammarFuzz:
             "int64[" + "x," * 5000 + "1]",
             '"' * 9,
             "\x00\x01",
+            # round-6: colon-chain recursion — the structured grammar
+            # recurses once per top-level colon with ZERO brackets, so
+            # the bracket pre-scan alone missed this (round-5 ADVICE)
+            "a: " * 2000 + "int64",
+            "k: " * 63 + "int64",  # just under the bound still parses
         ]
         for s in cases:
             self._check(s)
+
+    def test_depth_counter_resets_after_error(self):
+        # a rejected spec must not poison subsequent resolves (the
+        # thread-local counter is reset on the error path and unwound
+        # via finally on success)
+        from bertrand_spark.types.resolve import resolve
+
+        for _ in range(3):
+            try:
+                resolve("a: " * 2000 + "int64")
+            except ValueError:
+                pass
+            assert str(resolve("int64")) == "int64"
+
+    def test_nested_mapping_depth_bounded(self):
+        # non-string recursion (mappings/iterables) is bounded too
+        from bertrand_spark.types.resolve import resolve
+
+        d = {"a": "int64"}
+        for _ in range(200):
+            d = {"x": d}
+        try:
+            resolve(d)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
 
 
 class TestRocksDBStateStore:
