@@ -22,6 +22,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     exact_dedup_incremental,
     exact_dedup_incremental_store,
+    fuzzy_join_band_store,
     fuzzy_join_minhash,
     near_dup,
     near_dup_pairs_minhash,

@@ -35,7 +35,8 @@ __all__ = [
     "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
     "ngram_jaccard_pairs", "word_gram_hashes_vectorized", "cosine_near_dup_pairs",
-    "fuzzy_join_minhash", "near_dup", "near_dup_plan", "semantic_dedup",
+    "fuzzy_join_minhash", "fuzzy_join_band_store", "near_dup",
+    "near_dup_plan", "semantic_dedup",
     "write_band_table", "candidate_pairs_from_band_table", "dedup_report",
 ]
 
@@ -804,6 +805,86 @@ def fuzzy_join_minhash(
         cand.count()
     return _verify_candidates(
         cand, prep_l, prep_r, "id_l", "id_r", threshold, direct=direct
+    )
+
+
+def fuzzy_join_band_store(
+    batch: DataFrame,
+    band_table: str,
+    store_corpus: DataFrame,
+    batch_id_col: str = "doc_id",
+    batch_text_col: str = "text",
+    store_id_col: str = "doc_id",
+    store_text_col: str = "text",
+    threshold: float = 0.7,
+    *,
+    max_bucket: int | None = None,
+    miss_tolerance: float = 1e-4,
+    persist: bool = True,
+) -> DataFrame:
+    """:func:`fuzzy_join_minhash` with the RIGHT side read from a
+    persisted bucketed band table (:func:`write_band_table`) instead of
+    being re-banded per call — the recurring-ingest shape: the store's
+    signature/banding pass and its candidate-join shuffle are both paid
+    ONCE at table-write time, and each batch pays only its own prep
+    plus an exchange into the store's fixed bucket count (the store
+    side of the candidate join is a bucketed scan, no Exchange).
+
+    The banding geometry (k, num_bands, shingle_n) is ALWAYS read from
+    the ``__params`` companion table so the batch-side kernel provably
+    matches the store's banding — a geometry drift between the two
+    sides silently collapses recall, so it is not overridable here.
+
+    ``store_corpus`` is probed ONLY for candidate ids (semi join before
+    the text re-hash), so verification cost is O(candidates), never
+    O(store).  Returns ``(id_l, id_r, jaccard)`` like the inline path.
+    """
+    spark = batch.sparkSession
+    prow = spark.table(f"{band_table}__params").first()
+    k, num_bands, shingle_n = prow["k"], prow["num_bands"], prow["shingle_n"]
+    kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
+
+    prep_l, _, gb_l = _minhash_prep(
+        batch, batch_id_col, batch_text_col, kernel, "id_l", persist
+    )
+    bands_l = prep_l.select(
+        "id_l", F.posexplode("__bk").alias("band", "bucket")
+    )
+    bands_r = spark.table(band_table).withColumnRenamed(store_id_col, "id_r")
+    if max_bucket is not None:
+        small = (
+            bands_r.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("band", "bucket")
+        )
+        bands_r = bands_r.join(small, ["band", "bucket"])
+    consensus = min_band_matches(
+        threshold, k // num_bands, num_bands, miss_tolerance
+    )
+    cand = (
+        bands_l.join(bands_r, ["band", "bucket"], "inner")
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("__m"))
+        .filter(F.col("__m") >= consensus)
+        .select("id_l", "id_r")
+        .repartition(spark.sparkContext.defaultParallelism, "id_l")
+    )
+    if persist:
+        # cand feeds three consumers in the verify (ga ids, gb ids, the
+        # pair join) — materialize once
+        cand = cand.persist()
+        cand.count()
+    # hash sets for ONLY the candidate store rows: candidate ids are
+    # small by construction (consensus-filtered), the store is not
+    store_sub = store_corpus.withColumnRenamed(store_id_col, "id_r").join(
+        F.broadcast(cand.select("id_r").distinct()), "id_r", "left_semi"
+    )
+    prep_r, _, _ = _minhash_prep(
+        store_sub, "id_r", store_text_col, kernel, "id_r", False
+    )
+    return _verify_candidates(
+        cand, prep_l, prep_r, "id_l", "id_r", threshold, direct=False
     )
 
 

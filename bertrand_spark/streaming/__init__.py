@@ -8,6 +8,7 @@ from .rollup import (
     stream_dedup,
     stream_ann_enrich,
     stream_curation_pipeline,
+    stream_dedup_against_fingerprint_store,
     stream_dedup_against_store,
     stream_fuzzy_dedup,
     stream_stream_join,
@@ -17,6 +18,6 @@ from .rollup import (
 __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "stream_stream_join", "foreach_batch_parquet_sink",
-    "stream_dedup_against_store", "stream_curation_pipeline",
-    "stream_ann_enrich", "stream_fuzzy_dedup",
+    "stream_dedup_against_store", "stream_dedup_against_fingerprint_store",
+    "stream_curation_pipeline", "stream_ann_enrich", "stream_fuzzy_dedup",
 ]

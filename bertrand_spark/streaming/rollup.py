@@ -32,6 +32,7 @@ __all__ = [
     "windowed_rollup", "sessionize", "stream_dedup", "running_totals",
     "read_events_stream", "read_events_stream_split", "stream_stream_join",
     "foreach_batch_parquet_sink", "stream_dedup_against_store",
+    "stream_dedup_against_fingerprint_store",
     "stream_curation_pipeline", "stream_ann_enrich", "stream_fuzzy_dedup",
 ]
 
@@ -138,6 +139,43 @@ def stream_dedup_against_store(
     return stream_dedup(fresh, keys, ts_col, watermark)
 
 
+def stream_dedup_against_fingerprint_store(
+    stream: DataFrame,
+    store_table: str,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Continuous-ingest dedup against the BUCKETED fingerprint store —
+    the streaming sibling of ``dedup.exact_dedup_incremental_store``
+    (and the production shape of :func:`stream_dedup_against_store`,
+    whose inline-frame store side re-shuffles per micro-batch).
+
+    Per micro-batch the stream-static anti join's history side scans
+    the store straight out of its buckets with NO Exchange and no sort
+    (``write_fingerprint_store`` writes bucketed+sorted on ``fp``), so
+    each micro-batch pays O(batch): only the batch side hashes into the
+    store's fixed bucket count.  At 100 TB the history store dwarfs
+    every micro-batch by orders of magnitude — re-shuffling (or
+    re-broadcasting) it per batch is exactly the cost this layout
+    removes; the store's one shuffle was paid at write time.  The
+    static side is re-planned per micro-batch, so fingerprints appended
+    by ``write_fingerprint_store(mode="append")`` are picked up live
+    without restarting the query.
+
+    Within-stream repeats are then dropped by watermark-bounded keyed
+    state on the fingerprint (:func:`stream_dedup`), same as the
+    inline-store variant.
+    """
+    from ..pipeline.text import fingerprint
+
+    spark = stream.sparkSession
+    store = spark.table(store_table).select(F.col("fp").alias("__fp"))
+    out = stream.withColumn("__fp", fingerprint(F.col(text_col)))
+    out = out.join(store, "__fp", "left_anti")
+    return stream_dedup(out, ["__fp"], ts_col, watermark).drop("__fp")
+
+
 def stream_curation_pipeline(
     stream: DataFrame,
     store: DataFrame | None = None,
@@ -146,6 +184,7 @@ def stream_curation_pipeline(
     min_quality: float = 0.5,
     ts_col: str | None = None,
     watermark: str | None = None,
+    store_table: str | None = None,
 ) -> DataFrame:
     """The pretraining ingest pipeline lifted onto a stream: quality
     filter → dedup against the historical store → within-stream exact
@@ -157,12 +196,26 @@ def stream_curation_pipeline(
     live), and the within-stream dedup is keyed state bounded by the
     watermark horizon.  Pass a batch DataFrame and the SAME composition
     runs as a batch query — the equivalence the tests assert.
+
+    ``store_table`` names a BUCKETED fingerprint store written by
+    ``dedup.write_fingerprint_store`` and replaces the inline ``store``
+    frame for production ingest: the history side then scans its
+    buckets with no per-micro-batch Exchange (see
+    :func:`stream_dedup_against_fingerprint_store`).  Mutually
+    exclusive with ``store``.
     """
     from ..pipeline.text import fingerprint, quality_score
 
+    if store is not None and store_table is not None:
+        raise ValueError("pass either store or store_table, not both")
     out = stream.filter(quality_score(F.col(text_col)) >= min_quality)
     out = out.withColumn("__fp", fingerprint(F.col(text_col)))
-    if store is not None:
+    if store_table is not None:
+        hist = stream.sparkSession.table(store_table).select(
+            F.col("fp").alias("__fp")
+        )
+        out = out.join(hist, "__fp", "left_anti")
+    elif store is not None:
         store_fp = store.select(
             fingerprint(F.col(text_col)).alias("__fp")
         ).distinct()
@@ -358,6 +411,7 @@ def stream_fuzzy_dedup(
     num_bands: int = 154,
     shingle_n: int = 5,
     unpersist_caches: bool = True,
+    band_table: str | None = None,
 ):
     """Streaming NEAR-duplicate dedup against a historical corpus: a
     ``foreachBatch`` handler that fuzzy-joins each micro-batch of
@@ -382,11 +436,20 @@ def stream_fuzzy_dedup(
     Cost profile per micro-batch is `dedup.fuzzy_join_minhash`'s: both
     sides pay one fused Arrow prep pass, only (id, band, bucket) tuples
     shuffle, and the store side re-plans every batch so a refreshed
-    corpus parquet is picked up live.  At production scale, keep the
-    store's band table bucketed (``dedup.write_band_table``) and the
-    per-batch join is shuffle-free on the store side.
+    corpus parquet is picked up live.
+
+    ``band_table`` (round 6 — the production form): name of a bucketed
+    band table written by ``dedup.write_band_table`` over the SAME
+    ``store`` corpus.  Each micro-batch then candidate-joins against
+    the store's persisted bands — the store pays neither a re-banding
+    pass nor a candidate-join shuffle per batch (its one shuffle was
+    paid at table-write time), and ``store`` itself is probed only for
+    candidate ids during verification.  Banding geometry comes from the
+    table's ``__params`` companion; the ``k``/``num_bands``/
+    ``shingle_n`` arguments are ignored in this mode so the batch
+    kernel can never drift from the store's banding.
     """
-    from ..pipeline.dedup import fuzzy_join_minhash
+    from ..pipeline.dedup import fuzzy_join_band_store, fuzzy_join_minhash
 
     sink = foreach_batch_parquet_sink(out_dir)
 
@@ -404,18 +467,31 @@ def stream_fuzzy_dedup(
             else None
         )
         try:
-            hits = fuzzy_join_minhash(
-                batch_df,
-                store,
-                left_id=id_col,
-                right_id=id_col,
-                left_text=text_col,
-                right_text=text_col,
-                threshold=threshold,
-                k=k,
-                num_bands=num_bands,
-                shingle_n=shingle_n,
-            ).select(F.col("id_l").alias(id_col)).distinct()
+            if band_table is not None:
+                pairs = fuzzy_join_band_store(
+                    batch_df,
+                    band_table,
+                    store,
+                    batch_id_col=id_col,
+                    batch_text_col=text_col,
+                    store_id_col=id_col,
+                    store_text_col=text_col,
+                    threshold=threshold,
+                )
+            else:
+                pairs = fuzzy_join_minhash(
+                    batch_df,
+                    store,
+                    left_id=id_col,
+                    right_id=id_col,
+                    left_text=text_col,
+                    right_text=text_col,
+                    threshold=threshold,
+                    k=k,
+                    num_bands=num_bands,
+                    shingle_n=shingle_n,
+                )
+            hits = pairs.select(F.col("id_l").alias(id_col)).distinct()
             kept = batch_df.join(hits, id_col, "left_anti")
             sink(kept, batch_id)
         finally:
