@@ -73,6 +73,22 @@ HEADLINE = [
     "x18_pipeline_end_to_end",
 ]
 
+# BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):
+# the bucketed-store variants (exact_dedup_incremental_store,
+# fuzzy_join_band_store, stream_dedup_against_fingerprint_store) are
+# deliberately NOT headline entries.  Their performance claim is a PLAN
+# SHAPE — zero-Exchange history side, write cost amortized across
+# batches — which a one-shot timed run cannot express: a single bench
+# iteration would time store-write + one batch, charging the amortized
+# cost to the wrong side and measuring mostly parquet/bucket IO on a
+# store that production would have written months earlier.  They are
+# therefore gated where plan shape is checkable: plan-assertion unit
+# tests (tests/test_round5.py, tests/test_round6.py) and the
+# scale_smoke relational50 bucketed-q43 datapoint (SCALE.md), which
+# measures the same bucketed-scan-vs-shuffle effect at 30M rows.  The
+# INLINE siblings of each store path (x01/x36, x02/x32, x25) stay in
+# the headline/oracle sets and exercise the shared kernels end-to-end.
+
 # the multi-stage composites: double-warmed, min-of-3, and re-sampled at
 # the end of the run — ONE list so a future addition cannot get half the
 # treatment

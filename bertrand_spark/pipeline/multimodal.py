@@ -387,28 +387,65 @@ def decode_format_report(
     ``df`` is the payload table fed to :func:`decode_images`;
     ``decoded`` its output.  Returns one row per sniffed format
     (magic-byte sniff, no decode) with
-    (sniffed_format, n_total, n_decoded, n_null, decoder) where
-    ``decoder`` names the active real-decode path — ``'pil'`` when PIL
-    imports on the driver, else ``'stdlib-png'``.  Executor images can
-    differ from the driver; an executor-side PIL gap still surfaces
-    here as unexpected n_null, which is exactly the signal operators
-    watch.  Plan: one id join + a categorical groupBy — O(rows), tiny
-    result, safe at any corpus size.
+    (sniffed_format, n_total, n_decoded, n_null,
+    n_null_unsupported_variant, n_null_no_decoder, n_null_other,
+    decoder) where ``decoder`` names the active real-decode path —
+    ``'pil'`` when PIL imports on the driver, else ``'stdlib-png'``.
+    Executor images can differ from the driver; an executor-side PIL
+    gap still surfaces here as unexpected n_null, which is exactly the
+    signal operators watch.
+
+    The NULL split (round 6): ``n_null_unsupported_variant`` counts
+    PNGs whose IHDR declares a shape the stdlib fallback documents as
+    out of scope (bit depth ≠ 8, Adam7 interlace, unknown color type —
+    a pure byte probe of IHDR offsets, no decode);
+    ``n_null_no_decoder`` counts non-PNG formats nulled because only
+    the stdlib PNG path is available.  The first class needs a corpus
+    fix or PIL; the second needs PIL on the workers — operators can now
+    tell which.  ``n_null_other`` is the remainder (corrupt/truncated
+    payloads).  Plan: one id join + a categorical groupBy — O(rows),
+    tiny result, safe at any corpus size.
     """
     fmt = attach_media_metadata(df, payload_col).select(
-        F.col(id_col).alias("media_id"), "sniffed_format"
+        F.col(id_col).alias("media_id"),
+        "sniffed_format",
+        # IHDR byte probe (PNG layout: 8B sig, 4B len, 4B 'IHDR', 4B w,
+        # 4B h, then depth/ctype/comp/filt/interlace) — 1-based substr
+        F.conv(F.hex(F.substring(F.col(payload_col), 25, 1)), 16, 10)
+        .cast("int").alias("__depth"),
+        F.conv(F.hex(F.substring(F.col(payload_col), 26, 1)), 16, 10)
+        .cast("int").alias("__ctype"),
+        F.conv(F.hex(F.substring(F.col(payload_col), 29, 1)), 16, 10)
+        .cast("int").alias("__interlace"),
     )
     ok = decoded.select(
         "media_id", F.col("pixels").isNotNull().alias("__ok")
     )
     decoder = "pil" if _pil_image_module() is not None else "stdlib-png"
+    is_png = F.col("sniffed_format") == "png"
+    variant = is_png & (
+        (F.col("__depth") != 8)
+        | (F.col("__interlace") != 0)
+        | ~F.col("__ctype").isin(0, 2, 3, 4, 6)
+    )
+    no_decoder = F.lit(decoder == "stdlib-png") & ~is_png
+    null_row = ~F.col("__ok")
     return (
         fmt.join(ok, "media_id")
         .groupBy("sniffed_format")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n_decoded"),
-            F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(null_row, 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(null_row & variant, 1).otherwise(0)).alias(
+                "n_null_unsupported_variant"
+            ),
+            F.sum(
+                F.when(null_row & ~variant & no_decoder, 1).otherwise(0)
+            ).alias("n_null_no_decoder"),
+            F.sum(
+                F.when(null_row & ~variant & ~no_decoder, 1).otherwise(0)
+            ).alias("n_null_other"),
         )
         .withColumn("decoder", F.lit(decoder))
         .orderBy("sniffed_format")

@@ -261,3 +261,130 @@ class TestFuzzyJoinBandStore:
         q.awaitTermination(300)
         got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == expected_kept
+
+
+class TestNullClassSplitInDecodeReport:
+    def test_variant_vs_no_decoder_vs_other(self, spark):
+        """Round-6 (VERDICT item 8): the report distinguishes
+        'unsupported-variant NULL' (16-bit / interlaced PNG — corpus
+        problem) from 'no-decoder NULL' (JPEG under the stdlib
+        fallback — deployment problem) from other (corrupt)."""
+        import warnings
+
+        from bertrand_spark.pipeline.multimodal import (
+            decode_format_report, decode_images, png_encode,
+        )
+
+        png = png_encode(2, 2, 3, bytes(12))
+        # patch IHDR depth byte (offset 24) to 16: a valid-looking
+        # 16-bit PNG the stdlib fallback documents as unsupported
+        png16 = png[:24] + bytes([16]) + png[25:]
+        # patch interlace byte (offset 28) to 1: Adam7
+        png_adam7 = png[:28] + bytes([1]) + png[29:]
+        jpeg = b"\xff\xd8\xff\xe0" + b"notarealjpeg" * 4
+        corrupt_png = png[:40]  # truncated mid-IDAT: depth 8, still NULL
+        df = spark.createDataFrame(
+            [(1, png), (2, png16), (3, png_adam7), (4, jpeg),
+             (5, corrupt_png)],
+            "media_id long, payload binary",
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            decoded = decode_images(df, decode="real")
+        rep = {
+            r["sniffed_format"]: r
+            for r in decode_format_report(df, decoded).collect()
+        }
+        png_row = rep["png"]
+        assert png_row["n_total"] == 4 and png_row["n_decoded"] == 1
+        assert png_row["n_null_unsupported_variant"] == 2
+        assert png_row["n_null_no_decoder"] == 0
+        assert png_row["n_null_other"] == 1  # the truncated one
+        jpg_row = rep["jpeg"]
+        assert jpg_row["n_null"] == 1
+        assert jpg_row["n_null_no_decoder"] == 1
+        assert jpg_row["n_null_unsupported_variant"] == 0
+
+
+class TestVectorizedPqEncode:
+    """Round-6 (VERDICT item 6): pq_encode's kernel is batch-vectorized
+    (chunked GEMM per subspace).  Codes must equal the row-at-a-time
+    reference formula exactly — same float64 arithmetic, only layout
+    changes — including in residual mode and around NULL rows."""
+
+    def test_codes_match_rowloop_reference(self, spark, sf_dir):
+        import numpy as np
+
+        from bertrand_spark.pipeline.similarity import (
+            ivf_build, pq_encode, pq_train,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, centroids = ivf_build(e, num_cells=8, seed=42)
+        cb = pq_train(
+            assigned, "embedding", m=4, nbits=4, seed=3,
+            centroids=centroids,
+        )
+        got = {
+            r["vec_id"]: list(r["__pq"])
+            for r in pq_encode(
+                assigned, cb, "embedding", centroids=centroids
+            ).select("vec_id", "__pq").collect()
+        }
+        cbn = [np.array(c) for c in cb]
+        C = np.array(centroids)
+        m, dsub = len(cbn), cbn[0].shape[1]
+
+        def ref_codes(x):
+            return [
+                int(
+                    (((x[j * dsub:(j + 1) * dsub][None, :] - cbn[j]) ** 2)
+                     .sum(axis=1)).argmin()
+                )
+                for j in range(m)
+            ]
+
+        rows = assigned.select("vec_id", "embedding", "__cell").collect()
+        mismatches = [
+            r["vec_id"]
+            for r in rows
+            if got[r["vec_id"]]
+            != ref_codes(
+                np.asarray(r["embedding"], dtype=np.float64)
+                - C[int(r["__cell"])]
+            )
+        ]
+        assert mismatches == [] and len(got) > 0
+
+    def test_null_rows_stay_null_between_encoded_rows(self, spark):
+        from pyspark.sql import types as T
+
+        from bertrand_spark.pipeline.similarity import pq_encode, pq_train
+
+        data = [
+            (1, [1.0, 2.0, 3.0, 4.0]),
+            (2, None),
+            (3, [4.0, 3.0, 2.0, 1.0]),
+            (4, None),
+            (5, [0.0, 0.0, 1.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            data,
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField(
+                        "embedding", T.ArrayType(T.DoubleType())
+                    ),
+                ]
+            ),
+        )
+        cb = pq_train(df, "embedding", m=2, nbits=2, seed=1)
+        out = {
+            r["vec_id"]: r["__pq"]
+            for r in pq_encode(df, cb, "embedding").collect()
+        }
+        assert out[2] is None and out[4] is None
+        assert all(
+            out[i] is not None and len(out[i]) == 2 for i in (1, 3, 5)
+        )

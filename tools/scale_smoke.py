@@ -73,6 +73,10 @@ def main() -> None:
         _streaming(spark, F, blow_up, read_table, mult)
         spark.stop()
         return
+    if section == "ivfadc256":
+        _ivfadc_256d(spark, F, read_table)
+        spark.stop()
+        return
 
     li = blow_up(
         read_table(spark, SF_DIR, "lineitem").withColumn(
@@ -400,6 +404,71 @@ def _relational_50x(spark, F, blow_up, read_table) -> None:
         spark.sql("DROP TABLE IF EXISTS s50_lineitem")
         spark.sql("DROP TABLE IF EXISTS s50_orders")
         shutil.rmtree(rel_dir, ignore_errors=True)
+
+
+def _ivfadc_256d(spark, F, read_table) -> None:
+    """Round-6 (VERDICT item 5): residual-vs-raw PQ recall on STRUCTURED
+    data at production-like dimensionality — 256-d hashing embeddings of
+    the sf0.1 documents corpus (word-distribution manifold, not the
+    64-d isotropic vectors of the unit gate, which are PQ's pathological
+    case), m=32, nbits=8.  Also times the vectorized pq_encode pass —
+    the once-per-corpus cost the chunked-GEMM kernel speeds up.
+    """
+    from bertrand_spark.pipeline.similarity import (
+        ann_recall, brute_force_topk, ivf_build, ivf_pq_topk, pq_encode,
+        pq_train,
+    )
+    from bertrand_spark.pipeline.text import embed_documents
+
+    docs = read_table(spark, SF_DIR, "documents")
+    emb = embed_documents(docs, dim=256).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).persist()
+    n = emb.count()
+    assigned, centroids = ivf_build(emb, num_cells=64, seed=42)
+    assigned = assigned.persist()
+    assigned.count()
+    queries = emb.limit(100).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = brute_force_topk(
+        emb, queries.withColumnRenamed("embedding", "q_vec"), k=10
+    ).persist()
+    exact.count()
+
+    def recall(approx):
+        return ann_recall(
+            exact, approx, query_col="q_id", id_col="vec_id"
+        ).collect()[0]["micro_recall"]
+
+    for label, residual in (("raw", False), ("residual", True)):
+        cb = pq_train(
+            assigned, "embedding", m=32, nbits=8, seed=7,
+            centroids=centroids if residual else None,
+        )
+        t0 = time.time()
+        enc = pq_encode(
+            assigned, cb, "embedding",
+            centroids=centroids if residual else None,
+        ).persist()
+        enc.count()
+        dt = time.time() - t0
+        for nprobe in (4, 8):
+            r = recall(
+                ivf_pq_topk(
+                    enc, centroids, cb, queries, k=10, nprobe=nprobe,
+                    residual=residual,
+                )
+            )
+            print(
+                f"ivfadc 256d m=32 {label:8s} nprobe={nprobe}: "
+                f"recall@10={r:.3f}  (encode {n / dt:,.0f} vec/s, "
+                f"{dt:.1f}s for {n:,} rows)"
+            )
+        enc.unpersist()
+    exact.unpersist()
+    assigned.unpersist()
+    emb.unpersist()
 
 
 def _streaming(spark, F, blow_up, read_table, mult) -> None:
