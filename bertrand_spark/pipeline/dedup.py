@@ -1411,6 +1411,7 @@ def write_band_table(
     num_bands: int = 154,
     shingle_n: int = 5,
     num_buckets: int = 32,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the LSH band table `(id, band, bucket)` BUCKETED on its
     self-join key — the SCALE.md path that makes the candidate-generation
@@ -1424,9 +1425,40 @@ def write_band_table(
     new batch's prep.  Banding math and downstream verification are
     unchanged — :func:`candidate_pairs_from_band_table` feeds the same
     consensus filter + exact verify as the in-memory path.
+
+    ``mode="append"`` adds a new batch's bands to an existing table —
+    the continuous-ingest loop (dedup a batch against the store with
+    :func:`fuzzy_join_band_store`, then append the KEPT rows' bands so
+    the next batch dedups against them too).  The append is refused
+    with a ValueError unless the batch's banding geometry matches the
+    table's ``__params`` companion exactly: mixed-geometry bands in one
+    table silently collapse recall (bucket keys from different
+    permutation sets never collide where they should).
     """
     from ..sources.reader import write_bucketed
 
+    spark = df.sparkSession
+    if mode == "append":
+        try:
+            prow = spark.table(f"{table}__params").first()
+        except Exception:
+            prow = None
+        if prow is None:
+            raise ValueError(
+                f"append to {table!r} without a readable "
+                f"'{table}__params' companion — cannot prove banding "
+                "geometry matches; write the table with "
+                "mode='overwrite' first"
+            )
+        have = (prow["k"], prow["num_bands"], prow["shingle_n"])
+        want = (int(k), int(num_bands), int(shingle_n))
+        if have != want:
+            raise ValueError(
+                f"banding geometry mismatch appending to {table!r}: "
+                f"table has (k, num_bands, shingle_n)={have}, caller "
+                f"passed {want} — mixed geometries in one band table "
+                "silently collapse recall"
+            )
     kernel = minhash_banded_vectorized(k, num_bands, shingle_n)
     bands = (
         _spread(df)
@@ -1436,12 +1468,15 @@ def write_band_table(
             F.posexplode(F.col("__p.bk")).alias("band", "bucket"),
         )
     )
-    write_bucketed(bands, table, ["band", "bucket"], num_buckets=num_buckets)
+    write_bucketed(
+        bands, table, ["band", "bucket"], num_buckets=num_buckets, mode=mode
+    )
+    if mode == "append":
+        return
     # the banding geometry IS the table's semantics: persist it alongside
     # so readers derive the consensus floor from the TRUE parameters
     # instead of trusting call-site defaults (a k/num_bands mismatch
     # silently collapses recall otherwise)
-    spark = df.sparkSession
     spark.createDataFrame(
         [(int(k), int(num_bands), int(shingle_n))],
         "k int, num_bands int, shingle_n int",

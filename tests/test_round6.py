@@ -263,6 +263,91 @@ class TestFuzzyJoinBandStore:
         assert got == expected_kept
 
 
+class TestBandTableAppendIngestLoop:
+    """write_band_table(mode='append'): the continuous-ingest loop —
+    dedup batch N against the store, append the kept rows' bands, batch
+    N+1 then dedups against them too.  Geometry is pinned by __params;
+    a mismatched append is refused."""
+
+    GEOM = dict(k=64, num_bands=16, shingle_n=5)
+
+    def test_ingest_loop_sees_appended_batch(self, spark, sf_dir):
+        from bertrand_spark.pipeline.dedup import (
+            fuzzy_join_band_store,
+            fuzzy_join_minhash,
+            write_band_table,
+        )
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter(F.col("doc_id") % 4 == 0).persist()
+        base.count()
+        batch1 = docs.filter(F.col("doc_id") % 4 == 1)
+        # batch2 plants a near-copy of a BATCH-1 doc: only visible to
+        # the store path if batch1's bands were actually appended
+        seed = batch1.limit(1).select(
+            (F.col("doc_id") + 500_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+        batch2 = docs.filter(F.col("doc_id") % 4 == 2).unionByName(seed)
+        spark.sql("DROP TABLE IF EXISTS t_band_append_r6")
+        try:
+            write_band_table(
+                base, "t_band_append_r6", num_buckets=8, **self.GEOM
+            )
+            write_band_table(
+                batch1, "t_band_append_r6", num_buckets=8, mode="append",
+                **self.GEOM,
+            )
+            corpus = base.unionByName(batch1).persist()
+            corpus.count()
+            got = {
+                (r["id_l"], r["id_r"], round(r["jaccard"], 9))
+                for r in fuzzy_join_band_store(
+                    batch2, "t_band_append_r6", corpus, threshold=0.6
+                ).collect()
+            }
+            want = {
+                (r["id_l"], r["id_r"], round(r["jaccard"], 9))
+                for r in fuzzy_join_minhash(
+                    batch2, corpus, threshold=0.6, **self.GEOM
+                ).collect()
+            }
+            assert got == want
+            # the planted near-copy of the batch-1 doc IS caught
+            planted = {r["doc_id"] for r in seed.collect()}
+            assert planted <= {p[0] for p in got}
+            corpus.unpersist()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_band_append_r6")
+            spark.sql("DROP TABLE IF EXISTS t_band_append_r6__params")
+            base.unpersist()
+
+    def test_append_refuses_geometry_mismatch(self, spark, sf_dir):
+        from bertrand_spark.pipeline.dedup import write_band_table
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).limit(20)
+        spark.sql("DROP TABLE IF EXISTS t_band_geom_r6")
+        try:
+            write_band_table(
+                docs, "t_band_geom_r6", num_buckets=4, **self.GEOM
+            )
+            with pytest.raises(ValueError, match="geometry mismatch"):
+                write_band_table(
+                    docs, "t_band_geom_r6", num_buckets=4, mode="append",
+                    k=128, num_bands=32, shingle_n=5,
+                )
+            with pytest.raises(ValueError, match="__params"):
+                write_band_table(
+                    docs, "t_band_nonexistent_r6", num_buckets=4,
+                    mode="append", **self.GEOM,
+                )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_band_geom_r6")
+            spark.sql("DROP TABLE IF EXISTS t_band_geom_r6__params")
+
+
 class TestNullClassSplitInDecodeReport:
     def test_variant_vs_no_decoder_vs_other(self, spark):
         """Round-6 (VERDICT item 8): the report distinguishes
