@@ -31,6 +31,8 @@ from .text import char_ngrams, fingerprint, tokenize, word_ngrams
 
 __all__ = [
     "exact_dedup", "exact_dedup_incremental", "exact_dup_groups",
+    "write_fingerprint_store", "exact_dedup_incremental_store",
+    "compact_fingerprint_store",
     "minhash_signature", "minhash_bands", "lsh_candidate_pairs",
     "min_band_matches", "jaccard_shingles", "near_dup_pairs_minhash",
     "simhash64", "simhash64_vectorized", "near_dup_pairs_simhash",
@@ -220,6 +222,46 @@ def write_fingerprint_store(
     else:
         fps = df.select(F.col(fp_col).alias("fp"))
     write_bucketed(fps.distinct(), table, ["fp"], num_buckets=num_buckets, mode=mode)
+
+
+def compact_fingerprint_store(
+    spark,
+    table: str,
+    num_buckets: int | None = None,
+) -> None:
+    """Rewrite a fingerprint store distinct — the periodic maintenance
+    pass for ``write_fingerprint_store(mode="append")`` ingest: appended
+    batches may repeat fingerprints already in the store (harmless to
+    the anti join, but each duplicate is a wasted row in every future
+    history scan).  One distinct + one bucketed write; run it on
+    whatever cadence the duplicate fraction warrants (the anti join's
+    CORRECTNESS never depends on it).  ``num_buckets`` defaults to the
+    table's current bucket count so the zero-Exchange join property is
+    preserved across compactions.
+    """
+    from ..sources.reader import write_bucketed
+
+    if num_buckets is None:
+        # DESCRIBE exposes the bucket spec; parse "Num Buckets"
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        spec = {r["col_name"]: r["data_type"] for r in rows}
+        try:
+            num_buckets = int(spec["Num Buckets"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"cannot read bucket count of {table!r} from DESCRIBE; "
+                "pass num_buckets explicitly"
+            )
+    # write-to-temp-then-swap: overwriting a table read by its own plan
+    # is refused by the analyzer (and caching it is eviction-fragile),
+    # so the compacted copy lands under a temp name and is renamed in
+    tmp = f"{table}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    write_bucketed(
+        spark.table(table).distinct(), tmp, ["fp"], num_buckets=num_buckets
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
 
 def exact_dedup_incremental_store(

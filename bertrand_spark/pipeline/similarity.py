@@ -27,7 +27,8 @@ __all__ = [
     "dot", "l2_norm", "cosine_sim",
     "random_hyperplane_signature", "hyperplane_signatures_vectorized",
     "cosine_all_pairs_blocked", "knn_graph", "ann_recall",
-    "brute_force_topk", "ivf_build", "ivf_topk", "ivf_write", "ivf_read",
+    "brute_force_topk", "ivf_build", "ivf_assign", "ivf_append",
+    "ivf_topk", "ivf_write", "ivf_read",
     "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
 ]
 
@@ -535,8 +536,19 @@ def ivf_build(
     ml_df = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(ml_df)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return ivf_assign(vectors, centroids, vec_col), centroids
 
-    # nearest centroid via native expression: argmin over literal centroid arrays
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest EXISTING centroid (adds
+    ``__cell``) — the assignment half of :func:`ivf_build`, exposed so
+    new corpus batches can join a live index without reclustering
+    (:func:`ivf_append`).  One narrow native projection: argmin over
+    literal centroid arrays, no Python, no shuffle."""
     dists = F.array(
         *[
             F.struct(
@@ -554,8 +566,7 @@ def ivf_build(
             for i, c in enumerate(centroids)
         ]
     )
-    assigned = vectors.withColumn("__cell", F.array_min(dists)["cell"])
-    return assigned, centroids
+    return vectors.withColumn("__cell", F.array_min(dists)["cell"])
 
 
 def _parse_query_vec(raw, dim: int):
@@ -698,6 +709,37 @@ def ivf_write(
     spark.createDataFrame(
         [(json.dumps(centroids),)], "centroids string"
     ).coalesce(1).write.mode(mode).json(f"{path}/centroids")
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to a persisted IVF index WITHOUT reclustering:
+    assign the batch to the index's existing centroids
+    (:func:`ivf_assign` — one narrow projection over the batch only)
+    and append under the same ``__cell`` partition layout.  Per-batch
+    cost is O(batch); the existing index is never rewritten or even
+    read (only the centroids JSON is).
+
+    The trade this makes is the standard IVF-ingest one: centroids
+    drift from the data distribution as the corpus grows, so cell sizes
+    skew and recall-per-nprobe slowly degrades.  Probe pruning and
+    every search path stay CORRECT regardless (assignment is always
+    nearest-centroid); when drift matters, a periodic :func:`ivf_build`
+    + :func:`ivf_write` rewrite is the compaction analog — same cadence
+    logic as :func:`~bertrand_spark.pipeline.dedup
+    .compact_fingerprint_store`.
+    """
+    import json
+
+    row = spark.read.json(f"{path}/centroids").collect()[0]
+    centroids = json.loads(row["centroids"])
+    ivf_assign(new_vectors, centroids, vec_col).write.mode(
+        "append"
+    ).partitionBy("__cell").parquet(f"{path}/vectors")
 
 
 def ivf_read(spark, path: str):

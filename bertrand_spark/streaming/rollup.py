@@ -357,6 +357,8 @@ def stream_ann_enrich(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    codebooks=None,
+    residual: bool = False,
 ):
     """ANN serving on a stream: a ``foreachBatch`` handler that runs each
     micro-batch of query vectors through :func:`~bertrand_spark.pipeline
@@ -371,6 +373,15 @@ def stream_ann_enrich(
     size IS the knob (maxFilesPerTrigger / maxOffsetsPerTrigger), which
     makes the per-epoch collect bounded by configuration, not by data.
 
+    ``codebooks`` (round 6) switches the scorer to
+    :func:`~bertrand_spark.pipeline.similarity.ivf_pq_topk`: ``assigned``
+    must then carry ``__pq`` (from :func:`pq_encode`; pass
+    ``residual=True`` for IVFADC codes), and the served index is the PQ-
+    compressed one — ~d·4/m× smaller, which is what lets the serving
+    tier hold a 100 TB corpus's codes in memory.  Output schema then has
+    ``adc_dist`` in place of ``cosine`` (ADC ranks ascending by
+    distance; recall/knob guidance in SCALE.md's IVFADC sections).
+
     Wire it up::
 
         q = (queries_stream.writeStream
@@ -378,24 +389,38 @@ def stream_ann_enrich(
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
     """
-    from ..pipeline.similarity import ivf_topk
+    from ..pipeline.similarity import ivf_pq_topk, ivf_topk
 
     sink = foreach_batch_parquet_sink(out_dir)
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = ivf_topk(
-            assigned,
-            centroids,
-            batch_df,
-            k=k,
-            nprobe=nprobe,
-            id_col=id_col,
-            vec_col=vec_col,
-            q_id_col=q_id_col,
-            q_vec_col=q_vec_col,
-        )
+        if codebooks is not None:
+            out = ivf_pq_topk(
+                assigned,
+                centroids,
+                codebooks,
+                batch_df,
+                k=k,
+                nprobe=nprobe,
+                id_col=id_col,
+                q_id_col=q_id_col,
+                q_vec_col=q_vec_col,
+                residual=residual,
+            )
+        else:
+            out = ivf_topk(
+                assigned,
+                centroids,
+                batch_df,
+                k=k,
+                nprobe=nprobe,
+                id_col=id_col,
+                vec_col=vec_col,
+                q_id_col=q_id_col,
+                q_vec_col=q_vec_col,
+            )
         sink(out, batch_id)
 
     return enrich

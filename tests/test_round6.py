@@ -145,6 +145,99 @@ class TestStoreBackedStreamDedup:
             )
 
 
+class TestCompactFingerprintStore:
+    def test_compaction_dedups_preserves_results_and_buckets(
+        self, spark, sf_dir
+    ):
+        """Appended batches repeat fingerprints; compaction collapses
+        them without changing anti-join results, and the rewritten
+        table keeps its bucket count (zero-Exchange join preserved)."""
+        from bertrand_spark.pipeline.dedup import (
+            compact_fingerprint_store,
+            exact_dedup_incremental_store,
+            write_fingerprint_store,
+        )
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        spark.sql("DROP TABLE IF EXISTS t_fp_compact_r6")
+        try:
+            write_fingerprint_store(hist, "t_fp_compact_r6", num_buckets=8)
+            # append the SAME fingerprints twice: pure duplicates
+            write_fingerprint_store(
+                hist, "t_fp_compact_r6", num_buckets=8, mode="append"
+            )
+            n_before = spark.table("t_fp_compact_r6").count()
+            before = sorted(
+                r["doc_id"]
+                for r in exact_dedup_incremental_store(
+                    batch, "t_fp_compact_r6"
+                ).collect()
+            )
+            compact_fingerprint_store(spark, "t_fp_compact_r6")
+            n_after = spark.table("t_fp_compact_r6").count()
+            assert n_after < n_before and n_after == n_before // 2
+            after = sorted(
+                r["doc_id"]
+                for r in exact_dedup_incremental_store(
+                    batch, "t_fp_compact_r6"
+                ).collect()
+            )
+            assert after == before
+            # bucket spec survived the rewrite
+            rows = spark.sql(
+                "DESCRIBE TABLE EXTENDED t_fp_compact_r6"
+            ).collect()
+            spec = {r["col_name"]: r["data_type"] for r in rows}
+            assert int(spec["Num Buckets"]) == 8
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_fp_compact_r6")
+            spark.sql("DROP TABLE IF EXISTS t_fp_compact_r6__compact_tmp")
+
+
+class TestDriverRotationInvariants:
+    """The two-round rotation policy (plans/queries.py) is enforced by
+    construction: 50 unique existing names fill the window, and the
+    ORACLES dict rotates identically so the driver's first-50 slice
+    compares the right pairs."""
+
+    def test_window_is_50_unique_known_names(self):
+        from bertrand_spark.plans.queries import (
+            _DRIVER_ROTATION, ORACLES, QUERIES,
+        )
+
+        assert len(_DRIVER_ROTATION) == 50
+        assert len(set(_DRIVER_ROTATION)) == 50
+        assert all(name in QUERIES for name in _DRIVER_ROTATION)
+        assert list(QUERIES)[:50] == _DRIVER_ROTATION
+        assert list(ORACLES)[:50] == [
+            n for n in _DRIVER_ROTATION if n in ORACLES
+        ]
+
+    def test_rotation_covers_last_rounds_gap(self):
+        """Every query name absent from the newest CORRECTNESS_r*.json
+        on disk must sit inside the next driver window — the invariant
+        rounds 4 and 5 each broke once by hand."""
+        import glob
+        import json
+        import os
+
+        from bertrand_spark.plans.queries import QUERIES
+
+        files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+        if not files:
+            pytest.skip("no driver correctness artifacts present")
+        attested = set(json.load(open(files[-1])))
+        missing = [k for k in QUERIES if k not in attested]
+        head = set(list(QUERIES)[:50])
+        uncovered = [k for k in missing if k not in head]
+        assert uncovered == [], (
+            f"queries lacking a current-round driver row are outside "
+            f"the 50-slot window: {uncovered}"
+        )
+
+
 class TestFuzzyJoinBandStore:
     """fuzzy_join_band_store: the two-corpus MinHash join with the store
     side read from its persisted bucketed band table — identical pairs
@@ -346,6 +439,105 @@ class TestBandTableAppendIngestLoop:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_band_geom_r6")
             spark.sql("DROP TABLE IF EXISTS t_band_geom_r6__params")
+
+
+class TestStreamAnnEnrichPq:
+    def test_streamed_pq_topk_equals_batch(self, spark, sf_dir, tmp_path):
+        """PQ-compressed streaming ANN serving (round 6): streamed
+        micro-batch ivf_pq_topk union == the batch call on the same
+        queries — the serving tier holds codes, not vectors."""
+        from bertrand_spark.pipeline.similarity import (
+            ivf_build, ivf_pq_topk, pq_encode, pq_train,
+        )
+        from bertrand_spark.streaming import stream_ann_enrich
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents = ivf_build(emb, num_cells=4, seed=5)
+        cb = pq_train(
+            assigned, "embedding", m=8, nbits=6, seed=7, centroids=cents
+        )
+        enc = pq_encode(
+            assigned, cb, "embedding", centroids=cents
+        ).persist()
+        enc.count()
+
+        queries = emb.limit(30).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        expected = {
+            (r["q_id"], r["vec_id"], r["rank"])
+            for r in ivf_pq_topk(
+                enc, cents, cb, queries, k=3, nprobe=2,
+                q_vec_col="q_vec", residual=True,
+            ).collect()
+        }
+
+        qdir = str(tmp_path / "queries")
+        queries.repartition(3).write.parquet(qdir)
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(qdir)
+        )
+        out = str(tmp_path / "enriched")
+        q = (
+            stream.writeStream.foreachBatch(
+                stream_ann_enrich(
+                    enc, cents, out, k=3, nprobe=2,
+                    codebooks=cb, residual=True,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["q_id"], r["vec_id"], r["rank"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == expected and len(got) > 0
+        enc.unpersist()
+
+
+class TestIvfAppend:
+    def test_appended_vectors_are_searchable_and_assignment_matches(
+        self, spark, sf_dir, tmp_path
+    ):
+        """ivf_append: new batch joins a persisted index without
+        reclustering — the reloaded index equals assigning the union
+        inline with the SAME centroids, and an appended vector finds
+        itself under exhaustive probes."""
+        from bertrand_spark.pipeline.similarity import (
+            ivf_append, ivf_assign, ivf_build, ivf_read, ivf_topk,
+            ivf_write,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1).limit(50)
+        assigned, cents = ivf_build(base, num_cells=4, seed=5)
+        idx = str(tmp_path / "ivf")
+        ivf_write(assigned, cents, idx)
+        ivf_append(spark, idx, batch)
+        reloaded, cents2 = ivf_read(spark, idx)
+        assert cents2 == cents
+        got = {
+            (r["vec_id"], r["__cell"])
+            for r in reloaded.select("vec_id", "__cell").collect()
+        }
+        want = {
+            (r["vec_id"], r["__cell"])
+            for r in ivf_assign(base.unionByName(batch), cents)
+            .select("vec_id", "__cell").collect()
+        }
+        assert got == want
+        # an appended vector is its own nearest neighbor, exhaustively
+        probe = batch.limit(3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        top = ivf_topk(reloaded, cents, probe, k=1, nprobe=4)
+        assert all(r["q_id"] == r["vec_id"] for r in top.collect())
 
 
 class TestNullClassSplitInDecodeReport:
