@@ -716,6 +716,8 @@ def ivf_append(
     path: str,
     new_vectors: DataFrame,
     vec_col: str = "embedding",
+    codebooks=None,
+    residual: bool = False,
 ) -> None:
     """Append a new batch to a persisted IVF index WITHOUT reclustering:
     assign the batch to the index's existing centroids
@@ -732,14 +734,26 @@ def ivf_append(
     + :func:`ivf_write` rewrite is the compaction analog — same cadence
     logic as :func:`~bertrand_spark.pipeline.dedup
     .compact_fingerprint_store`.
+
+    For a PQ-served index (the stored frame carries ``__pq``), pass the
+    index's ``codebooks`` (+ ``residual=True`` for IVFADC codes): the
+    batch is encoded after assignment so appended rows are scoreable by
+    ``ivf_pq_topk`` immediately.  Codebooks are NOT retrained — same
+    drift trade as the centroids, same rebuild cadence answer.
     """
     import json
 
     row = spark.read.json(f"{path}/centroids").collect()[0]
     centroids = json.loads(row["centroids"])
-    ivf_assign(new_vectors, centroids, vec_col).write.mode(
-        "append"
-    ).partitionBy("__cell").parquet(f"{path}/vectors")
+    assigned = ivf_assign(new_vectors, centroids, vec_col)
+    if codebooks is not None:
+        assigned = pq_encode(
+            assigned, codebooks, vec_col,
+            centroids=centroids if residual else None,
+        )
+    assigned.write.mode("append").partitionBy("__cell").parquet(
+        f"{path}/vectors"
+    )
 
 
 def ivf_read(spark, path: str):

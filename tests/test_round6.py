@@ -539,6 +539,59 @@ class TestIvfAppend:
         top = ivf_topk(reloaded, cents, probe, k=1, nprobe=4)
         assert all(r["q_id"] == r["vec_id"] for r in top.collect())
 
+    def test_pq_index_append_keeps_codes_complete(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Appending to a PQ-served index with codebooks= encodes the
+        batch too: every stored row keeps non-null __pq, the appended
+        rows' codes equal a direct pq_encode with the same books, and
+        ivf_pq_topk serves the appended rows."""
+        from bertrand_spark.pipeline.similarity import (
+            ivf_append, ivf_assign, ivf_build, ivf_pq_topk, ivf_read,
+            ivf_write, pq_encode, pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1).limit(40)
+        assigned, cents = ivf_build(base, num_cells=4, seed=5)
+        cb = pq_train(
+            assigned, "embedding", m=8, nbits=6, seed=7, centroids=cents
+        )
+        enc = pq_encode(assigned, cb, "embedding", centroids=cents)
+        idx = str(tmp_path / "ivf_pq")
+        ivf_write(enc, cents, idx)
+        ivf_append(spark, idx, batch, codebooks=cb, residual=True)
+        reloaded, _ = ivf_read(spark, idx)
+        assert reloaded.filter(F.col("__pq").isNull()).count() == 0
+        # appended rows' codes == direct encode with the same books
+        direct = {
+            r["vec_id"]: list(r["__pq"])
+            for r in pq_encode(
+                ivf_assign(batch, cents), cb, "embedding", centroids=cents
+            ).select("vec_id", "__pq").collect()
+        }
+        stored = {
+            r["vec_id"]: list(r["__pq"])
+            for r in reloaded.join(
+                batch.select("vec_id"), "vec_id", "left_semi"
+            ).select("vec_id", "__pq").collect()
+        }
+        assert stored == direct
+        probe = batch.limit(3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        served = ivf_pq_topk(
+            reloaded, cents, cb, probe, k=5, nprobe=4,
+            q_vec_col="q_vec", residual=True,
+        )
+        by_q = {}
+        for r in served.collect():
+            by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+        assert set(by_q) == {r["q_id"] for r in probe.collect()}
+        # the appended vector itself appears in its own top-5
+        assert all(q in vs for q, vs in by_q.items())
+
 
 class TestNullClassSplitInDecodeReport:
     def test_variant_vs_no_decoder_vs_other(self, spark):
