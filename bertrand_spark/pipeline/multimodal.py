@@ -131,16 +131,83 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     )
 
 
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Undo PNG scanline filters 0-4 over ``h`` rows of ``stride`` bytes
+    (``bpp`` = bytes per complete pixel — the spec's left-predictor
+    distance, so the same code serves 8- and 16-bit samples).  Returns
+    an (h, stride) uint8 array, or None on an unknown filter byte."""
+    import numpy as np
+
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: per-byte-lane running sum (mod 256)
+            cur = line
+            for k in range(bpp):
+                cur[k::bpp] = np.cumsum(cur[k::bpp], dtype=np.uint64) % 256
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f == 3:  # Average — sequential in x, vectorized per pixel
+            # the a-predictor (left pixel) is a prefix dependency, so
+            # iterate pixels (w steps) not bytes (w*bpp steps), with
+            # the bpp byte lanes as one int32 vector op per step
+            cur = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            for px0 in range(0, stride, bpp):
+                sl = slice(px0, px0 + bpp)
+                a = (cur[sl] + (a + pv[sl]) // 2) & 0xFF
+                cur[sl] = a
+            cur = cur.astype(np.uint8)
+        elif f == 4:  # Paeth — sequential in x, vectorized per pixel
+            cur = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for px0 in range(0, stride, bpp):
+                sl = slice(px0, px0 + bpp)
+                b = pv[sl]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (cur[sl] + pred) & 0xFF
+                cur[sl] = a
+                c = b
+            cur = cur.astype(np.uint8)
+        else:
+            return None
+        img[y] = cur
+        prev = img[y]
+    return img
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _png_decode(payload: bytes, channels: int):
     """Stdlib-only PNG decode → (width, height, channels, raw bytes).
 
     zlib inflate + scanline unfiltering (filters 0-4 per the PNG spec);
-    supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming share
-    of real-corpus PNGs.  Anything else (16-bit, Adam7, truncated,
-    non-PNG) returns the all-None row, same contract as the PIL path.
-    Channel conversion matches PIL: alpha dropped, gray replicated to
-    RGB, RGB→L via the ITU-R 601-2 integer formula.
+    supports 8- and 16-bit depth (16-bit samples scale to 8 by high
+    byte, PIL's behavior), color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), and both non-interlaced and Adam7
+    layouts (round 6 closed the 16-bit/Adam7 gaps).  Sub-byte depths
+    (1/2/4-bit) and anything malformed return the all-None row, same
+    contract as the PIL path.  Channel conversion matches PIL: alpha
+    dropped, gray replicated to RGB, RGB→L via PIL's exact fixed-point
+    formula.
     """
     import struct
     import zlib
@@ -162,11 +229,16 @@ def _png_decode(payload: bytes, channels: int):
                 w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", body
                 )
-                if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+                if (
+                    depth not in (8, 16)
+                    or interlace not in (0, 1)
+                    or comp != 0
+                    or filt != 0
+                ):
                     return None, None, None, None
                 nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-                if nch is None:
-                    return None, None, None, None
+                if nch is None or (depth == 16 and ctype == 3):
+                    return None, None, None, None  # 16-bit palette illegal
             elif tag == b"PLTE":
                 plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
@@ -177,58 +249,41 @@ def _png_decode(payload: bytes, channels: int):
         if w is None or not idat:
             return None, None, None, None
         raw = zlib.decompress(b"".join(idat))
-        stride = w * nch
-        if len(raw) != h * (stride + 1):
-            return None, None, None, None
-        img = np.zeros((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        for y in range(h):
-            f = raw[y * (stride + 1)]
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-            ).copy()
-            if f == 0:  # None
-                cur = line
-            elif f == 1:  # Sub: per-channel-lane running sum (mod 256)
-                cur = line
-                for k in range(nch):
-                    cur[k::nch] = np.cumsum(cur[k::nch], dtype=np.uint64) % 256
-            elif f == 2:  # Up
-                cur = line + prev
-            elif f == 3:  # Average — sequential in x, vectorized per pixel
-                # the a-predictor (left pixel) is a prefix dependency, so
-                # iterate pixels (w steps) not bytes (w*nch steps), with
-                # the nch channel lanes as one int32 vector op per step
-                cur = line.astype(np.int32)
-                pv = prev.astype(np.int32)
-                a = np.zeros(nch, dtype=np.int32)
-                for px0 in range(0, stride, nch):
-                    sl = slice(px0, px0 + nch)
-                    a = (cur[sl] + (a + pv[sl]) // 2) & 0xFF
-                    cur[sl] = a
-                cur = cur.astype(np.uint8)
-            elif f == 4:  # Paeth — sequential in x, vectorized per pixel
-                cur = line.astype(np.int32)
-                pv = prev.astype(np.int32)
-                a = np.zeros(nch, dtype=np.int32)
-                c = np.zeros(nch, dtype=np.int32)
-                for px0 in range(0, stride, nch):
-                    sl = slice(px0, px0 + nch)
-                    b = pv[sl]
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                    a = (cur[sl] + pred) & 0xFF
-                    cur[sl] = a
-                    c = b
-                cur = cur.astype(np.uint8)
-            else:
+        bpp = nch * (depth // 8)
+        if interlace == 0:
+            stride = w * bpp
+            if len(raw) != h * (stride + 1):
                 return None, None, None, None
-            img[y] = cur
-            prev = img[y]
-        px = img.reshape(h, w, nch)
+            img = _png_unfilter(raw, h, stride, bpp)
+            if img is None:
+                return None, None, None, None
+            full = img.reshape(h, w, bpp)
+        else:  # Adam7: seven independently-filtered sub-images
+            full = np.zeros((h, w, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                stride = pw * bpp
+                size = ph * (stride + 1)
+                if off + size > len(raw):
+                    return None, None, None, None
+                sub = _png_unfilter(raw[off : off + size], ph, stride, bpp)
+                if sub is None:
+                    return None, None, None, None
+                off += size
+                full[np.ix_(y0 + dy * np.arange(ph), x0 + dx * np.arange(pw))] = (
+                    sub.reshape(ph, pw, bpp)
+                )
+            if off != len(raw):
+                return None, None, None, None
+        if depth == 16:
+            # big-endian u16 → high byte (PIL's 16→8 scaling)
+            px = full.reshape(h, w, nch, 2)[:, :, :, 0]
+        else:
+            px = full.reshape(h, w, nch)
         if ctype == 3:  # palette lookup → RGB
             if plte is None:
                 return None, None, None, None
@@ -397,8 +452,10 @@ def decode_format_report(
 
     The NULL split (round 6): ``n_null_unsupported_variant`` counts
     PNGs whose IHDR declares a shape the stdlib fallback documents as
-    out of scope (bit depth ≠ 8, Adam7 interlace, unknown color type —
-    a pure byte probe of IHDR offsets, no decode);
+    out of scope (sub-byte depths 1/2/4, unknown color type, the
+    illegal 16-bit-palette combination — a pure byte probe of IHDR
+    offsets, no decode; 8/16-bit and Adam7 are all DECODED since round
+    6 closed those gaps);
     ``n_null_no_decoder`` counts non-PNG formats nulled because only
     the stdlib PNG path is available.  The first class needs a corpus
     fix or PIL; the second needs PIL on the workers — operators can now
@@ -415,8 +472,6 @@ def decode_format_report(
         .cast("int").alias("__depth"),
         F.conv(F.hex(F.substring(F.col(payload_col), 26, 1)), 16, 10)
         .cast("int").alias("__ctype"),
-        F.conv(F.hex(F.substring(F.col(payload_col), 29, 1)), 16, 10)
-        .cast("int").alias("__interlace"),
     )
     ok = decoded.select(
         "media_id", F.col("pixels").isNotNull().alias("__ok")
@@ -424,9 +479,9 @@ def decode_format_report(
     decoder = "pil" if _pil_image_module() is not None else "stdlib-png"
     is_png = F.col("sniffed_format") == "png"
     variant = is_png & (
-        (F.col("__depth") != 8)
-        | (F.col("__interlace") != 0)
+        ~F.col("__depth").isin(8, 16)
         | ~F.col("__ctype").isin(0, 2, 3, 4, 6)
+        | ((F.col("__depth") == 16) & (F.col("__ctype") == 3))
     )
     no_decoder = F.lit(decoder == "stdlib-png") & ~is_png
     null_row = ~F.col("__ok")

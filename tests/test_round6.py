@@ -593,29 +593,162 @@ class TestIvfAppend:
         assert all(q in vs for q, vs in by_q.items())
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(w, h, depth, ctype, interlace, raw_scanlines: bytes) -> bytes:
+    """Minimal PNG writer for decoder tests: caller supplies the
+    already-filtered scanline stream; this wraps IHDR/IDAT/IEND."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _adam7_scanlines(px, bpp):
+    """Filter-0 Adam7 pass stream for an (h, w, bpp) uint8 array."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    grid = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    out = bytearray()
+    for x0, y0, dx, dy in grid:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + row.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+class TestPng16AndAdam7:
+    """Round-6: the stdlib fallback decodes 16-bit and Adam7 PNGs (the
+    two gaps rounds 4-5 documented as NULL-by-contract)."""
+
+    def test_16bit_gray_high_byte(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode
+
+        vals = np.array(
+            [[0x1234, 0xFF00], [0x0001, 0xABCD], [0x8000, 0x7FFF]],
+            dtype=">u2",
+        )  # 2x3
+        raw = b"".join(b"\x00" + row.tobytes() for row in vals)
+        png = _make_png(2, 3, 16, 0, 0, raw)
+        w, h, c, buf = _png_decode(png, 1)
+        assert (w, h, c) == (2, 3, 1)
+        got = np.frombuffer(buf, dtype=np.uint8).reshape(3, 2)
+        assert (got == (vals.astype(np.uint16) >> 8)).all()
+
+    def test_16bit_rgb_with_sub_filter_uses_bpp_lane(self):
+        """Filter 1 (Sub) on 16-bit RGB: the left-predictor distance is
+        6 BYTES (bpp), not 3 — the exact bug a naive channel-count lane
+        would introduce."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 1 << 16, size=(2, 3, 3), dtype=np.uint16)
+        be = px.astype(">u2")
+        row_bytes = [
+            np.frombuffer(be[y].tobytes(), dtype=np.uint8) for y in range(2)
+        ]
+        bpp = 6
+        out = bytearray()
+        out += b"\x00" + row_bytes[0].tobytes()  # row 0: filter 0
+        r = row_bytes[1].astype(np.int32)  # row 1: filter 1 (Sub)
+        filt = r.copy()
+        filt[bpp:] = (r[bpp:] - r[:-bpp]) % 256
+        out += b"\x01" + filt.astype(np.uint8).tobytes()
+        png = _make_png(3, 2, 16, 2, 0, bytes(out))
+        w, h, c, buf = _png_decode(png, 3)
+        assert (w, h, c) == (3, 2, 3)
+        got = np.frombuffer(buf, dtype=np.uint8).reshape(2, 3, 3)
+        assert (got == (px >> 8).astype(np.uint8)).all()
+
+    def test_adam7_rgb_equals_noninterlaced(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _png_decode, png_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(5, 5, 3), dtype=np.uint8)
+        plain = png_encode(5, 5, 3, px.tobytes())
+        interlaced = _make_png(5, 5, 8, 2, 1, _adam7_scanlines(px, 3))
+        assert _png_decode(interlaced, 3) == _png_decode(plain, 3)
+        got = np.frombuffer(_png_decode(interlaced, 3)[3], np.uint8)
+        assert (got.reshape(5, 5, 3) == px).all()
+
+    def test_adam7_16bit_gray_combined(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _png_decode
+
+        rng = np.random.default_rng(13)
+        vals = rng.integers(0, 1 << 16, size=(4, 3), dtype=np.uint16)
+        byte_px = np.frombuffer(
+            vals.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(4, 3, 2)
+        png = _make_png(3, 4, 16, 0, 1, _adam7_scanlines(byte_px, 2))
+        w, h, c, buf = _png_decode(png, 1)
+        assert (w, h, c) == (3, 4, 1)
+        got = np.frombuffer(buf, dtype=np.uint8).reshape(4, 3)
+        assert (got == (vals >> 8).astype(np.uint8)).all()
+
+    def test_subbyte_depth_still_null(self):
+        from bertrand_spark.pipeline.multimodal import _png_decode
+
+        png = _make_png(2, 1, 4, 0, 0, b"\x00\x12")
+        assert _png_decode(png, 3) == (None, None, None, None)
+
+
 class TestNullClassSplitInDecodeReport:
     def test_variant_vs_no_decoder_vs_other(self, spark):
         """Round-6 (VERDICT item 8): the report distinguishes
-        'unsupported-variant NULL' (16-bit / interlaced PNG — corpus
-        problem) from 'no-decoder NULL' (JPEG under the stdlib
-        fallback — deployment problem) from other (corrupt)."""
+        'unsupported-variant NULL' (sub-byte depth / unknown color type
+        — corpus problem) from 'no-decoder NULL' (JPEG under the stdlib
+        fallback — deployment problem) from other (corrupt); and since
+        the round-6 decoder landed, well-formed 16-bit and Adam7 PNGs
+        DECODE rather than count as variants."""
         import warnings
+
+        import numpy as np
 
         from bertrand_spark.pipeline.multimodal import (
             decode_format_report, decode_images, png_encode,
         )
 
         png = png_encode(2, 2, 3, bytes(12))
-        # patch IHDR depth byte (offset 24) to 16: a valid-looking
-        # 16-bit PNG the stdlib fallback documents as unsupported
-        png16 = png[:24] + bytes([16]) + png[25:]
-        # patch interlace byte (offset 28) to 1: Adam7
-        png_adam7 = png[:28] + bytes([1]) + png[29:]
+        vals = np.array([[1, 2]], dtype=">u2")
+        png16 = _make_png(2, 1, 16, 0, 0, b"\x00" + vals.tobytes())
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        png_adam7 = _make_png(2, 2, 8, 2, 1, _adam7_scanlines(px, 3))
+        png4bit = _make_png(2, 1, 4, 0, 0, b"\x00\x12")
         jpeg = b"\xff\xd8\xff\xe0" + b"notarealjpeg" * 4
         corrupt_png = png[:40]  # truncated mid-IDAT: depth 8, still NULL
         df = spark.createDataFrame(
             [(1, png), (2, png16), (3, png_adam7), (4, jpeg),
-             (5, corrupt_png)],
+             (5, corrupt_png), (6, png4bit)],
             "media_id long, payload binary",
         )
         with warnings.catch_warnings():
@@ -626,8 +759,9 @@ class TestNullClassSplitInDecodeReport:
             for r in decode_format_report(df, decoded).collect()
         }
         png_row = rep["png"]
-        assert png_row["n_total"] == 4 and png_row["n_decoded"] == 1
-        assert png_row["n_null_unsupported_variant"] == 2
+        # 16-bit and Adam7 now DECODE; 4-bit is the variant NULL
+        assert png_row["n_total"] == 5 and png_row["n_decoded"] == 3
+        assert png_row["n_null_unsupported_variant"] == 1
         assert png_row["n_null_no_decoder"] == 0
         assert png_row["n_null_other"] == 1  # the truncated one
         jpg_row = rep["jpeg"]
