@@ -35,12 +35,14 @@ from .graph import (  # noqa: F401
     dedup_keep_canonical,
 )
 from .curation import (  # noqa: F401
+    QualityClassifier,
     decontaminate,
     pack_sequences,
     redact_pii,
     sample_deterministic,
     sample_per_group,
     temperature_resample,
+    train_quality_classifier,
 )
 from .similarity import (  # noqa: F401
     ann_recall,

@@ -49,6 +49,7 @@ __all__ = [
     "pack_sequences", "sample_deterministic", "sample_per_group",
     "repetition_score",
     "temperature_resample", "mix_corpus",
+    "QualityClassifier", "train_quality_classifier",
 ]
 
 
@@ -635,3 +636,165 @@ def mix_corpus(
         .filter(md5_bucket(key, buckets) < F.col("__thr"))
         .drop("__src", "__thr")
     )
+
+
+# --- model-based quality filtering -----------------------------------------
+class QualityClassifier:
+    """A trained quality model plus the EXACT featurization that trained
+    it — the GPT-3-style model-based quality filter (Brown et al. 2020,
+    App. A: logistic regression over hashed document features, scoring
+    crawl documents by similarity to a trusted reference corpus).
+
+    The featurizer parameters (dim, ngram, seed) are carried WITH the
+    model because scoring with a drifted featurization silently yields
+    garbage probabilities — the same pinning rule as
+    ``write_band_table``'s ``__params`` companion.  Persistence
+    (:meth:`save`/:meth:`load`) stores them next to the Spark ML model
+    for the same reason.
+
+    Scoring is one Arrow embed pass + one JVM-side ML transform — a
+    narrow map at any corpus size, no shuffle, no driver data.
+    """
+
+    def __init__(self, model, dim: int, ngram: int, seed: int):
+        self.model = model
+        self.dim = int(dim)
+        self.ngram = int(ngram)
+        self.seed = int(seed)
+
+    def _features(self, df: DataFrame, text_col: str):
+        from pyspark.ml.functions import array_to_vector
+
+        from .text import hashing_embed
+
+        kernel = hashing_embed(self.dim, self.ngram, self.seed)
+        return df.withColumn(
+            "__features", array_to_vector(kernel(F.col(text_col)))
+        )
+
+    def score(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        out_col: str = "quality_prob",
+    ) -> DataFrame:
+        """P(high-quality) per document as ``out_col`` (double)."""
+        from pyspark.ml.functions import vector_to_array
+
+        scored = self.model.transform(
+            self._features(df, text_col)
+            .withColumnRenamed("__features", "features")
+        )
+        return scored.withColumn(
+            out_col,
+            vector_to_array(F.col("probability")).getItem(1),
+        ).drop("features", "rawPrediction", "probability", "prediction")
+
+    def pareto_filter(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        alpha: float = 9.0,
+        out_col: str = "quality_prob",
+    ) -> DataFrame:
+        """GPT-3's stochastic acceptance, made deterministic: keep a
+        document iff ``score > 1 − x`` where ``x ~ Pareto(alpha)`` —
+        low-scoring documents still get in occasionally, which keeps
+        the kept corpus from collapsing onto the reference
+        distribution (the stated reason for the trick in Brown et al.
+        2020, App. A).  The Pareto draw is derived from the document
+        id via the engine's md5-uniform convention
+        (``x = u^(−1/alpha) − 1``, the inverse CDF), so the kept set
+        is reproducible across runs, repartitions, and retries —
+        no RNG state, same contract as ``sample_deterministic``.
+        """
+        u = (
+            md5_bucket(F.col(id_col).cast("string"), 1 << 30).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 30))
+        pareto = F.pow(u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
+        return (
+            self.score(df, text_col, out_col)
+            .filter(F.col(out_col) > (F.lit(1.0) - pareto))
+        )
+
+    def save(self, path: str) -> None:
+        import json
+
+        self.model.write().overwrite().save(f"{path}/model")
+        spark = self.model.sparkSession if hasattr(
+            self.model, "sparkSession"
+        ) else None
+        params = json.dumps(
+            {"dim": self.dim, "ngram": self.ngram, "seed": self.seed}
+        )
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        spark.createDataFrame([(params,)], "params string").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{path}/featurizer")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "QualityClassifier":
+        import json
+
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        model = LogisticRegressionModel.load(f"{path}/model")
+        row = spark.read.json(f"{path}/featurizer").collect()[0]
+        p = json.loads(row["params"])
+        return cls(model, p["dim"], p["ngram"], p["seed"])
+
+
+def train_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    text_col: str = "text",
+    dim: int = 4096,
+    ngram: int = 2,
+    seed: int = 42,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+) -> QualityClassifier:
+    """Train the model-based quality filter: logistic regression over
+    feature-hashed word n-grams, positives = a trusted reference corpus
+    (curated docs), negatives = a raw-crawl sample.
+
+    Featurization is the engine's deterministic :func:`hashing_embed`
+    (no vocabulary to ship; l2-normalized so LR's regularization is
+    scale-stable); training is Spark ML's distributed L-BFGS — the fit
+    streams the corpus, the model is a single dim-width coefficient
+    vector that broadcasts for scoring.  At 100 TB the training SETS
+    are samples (100k-1M docs bound the fit regardless of corpus
+    size); scoring the full corpus is the narrow map pass.
+
+    Complements the heuristic scorers (:func:`~bertrand_spark.pipeline
+    .text.quality_score`, Gopher rules): heuristics are
+    interpretable floors, the classifier captures reference-corpus
+    similarity that rules cannot express.  Reference anchor: the
+    reference engine has no ML surface (SURVEY §2) — this extension
+    exists for the training-data pipeline mandate.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    clf = QualityClassifier(None, dim, ngram, seed)
+    pos = clf._features(
+        positives.select(F.col(text_col)), text_col
+    ).select(
+        F.col("__features").alias("features"),
+        F.lit(1.0).alias("label"),
+    )
+    neg = clf._features(
+        negatives.select(F.col(text_col)), text_col
+    ).select(
+        F.col("__features").alias("features"),
+        F.lit(0.0).alias("label"),
+    )
+    lr = LogisticRegression(
+        maxIter=int(max_iter), regParam=float(reg_param)
+    )
+    clf.model = lr.fit(pos.unionByName(neg))
+    return clf

@@ -593,6 +593,99 @@ class TestIvfAppend:
         assert all(q in vs for q, vs in by_q.items())
 
 
+class TestQualityClassifier:
+    """GPT-3-style model-based quality filter (Brown et al. 2020 App. A):
+    LR over hashed n-gram features, deterministic Pareto acceptance."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark, sf_dir):
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.length("text") > 50)
+        )
+        # negatives: degenerate token soup of the same length profile —
+        # separable from real prose, as a crawl-junk stand-in
+        junk = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("zqx jkw vbn "),
+                F.repeat(
+                    F.lit("lorem zz qq xx yy kk jj ww vv "),
+                    (F.length("text") / 30).cast("int") + 1,
+                ),
+            ).alias("text"),
+        )
+        return docs.persist(), junk.persist()
+
+    def test_separates_held_out_docs(self, spark, corpus):
+        from bertrand_spark.pipeline.curation import (
+            train_quality_classifier,
+        )
+
+        docs, junk = corpus
+        pos_tr = docs.filter(F.col("doc_id") % 2 == 0)
+        neg_tr = junk.filter(F.col("doc_id") % 2 == 0)
+        clf = train_quality_classifier(pos_tr, neg_tr, dim=1024)
+        held_pos = clf.score(docs.filter(F.col("doc_id") % 2 == 1))
+        held_neg = clf.score(junk.filter(F.col("doc_id") % 2 == 1))
+        p_acc = held_pos.filter(F.col("quality_prob") > 0.5).count() / max(
+            held_pos.count(), 1
+        )
+        n_acc = held_neg.filter(F.col("quality_prob") < 0.5).count() / max(
+            held_neg.count(), 1
+        )
+        assert p_acc > 0.9 and n_acc > 0.9
+
+    def test_pareto_filter_deterministic_and_selective(self, spark, corpus):
+        from bertrand_spark.pipeline.curation import (
+            train_quality_classifier,
+        )
+
+        docs, junk = corpus
+        clf = train_quality_classifier(docs, junk, dim=1024)
+        mixed = docs.unionByName(junk)
+        kept1 = {r["doc_id"] for r in clf.pareto_filter(mixed).collect()}
+        kept2 = {
+            r["doc_id"]
+            for r in clf.pareto_filter(mixed.repartition(7)).collect()
+        }
+        assert kept1 == kept2  # md5-derived draw: repartition-stable
+        n_docs = docs.count()
+        kept_pos = sum(1 for i in kept1 if i < 1_000_000)
+        kept_neg = len(kept1) - kept_pos
+        # real docs kept at high rate; junk mostly rejected but the
+        # Pareto tail admits SOME (the distribution-collapse guard)
+        assert kept_pos / n_docs > 0.8
+        assert kept_neg < kept_pos
+
+    def test_save_load_roundtrip_scores_identical(
+        self, spark, corpus, tmp_path
+    ):
+        from bertrand_spark.pipeline.curation import (
+            QualityClassifier, train_quality_classifier,
+        )
+
+        docs, junk = corpus
+        clf = train_quality_classifier(
+            docs.limit(100), junk.limit(100), dim=256, ngram=1
+        )
+        path = str(tmp_path / "qclf")
+        clf.save(path)
+        clf2 = QualityClassifier.load(spark, path)
+        assert (clf2.dim, clf2.ngram, clf2.seed) == (256, 1, 42)
+        sample = docs.limit(20)
+        a = {
+            r["doc_id"]: round(r["quality_prob"], 12)
+            for r in clf.score(sample).collect()
+        }
+        b = {
+            r["doc_id"]: round(r["quality_prob"], 12)
+            for r in clf2.score(sample).collect()
+        }
+        assert a == b
+
+
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
     import struct
     import zlib
