@@ -53,6 +53,8 @@ from .similarity import (  # noqa: F401
     knn_graph,
 )
 from .text import (  # noqa: F401
+    CharLM,
     embed_documents,
     hashing_embed,
+    train_char_lm,
 )

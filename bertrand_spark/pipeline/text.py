@@ -20,6 +20,7 @@ __all__ = [
     "language_scores", "detect_language",
     "fingerprint", "rolling_fingerprints",
     "hashing_embed", "embed_documents",
+    "CharLM", "train_char_lm",
 ]
 
 # --- tokenization ----------------------------------------------------------
@@ -331,3 +332,151 @@ def embed_documents(
     return df.select(
         F.col(id_col), kernel(F.col(text_col)).alias("embedding")
     )
+
+
+# --- character n-gram language model (CCNet-style perplexity) --------------
+class CharLM:
+    """A trained character n-gram language model + its exact
+    normalization/geometry — CCNet-style (Wenzek et al. 2020) corpus
+    filtering by LM perplexity: documents far from the training
+    distribution (boilerplate, gibberish, wrong language) score high
+    and get filtered or bucketed.
+
+    The model is two bounded count tables (n-grams and their (n−1)-char
+    contexts, both capped at ``top_k`` rows ≈ a few MB) that broadcast
+    at scoring time; scoring is a fully NATIVE plan — per-doc n-gram
+    array (`char_ngrams`-shaped transform), explode, two broadcast
+    joins, one map-side-combined groupBy — no Python anywhere, so a
+    100 TB corpus scores as one pass.  Probabilities are add-alpha
+    smoothed MLE: ``p(c|ctx) = (cnt(ctx·c) + α) / (cnt(ctx) + α·V)``
+    with V = observed alphabet size; unseen grams/contexts degrade to
+    the uniform floor instead of −inf.
+    """
+
+    def __init__(self, ngrams, ctxs, n: int, alpha: float, vocab: int):
+        self.ngrams = ngrams      # DataFrame (g string, cnt long)
+        self.ctxs = ctxs          # DataFrame (ctx string, ctx_cnt long)
+        self.n = int(n)
+        self.alpha = float(alpha)
+        self.vocab = int(vocab)
+
+    @staticmethod
+    def _grams_expr(text: Column, n: int) -> Column:
+        s = F.lower(F.regexp_replace(text, r"\s+", " "))
+        return F.when(F.length(s) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+                lambda i: s.substr(i, F.lit(n)),
+            )
+        )
+
+    def perplexity(
+        self,
+        df,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        out_col: str = "lm_ppl",
+    ):
+        """(id, lm_ppl, lm_bits, n_grams) per document; documents
+        shorter than n normalized chars get NULL (no evidence)."""
+        ex = df.select(
+            F.col(id_col),
+            F.explode(self._grams_expr(F.col(text_col), self.n)).alias("g"),
+        ).withColumn("ctx", F.substring(F.col("g"), 1, self.n - 1))
+        joined = (
+            ex.join(F.broadcast(self.ngrams), "g", "left")
+            .join(F.broadcast(self.ctxs), "ctx", "left")
+            .withColumn(
+                "__p",
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(self.alpha))
+                / (
+                    F.coalesce(F.col("ctx_cnt"), F.lit(0))
+                    + F.lit(self.alpha * self.vocab)
+                ),
+            )
+        )
+        bits = F.avg(-F.log2(F.col("__p"))).alias("lm_bits")
+        return (
+            joined.groupBy(id_col)
+            .agg(bits, F.count("*").alias("n_grams"))
+            .withColumn(out_col, F.pow(F.lit(2.0), F.col("lm_bits")))
+        )
+
+    def save(self, path: str) -> None:
+        import json
+
+        self.ngrams.write.mode("overwrite").parquet(f"{path}/ngrams")
+        self.ctxs.write.mode("overwrite").parquet(f"{path}/ctxs")
+        spark = self.ngrams.sparkSession
+        spark.createDataFrame(
+            [(json.dumps({"n": self.n, "alpha": self.alpha, "vocab": self.vocab}),)],
+            "params string",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CharLM":
+        import json
+
+        p = json.loads(
+            spark.read.json(f"{path}/params").collect()[0]["params"]
+        )
+        return cls(
+            spark.read.parquet(f"{path}/ngrams"),
+            spark.read.parquet(f"{path}/ctxs"),
+            p["n"], p["alpha"], p["vocab"],
+        )
+
+
+def train_char_lm(
+    df,
+    text_col: str = "text",
+    n: int = 4,
+    alpha: float = 0.1,
+    top_k: int = 500_000,
+) -> CharLM:
+    """Fit a :class:`CharLM` on a corpus (or a sample of one — counts
+    are what matters, and ``top_k`` bounds the model regardless).
+
+    One explode + two groupBys over (n)- and (n−1)-gram strings — the
+    counts shuffle is on short string keys with map-side combine, the
+    same profile as any word-count.  ``top_k`` keeps the HEAD of each
+    table by count (ties broken by gram for determinism): rare grams
+    fall to the smoothing floor anyway, so dropping their rows changes
+    scores only marginally while capping the broadcast at scoring
+    time.  The tables are materialized eagerly (persist + count) so a
+    scoring fan-out does not re-run training.
+    """
+    spark = df.sparkSession
+    grams = df.select(
+        F.explode(CharLM._grams_expr(F.col(text_col), n)).alias("g")
+    )
+    grams = grams.persist()
+    try:
+        vocab = (
+            grams.select(F.explode(F.split(F.col("g"), "")).alias("c"))
+            .filter(F.col("c") != "")
+            .distinct()
+            .count()
+        ) or 1
+
+        def top(counts, key):
+            w = counts.orderBy(
+                F.col("cnt" if key == "g" else "ctx_cnt").desc(), key
+            ).limit(top_k)
+            out = spark.createDataFrame(
+                w.collect(), schema=w.schema
+            )  # driver-bounded by top_k; detaches from the input plan
+            return out
+
+        ng = top(
+            grams.groupBy("g").agg(F.count("*").alias("cnt")), "g"
+        )
+        cx = top(
+            grams.select(
+                F.substring(F.col("g"), 1, n - 1).alias("ctx")
+            ).groupBy("ctx").agg(F.count("*").alias("ctx_cnt")),
+            "ctx",
+        )
+    finally:
+        grams.unpersist()
+    return CharLM(ng, cx, n, alpha, vocab)

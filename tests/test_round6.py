@@ -686,6 +686,99 @@ class TestQualityClassifier:
         assert a == b
 
 
+class TestCharLm:
+    """CCNet-style (Wenzek et al. 2020) char-n-gram LM perplexity:
+    in-distribution held-out text scores lower than junk; the whole
+    scoring plan is native (no Python)."""
+
+    @pytest.fixture(scope="class")
+    def lm(self, spark, sf_dir):
+        from bertrand_spark.pipeline.text import train_char_lm
+
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.length("text") > 50)
+        )
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        return train_char_lm(train, n=4, top_k=100_000), docs
+
+    def test_held_out_real_beats_junk(self, spark, lm):
+        model, docs = lm
+        held = docs.filter(F.col("doc_id") % 2 == 1)
+        junk = held.select(
+            "doc_id",
+            F.concat(
+                F.lit("zqxj kwvb "),
+                F.repeat(F.lit("qzk wxj vqb zzj "), 20),
+            ).alias("text"),
+        )
+        real_med = (
+            model.perplexity(held)
+            .approxQuantile("lm_ppl", [0.5], 0.01)[0]
+        )
+        junk_med = (
+            model.perplexity(junk)
+            .approxQuantile("lm_ppl", [0.5], 0.01)[0]
+        )
+        assert real_med < junk_med / 2  # clear separation, not jitter
+        # per-doc: the overwhelming majority of real docs beat junk's
+        # median too (the filterable signal, not just aggregate)
+        n_held = held.count()
+        n_better = (
+            model.perplexity(held)
+            .filter(F.col("lm_ppl") < junk_med)
+            .count()
+        )
+        assert n_better / n_held > 0.95
+
+    def test_short_doc_null_and_determinism(self, spark, lm):
+        model, docs = lm
+        tiny = spark.createDataFrame(
+            [(1, "ab"), (2, "a reasonable english sentence here")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lm_ppl"] for r in model.perplexity(tiny).collect()}
+        assert 1 not in out  # no n-grams → no row
+        assert out[2] > 0
+        again = {
+            r["doc_id"]: r["lm_ppl"]
+            for r in model.perplexity(tiny.repartition(5)).collect()
+        }
+        assert out == again
+
+    def test_save_load_scores_identical(self, spark, lm, tmp_path):
+        from bertrand_spark.pipeline.text import CharLM
+
+        model, docs = lm
+        path = str(tmp_path / "charlm")
+        model.save(path)
+        model2 = CharLM.load(spark, path)
+        assert (model2.n, model2.alpha, model2.vocab) == (
+            model.n, model.alpha, model.vocab,
+        )
+        sample = docs.limit(20)
+        a = {
+            r["doc_id"]: round(r["lm_ppl"], 9)
+            for r in model.perplexity(sample).collect()
+        }
+        b = {
+            r["doc_id"]: round(r["lm_ppl"], 9)
+            for r in model2.perplexity(sample).collect()
+        }
+        assert a == b
+
+    def test_scoring_plan_is_native(self, spark, lm):
+        """No Python evaluation nodes in the scoring plan — the 100 TB
+        pass must stay JVM-side."""
+        model, docs = lm
+        plan = (
+            model.perplexity(docs.limit(100))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "BatchEval" not in plan
+
+
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
     import struct
     import zlib
