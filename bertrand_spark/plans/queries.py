@@ -2406,6 +2406,79 @@ def x41(spark, sf_dir):
     )
 
 
+# --- x42: LM-perplexity corpus filter (CCNet-style) ------------------------
+@query(
+    "x42_lm_perplexity",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    train AS (SELECT t FROM norm WHERE doc_id % 2 = 0 AND length(t) >= 3),
+    grams AS (
+      SELECT substring(t, i, 3) AS g FROM (
+        SELECT t, unnest(generate_series(1, length(t) - 2)) AS i
+        FROM train
+      )
+    ),
+    ng AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+    cx AS (SELECT substring(g, 1, 2) AS ctx, sum(cnt) AS ctx_cnt
+           FROM ng GROUP BY ctx),
+    vocab AS (
+      SELECT count(DISTINCT c) AS v FROM (
+        SELECT unnest(string_split(g, '')) AS c
+        FROM (SELECT DISTINCT g FROM grams)
+      ) WHERE c <> ''
+    ),
+    score AS (SELECT doc_id, t FROM norm
+              WHERE doc_id % 2 = 1 AND length(t) >= 3),
+    sg AS (
+      SELECT doc_id, substring(t, i, 3) AS g FROM (
+        SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+        FROM score
+      )
+    ),
+    j AS (
+      SELECT sg.doc_id,
+             (COALESCE(ng.cnt, 0) + 0.1)
+               / (COALESCE(cx.ctx_cnt, 0) + 0.1 * (SELECT v FROM vocab))
+               AS p
+      FROM sg
+      LEFT JOIN ng ON sg.g = ng.g
+      LEFT JOIN cx ON substring(sg.g, 1, 2) = cx.ctx
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           round(avg(-log2(p)), 6) AS lm_bits,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x42(spark, sf_dir):
+    """CCNet-style LM-perplexity scoring (Wenzek et al. 2020), oracle-
+    checked end to end: train a char-trigram LM on the even-id half of
+    the corpus, score the odd-id half, emit per-doc cross-entropy bits
+    (rounded to 6 dp — avg() summation order differs across engines at
+    the last ulp) and gram counts.  The ENTIRE path — count tables,
+    smoothing, scoring joins — is replayed by the DuckDB oracle, so
+    this gates the model math itself, not just plumbing.  top_k is set
+    above the corpus's trigram diversity: truncation policy is an
+    explicitly out-of-oracle approximation (same class as PQ)."""
+    from ..pipeline.text import train_char_lm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_char_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), n=3, alpha=0.1,
+        top_k=10_000_000,
+    )
+    scored = lm.perplexity(docs.filter(F.col("doc_id") % 2 == 1))
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("lm_bits"), 6).alias("lm_bits"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    ).orderBy("doc_id")
+
+
 # --- x32: cross-corpus fuzzy join ------------------------------------------
 @query(
     "x32_fuzzy_join",
@@ -3378,10 +3451,12 @@ _DRIVER_ROTATION = [
     "x09_lang_scores", "x10_lang_detect", "x11_events_rollup",
     "x12_json_extract", "x13_media_sniff", "x14_media_decode",
     "x15_rolling_fingerprints", "x19_stream_rollup",
-    # refresh slots 44-50 (7): queries round 6 touches or heavy anchors
+    # refresh slots 44-50 (7): queries round 6 touches or heavy anchors,
+    # plus the NEW round-6 query (zero driver history, must be inside
+    # the window; q01 rotates out with its green r05 row intact)
     "q49_supplier_part_counts", "x36_incremental_dedup", "x25_stream_dedup",
     "q42_returned_items", "q43_large_orders", "x30_dedup_clusters",
-    "q01_detect_tags",
+    "x42_lm_perplexity",
 ]
 
 
