@@ -425,15 +425,36 @@ def compare_lex(a: DataFrame, b: DataFrame, order_a: Sequence[str], order_b: Seq
 
 def exhaust(df: DataFrame) -> int:
     """Terminal drain (I18; reference ``iter/range.h`` exhaust): execute
-    the plan for its side effects and report the row count — ONE job, no
-    driver materialization (noop sink + observe metric)."""
-    from pyspark.sql import Observation
+    every column of every row and report the row count — ONE job, no
+    driver materialization.  A full-width ``xxhash64`` consumes each cell
+    (defeating column pruning) and a ``bit_xor`` aggregate forces its
+    evaluation (overflow-free, so ANSI mode cannot abort the drain).
 
-    obs = Observation()
-    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    return int(obs.get["n"])
+    Deliberately Observation-free: pyspark 4.1's classic session creates
+    its (non-serializable) ``ObservationManager`` lazily on the first
+    ``Observation`` use, after which java-serializing anything that
+    captures the session — e.g. a Spark ML model whose training summary
+    pins it — fails with ``NotSerializableException: ObservationManager``.
+    A drain must not poison session state for later jobs.
+    """
+    from pyspark.sql.types import MapType
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        # xxhash64 rejects MapType (unordered); hash its entry list
+        cols.append(F.map_entries(c) if isinstance(f.dataType, MapType) else c)
+    if not cols:
+        return df.count()
+    row = (
+        df.select(F.xxhash64(*cols).alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("__drain"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"])
 
 
 def distance_rows(

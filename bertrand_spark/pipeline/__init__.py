@@ -44,10 +44,15 @@ from .curation import (  # noqa: F401
     temperature_resample,
     train_quality_classifier,
 )
+from .dedup import (  # noqa: F401
+    compact_fingerprint_store,
+)
 from .similarity import (  # noqa: F401
     ann_recall,
     brute_force_topk,
     cosine_all_pairs_blocked,
+    ivf_append,
+    ivf_assign,
     ivf_build,
     ivf_topk,
     knn_graph,

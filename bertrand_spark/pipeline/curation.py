@@ -678,17 +678,27 @@ class QualityClassifier:
         text_col: str = "text",
         out_col: str = "quality_prob",
     ) -> DataFrame:
-        """P(high-quality) per document as ``out_col`` (double)."""
-        from pyspark.ml.functions import vector_to_array
+        """P(high-quality) per document as ``out_col`` (double).
 
-        scored = self.model.transform(
-            self._features(df, text_col)
-            .withColumnRenamed("__features", "features")
+        Scoring does NOT go through ``model.transform``: the trained
+        coefficients are pulled once (dim × 8 B) and fused with the
+        featurizer into one Arrow kernel (:func:`~bertrand_spark
+        .pipeline.text.hashing_logit`) — same sigmoid(w·x + b) math,
+        one narrow map pass instead of embed-UDF → array_to_vector →
+        ML ScalaUDF → vector_to_array, and immune to pyspark 4.1's
+        ObservationManager serialization poisoning (see hashing_logit's
+        docstring).  NULL documents score NULL instead of erroring.
+        """
+        from .text import hashing_logit
+
+        kernel = hashing_logit(
+            self.dim,
+            self.ngram,
+            self.seed,
+            self.model.coefficients.toArray(),
+            float(self.model.intercept),
         )
-        return scored.withColumn(
-            out_col,
-            vector_to_array(F.col("probability")).getItem(1),
-        ).drop("features", "rawPrediction", "probability", "prediction")
+        return df.withColumn(out_col, kernel(F.col(text_col)))
 
     def pareto_filter(
         self,

@@ -30,6 +30,7 @@ __all__ = [
     "brute_force_topk", "ivf_build", "ivf_assign", "ivf_append",
     "ivf_topk", "ivf_write", "ivf_read",
     "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
+    "sign_bucket", "semantic_dedup_bucketed",
 ]
 
 
@@ -1140,3 +1141,85 @@ def _ivf_pq_topk_residual(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def sign_bucket(vec_col: Column, bits: int = 6) -> Column:
+    """Deterministic semantic bucket id from the SIGN of the first
+    ``bits`` dimensions: bucket = Σ (v[i] ≥ 0) · 2^i, a pure native
+    expression (codegen, no UDF, no trained state).
+
+    For zero-centered embeddings each axis splits the corpus roughly in
+    half, so 2^bits buckets of ≈ n/2^bits vectors — the cheapest
+    clustering that needs no training pass and replays exactly in any
+    engine (the property the DuckDB oracle for x43 relies on).  Unlike
+    random-hyperplane LSH there is no seed to ship: the axes ARE the
+    planes.
+    """
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(
+            F.element_at(vec_col, i + 1) >= 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def semantic_dedup_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style bucketed embedding dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster cheaply, pairwise-compare ONLY within a
+    cluster, keep a row iff no lower-id row in the same bucket has
+    cosine ≥ threshold ("dominated-pair" rule — the same drop semantics
+    x16's pair list induces, restricted to bucket-local candidates).
+
+    Returns the KEPT rows as ``(id_col, bucket)``.
+
+    Scale shape: one shuffle on the bucket key, then an m_b×m_b GEMM
+    per bucket via ``applyInPandas`` — O(Σ m_b²·d) FLOPs instead of
+    O(n²·d).  At 100 TB raise ``bits`` so m_b stays bounded
+    (n/2^bits ≈ 10-100k rows ⇒ tiles of 10-100 GB·d⁻¹ FLOPs that fit
+    one task); sign buckets on zero-centered dims keep sizes near-even,
+    and a skewed bucket is split by the same block-pair fan-out as
+    :func:`cosine_all_pairs_blocked` if one ever exceeds task memory.
+    Candidate-generation honesty: cross-bucket near-dups are NOT
+    examined — by construction recall is bucket-local (the SemDeDup
+    trade: intra-cluster dups are where the mass is).  The oracle
+    replays the identical buckets, so the contract is exact, not
+    probabilistic.
+
+    Reference anchor: the reference engine has no embedding surface
+    (SURVEY §2); this extension exists for the training-data pipeline
+    mandate alongside x16/x30.
+    """
+    import numpy as np
+
+    thr = float(threshold)
+    out_schema = f"{id_col} long, bucket int"
+
+    def keep_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.stack(pdf["__v"].to_numpy()[order])
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        sims = Xn @ Xn.T
+        # dominated ⇔ some STRICTLY-lower-id row scores ≥ thr: with ids
+        # sorted ascending that is any above-threshold entry strictly
+        # below the diagonal
+        dom = (np.tril(sims >= thr, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {id_col: ids[~dom], "bucket": pdf["bucket"].iloc[0]}
+        )
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    bucketed = base.withColumn("bucket", sign_bucket(F.col("__v"), bits))
+    return bucketed.groupBy("bucket").applyInPandas(keep_bucket, out_schema)

@@ -288,32 +288,88 @@ def hashing_embed(dim: int = 64, ngram: int = 1, seed: int = 42):
 
     @pandas_udf("array<double>")
     def kernel(texts: pd.Series) -> pd.Series:
-        import re
-        import zlib
-
-        import numpy as np
-
         out = []
         for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            toks = [w for w in re.split(r"\s+", t.lower().strip()) if w]
-            if n > 1:
-                toks = [
-                    " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
-                ] or ([" ".join(toks)] if toks else [])
-            v = np.zeros(d, dtype=np.float64)
-            for g in toks:
-                gb = g.encode()
-                bucket = zlib.crc32(salt_b + gb) % d
-                sign = 1.0 if zlib.crc32(salt_s + gb) & 1 else -1.0
-                v[bucket] += sign
-            norm = np.linalg.norm(v)
-            if norm > 0:
-                v /= norm
-            out.append(v.tolist())
+            v = _hash_embed_one(t, n, d, salt_b, salt_s)
+            out.append(None if v is None else v.tolist())
         return pd.Series(out, dtype=object)
+
+    return kernel
+
+
+def _hash_embed_one(t, n: int, d: int, salt_b: bytes, salt_s: bytes):
+    """One document through the hashing-trick featurizer: the SINGLE
+    definition both :func:`hashing_embed` and :func:`hashing_logit`
+    execute, so a model trained on one can never be scored with a
+    drifted variant of the other.  Returns an l2-normalized float64
+    vector, or None for a NULL document."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    if t is None:
+        return None
+    toks = [w for w in re.split(r"\s+", t.lower().strip()) if w]
+    if n > 1:
+        toks = [
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        ] or ([" ".join(toks)] if toks else [])
+    v = np.zeros(d, dtype=np.float64)
+    for g in toks:
+        gb = g.encode()
+        bucket = zlib.crc32(salt_b + gb) % d
+        sign = 1.0 if zlib.crc32(salt_s + gb) & 1 else -1.0
+        v[bucket] += sign
+    norm = np.linalg.norm(v)
+    if norm > 0:
+        v /= norm
+    return v
+
+
+def hashing_logit(
+    dim: int, ngram: int, seed: int, weights, bias: float
+):
+    """Fused hash-embed → w·x + b → sigmoid scoring kernel: the entire
+    model-based quality-filter scoring path in ONE Arrow pass.
+
+    The coefficient vector rides in the task closure (dim × 8 B — 32 KB
+    at dim=4096, broadcast once per executor), so scoring a 100 TB
+    corpus is a narrow map with no Spark ML transform, no
+    array↔vector conversions, and no java-serialized model closure.
+    The last point is load-bearing on pyspark 4.1: the classic
+    session lazily creates a non-serializable ``ObservationManager`` on
+    first ``Observation`` use, after which serializing an ML model whose
+    training summary pins the session fails — a fused kernel cannot be
+    poisoned by unrelated session state.  Featurization is byte-for-byte
+    :func:`hashing_embed` (shared :func:`_hash_embed_one`).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    n = int(ngram)
+    d = int(dim)
+    salt_b = str(seed).encode()
+    salt_s = str(seed * 31 + 7).encode()
+    w = np.asarray(weights, dtype=np.float64)
+    if w.shape != (d,):
+        raise ValueError(
+            f"hashing_logit: weights shape {w.shape} != (dim={d},)"
+        )
+    b = float(bias)
+
+    @pandas_udf("double")
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            v = _hash_embed_one(t, n, d, salt_b, salt_s)
+            if v is None:
+                out.append(None)
+            else:
+                m = float(v @ w) + b
+                out.append(1.0 / (1.0 + np.exp(-m)))
+        return pd.Series(out, dtype="float64")
 
     return kernel
 

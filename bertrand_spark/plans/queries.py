@@ -3417,6 +3417,54 @@ def q49(spark, sf_dir):
     )
 
 
+# --- x43: SemDeDup-style bucketed embedding dedup ---------------------------
+@query(
+    "x43_semdedup",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    b AS (
+      SELECT vec_id, v,
+             CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+                + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+                + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS INT)
+               AS bucket
+      FROM e
+    )
+    SELECT a.vec_id, a.bucket
+    FROM b a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b x
+      WHERE x.bucket = a.bucket AND x.vec_id < a.vec_id
+        AND list_cosine_similarity(x.v, a.v) >= 0.45
+    )
+    """,
+)
+def x43(spark, sf_dir):
+    """SemDeDup-style bucketed embedding dedup (Abbas et al. 2023): sign
+    buckets over the first 6 dims (a training-free, engine-replayable
+    clustering), then keep a vector iff no lower-id vector in the SAME
+    bucket has cosine ≥ 0.45 — the dominated-pair greedy rule.  This is
+    the bucketed SCALE path complementing x16's exact all-pairs tile
+    plan: one shuffle on the bucket key, per-bucket GEMM, O(Σ m_b²·d)
+    not O(n²·d).  The oracle replays the identical buckets and rule, so
+    the contract is exact, not probabilistic; cross-bucket near-dups
+    are out of contract by construction (documented recall trade).
+    Threshold robustness: bucket-local candidate pairs ⊆ all pairs, so
+    x16's measured spectral gap at cos=0.45 (≥1e-4 on this data,
+    re-verified every run by TestFloatThresholdSpectralGap) bounds this
+    query's too."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_bucketed(
+        e, "vec_id", "embedding", threshold=0.45, bits=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3433,8 +3481,9 @@ def q49(spark, sf_dir):
 # Round 6: CORRECTNESS_r05 attested the same 50 names as r04, leaving the
 # other 43 with r02/r03-era driver rows.  Those 43 fill slots 1-43; the 7
 # refresh slots take queries round 6's code changes touch (q49 null-safe
-# NOT IN filter, x25/x36 store-backed dedup paths, q42/q43 relational50
-# focus) plus heavy anchors x30 and q01.
+# NOT IN filter, x25/x36 store-backed dedup paths, q43 relational50
+# focus), heavy anchor x30, and the two NEW round-6 queries x42/x43
+# (zero driver history, must be inside the window).
 _DRIVER_ROTATION = [
     # driver rows stale since r02/r03 (43) — re-attest all of them in r06
     "q02_typecheck_bounds", "q03_generic_casts", "q04_rounding_rules",
@@ -3455,8 +3504,8 @@ _DRIVER_ROTATION = [
     # plus the NEW round-6 query (zero driver history, must be inside
     # the window; q01 rotates out with its green r05 row intact)
     "q49_supplier_part_counts", "x36_incremental_dedup", "x25_stream_dedup",
-    "q42_returned_items", "q43_large_orders", "x30_dedup_clusters",
-    "x42_lm_perplexity",
+    "q43_large_orders", "x30_dedup_clusters",
+    "x42_lm_perplexity", "x43_semdedup",
 ]
 
 

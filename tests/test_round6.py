@@ -1038,3 +1038,106 @@ class TestVectorizedPqEncode:
         assert all(
             out[i] is not None and len(out[i]) == 2 for i in (1, 3, 5)
         )
+
+
+class TestSemanticDedupBucketed:
+    """x43: SemDeDup-style bucketed dedup — bucket determinism, the
+    dominated-pair keep rule, and the documented bucket-local recall
+    contract."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_dominated_pair_rule_and_bucket_locality(self, spark):
+        from bertrand_spark.pipeline.similarity import (
+            semantic_dedup_bucketed,
+        )
+
+        # dims 1-2 drive the bucket (bits=2); the tail carries identity
+        a = [1.0, 1.0, 1.0, 0.0]      # bucket 3
+        a_dup = [1.0, 1.0, 0.9, 0.0]  # bucket 3, cos(a)≈0.995
+        b = [-1.0, 1.0, 1.0, 0.0]     # bucket 2
+        b_dup = [1.0, 1.0, -0.9, 1.9]  # bucket 3: near-dup of NOTHING
+        rows = [(1, a), (2, a_dup), (3, b), (4, b_dup), (5, None)]
+        kept = semantic_dedup_bucketed(
+            self._df(spark, rows), threshold=0.9, bits=2
+        )
+        got = {r["vec_id"]: r["bucket"] for r in kept.collect()}
+        # 2 dominated by 1 (same bucket, cos≥0.9); 3 kept (own bucket);
+        # 4 kept (same bucket as 1 but cos<0.9); NULL row excluded
+        assert got == {1: 3, 3: 2, 4: 3}
+
+    def test_cross_bucket_dup_kept_by_contract(self, spark):
+        from bertrand_spark.pipeline.similarity import (
+            semantic_dedup_bucketed,
+        )
+
+        # identical tails, dim-1 sign flip ⇒ different buckets ⇒ the
+        # near-dup (cos≈0.98) is OUT of contract and both rows survive
+        rows = [
+            (1, [0.1, 1.0, 1.0, 1.0]),
+            (2, [-0.1, 1.0, 1.0, 1.0]),
+        ]
+        kept = semantic_dedup_bucketed(
+            self._df(spark, rows), threshold=0.9, bits=1
+        )
+        assert kept.count() == 2
+
+    def test_repartition_stable(self, spark, sf_dir):
+        from bertrand_spark.pipeline.similarity import (
+            semantic_dedup_bucketed,
+        )
+
+        e = read_table(spark, sf_dir, "embeddings")
+        k1 = {
+            r["vec_id"]
+            for r in semantic_dedup_bucketed(e, bits=6).collect()
+        }
+        k2 = {
+            r["vec_id"]
+            for r in semantic_dedup_bucketed(
+                e.repartition(13), bits=6
+            ).collect()
+        }
+        assert k1 == k2 and 0 < len(k1) <= e.count()
+
+
+class TestExhaustDoesNotPoisonSession:
+    """Regression: pyspark 4.1's classic session lazily creates a
+    non-serializable ObservationManager on first Observation use; the
+    old Observation-backed exhaust() then broke EVERY later job that
+    java-serializes the session (e.g. Spark ML model.transform, whose
+    training summary pins it) with NotSerializableException.  exhaust()
+    is now Observation-free and scoring is a fused Arrow kernel — this
+    test runs the exact failing sequence."""
+
+    def test_exhaust_then_ml_transform(self, spark):
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        from bertrand_spark.operators.rows import exhaust
+
+        assert exhaust(spark.range(50)) == 50
+        train = spark.createDataFrame(
+            [([0.0, 1.0], 0.0), ([1.0, 0.0], 1.0)] * 10,
+            "arr array<double>, label double",
+        ).select(array_to_vector(F.col("arr")).alias("features"), "label")
+        m = LogisticRegression(maxIter=5).fit(train)
+        out = m.transform(train).withColumn(
+            "p", vector_to_array(F.col("probability")).getItem(1)
+        )
+        # forces the probability ScalaUDF to serialize and execute
+        assert out.filter(F.col("p") > 0.5).count() == 10
+
+    def test_exhaust_reads_every_column(self, spark):
+        from bertrand_spark.operators.rows import exhaust
+
+        df = spark.range(10).select(
+            F.col("id"),
+            F.col("id").cast("string").alias("s"),
+            F.create_map(F.lit("k"), F.col("id")).alias("m"),
+            F.array(F.col("id")).alias("a"),
+        )
+        assert exhaust(df) == 10
