@@ -35,6 +35,7 @@ from .graph import (  # noqa: F401
     dedup_keep_canonical,
 )
 from .curation import (  # noqa: F401
+    contamination_report,
     QualityClassifier,
     decontaminate,
     pack_sequences,

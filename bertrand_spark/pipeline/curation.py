@@ -182,6 +182,67 @@ def _apply_hits(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-benchmark-document DIRTINESS report (GPT-3 App. C's
+    train-test-overlap measurement, Brown et al. 2020): for each
+    benchmark doc, the fraction of its distinct word ``n``-grams that
+    also occur anywhere in the training corpus —
+    ``(doc_id, n_grams, n_dirty, dirty_frac)``.
+
+    :func:`decontaminate` answers "which docs touch the benchmark";
+    this answers "HOW contaminated is each eval item", the number an
+    eval-integrity report publishes (a doc at 0.02 is a stray idiom, a
+    doc at 0.9 is a leaked test item).
+
+    Only docs with ≥ n tokens participate ON BOTH SIDES — a short doc
+    has no n-gram, and whole-short-text matching is the containment
+    path :func:`decontaminate` already covers; mixing the two would
+    make ``dirty_frac`` incomparable across docs.
+
+    Plan shape: both sides explode to distinct 64-bit gram hashes
+    (:func:`~bertrand_spark.pipeline.dedup
+    .word_gram_hashes_vectorized` — text itself never shuffles), the
+    corpus stream aggregates to its distinct gram set (map-side
+    combine), and the bench grams left-join it on the hash.  The two
+    gram-key shuffles are the irreducible cost of an EXACT report at
+    100 TB; when approximate suffices, probe :func:`bloom_table`
+    instead of the exact set and the corpus-side shuffle carries
+    ``num_bits/64`` rows total.  Gram identity is 64-bit (collision
+    odds ~2^-64 per pair) — the same trade the dedup family documents.
+    """
+    from .dedup import word_gram_hashes_vectorized
+    from .text import token_count
+
+    kernel = word_gram_hashes_vectorized(n)
+    b = (
+        bench.filter(token_count(F.col(text_col)) >= n)
+        .select(F.col(id_col), F.explode(kernel(F.col(text_col))).alias("__g"))
+    )
+    c = (
+        corpus.filter(token_count(F.col(text_col)) >= n)
+        .select(F.explode(kernel(F.col(text_col))).alias("__cg"))
+        .distinct()
+    )
+    return (
+        b.join(c, b["__g"] == c["__cg"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__cg").alias("n_dirty"),
+        )
+        .withColumn(
+            "dirty_frac",
+            F.col("n_dirty").cast("double") / F.col("n_grams"),
+        )
+    )
+
+
 def bloom_table(
     bench: DataFrame,
     text_col: str = "text",

@@ -3465,6 +3465,128 @@ def x43(spark, sf_dir):
     )
 
 
+# --- x44: train-test overlap (dirtiness) report -----------------------------
+@query(
+    "x44_overlap_report",
+    f"""
+    WITH {_TOKS_SQL},
+    long AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+    b AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+7], ' ')
+                                for i in generate_series(1, len(toks) - 7)])
+                   AS grams
+          FROM long WHERE doc_id % 7 = 0),
+    bg AS (SELECT doc_id, unnest(grams) AS gram FROM b),
+    cg AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+                 FROM long WHERE doc_id % 7 <> 0)),
+    j AS (SELECT bg.doc_id, cg.gram AS hit
+          FROM bg LEFT JOIN cg ON bg.gram = cg.gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(hit) AS BIGINT) AS n_dirty,
+           CAST(count(hit) AS DOUBLE) / count(*) AS dirty_frac
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x44(spark, sf_dir):
+    """Train-test overlap (dirtiness) report — GPT-3 App. C: for each
+    benchmark doc (doc_id % 7 = 0 — wide enough that planted duplicate
+    docs straddle the split, so the report is non-trivially dirty), the fraction of its
+    distinct 8-grams that occur anywhere in the training split.  x20
+    answers "which corpus docs touch the benchmark"; x44 answers "how
+    contaminated is each eval item" — the eval-integrity number.  Docs
+    under 8 tokens are out of scope on both sides (no 8-gram; short-
+    text containment is x20's separate path).  The oracle joins gram
+    STRINGS where the plan joins 64-bit gram hashes — identical counts
+    absent a blake2b-64 collision in-corpus (~2^-64/pair, the dedup
+    family's documented trade)."""
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return (
+        CU.contamination_report(train, bench, "doc_id", "text", n=8)
+        .orderBy("doc_id")
+    )
+
+
+# --- q50: TPC-H Q7 shape (dual-nation trade volume by year) -----------------
+@query(
+    "q50_nation_trade_volume",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+             AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10')
+        OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_9'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1998-12-31 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q50(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension table (nation) joins the fact
+    TWICE under different roles (supplier's vs customer's nation), with
+    a symmetric cross-nation disjunction and a year rollup.  The role
+    split is two independently-aliased broadcasts of the same dimension
+    — both map-side at any scale (verified: 0 SortMergeJoin, ship-date
+    range pushed to the scan at sf0.01, where AQE broadcasts the
+    orders/supplier/customer joins too; at 100 TB those become the
+    usual key-partitioned fact joins while the nation pair stays
+    broadcast).  Exercises the self-aliased dimension pattern none of
+    q33/q47 (single nation role) cover."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1998-12-31")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_9")
+                & (F.col("cust_nation") == "NATION_10")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_10")
+                & (F.col("cust_nation") == "NATION_9")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3480,10 +3602,10 @@ def x43(spark, sf_dir):
 #
 # Round 6: CORRECTNESS_r05 attested the same 50 names as r04, leaving the
 # other 43 with r02/r03-era driver rows.  Those 43 fill slots 1-43; the 7
-# refresh slots take queries round 6's code changes touch (q49 null-safe
-# NOT IN filter, x25/x36 store-backed dedup paths, q43 relational50
-# focus), heavy anchor x30, and the two NEW round-6 queries x42/x43
-# (zero driver history, must be inside the window).
+# remaining slots take round-6-touched refreshes (q49 null-safe NOT IN
+# filter, x25/x36 store-backed dedup paths) and the four NEW round-6
+# queries x42/x43/x44/q50 (zero driver history, must be inside the
+# window).  q42/q43/x30 rotate out with green r05 rows intact.
 _DRIVER_ROTATION = [
     # driver rows stale since r02/r03 (43) — re-attest all of them in r06
     "q02_typecheck_bounds", "q03_generic_casts", "q04_rounding_rules",
@@ -3504,8 +3626,8 @@ _DRIVER_ROTATION = [
     # plus the NEW round-6 query (zero driver history, must be inside
     # the window; q01 rotates out with its green r05 row intact)
     "q49_supplier_part_counts", "x36_incremental_dedup", "x25_stream_dedup",
-    "q43_large_orders", "x30_dedup_clusters",
-    "x42_lm_perplexity", "x43_semdedup",
+    "x42_lm_perplexity", "x43_semdedup", "x44_overlap_report",
+    "q50_nation_trade_volume",
 ]
 
 

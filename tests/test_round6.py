@@ -1141,3 +1141,40 @@ class TestExhaustDoesNotPoisonSession:
             F.array(F.col("id")).alias("a"),
         )
         assert exhaust(df) == 10
+
+
+class TestContaminationReport:
+    """x44: per-benchmark-doc dirtiness (GPT-3 App. C train-test
+    overlap) — planted-leak fractions, short-doc exclusion."""
+
+    def test_planted_overlap_fractions(self, spark):
+        from bertrand_spark.pipeline.curation import contamination_report
+
+        w = "tok{} " * 1  # noqa: F841  (readability anchor)
+        mk = lambda *ws: " ".join(ws)  # noqa: E731
+        train_text = mk(*[f"t{i}" for i in range(20)])
+        corpus = spark.createDataFrame(
+            [(100, train_text), (101, mk(*[f"u{i}" for i in range(12)]))],
+            "doc_id long, text string",
+        )
+        # bench doc 1: verbatim leak of train doc 100 → dirty_frac 1.0
+        # bench doc 2: first 8 tokens of 100 + 12 fresh → 1 dirty of 13
+        # bench doc 3: disjoint → 0.0;  bench doc 4: 7 tokens → excluded
+        bench = spark.createDataFrame(
+            [
+                (1, train_text),
+                (2, mk(*[f"t{i}" for i in range(8)],
+                       *[f"z{i}" for i in range(12)])),
+                (3, mk(*[f"q{i}" for i in range(10)])),
+                (4, mk(*[f"s{i}" for i in range(7)])),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in contamination_report(corpus, bench, n=8).collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["n_grams"] == 13 and rows[1]["dirty_frac"] == 1.0
+        assert rows[2]["n_grams"] == 13 and rows[2]["n_dirty"] == 1
+        assert rows[3]["n_dirty"] == 0 and rows[3]["dirty_frac"] == 0.0
