@@ -57,6 +57,9 @@ from .similarity import (  # noqa: F401
     ivf_build,
     ivf_topk,
     knn_graph,
+    semantic_dedup_bucketed,
+    semantic_dedup_ivf,
+    sign_bucket,
 )
 from .text import (  # noqa: F401
     CharLM,

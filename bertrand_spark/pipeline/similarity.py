@@ -30,7 +30,7 @@ __all__ = [
     "brute_force_topk", "ivf_build", "ivf_assign", "ivf_append",
     "ivf_topk", "ivf_write", "ivf_read",
     "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
-    "sign_bucket", "semantic_dedup_bucketed",
+    "sign_bucket", "semantic_dedup_bucketed", "semantic_dedup_ivf",
 ]
 
 
@@ -540,6 +540,12 @@ def ivf_build(
     return ivf_assign(vectors, centroids, vec_col), centroids
 
 
+# above this many centroid·dim multiply-adds per row, the interpreted
+# HOF expression path (CodegenFallback — the array lambdas never
+# compile) loses to one Arrow-batched GEMM despite the Python transfer
+_ASSIGN_VECTORIZE_FLOPS = 2048
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids,
@@ -548,8 +554,49 @@ def ivf_assign(
     """Assign vectors to their nearest EXISTING centroid (adds
     ``__cell``) — the assignment half of :func:`ivf_build`, exposed so
     new corpus batches can join a live index without reclustering
-    (:func:`ivf_append`).  One narrow native projection: argmin over
-    literal centroid arrays, no Python, no shuffle."""
+    (:func:`ivf_append`).  Narrow projection, no shuffle, in one of two
+    physically different but semantically identical forms:
+
+    * small indexes (cells·dim < ~2k flops/row): native argmin over
+      literal centroid arrays — zero Python, fine interpreted.
+    * large indexes: one Arrow kernel per batch — distances via GEMM
+      (||c||² − 2·M·Cᵀ, row norm constant under argmin), ties to the
+      LOWEST cell exactly like the struct-min.  The HOF expression path
+      is CodegenFallback (interpreted per element, measured ~1-4k
+      rows/s at 64 cells × 64 dims); the GEMM kernel is the same fix
+      ``hyperplane_signatures_vectorized`` applied to LSH signatures.
+      Near-exact-tie rows can differ from the expression path by one
+      float ulp of summation order — immaterial for IVF (either cell is
+      "nearest"), and no caller compares assignments across the two
+      physical paths.
+    """
+    ncells = len(centroids)
+    dim = len(centroids[0]) if ncells else 0
+    if ncells * dim >= _ASSIGN_VECTORIZE_FLOPS:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+        c2 = (C * C).sum(axis=1)  # (cells,)
+
+        @pandas_udf("int")
+        def nearest(vecs: pd.Series) -> pd.Series:
+            mask = vecs.notna().to_numpy()
+            out = np.full(len(vecs), None, dtype=object)
+            if mask.any():
+                M = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+                )
+                # argmin_c ||m-c||² = argmin_c (||c||² - 2 m·c)
+                d = c2[None, :] - 2.0 * (M @ C.T)
+                cells = d.argmin(axis=1)  # first (lowest) cell on ties
+                out[mask] = cells
+            return pd.Series(out, dtype=object)
+
+        return vectors.withColumn(
+            "__cell", nearest(F.col(vec_col).cast("array<double>"))
+        )
+
     dists = F.array(
         *[
             F.struct(
@@ -1195,9 +1242,24 @@ def semantic_dedup_bucketed(
     (SURVEY §2); this extension exists for the training-data pipeline
     mandate alongside x16/x30.
     """
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    bucketed = base.withColumn("bucket", sign_bucket(F.col("__v"), bits))
+    return _keep_dominant_per_bucket(bucketed, id_col, float(threshold))
+
+
+def _keep_dominant_per_bucket(
+    bucketed: DataFrame, id_col: str, thr: float
+) -> DataFrame:
+    """Within-bucket dominated-pair dedup kernel shared by
+    :func:`semantic_dedup_bucketed` (sign buckets) and
+    :func:`semantic_dedup_ivf` (trained k-means cells): one GEMM per
+    bucket, keep a row iff no STRICTLY-lower-id row in the same bucket
+    has cosine ≥ thr.  Input needs ``(id_col, __v float64, bucket)``."""
     import numpy as np
 
-    thr = float(threshold)
     out_schema = f"{id_col} long, bucket int"
 
     def keep_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1217,9 +1279,56 @@ def semantic_dedup_bucketed(
             {id_col: ids[~dom], "bucket": pdf["bucket"].iloc[0]}
         )
 
+    return bucketed.groupBy("bucket").applyInPandas(keep_bucket, out_schema)
+
+
+def semantic_dedup_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    num_cells: int = 16,
+    centroids=None,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """TRUE SemDeDup (Abbas et al. 2023): k-means cells as the
+    clustering, within-cell dominated-pair cosine dedup — the
+    production variant of :func:`semantic_dedup_bucketed` (same keep
+    rule, same per-bucket GEMM kernel) with a LEARNED partition that
+    tracks the data manifold instead of axis signs, so near-dups
+    co-locate far more reliably on real embeddings.
+
+    Returns the KEPT rows as ``(id_col, bucket)`` where bucket is the
+    k-means cell.  Pass ``centroids=`` (e.g. from a live
+    :func:`ivf_build` index) so dedup and ANN serving share ONE
+    clustering: new corpus batches then dedup against the same fixed
+    geometry via :func:`ivf_assign` with no retraining — the
+    continuous-ingest contract the fingerprint/band stores establish
+    for exact/MinHash dedup, extended to the embedding family.
+
+    Scale shape identical to the bucketed variant: assignment is a
+    narrow native projection (argmin over literal centroid arrays),
+    then one shuffle on the cell key and O(Σ m_c²·d) GEMM FLOPs.  Size
+    ``num_cells ≈ n / 10-100k`` so cells fit one task; identical
+    vectors always share a cell (distance 0), so exact duplicates can
+    never straddle the partition the way a sign-boundary pair can.
+    Training-backed clustering is why this variant has no DuckDB
+    oracle (k-means is iterative); the keep rule itself is oracle-
+    gated through x43 and property-tested here against a driver-side
+    replay (TestSemanticDedupIvf).
+    """
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    bucketed = base.withColumn("bucket", sign_bucket(F.col("__v"), bits))
-    return bucketed.groupBy("bucket").applyInPandas(keep_bucket, out_schema)
+    if centroids is None:
+        assigned, centroids = ivf_build(
+            base, num_cells, id_col, "__v", seed, sample_fraction
+        )
+    else:
+        assigned = ivf_assign(base, centroids, "__v")
+    bucketed = assigned.withColumn(
+        "bucket", F.col("__cell").cast("int")
+    ).drop("__cell")
+    return _keep_dominant_per_bucket(bucketed, id_col, float(threshold))

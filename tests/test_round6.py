@@ -1178,3 +1178,61 @@ class TestContaminationReport:
         assert rows[1]["n_grams"] == 13 and rows[1]["dirty_frac"] == 1.0
         assert rows[2]["n_grams"] == 13 and rows[2]["n_dirty"] == 1
         assert rows[3]["n_dirty"] == 0 and rows[3]["dirty_frac"] == 0.0
+
+
+class TestSemanticDedupIvf:
+    """True SemDeDup: trained k-means cells + the shared dominated-pair
+    kernel.  No SQL oracle (k-means is iterative) — instead a driver-
+    side replay of the keep rule over the ACTUAL cell assignment."""
+
+    def test_keep_rule_replay_on_testdata(self, spark, sf_dir):
+        import numpy as np
+
+        from bertrand_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_build,
+            semantic_dedup_ivf,
+        )
+
+        e = read_table(spark, sf_dir, "embeddings")
+        base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("__v"))
+        _, cents = ivf_build(base, num_cells=8, vec_col="__v")
+        kept = semantic_dedup_ivf(
+            e, threshold=0.45, centroids=cents
+        ).collect()
+        kept_ids = {r["vec_id"] for r in kept}
+        # replay: same assignment, driver-side pairwise check
+        rows = ivf_assign(base, cents, "__v").collect()
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["__cell"], []).append(
+                (r["vec_id"], np.array(r["__v"]))
+            )
+        expect = set()
+        for cell, members in by_cell.items():
+            members.sort(key=lambda t: t[0])
+            M = np.stack([v for _, v in members])
+            n = np.linalg.norm(M, axis=1)
+            n[n == 0] = 1.0
+            S = (M / n[:, None]) @ (M / n[:, None]).T
+            for i, (vid, _) in enumerate(members):
+                if not (S[i, :i] >= 0.45).any():
+                    expect.add(vid)
+        assert kept_ids == expect and 0 < len(kept_ids) <= len(rows)
+
+    def test_exact_duplicate_never_survives(self, spark, sf_dir):
+        from bertrand_spark.pipeline.similarity import semantic_dedup_ivf
+
+        e = read_table(spark, sf_dir, "embeddings").limit(100)
+        dup = e.filter(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        )
+        kept = {
+            r["vec_id"]
+            for r in semantic_dedup_ivf(
+                e.unionByName(dup), threshold=0.99, num_cells=4
+            ).collect()
+        }
+        # identical vectors share a cell (distance 0) at ANY clustering,
+        # so the higher-id copy is always dominated
+        assert 1_000_003 not in kept and 3 in kept

@@ -77,6 +77,10 @@ def main() -> None:
         _ivfadc_256d(spark, F, read_table)
         spark.stop()
         return
+    if section == "semdedup":
+        _semdedup(spark, F, blow_up, read_table, mult)
+        spark.stop()
+        return
 
     li = blow_up(
         read_table(spark, SF_DIR, "lineitem").withColumn(
@@ -468,6 +472,78 @@ def _ivfadc_256d(spark, F, read_table) -> None:
         enc.unpersist()
     exact.unpersist()
     assigned.unpersist()
+    emb.unpersist()
+
+
+def _semdedup(spark, F, blow_up, read_table, mult) -> None:
+    """Round-6: the SemDeDup family at mult× the sf0.1 embeddings table
+    — wall time, kept fraction, and BUCKET-SIZE SKEW (the claim "sign
+    buckets on zero-centered dims keep sizes near-even" and "size
+    num_cells so cells fit one task" needs numbers, not prose).  The
+    blow-up copies vectors verbatim with fresh ids — exact embedding
+    duplicates are precisely the planted-dup scenario, so kept-count ≈
+    original distinct count is also a correctness smoke at volume.
+    """
+    import time as _t
+
+    from bertrand_spark.pipeline.similarity import (
+        ivf_build, semantic_dedup_bucketed, semantic_dedup_ivf, sign_bucket,
+    )
+
+    emb = blow_up(
+        read_table(spark, SF_DIR, "embeddings"), "vec_id"
+    ).persist()
+    n = emb.count()
+
+    def skew(assigned_df, key):
+        # INPUT bucket sizes — the GEMM-tile / task-memory number (the
+        # kept output is always smaller)
+        sizes = (
+            assigned_df.groupBy(key).count().agg(
+                F.max("count").alias("mx"),
+                F.avg("count").alias("avg"),
+                F.count(F.lit(1)).alias("nb"),
+            ).collect()[0]
+        )
+        return sizes["mx"], sizes["avg"], sizes["nb"]
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    for bits in (6, 8):
+        t0 = _t.time()
+        kept = semantic_dedup_bucketed(emb, bits=bits).persist()
+        nk = kept.count()
+        dt = _t.time() - t0
+        mx, avg, nb = skew(
+            base.withColumn("b", sign_bucket(F.col("__v"), bits)), "b"
+        )
+        print(
+            f"semdedup sign bits={bits}: {n:,} rows -> {nk:,} kept in "
+            f"{dt:.1f}s ({n / dt:,.0f} rows/s); input-bucket max/avg = "
+            f"{mx}/{avg:.0f} over {nb} buckets"
+        )
+        kept.unpersist()
+
+    t0 = _t.time()
+    from bertrand_spark.pipeline.similarity import ivf_assign
+
+    _, cents = ivf_build(
+        base, num_cells=64, vec_col="__v", sample_fraction=0.2
+    )
+    t_train = _t.time() - t0
+    t0 = _t.time()
+    kept = semantic_dedup_ivf(emb, centroids=cents).persist()
+    nk = kept.count()
+    dt = _t.time() - t0
+    mx, avg, nb = skew(ivf_assign(base, cents, "__v"), "__cell")
+    print(
+        f"semdedup ivf cells=64: train {t_train:.1f}s (20% sample), "
+        f"dedup {n:,} rows -> {nk:,} kept in {dt:.1f}s "
+        f"({n / dt:,.0f} rows/s); input-cell max/avg = {mx}/{avg:.0f} "
+        f"over {nb} cells"
+    )
+    kept.unpersist()
     emb.unpersist()
 
 
