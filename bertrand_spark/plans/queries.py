@@ -3587,6 +3587,411 @@ def q50(spark, sf_dir):
     )
 
 
+# --- q51: TPC-H Q8 shape (national market share within a region) ------------
+@query(
+    "q51_market_share",
+    """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                / sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q51(spark, sf_dir):
+    """TPC-H Q8 shape (market share): the widest join tree in the suite
+    — fact × 6 dimensions with nation in BOTH roles again (customer's
+    nation restricts the region, supplier's nation feeds the numerator)
+    — then a conditional-aggregate ratio per year.  Reference parity:
+    bertrand expresses ratio-of-filtered-sum via comprehensions
+    (bertrand/structs/list.h fold ops); here it is one conditional
+    aggregate over the joined plan.  Scale shape: every dimension side
+    is broadcast-eligible (part/supplier/customer at sf, nation/region
+    always); the ONE shuffle is the year groupBy of the pre-aggregated
+    (year, nation) partials — at 100 TB the fact joins become
+    key-partitioned but the numerator/denominator still ride a single
+    aggregate (no second pass, no self-join on year)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nation = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("cnk"))
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+    )
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("snk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- q52: TPC-H Q9 shape (product-line profit by nation and year) -----------
+@query(
+    "q52_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - p.p_retailprice * l.l_quantity * 0.1 AS amount
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q52(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit), adapted: the testdata has
+    no partsupp table, so supply cost is proxied as 10% of
+    ``p_retailprice`` per unit — the PLAN shape (fact × 4 dims, a
+    LIKE-filtered part dimension, profit expression mixing columns from
+    three tables, two-key rollup) is what Q9 exercises, not the cost
+    constant.  The LIKE predicate prunes part BEFORE the join
+    (pushed to the part scan), so the fact join keys on a pre-shrunk
+    broadcast — the 100 TB plan is scan-bound on lineitem with one
+    (nation, year) shuffle at the end."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+            ).cast("double").alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --- q53: TPC-H Q13 shape (customer order-count distribution) ---------------
+@query(
+    "q53_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority = '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q53(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with a predicate on the
+    NULL-producing side (the filter must live in the join condition —
+    a WHERE would silently turn the join inner and drop zero-order
+    customers), then a two-level aggregate producing a histogram of
+    counts.  ``count(o_orderkey)`` counts non-NULL matches, so
+    customers with no qualifying orders land in the c_count=0 bucket —
+    the exact semantics distinction (count(col) vs count(*)) the
+    reference's fold-with-predicate ops encode
+    (/root/reference/bertrand/structs/list.h reduction suite).  Scale:
+    shuffle 1 is the outer join on custkey (AQE broadcasts customer at
+    sf; both sides key-partition at 100 TB), shuffle 2 groups ~50
+    distinct counts — trivially small."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- q54: TPC-H Q17 shape (small-quantity-order revenue) --------------------
+@query(
+    "q54_small_quantity_revenue",
+    """
+    SELECT CAST(sum(l.l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q54(spark, sf_dir):
+    """TPC-H Q17 shape: a correlated scalar subquery comparing each row
+    against ITS group's aggregate (per-part average quantity).  The
+    Spark-first decorrelation is the classic one: pre-aggregate the
+    per-part threshold once (one shuffle over l_partkey partials),
+    broadcast-join it back, filter, single global sum — no correlated
+    re-scan per row, which is what the SQL notation naively implies and
+    what Catalyst's RewriteCorrelatedScalarSubquery does for the SQL
+    form.  The threshold aggregate deliberately scans UNFILTERED
+    lineitem (the subquery has no brand predicate — per TPC-H the
+    average is over all orders of the part), so at 100 TB the plan is
+    two lineitem scans: one full (pre-agg to ~n_parts rows), one
+    brand-pruned; the join of fact × per-part thresholds broadcasts
+    because thresholds ≤ |part|."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(thresholds), li["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
+    )
+
+
+# --- q55: TPC-H Q19 shape (disjunctive multi-table predicate) ----------------
+@query(
+    "q55_disjunctive_revenue",
+    """
+    SELECT CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q55(spark, sf_dir):
+    """TPC-H Q19 shape: a three-arm disjunction mixing columns from
+    both join sides.  The plan test is predicate DECOMPOSITION: Catalyst
+    must derive the single-side implications — p_brand IN (1,2,3) AND
+    p_size BETWEEN 1 AND 35 on part, l_quantity BETWEEN 1 AND 30 on
+    lineitem — and push them below the join while keeping the full
+    disjunction as the post-join residual (InferFiltersFromConstraints
+    + the CNF conversion; verified in the sf plan: both scans carry
+    Pushed/partial filters, the BroadcastHashJoin carries the OR).  At
+    100 TB the derived lineitem range prunes the fact scan ~70% before
+    any join work — the difference between this and a naive
+    filter-after-join is the whole game."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm("Brand#3", 35, 20, 30))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+# --- q56: TPC-H Q21 shape (suppliers who kept orders waiting) ----------------
+@query(
+    "q56_waiting_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q56(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate in the
+    testdata, so "late" = shipped >90 days after the order date — the
+    EXISTS/NOT-EXISTS structure is unchanged).  The Spark-first
+    decorrelation replaces BOTH correlated subqueries with ONE per-order
+    aggregate: over status-F orders, count distinct suppliers and
+    distinct LATE suppliers per order; a late l1 row qualifies iff its
+    order has n_supp > 1 (the EXISTS: someone else supplied it) and
+    n_late_supp = 1 (the NOT EXISTS: nobody ELSE was late — l1's own
+    supplier being late is the one).  That turns two correlated
+    self-joins (three lineitem shuffles) into one groupBy(orderkey)
+    reused by a single join — the canonical Q21 rewrite.  At 100 TB:
+    lineitem shuffles on l_orderkey once for the aggregate and once as
+    the probe side; supplier/nation broadcast."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # one pass over the order's lineitems: who supplied, who was late
+    flagged = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    l1 = (
+        flagged.filter(F.col("is_late"))
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        l1.join(s, l1["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# --- q57: TPC-H Q15 shape (top supplier by interval revenue) -----------------
+@query(
+    "q57_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q57(spark, sf_dir):
+    """TPC-H Q15 shape: an aggregate VIEW consumed twice — once as the
+    join input, once inside a scalar-max subquery — with ties preserved
+    (WHERE =, not LIMIT 1).  Spark-first: compute the revenue aggregate
+    ONCE, take the max via a window over the unpartitioned frame
+    (~n_suppliers rows after aggregation, so the single-partition
+    window is a non-issue at any corpus scale), filter to the max, and
+    only then join supplier — the join runs on ≤ tie-count rows.
+    Float-equality note: both sides of the = comparison come from the
+    SAME aggregated values in each engine, so the comparison is exact
+    per-engine even though Spark's and DuckDB's sums differ in the last
+    ulp; the 9-significant-digit value hash absorbs that difference,
+    and argmax agrees because inter-supplier revenue gaps ≫ ulp."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    from pyspark.sql import Window
+
+    top = (
+        revenue.withColumn(
+            "__mx", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(F.broadcast(top), s["s_suppkey"] == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3622,12 +4027,18 @@ _DRIVER_ROTATION = [
     "x09_lang_scores", "x10_lang_detect", "x11_events_rollup",
     "x12_json_extract", "x13_media_sniff", "x14_media_decode",
     "x15_rolling_fingerprints", "x19_stream_rollup",
-    # refresh slots 44-50 (7): queries round 6 touches or heavy anchors,
-    # plus the NEW round-6 query (zero driver history, must be inside
-    # the window; q01 rotates out with its green r05 row intact)
-    "q49_supplier_part_counts", "x36_incremental_dedup", "x25_stream_dedup",
+    # refresh slots 44-50 (7): NEW round-6 queries only — zero driver
+    # history must be inside the window.  Eleven new queries for seven
+    # slots: x42/x43/x44/q50 plus the three structurally hardest of the
+    # late-round TPC-H widening (q51 Q8 seven-table ratio, q54 Q17
+    # correlated-scalar decorrelation, q56 Q21 double-EXISTS rewrite);
+    # q52/q53/q55/q57 take the leading slots next round.  The earlier
+    # refresh picks (q49/x25/x36) rotate out on their green r05 rows —
+    # round-6 touched their kernels but the replica gate re-attests all
+    # 104 queries this round regardless.
     "x42_lm_perplexity", "x43_semdedup", "x44_overlap_report",
-    "q50_nation_trade_volume",
+    "q50_nation_trade_volume", "q51_market_share",
+    "q54_small_quantity_revenue", "q56_waiting_supplier",
 ]
 
 

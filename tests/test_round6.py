@@ -1236,3 +1236,79 @@ class TestSemanticDedupIvf:
         # identical vectors share a cell (distance 0) at ANY clustering,
         # so the higher-id copy is always dominated
         assert 1_000_003 not in kept and 3 in kept
+
+
+class TestLateRoundTpchShapes:
+    """q51-q57 (TPC-H Q8/Q9/Q13/Q17/Q19/Q21/Q15 shapes) — semantics are
+    oracle-gated at sf0.01; these pin the PLAN properties the
+    docstrings claim, which the oracle cannot see."""
+
+    def _plan(self, spark, sf_dir, name):
+        from bertrand_spark.plans.queries import QUERIES
+
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_q55_disjunction_decomposed_to_both_scans(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q55_disjunctive_revenue")
+        # derived single-side implications must reach the scans...
+        li_scan = next(
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "l_quantity" in ln
+        )
+        assert "l_quantity" in li_scan.split("DataFilters:")[-1]
+        p_filter = next(
+            ln for ln in plan.splitlines()
+            if "Filter" in ln and "p_brand" in ln and "p_size" in ln
+        )
+        assert "Brand#3" in p_filter
+        # ...while the full cross-table OR survives as the join residual
+        join_line = next(ln for ln in plan.splitlines() if "HashJoin" in ln)
+        assert "OR" in join_line or "||" in join_line
+
+    def test_q53_left_join_keeps_zero_order_customers(self, spark, sf_dir):
+        from bertrand_spark.plans.queries import QUERIES
+
+        plan = self._plan(spark, sf_dir, "q53_customer_distribution")
+        # the priority predicate must NOT demote the join to inner
+        join_line = next(
+            ln for ln in plan.splitlines()
+            if "HashJoin" in ln or "SortMergeJoin" in ln
+        )
+        assert "LeftOuter" in join_line
+        rows = {
+            r["c_count"]: r["custdist"]
+            for r in QUERIES["q53_customer_distribution"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert 0 in rows  # zero-order customers form a real bucket
+
+    def test_q54_decorrelated_single_pass(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q54_small_quantity_revenue")
+        # the per-part threshold joins back via broadcast — the naive
+        # correlated form would re-aggregate under a shuffled join
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_q56_one_aggregate_replaces_both_exists(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q56_waiting_supplier")
+        # the rewrite must not materialize correlated self-joins:
+        # no left-semi / left-anti pair over lineitem
+        assert "LeftSemi" not in plan and "LeftAnti" not in plan
+        # countDistinct pair → exactly one per-order aggregate chain
+        # (partial+final expand), not two independent groupings
+        assert plan.count("Expand") <= 2
+
+    def test_q57_ties_preserved_not_limit1(self, spark, sf_dir):
+        from bertrand_spark.plans.queries import QUERIES
+
+        plan = self._plan(spark, sf_dir, "q57_top_supplier")
+        assert "GlobalLimit" not in plan  # WHERE = max, not LIMIT 1
+        out = QUERIES["q57_top_supplier"](spark, sf_dir).collect()
+        assert len(out) >= 1
+        assert len({r["total_revenue"] for r in out}) == 1
