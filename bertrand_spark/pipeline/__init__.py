@@ -35,9 +35,13 @@ from .graph import (  # noqa: F401
     dedup_keep_canonical,
 )
 from .curation import (  # noqa: F401
+    DsirModel,
+    cascade_report,
     contamination_report,
+    filter_cascade,
     QualityClassifier,
     decontaminate,
+    train_dsir,
     pack_sequences,
     redact_pii,
     sample_deterministic,

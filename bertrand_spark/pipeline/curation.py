@@ -50,6 +50,8 @@ __all__ = [
     "repetition_score",
     "temperature_resample", "mix_corpus",
     "QualityClassifier", "train_quality_classifier",
+    "DsirModel", "train_dsir",
+    "filter_cascade", "cascade_report",
 ]
 
 
@@ -869,3 +871,234 @@ def train_quality_classifier(
     )
     clf.model = lr.fit(pos.unionByName(neg))
     return clf
+
+
+# --- DSIR data selection (Xie et al. 2023) ---------------------------------
+
+
+def _dsir_features(text: Column) -> Column:
+    """Hashed-n-gram feature stream for DSIR: word unigrams + bigrams
+    (the paper's feature space) as one string array, fully native.
+    Bigrams come from zip_with against the array shifted by one —
+    zip_with pads the shorter side with NULL, so the dangling last
+    pair drops in the filter."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != ""
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
+            lambda a, b: F.when(
+                b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.concat(toks, bigrams)
+
+
+def _dsir_bucket(feat: Column, buckets: int) -> Column:
+    """Engine-portable feature hashing: md5-prefix bucket (the same
+    convention as sample_deterministic / SimHash — any SQL dialect
+    reproduces it, unlike xxhash64)."""
+    return (
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
+        % F.lit(int(buckets))
+    ).cast("int")
+
+
+class DsirModel:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    documents are scored by how much more likely their hashed-n-gram
+    features are under a TARGET (in-domain) distribution than under
+    the RAW corpus distribution —
+    ``log w(doc) = Σ_features (log p_target(b) − log p_raw(b))``
+    over ``buckets`` hashed unigram+bigram buckets, add-alpha smoothed.
+
+    The model is ONE dense table of ``buckets`` rows (bucket → λ =
+    the per-bucket log ratio), a few KB at any corpus size, broadcast
+    at scoring time; scoring is the CharLM plan shape — explode,
+    one broadcast join, one map-side-combined groupBy — no Python,
+    so a 100 TB corpus scores in a single pass.  ``keep`` at λ-sum > 0
+    selects documents more target-like than raw-like; for a fixed
+    token budget, rank on the weight instead (the resampling step —
+    Gumbel-top-k on ``dsir_logw`` reproduces the paper's sampling).
+    """
+
+    def __init__(self, lam: DataFrame, buckets: int, alpha: float):
+        self.lam = lam          # DataFrame (bucket int, lam double)
+        self.buckets = int(buckets)
+        self.alpha = float(alpha)
+
+    def log_weights(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        out_col: str = "dsir_logw",
+    ) -> DataFrame:
+        """(id, dsir_logw, n_feats, keep) per document with ≥1 feature
+        (documents whose text yields no tokens have no evidence and are
+        absent, matching CharLM's NULL-semantics)."""
+        ex = df.select(
+            F.col(id_col),
+            F.explode(_dsir_features(F.col(text_col))).alias("__feat"),
+        ).select(
+            id_col, _dsir_bucket(F.col("__feat"), self.buckets).alias("bucket")
+        )
+        return (
+            ex.join(F.broadcast(self.lam), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("lam").alias(out_col),
+                F.count(F.lit(1)).alias("n_feats"),
+            )
+            .withColumn("keep", F.col(out_col) > 0.0)
+        )
+
+    def save(self, path: str) -> None:
+        import json
+
+        self.lam.write.mode("overwrite").parquet(f"{path}/lam")
+        spark = self.lam.sparkSession
+        spark.createDataFrame(
+            [(json.dumps({"buckets": self.buckets, "alpha": self.alpha}),)],
+            "params string",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DsirModel":
+        import json
+
+        p = json.loads(spark.read.json(f"{path}/params").collect()[0]["params"])
+        return cls(spark.read.parquet(f"{path}/lam"), p["buckets"], p["alpha"])
+
+
+def train_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DsirModel:
+    """Fit the DSIR log-ratio table from a target (in-domain) corpus
+    sample and the raw corpus (or a sample — only bucket FREQUENCIES
+    matter).  Two word-count-profile jobs (explode → groupBy(bucket)
+    with map-side combine over an int key, ≤ ``buckets`` groups), then
+    the λ table materializes driver-side (bounded at ``buckets`` rows
+    by construction) so scoring never re-runs training.
+
+    λ_b = log( (cnt_target(b)+α) / (N_target+αB) )
+        − log( (cnt_raw(b)+α)    / (N_raw+αB) )
+    """
+    spark = target.sparkSession
+    B = int(buckets)
+
+    def side_counts(df) -> tuple[dict, int]:
+        rows = (
+            df.select(
+                F.explode(_dsir_features(F.col(text_col))).alias("__feat")
+            )
+            .select(_dsir_bucket(F.col("__feat"), B).alias("bucket"))
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+        cnt = {r["bucket"]: r["count"] for r in rows}
+        return cnt, sum(cnt.values())
+
+    import math
+
+    t_cnt, t_n = side_counts(target)
+    r_cnt, r_n = side_counts(raw)
+    lam_rows = [
+        (
+            b,
+            math.log((t_cnt.get(b, 0) + alpha) / (t_n + alpha * B))
+            - math.log((r_cnt.get(b, 0) + alpha) / (r_n + alpha * B)),
+        )
+        for b in range(B)
+    ]
+    lam = spark.createDataFrame(lam_rows, "bucket int, lam double")
+    return DsirModel(lam, B, alpha)
+
+
+# --- filter-cascade attrition funnel ---------------------------------------
+
+
+def filter_cascade(
+    df: DataFrame,
+    rules: "list[tuple[str, Column]]",
+    out_col: str = "first_fail",
+) -> DataFrame:
+    """Apply an ORDERED quality-filter cascade (FineWeb/Dolma style:
+    language → Gopher rules → repetition → ... ) in one pass, tagging
+    each document with the FIRST rule it fails (NULL = kept by all).
+
+    The cascade is one coalesce-of-CASE projection — fully native,
+    zero shuffle, whole-stage codegen — so "run the full funnel" costs
+    the same scan as "run one filter" at any corpus size.  Attribution
+    to the FIRST failure is what makes per-rule drop rates actionable
+    (each document is counted against exactly one rule, so the funnel
+    sums to the total attrition — the reporting convention of the
+    published pipeline ablations).
+
+    Rules must be null-safe: a rule evaluating to NULL (not FALSE)
+    counts as a pass, per SQL CASE semantics — coalesce defaults into
+    the predicate if the underlying column is nullable.
+    """
+    if not rules:
+        raise ValueError("filter_cascade needs at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    tag = F.coalesce(
+        *[F.when(~cond, F.lit(name)) for name, cond in rules],
+        F.lit(None).cast("string"),
+    )
+    return df.withColumn(out_col, tag)
+
+
+def cascade_report(
+    df: DataFrame,
+    rules: "list[tuple[str, Column]]",
+) -> DataFrame:
+    """The attrition funnel of :func:`filter_cascade` as one small
+    DataFrame: per rule (in cascade order) the number of documents
+    REACHING that stage, the number it drops, its conditional drop
+    fraction, and the cumulative keep fraction after it.
+
+    One groupBy over the first-fail tag (≤ len(rules)+1 groups — a
+    bounded categorical aggregate, so the driver-side funnel assembly
+    is O(rules), never O(corpus)); the input scan is the only
+    full-data work.
+    """
+    tagged = filter_cascade(df, rules)
+    counts = {
+        r["first_fail"]: r["cnt"]
+        for r in tagged.groupBy("first_fail")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(counts.values())
+    spark = df.sparkSession
+    rows, reaching = [], total
+    for i, (name, _) in enumerate(rules):
+        failed = counts.get(name, 0)
+        rows.append(
+            (
+                i + 1,
+                name,
+                reaching,
+                failed,
+                (failed / reaching) if reaching else 0.0,
+                ((reaching - failed) / total) if total else 0.0,
+            )
+        )
+        reaching -= failed
+    return spark.createDataFrame(
+        rows,
+        "stage int, rule string, n_reaching long, n_failed long, "
+        "drop_frac double, cum_keep_frac double",
+    )

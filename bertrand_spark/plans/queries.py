@@ -3992,6 +3992,155 @@ def q57(spark, sf_dir):
     )
 
 
+# --- x45: DSIR importance-resampling selection (Xie et al. 2023) ------------
+@query(
+    "x45_dsir_weights",
+    r"""
+    WITH d AS (SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x != '') AS toks
+          FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS feat FROM d),
+    bix AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM d),
+    bi AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat FROM bix),
+    feats AS (SELECT doc_id, lang, feat FROM uni
+              UNION ALL SELECT doc_id, lang, feat FROM bi),
+    fb AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 512 AS bucket
+           FROM feats),
+    tot AS (SELECT (SELECT count(*) FROM fb WHERE lang = 'en') AS nt,
+                   (SELECT count(*) FROM fb) AS nr),
+    tc AS (SELECT bucket, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
+    rc AS (SELECT bucket, count(*) AS c FROM fb GROUP BY 1),
+    lam AS (SELECT s.b AS bucket,
+              ln((coalesce(tc.c, 0) + 1.0) / (tot.nt + 512.0))
+              - ln((coalesce(rc.c, 0) + 1.0) / (tot.nr + 512.0)) AS lam
+            FROM (SELECT unnest(range(512)) AS b) s
+            LEFT JOIN tc ON tc.bucket = s.b
+            LEFT JOIN rc ON rc.bucket = s.b, tot)
+    SELECT fb.doc_id,
+           CAST(sum(lam.lam) AS DOUBLE) AS dsir_logw,
+           count(*) AS n_feats,
+           sum(lam.lam) > 0 AS keep
+    FROM fb JOIN lam ON fb.bucket = lam.bucket
+    GROUP BY fb.doc_id
+    ORDER BY fb.doc_id
+    """,
+)
+def x45(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): score every document by
+    Σ_features λ(bucket), λ = smoothed log p_target/p_raw over 512
+    md5-hashed unigram+bigram buckets; target = the English slice,
+    raw = the whole corpus, so positive weights select English-like
+    text.  The oracle replays the ENTIRE method — feature stream,
+    hashing, both count profiles, smoothing, λ table, per-doc sums —
+    so training and scoring are both gated, the x42-CharLM standard.
+    Scale shape: training is two bounded word-count jobs (≤512 groups);
+    the λ table is 512 rows broadcast; scoring is explode → broadcast
+    join → one map-side-combined groupBy — a single corpus pass."""
+    d = _tw(spark, sf_dir, "documents")
+    model = CU.train_dsir(
+        d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0
+    )
+    return model.log_weights(d).orderBy("doc_id")
+
+
+# --- x46: quality-filter cascade attrition funnel ---------------------------
+@query(
+    "x46_filter_cascade",
+    r"""
+    WITH d AS (SELECT doc_id, lang, text,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x != '') AS toks
+          FROM documents),
+    f AS (
+      SELECT doc_id, lang, toks, text,
+             len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                            AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_len,
+             CASE WHEN len(toks) > 0
+                  THEN CAST((len(text) - len(replace(text, '#', '')))
+                            + (len(text) - len(replace(text, '...', ''))) / 3
+                            AS DOUBLE) / len(toks) ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                            AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_frac,
+             len(list_intersect(list_distinct(toks),
+                                ['the','be','to','of','and','that','have','with']))
+               AS stop_hits
+      FROM d),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)] END AS grams
+      FROM f),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / CAST(len(grams) AS DOUBLE)
+                  ELSE 0.0 END AS rep_score
+      FROM g),
+    tag AS (
+      SELECT CASE
+               WHEN NOT (f.lang = 'en') THEN 'lang_en'
+               WHEN NOT (f.n >= 50 AND f.n <= 100000) THEN 'wordcount_ok'
+               WHEN NOT (f.mean_len >= 3.0 AND f.mean_len <= 10.0) THEN 'meanlen_ok'
+               WHEN NOT (f.symbol_ratio <= 0.1) THEN 'symbol_ok'
+               WHEN NOT (f.alpha_frac >= 0.8) THEN 'alpha_ok'
+               WHEN NOT (f.stop_hits >= 2) THEN 'stopword_ok'
+               WHEN NOT (rep.rep_score <= 0.2) THEN 'low_repetition'
+             END AS first_fail
+      FROM f JOIN rep USING (doc_id)),
+    rules(stage, rule) AS (VALUES
+      (1, 'lang_en'), (2, 'wordcount_ok'), (3, 'meanlen_ok'),
+      (4, 'symbol_ok'), (5, 'alpha_ok'), (6, 'stopword_ok'),
+      (7, 'low_repetition')),
+    c AS (SELECT first_fail, count(*) AS cnt FROM tag GROUP BY 1),
+    j AS (SELECT r.stage, r.rule, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_failed
+          FROM rules r LEFT JOIN c ON c.first_fail = r.rule),
+    w AS (SELECT stage, rule, n_failed,
+            CAST((SELECT count(*) FROM tag)
+                 - coalesce(sum(n_failed) OVER (ORDER BY stage
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_reaching
+          FROM j)
+    SELECT stage, rule, n_reaching, n_failed,
+           CAST(CASE WHEN n_reaching > 0
+                     THEN CAST(n_failed AS DOUBLE) / n_reaching
+                     ELSE 0.0 END AS DOUBLE) AS drop_frac,
+           CAST(CAST(n_reaching - n_failed AS DOUBLE)
+                / (SELECT count(*) FROM tag) AS DOUBLE) AS cum_keep_frac
+    FROM w ORDER BY stage
+    """,
+)
+def x46(spark, sf_dir):
+    """FineWeb/Dolma-style ordered filter cascade with per-rule
+    attrition accounting: language → the five Gopher rules → the
+    duplicate-3-gram repetition cap, each document attributed to the
+    FIRST rule it fails so the funnel sums to the total drop.  The
+    whole funnel is ONE native projection + one ≤8-group aggregate —
+    running the full report costs the same corpus scan as one filter.
+    The oracle replays first-fail tagging AND the funnel arithmetic
+    (reaching counts, conditional drop fractions, cumulative keep)."""
+    d = _tw(spark, sf_dir, "documents")
+    flags = T.gopher_quality_flags(F.col("text"))
+    rules = [
+        ("lang_en", F.col("lang") == "en"),
+        *[
+            (k, flags[k])
+            for k in (
+                "wordcount_ok", "meanlen_ok", "symbol_ok",
+                "alpha_ok", "stopword_ok",
+            )
+        ],
+        ("low_repetition", CU.repetition_score(F.col("text"), 3) <= 0.2),
+    ]
+    return CU.cascade_report(d, rules).orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -4032,7 +4181,8 @@ _DRIVER_ROTATION = [
     # slots: x42/x43/x44/q50 plus the three structurally hardest of the
     # late-round TPC-H widening (q51 Q8 seven-table ratio, q54 Q17
     # correlated-scalar decorrelation, q56 Q21 double-EXISTS rewrite);
-    # q52/q53/q55/q57 take the leading slots next round.  The earlier
+    # q52/q53/q55/q57 and x45/x46 (DSIR, filter cascade) take the
+    # leading slots next round.  The earlier
     # refresh picks (q49/x25/x36) rotate out on their green r05 rows —
     # round-6 touched their kernels but the replica gate re-attests all
     # 104 queries this round regardless.
