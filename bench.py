@@ -71,6 +71,13 @@ HEADLINE = [
     "q47_supplier_nation_cycle",
     # the flagship: the whole pretraining composition as ONE query
     "x18_pipeline_end_to_end",
+    # round-6 appends (policy: append-only, new names go at the END):
+    # Q8's seven-table ratio join (the widest tree in the suite), Q21's
+    # per-order double-EXISTS rewrite (two lineitem shuffles), and the
+    # DSIR scoring pass (train 2 bounded count jobs + native score scan)
+    "q51_market_share",
+    "q56_waiting_supplier",
+    "x45_dsir_weights",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

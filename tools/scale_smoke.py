@@ -81,6 +81,10 @@ def main() -> None:
         _semdedup(spark, F, blow_up, read_table, mult)
         spark.stop()
         return
+    if section == "curation20":
+        _curation20(spark, F, blow_up, read_table, mult)
+        spark.stop()
+        return
 
     li = blow_up(
         read_table(spark, SF_DIR, "lineitem").withColumn(
@@ -653,3 +657,63 @@ def _streaming(spark, F, blow_up, read_table, mult) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _curation20(spark, F, blow_up, read_table, mult) -> None:
+    """Round-6: the model-based curation passes at mult× the sf0.1
+    documents table — DSIR train/score and the 7-rule filter-cascade
+    funnel.  The claims under test: training cost is bounded by the
+    512-group count profile (not corpus size), scoring is one native
+    pass, and the funnel costs the same scan as a single filter.
+    Blown-up copies share text, so λ and per-doc weights are IDENTICAL
+    to the 1× run — kept fraction must match the sf0.1 single-copy
+    fraction, a correctness smoke at volume.
+    """
+    import time as _t
+
+    from bertrand_spark.pipeline.curation import (
+        cascade_report, train_dsir,
+    )
+    from bertrand_spark.pipeline.text import gopher_quality_flags
+
+    docs = blow_up(
+        read_table(spark, SF_DIR, "documents"), "doc_id"
+    ).persist()
+    n = docs.count()
+
+    t0 = _t.time()
+    model = train_dsir(
+        docs.filter(F.col("lang") == "en"), docs, buckets=512
+    )
+    t_train = _t.time() - t0
+    t0 = _t.time()
+    w = model.log_weights(docs).persist()
+    scored = w.count()
+    kept = w.filter("keep").count()
+    t_score = _t.time() - t0
+    print(
+        f"dsir: train {t_train:.1f}s over {n:,} docs (512-bucket "
+        f"profiles), score {scored:,} docs in {t_score:.1f}s "
+        f"({scored / t_score:,.0f} docs/s), kept {kept:,} "
+        f"({kept / scored:.3f})"
+    )
+    w.unpersist()
+
+    flags = gopher_quality_flags(F.col("text"))
+    rules = [
+        ("lang_en", F.col("lang") == "en"),
+        *[(k, flags[k]) for k in (
+            "wordcount_ok", "meanlen_ok", "symbol_ok",
+            "alpha_ok", "stopword_ok",
+        )],
+    ]
+    t0 = _t.time()
+    rep = cascade_report(docs, rules).collect()
+    t_funnel = _t.time() - t0
+    survivors = rep[-1]["n_reaching"] - rep[-1]["n_failed"]
+    print(
+        f"cascade funnel: {len(rules)} rules over {n:,} docs in "
+        f"{t_funnel:.1f}s ({n / t_funnel:,.0f} docs/s), "
+        f"keep {survivors / n:.3f}"
+    )
+    docs.unpersist()
