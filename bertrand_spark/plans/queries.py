@@ -4197,6 +4197,18 @@ def _rotated(d: dict) -> dict:
     return head | {k: v for k, v in d.items() if k not in head}
 
 
+# New queries that could NOT fit this round's 50-slot window (the 43
+# stale re-attestations take priority — round-5 verdict item 1).  This
+# is the machine-checked deferral queue: the rotation-coverage test
+# accepts an unattested query outside the window ONLY if it is named
+# here, and next round's rotation edit must move these into the leading
+# slots (emptying the queue re-tightens the test automatically).
+_DEFERRED_NEW = [
+    "q52_product_profit", "q53_customer_distribution",
+    "q55_disjunctive_revenue", "q57_top_supplier",
+    "x45_dsir_weights", "x46_filter_cascade",
+]
+
 _missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]
 if _missing:  # a renamed query must fail loudly, not silently drop coverage
     raise RuntimeError(f"driver rotation references unknown queries: {_missing}")

@@ -228,13 +228,29 @@ class TestDriverRotationInvariants:
         files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
         if not files:
             pytest.skip("no driver correctness artifacts present")
+        from bertrand_spark.plans.queries import _DEFERRED_NEW
+
         attested = set(json.load(open(files[-1])))
         missing = [k for k in QUERIES if k not in attested]
         head = set(list(QUERIES)[:50])
         uncovered = [k for k in missing if k not in head]
-        assert uncovered == [], (
+        # a query with no driver history may sit outside the window ONLY
+        # via the explicit deferral queue (window oversubscribed by the
+        # stale-re-attestation backlog); anything else is the rounds-4/5
+        # hand-rotation bug this test exists to catch
+        stragglers = [k for k in uncovered if k not in _DEFERRED_NEW]
+        assert stragglers == [], (
             f"queries lacking a current-round driver row are outside "
-            f"the 50-slot window: {uncovered}"
+            f"the 50-slot window and not in _DEFERRED_NEW: {stragglers}"
+        )
+        assert all(k in QUERIES for k in _DEFERRED_NEW)
+        # the queue is for NEW (never-attested) queries only — a query
+        # with any driver history parked here would hide real staleness
+        ever = set()
+        for f in files:
+            ever |= set(json.load(open(f)))
+        assert not (set(_DEFERRED_NEW) & ever), (
+            "deferral queue contains previously-attested queries"
         )
 
 
