@@ -937,10 +937,29 @@ class DsirModel:
         id_col: str = "doc_id",
         text_col: str = "text",
         out_col: str = "dsir_logw",
+        vectorized: bool = True,
     ) -> DataFrame:
         """(id, dsir_logw, n_feats, keep) per document with ≥1 feature
         (documents whose text yields no tokens have no evidence and are
-        absent, matching CharLM's NULL-semantics)."""
+        absent, matching CharLM's NULL-semantics).
+
+        Two physically different, semantically identical plans:
+
+        * ``vectorized=True`` (default): ONE Arrow kernel per batch —
+          the 512-double λ table rides the closure, each document
+          scores in-process (tokenize → md5-bucket → λ gather-sum), no
+          explode, no join, NO SHUFFLE AT ALL.  The expression path's
+          per-token array HOFs are CodegenFallback (interpreted per
+          element — the measured 24× family of slowdowns); the kernel
+          is ~10× at corpus scale.  Per-doc float sums can differ from
+          the expression path by ulp-order summation noise only.
+        * ``vectorized=False``: the pure-native explode → broadcast
+          join → map-side-combined groupBy plan (no Python anywhere) —
+          the oracle-shaped reference implementation and the parity
+          gate for the kernel.
+        """
+        if vectorized:
+            return self._log_weights_kernel(df, id_col, text_col, out_col)
         ex = df.select(
             F.col(id_col),
             F.explode(_dsir_features(F.col(text_col))).alias("__feat"),
@@ -954,6 +973,68 @@ class DsirModel:
                 F.sum("lam").alias(out_col),
                 F.count(F.lit(1)).alias("n_feats"),
             )
+            .withColumn("keep", F.col(out_col) > 0.0)
+        )
+
+    def _log_weights_kernel(
+        self, df: DataFrame, id_col: str, text_col: str, out_col: str
+    ) -> DataFrame:
+        """Arrow-batched scoring: λ as a closure numpy array, zero
+        shuffle.  Tokenization is pinned to the expression path's
+        semantics: trim = ASCII space only (Spark ``trim``), split on
+        ASCII ``\\s+`` (Java regex ``\\s`` is ASCII-only), lowercase
+        before split — parity-gated on tab/newline/NBSP text."""
+        import numpy as np
+
+        lam_np = np.zeros(self.buckets, dtype=np.float64)
+        for r in self.lam.collect():  # bounded: exactly `buckets` rows
+            lam_np[r["bucket"]] = r["lam"]
+        B = self.buckets
+        id_field = df.schema[id_col].dataType.simpleString()
+
+        def score(batches):
+            import hashlib
+            import re as _re
+
+            import pandas as pd
+
+            split = _re.compile(r"\s+", _re.ASCII).split
+            for pdf in batches:
+                ids, ws, ns = [], [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    if text is None:
+                        continue
+                    toks = [w for w in split(text.strip(" ").lower()) if w]
+                    feats = toks + [
+                        a + " " + b for a, b in zip(toks, toks[1:])
+                    ]
+                    if not feats:
+                        continue
+                    idx = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(f.encode("utf-8")).hexdigest()[:8],
+                                16,
+                            )
+                            % B
+                            for f in feats
+                        ),
+                        dtype=np.int64,
+                        count=len(feats),
+                    )
+                    ids.append(did)
+                    ws.append(float(lam_np[idx].sum()))
+                    ns.append(len(feats))
+                yield pd.DataFrame(
+                    {id_col: ids, out_col: ws, "n_feats": ns}
+                )
+
+        out_schema = (
+            f"{id_col} {id_field}, {out_col} double, n_feats long"
+        )
+        return (
+            df.select(id_col, text_col)
+            .mapInPandas(score, out_schema)
             .withColumn("keep", F.col(out_col) > 0.0)
         )
 

@@ -655,8 +655,6 @@ def _streaming(spark, F, blow_up, read_table, mult) -> None:
         shutil.rmtree(ckpt_root, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _curation20(spark, F, blow_up, read_table, mult) -> None:
@@ -717,3 +715,7 @@ def _curation20(spark, F, blow_up, read_table, mult) -> None:
         f"keep {survivors / n:.3f}"
     )
     docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
