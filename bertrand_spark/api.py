@@ -116,7 +116,8 @@ def audit_scale(df: DataFrame, name: str = "<df>") -> list:
 
     Returns a list of human-readable flag strings (empty = clean).
     """
-    from .plans.audit import audit_plan
+    from .plans.audit import audit_broadcast_hints, audit_plan
 
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return audit_plan(name, plan)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    return audit_plan(name, plan) + audit_broadcast_hints(name, qe.analyzed())

@@ -7,6 +7,13 @@ Checks a plan string for 100 TB anti-patterns:
 * single-partition exchanges feeding sorts/windows over non-trivial input
 * scans reading more columns than a pruned query should
 * shuffle-heavy plans (distinct exchange count over a per-shape ceiling)
+
+Plus a LOGICAL-plan check (:func:`audit_broadcast_hints`): a static
+``F.broadcast`` hint whose input scales with the data — an aggregate
+keyed by a fact-table column, or an sf-scaling base relation — is a
+driver OOM at 100 TB, not a slow plan.  The physical plan cannot show
+this (an AQE-chosen and a hint-forced broadcast print identically), so
+this check walks the ANALYZED plan's ``ResolvedHint`` subtrees.
 """
 
 from __future__ import annotations
@@ -74,4 +81,153 @@ def audit_plan(name: str, plan: str) -> list[str]:
     ceiling = next((v for k, v in _PIPELINE_CEILING.items() if k in name), 6)
     if n_exchanges > ceiling:
         flags.append(f"{n_exchanges} exchanges — shuffle-heavy plan")
+    return flags
+
+
+# ---------------------------------------------------------------------------
+# Static broadcast-hint audit (logical plan)
+# ---------------------------------------------------------------------------
+
+# Base relations whose cardinality does not scale with the data volume:
+# TPC-H fixes nation at 25 rows and region at 5 at every scale factor.
+_BOUNDED_TABLES = {"nation", "region"}
+
+# Leaf nodes that are driver-local by construction (literal lookup
+# tables shipped via createDataFrame) — bounded by the code that built
+# them, not by the data.  LogicalRDD is what Spark 4's Arrow-backed
+# createDataFrame produces; nothing in this engine wraps an unbounded
+# external RDD, so a LogicalRDD leaf means driver-local literals.
+_LOCAL_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
+
+# Hints whose subtree is structurally unbounded but bounded by a
+# DOCUMENTED contract the structural walk cannot see.  Maps query-name
+# substring -> the contract.  Anything not listed here gets flagged.
+_BCAST_OK = {
+    # per-language / per-source aggregates: grouping key domain is the
+    # language / corpus-source vocabulary (dozens), not the row count
+    "x39": "per-language bounds aggregate — key domain = #languages",
+    "x23": "per-group quota table — key domain = #strata",
+    "x37": "per-source rates table — key domain = #sources",
+    "x40": "per-source mixture weights — key domain = #sources",
+    # decontamination: the broadcast side is the EVAL benchmark's n-gram
+    # table — bounded by the benchmark suite size, never the corpus
+    # (curation.py _containment_hits documents the BNLJ contract too)
+    "x18": "benchmark n-gram table — bounded by the eval set",
+    "x20": "benchmark n-gram table — bounded by the eval set",
+    "x44": "benchmark n-gram table — bounded by the eval set",
+    # DSIR: the lambda table is an aggregate keyed by hash(gram) % 512
+    # — cardinality bounded by the modulus, invisible structurally
+    "x45": "DSIR lambda table — 512 hash buckets by construction",
+    "x46": "cascade stage tables — bounded rule/bucket domains",
+    # MinHash/LSH verify joins broadcast the candidate-pruned side only
+    # in the MEASURED small regime (dedup.py picks direct-broadcast vs
+    # semi-join from materialized sizes at runtime)
+    "x02": "measured-regime verify broadcast (dedup.py size switch)",
+    "x30": "measured-regime verify broadcast via x02 pair generation",
+    "x31": "measured-regime verify broadcast via x02 pair generation",
+    "x32": "ids-only band join with provable broadcast bound",
+    "x35": "measured-regime verify broadcast (chunk variant)",
+    "x16": "query-batch closure ship — bounded by the query set",
+}
+
+
+def _jchildren(node):
+    s = node.children()
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _node_kind(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _relation_table(node) -> str:
+    """Best-effort base-table name for a LogicalRelation leaf."""
+    try:
+        path = node.relation().location().rootPaths().apply(0).toString()
+    except Exception:
+        return "<unknown>"
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    return base.split(".")[0]
+
+
+def _contains_aggregate(node) -> bool:
+    if _node_kind(node) == "Aggregate":
+        return True
+    return any(_contains_aggregate(c) for c in _jchildren(node))
+
+
+def _post_agg_filter(node) -> bool:
+    """True if some Filter in the subtree sits ABOVE an Aggregate —
+    the decorrelated-scalar idiom (q57: revenue = max(revenue)) that
+    reduces an aggregate to a handful of rows after the fact."""
+    if _node_kind(node) == "Filter" and _contains_aggregate(node):
+        return True
+    return any(_post_agg_filter(c) for c in _jchildren(node))
+
+
+def _bounded_subtree(node) -> bool:
+    """Structurally bounded cardinality: every leaf is a fixed-size
+    table or driver-local literal, or the subtree funnels through a
+    global (no grouping keys) aggregate."""
+    kind = _node_kind(node)
+    if kind == "LogicalRelation":
+        return _relation_table(node) in _BOUNDED_TABLES
+    if kind in _LOCAL_LEAVES:
+        return True
+    if kind == "Aggregate" and node.groupingExpressions().size() == 0:
+        return True  # global aggregate: at most one row regardless of input
+    kids = _jchildren(node)
+    if not kids:
+        return False  # unknown leaf: assume it scales
+    return all(_bounded_subtree(c) for c in kids)
+
+
+def _collect_hints(node, out):
+    if _node_kind(node) == "ResolvedHint" and "broadcast" in node.hints().toString():
+        out.append(node)
+    for c in _jchildren(node):
+        _collect_hints(c, out)
+
+
+def _unbounded_tables(node, out):
+    kind = _node_kind(node)
+    if kind == "LogicalRelation":
+        t = _relation_table(node)
+        if t not in _BOUNDED_TABLES:
+            out.add(t)
+    for c in _jchildren(node):
+        _unbounded_tables(c, out)
+
+
+def audit_broadcast_hints(name: str, analyzed_jplan) -> list[str]:
+    """Flag static F.broadcast hints whose input scales with the data.
+
+    ``analyzed_jplan`` is ``df._jdf.queryExecution().analyzed()``.  A
+    hint passes if its subtree is bounded by construction (nation/region
+    leaves, literal local relations, global aggregates), carries a
+    post-aggregate filter (the q57 max-reduction idiom), or the query
+    is in the documented ``_BCAST_OK`` contract list.  Everything else
+    — q54's |part|-cardinality thresholds aggregate was the motivating
+    case — is a forced driver OOM at 100 TB and gets flagged.
+    """
+    ok_reason = next((v for k, v in _BCAST_OK.items() if k in name), None)
+    if ok_reason is not None:
+        return []
+    hints: list = []
+    _collect_hints(analyzed_jplan, hints)
+    flags: list[str] = []
+    for h in hints:
+        child = _jchildren(h)[0]
+        if _bounded_subtree(child):
+            continue
+        if _post_agg_filter(child):
+            continue
+        tables: set = set()
+        _unbounded_tables(child, tables)
+        flags.append(
+            "static broadcast hint over sf-scaling input "
+            f"(tables: {', '.join(sorted(tables)) or 'derived'}) — "
+            "forced broadcast cannot survive 100 TB; drop the hint "
+            "(AQE decides from measured sizes) or add a size guard"
+        )
     return flags

@@ -3647,7 +3647,10 @@ def q51(spark, sf_dir):
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
     )
     joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # p is type-filtered but still sf-scaling (|part|/n_types) — no
+        # static hint; AQE broadcasts it at bench scale from measured
+        # size.  The nation-derived frames stay hinted: ≤25 rows always.
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -3709,7 +3712,8 @@ def q52(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # LIKE-filtered part is still sf-scaling — AQE decides, no hint
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -3797,8 +3801,13 @@ def q54(spark, sf_dir):
     lineitem (the subquery has no brand predicate — per TPC-H the
     average is over all orders of the part), so at 100 TB the plan is
     two lineitem scans: one full (pre-agg to ~n_parts rows), one
-    brand-pruned; the join of fact × per-part thresholds broadcasts
-    because thresholds ≤ |part|."""
+    brand-pruned.  NO static broadcast hints: both the brand-filtered
+    part and the per-part thresholds aggregate are |part|-cardinality
+    by construction — billions of rows at TPC-H-100TB, where a forced
+    broadcast is a driver OOM, not a slow plan.  AQE broadcasts both at
+    bench scale from MEASURED sizes (plan-shape unit asserts it) and
+    falls back to a partitioned join when they outgrow the threshold —
+    the same rule q43/q48 state and x34 applies to docfreq."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -3807,8 +3816,8 @@ def q54(spark, sf_dir):
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(thresholds), li["l_partkey"] == F.col("t_partkey"))
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(thresholds, li["l_partkey"] == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
     )
@@ -3852,7 +3861,8 @@ def q55(spark, sf_dir):
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # brand/size-filtered part is still sf-scaling — AQE decides
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm("Brand#3", 35, 20, 30))
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))

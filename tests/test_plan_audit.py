@@ -29,7 +29,10 @@ _BATCH_QUERIES = [
 
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
 def test_plan_clean(spark, sf_dir, name):
+    from bertrand_spark.plans.audit import audit_broadcast_hints
+
     df = QUERIES[name](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    flags = audit_plan(name, plan)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    flags = audit_plan(name, plan) + audit_broadcast_hints(name, qe.analyzed())
     assert not flags, f"{name}: {flags}"

@@ -1,0 +1,124 @@
+"""Round-7 regression gates.
+
+1. q54 de-weak: the TPC-H Q17 plan no longer FORCES broadcasts of its
+   sf-scaling inputs (brand-filtered part, |part|-cardinality
+   thresholds aggregate) — AQE picks broadcast at bench scale from
+   measured sizes instead, so the same plan builder survives 100 TB.
+2. audit_broadcast_hints: the new logical-plan audit catches the
+   pre-fix q54 shape (static hint on an unfiltered fact aggregate),
+   passes the q57 post-aggregate-filter idiom and bounded dimensions.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bertrand_spark.plans.audit import audit_broadcast_hints  # noqa: E402
+from bertrand_spark.plans.queries import QUERIES  # noqa: E402
+
+
+def _analyzed(df):
+    return df._jdf.queryExecution().analyzed()
+
+
+class TestQ54DeWeak:
+    def test_no_static_hints_in_q54(self, spark, sf_dir):
+        """The analyzed plan must carry ZERO ResolvedHint nodes — both
+        round-6 hints (filtered part, thresholds aggregate) removed."""
+        df = QUERIES["q54_small_quantity_revenue"](spark, sf_dir)
+        plan = _analyzed(df).toString()
+        assert "ResolvedHint" not in plan
+        assert audit_broadcast_hints("q54", _analyzed(df)) == []
+
+    def test_aqe_still_broadcasts_at_bench_scale(self, spark, sf_dir):
+        """Dropping the hint must not cost the small-sf plan its
+        broadcasts: after execution, AQE's final plan joins both the
+        filtered part and the thresholds aggregate as broadcast-hash —
+        chosen from measured sizes, not forced."""
+        df = QUERIES["q54_small_quantity_revenue"](spark, sf_dir)
+        df.collect()  # finalize the adaptive plan
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert final.count("BroadcastHashJoin") >= 2, final
+
+    def test_filtered_part_hints_dropped_in_q51_q52_q55(self, spark, sf_dir):
+        """The milder instances of the same pattern: q51/q52/q55 no
+        longer hint the filtered (but sf-scaling) part dimension; their
+        remaining hints are nation/region-bounded only."""
+        for name in (
+            "q51_market_share",
+            "q52_product_profit",
+            "q55_disjunctive_revenue",
+        ):
+            df = QUERIES[name](spark, sf_dir)
+            assert audit_broadcast_hints(name, _analyzed(df)) == [], name
+
+
+class TestBroadcastHintAudit:
+    def test_flags_prefix_q54_shape(self, spark, sf_dir):
+        """The exact round-6 q54 shape — static F.broadcast on a
+        per-partkey aggregate of unfiltered lineitem AND on the
+        brand-filtered part — must be flagged (twice)."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+            (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+        )
+        p = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_brand") == "Brand#3")
+            .select("p_partkey")
+        )
+        prefix = (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(F.broadcast(thresholds), li["l_partkey"] == F.col("t_partkey"))
+            .filter(F.col("l_quantity") < F.col("qty_threshold"))
+            .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        )
+        flags = audit_broadcast_hints("q54_prefix_shape", _analyzed(prefix))
+        assert len(flags) == 2, flags
+        assert any("lineitem" in f for f in flags)
+        assert any("part" in f for f in flags)
+
+    def test_passes_post_aggregate_filter_idiom(self, spark, sf_dir):
+        """q57's top-supplier frame (max-revenue filter ABOVE the
+        per-supplier aggregate) is the documented safe idiom."""
+        df = QUERIES["q57_top_supplier"](spark, sf_dir)
+        assert audit_broadcast_hints("q57_top_supplier", _analyzed(df)) == []
+
+    def test_passes_bounded_dimensions(self, spark, sf_dir):
+        """nation/region-derived broadcast frames stay clean."""
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10)
+        df = li.join(F.broadcast(n), li["l_suppkey"] == n["n_nationkey"])
+        assert audit_broadcast_hints("bounded_dim", _analyzed(df)) == []
+
+    def test_passes_global_aggregate(self, spark, sf_dir):
+        """A global (no grouping keys) aggregate is one row by
+        construction — the q45 scalar-subquery idiom."""
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        avg_bal = c.agg(F.avg("c_acctbal").alias("ab"))
+        df = c.crossJoin(F.broadcast(avg_bal)).filter(
+            F.col("c_acctbal") > F.col("ab")
+        )
+        assert audit_broadcast_hints("global_agg", _analyzed(df)) == []
+
+    def test_flags_raw_fact_broadcast(self, spark, sf_dir):
+        """Hinting an unfiltered sf-scaling base relation is flagged."""
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        df = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        flags = audit_broadcast_hints("raw_fact", _analyzed(df))
+        assert len(flags) == 1 and "orders" in flags[0], flags
+
+    def test_local_relation_is_bounded(self, spark):
+        """Literal lookup tables (createDataFrame) pass: bounded by the
+        code that built them."""
+        lv = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        big = spark.range(1000).withColumnRenamed("id", "k")
+        df = big.join(F.broadcast(lv), "k", "left")
+        assert audit_broadcast_hints("local_lookup", _analyzed(df)) == []

@@ -20,7 +20,10 @@ import sys
 import sys as _sys
 
 _sys.path.insert(0, "/root/repo")
-from bertrand_spark.plans.audit import audit_plan  # noqa: E402,F401 — CLI + CI import surface
+from bertrand_spark.plans.audit import (  # noqa: E402,F401 — CLI + CI import surface
+    audit_broadcast_hints,
+    audit_plan,
+)
 
 
 def main() -> int:
@@ -46,11 +49,13 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            qe = df._jdf.queryExecution()
+            plan = qe.executedPlan().toString()
+            hint_flags = audit_broadcast_hints(name, qe.analyzed())
         except Exception as exc:
             print(f"ERROR {name}: {exc}")
             continue
-        flags = audit_plan(name, plan)
+        flags = audit_plan(name, plan) + hint_flags
         if flags:
             print(f"FLAG {name}:")
             for f in flags:
