@@ -1105,6 +1105,65 @@ def train_dsir(
     return DsirModel(lam, B, alpha)
 
 
+def dsir_resample(
+    df: DataFrame,
+    model: DsirModel,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "dsir_logw",
+    salt: str = "gumbel",
+    vectorized: bool = True,
+) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §2.3): draw ``n``
+    documents with probability proportional to their importance weight
+    ``exp(dsir_logw)`` — completing the score → sample-to-budget
+    pipeline in one call.
+
+    Sampling uses the Gumbel-top-k equivalence (sampling without
+    replacement ∝ w_i  ≡  top-k of log w_i + Gumbel noise), with the
+    Gumbel uniforms derived DETERMINISTICALLY from an md5 bucket of
+    the document id: u = (('0x'||md5(id|salt)[:8]) + 0.5) / 2^32, so
+    the draw is engine-independent (DuckDB replays the exact keys),
+    stable under repartitioning, and reproducible forever — the same
+    no-RNG-state convention as :func:`sample_deterministic`.  A
+    different ``salt`` is a fresh independent draw.
+
+    Scale shape: scoring is the model's single corpus pass (Arrow
+    kernel by default, ``vectorized=False`` for the oracle-shaped
+    native plan); the key is one narrow projection; top-k is
+    ``orderBy(...).limit(n)`` — Spark's TakeOrderedAndProject keeps a
+    per-partition heap of n and merges, never a global sort, so the
+    plan holds at any corpus size.  Ties: the key is continuous, and
+    ``id_col`` breaks the measure-zero remainder, so the cutoff is a
+    total order.
+    """
+    scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit("|" + salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.col(out_col) - F.log(-F.log(u))
+    return (
+        scored.withColumn("gumbel_key", key.cast("double"))
+        .select(id_col, out_col, "n_feats", "gumbel_key")
+        .orderBy(F.col("gumbel_key").desc(), id_col)
+        .limit(int(n))
+    )
+
+
 # --- filter-cascade attrition funnel ---------------------------------------
 
 

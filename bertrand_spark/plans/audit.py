@@ -28,7 +28,11 @@ import re
 #   set, curation.py _containment_hits.
 # - q45: the scalar-subquery idiom — a ONE-row broadcast aggregate crossed
 #   into the filter (TPC-H Q22 shape); bounded by construction.
-_BNLJ_OK = ("x05", "x06", "x18", "x20", "q45")
+# - q58/q59/q60: the derived-partsupp fan-out (part × a 4-row literal ×
+#   a one-row supplier count — queries.derived_partsupp) is a bounded
+#   cross join by construction; q59 additionally crosses its one-row
+#   global threshold back in (the q45 idiom, TPC-H Q11 HAVING).
+_BNLJ_OK = ("x05", "x06", "x18", "x20", "q45", "q58", "q59", "q60")
 
 # Composed multi-stage pipelines legitimately carry more exchanges:
 # x02/x03 are LSH/posting-join dedups (sig shuffle + band join + verify),

@@ -122,3 +122,122 @@ class TestBroadcastHintAudit:
         big = spark.range(1000).withColumnRenamed("id", "k")
         df = big.join(F.broadcast(lv), "k", "left")
         assert audit_broadcast_hints("local_lookup", _analyzed(df)) == []
+
+
+class TestDerivedPartsupp:
+    """q58-q60 close TPC-H at 22/22 via a partsupp derived
+    deterministically from part × supplier (same arithmetic in both
+    engines — see queries._PARTSUPP_SQL)."""
+
+    def test_shape_and_ranges(self, spark, sf_dir):
+        from bertrand_spark.plans.queries import derived_partsupp
+
+        ps = derived_partsupp(spark, sf_dir).cache()
+        n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+        assert ps.count() == 4 * n_part
+        # 4 DISTINCT suppliers per part (stride floor(S/4) over S keys)
+        per_part = ps.groupBy("ps_partkey").agg(
+            F.countDistinct("ps_suppkey").alias("k")
+        )
+        assert per_part.filter(F.col("k") != 4).count() == 0
+        row = ps.agg(
+            F.min("ps_availqty"), F.max("ps_availqty"),
+            F.min("ps_supplycost"), F.max("ps_supplycost"),
+        ).collect()[0]
+        assert 1 <= row[0] and row[1] <= 9999
+        assert 1.0 <= row[2] and row[3] <= 1001.0
+        # suppkeys land inside the real supplier key domain
+        s_keys = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey"
+        )
+        dangling = ps.join(
+            s_keys, ps["ps_suppkey"] == s_keys["s_suppkey"], "left_anti"
+        )
+        assert dangling.count() == 0
+        ps.unpersist()
+
+    def test_deterministic_across_builds(self, spark, sf_dir):
+        from bertrand_spark.plans.queries import derived_partsupp
+
+        a = derived_partsupp(spark, sf_dir).orderBy("ps_partkey", "ps_suppkey")
+        b = derived_partsupp(spark, sf_dir).orderBy("ps_partkey", "ps_suppkey")
+        assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+    def test_q58_uses_keyed_window(self, spark, sf_dir):
+        """The per-part min is a window PARTITIONED BY the part key —
+        one shuffle, no self-join, and never a single-partition funnel."""
+        df = QUERIES["q58_min_cost_supplier"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "hashpartitioning(p_partkey" in plan, plan[:2000]
+
+    def test_q60_semi_joins(self, spark, sf_dir):
+        """Both IN-subqueries become LEFT SEMI joins (no row
+        multiplication from the part or supplier restrictions)."""
+        df = QUERIES["q60_potential_promotion"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("LeftSemi") >= 2, plan[:2000]
+
+
+class TestDsirResample:
+    def _model_and_docs(self, spark, sf_dir):
+        from bertrand_spark.pipeline import curation as CU
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        model = CU.train_dsir(
+            d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0
+        )
+        return model, d
+
+    def test_repartition_stable(self, spark, sf_dir):
+        """The Gumbel draw is md5-derived — the selected set must not
+        depend on physical partitioning."""
+        from bertrand_spark.pipeline import curation as CU
+
+        model, d = self._model_and_docs(spark, sf_dir)
+        a = CU.dsir_resample(d, model, 50)
+        b = CU.dsir_resample(d.repartition(17), model, 50)
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
+
+    def test_kernel_matches_native(self, spark, sf_dir):
+        """vectorized=True (Arrow kernel) and vectorized=False (native
+        explode/join plan) select the identical top-k."""
+        from bertrand_spark.pipeline import curation as CU
+
+        model, d = self._model_and_docs(spark, sf_dir)
+        k = CU.dsir_resample(d, model, 40, vectorized=True).collect()
+        n = CU.dsir_resample(d, model, 40, vectorized=False).collect()
+        assert sorted(r["doc_id"] for r in k) == sorted(r["doc_id"] for r in n)
+        kw = {r["doc_id"]: r["gumbel_key"] for r in k}
+        nw = {r["doc_id"]: r["gumbel_key"] for r in n}
+        for did in kw:
+            assert abs(kw[did] - nw[did]) < 1e-9 * max(1.0, abs(nw[did]))
+
+    def test_salt_gives_fresh_draw(self, spark, sf_dir):
+        """A different salt is an independent sample: overlap exists
+        (high-weight docs dominate any draw) but the sets differ."""
+        from bertrand_spark.pipeline import curation as CU
+
+        model, d = self._model_and_docs(spark, sf_dir)
+        a = {r["doc_id"] for r in CU.dsir_resample(d, model, 50).collect()}
+        b = {
+            r["doc_id"]
+            for r in CU.dsir_resample(d, model, 50, salt="run2").collect()
+        }
+        assert a != b
+
+    def test_weight_bias(self, spark, sf_dir):
+        """Sampling ∝ exp(logw): the selected set's mean log-weight
+        must exceed the corpus mean (the whole point of DSIR)."""
+        from bertrand_spark.pipeline import curation as CU
+
+        model, d = self._model_and_docs(spark, sf_dir)
+        sel = CU.dsir_resample(d, model, 50)
+        sel_mean = sel.agg(F.avg("dsir_logw")).collect()[0][0]
+        all_mean = (
+            model.log_weights(d).agg(F.avg("dsir_logw")).collect()[0][0]
+        )
+        assert sel_mean > all_mean
