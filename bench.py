@@ -16,7 +16,8 @@ import time
 
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 HEADLINE = [
     # the two posting-join heavies run FIRST: round-2 showed them paying a
@@ -274,14 +275,17 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
     probes["after"] = host_probe()
-    # mid-run degradation handling (round-6, from the r5 postmortem: a
-    # run whose mid/end probes read 0.163/0.154 s overstated every query
-    # 25-40%).  If ANY probe read degraded, the min-of-N for queries
-    # timed in that phase is polluted at once (the degradation is
-    # uniform), so: wait — bounded — for a healthy probe, then re-run
-    # one timed pass over every query and min it in.  If the host never
-    # recovers inside the bound, the record is explicitly marked
-    # degraded instead of silently shipping inflated numbers.
+    # mid-run degradation handling, two independent signals (round-7,
+    # from the r5 postmortem): (1) the host probe — catches sys%-burst
+    # phases where the 6M-row range-sum itself slows; (2) the ENVELOPE
+    # check below — the r5 failure class had probes reading HEALTHY
+    # (0.163/0.154 s) while every query ran 25-40% over, so the probe
+    # alone cannot catch query-level degradation and a secondary signal
+    # against the prior round's recorded timings is required.  Either
+    # signal firing triggers the same recovery: wait — bounded — for a
+    # healthy probe, re-run one timed pass over every query, min it in;
+    # if the record still looks degraded it is explicitly marked
+    # instead of silently shipping inflated numbers.
     _healthy = 0.2 * 1.15
     degraded = any(
         v > _healthy for k, v in probes.items() if k != "healthy_wait_sec"
@@ -312,6 +316,62 @@ def main() -> None:
                 spark.catalog.clearCache()
             probes["after_resample"] = host_probe()
             degraded = probes["after_resample"] > _healthy
+
+    # envelope check: median ratio of this run's timings to the prior
+    # recorded round over common queries.  Uniform host slowness lifts
+    # the median; a genuine per-query plan regression is localized and
+    # leaves it near 1.  Sub-0.3 s queries are noise-dominated and
+    # excluded.  Median ≥ 1.25 over ≥ 5 common queries → same recovery
+    # pass as the probe signal, and if the re-run still reads ≥ 1.25
+    # the record ships with degraded_host=true + the reason.
+    def _median_vs_prior() -> tuple:
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+        if not files:
+            return None, 0
+        try:
+            rec = json.load(open(files[-1]))
+        except Exception:
+            return None, 0
+        # only a same-scale-factor record is a meaningful envelope
+        if rec.get("sf") != sf:
+            return None, 0
+        prior = rec.get("queries", {})
+        ratios = sorted(
+            timings[n] / prior[n]
+            for n in timings
+            if n in prior and timings[n] > 0.3 and prior[n] > 0.3
+        )
+        if len(ratios) < 5:
+            return None, len(ratios)
+        return ratios[len(ratios) // 2], len(ratios)
+
+    envelope_median, _n_common = _median_vs_prior()
+    if envelope_median is not None and envelope_median >= 1.25:
+        probes["envelope_median"] = round(envelope_median, 3)
+        if not degraded:  # probe path already re-ran everything
+            for name in HEADLINE:
+                fn = QUERIES.get(name)
+                if fn is None or timings.get(name, -1.0) < 0:
+                    continue
+                try:
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    timings[name] = min(
+                        timings[name], round(time.time() - t0, 3)
+                    )
+                except Exception:
+                    pass
+                spark.catalog.clearCache()
+        envelope_median, _ = _median_vs_prior()
+        probes["envelope_median_after"] = (
+            round(envelope_median, 3) if envelope_median is not None else None
+        )
+        if envelope_median is not None and envelope_median >= 1.25:
+            degraded = True
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(

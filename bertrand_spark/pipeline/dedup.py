@@ -254,14 +254,22 @@ def compact_fingerprint_store(
             )
     # write-to-temp-then-swap: overwriting a table read by its own plan
     # is refused by the analyzer (and caching it is eviction-fragile),
-    # so the compacted copy lands under a temp name and is renamed in
+    # so the compacted copy lands under a temp name and is swapped in.
+    # The swap is rename-rename-drop, NOT drop-rename: the store name
+    # must resolve at every intermediate step, so a crash between the
+    # two renames leaves the old data under the __compact_bak name
+    # (recoverable by renaming it back) instead of leaving the store
+    # missing entirely.
     tmp = f"{table}__compact_tmp"
+    bak = f"{table}__compact_bak"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {bak}")
     write_bucketed(
         spark.table(table).distinct(), tmp, ["fp"], num_buckets=num_buckets
     )
-    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {bak}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {bak}")
 
 
 def exact_dedup_incremental_store(

@@ -478,10 +478,19 @@ def decode_format_report(
     )
     decoder = "pil" if _pil_image_module() is not None else "stdlib-png"
     is_png = F.col("sniffed_format") == "png"
-    variant = is_png & (
-        ~F.col("__depth").isin(8, 16)
-        | ~F.col("__ctype").isin(0, 2, 3, 4, 6)
-        | ((F.col("__depth") == 16) & (F.col("__ctype") == 3))
+    # A payload truncated before IHDR byte 26 probes NULL depth/ctype;
+    # without the coalesce the NULL propagates through `variant` and the
+    # row lands in NONE of the three subclasses (breaking the documented
+    # "subclasses sum to n_null" contract).  Truncation is corruption,
+    # not an unsupported variant — coalesce to false → n_null_other.
+    variant = F.coalesce(
+        is_png
+        & (
+            ~F.col("__depth").isin(8, 16)
+            | ~F.col("__ctype").isin(0, 2, 3, 4, 6)
+            | ((F.col("__depth") == 16) & (F.col("__ctype") == 3))
+        ),
+        F.lit(False),
     )
     no_decoder = F.lit(decoder == "stdlib-png") & ~is_png
     null_row = ~F.col("__ok")

@@ -793,6 +793,23 @@ def ivf_append(
 
     row = spark.read.json(f"{path}/centroids").collect()[0]
     centroids = json.loads(row["centroids"])
+    if codebooks is None:
+        # Appending un-coded rows to a PQ-served index would merge them
+        # in with NULL __pq codes, and ivf_pq_topk would silently never
+        # return them — quiet recall loss under continuous ingest.
+        # Probe the stored schema and refuse instead.
+        try:
+            stored_fields = {
+                f.name for f in spark.read.parquet(f"{path}/vectors").schema
+            }
+        except Exception:
+            stored_fields = set()
+        if "__pq" in stored_fields:
+            raise ValueError(
+                f"index at {path!r} is PQ-served (stored rows carry "
+                "__pq); pass codebooks= (and residual=True for IVFADC) "
+                "so appended rows stay scoreable by ivf_pq_topk"
+            )
     assigned = ivf_assign(new_vectors, centroids, vec_col)
     if codebooks is not None:
         assigned = pq_encode(
@@ -1257,10 +1274,14 @@ def _keep_dominant_per_bucket(
     :func:`semantic_dedup_bucketed` (sign buckets) and
     :func:`semantic_dedup_ivf` (trained k-means cells): one GEMM per
     bucket, keep a row iff no STRICTLY-lower-id row in the same bucket
-    has cosine ≥ thr.  Input needs ``(id_col, __v float64, bucket)``."""
+    has cosine ≥ thr.  Input needs ``(id_col, __v float64, bucket)``.
+    The output id field inherits the INPUT's id type (string ids sort
+    lexicographically — the keep rule only needs a total order), so
+    any id column the public API accepts works here too."""
     import numpy as np
 
-    out_schema = f"{id_col} long, bucket int"
+    id_field = bucketed.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, bucket int"
 
     def keep_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()

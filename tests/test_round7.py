@@ -241,3 +241,114 @@ class TestDsirResample:
             model.log_weights(d).agg(F.avg("dsir_logw")).collect()[0][0]
         )
         assert sel_mean > all_mean
+
+
+class TestAdviceR6Fixes:
+    """Round-6 ADVICE items, each with the failure it guards against."""
+
+    def test_compaction_survives_name_resolution(self, spark):
+        """rename-rename-drop swap: the store name resolves after
+        compaction, and neither scratch name (tmp/bak) survives —
+        a crash between the renames now leaves the data under the
+        backup name instead of leaving the store missing."""
+        from bertrand_spark.pipeline.dedup import (
+            compact_fingerprint_store, write_fingerprint_store,
+        )
+
+        t = "t_compact_atomicity_r7"
+        for suffix in ("", "__compact_tmp", "__compact_bak"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+        try:
+            docs = spark.createDataFrame(
+                [(i, f"text {i % 5}") for i in range(20)],
+                "doc_id long, text string",
+            )
+            write_fingerprint_store(docs, t, num_buckets=4)
+            write_fingerprint_store(docs, t, num_buckets=4, mode="append")
+            before = spark.table(t).distinct().count()
+            compact_fingerprint_store(spark, t)
+            assert spark.table(t).count() == before
+            existing = {
+                r["tableName"] for r in spark.sql("SHOW TABLES").collect()
+            }
+            assert f"{t}__compact_tmp" not in existing
+            assert f"{t}__compact_bak" not in existing
+        finally:
+            for suffix in ("", "__compact_tmp", "__compact_bak"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+    def test_semantic_dedup_string_ids(self, spark):
+        """_keep_dominant_per_bucket derives the output id type from
+        the input schema — string ids used to crash at runtime against
+        the hardcoded 'long'."""
+        from bertrand_spark.pipeline.similarity import (
+            semantic_dedup_bucketed,
+        )
+
+        rows = [
+            ("doc_a", [1.0, 1.0, 1.0, 0.0]),
+            ("doc_b", [1.0, 1.0, 0.9, 0.0]),   # dominated by doc_a
+            ("doc_c", [-1.0, 1.0, 1.0, 0.0]),  # different bucket
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id string, embedding array<double>"
+        )
+        kept = semantic_dedup_bucketed(df, threshold=0.9, bits=2)
+        assert {r["vec_id"] for r in kept.collect()} == {"doc_a", "doc_c"}
+
+    def test_ivf_append_refuses_uncoded_rows_on_pq_index(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Appending without codebooks to a PQ-served index would merge
+        NULL-code rows that ivf_pq_topk silently never returns — the
+        append must refuse instead."""
+        import pytest as _pytest
+
+        from bertrand_spark.pipeline.similarity import (
+            ivf_append, ivf_build, ivf_write, pq_encode, pq_train,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents = ivf_build(e, num_cells=4, seed=5)
+        cb = pq_train(e, "embedding", m=8, nbits=4, seed=5)
+        enc = pq_encode(assigned, cb)
+        path = str(tmp_path / "pq_ivf")
+        ivf_write(enc, cents, path)
+        batch = e.limit(3)
+        with _pytest.raises(ValueError, match="PQ-served"):
+            ivf_append(spark, path, batch)
+        # with codebooks the same append goes through
+        ivf_append(spark, path, batch, codebooks=cb)
+
+    def test_decode_report_subclasses_sum_for_pre_ihdr_truncation(
+        self, spark
+    ):
+        """A PNG truncated BEFORE IHDR byte 26 probes NULL depth/ctype;
+        the variant predicate now coalesces to false so the row counts
+        in n_null_other and the three subclasses sum to n_null."""
+        import warnings
+
+        from bertrand_spark.pipeline.multimodal import (
+            decode_format_report, decode_images, png_encode,
+        )
+
+        ok = png_encode(2, 2, 3, bytes(12))
+        stub = ok[:20]  # signature + partial IHDR, no depth/ctype bytes
+        df = spark.createDataFrame(
+            [(1, ok), (2, stub)], "media_id long, payload binary"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            decoded = decode_images(df, decode="real")
+        row = {
+            r["sniffed_format"]: r
+            for r in decode_format_report(df, decoded).collect()
+        }["png"]
+        assert row["n_null"] == 1
+        assert (
+            row["n_null_unsupported_variant"]
+            + row["n_null_no_decoder"]
+            + row["n_null_other"]
+            == row["n_null"]
+        )
+        assert row["n_null_other"] == 1
