@@ -79,6 +79,14 @@ HEADLINE = [
     "q51_market_share",
     "q56_waiting_supplier",
     "x45_dsir_weights",
+    # round-7 appends: the three partsupp shapes that close TPC-H at
+    # 22/22 (Q2's keyed-window correlated min, Q11's global-scalar
+    # HAVING, Q20's nested semi-joins) and the DSIR Gumbel-top-k
+    # resample (score pass + TakeOrderedAndProject)
+    "q58_min_cost_supplier",
+    "q59_important_stock",
+    "q60_potential_promotion",
+    "x47_dsir_resample",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

@@ -313,17 +313,583 @@ def _png_decode(payload: bytes, channels: int):
         return None, None, None, None
 
 
+# --- stdlib baseline JPEG codec (round 7) ------------------------------------
+# The largest real-corpus decode gap after the round-6 PNG closer: web
+# crawl corpora are majority JPEG, and without PIL on the workers every
+# JPEG row was a no-decoder NULL.  Scope per the round-6 verdict:
+# BASELINE SEQUENTIAL only (SOF0/SOF1, Huffman, 8-bit) — progressive
+# (SOF2), arithmetic coding, and 12-bit stay NULL with the documented
+# per-row degrade (reference parity anchor: the Object escape hatch's
+# per-row degrade philosophy, /root/reference/bertrand/types/object.py:10-42).
+# Unlike PNG, bit-parity with PIL is NOT a meaningful target here:
+# libjpeg's islow integer IDCT and fancy chroma upsampling are
+# implementation choices the JPEG standard explicitly leaves open, so
+# independent decoders legitimately differ by ±1-2 LSB.  Correctness is
+# gated by round-tripping against the paired baseline ENCODER below
+# (quality=100 ⇒ unit quant tables ⇒ the only loss is YCbCr+DCT
+# rounding, bounded in tests) plus structural hand-built vectors.
+
+# zigzag scan order (JPEG spec Figure A.6), as (row, col) flat indices
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Annex K.1/K.2 typical quantization tables (zigzag order is NOT applied
+# here — these are in natural row order, zigzagged at segment-write time)
+_JPEG_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _jpeg_build_codes(bits, values):
+    """Spec C.2 code assignment: canonical codes in length order.
+    Returns {(length, code): symbol} for decode and
+    {symbol: (code, length)} for encode."""
+    dec, enc = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[k]
+            dec[(length, code)] = sym
+            enc[sym] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return dec, enc
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) * np.sqrt(0.25)
+    C[0, :] *= 1 / np.sqrt(2)
+    return C  # orthonormal: F = C @ f @ C.T, f = C.T @ F @ C
+
+
+def _jpeg_decode(payload: bytes, channels: int):
+    """Stdlib-only baseline JPEG decode → (w, h, channels, raw bytes).
+
+    Supports: SOF0/SOF1 (baseline + extended sequential, 8-bit),
+    1- or 3-component scans, any sampling factors up to 2×2 (covers
+    4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn).  Chroma
+    upsampling is nearest-neighbor (sample replication — the spec's
+    baseline behavior; libjpeg's 'fancy' triangle filter is a quality
+    option, not a conformance requirement, so byte hashes differ from
+    PIL on subsampled images by design).  Progressive (SOF2),
+    arithmetic coding, 12-bit, and >2× sampling return the all-None
+    row — the same one-bad-row-must-not-abort contract as PNG."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+            return None, None, None, None
+        pos = 2
+        qts: dict = {}
+        huff_dc: dict = {}
+        huff_ac: dict = {}
+        frame = None  # (w, h, [(cid, hsamp, vsamp, qt_id), ...])
+        restart_interval = 0
+        scan = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None, None, None, None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before any scan
+                return None, None, None, None
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None, None, None, None
+            pos += 2 + seglen
+            if marker == 0xDB:  # DQT (possibly several tables per segment)
+                o = 0
+                while o < len(body):
+                    pq, tq = body[o] >> 4, body[o] & 0xF
+                    o += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(
+                            body[o : o + 64], dtype=np.uint8
+                        ).astype(np.int32)
+                        o += 64
+                    else:  # 16-bit precision
+                        tbl = np.frombuffer(
+                            body[o : o + 128], dtype=">u2"
+                        ).astype(np.int32)
+                        o += 128
+                    dez = np.zeros(64, dtype=np.int32)
+                    dez[_JPEG_ZIGZAG] = tbl  # stored zigzagged
+                    qts[tq] = dez.reshape(8, 8)
+            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+                prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8:
+                    return None, None, None, None
+                comps = []
+                for i in range(ncomp):
+                    cid, samp, qt_id = body[6 + 3 * i : 9 + 3 * i]
+                    hs, vs = samp >> 4, samp & 0xF
+                    if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                        return None, None, None, None
+                    comps.append((cid, hs, vs, qt_id))
+                if ncomp not in (1, 3):
+                    return None, None, None, None
+                frame = (int(w), int(h), comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None, None, None, None  # progressive & friends
+            elif marker == 0xC4:  # DHT
+                o = 0
+                while o < len(body):
+                    tc, th = body[o] >> 4, body[o] & 0xF
+                    bits = list(body[o + 1 : o + 17])
+                    nval = sum(bits)
+                    vals = list(body[o + 17 : o + 17 + nval])
+                    dec, _ = _jpeg_build_codes(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = dec
+                    o += 17 + nval
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows the header
+                ns = body[0]
+                scan = []
+                for i in range(ns):
+                    cs, tables = body[1 + 2 * i : 3 + 2 * i]
+                    scan.append((cs, tables >> 4, tables & 0xF))
+                break
+            # APPn / COM / others: skipped
+        if frame is None or scan is None:
+            return None, None, None, None
+        w, h, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+
+        # entropy-coded data: pos now points at the first scan byte
+        data = payload
+        bitpos = [pos, 0]  # byte index, bit index within byte
+
+        def read_bit():
+            i, b = bitpos
+            if i >= len(data):
+                raise ValueError("truncated scan")
+            byte = data[i]
+            if byte == 0xFF:
+                nxt = data[i + 1] if i + 1 < len(data) else None
+                if nxt != 0x00:
+                    raise ValueError("marker inside scan")
+            bit = (byte >> (7 - b)) & 1
+            b += 1
+            if b == 8:
+                i += 1
+                if data[i - 1] == 0xFF:  # skip the stuffed 0x00
+                    i += 1
+                b = 0
+            bitpos[0], bitpos[1] = i, b
+            return bit
+
+        def decode_huff(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def receive_extend(t):
+            if t == 0:
+                return 0
+            v = 0
+            for _ in range(t):
+                v = (v << 1) | read_bit()
+            if v < (1 << (t - 1)):
+                v -= (1 << t) - 1
+            return v
+
+        C = _dct_matrix()
+        planes = []
+        for cid, hs, vs, qt_id in comps:
+            planes.append(
+                np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+            )
+        dc_pred = [0] * len(comps)
+        scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
+
+        def expect_rst(n):
+            # align to byte boundary, then the RSTn marker
+            i, b = bitpos
+            if b:
+                i += 1
+                if data[i - 1] == 0xFF:
+                    i += 1
+            if data[i : i + 2] != bytes((0xFF, 0xD0 + (n & 7))):
+                raise ValueError("missing restart marker")
+            bitpos[0], bitpos[1] = i + 2, 0
+
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    expect_rst(mcu_count // restart_interval - 1)
+                    dc_pred = [0] * len(comps)
+                mcu_count += 1
+                for ci, (cid, hs, vs, qt_id) in enumerate(comps):
+                    td, ta = scan_by_comp[cid]
+                    qt = qts[qt_id]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = np.zeros(64, dtype=np.int32)
+                            t = decode_huff(huff_dc[td])
+                            dc_pred[ci] += receive_extend(t)
+                            zz[0] = dc_pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = decode_huff(huff_ac[ta])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:  # ZRL: 16 zeros
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC overflow")
+                                zz[_JPEG_ZIGZAG[k]] = receive_extend(s)
+                                k += 1
+                            block = zz.reshape(8, 8) * qt
+                            spatial = C.T @ block.astype(np.float64) @ C
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+        out = []
+        for ci, (cid, hs, vs, qt_id) in enumerate(comps):
+            pl = np.clip(np.round(planes[ci]) + 128, 0, 255)
+            # upsample by sample replication, crop to frame size
+            pl = np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
+            out.append(pl[:h, :w])
+        if len(out) == 1:
+            px = out[0][:, :, None].astype(np.uint8)
+            nch = 1
+        else:
+            y, cb, cr = out
+            r = y + 1.402 * (cr - 128)
+            g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = y + 1.772 * (cb - 128)
+            px = np.clip(
+                np.round(np.stack([r, g, b], axis=2)), 0, 255
+            ).astype(np.uint8)
+            nch = 3
+        if channels == 3 and nch == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif channels == 1 and nch == 3:
+            # same PIL fixed-point RGB→L as the PNG path
+            r = px[:, :, 0].astype(np.uint32)
+            g = px[:, :, 1].astype(np.uint32)
+            b = px[:, :, 2].astype(np.uint32)
+            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(
+                np.uint8
+            )[:, :, None]
+        return int(w), int(h), channels, px.tobytes()
+    except Exception:
+        return None, None, None, None
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Stdlib-only baseline JPEG encoder (SOF0, Annex K Huffman tables,
+    IJG quality scaling of the Annex K quantization tables;
+    ``subsample`` '444' or '420'; ``restart_interval`` > 0 emits
+    DRI/RSTn markers every that many MCUs).  The test-side counterpart
+    of :func:`_jpeg_decode` — quality=100 yields unit quantization
+    tables, so an encode→decode round trip isolates the codec's only
+    irreducible loss (YCbCr + DCT rounding) and bounds it in units.
+    Also useful on its own wherever :func:`png_encode` is (sinks,
+    fixtures, fake-decode golden files)."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    if channels == 1:
+        subsample = "444"
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+
+    # IJG quality → table scaling
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def scaled(tbl):
+        t = (np.array(tbl, dtype=np.int64) * scale + 50) // 100
+        return np.clip(t, 1, 255).astype(np.int32).reshape(8, 8)
+    qt_l = scaled(_JPEG_QT_LUM)
+    qt_c = scaled(_JPEG_QT_CHR)
+
+    if channels == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        comp_px = [y, cb, cr]
+    else:
+        comp_px = [px[:, :, 0]]
+
+    if subsample == "420" and channels == 3:
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    else:
+        sampling = [(1, 1)] * channels
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    # per-component plane: box-subsample, pad to MCU grid by edge clamp
+    planes = []
+    for (hs, vs), pl in zip(sampling, comp_px):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-height // fy) * fy
+            pw = -(-width // fx) * fx
+            padded = np.pad(
+                pl, ((0, ph - height), (0, pw - width)), mode="edge"
+            )
+            pl = padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        pl = np.pad(
+            pl,
+            ((0, th - pl.shape[0]), (0, tw - pl.shape[1])),
+            mode="edge",
+        )
+        planes.append(pl - 128.0)
+
+    dc_enc_l = _jpeg_build_codes(*_JPEG_DC_LUM)[1]
+    ac_enc_l = _jpeg_build_codes(*_JPEG_AC_LUM)[1]
+    dc_enc_c = _jpeg_build_codes(*_JPEG_DC_CHR)[1]
+    ac_enc_c = _jpeg_build_codes(*_JPEG_AC_CHR)[1]
+
+    out = bytearray()
+    bitbuf = [0, 0]  # value, count
+
+    def put_bits(code, length):
+        v, c = bitbuf
+        v = (v << length) | (code & ((1 << length) - 1))
+        c += length
+        while c >= 8:
+            byte = (v >> (c - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            c -= 8
+            v &= (1 << c) - 1
+        bitbuf[0], bitbuf[1] = v, c
+
+    def flush_bits():
+        v, c = bitbuf
+        if c:
+            pad = 8 - c
+            byte = ((v << pad) | ((1 << pad) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bitbuf[0], bitbuf[1] = 0, 0
+
+    def category(v):
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    C = _dct_matrix()
+    dc_pred = [0] * channels
+
+    def encode_block(block, qt, dc_enc, ac_enc, ci):
+        coef = C @ block @ C.T
+        zz = np.round(coef / qt).astype(np.int64).reshape(-1)[_JPEG_ZIGZAG]
+        # baseline AC magnitude cap (8-bit data keeps |AC| ≤ 1023 except
+        # exact-basis-aligned pathologies; the clamp keeps categories
+        # inside the Annex K AC table range)
+        zz[1:] = np.clip(zz[1:], -1023, 1023)
+        diff = int(zz[0]) - dc_pred[ci]
+        dc_pred[ci] = int(zz[0])
+        t = category(diff) if diff else 0
+        code, ln = dc_enc[t]
+        put_bits(code, ln)
+        if t:
+            put_bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                if k > last_nz:
+                    code, ln = ac_enc[0x00]  # EOB
+                    put_bits(code, ln)
+                    break
+                run += 1
+                if run == 16:
+                    code, ln = ac_enc[0xF0]  # ZRL
+                    put_bits(code, ln)
+                    run = 0
+                continue
+            s = category(v)
+            code, ln = ac_enc[(run << 4) | s]
+            put_bits(code, ln)
+            put_bits(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+
+    # --- header segments ---
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    hdr = bytearray(b"\xff\xd8")  # SOI
+    hdr += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    zz_l = qt_l.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    hdr += seg(0xDB, bytes([0x00]) + zz_l)
+    if channels == 3:
+        zz_c = qt_c.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+        hdr += seg(0xDB, bytes([0x01]) + zz_c)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for i in range(channels):
+        hs, vs = sampling[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    hdr += seg(0xC0, sof)
+
+    def dht(tc, th, bits, values):
+        return seg(
+            0xC4, bytes([(tc << 4) | th] + bits + values)
+        )
+
+    hdr += dht(0, 0, *_JPEG_DC_LUM)
+    hdr += dht(1, 0, *_JPEG_AC_LUM)
+    if channels == 3:
+        hdr += dht(0, 1, *_JPEG_DC_CHR)
+        hdr += dht(1, 1, *_JPEG_AC_CHR)
+    if restart_interval:
+        hdr += seg(0xDD, struct.pack(">H", int(restart_interval)))
+    sos = bytes([channels])
+    for i in range(channels):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    hdr += seg(0xDA, sos)
+
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                flush_bits()
+                out += bytes(
+                    (0xFF, 0xD0 + ((mcu_count // restart_interval - 1) & 7))
+                )
+                dc_pred[:] = [0] * channels
+            mcu_count += 1
+            for ci in range(channels):
+                hs, vs = sampling[ci]
+                qt = qt_l if ci == 0 else qt_c
+                dc_e = dc_enc_l if ci == 0 else dc_enc_c
+                ac_e = ac_enc_l if ci == 0 else ac_enc_c
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        encode_block(
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            qt, dc_e, ac_e, ci,
+                        )
+    flush_bits()
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
 def _real_decode(Image, payload: bytes, channels: int):
     """Real decode → (width, height, channels, raw bytes); native size.
     ``Image`` is the PIL module when importable, else None — then the
-    stdlib PNG path (:func:`_png_decode`) handles PNG payloads and
-    everything else is undecodable.  Corrupt/empty/NULL payloads return
-    an all-None row instead of killing the task — on real crawl corpora
-    broken images are routine, and one bad row must not abort a 100 TB
-    job."""
+    stdlib paths handle PNG (:func:`_png_decode`) and baseline JPEG
+    (:func:`_jpeg_decode`) payloads and everything else is
+    undecodable.  Corrupt/empty/NULL payloads return an all-None row
+    instead of killing the task — on real crawl corpora broken images
+    are routine, and one bad row must not abort a 100 TB job."""
     import io
 
     if Image is None:
+        if payload[:2] == b"\xff\xd8":
+            return _jpeg_decode(payload, channels)
         return _png_decode(payload, channels)
     try:
         img = Image.open(io.BytesIO(payload))
@@ -362,17 +928,19 @@ def decode_images(
     if decode == "real" and _pil_image_module() is None:
         # DRIVER-side, where an operator actually sees it (the
         # worker-side warning below lands in executor stderr): without
-        # PIL the stdlib fallback decodes PNG only, so a JPEG/WebP
-        # corpus would complete with all-NULL rows.  Executor PIL
-        # availability can still differ from the driver's — the worker
-        # warning stays as the second line of defense.
+        # PIL the stdlib fallback decodes PNG and BASELINE JPEG only,
+        # so a WebP/GIF/progressive-JPEG corpus would complete with
+        # all-NULL rows.  Executor PIL availability can still differ
+        # from the driver's — the worker warning stays as the second
+        # line of defense.
         import warnings
 
         warnings.warn(
             "decode='real' but PIL is not importable on the DRIVER: "
-            "the stdlib fallback decodes PNG only — every non-PNG "
-            "payload will yield NULL rows.  Install PIL in the "
-            "executor image, or use decode='strict' to fail fast.",
+            "the stdlib fallback decodes PNG and baseline JPEG only — "
+            "WebP/GIF/progressive-JPEG payloads will yield NULL rows. "
+            "Install PIL in the executor image, or use decode='strict' "
+            "to fail fast.",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -384,17 +952,18 @@ def decode_images(
         # 'auto' only goes real when PIL exists; else the fake below.
         use_real = decode == "real" or (decode == "auto" and Image is not None)
         if decode == "real" and Image is None:
-            # loud, once per worker: the fallback decodes PNG ONLY —
-            # on a JPEG/WebP corpus a missing-PIL executor image would
-            # otherwise complete "successfully" with all-NULL rows.
-            # Use decode='strict' to hard-assert codecs exist instead.
+            # loud, once per worker: the fallback decodes PNG and
+            # baseline JPEG ONLY — on a WebP/GIF corpus a missing-PIL
+            # executor image would otherwise complete "successfully"
+            # with all-NULL rows.  Use decode='strict' to hard-assert
+            # codecs exist instead.
             import warnings
 
             warnings.warn(
                 "decode='real' without PIL: stdlib fallback decodes PNG "
-                "only; every non-PNG payload will yield NULL rows. "
-                "Install PIL in the executor image, or use "
-                "decode='strict' to fail fast.",
+                "and baseline JPEG only; WebP/GIF/progressive payloads "
+                "will yield NULL rows.  Install PIL in the executor "
+                "image, or use decode='strict' to fail fast.",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -445,10 +1014,11 @@ def decode_format_report(
     (sniffed_format, n_total, n_decoded, n_null,
     n_null_unsupported_variant, n_null_no_decoder, n_null_other,
     decoder) where ``decoder`` names the active real-decode path —
-    ``'pil'`` when PIL imports on the driver, else ``'stdlib-png'``.
-    Executor images can differ from the driver; an executor-side PIL
-    gap still surfaces here as unexpected n_null, which is exactly the
-    signal operators watch.
+    ``'pil'`` when PIL imports on the driver, else
+    ``'stdlib-png-jpeg'`` (round 7: baseline JPEG joined PNG in the
+    stdlib fallback).  Executor images can differ from the driver; an
+    executor-side PIL gap still surfaces here as unexpected n_null,
+    which is exactly the signal operators watch.
 
     The NULL split (round 6): ``n_null_unsupported_variant`` counts
     PNGs whose IHDR declares a shape the stdlib fallback documents as
@@ -456,8 +1026,10 @@ def decode_format_report(
     illegal 16-bit-palette combination — a pure byte probe of IHDR
     offsets, no decode; 8/16-bit and Adam7 are all DECODED since round
     6 closed those gaps);
-    ``n_null_no_decoder`` counts non-PNG formats nulled because only
-    the stdlib PNG path is available.  The first class needs a corpus
+    ``n_null_no_decoder`` counts formats with NO stdlib path at all
+    (gif/riff/unknown — since round 7 this excludes jpeg; a nulled
+    JPEG is progressive/arithmetic/12-bit or corrupt and counts in
+    ``n_null_other``).  The first class needs a corpus
     fix or PIL; the second needs PIL on the workers — operators can now
     tell which.  ``n_null_other`` is the remainder (corrupt/truncated
     payloads).  Plan: one id join + a categorical groupBy — O(rows),
@@ -476,7 +1048,7 @@ def decode_format_report(
     ok = decoded.select(
         "media_id", F.col("pixels").isNotNull().alias("__ok")
     )
-    decoder = "pil" if _pil_image_module() is not None else "stdlib-png"
+    decoder = "pil" if _pil_image_module() is not None else "stdlib-png-jpeg"
     is_png = F.col("sniffed_format") == "png"
     # A payload truncated before IHDR byte 26 probes NULL depth/ctype;
     # without the coalesce the NULL propagates through `variant` and the
@@ -492,7 +1064,18 @@ def decode_format_report(
         ),
         F.lit(False),
     )
-    no_decoder = F.lit(decoder == "stdlib-png") & ~is_png
+    # round 7: baseline JPEG joined PNG in the stdlib fallback, so the
+    # no-decoder class shrinks to the formats with NO stdlib path at
+    # all (gif/riff/unknown).  A JPEG that still nulls under the
+    # fallback is a progressive/arithmetic/12-bit variant or corrupt —
+    # both land in n_null_other (variant detection for JPEG would need
+    # a segment scan, not a fixed-offset probe; the report keys on
+    # cheap native byte probes only).
+    no_decoder = (
+        F.lit(decoder == "stdlib-png-jpeg")
+        & ~is_png
+        & (F.col("sniffed_format") != "jpeg")
+    )
     null_row = ~F.col("__ok")
     return (
         fmt.join(ok, "media_id")

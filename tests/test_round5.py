@@ -357,7 +357,8 @@ class TestDecodeFormatReport:
         assert rep["png"]["n_total"] == 1 and rep["png"]["n_decoded"] == 1
         assert rep["jpeg"]["n_total"] == 1 and rep["jpeg"]["n_null"] == 1
         # this container has no PIL: the active path must say so
-        assert rep["jpeg"]["decoder"] == "stdlib-png"
+        # (round 7: the stdlib fallback now covers baseline JPEG too)
+        assert rep["jpeg"]["decoder"] == "stdlib-png-jpeg"
 
 
 class TestResolveGrammarFuzz:

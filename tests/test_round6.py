@@ -981,7 +981,11 @@ class TestNullClassSplitInDecodeReport:
         assert png_row["n_null_other"] == 1  # the truncated one
         jpg_row = rep["jpeg"]
         assert jpg_row["n_null"] == 1
-        assert jpg_row["n_null_no_decoder"] == 1
+        # round 7: the stdlib fallback gained a baseline JPEG decoder,
+        # so a nulled JPEG is no longer 'no decoder' — this payload is
+        # garbage after the magic bytes, i.e. corrupt → n_null_other
+        assert jpg_row["n_null_no_decoder"] == 0
+        assert jpg_row["n_null_other"] == 1
         assert jpg_row["n_null_unsupported_variant"] == 0
 
 

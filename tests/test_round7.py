@@ -352,3 +352,146 @@ class TestAdviceR6Fixes:
             == row["n_null"]
         )
         assert row["n_null_other"] == 1
+
+
+class TestBaselineJpegCodec:
+    """Round-7 (VERDICT item 7): stdlib baseline JPEG decoder behind
+    the _real_decode seam — the largest real-corpus decode gap (web
+    corpora are majority JPEG).  PIL bit-parity is not a meaningful
+    target for JPEG (the standard leaves IDCT precision and chroma
+    upsampling open), so correctness is gated by round-tripping the
+    paired baseline encoder at quality=100 (unit quantization ⇒ the
+    only loss is YCbCr+DCT rounding) plus structural vectors."""
+
+    def _rt(self, w, h, c, seed=3, **kw):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        blob = jpeg_encode(w, h, c, px.tobytes(), quality=100, **kw)
+        W, H, C, raw = _jpeg_decode(blob, c)
+        assert (W, H, C) == (w, h, c)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+        return np.abs(got.astype(int) - px.astype(int))
+
+    def test_gray_roundtrip_tight(self):
+        for w, h in [(8, 8), (16, 8), (13, 11), (1, 1), (32, 24)]:
+            err = self._rt(w, h, 1)
+            assert err.max() <= 2, (w, h, err.max())
+
+    def test_rgb_444_roundtrip(self):
+        for w, h in [(8, 8), (19, 7), (32, 32)]:
+            err = self._rt(w, h, 3)
+            assert err.max() <= 4, (w, h, err.max())
+
+    def test_rgb_420_multi_block_mcus(self):
+        """2x2-sampled luma exercises the multi-block-per-MCU path;
+        chroma is box-averaged at encode and replicated at decode, so
+        only smooth images bound tightly."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        yy, xx = np.mgrid[0:24, 0:40]
+        smooth = np.stack(
+            [xx * 3 % 256, yy * 5 % 256, (xx + yy) * 2 % 256], axis=2
+        ).astype(np.uint8)
+        blob = jpeg_encode(
+            40, 24, 3, smooth.tobytes(), quality=100, subsample="420"
+        )
+        W, H, C, raw = _jpeg_decode(blob, 3)
+        assert (W, H, C) == (40, 24, 3)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(24, 40, 3)
+        err = np.abs(got.astype(int) - smooth.astype(int))
+        assert err.max() <= 16 and err.mean() < 2.5
+
+    def test_restart_markers(self):
+        """DRI/RSTn: DC predictors reset and the bit reader re-aligns
+        at every interval — byte-level protocol the decoder must track
+        exactly or every block after the first marker is garbage."""
+        for ri in (1, 2, 5):
+            err = self._rt(40, 24, 3, seed=11, restart_interval=ri)
+            assert err.max() <= 4, ri
+
+    def test_channel_conversions(self):
+        """gray JPEG → 3-channel replication; RGB JPEG → L via the
+        same PIL fixed-point formula as the PNG path."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        g = np.full((8, 8, 1), 77, dtype=np.uint8)
+        blob = jpeg_encode(8, 8, 1, g.tobytes(), quality=100)
+        W, H, C, raw = _jpeg_decode(blob, 3)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+        assert C == 3 and int(np.abs(got.astype(int) - 77).max()) <= 1
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        rgb[:, :, 0] = 200
+        blob = jpeg_encode(8, 8, 3, rgb.tobytes(), quality=100)
+        W, H, C, raw = _jpeg_decode(blob, 1)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 1)
+        # PIL L of (200,0,0) = (200*19595)>>16 = 59
+        assert C == 1 and abs(int(got[0, 0, 0]) - 59) <= 2
+
+    def test_rejects_out_of_scope_variants(self):
+        """Progressive (SOF2), truncation, and garbage yield the
+        all-None row — per-row degrade, never an exception."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        blob = jpeg_encode(8, 8, 3, px.tobytes())
+        assert _jpeg_decode(blob.replace(b"\xff\xc0", b"\xff\xc2", 1), 3)[0] is None
+        assert _jpeg_decode(blob[:50], 3)[0] is None
+        assert _jpeg_decode(b"\xff\xd8\xff\xe0junk", 3)[0] is None
+        assert _jpeg_decode(b"", 3)[0] is None
+
+    def test_decode_images_end_to_end(self, spark):
+        """Through the Spark seam: a JPEG payload now DECODES under
+        decode='real' without PIL, and the format report's no-decoder
+        class shrinks accordingly (gif stays no-decoder)."""
+        import warnings
+
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            decode_format_report, decode_images, jpeg_encode, png_encode,
+        )
+
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+        jpeg = jpeg_encode(9, 6, 3, px.tobytes(), quality=100)
+        png = png_encode(2, 2, 3, bytes(12))
+        gif = b"GIF89a" + bytes(20)
+        df = spark.createDataFrame(
+            [(1, jpeg), (2, png), (3, gif)],
+            "media_id long, payload binary",
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            decoded = decode_images(df, decode="real")
+        rows = {r["media_id"]: r for r in decoded.collect()}
+        assert rows[1]["width"] == 9 and rows[1]["height"] == 6
+        got = np.frombuffer(rows[1]["pixels"], dtype=np.uint8).reshape(6, 9, 3)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4
+        assert rows[2]["pixels"] is not None
+        assert rows[3]["pixels"] is None
+        rep = {
+            r["sniffed_format"]: r
+            for r in decode_format_report(df, decoded).collect()
+        }
+        assert rep["jpeg"]["n_decoded"] == 1
+        assert rep["jpeg"]["decoder"] == "stdlib-png-jpeg"
+        assert rep["gif"]["n_null_no_decoder"] == 1
