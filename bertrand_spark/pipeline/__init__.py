@@ -60,6 +60,7 @@ from .similarity import (  # noqa: F401
     ivf_assign,
     ivf_build,
     ivf_topk,
+    kcenter_select,
     knn_graph,
     semantic_dedup_bucketed,
     semantic_dedup_ivf,

@@ -31,6 +31,7 @@ __all__ = [
     "ivf_topk", "ivf_write", "ivf_read",
     "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
     "sign_bucket", "semantic_dedup_bucketed", "semantic_dedup_ivf",
+    "kcenter_select",
 ]
 
 
@@ -1353,3 +1354,101 @@ def semantic_dedup_ivf(
         "bucket", F.col("__cell").cast("int")
     ).drop("__cell")
     return _keep_dominant_per_bucket(bucketed, id_col, float(threshold))
+
+
+def kcenter_select(
+    df: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list":
+    """Greedy k-center DIVERSITY selection (Gonzalez 1985 farthest-point
+    traversal, the classic 2-approximation to the k-center objective):
+    pick ``n`` rows so the rest of the corpus is as close as possible to
+    some pick — the coreset/diversity-sampling step of a training-data
+    pipeline (complementary to SemDeDup: dedup REMOVES redundancy,
+    k-center KEEPS a maximally spread subset, e.g. for eval-set or
+    annotation-budget selection).
+
+    Returns a driver-side list of ``(id, radius)`` in pick order —
+    bounded at n rows by construction (n is an annotation/eval budget,
+    never corpus-scale).  ``radius`` is the max-min cosine distance at
+    the moment of the pick; radii are NON-INCREASING (the greedy
+    invariant) and radius[i] bounds the final coverage radius of the
+    first i picks.
+
+    Determinism: the seed is the minimum id; every later pick is
+    argmax of min-distance-to-picks with ties broken by minimum id —
+    a total order, so the selection is repartition-stable and
+    engine-reproducible.  Per-row distances are computed as an
+    independent per-row reduction (never a tile-shaped GEMM), so the
+    floats don't depend on batch boundaries (the cross-tile 1-ulp
+    lesson from knn_graph).
+
+    Scale shape: n passes over the corpus, each ONE Arrow kernel (the
+    running min-distance column rides a persisted frame; each round
+    adds only the NEWEST pick's distance — O(n·N·d) total, not the
+    O(n²·N·d) of recomputing against all picks) followed by a
+    TakeOrdered(1).  State shipped per round: one d-vector in the
+    closure.  The n sequential barriers are inherent to the greedy
+    algorithm; at 1000 executors each pass is embarrassingly parallel.
+    """
+    import numpy as np
+
+    if n <= 0:
+        return []
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    )
+
+    def dist_kernel(center: "np.ndarray"):
+        c = center / (np.linalg.norm(center) or 1.0)
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["__v"].to_numpy())
+                # elementwise-multiply + axis-1 pairwise sum, NOT a BLAS
+                # GEMV: BLAS picks different accumulation kernels by
+                # batch shape (the knn_graph cross-tile ulp lesson), and
+                # the radii must be bit-stable under repartitioning
+                norms = np.sqrt((X * X).sum(axis=1))
+                norms[norms == 0] = 1.0
+                d = 1.0 - (X * c).sum(axis=1) / norms
+                if "__mind" in pdf.columns:
+                    d = np.minimum(d, pdf["__mind"].to_numpy())
+                out = pdf[[id_col]].copy()
+                out["__v"] = pdf["__v"]
+                out["__mind"] = d
+                yield out
+
+        return score
+
+    schema = (
+        f"{id_col} {base.schema[id_col].dataType.simpleString()}, "
+        "__v array<double>, __mind double"
+    )
+    seed = base.orderBy(id_col).limit(1).collect()
+    if not seed:
+        return []
+    picks = [(seed[0][id_col], float("inf"))]
+    next_center = np.asarray(seed[0]["__v"], dtype=np.float64)
+    work = base
+    prev_cached = None
+    for _ in range(int(n) - 1):
+        work = work.mapInPandas(dist_kernel(next_center), schema).persist()
+        far = work.orderBy(
+            F.col("__mind").desc(), F.col(id_col)
+        ).limit(1).collect()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = work
+        if not far or far[0]["__mind"] <= 0.0:
+            break
+        picks.append((far[0][id_col], float(far[0]["__mind"])))
+        next_center = np.asarray(far[0]["__v"], dtype=np.float64)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    return picks

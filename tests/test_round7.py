@@ -495,3 +495,84 @@ class TestBaselineJpegCodec:
         assert rep["jpeg"]["n_decoded"] == 1
         assert rep["jpeg"]["decoder"] == "stdlib-png-jpeg"
         assert rep["gif"]["n_null_no_decoder"] == 1
+
+
+class TestKcenterSelect:
+    """Greedy k-center diversity selection (Gonzalez farthest-point):
+    deterministic, repartition-stable, exact match to a driver-side
+    numpy replay of the same algorithm."""
+
+    @staticmethod
+    def _numpy_reference(ids, X, n):
+        import numpy as np
+
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(ids, kind="stable")
+        ids, Xn = ids[order], Xn[order]
+        picks = [(ids[0], float("inf"))]
+        mind = 1.0 - Xn @ Xn[0]
+        for _ in range(n - 1):
+            # argmax of min-dist, ties by min id (ids sorted ascending →
+            # np.argmax returns the first = smallest id)
+            j = int(np.argmax(mind))
+            if mind[j] <= 0.0:
+                break
+            picks.append((ids[j], float(mind[j])))
+            mind = np.minimum(mind, 1.0 - Xn @ Xn[j])
+        return picks
+
+    def _data(self, spark, repartition=None):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        X = rng.normal(size=(60, 8))
+        ids = np.arange(100, 160)
+        rows = [(int(i), [float(v) for v in x]) for i, x in zip(ids, X)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        if repartition:
+            df = df.repartition(repartition)
+        return df, ids, X
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from bertrand_spark.pipeline.similarity import kcenter_select
+
+        df, ids, X = self._data(spark)
+        got = kcenter_select(df, 8)
+        ref = self._numpy_reference(ids, X, 8)
+        assert [p[0] for p in got] == [p[0] for p in ref]
+        for (gi, gr), (ri, rr) in zip(got[1:], ref[1:]):
+            assert abs(gr - rr) < 1e-9
+
+    def test_repartition_stable(self, spark):
+        from bertrand_spark.pipeline.similarity import kcenter_select
+
+        df, _, _ = self._data(spark)
+        df17, _, _ = self._data(spark, repartition=17)
+        assert kcenter_select(df, 6) == kcenter_select(df17, 6)
+
+    def test_greedy_invariants(self, spark):
+        """Radii are non-increasing (the 2-approx proof's core fact),
+        picks are distinct, and the seed is the minimum id."""
+        from bertrand_spark.pipeline.similarity import kcenter_select
+
+        df, ids, _ = self._data(spark)
+        got = kcenter_select(df, 10)
+        assert got[0][0] == int(ids.min())
+        radii = [r for _, r in got[1:]]
+        assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:]))
+        assert len({i for i, _ in got}) == len(got)
+
+    def test_duplicate_collapse_stops_early(self, spark):
+        """With only 2 distinct directions, the third pick has min-dist
+        0 and selection stops at 2 — budget n is an upper bound."""
+        from bertrand_spark.pipeline.similarity import kcenter_select
+
+        rows = [
+            (1, [1.0, 0.0]), (2, [2.0, 0.0]),  # same direction as id 1
+            (3, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = kcenter_select(df, 3)
+        assert [i for i, _ in got] == [1, 3]
