@@ -73,6 +73,10 @@ def main() -> None:
         _streaming(spark, F, blow_up, read_table, mult)
         spark.stop()
         return
+    if section == "partsupp7":
+        _partsupp7(spark, F, blow_up, read_table, mult)
+        spark.stop()
+        return
     if section == "ivfadc256":
         _ivfadc_256d(spark, F, read_table)
         spark.stop()
@@ -715,6 +719,58 @@ def _curation20(spark, F, blow_up, read_table, mult) -> None:
         f"keep {survivors / n:.3f}"
     )
     docs.unpersist()
+
+
+
+
+def _partsupp7(spark, F, blow_up, read_table, mult) -> None:
+    """Round-7: the derived-partsupp TPC-H shapes (q58 Q2 / q59 Q11 /
+    q60 Q20) at mult× part and supplier — partsupp is derived from
+    part × supplier, so multiplying those two multiplies partsupp
+    (mult=10 at sf0.1 ⇒ 200k part / 1k supplier / 800k partsupp,
+    sf1-equivalent).  Replicated part rows keep their attributes, so
+    q58's size/type filter and q59's per-part groups scale linearly;
+    lineitem stays unmultiplied (q60's shipped-quantity semi chain is
+    measured at a larger partsupp against the same fact volume — the
+    new parts have no shipments and drop out of the semi, which is the
+    correct semantics)."""
+    import shutil
+    import tempfile
+
+    rel_dir = tempfile.mkdtemp(prefix="scale_ps7_")
+    try:
+        blow_up(read_table(spark, SF_DIR, "part"), "p_partkey").write.mode(
+            "overwrite"
+        ).parquet(f"{rel_dir}/part.parquet")
+        blow_up(
+            read_table(spark, SF_DIR, "supplier"), "s_suppkey"
+        ).write.mode("overwrite").parquet(f"{rel_dir}/supplier.parquet")
+        for t in ("lineitem", "orders", "customer", "nation", "region"):
+            read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+                f"{rel_dir}/{t}.parquet"
+            )
+        n_part = spark.read.parquet(f"{rel_dir}/part.parquet").count()
+
+        from bertrand_spark.plans.queries import QUERIES
+
+        for qname in (
+            "q58_min_cost_supplier",
+            "q59_important_stock",
+            "q60_potential_promotion",
+        ):
+            fn = QUERIES[qname]
+            fn(spark, rel_dir).write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, rel_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            spark.catalog.clearCache()
+            print(
+                f"{qname:28s} {dt:7.2f}s   part_rows={n_part:,} "
+                f"partsupp_rows={4 * n_part:,}"
+            )
+    finally:
+        shutil.rmtree(rel_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
