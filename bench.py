@@ -336,16 +336,32 @@ def main() -> None:
         import glob as _glob
 
         files = sorted(_glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
-        if not files:
+        # Envelope baseline = per-query BEST across all usable priors
+        # (min-of-best-phase, same as the record methodology): the
+        # newest record alone can itself be phase-inflated (r06 read
+        # +24% over r04 with no plan change), which would loosen the
+        # envelope exactly when it matters.  Usable = the driver's
+        # "parsed" payload exists (null when that round's bench
+        # failed), same scale factor, and not itself degraded_host
+        # (a degraded baseline would mask current degradation: bad/bad
+        # ≈ 1.0 is the r5 failure class this check exists to catch).
+        prior: dict = {}
+        for f in files:
+            try:
+                parsed = json.load(open(f)).get("parsed") or {}
+            except Exception:
+                continue
+            if (
+                not parsed.get("queries")
+                or parsed.get("sf") != sf
+                or parsed.get("degraded_host")
+            ):
+                continue
+            for name, t in parsed["queries"].items():
+                if t and t > 0 and (name not in prior or t < prior[name]):
+                    prior[name] = t
+        if not prior:
             return None, 0
-        try:
-            rec = json.load(open(files[-1]))
-        except Exception:
-            return None, 0
-        # only a same-scale-factor record is a meaningful envelope
-        if rec.get("sf") != sf:
-            return None, 0
-        prior = rec.get("queries", {})
         ratios = sorted(
             timings[n] / prior[n]
             for n in timings

@@ -1139,22 +1139,16 @@ def dsir_resample(
     total order.
     """
     scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
+    # uniforms via THE bucket convention (md5_bucket, 2^32 buckets =
+    # the full 8-hex-digit range), same (b + 0.5)/M pattern as
+    # pareto_filter — one spelling, one SQL-oracle translation
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col(id_col).cast("string"), F.lit("|" + salt)
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)),
+            1 << 32,
+        ).cast("double")
         + F.lit(0.5)
-    ) / F.lit(4294967296.0)
+    ) / F.lit(float(1 << 32))
     key = F.col(out_col) - F.log(-F.log(u))
     return (
         scored.withColumn("gumbel_key", key.cast("double"))

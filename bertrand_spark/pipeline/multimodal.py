@@ -420,6 +420,37 @@ def _jpeg_build_codes(bits, values):
     return dec, enc
 
 
+# decode LUT cache keyed by the DHT payload: a symbol decode is one
+# 16-bit peek + one list index.  Nearly every real JPEG ships the Annex
+# K tables, so across a corpus the (65k-slot) build cost is paid once
+# per worker, not once per image.
+_JPEG_LUT_CACHE: dict = {}
+
+
+def _jpeg_fast_lut(bits: tuple, values: tuple):
+    got = _JPEG_LUT_CACHE.get((bits, values))
+    if got is not None:
+        return got
+    import numpy as np
+
+    sym = np.full(65536, -1, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = values[k]
+            ln[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    got = (sym.tolist(), ln.tolist())
+    if len(_JPEG_LUT_CACHE) < 64:  # bound the per-worker cache
+        _JPEG_LUT_CACHE[(bits, values)] = got
+    return got
+
+
 def _dct_matrix():
     import numpy as np
 
@@ -505,11 +536,10 @@ def _jpeg_decode(payload: bytes, channels: int):
                 o = 0
                 while o < len(body):
                     tc, th = body[o] >> 4, body[o] & 0xF
-                    bits = list(body[o + 1 : o + 17])
+                    bits = tuple(body[o + 1 : o + 17])
                     nval = sum(bits)
-                    vals = list(body[o + 17 : o + 17 + nval])
-                    dec, _ = _jpeg_build_codes(bits, vals)
-                    (huff_dc if tc == 0 else huff_ac)[th] = dec
+                    vals = tuple(body[o + 17 : o + 17 + nval])
+                    (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
                     o += 17 + nval
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", body[:2])
@@ -524,110 +554,175 @@ def _jpeg_decode(payload: bytes, channels: int):
         if frame is None or scan is None:
             return None, None, None, None
         w, h, comps = frame
+        if len(comps) == 1:
+            # Non-interleaved scan (JPEG spec A.2.2): with one scan
+            # component the MCU is ONE data unit in raster order over
+            # ceil(w/8) × ceil(h/8) — the SOF sampling factors do NOT
+            # shape the scan.  A grayscale SOF declaring 2×2 sampling
+            # (legal, emitted by some encoders) must decode identically
+            # to 1×1; honoring the factors here would silently place
+            # blocks in cluster order (scrambled pixels, no exception).
+            cid, _hs, _vs, qt_id = comps[0]
+            comps = [(cid, 1, 1, qt_id)]
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
 
-        # entropy-coded data: pos now points at the first scan byte
-        data = payload
-        bitpos = [pos, 0]  # byte index, bit index within byte
-
-        def read_bit():
-            i, b = bitpos
-            if i >= len(data):
-                raise ValueError("truncated scan")
-            byte = data[i]
-            if byte == 0xFF:
-                nxt = data[i + 1] if i + 1 < len(data) else None
-                if nxt != 0x00:
-                    raise ValueError("marker inside scan")
-            bit = (byte >> (7 - b)) & 1
-            b += 1
-            if b == 8:
+        # entropy-coded data: pos points at the first scan byte.
+        # Extract + de-stuff ONCE, splitting on byte-aligned RSTn
+        # markers (FF D0-D7 can only appear as real restarts — genuine
+        # FF data bytes are always stuffed as FF 00), so the hot loop
+        # never re-inspects for markers.
+        segments: list = []
+        cur = bytearray()
+        i = pos
+        L = len(payload)
+        while i < L:
+            byt = payload[i]
+            if byt != 0xFF:
+                cur.append(byt)
                 i += 1
-                if data[i - 1] == 0xFF:  # skip the stuffed 0x00
-                    i += 1
-                b = 0
-            bitpos[0], bitpos[1] = i, b
-            return bit
+                continue
+            nxt = payload[i + 1] if i + 1 < L else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or any other marker: end of scan
+        segments.append(bytes(cur))
 
-        def decode_huff(table):
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | read_bit()
-                sym = table.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("bad huffman code")
+        # table-driven Huffman: one flat 2^16 lookup per table (every
+        # suffix of each code filled) — a symbol decode is ONE peek +
+        # ONE list index instead of up-to-16 per-bit function calls.
+        # LUTs come from the module cache (_jpeg_fast_lut): Python
+        # lists beat numpy arrays for the scalar indexing in the loop.
+        fast_dc = {k: _jpeg_fast_lut(*v) for k, v in huff_dc.items()}
+        fast_ac = {k: _jpeg_fast_lut(*v) for k, v in huff_ac.items()}
 
-        def receive_extend(t):
-            if t == 0:
-                return 0
-            v = 0
-            for _ in range(t):
-                v = (v << 1) | read_bit()
-            if v < (1 << (t - 1)):
-                v -= (1 << t) - 1
-            return v
+        class _BitReader:
+            __slots__ = ("data", "limit", "pos", "acc", "nbits")
+
+            def __init__(self, seg: bytes):
+                # pad with 1-bits (the spec's fill) so peeks past the
+                # end are safe; overrun is caught via `limit`
+                self.data = seg + b"\xff\xff\xff"
+                self.limit = 8 * len(seg) + 7  # ≤7 pad bits are legal
+                self.pos = 0
+                self.acc = 0
+                self.nbits = 0
+
+            def peek16(self) -> int:
+                while self.nbits < 16:
+                    self.acc = (self.acc << 8) | self.data[self.pos]
+                    self.pos += 1
+                    self.nbits += 8
+                return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+            def take(self, n: int) -> int:
+                while self.nbits < n:
+                    self.acc = (self.acc << 8) | self.data[self.pos]
+                    self.pos += 1
+                    self.nbits += 8
+                self.nbits -= n
+                v = (self.acc >> self.nbits) & ((1 << n) - 1)
+                self.acc &= (1 << self.nbits) - 1
+                return v
+
+            def consumed(self) -> int:
+                return 8 * self.pos - self.nbits
 
         C = _dct_matrix()
-        planes = []
-        for cid, hs, vs, qt_id in comps:
-            planes.append(
-                np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-            )
+        # coefficient blocks accumulate per component and IDCT in ONE
+        # batched matmul at the end (C.T @ (n,8,8) @ C broadcasts) —
+        # per-block 8×8 matmuls cost more in dispatch than in FLOPs
+        blocks: list = [[] for _ in comps]
+        blockpos: list = [[] for _ in comps]
         dc_pred = [0] * len(comps)
         scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
+        zigzag = _JPEG_ZIGZAG  # local alias for the hot loop
 
-        def expect_rst(n):
-            # align to byte boundary, then the RSTn marker
-            i, b = bitpos
-            if b:
-                i += 1
-                if data[i - 1] == 0xFF:
-                    i += 1
-            if data[i : i + 2] != bytes((0xFF, 0xD0 + (n & 7))):
-                raise ValueError("missing restart marker")
-            bitpos[0], bitpos[1] = i + 2, 0
-
+        seg_idx = 0
+        br = _BitReader(segments[0])
         mcu_count = 0
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart_interval and mcu_count and (
                     mcu_count % restart_interval == 0
                 ):
-                    expect_rst(mcu_count // restart_interval - 1)
+                    if br.consumed() > br.limit:
+                        raise ValueError("truncated scan segment")
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing restart segment")
+                    br = _BitReader(segments[seg_idx])
                     dc_pred = [0] * len(comps)
                 mcu_count += 1
                 for ci, (cid, hs, vs, qt_id) in enumerate(comps):
                     td, ta = scan_by_comp[cid]
+                    dc_sym, dc_len = fast_dc[td]
+                    ac_sym, ac_len = fast_ac[ta]
                     qt = qts[qt_id]
                     for by in range(vs):
                         for bx in range(hs):
-                            zz = np.zeros(64, dtype=np.int32)
-                            t = decode_huff(huff_dc[td])
-                            dc_pred[ci] += receive_extend(t)
-                            zz[0] = dc_pred[ci]
+                            coef = [0] * 64
+                            w16 = br.peek16()
+                            t = dc_sym[w16]
+                            if t < 0:
+                                raise ValueError("bad huffman code")
+                            br.take(dc_len[w16])
+                            if t:
+                                v = br.take(t)
+                                if v < (1 << (t - 1)):
+                                    v -= (1 << t) - 1
+                                dc_pred[ci] += v
+                            coef[0] = dc_pred[ci]
                             k = 1
                             while k < 64:
-                                rs = decode_huff(huff_ac[ta])
-                                r, s = rs >> 4, rs & 0xF
+                                w16 = br.peek16()
+                                rs = ac_sym[w16]
+                                if rs < 0:
+                                    raise ValueError("bad huffman code")
+                                br.take(ac_len[w16])
+                                s = rs & 0xF
                                 if s == 0:
-                                    if r == 15:  # ZRL: 16 zeros
+                                    if rs == 0xF0:  # ZRL: 16 zeros
                                         k += 16
                                         continue
                                     break  # EOB
-                                k += r
+                                k += rs >> 4
                                 if k > 63:
                                     raise ValueError("AC overflow")
-                                zz[_JPEG_ZIGZAG[k]] = receive_extend(s)
+                                v = br.take(s)
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                                coef[zigzag[k]] = v
                                 k += 1
-                            block = zz.reshape(8, 8) * qt
-                            spatial = C.T @ block.astype(np.float64) @ C
-                            y0 = (my * vs + by) * 8
-                            x0 = (mx * hs + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                            blocks[ci].append(coef)
+                            blockpos[ci].append(
+                                ((my * vs + by) * 8, (mx * hs + bx) * 8)
+                            )
+        if br.consumed() > br.limit:
+            raise ValueError("truncated scan")
+        planes = []
+        for ci, (cid, hs, vs, qt_id) in enumerate(comps):
+            plane = np.zeros(
+                (mcuy * vs * 8, mcux * hs * 8), dtype=np.float64
+            )
+            if blocks[ci]:
+                A = (
+                    np.asarray(blocks[ci], dtype=np.float64).reshape(-1, 8, 8)
+                    * qts[qt_id][None, :, :]
+                )
+                S = C.T @ A @ C  # batched IDCT over all n blocks at once
+                for (y0, x0), s in zip(blockpos[ci], S):
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = s
+            planes.append(plane)
         out = []
         for ci, (cid, hs, vs, qt_id) in enumerate(comps):
             pl = np.clip(np.round(planes[ci]) + 128, 0, 255)

@@ -4003,10 +4003,12 @@ def q57(spark, sf_dir):
 
 
 # --- x45: DSIR importance-resampling selection (Xie et al. 2023) ------------
-@query(
-    "x45_dsir_weights",
-    r"""
-    WITH d AS (SELECT doc_id, lang,
+# The DSIR training + scoring CTE chain, shared verbatim by the x45
+# (weights) and x47 (resample) oracles — one spelling, so a fix to the
+# tokenization/smoothing replay can never make the two oracles diverge
+# (the same single-source rule as _PARTSUPP_SQL below).
+_DSIR_SQL = r"""
+    d AS (SELECT doc_id, lang,
                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
                              x -> x != '') AS toks
           FROM documents),
@@ -4028,6 +4030,13 @@ def q57(spark, sf_dir):
             FROM (SELECT unnest(range(512)) AS b) s
             LEFT JOIN tc ON tc.bucket = s.b
             LEFT JOIN rc ON rc.bucket = s.b, tot)
+"""
+
+
+@query(
+    "x45_dsir_weights",
+    f"""
+    WITH {_DSIR_SQL}
     SELECT fb.doc_id,
            CAST(sum(lam.lam) AS DOUBLE) AS dsir_logw,
            count(*) AS n_feats,
@@ -4154,29 +4163,8 @@ def x46(spark, sf_dir):
 # --- x47: DSIR Gumbel-top-k importance resampling ----------------------------
 @query(
     "x47_dsir_resample",
-    r"""
-    WITH d AS (SELECT doc_id, lang,
-                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                             x -> x != '') AS toks
-          FROM documents),
-    uni AS (SELECT doc_id, lang, unnest(toks) AS feat FROM d),
-    bix AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM d),
-    bi AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat FROM bix),
-    feats AS (SELECT doc_id, lang, feat FROM uni
-              UNION ALL SELECT doc_id, lang, feat FROM bi),
-    fb AS (SELECT doc_id, lang,
-             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 512 AS bucket
-           FROM feats),
-    tot AS (SELECT (SELECT count(*) FROM fb WHERE lang = 'en') AS nt,
-                   (SELECT count(*) FROM fb) AS nr),
-    tc AS (SELECT bucket, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
-    rc AS (SELECT bucket, count(*) AS c FROM fb GROUP BY 1),
-    lam AS (SELECT s.b AS bucket,
-              ln((coalesce(tc.c, 0) + 1.0) / (tot.nt + 512.0))
-              - ln((coalesce(rc.c, 0) + 1.0) / (tot.nr + 512.0)) AS lam
-            FROM (SELECT unnest(range(512)) AS b) s
-            LEFT JOIN tc ON tc.bucket = s.b
-            LEFT JOIN rc ON rc.bucket = s.b, tot),
+    f"""
+    WITH {_DSIR_SQL},
     scored AS (SELECT fb.doc_id,
                       sum(lam.lam) AS dsir_logw,
                       count(*) AS n_feats
@@ -4281,17 +4269,11 @@ def derived_partsupp(spark, sf_dir):
         F.lit("|"),
         F.col("ps_suppkey").cast("string"),
     )
-    qty = (
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 9999 + 1
-    ).cast("int")
+    # values via THE bucket convention (curation.md5_bucket) so the
+    # spelling cannot drift from _PARTSUPP_SQL's ('0x'||substr(md5..))
+    qty = (CU.md5_bucket(key, 9999) + 1).cast("int")
     cost = (
-        (
-            F.conv(F.substring(F.md5(F.concat(key, F.lit("|c"))), 1, 8), 16, 10)
-            .cast("long")
-            % 100000
-        )
-        / 100.0
-        + 1.0
+        CU.md5_bucket(F.concat(key, F.lit("|c")), 100000) / 100.0 + 1.0
     ).cast("double")
     return ps0.select(
         "ps_partkey",

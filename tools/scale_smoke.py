@@ -745,7 +745,8 @@ def _partsupp7(spark, F, blow_up, read_table, mult) -> None:
         blow_up(
             read_table(spark, SF_DIR, "supplier"), "s_suppkey"
         ).write.mode("overwrite").parquet(f"{rel_dir}/supplier.parquet")
-        for t in ("lineitem", "orders", "customer", "nation", "region"):
+        # only the tables q58/q59/q60 actually read (no orders/customer)
+        for t in ("lineitem", "nation", "region"):
             read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
                 f"{rel_dir}/{t}.parquet"
             )
