@@ -317,10 +317,13 @@ def _png_decode(payload: bytes, channels: int):
 # The largest real-corpus decode gap after the round-6 PNG closer: web
 # crawl corpora are majority JPEG, and without PIL on the workers every
 # JPEG row was a no-decoder NULL.  Scope per the round-6 verdict:
-# BASELINE SEQUENTIAL only (SOF0/SOF1, Huffman, 8-bit) — progressive
-# (SOF2), arithmetic coding, and 12-bit stay NULL with the documented
-# per-row degrade (reference parity anchor: the Object escape hatch's
-# per-row degrade philosophy, /root/reference/bertrand/types/object.py:10-42).
+# BASELINE SEQUENTIAL (SOF0/SOF1, Huffman, 8-bit); round 7b extended
+# the decoder to PROGRESSIVE (SOF2 — spectral selection + successive
+# approximation), since real web JPEGs are majority-progressive.
+# Arithmetic coding, hierarchical, and 12-bit stay NULL with the
+# documented per-row degrade (reference parity anchor: the Object
+# escape hatch's per-row degrade philosophy,
+# /root/reference/bertrand/types/object.py:10-42).
 # Unlike PNG, bit-parity with PIL is NOT a meaningful target here:
 # libjpeg's islow integer IDCT and fancy chroma upsampling are
 # implementation choices the JPEG standard explicitly leaves open, so
@@ -461,17 +464,23 @@ def _dct_matrix():
 
 
 def _jpeg_decode(payload: bytes, channels: int):
-    """Stdlib-only baseline JPEG decode → (w, h, channels, raw bytes).
+    """Stdlib-only JPEG decode → (w, h, channels, raw bytes).
 
-    Supports: SOF0/SOF1 (baseline + extended sequential, 8-bit),
-    1- or 3-component scans, any sampling factors up to 2×2 (covers
-    4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn).  Chroma
-    upsampling is nearest-neighbor (sample replication — the spec's
-    baseline behavior; libjpeg's 'fancy' triangle filter is a quality
-    option, not a conformance requirement, so byte hashes differ from
-    PIL on subsampled images by design).  Progressive (SOF2),
-    arithmetic coding, 12-bit, and >2× sampling return the all-None
-    row — the same one-bad-row-must-not-abort contract as PNG."""
+    Supports baseline + extended sequential (SOF0/SOF1) AND
+    progressive (SOF2) — spectral selection, successive approximation
+    (DC/AC first + refinement passes, EOB runs), 8-bit precision, 1-
+    and 3-component frames, sampling factors up to 2×2 (4:4:4 / 4:2:2
+    / 4:2:0), restart intervals in any scan, and multi-scan sequential
+    files.  ONE scan decoder serves every mode: a baseline scan is the
+    (Ss=0, Se=63, Ah=Al=0) special case of the progressive
+    coefficient-band decoder (spec G.1.2 figures G.2/G.7 — the
+    refinement-pass bit protocol follows the interoperable libjpeg
+    ordering: symbol, sign, then buffered correction bits in scan
+    order).  Single-component scans are NON-interleaved per A.2.2
+    (raster over the component's own block grid, sampling factors
+    ignored).  Chroma upsampling is nearest-neighbor (sample
+    replication).  Arithmetic coding, hierarchical, lossless, and
+    12-bit return the all-None row — the per-row degrade contract."""
     import struct
 
     import numpy as np
@@ -480,137 +489,24 @@ def _jpeg_decode(payload: bytes, channels: int):
         if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
             return None, None, None, None
         pos = 2
+        L = len(payload)
         qts: dict = {}
         huff_dc: dict = {}
         huff_ac: dict = {}
-        frame = None  # (w, h, [(cid, hsamp, vsamp, qt_id), ...])
+        frame = None  # (w, h, [(cid, hs, vs, qt_id), ...])
+        geom = None   # (hmax, vmax, mcux, mcuy)
+        coefs = None  # per component: [by][bx] -> zigzag-INDEPENDENT
+                      # natural-order 64-list, accumulated across scans
         restart_interval = 0
-        scan = None
-        while pos + 4 <= len(payload):
-            if payload[pos] != 0xFF:
-                return None, None, None, None
-            marker = payload[pos + 1]
-            if marker == 0xD9:  # EOI before any scan
-                return None, None, None, None
-            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-            body = payload[pos + 4 : pos + 2 + seglen]
-            if len(body) != seglen - 2:
-                return None, None, None, None
-            pos += 2 + seglen
-            if marker == 0xDB:  # DQT (possibly several tables per segment)
-                o = 0
-                while o < len(body):
-                    pq, tq = body[o] >> 4, body[o] & 0xF
-                    o += 1
-                    if pq == 0:
-                        tbl = np.frombuffer(
-                            body[o : o + 64], dtype=np.uint8
-                        ).astype(np.int32)
-                        o += 64
-                    else:  # 16-bit precision
-                        tbl = np.frombuffer(
-                            body[o : o + 128], dtype=">u2"
-                        ).astype(np.int32)
-                        o += 128
-                    dez = np.zeros(64, dtype=np.int32)
-                    dez[_JPEG_ZIGZAG] = tbl  # stored zigzagged
-                    qts[tq] = dez.reshape(8, 8)
-            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
-                prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-                if prec != 8:
-                    return None, None, None, None
-                comps = []
-                for i in range(ncomp):
-                    cid, samp, qt_id = body[6 + 3 * i : 9 + 3 * i]
-                    hs, vs = samp >> 4, samp & 0xF
-                    if not (1 <= hs <= 2 and 1 <= vs <= 2):
-                        return None, None, None, None
-                    comps.append((cid, hs, vs, qt_id))
-                if ncomp not in (1, 3):
-                    return None, None, None, None
-                frame = (int(w), int(h), comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None, None, None, None  # progressive & friends
-            elif marker == 0xC4:  # DHT
-                o = 0
-                while o < len(body):
-                    tc, th = body[o] >> 4, body[o] & 0xF
-                    bits = tuple(body[o + 1 : o + 17])
-                    nval = sum(bits)
-                    vals = tuple(body[o + 17 : o + 17 + nval])
-                    (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
-                    o += 17 + nval
-            elif marker == 0xDD:  # DRI
-                (restart_interval,) = struct.unpack(">H", body[:2])
-            elif marker == 0xDA:  # SOS — entropy data follows the header
-                ns = body[0]
-                scan = []
-                for i in range(ns):
-                    cs, tables = body[1 + 2 * i : 3 + 2 * i]
-                    scan.append((cs, tables >> 4, tables & 0xF))
-                break
-            # APPn / COM / others: skipped
-        if frame is None or scan is None:
-            return None, None, None, None
-        w, h, comps = frame
-        if len(comps) == 1:
-            # Non-interleaved scan (JPEG spec A.2.2): with one scan
-            # component the MCU is ONE data unit in raster order over
-            # ceil(w/8) × ceil(h/8) — the SOF sampling factors do NOT
-            # shape the scan.  A grayscale SOF declaring 2×2 sampling
-            # (legal, emitted by some encoders) must decode identically
-            # to 1×1; honoring the factors here would silently place
-            # blocks in cluster order (scrambled pixels, no exception).
-            cid, _hs, _vs, qt_id = comps[0]
-            comps = [(cid, 1, 1, qt_id)]
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-
-        # entropy-coded data: pos points at the first scan byte.
-        # Extract + de-stuff ONCE, splitting on byte-aligned RSTn
-        # markers (FF D0-D7 can only appear as real restarts — genuine
-        # FF data bytes are always stuffed as FF 00), so the hot loop
-        # never re-inspects for markers.
-        segments: list = []
-        cur = bytearray()
-        i = pos
-        L = len(payload)
-        while i < L:
-            byt = payload[i]
-            if byt != 0xFF:
-                cur.append(byt)
-                i += 1
-                continue
-            nxt = payload[i + 1] if i + 1 < L else None
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or any other marker: end of scan
-        segments.append(bytes(cur))
-
-        # table-driven Huffman: one flat 2^16 lookup per table (every
-        # suffix of each code filled) — a symbol decode is ONE peek +
-        # ONE list index instead of up-to-16 per-bit function calls.
-        # LUTs come from the module cache (_jpeg_fast_lut): Python
-        # lists beat numpy arrays for the scalar indexing in the loop.
-        fast_dc = {k: _jpeg_fast_lut(*v) for k, v in huff_dc.items()}
-        fast_ac = {k: _jpeg_fast_lut(*v) for k, v in huff_ac.items()}
+        got_scan = False
+        zigzag = _JPEG_ZIGZAG
 
         class _BitReader:
             __slots__ = ("data", "limit", "pos", "acc", "nbits")
 
             def __init__(self, seg: bytes):
-                # pad with 1-bits (the spec's fill) so peeks past the
-                # end are safe; overrun is caught via `limit`
+                # pad with 1-bits (the spec fill) so peeks past the end
+                # are safe; overrun is caught via `limit`
                 self.data = seg + b"\xff\xff\xff"
                 self.limit = 8 * len(seg) + 7  # ≤7 pad bits are legal
                 self.pos = 0
@@ -637,92 +533,329 @@ def _jpeg_decode(payload: bytes, channels: int):
             def consumed(self) -> int:
                 return 8 * self.pos - self.nbits
 
-        C = _dct_matrix()
-        # coefficient blocks accumulate per component and IDCT in ONE
-        # batched matmul at the end (C.T @ (n,8,8) @ C broadcasts) —
-        # per-block 8×8 matmuls cost more in dispatch than in FLOPs
-        blocks: list = [[] for _ in comps]
-        blockpos: list = [[] for _ in comps]
-        dc_pred = [0] * len(comps)
-        scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
-        zigzag = _JPEG_ZIGZAG  # local alias for the hot loop
+        def extract_segments(start: int):
+            # de-stuff + split on byte-aligned RSTn ONCE (FF D0-D7 can
+            # only be real restarts: genuine FF data bytes are stuffed
+            # FF 00), so the hot loop never re-inspects for markers
+            segs: list = []
+            cur = bytearray()
+            i = start
+            while i < L:
+                byt = payload[i]
+                if byt != 0xFF:
+                    cur.append(byt)
+                    i += 1
+                    continue
+                nxt = payload[i + 1] if i + 1 < L else None
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break  # EOI or any other marker: end of scan
+            segs.append(bytes(cur))
+            return segs, i
 
-        seg_idx = 0
-        br = _BitReader(segments[0])
-        mcu_count = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_count and (
-                    mcu_count % restart_interval == 0
-                ):
-                    if br.consumed() > br.limit:
-                        raise ValueError("truncated scan segment")
-                    seg_idx += 1
-                    if seg_idx >= len(segments):
-                        raise ValueError("missing restart segment")
-                    br = _BitReader(segments[seg_idx])
-                    dc_pred = [0] * len(comps)
-                mcu_count += 1
-                for ci, (cid, hs, vs, qt_id) in enumerate(comps):
-                    td, ta = scan_by_comp[cid]
-                    dc_sym, dc_len = fast_dc[td]
-                    ac_sym, ac_len = fast_ac[ta]
-                    qt = qts[qt_id]
-                    for by in range(vs):
-                        for bx in range(hs):
-                            coef = [0] * 64
-                            w16 = br.peek16()
-                            t = dc_sym[w16]
-                            if t < 0:
-                                raise ValueError("bad huffman code")
-                            br.take(dc_len[w16])
-                            if t:
-                                v = br.take(t)
-                                if v < (1 << (t - 1)):
-                                    v -= (1 << t) - 1
-                                dc_pred[ci] += v
-                            coef[0] = dc_pred[ci]
-                            k = 1
-                            while k < 64:
-                                w16 = br.peek16()
-                                rs = ac_sym[w16]
-                                if rs < 0:
-                                    raise ValueError("bad huffman code")
-                                br.take(ac_len[w16])
-                                s = rs & 0xF
-                                if s == 0:
-                                    if rs == 0xF0:  # ZRL: 16 zeros
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += rs >> 4
-                                if k > 63:
-                                    raise ValueError("AC overflow")
-                                v = br.take(s)
-                                if v < (1 << (s - 1)):
-                                    v -= (1 << s) - 1
-                                coef[zigzag[k]] = v
-                                k += 1
-                            blocks[ci].append(coef)
-                            blockpos[ci].append(
-                                ((my * vs + by) * 8, (mx * hs + bx) * 8)
-                            )
-        if br.consumed() > br.limit:
-            raise ValueError("truncated scan")
+        def decode_scan(scan_comps, ss, se, ah, al, segments):
+            # scan_comps: [(ci, td, ta)] — ci indexes frame components
+            hmax, vmax, mcux, mcuy = geom
+            w, h, comps_f = frame
+            luts = {}
+            for ci, td, ta in scan_comps:
+                dc_lut = (
+                    _jpeg_fast_lut(*huff_dc[td]) if ss == 0 and ah == 0 else None
+                )
+                ac_lut = _jpeg_fast_lut(*huff_ac[ta]) if se >= 1 else None
+                luts[ci] = (dc_lut, ac_lut)
+            state = {
+                "seg": 0,
+                "br": _BitReader(segments[0]),
+                "eobrun": 0,
+                "dc": {ci: 0 for ci, _, _ in scan_comps},
+            }
+            p1 = 1 << al
+            m1 = -p1
+
+            def restart():
+                br = state["br"]
+                if br.consumed() > br.limit:
+                    raise ValueError("truncated scan segment")
+                state["seg"] += 1
+                if state["seg"] >= len(segments):
+                    raise ValueError("missing restart segment")
+                state["br"] = _BitReader(segments[state["seg"]])
+                state["eobrun"] = 0
+                for k in state["dc"]:
+                    state["dc"][k] = 0
+
+            def dc_first(block, ci, lut):
+                br = state["br"]
+                sym, ln = lut
+                w16 = br.peek16()
+                t = sym[w16]
+                if t < 0:
+                    raise ValueError("bad huffman code")
+                br.take(ln[w16])
+                if t:
+                    v = br.take(t)
+                    if v < (1 << (t - 1)):
+                        v -= (1 << t) - 1
+                    state["dc"][ci] += v
+                block[0] = state["dc"][ci] << al
+
+            def dc_refine(block):
+                if state["br"].take(1):
+                    block[0] |= p1  # two's-complement |= matches libjpeg
+
+            def ac_first(block, lut):
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    return
+                br = state["br"]
+                sym, ln = lut
+                k = ss if ss else 1  # baseline combined scan: AC from 1
+                while k <= se:
+                    w16 = br.peek16()
+                    rs = sym[w16]
+                    if rs < 0:
+                        raise ValueError("bad huffman code")
+                    br.take(ln[w16])
+                    s = rs & 0xF
+                    r = rs >> 4
+                    if s == 0:
+                        if r != 15:
+                            eob = (1 << r) - 1
+                            if r:
+                                eob += br.take(r)
+                            state["eobrun"] = eob
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC overflow")
+                    v = br.take(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    block[zigzag[k]] = v << al
+                    k += 1
+
+            def ac_refine(block, lut):
+                br = state["br"]
+                sym, ln = lut
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        w16 = br.peek16()
+                        rs = sym[w16]
+                        if rs < 0:
+                            raise ValueError("bad huffman code")
+                        br.take(ln[w16])
+                        r = rs >> 4
+                        s = rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                # refinement EOBRUN counts the CURRENT
+                                # block too (its correction tail runs in
+                                # the eobrun section below, then the
+                                # count decrements) — unlike first-pass,
+                                # where the break itself finishes the
+                                # current block
+                                eob = 1 << r
+                                if r:
+                                    eob += br.take(r)
+                                state["eobrun"] = eob
+                                break
+                            val = 0  # ZRL: 16 zero-history skips
+                        else:
+                            if s != 1:
+                                raise ValueError("bad refine symbol")
+                            val = p1 if br.take(1) else m1
+                        while k <= se:
+                            z = zigzag[k]
+                            if block[z] != 0:
+                                if br.take(1) and (block[z] & p1) == 0:
+                                    block[z] += p1 if block[z] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        block[z] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if state["eobrun"] > 0:
+                    while k <= se:
+                        z = zigzag[k]
+                        if block[z] != 0:
+                            if br.take(1) and (block[z] & p1) == 0:
+                                block[z] += p1 if block[z] >= 0 else m1
+                        k += 1
+                    state["eobrun"] -= 1
+
+            def decode_unit(block, ci):
+                dc_lut, ac_lut = luts[ci]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(block, ci, dc_lut)
+                    else:
+                        dc_refine(block)
+                    if se == 0:
+                        return  # progressive DC scan
+                if ah == 0:
+                    ac_first(block, ac_lut)
+                else:
+                    ac_refine(block, ac_lut)
+
+            if len(scan_comps) > 1:
+                # interleaved: MCU grid shaped by the sampling factors
+                n = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and n and n % restart_interval == 0:
+                            restart()
+                        n += 1
+                        for ci, _, _ in scan_comps:
+                            _, hs, vs, _ = comps_f[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    decode_unit(
+                                        coefs[ci][my * vs + by][mx * hs + bx],
+                                        ci,
+                                    )
+            else:
+                # non-interleaved (spec A.2.2): raster over the
+                # component's OWN block grid; sampling factors only
+                # position it inside the padded storage grid
+                ci = scan_comps[0][0]
+                _, hs, vs, _ = comps_f[ci]
+                own_bx = -(-(-(-w * hs // hmax)) // 8)
+                own_by = -(-(-(-h * vs // vmax)) // 8)
+                n = 0
+                for byi in range(own_by):
+                    for bxi in range(own_bx):
+                        if restart_interval and n and n % restart_interval == 0:
+                            restart()
+                        n += 1
+                        decode_unit(coefs[ci][byi][bxi], ci)
+            br = state["br"]
+            if br.consumed() > br.limit:
+                raise ValueError("truncated scan")
+
+        while pos + 4 <= L:
+            if payload[pos] != 0xFF:
+                return None, None, None, None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None, None, None, None
+            pos += 2 + seglen
+            if marker == 0xDB:  # DQT (possibly several tables per segment)
+                o = 0
+                while o < len(body):
+                    pq, tq = body[o] >> 4, body[o] & 0xF
+                    o += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(
+                            body[o : o + 64], dtype=np.uint8
+                        ).astype(np.int32)
+                        o += 64
+                    else:  # 16-bit precision
+                        tbl = np.frombuffer(
+                            body[o : o + 128], dtype=">u2"
+                        ).astype(np.int32)
+                        o += 128
+                    dez = np.zeros(64, dtype=np.int32)
+                    dez[_JPEG_ZIGZAG] = tbl  # stored zigzagged
+                    qts[tq] = dez.reshape(8, 8)
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+                prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp not in (1, 3):
+                    return None, None, None, None
+                comps = []
+                for i in range(ncomp):
+                    cid, samp, qt_id = body[6 + 3 * i : 9 + 3 * i]
+                    hs, vs = samp >> 4, samp & 0xF
+                    if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                        return None, None, None, None
+                    comps.append((cid, hs, vs, qt_id))
+                if ncomp == 1:
+                    # the only scans a 1-component frame can carry are
+                    # non-interleaved, where sampling factors are inert
+                    # geometry — normalize so the storage grid is the
+                    # component's own block grid
+                    cid, _hs, _vs, qt_id = comps[0]
+                    comps = [(cid, 1, 1, qt_id)]
+                frame = (int(w), int(h), comps)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-frame[0] // (8 * hmax))
+                mcuy = -(-frame[1] // (8 * vmax))
+                geom = (hmax, vmax, mcux, mcuy)
+                coefs = [
+                    [
+                        [[0] * 64 for _ in range(mcux * hs_)]
+                        for _ in range(mcuy * vs_)
+                    ]
+                    for _, hs_, vs_, _ in comps
+                ]
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None, None, None, None  # arithmetic/hierarchical/…
+            elif marker == 0xC4:  # DHT
+                o = 0
+                while o < len(body):
+                    tc, th = body[o] >> 4, body[o] & 0xF
+                    bits = tuple(body[o + 1 : o + 17])
+                    nval = sum(bits)
+                    vals = tuple(body[o + 17 : o + 17 + nval])
+                    (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
+                    o += 17 + nval
+            elif marker == 0xDD:  # DRI (may change between scans)
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS + its entropy-coded data
+                if frame is None:
+                    return None, None, None, None
+                ns = body[0]
+                cid_to_ci = {c[0]: i for i, c in enumerate(frame[2])}
+                scan_comps = []
+                for i in range(ns):
+                    cs, tables = body[1 + 2 * i : 3 + 2 * i]
+                    scan_comps.append((cid_to_ci[cs], tables >> 4, tables & 0xF))
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                segments, pos = extract_segments(pos)
+                decode_scan(scan_comps, ss_, se_, a >> 4, a & 0xF, segments)
+                got_scan = True
+            # APPn / COM / others: skipped
+        if frame is None or not got_scan:
+            return None, None, None, None
+
+        w, h, comps = frame
+        hmax, vmax, mcux, mcuy = geom
+        C = _dct_matrix()
         planes = []
         for ci, (cid, hs, vs, qt_id) in enumerate(comps):
-            plane = np.zeros(
-                (mcuy * vs * 8, mcux * hs * 8), dtype=np.float64
+            grid = coefs[ci]
+            full_by, full_bx = len(grid), len(grid[0])
+            flat = [blk for row in grid for blk in row]
+            A = (
+                np.asarray(flat, dtype=np.float64).reshape(-1, 8, 8)
+                * qts[qt_id][None, :, :]
             )
-            if blocks[ci]:
-                A = (
-                    np.asarray(blocks[ci], dtype=np.float64).reshape(-1, 8, 8)
-                    * qts[qt_id][None, :, :]
-                )
-                S = C.T @ A @ C  # batched IDCT over all n blocks at once
-                for (y0, x0), s in zip(blockpos[ci], S):
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = s
-            planes.append(plane)
+            S = C.T @ A @ C  # batched IDCT over every block at once
+            planes.append(
+                S.reshape(full_by, full_bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(full_by * 8, full_bx * 8)
+            )
         out = []
         for ci, (cid, hs, vs, qt_id) in enumerate(comps):
             pl = np.clip(np.round(planes[ci]) + 128, 0, 255)
@@ -756,6 +889,30 @@ def _jpeg_decode(payload: bytes, channels: int):
         return None, None, None, None
 
 
+def _jpeg_scaled_qt(tbl, quality: int):
+    """IJG quality scaling of a base quantization table (quality=100
+    collapses to all-ones — the lossless-but-for-rounding setting the
+    round-trip gates use)."""
+    import numpy as np
+
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.array(tbl, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32).reshape(8, 8)
+
+
+# Huffman table for the progressive encoder's AC scans: progressive
+# needs EOBRUN symbols ((nb<<4)|0 for nb 1..14) that the Annex K
+# sequential tables do not define, so ship a complete flat table — 255
+# symbols at 8 bits + symbol 255 at 9 (canonically the all-ones 8-bit
+# code is never assigned, per the spec's padding rule).  Compression is
+# not the point of the test-side encoder; validity and coverage are.
+_JPEG_PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
 def jpeg_encode(
     width: int,
     height: int,
@@ -764,12 +921,16 @@ def jpeg_encode(
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Stdlib-only baseline JPEG encoder (SOF0, Annex K Huffman tables,
-    IJG quality scaling of the Annex K quantization tables;
-    ``subsample`` '444' or '420'; ``restart_interval`` > 0 emits
-    DRI/RSTn markers every that many MCUs).  The test-side counterpart
-    of :func:`_jpeg_decode` — quality=100 yields unit quantization
+    """Stdlib-only JPEG encoder (SOF0 baseline by default; Annex K
+    Huffman tables, IJG quality scaling of the Annex K quantization
+    tables; ``subsample`` '444' or '420'; ``restart_interval`` > 0
+    emits DRI/RSTn markers every that many MCUs).
+    ``progressive=True`` emits an SOF2 successive-approximation scan
+    script instead (4:4:4 only — see
+    :func:`_jpeg_encode_progressive`).  The test-side counterpart of
+    :func:`_jpeg_decode` — quality=100 yields unit quantization
     tables, so an encode→decode round trip isolates the codec's only
     irreducible loss (YCbCr + DCT rounding) and bounds it in units.
     Also useful on its own wherever :func:`png_encode` is (sinks,
@@ -782,20 +943,22 @@ def jpeg_encode(
         raise ValueError("channels must be 1 or 3")
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
+    if progressive:
+        if subsample != "444" or restart_interval:
+            raise ValueError(
+                "progressive encoding supports 4:4:4 without restarts"
+            )
+        return _jpeg_encode_progressive(
+            width, height, channels, pixels, quality
+        )
     if channels == 1:
         subsample = "444"
     px = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, channels
     ).astype(np.float64)
 
-    # IJG quality → table scaling
-    q = min(100, max(1, int(quality)))
-    scale = 5000 // q if q < 50 else 200 - 2 * q
-    def scaled(tbl):
-        t = (np.array(tbl, dtype=np.int64) * scale + 50) // 100
-        return np.clip(t, 1, 255).astype(np.int32).reshape(8, 8)
-    qt_l = scaled(_JPEG_QT_LUM)
-    qt_c = scaled(_JPEG_QT_CHR)
+    qt_l = _jpeg_scaled_qt(_JPEG_QT_LUM, quality)
+    qt_c = _jpeg_scaled_qt(_JPEG_QT_CHR, quality)
 
     if channels == 3:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
@@ -1023,8 +1186,8 @@ def decode_images(
     if decode == "real" and _pil_image_module() is None:
         # DRIVER-side, where an operator actually sees it (the
         # worker-side warning below lands in executor stderr): without
-        # PIL the stdlib fallback decodes PNG and BASELINE JPEG only,
-        # so a WebP/GIF/progressive-JPEG corpus would complete with
+        # PIL the stdlib fallback decodes PNG and JPEG (baseline +
+        # progressive) only, so a WebP/GIF corpus would complete with
         # all-NULL rows.  Executor PIL availability can still differ
         # from the driver's — the worker warning stays as the second
         # line of defense.
@@ -1032,8 +1195,8 @@ def decode_images(
 
         warnings.warn(
             "decode='real' but PIL is not importable on the DRIVER: "
-            "the stdlib fallback decodes PNG and baseline JPEG only — "
-            "WebP/GIF/progressive-JPEG payloads will yield NULL rows. "
+            "the stdlib fallback decodes PNG and JPEG only — "
+            "WebP/GIF/arithmetic-JPEG payloads will yield NULL rows. "
             "Install PIL in the executor image, or use decode='strict' "
             "to fail fast.",
             RuntimeWarning,
@@ -1056,7 +1219,7 @@ def decode_images(
 
             warnings.warn(
                 "decode='real' without PIL: stdlib fallback decodes PNG "
-                "and baseline JPEG only; WebP/GIF/progressive payloads "
+                "and JPEG only; WebP/GIF/arithmetic payloads "
                 "will yield NULL rows.  Install PIL in the executor "
                 "image, or use decode='strict' to fail fast.",
                 RuntimeWarning,
@@ -1123,8 +1286,8 @@ def decode_format_report(
     6 closed those gaps);
     ``n_null_no_decoder`` counts formats with NO stdlib path at all
     (gif/riff/unknown — since round 7 this excludes jpeg; a nulled
-    JPEG is progressive/arithmetic/12-bit or corrupt and counts in
-    ``n_null_other``).  The first class needs a corpus
+    JPEG is arithmetic/12-bit or corrupt — progressive DECODES since
+    round 7b — and counts in ``n_null_other``).  The first class needs a corpus
     fix or PIL; the second needs PIL on the workers — operators can now
     tell which.  ``n_null_other`` is the remainder (corrupt/truncated
     payloads).  Plan: one id join + a categorical groupBy — O(rows),
@@ -1162,7 +1325,8 @@ def decode_format_report(
     # round 7: baseline JPEG joined PNG in the stdlib fallback, so the
     # no-decoder class shrinks to the formats with NO stdlib path at
     # all (gif/riff/unknown).  A JPEG that still nulls under the
-    # fallback is a progressive/arithmetic/12-bit variant or corrupt —
+    # fallback is an arithmetic/12-bit variant or corrupt (progressive
+    # decodes since round 7b) —
     # both land in n_null_other (variant detection for JPEG would need
     # a segment scan, not a fixed-offset probe; the report keys on
     # cheap native byte probes only).
@@ -1290,3 +1454,256 @@ def extract_audio_features(
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def _jpeg_encode_progressive(
+    width: int, height: int, channels: int, pixels: bytes, quality: int
+) -> bytes:
+    """Progressive (SOF2) encoder — the test-side counterpart of the
+    progressive decode paths, 4:4:4 only.  Scan script exercises every
+    decode mode: interleaved DC first at Al=1, DC refinement, then per
+    component AC first (Ss=1..63, Al=1, with EOB runs) and AC
+    refinement (Ah=1, Al=0 — the spec G.1.2.3 bit protocol: symbol,
+    sign, buffered correction bits in scan order, run corrections
+    flushed after the EOBRUN symbol).  quality=100 makes a progressive
+    encode → decode round trip bit-identical to the baseline one (both
+    reduce to the same quantized coefficients and the same IDCT)."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    qt_l = _jpeg_scaled_qt(_JPEG_QT_LUM, quality)
+    qt_c = _jpeg_scaled_qt(_JPEG_QT_CHR, quality)
+    if channels == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        comp_px = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        ]
+    else:
+        comp_px = [px[:, :, 0]]
+    bx, by = -(-width // 8), -(-height // 8)
+    C = _dct_matrix()
+    comp_coefs = []  # per comp: raster list of zigzag-ORDER coef lists
+    for ci, pl in enumerate(comp_px):
+        qt = qt_l if ci == 0 else qt_c
+        pl = np.pad(
+            pl, ((0, by * 8 - height), (0, bx * 8 - width)), mode="edge"
+        ) - 128.0
+        blocks = []
+        for yb in range(by):
+            for xb in range(bx):
+                blk = pl[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coef = np.round((C @ blk @ C.T) / qt).astype(np.int64)
+                zz = coef.reshape(-1)[_JPEG_ZIGZAG]
+                zz[1:] = np.clip(zz[1:], -1023, 1023)
+                blocks.append(zz.tolist())
+        comp_coefs.append(blocks)
+    n_blocks = by * bx
+
+    out = bytearray()
+    bitbuf = [0, 0]
+
+    def put_bits(code, length):
+        v, c = bitbuf
+        v = (v << length) | (code & ((1 << length) - 1))
+        c += length
+        while c >= 8:
+            byte = (v >> (c - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            c -= 8
+            v &= (1 << c) - 1
+        bitbuf[0], bitbuf[1] = v, c
+
+    def flush_bits():
+        v, c = bitbuf
+        if c:
+            pad = 8 - c
+            byte = ((v << pad) | ((1 << pad) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bitbuf[0], bitbuf[1] = 0, 0
+
+    dc_enc = [
+        _jpeg_build_codes(*_JPEG_DC_LUM)[1],
+        _jpeg_build_codes(*_JPEG_DC_CHR)[1],
+    ]
+    ac_enc = _jpeg_build_codes(*_JPEG_PROG_AC_TABLE)[1]
+
+    def emit(enc, sym):
+        code, ln = enc[sym]
+        put_bits(code, ln)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out += b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    out += seg(
+        0xDB,
+        bytes([0x00]) + qt_l.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes(),
+    )
+    if channels == 3:
+        out += seg(
+            0xDB,
+            bytes([0x01])
+            + qt_c.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes(),
+        )
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for i in range(channels):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += seg(0xC2, sof)
+
+    def dht(tc, th, bits, values):
+        return seg(0xC4, bytes([(tc << 4) | th] + list(bits) + list(values)))
+
+    out += dht(0, 0, *_JPEG_DC_LUM)
+    if channels == 3:
+        out += dht(0, 1, *_JPEG_DC_CHR)
+    out += dht(1, 0, *_JPEG_PROG_AC_TABLE)
+
+    def sos(comp_list, ss, se, ah, al):
+        body = bytes([len(comp_list)])
+        for cid, tdc, tac in comp_list:
+            body += bytes([cid, (tdc << 4) | tac])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    all_comps = [(i + 1, 0 if i == 0 else 1, 0) for i in range(channels)]
+
+    # scan 1: DC first, interleaved, Al=1 (point transform = arithmetic
+    # shift on the signed value; the refinement bit restores dc & 1)
+    out += sos(all_comps, 0, 0, 0, 1)
+    dc_pred = [0] * channels
+    for bi in range(n_blocks):
+        for ci in range(channels):
+            v = comp_coefs[ci][bi][0] >> 1
+            diff = v - dc_pred[ci]
+            dc_pred[ci] = v
+            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            emit(dc_enc[min(ci, 1)], t)
+            if t:
+                put_bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+    flush_bits()
+
+    # scan 2: DC refinement, Ah=1, Al=0 — one raw bit per block
+    out += sos(all_comps, 0, 0, 1, 0)
+    for bi in range(n_blocks):
+        for ci in range(channels):
+            put_bits(comp_coefs[ci][bi][0] & 1, 1)
+    flush_bits()
+
+    # per component: AC first (Ss=1, Se=63, Ah=0, Al=1), non-interleaved
+    for ci in range(channels):
+        out += sos([all_comps[ci]], 1, 63, 0, 1)
+        eobrun = [0]
+
+        def emit_eobrun():
+            if eobrun[0]:
+                nb = eobrun[0].bit_length() - 1
+                emit(ac_enc, nb << 4)
+                if nb:
+                    put_bits(eobrun[0] - (1 << nb), nb)
+                eobrun[0] = 0
+
+        for bi in range(n_blocks):
+            blk = comp_coefs[ci][bi]
+            last = 0
+            for k2 in range(63, 0, -1):
+                if abs(blk[k2]) >> 1:
+                    last = k2
+                    break
+            if last == 0:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    emit_eobrun()
+                continue
+            emit_eobrun()
+            r = 0
+            for k in range(1, last + 1):
+                t = abs(blk[k]) >> 1
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    emit(ac_enc, 0xF0)
+                    r -= 16
+                s = t.bit_length()
+                emit(ac_enc, (r << 4) | s)
+                v = t if blk[k] > 0 else -t
+                put_bits(v if v > 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < 63:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        flush_bits()
+
+    # per component: AC refinement (Ss=1, Se=63, Ah=1, Al=0)
+    for ci in range(channels):
+        out += sos([all_comps[ci]], 1, 63, 1, 0)
+        eobrun = [0]
+        pending: list = []  # correction bits owed to blocks in the run
+
+        def emit_eobrun2():
+            if eobrun[0]:
+                nb = eobrun[0].bit_length() - 1
+                emit(ac_enc, nb << 4)
+                if nb:
+                    put_bits(eobrun[0] - (1 << nb), nb)
+                for b_ in pending:
+                    put_bits(b_, 1)
+                pending.clear()
+                eobrun[0] = 0
+
+        for bi in range(n_blocks):
+            blk = comp_coefs[ci][bi]
+            eob = 0
+            for k2 in range(63, 0, -1):
+                if abs(blk[k2]) == 1:  # newly significant at Al=0
+                    eob = k2
+                    break
+            r = 0
+            br_bits: list = []
+            for k in range(1, 64):
+                t = abs(blk[k])
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    emit_eobrun2()
+                    emit(ac_enc, 0xF0)
+                    r -= 16
+                    for b_ in br_bits:
+                        put_bits(b_, 1)
+                    br_bits = []
+                if t > 1:
+                    br_bits.append(t & 1)
+                    continue
+                emit_eobrun2()
+                emit(ac_enc, (r << 4) | 1)
+                put_bits(1 if blk[k] > 0 else 0, 1)
+                for b_ in br_bits:
+                    put_bits(b_, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun[0] += 1
+                pending.extend(br_bits)
+                if eobrun[0] == 0x7FFF or len(pending) > 900:
+                    emit_eobrun2()
+        emit_eobrun2()
+        flush_bits()
+
+    out += b"\xff\xd9"
+    return bytes(out)

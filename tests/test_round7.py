@@ -443,8 +443,12 @@ class TestBaselineJpegCodec:
         assert C == 1 and abs(int(got[0, 0, 0]) - 59) <= 2
 
     def test_rejects_out_of_scope_variants(self):
-        """Progressive (SOF2), truncation, and garbage yield the
-        all-None row — per-row degrade, never an exception."""
+        """Arithmetic coding (SOF9), truncation, and garbage yield the
+        all-None row — per-row degrade, never an exception.  (SOF2
+        progressive is DECODED since round 7b — see
+        TestProgressiveJpeg; a baseline scan under a SOF2 header is the
+        same band decode, so the marker swap alone must still
+        succeed.)"""
         import numpy as np
 
         from bertrand_spark.pipeline.multimodal import (
@@ -453,7 +457,8 @@ class TestBaselineJpegCodec:
 
         px = np.zeros((8, 8, 3), dtype=np.uint8)
         blob = jpeg_encode(8, 8, 3, px.tobytes())
-        assert _jpeg_decode(blob.replace(b"\xff\xc0", b"\xff\xc2", 1), 3)[0] is None
+        assert _jpeg_decode(blob.replace(b"\xff\xc0", b"\xff\xc9", 1), 3)[0] is None
+        assert _jpeg_decode(blob.replace(b"\xff\xc0", b"\xff\xc2", 1), 3)[0] is not None
         assert _jpeg_decode(blob[:50], 3)[0] is None
         assert _jpeg_decode(b"\xff\xd8\xff\xe0junk", 3)[0] is None
         assert _jpeg_decode(b"", 3)[0] is None
@@ -576,3 +581,82 @@ class TestKcenterSelect:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         got = kcenter_select(df, 3)
         assert [i for i, _ in got] == [1, 3]
+
+
+class TestProgressiveJpeg:
+    """Round-7b: progressive (SOF2) decode — spectral selection,
+    successive approximation, EOB runs.  The gate is BIT-IDENTITY: a
+    progressive encode → decode must produce exactly the pixels the
+    baseline encode → decode produces (same quantized coefficients,
+    same IDCT), so any desync in the refinement bit protocol — the
+    intricate part (symbol, sign, buffered correction bits, run
+    corrections after the EOBRUN symbol) — shows up as a hard failure,
+    not a tolerance miss."""
+
+    def _identical(self, px, w, h, c, q):
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        base = _jpeg_decode(jpeg_encode(w, h, c, px.tobytes(), quality=q), c)
+        prog = _jpeg_decode(
+            jpeg_encode(w, h, c, px.tobytes(), quality=q, progressive=True), c
+        )
+        assert base[0] == w and prog[0] == w
+        assert prog[3] == base[3], (w, h, c, q)
+
+    def test_dense_coefficients(self):
+        """Random noise: nearly every coefficient significant — the
+        correction-bit path dominates."""
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        for w, h, c, q in [(8, 8, 1, 100), (19, 7, 3, 100), (32, 32, 3, 90)]:
+            self._identical(
+                rng.integers(0, 256, size=(h, w, c), dtype=np.uint8), w, h, c, q
+            )
+
+    def test_sparse_coefficients_eob_runs(self):
+        """Smooth gradients at low quality: most blocks end early, so
+        EOB runs span many blocks and the run-correction buffering is
+        the exercised path."""
+        import numpy as np
+
+        yy, xx = np.mgrid[0:48, 0:80]
+        smooth = np.stack(
+            [xx * 3 % 256, yy * 5 % 256, (xx + yy) * 2 % 256], axis=2
+        ).astype(np.uint8)
+        for q in (100, 75, 40):
+            self._identical(smooth, 80, 48, 3, q)
+
+    def test_flat_image_pure_eob(self):
+        """A constant image: every AC band is one corpus-wide EOB run."""
+        import numpy as np
+
+        flat = np.full((24, 24, 3), 130, dtype=np.uint8)
+        self._identical(flat, 24, 24, 3, 100)
+
+    def test_progressive_through_spark_seam(self, spark):
+        """decode_images(decode='real') decodes an SOF2 payload without
+        PIL, and the format report counts it decoded."""
+        import warnings
+
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            decode_format_report, decode_images, jpeg_encode,
+        )
+
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+        blob = jpeg_encode(9, 6, 3, px.tobytes(), quality=100, progressive=True)
+        df = spark.createDataFrame(
+            [(1, blob)], "media_id long, payload binary"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            decoded = decode_images(df, decode="real")
+        row = decoded.collect()[0]
+        assert row["width"] == 9 and row["pixels"] is not None
+        rep = decode_format_report(df, decoded).collect()[0]
+        assert rep["n_decoded"] == 1
