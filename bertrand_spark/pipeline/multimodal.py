@@ -944,12 +944,10 @@ def jpeg_encode(
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
     if progressive:
-        if subsample != "444" or restart_interval:
-            raise ValueError(
-                "progressive encoding supports 4:4:4 without restarts"
-            )
+        if restart_interval:
+            raise ValueError("progressive encoding does not emit restarts")
         return _jpeg_encode_progressive(
-            width, height, channels, pixels, quality
+            width, height, channels, pixels, quality, subsample
         )
     if channels == 1:
         subsample = "444"
@@ -1457,17 +1455,25 @@ def extract_audio_features(
 
 
 def _jpeg_encode_progressive(
-    width: int, height: int, channels: int, pixels: bytes, quality: int
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int,
+    subsample: str = "444",
 ) -> bytes:
     """Progressive (SOF2) encoder — the test-side counterpart of the
-    progressive decode paths, 4:4:4 only.  Scan script exercises every
-    decode mode: interleaved DC first at Al=1, DC refinement, then per
-    component AC first (Ss=1..63, Al=1, with EOB runs) and AC
-    refinement (Ah=1, Al=0 — the spec G.1.2.3 bit protocol: symbol,
-    sign, buffered correction bits in scan order, run corrections
-    flushed after the EOBRUN symbol).  quality=100 makes a progressive
-    encode → decode round trip bit-identical to the baseline one (both
-    reduce to the same quantized coefficients and the same IDCT)."""
+    progressive decode paths; 4:4:4 and 4:2:0.  Scan script exercises
+    every decode mode: interleaved DC first at Al=1 (multi-block MCUs
+    under 4:2:0), DC refinement, then per component AC first
+    (Ss=1..63, Al=1, with EOB runs) and AC refinement (Ah=1, Al=0 —
+    the spec G.1.2.3 bit protocol: symbol, sign, buffered correction
+    bits in scan order, run corrections flushed after the EOBRUN
+    symbol).  AC scans are non-interleaved over each component's OWN
+    block grid (A.2.2), which under 4:2:0 differs from the padded MCU
+    storage grid.  quality=100 makes a progressive encode → decode
+    round trip bit-identical to the baseline one (both reduce to the
+    same quantized coefficients and the same IDCT)."""
     import struct
 
     import numpy as np
@@ -1488,24 +1494,47 @@ def _jpeg_encode_progressive(
         ]
     else:
         comp_px = [px[:, :, 0]]
-    bx, by = -(-width // 8), -(-height // 8)
+    if subsample == "420" and channels == 3:
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    else:
+        sampling = [(1, 1)] * channels
+    hmax = max(s_[0] for s_ in sampling)
+    vmax = max(s_[1] for s_ in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
     C = _dct_matrix()
-    comp_coefs = []  # per comp: raster list of zigzag-ORDER coef lists
+    comp_coefs = []   # per comp: STORAGE-grid raster of zigzag coef lists
+    full_dims = []    # per comp: (full_by, full_bx)
+    own_dims = []     # per comp: (own_by, own_bx) — the coded AC grid
     for ci, pl in enumerate(comp_px):
+        hs, vs = sampling[ci]
         qt = qt_l if ci == 0 else qt_c
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-height // fy) * fy
+            pw = -(-width // fx) * fx
+            padded = np.pad(
+                pl, ((0, ph - height), (0, pw - width)), mode="edge"
+            )
+            pl = padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        comp_h, comp_w = pl.shape
+        full_by, full_bx = mcuy * vs, mcux * hs
+        own_dims.append((-(-comp_h // 8), -(-comp_w // 8)))
+        full_dims.append((full_by, full_bx))
         pl = np.pad(
-            pl, ((0, by * 8 - height), (0, bx * 8 - width)), mode="edge"
+            pl,
+            ((0, full_by * 8 - comp_h), (0, full_bx * 8 - comp_w)),
+            mode="edge",
         ) - 128.0
         blocks = []
-        for yb in range(by):
-            for xb in range(bx):
+        for yb in range(full_by):
+            for xb in range(full_bx):
                 blk = pl[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
                 coef = np.round((C @ blk @ C.T) / qt).astype(np.int64)
                 zz = coef.reshape(-1)[_JPEG_ZIGZAG]
                 zz[1:] = np.clip(zz[1:], -1023, 1023)
                 blocks.append(zz.tolist())
         comp_coefs.append(blocks)
-    n_blocks = by * bx
 
     out = bytearray()
     bitbuf = [0, 0]
@@ -1560,7 +1589,8 @@ def _jpeg_encode_progressive(
         )
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for i in range(channels):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        hs_, vs_ = sampling[i]
+        sof += bytes([i + 1, (hs_ << 4) | vs_, 0 if i == 0 else 1])
     out += seg(0xC2, sof)
 
     def dht(tc, th, bits, values):
@@ -1580,31 +1610,45 @@ def _jpeg_encode_progressive(
 
     all_comps = [(i + 1, 0 if i == 0 else 1, 0) for i in range(channels)]
 
+    def mcu_block_indices():
+        # interleaved MCU order: per MCU, each component contributes
+        # its hs×vs blocks from the padded STORAGE grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    hs_, vs_ = sampling[ci]
+                    full_bx_ = full_dims[ci][1]
+                    for byy in range(vs_):
+                        for bxx in range(hs_):
+                            yield ci, (my * vs_ + byy) * full_bx_ + (
+                                mx * hs_ + bxx
+                            )
+
     # scan 1: DC first, interleaved, Al=1 (point transform = arithmetic
     # shift on the signed value; the refinement bit restores dc & 1)
     out += sos(all_comps, 0, 0, 0, 1)
     dc_pred = [0] * channels
-    for bi in range(n_blocks):
-        for ci in range(channels):
-            v = comp_coefs[ci][bi][0] >> 1
-            diff = v - dc_pred[ci]
-            dc_pred[ci] = v
-            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
-            emit(dc_enc[min(ci, 1)], t)
-            if t:
-                put_bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+    for ci, bi in mcu_block_indices():
+        v = comp_coefs[ci][bi][0] >> 1
+        diff = v - dc_pred[ci]
+        dc_pred[ci] = v
+        t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        emit(dc_enc[min(ci, 1)], t)
+        if t:
+            put_bits(diff if diff > 0 else diff + (1 << t) - 1, t)
     flush_bits()
 
     # scan 2: DC refinement, Ah=1, Al=0 — one raw bit per block
     out += sos(all_comps, 0, 0, 1, 0)
-    for bi in range(n_blocks):
-        for ci in range(channels):
-            put_bits(comp_coefs[ci][bi][0] & 1, 1)
+    for ci, bi in mcu_block_indices():
+        put_bits(comp_coefs[ci][bi][0] & 1, 1)
     flush_bits()
 
     # per component: AC first (Ss=1, Se=63, Ah=0, Al=1), non-interleaved
     for ci in range(channels):
         out += sos([all_comps[ci]], 1, 63, 0, 1)
+        own_by_, own_bx_ = own_dims[ci]
+        full_bx_ = full_dims[ci][1]
         eobrun = [0]
 
         def emit_eobrun():
@@ -1615,8 +1659,9 @@ def _jpeg_encode_progressive(
                     put_bits(eobrun[0] - (1 << nb), nb)
                 eobrun[0] = 0
 
-        for bi in range(n_blocks):
-            blk = comp_coefs[ci][bi]
+        for byi in range(own_by_):
+          for bxi in range(own_bx_):
+            blk = comp_coefs[ci][byi * full_bx_ + bxi]
             last = 0
             for k2 in range(63, 0, -1):
                 if abs(blk[k2]) >> 1:
@@ -1652,6 +1697,8 @@ def _jpeg_encode_progressive(
     # per component: AC refinement (Ss=1, Se=63, Ah=1, Al=0)
     for ci in range(channels):
         out += sos([all_comps[ci]], 1, 63, 1, 0)
+        own_by_, own_bx_ = own_dims[ci]
+        full_bx_ = full_dims[ci][1]
         eobrun = [0]
         pending: list = []  # correction bits owed to blocks in the run
 
@@ -1666,8 +1713,9 @@ def _jpeg_encode_progressive(
                 pending.clear()
                 eobrun[0] = 0
 
-        for bi in range(n_blocks):
-            blk = comp_coefs[ci][bi]
+        for byi in range(own_by_):
+          for bxi in range(own_bx_):
+            blk = comp_coefs[ci][byi * full_bx_ + bxi]
             eob = 0
             for k2 in range(63, 0, -1):
                 if abs(blk[k2]) == 1:  # newly significant at Al=0

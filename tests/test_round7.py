@@ -660,3 +660,31 @@ class TestProgressiveJpeg:
         assert row["width"] == 9 and row["pixels"] is not None
         rep = decode_format_report(df, decoded).collect()[0]
         assert rep["n_decoded"] == 1
+
+    def test_progressive_420_own_grid(self):
+        """4:2:0 progressive: the non-interleaved AC scans cover each
+        component's OWN block grid, which for luma differs from the
+        padded MCU storage grid at non-16-multiple dims — still
+        bit-identical to the 4:2:0 baseline round trip (pad blocks are
+        DC-only in progressive but crop out either way)."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        rng = np.random.default_rng(13)
+        for w, h, q in [(40, 24, 100), (17, 19, 100), (33, 18, 75)]:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            base = _jpeg_decode(
+                jpeg_encode(w, h, 3, px.tobytes(), quality=q, subsample="420"),
+                3,
+            )
+            prog = _jpeg_decode(
+                jpeg_encode(
+                    w, h, 3, px.tobytes(), quality=q, subsample="420",
+                    progressive=True,
+                ),
+                3,
+            )
+            assert prog[0] == w and prog[3] == base[3], (w, h, q)
