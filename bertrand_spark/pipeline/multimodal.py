@@ -551,6 +551,9 @@ def _jpeg_decode(payload: bytes, channels: int):
                     cur.append(0xFF)
                     i += 2
                     continue
+                if nxt == 0xFF:
+                    i += 1  # spec B.1.1.2 fill byte before a marker
+                    continue
                 if nxt is not None and 0xD0 <= nxt <= 0xD7:
                     segs.append(bytes(cur))
                     cur = bytearray()
@@ -697,7 +700,8 @@ def _jpeg_decode(payload: bytes, channels: int):
                         k += 1
                     state["eobrun"] -= 1
 
-            def decode_unit(block, ci):
+            def decode_unit(cell, ci):
+                block = cell.tolist()  # hot loop mutates a plain list
                 dc_lut, ac_lut = luts[ci]
                 if ss == 0:
                     if ah == 0:
@@ -705,11 +709,13 @@ def _jpeg_decode(payload: bytes, channels: int):
                     else:
                         dc_refine(block)
                     if se == 0:
+                        cell[:] = block
                         return  # progressive DC scan
                 if ah == 0:
                     ac_first(block, ac_lut)
                 else:
                     ac_refine(block, ac_lut)
+                cell[:] = block
 
             if len(scan_comps) > 1:
                 # interleaved: MCU grid shaped by the sampling factors
@@ -724,7 +730,7 @@ def _jpeg_decode(payload: bytes, channels: int):
                             for by in range(vs):
                                 for bx in range(hs):
                                     decode_unit(
-                                        coefs[ci][my * vs + by][mx * hs + bx],
+                                        coefs[ci][my * vs + by, mx * hs + bx],
                                         ci,
                                     )
             else:
@@ -733,15 +739,17 @@ def _jpeg_decode(payload: bytes, channels: int):
                 # position it inside the padded storage grid
                 ci = scan_comps[0][0]
                 _, hs, vs, _ = comps_f[ci]
-                own_bx = -(-(-(-w * hs // hmax)) // 8)
-                own_by = -(-(-(-h * vs // vmax)) // 8)
+                comp_w = -(-w * hs // hmax)   # ceil(w*hs/hmax)
+                comp_h = -(-h * vs // vmax)
+                own_bx = -(-comp_w // 8)
+                own_by = -(-comp_h // 8)
                 n = 0
                 for byi in range(own_by):
                     for bxi in range(own_bx):
                         if restart_interval and n and n % restart_interval == 0:
                             restart()
                         n += 1
-                        decode_unit(coefs[ci][byi][bxi], ci)
+                        decode_unit(coefs[ci][byi, bxi], ci)
             br = state["br"]
             if br.consumed() > br.limit:
                 raise ValueError("truncated scan")
@@ -749,6 +757,8 @@ def _jpeg_decode(payload: bytes, channels: int):
         while pos + 4 <= L:
             if payload[pos] != 0xFF:
                 return None, None, None, None
+            while payload[pos + 1] == 0xFF and pos + 2 <= L:
+                pos += 1  # spec B.1.1.2: markers may be 0xFF-padded
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI
                 break
@@ -799,11 +809,14 @@ def _jpeg_decode(payload: bytes, channels: int):
                 mcux = -(-frame[0] // (8 * hmax))
                 mcuy = -(-frame[1] // (8 * vmax))
                 geom = (hmax, vmax, mcux, mcuy)
+                # int32 ndarray per component (natural-order 64 per
+                # block): ~256 bytes/block vs several KB of Python list
+                # machinery — on a 12 MP image that is the difference
+                # between ~60 MB and hundreds of MB per worker.  Scans
+                # edit a block as a transient Python list (fast scalar
+                # access in the hot loop) written back once per unit.
                 coefs = [
-                    [
-                        [[0] * 64 for _ in range(mcux * hs_)]
-                        for _ in range(mcuy * vs_)
-                    ]
+                    np.zeros((mcuy * vs_, mcux * hs_, 64), dtype=np.int32)
                     for _, hs_, vs_, _ in comps
                 ]
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
@@ -844,10 +857,9 @@ def _jpeg_decode(payload: bytes, channels: int):
         planes = []
         for ci, (cid, hs, vs, qt_id) in enumerate(comps):
             grid = coefs[ci]
-            full_by, full_bx = len(grid), len(grid[0])
-            flat = [blk for row in grid for blk in row]
+            full_by, full_bx = grid.shape[0], grid.shape[1]
             A = (
-                np.asarray(flat, dtype=np.float64).reshape(-1, 8, 8)
+                grid.reshape(-1, 8, 8).astype(np.float64)
                 * qts[qt_id][None, :, :]
             )
             S = C.T @ A @ C  # batched IDCT over every block at once
@@ -911,6 +923,82 @@ _JPEG_PROG_AC_TABLE = (
     [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
     list(range(256)),
 )
+
+
+class _JpegBitWriter:
+    """Shared entropy bit writer for BOTH encoders (baseline and
+    progressive): MSB-first accumulation, 0xFF byte stuffing, 1-bit
+    padding on flush — one implementation so the stuffing/padding
+    rules cannot diverge between the two scan scripts."""
+
+    __slots__ = ("out", "v", "c")
+
+    def __init__(self, out: bytearray):
+        self.out = out
+        self.v = 0
+        self.c = 0
+
+    def put(self, code: int, length: int) -> None:
+        v = (self.v << length) | (code & ((1 << length) - 1))
+        c = self.c + length
+        out = self.out
+        while c >= 8:
+            byte = (v >> (c - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            c -= 8
+            v &= (1 << c) - 1
+        self.v, self.c = v, c
+
+    def flush(self) -> None:
+        if self.c:
+            pad = 8 - self.c
+            byte = ((self.v << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.v, self.c = 0, 0
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _jpeg_dht(tc: int, th: int, bits, values) -> bytes:
+    return _jpeg_seg(0xC4, bytes([(tc << 4) | th] + list(bits) + list(values)))
+
+
+def _jpeg_headers(width, height, channels, qt_l, qt_c, sof_marker, sampling):
+    """SOI + JFIF APP0 + DQT(s) + SOF — the header prefix both
+    encoders share (they differ only in DHTs and scan scripts)."""
+    import struct
+
+    import numpy as np
+
+    hdr = bytearray(b"\xff\xd8")
+    hdr += _jpeg_seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    hdr += _jpeg_seg(
+        0xDB,
+        bytes([0x00])
+        + qt_l.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes(),
+    )
+    if channels == 3:
+        hdr += _jpeg_seg(
+            0xDB,
+            bytes([0x01])
+            + qt_c.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes(),
+        )
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for i in range(channels):
+        hs, vs = sampling[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    hdr += _jpeg_seg(sof_marker, sof)
+    return hdr
 
 
 def jpeg_encode(
@@ -1001,30 +1089,8 @@ def jpeg_encode(
     ac_enc_c = _jpeg_build_codes(*_JPEG_AC_CHR)[1]
 
     out = bytearray()
-    bitbuf = [0, 0]  # value, count
-
-    def put_bits(code, length):
-        v, c = bitbuf
-        v = (v << length) | (code & ((1 << length) - 1))
-        c += length
-        while c >= 8:
-            byte = (v >> (c - 8)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            c -= 8
-            v &= (1 << c) - 1
-        bitbuf[0], bitbuf[1] = v, c
-
-    def flush_bits():
-        v, c = bitbuf
-        if c:
-            pad = 8 - c
-            byte = ((v << pad) | ((1 << pad) - 1)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-        bitbuf[0], bitbuf[1] = 0, 0
+    bw = _JpegBitWriter(out)
+    put_bits, flush_bits = bw.put, bw.flush
 
     def category(v):
         return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -1067,42 +1133,20 @@ def jpeg_encode(
             put_bits(v if v > 0 else v + (1 << s) - 1, s)
             run = 0
 
-    # --- header segments ---
-    def seg(marker, body):
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    hdr = bytearray(b"\xff\xd8")  # SOI
-    hdr += seg(
-        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
-    zz_l = qt_l.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
-    hdr += seg(0xDB, bytes([0x00]) + zz_l)
+    # --- header segments (shared with the progressive encoder) ---
+    hdr = _jpeg_headers(width, height, channels, qt_l, qt_c, 0xC0, sampling)
+    hdr += _jpeg_dht(0, 0, *_JPEG_DC_LUM)
+    hdr += _jpeg_dht(1, 0, *_JPEG_AC_LUM)
     if channels == 3:
-        zz_c = qt_c.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
-        hdr += seg(0xDB, bytes([0x01]) + zz_c)
-    sof = struct.pack(">BHHB", 8, height, width, channels)
-    for i in range(channels):
-        hs, vs = sampling[i]
-        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
-    hdr += seg(0xC0, sof)
-
-    def dht(tc, th, bits, values):
-        return seg(
-            0xC4, bytes([(tc << 4) | th] + bits + values)
-        )
-
-    hdr += dht(0, 0, *_JPEG_DC_LUM)
-    hdr += dht(1, 0, *_JPEG_AC_LUM)
-    if channels == 3:
-        hdr += dht(0, 1, *_JPEG_DC_CHR)
-        hdr += dht(1, 1, *_JPEG_AC_CHR)
+        hdr += _jpeg_dht(0, 1, *_JPEG_DC_CHR)
+        hdr += _jpeg_dht(1, 1, *_JPEG_AC_CHR)
     if restart_interval:
-        hdr += seg(0xDD, struct.pack(">H", int(restart_interval)))
+        hdr += _jpeg_seg(0xDD, struct.pack(">H", int(restart_interval)))
     sos = bytes([channels])
     for i in range(channels):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    hdr += seg(0xDA, sos)
+    hdr += _jpeg_seg(0xDA, sos)
 
     mcu_count = 0
     for my in range(mcuy):
@@ -1537,30 +1581,8 @@ def _jpeg_encode_progressive(
         comp_coefs.append(blocks)
 
     out = bytearray()
-    bitbuf = [0, 0]
-
-    def put_bits(code, length):
-        v, c = bitbuf
-        v = (v << length) | (code & ((1 << length) - 1))
-        c += length
-        while c >= 8:
-            byte = (v >> (c - 8)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            c -= 8
-            v &= (1 << c) - 1
-        bitbuf[0], bitbuf[1] = v, c
-
-    def flush_bits():
-        v, c = bitbuf
-        if c:
-            pad = 8 - c
-            byte = ((v << pad) | ((1 << pad) - 1)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-        bitbuf[0], bitbuf[1] = 0, 0
+    bw = _JpegBitWriter(out)
+    put_bits, flush_bits = bw.put, bw.flush
 
     dc_enc = [
         _jpeg_build_codes(*_JPEG_DC_LUM)[1],
@@ -1572,41 +1594,18 @@ def _jpeg_encode_progressive(
         code, ln = enc[sym]
         put_bits(code, ln)
 
-    def seg(marker, body):
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out += b"\xff\xd8"
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
-    out += seg(
-        0xDB,
-        bytes([0x00]) + qt_l.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes(),
-    )
+    out += _jpeg_headers(width, height, channels, qt_l, qt_c, 0xC2, sampling)
+    out += _jpeg_dht(0, 0, *_JPEG_DC_LUM)
     if channels == 3:
-        out += seg(
-            0xDB,
-            bytes([0x01])
-            + qt_c.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes(),
-        )
-    sof = struct.pack(">BHHB", 8, height, width, channels)
-    for i in range(channels):
-        hs_, vs_ = sampling[i]
-        sof += bytes([i + 1, (hs_ << 4) | vs_, 0 if i == 0 else 1])
-    out += seg(0xC2, sof)
-
-    def dht(tc, th, bits, values):
-        return seg(0xC4, bytes([(tc << 4) | th] + list(bits) + list(values)))
-
-    out += dht(0, 0, *_JPEG_DC_LUM)
-    if channels == 3:
-        out += dht(0, 1, *_JPEG_DC_CHR)
-    out += dht(1, 0, *_JPEG_PROG_AC_TABLE)
+        out += _jpeg_dht(0, 1, *_JPEG_DC_CHR)
+    out += _jpeg_dht(1, 0, *_JPEG_PROG_AC_TABLE)
 
     def sos(comp_list, ss, se, ah, al):
         body = bytes([len(comp_list)])
         for cid, tdc, tac in comp_list:
             body += bytes([cid, (tdc << 4) | tac])
         body += bytes([ss, se, (ah << 4) | al])
-        return seg(0xDA, body)
+        return _jpeg_seg(0xDA, body)
 
     all_comps = [(i + 1, 0 if i == 0 else 1, 0) for i in range(channels)]
 

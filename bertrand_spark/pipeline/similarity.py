@@ -1445,7 +1445,10 @@ def kcenter_select(
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = work
-        if not far or far[0]["__mind"] <= 0.0:
+        # 1e-12, not 0.0: an exact duplicate of a pick renormalizes to
+        # cosine 1 ± a few ulps, so a strict zero test could spend the
+        # budget on degenerate ~1e-16-radius picks instead of stopping
+        if not far or far[0]["__mind"] <= 1e-12:
             break
         picks.append((far[0][id_col], float(far[0]["__mind"])))
         next_center = np.asarray(far[0]["__v"], dtype=np.float64)

@@ -688,3 +688,23 @@ class TestProgressiveJpeg:
                 3,
             )
             assert prog[0] == w and prog[3] == base[3], (w, h, q)
+
+    def test_fill_bytes_before_markers(self):
+        """Spec B.1.1.2: markers may be preceded by any number of 0xFF
+        fill bytes — a conformant multi-scan file with fills must decode
+        identically, not degrade to NULL (round-7b review finding)."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        blob = jpeg_encode(40, 24, 3, px.tobytes(), quality=100, progressive=True)
+        idx = blob.index(b"\xff\xda", blob.index(b"\xff\xda") + 2)
+        filled = blob[:idx] + b"\xff\xff\xff" + blob[idx:]
+        assert _jpeg_decode(filled, 3)[3] == _jpeg_decode(blob, 3)[3]
+        base = jpeg_encode(40, 24, 3, px.tobytes(), quality=100)
+        filled2 = base[:-2] + b"\xff" + base[-2:]  # fill before EOI
+        assert _jpeg_decode(filled2, 3)[3] == _jpeg_decode(base, 3)[3]
