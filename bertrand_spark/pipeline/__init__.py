@@ -59,6 +59,7 @@ from .similarity import (  # noqa: F401
     ivf_append,
     ivf_assign,
     ivf_build,
+    ivf_drift_report,
     ivf_topk,
     kcenter_select,
     knn_graph,

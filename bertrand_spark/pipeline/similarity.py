@@ -29,7 +29,7 @@ __all__ = [
     "cosine_all_pairs_blocked", "knn_graph", "ann_recall",
     "brute_force_topk", "ivf_build", "ivf_assign", "ivf_append",
     "ivf_topk", "ivf_write", "ivf_read",
-    "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
+    "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk", "ivf_drift_report",
     "sign_bucket", "semantic_dedup_bucketed", "semantic_dedup_ivf",
     "kcenter_select",
 ]
@@ -742,15 +742,54 @@ def ivf_topk(
     )
 
 
+def _ivf_cell_stats(assigned: DataFrame, centroids, vec_col: str) -> DataFrame:
+    """Per-cell (count, mean L2 distance to own centroid) — one Arrow
+    kernel + one ≤n_cells-group aggregate; the shared measurement
+    behind build-time stats and :func:`ivf_drift_report`."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("double")
+    def dist(v: pd.Series, cell: pd.Series) -> pd.Series:
+        out = np.full(len(v), np.nan)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            M = np.stack(v.to_numpy()[mask])
+            cells = cell.to_numpy()[mask].astype(int)
+            d = M - C[cells]
+            out[np.nonzero(mask)[0]] = np.sqrt((d * d).sum(axis=1))
+        return pd.Series(out)
+
+    return (
+        assigned.select(
+            F.col("__cell").cast("int").alias("cell"),
+            dist(F.col(vec_col), F.col("__cell")).alias("__d"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__d").alias("mean_dist"),
+        )
+    )
+
+
 def ivf_write(
     assigned: DataFrame,
     centroids: list[list[float]],
     path: str,
     mode: str = "overwrite",
+    vec_col: str = "embedding",
+    stats: bool = True,
 ) -> None:
     """Persist an IVF index partitioned by ``__cell`` — probes then prune
     whole cell directories at scan time (the layout half of nprobe
-    pruning at scale).  Centroids ride along as JSON."""
+    pruning at scale).  Centroids ride along as JSON; so does a
+    BUILD-TIME per-cell stats snapshot (count + mean distance to
+    centroid) when ``stats`` — the baseline :func:`ivf_drift_report`
+    compares continuous-ingest indexes against to answer "rebuild
+    yet?" with a measurement instead of a guess."""
     import json
 
     assigned.write.mode(mode).partitionBy("__cell").parquet(f"{path}/vectors")
@@ -758,6 +797,56 @@ def ivf_write(
     spark.createDataFrame(
         [(json.dumps(centroids),)], "centroids string"
     ).coalesce(1).write.mode(mode).json(f"{path}/centroids")
+    if stats and vec_col in assigned.columns:
+        _ivf_cell_stats(assigned, centroids, vec_col).write.mode(
+            mode
+        ).parquet(f"{path}/build_stats")
+
+
+def ivf_drift_report(spark, path: str, vec_col: str = "embedding") -> DataFrame:
+    """Centroid-drift report for a persisted IVF index: per cell, the
+    CURRENT count and mean distance to centroid versus the BUILD-TIME
+    snapshot (``ivf_write(stats=True)``), plus growth and drift ratios.
+
+    This closes the loop the ``ivf_append`` docstring leaves open:
+    appends assign correctly forever, but cell sizes skew and
+    recall-per-nprobe degrades as the data distribution drifts from
+    the build-time centroids — this report turns "rebuild on what
+    cadence?" into numbers (``n_growth`` per cell for skew,
+    ``drift_ratio`` > ~1.2 for distributional drift).  Plan: one
+    Arrow-kernel pass over the index + a ≤n_cells aggregate + a
+    broadcast-sized join of two n_cells-row frames; indexes written
+    before build stats existed report NULL build columns (rows-only
+    evidence is better than none).
+    """
+    assigned, centroids = ivf_read(spark, path)
+    cur = _ivf_cell_stats(assigned, centroids, vec_col).select(
+        "cell",
+        F.col("n").alias("n_now"),
+        F.col("mean_dist").alias("mean_dist_now"),
+    )
+    try:
+        build = spark.read.parquet(f"{path}/build_stats").select(
+            "cell",
+            F.col("n").alias("n_build"),
+            F.col("mean_dist").alias("mean_dist_build"),
+        )
+    except Exception:
+        build = None
+    if build is None:
+        out = cur.withColumn("n_build", F.lit(None).cast("long")).withColumn(
+            "mean_dist_build", F.lit(None).cast("double")
+        )
+    else:
+        out = cur.join(build, "cell", "left")
+    return out.select(
+        "cell", "n_build", "n_now",
+        (F.col("n_now") / F.col("n_build")).alias("n_growth"),
+        "mean_dist_build", "mean_dist_now",
+        (F.col("mean_dist_now") / F.col("mean_dist_build")).alias(
+            "drift_ratio"
+        ),
+    ).orderBy("cell")
 
 
 def ivf_append(

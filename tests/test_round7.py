@@ -708,3 +708,71 @@ class TestProgressiveJpeg:
         base = jpeg_encode(40, 24, 3, px.tobytes(), quality=100)
         filled2 = base[:-2] + b"\xff" + base[-2:]  # fill before EOI
         assert _jpeg_decode(filled2, 3)[3] == _jpeg_decode(base, 3)[3]
+
+
+class TestIvfDriftReport:
+    """ivf_write persists a build-time per-cell stats snapshot;
+    ivf_drift_report measures the live index against it — the
+    measurement that turns ivf_append's documented rebuild-cadence
+    trade into numbers."""
+
+    def test_fresh_index_reports_unity(self, spark, sf_dir, tmp_path):
+        from bertrand_spark.pipeline.similarity import (
+            ivf_build, ivf_drift_report, ivf_write,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents = ivf_build(e, num_cells=4, seed=5)
+        path = str(tmp_path / "ivf")
+        ivf_write(assigned, cents, path)
+        rep = ivf_drift_report(spark, path).collect()
+        assert len(rep) == 4
+        for r in rep:
+            assert r["n_build"] == r["n_now"]
+            assert abs(r["n_growth"] - 1.0) < 1e-12
+            assert abs(r["drift_ratio"] - 1.0) < 1e-9
+
+    def test_drifted_append_is_visible(self, spark, sf_dir, tmp_path):
+        """Append a shifted batch: the touched cells must show growth
+        and a drift_ratio > 1 (mean distance to the stale centroid
+        grew) — exactly the rebuild signal."""
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.pipeline.similarity import (
+            ivf_append, ivf_build, ivf_drift_report, ivf_write,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents = ivf_build(e, num_cells=4, seed=5)
+        path = str(tmp_path / "ivf")
+        ivf_write(assigned, cents, path)
+        shifted = e.limit(50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 3.0 + 2.5)
+            .cast("array<float>")  # keep the stored element type
+            .alias("embedding"),
+        )
+        ivf_append(spark, path, shifted)
+        rep = {r["cell"]: r for r in ivf_drift_report(spark, path).collect()}
+        grown = [r for r in rep.values() if r["n_now"] > r["n_build"]]
+        assert grown, "append did not land anywhere"
+        assert any(r["drift_ratio"] > 1.0 for r in grown)
+        total_now = sum(r["n_now"] for r in rep.values())
+        total_build = sum(r["n_build"] for r in rep.values())
+        assert total_now == total_build + 50
+
+    def test_pre_stats_index_degrades_to_nulls(self, spark, sf_dir, tmp_path):
+        """An index written before build stats existed reports NULL
+        build columns instead of failing."""
+        from bertrand_spark.pipeline.similarity import (
+            ivf_build, ivf_drift_report, ivf_write,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents = ivf_build(e, num_cells=4, seed=5)
+        path = str(tmp_path / "ivf_old")
+        ivf_write(assigned, cents, path, stats=False)
+        rep = ivf_drift_report(spark, path).collect()
+        assert len(rep) == 4
+        assert all(r["n_build"] is None and r["drift_ratio"] is None for r in rep)
+        assert all(r["n_now"] > 0 for r in rep)
