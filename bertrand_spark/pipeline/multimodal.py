@@ -1180,8 +1180,9 @@ def jpeg_encode(
 def _real_decode(Image, payload: bytes, channels: int):
     """Real decode → (width, height, channels, raw bytes); native size.
     ``Image`` is the PIL module when importable, else None — then the
-    stdlib paths handle PNG (:func:`_png_decode`) and baseline JPEG
-    (:func:`_jpeg_decode`) payloads and everything else is
+    stdlib paths handle PNG (:func:`_png_decode`), JPEG baseline +
+    progressive (:func:`_jpeg_decode`), and GIF first frames
+    (:func:`_gif_decode`); everything else (riff/WebP, unknown) is
     undecodable.  Corrupt/empty/NULL payloads return an all-None row
     instead of killing the task — on real crawl corpora broken images
     are routine, and one bad row must not abort a 100 TB job."""
@@ -1190,6 +1191,8 @@ def _real_decode(Image, payload: bytes, channels: int):
     if Image is None:
         if payload[:2] == b"\xff\xd8":
             return _jpeg_decode(payload, channels)
+        if payload[:4] == b"GIF8":
+            return _gif_decode(payload, channels)
         return _png_decode(payload, channels)
     try:
         img = Image.open(io.BytesIO(payload))
@@ -1228,17 +1231,17 @@ def decode_images(
     if decode == "real" and _pil_image_module() is None:
         # DRIVER-side, where an operator actually sees it (the
         # worker-side warning below lands in executor stderr): without
-        # PIL the stdlib fallback decodes PNG and JPEG (baseline +
-        # progressive) only, so a WebP/GIF corpus would complete with
-        # all-NULL rows.  Executor PIL availability can still differ
+        # PIL the stdlib fallback decodes PNG, JPEG (baseline +
+        # progressive), and GIF only, so a WebP corpus would complete
+        # with all-NULL rows.  Executor PIL availability can still differ
         # from the driver's — the worker warning stays as the second
         # line of defense.
         import warnings
 
         warnings.warn(
             "decode='real' but PIL is not importable on the DRIVER: "
-            "the stdlib fallback decodes PNG and JPEG only — "
-            "WebP/GIF/arithmetic-JPEG payloads will yield NULL rows. "
+            "the stdlib fallback decodes PNG, JPEG and GIF only — "
+            "WebP/arithmetic-JPEG payloads will yield NULL rows. "
             "Install PIL in the executor image, or use decode='strict' "
             "to fail fast.",
             RuntimeWarning,
@@ -1260,8 +1263,8 @@ def decode_images(
             import warnings
 
             warnings.warn(
-                "decode='real' without PIL: stdlib fallback decodes PNG "
-                "and JPEG only; WebP/GIF/arithmetic payloads "
+                "decode='real' without PIL: stdlib fallback decodes "
+                "PNG, JPEG and GIF only; WebP/arithmetic payloads "
                 "will yield NULL rows.  Install PIL in the executor "
                 "image, or use decode='strict' to fail fast.",
                 RuntimeWarning,
@@ -1327,9 +1330,9 @@ def decode_format_report(
     offsets, no decode; 8/16-bit and Adam7 are all DECODED since round
     6 closed those gaps);
     ``n_null_no_decoder`` counts formats with NO stdlib path at all
-    (gif/riff/unknown — since round 7 this excludes jpeg; a nulled
-    JPEG is arithmetic/12-bit or corrupt — progressive DECODES since
-    round 7b — and counts in ``n_null_other``).  The first class needs a corpus
+    (riff/WebP and unknown — rounds 7-7c moved jpeg, then gif, out of
+    this class; a nulled JPEG is arithmetic/12-bit or corrupt and a
+    nulled GIF is corrupt — both count in ``n_null_other``).  The first class needs a corpus
     fix or PIL; the second needs PIL on the workers — operators can now
     tell which.  ``n_null_other`` is the remainder (corrupt/truncated
     payloads).  Plan: one id join + a categorical groupBy — O(rows),
@@ -1364,18 +1367,18 @@ def decode_format_report(
         ),
         F.lit(False),
     )
-    # round 7: baseline JPEG joined PNG in the stdlib fallback, so the
-    # no-decoder class shrinks to the formats with NO stdlib path at
-    # all (gif/riff/unknown).  A JPEG that still nulls under the
-    # fallback is an arithmetic/12-bit variant or corrupt (progressive
-    # decodes since round 7b) —
-    # both land in n_null_other (variant detection for JPEG would need
-    # a segment scan, not a fixed-offset probe; the report keys on
-    # cheap native byte probes only).
+    # rounds 7-7c: JPEG (baseline + progressive) and GIF joined PNG in
+    # the stdlib fallback, so the no-decoder class shrinks to the
+    # formats with NO stdlib path at all (riff/WebP, unknown).  A JPEG
+    # that still nulls is an arithmetic/12-bit variant or corrupt; a
+    # GIF that nulls is corrupt — all land in n_null_other (variant
+    # detection would need a segment scan, not a fixed-offset probe;
+    # the report keys on cheap native byte probes only).
     no_decoder = (
         F.lit(decoder == "stdlib-png-jpeg")
         & ~is_png
         & (F.col("sniffed_format") != "jpeg")
+        & (F.col("sniffed_format") != "gif")
     )
     null_row = ~F.col("__ok")
     return (
@@ -1753,4 +1756,207 @@ def _jpeg_encode_progressive(
         flush_bits()
 
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- stdlib GIF decoder (round 7c) -------------------------------------------
+# Closes another slice of the no-decoder NULL class: GIF87a/GIF89a
+# first-frame decode (LZW, global/local palettes, interlacing, frame
+# offset composition onto the logical screen).  Animation beyond the
+# first frame is out of scope — for a training-data pipeline the first
+# frame IS the image signal; the remaining no-decoder formats are
+# riff (WebP) and unknown.
+
+
+def _gif_lzw(data: bytes, min_code: int, expect: int):
+    """GIF-variant LZW decompress → list of palette indices (or None on
+    a malformed stream).  Codes are LSB-first across the concatenated
+    sub-blocks; the table resets on CLEAR and the code width bumps when
+    the table fills 2^width (up to 12 bits)."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    codes = list(base)
+    width = min_code + 1
+    out: list = []
+    prev = None
+    bitpos = 0
+    total_bits = 8 * len(data)
+    while len(out) < expect:
+        if bitpos + width > total_bits:
+            return None  # ran out before END/expected pixels
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        c = (window >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if c == clear:
+            codes = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if c == end:
+            break
+        if prev is None:
+            if c >= clear:
+                return None  # first code after clear must be literal
+            entry = codes[c]
+        elif c < len(codes) and codes[c] is not None:
+            entry = codes[c]
+        elif c == len(codes):
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and len(codes) < 4096:
+            codes.append(prev + [entry[0]])
+        prev = entry
+        if len(codes) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _gif_decode(payload: bytes, channels: int):
+    """Stdlib GIF first-frame decode → (w, h, channels, raw bytes) at
+    the LOGICAL SCREEN size (frame composed at its offset over the
+    background color, PIL's first-frame canvas semantics).  Malformed
+    payloads return the all-None row — the per-row degrade contract."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None, None, None, None
+        w, h, packed, bg, _ = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        px = None
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks, skipped
+                pos += 2
+                while payload[pos] != 0:
+                    pos += payload[pos] + 1
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None, None, None, None
+            left, top, fw, fh, fpacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or fw == 0 or fh == 0:
+                return None, None, None, None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _gif_lzw(bytes(data), min_code, fw * fh)
+            if idx is None or len(idx) < fw * fh:
+                return None, None, None, None
+            ind = np.asarray(idx[: fw * fh], np.int32).reshape(fh, fw)
+            if fpacked & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, fh, 8))
+                    + list(range(4, fh, 8))
+                    + list(range(2, fh, 4))
+                    + list(range(1, fh, 2))
+                )
+                de = np.empty_like(ind)
+                de[np.asarray(order)] = ind
+                ind = de
+            ind = np.clip(ind, 0, len(pal) - 1)
+            frame = pal[ind]  # (fh, fw, 3)
+            canvas = np.zeros((h, w, 3), np.uint8)
+            if gct is not None and bg < len(gct):
+                canvas[:] = gct[bg]
+            ch = min(fh, max(h - top, 0))
+            cw = min(fw, max(w - left, 0))
+            canvas[top : top + ch, left : left + cw] = frame[:ch, :cw]
+            px = canvas
+            break  # first frame only
+        if px is None:
+            return None, None, None, None
+        if channels == 1:
+            r = px[:, :, 0].astype(np.uint32)
+            g = px[:, :, 1].astype(np.uint32)
+            b = px[:, :, 2].astype(np.uint32)
+            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(
+                np.uint8
+            )[:, :, None]
+        return int(w), int(h), channels, px.tobytes()
+    except Exception:
+        return None, None, None, None
+
+
+def gif_encode(width: int, height: int, pixels_idx, palette) -> bytes:
+    """Minimal test-side GIF writer: one full-screen frame, global
+    palette, 'uncompressed' LZW (literal codes with periodic CLEARs so
+    the code width never grows) — enough to round-trip the decoder's
+    LZW/palette/canvas paths.  ``pixels_idx`` is height×width palette
+    indices; ``palette`` is an (n, 3) array-like, n a power of two ≥ 4."""
+    import struct
+
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = len(pal)
+    if n & (n - 1) or n < 4:
+        raise ValueError("palette size must be a power of two >= 4")
+    size_bits = n.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (size_bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code = max(2, size_bits)
+    clear = 1 << min_code
+    end = clear + 1
+    width_bits = min_code + 1
+    # literal-only stream: CLEAR every (2^width - clear - 3) literals
+    # keeps the decoder's table below the width-bump threshold
+    burst = (1 << width_bits) - clear - 3
+    bits = bytearray()
+    acc = [0, 0]
+
+    def put(code):
+        acc[0] |= code << acc[1]
+        acc[1] += width_bits
+        while acc[1] >= 8:
+            bits.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    put(clear)
+    flat = np.asarray(pixels_idx, dtype=np.int64).reshape(-1)
+    for i, v in enumerate(flat):
+        if i and i % burst == 0:
+            put(clear)
+        put(int(v))
+    put(end)
+    if acc[1]:
+        bits.append(acc[0] & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
     return bytes(out)

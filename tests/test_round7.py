@@ -464,24 +464,30 @@ class TestBaselineJpegCodec:
         assert _jpeg_decode(b"", 3)[0] is None
 
     def test_decode_images_end_to_end(self, spark):
-        """Through the Spark seam: a JPEG payload now DECODES under
-        decode='real' without PIL, and the format report's no-decoder
-        class shrinks accordingly (gif stays no-decoder)."""
+        """Through the Spark seam: JPEG and GIF payloads now DECODE
+        under decode='real' without PIL, and the format report's
+        no-decoder class shrinks to riff/unknown (a corrupt GIF counts
+        as n_null_other, not no-decoder)."""
         import warnings
 
         import numpy as np
 
         from bertrand_spark.pipeline.multimodal import (
-            decode_format_report, decode_images, jpeg_encode, png_encode,
+            decode_format_report, decode_images, gif_encode, jpeg_encode,
+            png_encode,
         )
 
         rng = np.random.default_rng(5)
         px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
         jpeg = jpeg_encode(9, 6, 3, px.tobytes(), quality=100)
         png = png_encode(2, 2, 3, bytes(12))
-        gif = b"GIF89a" + bytes(20)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        gidx = rng.integers(0, 8, size=(5, 7))
+        gif = gif_encode(7, 5, gidx, pal)
+        bad_gif = b"GIF89a" + bytes(20)
+        riff = b"RIFF" + bytes(20)
         df = spark.createDataFrame(
-            [(1, jpeg), (2, png), (3, gif)],
+            [(1, jpeg), (2, png), (3, gif), (4, bad_gif), (5, riff)],
             "media_id long, payload binary",
         )
         with warnings.catch_warnings():
@@ -492,14 +498,20 @@ class TestBaselineJpegCodec:
         got = np.frombuffer(rows[1]["pixels"], dtype=np.uint8).reshape(6, 9, 3)
         assert np.abs(got.astype(int) - px.astype(int)).max() <= 4
         assert rows[2]["pixels"] is not None
-        assert rows[3]["pixels"] is None
+        ggot = np.frombuffer(rows[3]["pixels"], dtype=np.uint8).reshape(5, 7, 3)
+        assert (ggot == pal[gidx]).all()  # palette mapping is exact
+        assert rows[4]["pixels"] is None
+        assert rows[5]["pixels"] is None
         rep = {
             r["sniffed_format"]: r
             for r in decode_format_report(df, decoded).collect()
         }
         assert rep["jpeg"]["n_decoded"] == 1
         assert rep["jpeg"]["decoder"] == "stdlib-png-jpeg"
-        assert rep["gif"]["n_null_no_decoder"] == 1
+        assert rep["gif"]["n_decoded"] == 1
+        assert rep["gif"]["n_null_other"] == 1  # the corrupt one
+        assert rep["gif"]["n_null_no_decoder"] == 0
+        assert rep["riff"]["n_null_no_decoder"] == 1
 
 
 class TestKcenterSelect:
@@ -776,3 +788,93 @@ class TestIvfDriftReport:
         assert len(rep) == 4
         assert all(r["n_build"] is None and r["drift_ratio"] is None for r in rep)
         assert all(r["n_now"] > 0 for r in rep)
+
+
+class TestGifDecode:
+    """Round-7c: stdlib GIF first-frame decode (LZW, palettes,
+    interlace, frame-offset canvas composition).  The test encoder
+    emits literal-only LZW with periodic CLEARs, so the decoded
+    indices must map through the palette EXACTLY."""
+
+    def test_roundtrip_exact(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _gif_decode, gif_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        for w, h in [(31, 24), (137, 100), (1, 1)]:
+            idx = rng.integers(0, 16, size=(h, w))
+            W, H, C, raw = _gif_decode(gif_encode(w, h, idx, pal), 3)
+            assert (W, H, C) == (w, h, 3)
+            got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+            assert (got == pal[idx]).all(), (w, h)
+
+    def test_small_palette_and_gray(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _gif_decode, gif_encode,
+        )
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            dtype=np.uint8,
+        )
+        idx = np.ones((4, 6), dtype=int)  # all red
+        W, H, C, raw = _gif_decode(gif_encode(6, 4, idx, pal), 1)
+        assert C == 1
+        got = np.frombuffer(raw, dtype=np.uint8)
+        # PIL fixed-point L of pure red = (255*19595)>>16 = 76
+        assert (got == 76).all()
+
+    def test_interlaced_and_offset_frames(self):
+        """Hand-assemble an interlaced frame at a non-zero offset: the
+        decoder must de-interlace rows and compose onto the background
+        canvas."""
+        import struct
+
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _gif_decode, gif_encode,
+        )
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        idx = rng.integers(0, 8, size=(10, 6))
+        # build a normal gif for the full frame, then rewrite the image
+        # descriptor: offset (2,3), interlace flag, and re-order rows
+        plain = gif_encode(6, 10, idx, pal)
+        order = (
+            list(range(0, 10, 8)) + list(range(4, 10, 8))
+            + list(range(2, 10, 4)) + list(range(1, 10, 2))
+        )
+        scrambled = idx[np.asarray(order)]
+        inter = gif_encode(6, 10, scrambled, pal)
+        # canvas 10x14, frame at left=2, top=3, interlaced
+        i = inter.index(b"\x2c")
+        desc = b"\x2c" + struct.pack("<HHHHB", 2, 3, 6, 10, 0x40)
+        patched = (
+            inter[:6]
+            + struct.pack("<HHBBB", 10, 14, 0x80 | 2, 0, 0)
+            + bytes(pal.tobytes())
+            + desc
+            + inter[i + 10 :]
+        )
+        W, H, C, raw = _gif_decode(patched, 3)
+        assert (W, H) == (10, 14)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(14, 10, 3)
+        # frame region de-interlaces back to the original rows
+        assert (got[3:13, 2:8] == pal[idx]).all()
+        # background fill = palette[bg=0]
+        assert (got[0, 0] == pal[0]).all()
+
+    def test_malformed_degrade(self):
+        from bertrand_spark.pipeline.multimodal import _gif_decode
+
+        assert _gif_decode(b"GIF89a" + bytes(20), 3)[0] is None
+        assert _gif_decode(b"notagif", 3)[0] is None
+        assert _gif_decode(b"", 3)[0] is None
