@@ -1817,8 +1817,9 @@ def _gif_lzw(data: bytes, min_code: int, expect: int):
 
 def _gif_decode(payload: bytes, channels: int):
     """Stdlib GIF first-frame decode → (w, h, channels, raw bytes) at
-    the LOGICAL SCREEN size (frame composed at its offset over the
-    background color, PIL's first-frame canvas semantics).  Malformed
+    the LOGICAL SCREEN size (frame composed at its offset over a
+    palette-index-0 canvas — PIL's first-frame semantics; the header's
+    background byte is ignored, as Pillow and browsers do).  Malformed
     payloads return the all-None row — the per-row degrade contract."""
     import struct
 
@@ -1886,9 +1887,15 @@ def _gif_decode(payload: bytes, channels: int):
                 ind = de
             ind = np.clip(ind, 0, len(pal) - 1)
             frame = pal[ind]  # (fh, fw, 3)
+            # PIL parity: Pillow zero-fills the P-mode first-frame
+            # canvas (palette index 0) before pasting — it ignores the
+            # header's background-color byte, as do browsers.  Matching
+            # that keeps pixel buffers identical across a mixed fleet
+            # where some executors have PIL and some use this fallback.
             canvas = np.zeros((h, w, 3), np.uint8)
-            if gct is not None and bg < len(gct):
-                canvas[:] = gct[bg]
+            fill_pal = gct if gct is not None else pal
+            if len(fill_pal):
+                canvas[:] = fill_pal[0]
             ch = min(fh, max(h - top, 0))
             cw = min(fw, max(w - left, 0))
             canvas[top : top + ch, left : left + cw] = frame[:ch, :cw]

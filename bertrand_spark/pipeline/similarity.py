@@ -789,18 +789,52 @@ def ivf_write(
     BUILD-TIME per-cell stats snapshot (count + mean distance to
     centroid) when ``stats`` — the baseline :func:`ivf_drift_report`
     compares continuous-ingest indexes against to answer "rebuild
-    yet?" with a measurement instead of a guess."""
+    yet?" with a measurement instead of a guess.
+
+    Stats mechanics: they are measured from the WRITTEN files (a
+    projection-pruned re-read of ``{path}/vectors``), not from the
+    ``assigned`` lineage — no second pass over the upstream corpus
+    plan, and the snapshot is self-consistent with what is on disk
+    even under a nondeterministic upstream.  Only an ``overwrite``
+    writes stats (they are a build-time baseline; appends must not
+    move it — that is :func:`ivf_append`'s job to drift from).  An
+    overwrite that does NOT produce fresh stats (``stats=False`` or a
+    missing ``vec_col``) DELETES any previous snapshot so a later
+    drift report can never silently compare the new index against a
+    dead one's baseline."""
     import json
+    import warnings
 
     assigned.write.mode(mode).partitionBy("__cell").parquet(f"{path}/vectors")
     spark = assigned.sparkSession
     spark.createDataFrame(
         [(json.dumps(centroids),)], "centroids string"
     ).coalesce(1).write.mode(mode).json(f"{path}/centroids")
-    if stats and vec_col in assigned.columns:
-        _ivf_cell_stats(assigned, centroids, vec_col).write.mode(
-            mode
+    if mode != "overwrite":
+        return
+    write_stats = stats and vec_col in assigned.columns
+    if stats and vec_col not in assigned.columns:
+        warnings.warn(
+            f"ivf_write: vec_col {vec_col!r} not in the assigned frame "
+            "— build stats skipped (pass vec_col= to enable the drift "
+            "baseline)",
+            stacklevel=2,
+        )
+    if write_stats:
+        written = spark.read.parquet(f"{path}/vectors").select(
+            vec_col, "__cell"
+        )
+        _ivf_cell_stats(written, centroids, vec_col).write.mode(
+            "overwrite"
         ).parquet(f"{path}/build_stats")
+    else:
+        jvm = spark._jvm
+        stats_path = jvm.org.apache.hadoop.fs.Path(f"{path}/build_stats")
+        fs = stats_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(stats_path):
+            fs.delete(stats_path, True)
 
 
 def ivf_drift_report(spark, path: str, vec_col: str = "embedding") -> DataFrame:
@@ -825,13 +859,19 @@ def ivf_drift_report(spark, path: str, vec_col: str = "embedding") -> DataFrame:
         F.col("n").alias("n_now"),
         F.col("mean_dist").alias("mean_dist_now"),
     )
-    try:
+    # existence-check rather than a broad except: a build_stats dir
+    # that EXISTS but fails to read (corrupt footer, permissions) must
+    # surface as an error, not masquerade as a pre-stats index
+    jvm = spark._jvm
+    stats_path = jvm.org.apache.hadoop.fs.Path(f"{path}/build_stats")
+    fs = stats_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(stats_path):
         build = spark.read.parquet(f"{path}/build_stats").select(
             "cell",
             F.col("n").alias("n_build"),
             F.col("mean_dist").alias("mean_dist_build"),
         )
-    except Exception:
+    else:
         build = None
     if build is None:
         out = cur.withColumn("n_build", F.lit(None).cast("long")).withColumn(

@@ -790,6 +790,58 @@ class TestIvfDriftReport:
         assert all(r["n_now"] > 0 for r in rep)
 
 
+    def test_rebuild_without_stats_clears_stale_snapshot(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The periodic-rebuild flow this report exists to schedule:
+        an in-place overwrite with stats=False must DELETE the old
+        snapshot, not leave the drift report silently comparing the
+        new index against the dead one's baseline."""
+        from bertrand_spark.pipeline.similarity import (
+            ivf_build, ivf_drift_report, ivf_write,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents = ivf_build(e, num_cells=4, seed=5)
+        path = str(tmp_path / "ivf_rebuild")
+        ivf_write(assigned, cents, path)                 # stats snapshot
+        a2, c2 = ivf_build(e.limit(100), num_cells=4, seed=9)
+        ivf_write(a2, c2, path, stats=False)             # in-place rebuild
+        rep = ivf_drift_report(spark, path).collect()
+        assert all(r["n_build"] is None for r in rep), (
+            "stale build_stats survived the rebuild"
+        )
+
+    def test_append_does_not_move_the_baseline(self, spark, sf_dir, tmp_path):
+        """mode='append' writes must never touch the build snapshot —
+        it IS the baseline appends drift from."""
+        from bertrand_spark.pipeline.similarity import (
+            ivf_assign, ivf_build, ivf_drift_report, ivf_write,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents = ivf_build(e, num_cells=4, seed=5)
+        path = str(tmp_path / "ivf_appendstats")
+        ivf_write(assigned, cents, path)
+        before = {
+            r["cell"]: r["n_build"]
+            for r in ivf_drift_report(spark, path).collect()
+        }
+        batch = ivf_assign(
+            e.limit(20).select(
+                (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+            ),
+            cents,
+        )
+        ivf_write(batch, cents, path, mode="append")
+        after = {
+            r["cell"]: r["n_build"]
+            for r in ivf_drift_report(spark, path).collect()
+        }
+        assert after == before
+
+
+
 class TestGifDecode:
     """Round-7c: stdlib GIF first-frame decode (LZW, palettes,
     interlace, frame-offset canvas composition).  The test encoder
