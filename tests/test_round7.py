@@ -930,3 +930,108 @@ class TestGifDecode:
         assert _gif_decode(b"GIF89a" + bytes(20), 3)[0] is None
         assert _gif_decode(b"notagif", 3)[0] is None
         assert _gif_decode(b"", 3)[0] is None
+
+class TestCodecCorruptionFuzz:
+    """The per-row degrade contract, adversarially: NO corruption of a
+    valid payload may ever raise out of a stdlib decoder — on a 100 TB
+    crawl corpus every byte pattern eventually occurs, and one
+    uncaught exception aborts a whole task.  Decoders must return
+    pixels or the all-None row, nothing else."""
+
+    def _fuzz(self, decode, blob, rng, n_trials=150):
+        blob = bytearray(blob)
+        for _ in range(n_trials):
+            kind = rng.integers(0, 4)
+            mutated = bytearray(blob)
+            if kind == 0:  # flip random bytes
+                for _ in range(int(rng.integers(1, 8))):
+                    mutated[int(rng.integers(0, len(mutated)))] = int(
+                        rng.integers(0, 256)
+                    )
+            elif kind == 1:  # truncate anywhere
+                mutated = mutated[: int(rng.integers(0, len(mutated)))]
+            elif kind == 2:  # insert junk
+                at = int(rng.integers(0, len(mutated)))
+                mutated = (
+                    mutated[:at]
+                    + bytearray(rng.integers(0, 256, size=9, dtype="uint8"))
+                    + mutated[at:]
+                )
+            else:  # delete a span
+                at = int(rng.integers(0, max(1, len(mutated) - 10)))
+                del mutated[at : at + int(rng.integers(1, 10))]
+            out = decode(bytes(mutated), 3)  # must not raise
+            assert out[0] is None or isinstance(out[0], int)
+
+    def test_jpeg_fuzz(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _jpeg_decode, jpeg_encode,
+        )
+
+        rng = np.random.default_rng(101)
+        px = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+        for kw in ({}, {"progressive": True}, {"subsample": "420"}):
+            blob = jpeg_encode(16, 24, 3, px.tobytes(), quality=90, **kw)
+            self._fuzz(_jpeg_decode, blob, rng)
+
+    def test_gif_fuzz(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _gif_decode, gif_encode,
+        )
+
+        rng = np.random.default_rng(102)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(20, 14))
+        self._fuzz(_gif_decode, gif_encode(14, 20, idx, pal), rng, 200)
+
+    def test_png_fuzz(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _png_decode, png_encode,
+        )
+
+        rng = np.random.default_rng(103)
+        self._fuzz(_png_decode, png_encode(12, 9, 3, bytes(12 * 9 * 3)), rng, 200)
+
+    def test_hypothesis_random_blobs(self):
+        """Pure-random byte blobs through every stdlib decoder."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from bertrand_spark.pipeline.multimodal import (
+            _gif_decode, _jpeg_decode, _png_decode,
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(hst.binary(min_size=0, max_size=600))
+        def run(blob):
+            for dec in (_jpeg_decode, _gif_decode, _png_decode):
+                out = dec(blob, 3)
+                assert out[0] is None or isinstance(out[0], int)
+
+        run()
+
+    def test_hypothesis_prefixed_blobs(self):
+        """Random bytes behind VALID magic prefixes — forces the
+        parsers past the cheap magic check into segment/chunk logic."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from bertrand_spark.pipeline.multimodal import (
+            _gif_decode, _jpeg_decode, _png_decode,
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(hst.binary(min_size=4, max_size=400))
+        def run(tail):
+            # the property IS "returns instead of raising"
+            _jpeg_decode(b"\xff\xd8" + tail, 3)
+            _gif_decode(b"GIF89a" + tail, 3)
+            _png_decode(b"\x89PNG\r\n\x1a\n" + tail, 3)
+
+        run()
