@@ -68,8 +68,12 @@ from .similarity import (  # noqa: F401
     sign_bucket,
 )
 from .text import (  # noqa: F401
+    BpeModel,
     CharLM,
+    bpe_token_count,
+    bpe_tokenize,
     embed_documents,
     hashing_embed,
+    train_bpe,
     train_char_lm,
 )

@@ -536,3 +536,220 @@ def train_char_lm(
     finally:
         grams.unpersist()
     return CharLM(ng, cx, n, alpha, vocab)
+
+
+# --- BPE subword tokenizer (round 7) -----------------------------------------
+# A REAL learned subword tokenizer (Sennrich et al. 2016, the HF
+# `BPE`/wordpiece-family trainer design), upgrading the suite's
+# token-counting from the whitespace + `bpe_ish` regex heuristics to a
+# corpus-fitted vocabulary.  The scale split is the one every
+# production trainer uses: ONE distributed pass aggregates the corpus
+# to a (word, count) table — bounded by the distinct-word vocabulary,
+# capped at `max_words` by frequency — and the merge loop runs
+# driver-side on that table (pair statistics over ≤max_words rows,
+# never over the corpus).  Encoding ships the learned merge ranks in
+# an Arrow-kernel closure: one corpus pass, no shuffle, no join.
+
+
+class BpeModel:
+    """Learned BPE merges + the encode kernel.  ``merges`` is an
+    ordered list of (left, right) string pairs; rank = list position.
+    Tokens are characters plus the end-of-word marker ``</w>`` fused
+    into the final character (the paper's formulation), so encoding is
+    reversible per word."""
+
+    END = "</w>"
+
+    def __init__(self, merges: "list[tuple[str, str]]"):
+        self.merges = list(merges)
+        self._ranks = {pair: i for i, pair in enumerate(self.merges)}
+
+    # -- persistence (same JSON-alongside convention as DsirModel) --
+    def save(self, spark, path: str) -> None:
+        import json
+
+        spark.createDataFrame(
+            [(json.dumps(self.merges),)], "merges string"
+        ).coalesce(1).write.mode("overwrite").json(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BpeModel":
+        import json
+
+        raw = json.loads(spark.read.json(path).collect()[0]["merges"])
+        return cls([tuple(p) for p in raw])
+
+    def encode_word(self, word: str) -> "list[str]":
+        """Greedy lowest-rank-first merge of one word — the canonical
+        BPE encode; pure Python, used inside the Arrow kernel and
+        directly by tests."""
+        if not word:
+            return []
+        syms = list(word[:-1]) + [word[-1] + self.END]
+        ranks = self._ranks
+        while len(syms) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            # merge EVERY occurrence of the best pair left-to-right
+            pair = (syms[best], syms[best + 1])
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and (syms[i], syms[i + 1]) == pair
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def tokenize_kernel(self, text_col: str, out_col: str, counts_only: bool):
+        """mapInPandas kernel factory: merges ride the closure (a few
+        hundred KB at 50k merges), tokenization is the same ASCII-\\s+
+        lowercase convention as the DSIR/quality kernels."""
+        import re as _re
+
+        import pandas as pd
+
+        model = self
+        split = _re.compile(r"\s+", _re.ASCII).split
+
+        def run(batches):
+            for pdf in batches:
+                out = []
+                for text in pdf[text_col]:
+                    if text is None:
+                        out.append(None)
+                        continue
+                    toks: list = []
+                    for w in split(text.strip(" ").lower()):
+                        if w:
+                            toks.extend(model.encode_word(w))
+                    out.append(len(toks) if counts_only else toks)
+                res = pdf.drop(columns=[text_col])
+                res[out_col] = out
+                yield res
+
+        return run
+
+
+def train_bpe(
+    df,
+    text_col: str = "text",
+    num_merges: int = 500,
+    min_freq: int = 2,
+    max_words: int = 1_000_000,
+) -> BpeModel:
+    """Fit BPE merges from a corpus: one distributed pass to the
+    (word, count) table (``max_words`` most frequent, ties by word —
+    a TakeOrdered, so the driver table is bounded by construction and
+    the cap is deterministic), then the classic merge loop over pair
+    statistics.  Deterministic throughout: the best pair is
+    (max count, then lexicographically smallest pair), so two runs —
+    or two engines — learn identical merges.
+
+    100 TB shape: the corpus pass is a tokenize→explode→groupBy with
+    map-side combine (word keys); everything after runs on ≤max_words
+    driver rows, which is how every production BPE trainer works —
+    pair statistics live on the word-frequency table, not the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .filter(F.col("count") >= int(min_freq))
+        .orderBy(F.col("count").desc(), "w")
+        .limit(int(max_words))
+        .collect()
+    )
+    # word -> symbol tuple (end marker fused into the last char)
+    vocab = {}
+    for r in words:
+        w = r["w"]
+        syms = tuple(list(w[:-1]) + [w[-1] + BpeModel.END])
+        vocab[syms] = vocab.get(syms, 0) + r["count"]
+    merges: list = []
+    for _ in range(int(num_merges)):
+        pairs: dict = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        # deterministic tie-break: highest count, then lexicographically
+        # SMALLEST pair — two runs (or two engines) learn identical merges
+        best_count = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == best_count)
+        if best_count < 2:
+            break  # nothing co-occurs anymore; more merges are noise
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        new_vocab: dict = {}
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best_pair[0]
+                    and syms[i + 1] == best_pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+    return BpeModel(merges)
+
+
+def bpe_tokenize(df, model: BpeModel, text_col: str = "text",
+                 out_col: str = "bpe_tokens"):
+    """(all other columns, array<string> subword tokens) per row — one
+    Arrow pass, merges in the closure, no shuffle."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != text_col
+    )
+    schema = f"{fields}, {out_col} array<string>" if fields else f"{out_col} array<string>"
+    return df.mapInPandas(
+        model.tokenize_kernel(text_col, out_col, counts_only=False), schema
+    )
+
+
+def bpe_token_count(df, model: BpeModel, text_col: str = "text",
+                    out_col: str = "bpe_n_tokens"):
+    """(all other columns, subword token count) per row — the learned
+    upgrade of :func:`token_count` / :func:`bpe_ish_token_count`."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != text_col
+    )
+    schema = f"{fields}, {out_col} long" if fields else f"{out_col} long"
+    return df.mapInPandas(
+        model.tokenize_kernel(text_col, out_col, counts_only=True), schema
+    )

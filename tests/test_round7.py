@@ -1035,3 +1035,118 @@ class TestCodecCorruptionFuzz:
             _png_decode(b"\x89PNG\r\n\x1a\n" + tail, 3)
 
         run()
+
+
+class TestBpeTokenizer:
+    """train_bpe / bpe_tokenize / bpe_token_count: a learned subword
+    tokenizer (Sennrich et al. 2016) — one corpus pass to the bounded
+    word-frequency table, driver merge loop, Arrow-kernel encode."""
+
+    @staticmethod
+    def _reference_bpe(word_counts, num_merges):
+        """Independent naive reference: same algorithm, written from
+        the paper, no shared code with the implementation."""
+        vocab = {}
+        for w, c in word_counts.items():
+            syms = tuple(list(w[:-1]) + [w[-1] + "</w>"])
+            vocab[syms] = vocab.get(syms, 0) + c
+        merges = []
+        for _ in range(num_merges):
+            pairs = {}
+            for syms, cnt in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+            if not pairs:
+                break
+            mc = max(pairs.values())
+            if mc < 2:
+                break
+            pair = min(p for p, c in pairs.items() if c == mc)
+            merges.append(pair)
+            nv = {}
+            for syms, cnt in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + cnt
+            vocab = nv
+        return merges
+
+    def test_matches_reference_on_corpus(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        from bertrand_spark.pipeline.text import train_bpe
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(200)
+        model = train_bpe(d, num_merges=60, min_freq=2)
+        # driver-side reference over the same texts
+        wc = Counter()
+        for r in d.select("text").collect():
+            for w in re.split(r"\s+", (r["text"] or "").strip(" ").lower(),
+                              flags=re.ASCII):
+                if w:
+                    wc[w] += 1
+        ref = self._reference_bpe(
+            {w: c for w, c in wc.items() if c >= 2}, 60
+        )
+        assert model.merges == ref
+
+    def test_paper_example(self, spark):
+        """The classic Sennrich example: 'low lower newest widest' —
+        frequent suffixes merge first."""
+        from bertrand_spark.pipeline.text import train_bpe
+
+        rows = (
+            [("low",)] * 5 + [("lower",)] * 2
+            + [("newest",)] * 6 + [("widest",)] * 3
+        )
+        df = spark.createDataFrame(rows, "text string")
+        model = train_bpe(df, num_merges=4, min_freq=1)
+        assert model.merges[0] == ("e", "s")
+        assert model.merges[1] == ("es", "t</w>")
+        enc = model.encode_word("newest")
+        assert enc[-1] == "est</w>"
+
+    def test_encode_reversible_and_counts(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.pipeline.text import (
+            bpe_token_count, bpe_tokenize, train_bpe,
+        )
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(50)
+        model = train_bpe(d, num_merges=40, min_freq=2)
+        toks = bpe_tokenize(d.select("doc_id", "text"), model)
+        rows = {r["doc_id"]: r["bpe_tokens"] for r in toks.collect()}
+        orig = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+        for did, tk in rows.items():
+            # concatenating tokens and splitting on </w> reproduces the
+            # lowercased word stream — BPE is reversible per word
+            words = "".join(tk).split("</w>")
+            expect = [w for w in orig[did].strip(" ").lower().split() if w]
+            assert words[:-1] == expect or words == expect, did
+        cnt = bpe_token_count(d.select("doc_id", "text"), model)
+        by_id = {r["doc_id"]: r["bpe_n_tokens"] for r in cnt.collect()}
+        assert all(by_id[did] == len(rows[did]) for did in rows)
+
+    def test_repartition_stable_and_save_load(self, spark, sf_dir, tmp_path):
+        from bertrand_spark.pipeline.text import BpeModel, train_bpe
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(100)
+        a = train_bpe(d, num_merges=30)
+        b = train_bpe(d.repartition(13), num_merges=30)
+        assert a.merges == b.merges
+        path = str(tmp_path / "bpe")
+        a.save(spark, path)
+        c = BpeModel.load(spark, path)
+        assert c.merges == a.merges
+        assert c.encode_word("testing") == a.encode_word("testing")
