@@ -620,16 +620,20 @@ class BpeModel:
         lowercase convention as the DSIR/quality kernels."""
         import re as _re
 
-        import pandas as pd
-
         model = self
         split = _re.compile(r"\s+", _re.ASCII).split
-        # per-worker word→tokens cache: corpora are Zipfian, so the
-        # greedy merge runs once per DISTINCT word, not per occurrence
-        # (measured 1.5× cold → 8× with warm workers on the 20×
-        # synthetic corpus); bounded so a pathological all-unique
-        # corpus cannot grow it without limit
+        # per-TASK word→tokens cache (closure state lives for one task,
+        # not the worker's lifetime): corpora are Zipfian, so within a
+        # partition the greedy merge runs once per DISTINCT word — the
+        # measured 8× warm rate applies inside each task after its
+        # first batches, i.e. big-partition jobs (the 100 TB default of
+        # 128 MB+ splits) run mostly warm while many-tiny-partition
+        # jobs stay near the cold rate.  Bounded by entry count AND
+        # cached characters (absurd words never cached), so an
+        # adversarial all-unique long-word corpus degrades to the cold
+        # rate instead of growing the worker heap.
         cache: dict = {}
+        cache_chars = [0]
 
         def run(batches):
             encode = model.encode_word
@@ -646,8 +650,13 @@ class BpeModel:
                         enc = cache.get(w)
                         if enc is None:
                             enc = encode(w)
-                            if len(cache) < 2_000_000:
+                            if (
+                                len(w) <= 64
+                                and len(cache) < 500_000
+                                and cache_chars[0] < 16_000_000
+                            ):
                                 cache[w] = enc
+                                cache_chars[0] += len(w)
                         toks.extend(enc)
                     out.append(len(toks) if counts_only else toks)
                 res = pdf.drop(columns=[text_col])
@@ -676,18 +685,19 @@ def train_bpe(
     map-side combine (word keys); everything after runs on ≤max_words
     driver rows, which is how every production BPE trainer works —
     pair statistics live on the word-frequency table, not the corpus.
+    The merge loop is INCREMENTAL (a pair→words index plus a
+    lazily-invalidated heap, the subword-nmt design): each merge
+    touches only the words that contain the merged pair, so cost is
+    O(Σ affected-word lengths) per merge instead of a full vocabulary
+    rescan — num_merges=50k over a million-word table is feasible,
+    not days of driver time.
     """
+    import heapq
+
     from pyspark.sql import functions as F
 
-    words = (
-        df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda w: w != "",
-                )
-            ).alias("w")
-        )
+    rows = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
         .groupBy("w")
         .count()
         .filter(F.col("count") >= int(min_freq))
@@ -695,31 +705,50 @@ def train_bpe(
         .limit(int(max_words))
         .collect()
     )
-    # word -> symbol tuple (end marker fused into the last char)
-    vocab = {}
-    for r in words:
+    # word id -> (symbol list, count); end marker fused into last char
+    words: list = []
+    for r in rows:
         w = r["w"]
-        syms = tuple(list(w[:-1]) + [w[-1] + BpeModel.END])
-        vocab[syms] = vocab.get(syms, 0) + r["count"]
+        words.append((list(w[:-1]) + [w[-1] + BpeModel.END], r["count"]))
+
+    pair_counts: dict = {}
+    pair_words: dict = {}  # pair -> set of word ids containing it
+    for wid, (syms, cnt) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+            pair_words.setdefault((a, b), set()).add(wid)
+    # heap of (-count, pair): pop order = highest count, then
+    # lexicographically smallest pair — the deterministic tie-break, so
+    # two runs (or two engines) learn identical merges.  Entries go
+    # stale when counts change; pops are verified against pair_counts.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def push(p):
+        c = pair_counts.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, p))
+
     merges: list = []
-    for _ in range(int(num_merges)):
-        pairs: dict = {}
-        for syms, cnt in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pairs[p] = pairs.get(p, 0) + cnt
-        if not pairs:
-            break
-        # deterministic tie-break: highest count, then lexicographically
-        # SMALLEST pair — two runs (or two engines) learn identical merges
-        best_count = max(pairs.values())
-        best_pair = min(p for p, c in pairs.items() if c == best_count)
-        if best_count < 2:
+    while len(merges) < int(num_merges) and heap:
+        negc, best_pair = heapq.heappop(heap)
+        if pair_counts.get(best_pair, 0) != -negc:
+            continue  # stale entry
+        if -negc < 2:
             break  # nothing co-occurs anymore; more merges are noise
         merges.append(best_pair)
         merged = best_pair[0] + best_pair[1]
-        new_vocab: dict = {}
-        for syms, cnt in vocab.items():
+        for wid in pair_words.pop(best_pair, set()):
+            syms, cnt = words[wid]
+            touched = set()
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= cnt
+                if pair_counts[(a, b)] <= 0:
+                    pair_counts.pop((a, b), None)
+                pw = pair_words.get((a, b))
+                if pw is not None:
+                    pw.discard(wid)
+                touched.add((a, b))
             out = []
             i = 0
             while i < len(syms):
@@ -733,22 +762,40 @@ def train_bpe(
                 else:
                     out.append(syms[i])
                     i += 1
-            t = tuple(out)
-            new_vocab[t] = new_vocab.get(t, 0) + cnt
-        vocab = new_vocab
+            words[wid] = (out, cnt)
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+                pair_words.setdefault((a, b), set()).add(wid)
+                touched.add((a, b))
+            for p in touched:
+                push(p)
     return BpeModel(merges)
+
+
+def _bpe_out_schema(df, text_col: str, out_col: str, out_type: str) -> str:
+    """Shared schema builder for the two BPE entry points, with the
+    driver-side validation that otherwise surfaces as an opaque Arrow
+    schema-mismatch deep inside an executor."""
+    if text_col not in df.columns:
+        raise ValueError(f"text_col {text_col!r} not in {df.columns}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists — pass a different out_col"
+        )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != text_col
+    )
+    tail = f"{out_col} {out_type}"
+    return f"{fields}, {tail}" if fields else tail
 
 
 def bpe_tokenize(df, model: BpeModel, text_col: str = "text",
                  out_col: str = "bpe_tokens"):
     """(all other columns, array<string> subword tokens) per row — one
     Arrow pass, merges in the closure, no shuffle."""
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema
-        if f.name != text_col
-    )
-    schema = f"{fields}, {out_col} array<string>" if fields else f"{out_col} array<string>"
+    schema = _bpe_out_schema(df, text_col, out_col, "array<string>")
     return df.mapInPandas(
         model.tokenize_kernel(text_col, out_col, counts_only=False), schema
     )
@@ -758,12 +805,7 @@ def bpe_token_count(df, model: BpeModel, text_col: str = "text",
                     out_col: str = "bpe_n_tokens"):
     """(all other columns, subword token count) per row — the learned
     upgrade of :func:`token_count` / :func:`bpe_ish_token_count`."""
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema
-        if f.name != text_col
-    )
-    schema = f"{fields}, {out_col} long" if fields else f"{out_col} long"
+    schema = _bpe_out_schema(df, text_col, out_col, "long")
     return df.mapInPandas(
         model.tokenize_kernel(text_col, out_col, counts_only=True), schema
     )
