@@ -106,11 +106,19 @@ _LOCAL_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
 # Hints whose subtree is structurally unbounded but bounded by a
 # DOCUMENTED contract the structural walk cannot see.  Maps query-name
 # substring -> the contract.  Anything not listed here gets flagged.
+#
+# Deliberately MINIMAL — only the queries whose analyzed plans actually
+# surface such hints today (verified by running the audit over all 110
+# plans).  The dedup/DSIR pipelines also carry contract-bounded
+# broadcasts (measured-regime verify sides, the 512-row λ table), but
+# those sit behind persist/materialize boundaries and never reach the
+# returned plan's hint nodes; if a refactor ever surfaces one, the
+# audit FAILING is the desired behavior — re-allowlist consciously
+# with its contract, don't pre-bless it here.
 _BCAST_OK = {
     # per-language / per-source aggregates: grouping key domain is the
     # language / corpus-source vocabulary (dozens), not the row count
     "x39": "per-language bounds aggregate — key domain = #languages",
-    "x23": "per-group quota table — key domain = #strata",
     "x37": "per-source rates table — key domain = #sources",
     "x40": "per-source mixture weights — key domain = #sources",
     # decontamination: the broadcast side is the EVAL benchmark's n-gram
@@ -118,20 +126,19 @@ _BCAST_OK = {
     # (curation.py _containment_hits documents the BNLJ contract too)
     "x18": "benchmark n-gram table — bounded by the eval set",
     "x20": "benchmark n-gram table — bounded by the eval set",
-    "x44": "benchmark n-gram table — bounded by the eval set",
-    # DSIR: the lambda table is an aggregate keyed by hash(gram) % 512
-    # — cardinality bounded by the modulus, invisible structurally
-    "x45": "DSIR lambda table — 512 hash buckets by construction",
-    "x46": "cascade stage tables — bounded rule/bucket domains",
-    # MinHash/LSH verify joins broadcast the candidate-pruned side only
-    # in the MEASURED small regime (dedup.py picks direct-broadcast vs
-    # semi-join from materialized sizes at runtime)
+    # MinHash/LSH verify joins: dedup.py MEASURES the candidate-pruned
+    # side (a count action on materialized prep) and applies F.broadcast
+    # only in the small regime — i.e. the hint IS size-guarded at
+    # runtime, which is exactly the remedy this audit prescribes; the
+    # regime (and so whether the hint appears in the plan) varies with
+    # sf, so all five family members stay listed even though only the
+    # sf0.01 plans of x02/x32 surface it today.
     "x02": "measured-regime verify broadcast (dedup.py size switch)",
     "x30": "measured-regime verify broadcast via x02 pair generation",
     "x31": "measured-regime verify broadcast via x02 pair generation",
-    "x32": "ids-only band join with provable broadcast bound",
+    "x32": "measured-regime verify broadcast (two-corpus size switch)",
     "x35": "measured-regime verify broadcast (chunk variant)",
-    "x16": "query-batch closure ship — bounded by the query set",
+    "x16": "measured-regime verify broadcast (cosine near-dup)",
 }
 
 
