@@ -649,3 +649,62 @@ def read_events_stream(
                 field.name, F.col(field.name).cast("timestamp")
             )
     return stream
+
+
+def stream_decode_media(
+    out_dir: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode: str = "real",
+    report_dir: str | None = None,
+):
+    """Multimodal ingest on a stream: a ``foreachBatch`` handler that
+    sniffs + decodes each micro-batch of binary payloads
+    (:func:`~bertrand_spark.pipeline.multimodal.decode_images` — PIL
+    when workers have it, the stdlib PNG/JPEG/GIF codecs otherwise)
+    and lands (id, sniffed_format, width, height, channels, pixels) in
+    the idempotent per-epoch parquet layout
+    (:func:`foreach_batch_parquet_sink`'s exactly-once recipe).  When
+    ``report_dir`` is set, each epoch also writes its
+    :func:`~bertrand_spark.pipeline.multimodal.decode_format_report`
+    — the per-format decode/NULL-class counts — so a PIL-less executor
+    image or a corrupt-payload burst is visible per micro-batch, not
+    at end-of-job.
+
+    Scale shape: decode is stateless (mapInPandas, one Arrow pass per
+    batch), the report is one id join + a ≤n_formats aggregate on the
+    batch only — no streaming state at all, so throughput is bounded
+    by the decode kernels, never by a state store.  Replayed epochs
+    overwrite their own directories (decode is deterministic per
+    payload), preserving exactly-once.
+    """
+    from ..pipeline.multimodal import (
+        attach_media_metadata,
+        decode_format_report,
+        decode_images,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        fmt = attach_media_metadata(batch_df, payload_col).select(
+            F.col(id_col), "sniffed_format"
+        )
+        decoded = decode_images(
+            batch_df, payload_col=payload_col, id_col=id_col, decode=decode
+        )
+        out = decoded.join(
+            fmt, decoded["media_id"] == fmt[id_col], "left"
+        ).select(
+            decoded["media_id"], "sniffed_format",
+            "width", "height", "channels", "pixels",
+        )
+        out.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={batch_id}"
+        )
+        if report_dir is not None:
+            decode_format_report(
+                batch_df, decoded, payload_col=payload_col, id_col=id_col
+            ).write.mode("overwrite").parquet(
+                f"{report_dir}/ingest_batch={batch_id}"
+            )
+
+    return handle

@@ -1184,3 +1184,81 @@ class TestBpeTokenizer:
         wc = Counter(w for t in texts for w in t.split())
         ref = self._reference_bpe(dict(wc), 400)
         assert model.merges == ref
+
+
+class TestStreamDecodeMedia:
+    """stream_decode_media: multimodal ingest on a stream — stateless
+    decode + per-epoch format report, idempotent per-epoch sinks."""
+
+    def _payloads(self, spark, offset=0):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            gif_encode, jpeg_encode, png_encode,
+        )
+
+        rng = np.random.default_rng(5 + offset)
+        px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        rows = [
+            (offset * 10 + 1, jpeg_encode(9, 6, 3, px.tobytes(), quality=100)),
+            (offset * 10 + 2, png_encode(2, 2, 3, bytes(12))),
+            (offset * 10 + 3, gif_encode(7, 5, rng.integers(0, 8, (5, 7)), pal)),
+            (offset * 10 + 4, b"RIFF" + bytes(20)),
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_epochs_land_idempotently_with_reports(self, spark, tmp_path):
+        import warnings
+
+        from bertrand_spark.streaming.rollup import stream_decode_media
+
+        out = str(tmp_path / "decoded")
+        rep = str(tmp_path / "reports")
+        handle = stream_decode_media(out, report_dir=rep)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            handle(self._payloads(spark, 0), 0)
+            handle(self._payloads(spark, 0), 0)  # epoch replay: no dupes
+            handle(self._payloads(spark, 1), 1)
+        landed = spark.read.parquet(f"{out}/ingest_batch=*")
+        assert landed.count() == 8  # 4 payloads x 2 epochs, replay absorbed
+        by_id = {r["media_id"]: r for r in landed.collect()}
+        assert by_id[1]["width"] == 9 and by_id[1]["sniffed_format"] == "jpeg"
+        assert by_id[3]["pixels"] is not None  # gif decoded
+        assert by_id[4]["pixels"] is None      # riff: no stdlib path
+        reports = spark.read.parquet(f"{rep}/ingest_batch=*")
+        rows = {
+            (r["sniffed_format"],): r
+            for r in reports.filter(F.col("n_total") > 0).collect()
+        }
+        assert reports.count() == 8  # 4 formats x 2 epochs
+        riff = [r for r in reports.collect() if r["sniffed_format"] == "riff"]
+        assert all(r["n_null_no_decoder"] == 1 for r in riff)
+
+    def test_runs_as_a_real_stream(self, spark, tmp_path):
+        """End-to-end through readStream + foreachBatch + availableNow:
+        the handler is streaming-legal (stateless per batch)."""
+        import warnings
+
+        from bertrand_spark.streaming.rollup import stream_decode_media
+
+        src = str(tmp_path / "src")
+        self._payloads(spark, 0).write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "decoded")
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .parquet(src)
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            q = (
+                stream.writeStream.foreachBatch(stream_decode_media(out))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        landed = spark.read.parquet(f"{out}/ingest_batch=*")
+        assert landed.count() == 4
+        assert landed.filter(F.col("pixels").isNotNull()).count() == 3
