@@ -50,7 +50,7 @@ __all__ = [
     "repetition_score",
     "temperature_resample", "mix_corpus",
     "QualityClassifier", "train_quality_classifier",
-    "DsirModel", "train_dsir",
+    "DsirModel", "train_dsir", "dsir_resample", "dsir_resample_tokens",
     "filter_cascade", "cascade_report",
 ]
 
@@ -1138,6 +1138,15 @@ def dsir_resample(
     ``id_col`` breaks the measure-zero remainder, so the cutoff is a
     total order.
     """
+    if int(n) > 10_000_000:
+        # orderBy().limit(k) is TakeOrdered: a k-slot heap PER TASK plus
+        # a k-row driver merge — a selection budget beyond ~10M rows is
+        # a driver OOM, not a plan.  For near-complete selections,
+        # filter on a gumbel_key threshold instead (or sort and write).
+        raise ValueError(
+            f"n={n:,} is beyond the TakeOrdered selection regime; "
+            "use a key-threshold filter for near-complete selections"
+        )
     scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
     # uniforms via THE bucket convention (md5_bucket, 2^32 buckets =
     # the full 8-hex-digit range), same (b + 0.5)/M pattern as
@@ -1155,6 +1164,111 @@ def dsir_resample(
         .select(id_col, out_col, "n_feats", "gumbel_key")
         .orderBy(F.col("gumbel_key").desc(), id_col)
         .limit(int(n))
+    )
+
+
+def dsir_resample_tokens(
+    df: DataFrame,
+    model: DsirModel,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "dsir_logw",
+    salt: str = "gumbel",
+    vectorized: bool = True,
+    token_col: str | None = None,
+) -> DataFrame:
+    """:func:`dsir_resample` to a TOKEN budget instead of a document
+    count — the paper's actual operating mode ("sample to the training
+    token budget"): take documents in Gumbel-key order until the next
+    one would exceed ``token_budget`` tokens (maximal prefix; the
+    boundary document that would overflow is excluded).
+
+    ``token_col`` names a precomputed per-document token count; by
+    default whitespace tokens are counted from ``text_col`` (swap in a
+    BPE count via ``text.bpe_token_count`` upstream for a learned
+    budget).
+
+    Scale shape: exact prefix selection needs a cumulative sum in key
+    order, which at corpus scale must NOT be a global single-partition
+    window.  Instead: one aggregate estimates the expected selection
+    size (budget / mean tokens), a TakeOrdered pulls a small multiple
+    of that as candidates — the selected set is bounded by the budget
+    itself (it has to fit the training run), so the driver-side cumsum
+    trim is bounded by construction — and the final result is a
+    broadcast semi-join of the selected ids.  If the candidate pull
+    undershoots (pathological token-length skew toward high keys), it
+    doubles and retries; each retry is one TakeOrdered, never a global
+    sort.  Deterministic end to end: same md5-Gumbel keys and total
+    order as :func:`dsir_resample`.
+    """
+    scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
+    if token_col is None:
+        toks = df.select(
+            F.col(id_col),
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).cast("long").alias("__ntok"),
+        )
+    else:
+        toks = df.select(F.col(id_col), F.col(token_col).cast("long").alias("__ntok"))
+    u = (
+        md5_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)),
+            1 << 32,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    keyed = (
+        scored.withColumn(
+            "gumbel_key", (F.col(out_col) - F.log(-F.log(u))).cast("double")
+        )
+        .join(toks, id_col)
+        .select(id_col, out_col, "n_feats", "__ntok", "gumbel_key")
+    )
+    stats = keyed.agg(
+        F.avg("__ntok").alias("avg"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if not stats["n"] or not stats["avg"]:
+        return keyed.limit(0).withColumnRenamed("__ntok", "n_tokens")
+    est = int(1.5 * float(token_budget) / float(stats["avg"])) + 8
+    if est > 10_000_000:
+        raise ValueError(
+            f"token_budget implies ~{est:,} candidate documents — beyond "
+            "the TakeOrdered selection regime; select with a key-threshold "
+            "filter for near-complete selections"
+        )
+    while True:
+        cand = (
+            keyed.orderBy(F.col("gumbel_key").desc(), id_col)
+            .limit(min(est, int(stats["n"])))
+            .collect()
+        )
+        total = 0
+        cut = 0
+        for r in cand:
+            if total + r["__ntok"] > token_budget:
+                break
+            total += r["__ntok"]
+            cut += 1
+        if cut < len(cand) or len(cand) >= stats["n"]:
+            break  # budget hit inside the pull, or corpus exhausted
+        est *= 2  # undershot: candidates all fit; pull more
+    selected = cand[:cut]
+    if not selected:
+        return keyed.limit(0).withColumnRenamed("__ntok", "n_tokens")
+    spark = df.sparkSession
+    ids = spark.createDataFrame(
+        [(r[id_col],) for r in selected],
+        f"{id_col} {keyed.schema[id_col].dataType.simpleString()}",
+    )
+    return (
+        keyed.join(F.broadcast(ids), id_col, "left_semi")
+        .withColumnRenamed("__ntok", "n_tokens")
+        .orderBy(F.col("gumbel_key").desc(), id_col)
     )
 
 
