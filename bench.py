@@ -362,10 +362,18 @@ def main() -> None:
                     prior[name] = t
         if not prior:
             return None, 0
+        # Noise-floor gate is on EITHER side exceeding 0.3 s (round-7
+        # ADVICE): the old both-sides gate excluded exactly the queries
+        # whose current-run inflation this check exists to see (a 0.2 s
+        # query degrading to 0.5 s never contributed); prior-side-only
+        # would exclude the same case from the other direction.  Two
+        # sub-floor timings stay excluded as pure noise.
         ratios = sorted(
             timings[n] / prior[n]
             for n in timings
-            if n in prior and timings[n] > 0.3 and prior[n] > 0.3
+            if n in prior
+            and timings[n] > 0
+            and max(timings[n], prior[n]) > 0.3
         )
         if len(ratios) < 5:
             return None, len(ratios)

@@ -1167,6 +1167,131 @@ def dsir_resample(
     )
 
 
+# TakeOrdered selection-regime bound: orderBy().limit(k) keeps a k-slot
+# heap per task plus a k-row driver merge, so pulls beyond ~10M rows are
+# a driver OOM.  Above this, dsir_resample_tokens switches to the
+# distributed key-threshold path (_token_prefix_by_threshold).
+_SELECTION_REGIME_MAX = 10_000_000
+
+
+def _token_prefix_by_threshold(
+    keyed: DataFrame,
+    token_budget: int,
+    id_col: str,
+    bins: int = 4096,
+    collect_max: int = 262_144,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact maximal-token-prefix selection WITHOUT a bounded candidate
+    pull — the large-regime path of :func:`dsir_resample_tokens`.
+
+    The selected set is upward-closed in the total order
+    ``(gumbel_key DESC, id ASC)``, so one cutoff — the FIRST EXCLUDED
+    document — characterizes it exactly.  The cutoff is found by
+    histogram bisection, never a global sort:
+
+    1. one groupBy over a linear binning of ``gumbel_key`` (≤ ``bins``
+       groups, map-side combine) gives per-bin token sums in key order;
+    2. whole bins that fit are committed against the budget driver-side
+       (≤ ``bins`` rows collected); the first bin that would overflow
+       becomes the new, ~``bins``×-smaller boundary region;
+    3. repeat until the region is ≤ ``collect_max`` rows, then resolve
+       the exact cumulative cutoff driver-side (bounded collect).
+
+    Each round is one full-lineage scan of ``keyed``; with
+    ``bins=4096`` a 10-billion-document corpus resolves in 3 rounds
+    (10^10 → 2.4M → collect), i.e. ~3 scans plus the final selection
+    filter — no step's driver state exceeds ``max(bins, collect_max)``
+    rows at any corpus size.  Equality with the full-ordering prefix is
+    unit-proven against the TakeOrdered path on a forced-small regime
+    (tests/test_round8.py).
+
+    Raises only in the adversarial case of > ``collect_max`` documents
+    sharing ONE double-valued Gumbel key (measure-zero under the md5
+    key construction).
+    """
+    key = F.col("gumbel_key")
+    totals = keyed.agg(
+        F.sum("__ntok").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if not totals["n"]:
+        return keyed.limit(0).withColumnRenamed("__ntok", "n_tokens")
+    ordered_out = (
+        lambda sel: sel.withColumnRenamed("__ntok", "n_tokens").orderBy(
+            key.desc(), id_col
+        )
+    )
+    if int(totals["tot"] or 0) <= int(token_budget):
+        return ordered_out(keyed)  # everything fits: no cutoff exists
+    region = keyed
+    budget_left = int(token_budget)
+    region_n = int(totals["n"])
+    for _ in range(max_rounds):
+        if region_n <= collect_max:
+            rows = region.orderBy(key.desc(), id_col).collect()
+            total = 0
+            cut = 0
+            for r in rows:
+                if total + r["__ntok"] > budget_left:
+                    break
+                total += r["__ntok"]
+                cut += 1
+            # the overflow doc is inside the region by invariant (the
+            # boundary bin was chosen because it crosses the budget)
+            ex = rows[cut]
+            sel = keyed.filter(
+                (key > F.lit(ex["gumbel_key"]))
+                | (
+                    (key == F.lit(ex["gumbel_key"]))
+                    & (F.col(id_col) < F.lit(ex[id_col]))
+                )
+            )
+            return ordered_out(sel)
+        span = region.agg(
+            F.min("gumbel_key").alias("lo"), F.max("gumbel_key").alias("hi")
+        ).collect()[0]
+        lo, hi = float(span["lo"]), float(span["hi"])
+        if hi <= lo:
+            raise ValueError(
+                f"{region_n:,} documents share one Gumbel key — beyond "
+                f"the {collect_max:,}-row exact-resolution bound; use a "
+                "different salt"
+            )
+        width = (hi - lo) / bins
+        # bin 0 = highest keys; clamp so hi itself lands in bin 0
+        binidx = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.lit(hi) - key) / F.lit(width)).cast("int"),
+            ),
+        )
+        hist = sorted(
+            region.groupBy(binidx.alias("__bin"))
+            .agg(F.sum("__ntok").alias("tok"), F.count(F.lit(1)).alias("n"))
+            .collect(),
+            key=lambda r: r["__bin"],
+        )
+        boundary = None
+        for b in hist:
+            if int(b["tok"]) <= budget_left:
+                budget_left -= int(b["tok"])  # whole bin fits: commit it
+            else:
+                boundary = b
+                break
+        region = region.filter(binidx == F.lit(boundary["__bin"]))
+        if int(boundary["n"]) >= region_n and region_n > collect_max:
+            raise ValueError(
+                f"{region_n:,} documents share one histogram bin and one "
+                "key neighborhood — beyond the exact-resolution bound; "
+                "use a different salt"
+            )
+        region_n = int(boundary["n"])
+    raise RuntimeError(
+        f"key-threshold bisection did not converge in {max_rounds} rounds"
+    )
+
+
 def dsir_resample_tokens(
     df: DataFrame,
     model: DsirModel,
@@ -1177,6 +1302,9 @@ def dsir_resample_tokens(
     salt: str = "gumbel",
     vectorized: bool = True,
     token_col: str | None = None,
+    max_candidates: int = _SELECTION_REGIME_MAX,
+    threshold_bins: int = 4096,
+    threshold_collect_max: int = 262_144,
 ) -> DataFrame:
     """:func:`dsir_resample` to a TOKEN budget instead of a document
     count — the paper's actual operating mode ("sample to the training
@@ -1189,18 +1317,27 @@ def dsir_resample_tokens(
     BPE count via ``text.bpe_token_count`` upstream for a learned
     budget).
 
-    Scale shape: exact prefix selection needs a cumulative sum in key
-    order, which at corpus scale must NOT be a global single-partition
-    window.  Instead: one aggregate estimates the expected selection
-    size (budget / mean tokens), a TakeOrdered pulls a small multiple
-    of that as candidates — the selected set is bounded by the budget
-    itself (it has to fit the training run), so the driver-side cumsum
-    trim is bounded by construction — and the final result is a
-    broadcast semi-join of the selected ids.  If the candidate pull
-    undershoots (pathological token-length skew toward high keys), it
-    doubles and retries; each retry is one TakeOrdered, never a global
-    sort.  Deterministic end to end: same md5-Gumbel keys and total
-    order as :func:`dsir_resample`.
+    Scale shape, two regimes:
+
+    * **Selection fits TakeOrdered** (expected candidates ≤
+      ``max_candidates``): one aggregate estimates the expected
+      selection size (budget / mean tokens), a TakeOrdered pulls a
+      small multiple of that as candidates (per-partition heap, never a
+      global sort), the driver cumsum-trims the bounded pull, and the
+      result is a broadcast semi-join of the selected ids.  If the pull
+      undershoots (token-length skew toward high keys), it doubles and
+      retries — re-checking the regime bound on every doubling (a
+      near-complete selection must never collect the corpus).
+    * **Beyond it** (the unbounded operating mode this function used to
+      reject): :func:`_token_prefix_by_threshold` finds the exact
+      cutoff document by histogram bisection over the key — ≤ a few
+      full scans, driver state bounded by the bin count, any corpus
+      size.
+
+    Both regimes produce the IDENTICAL selection (unit-proven on a
+    forced-small regime): the same md5-Gumbel keys and the same
+    ``(gumbel_key DESC, id ASC)`` total order as :func:`dsir_resample`,
+    deterministic end to end.
     """
     scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
     if token_col is None:
@@ -1235,16 +1372,23 @@ def dsir_resample_tokens(
     if not stats["n"] or not stats["avg"]:
         return keyed.limit(0).withColumnRenamed("__ntok", "n_tokens")
     est = int(1.5 * float(token_budget) / float(stats["avg"])) + 8
-    if est > 10_000_000:
-        raise ValueError(
-            f"token_budget implies ~{est:,} candidate documents — beyond "
-            "the TakeOrdered selection regime; select with a key-threshold "
-            "filter for near-complete selections"
-        )
     while True:
+        pull = min(est, int(stats["n"]))
+        if pull > max_candidates:
+            # beyond the TakeOrdered regime (round-7 ADVICE: the bound
+            # is re-checked on every doubling, and the corpus-sized
+            # pull of a near-complete selection hits it too) — switch
+            # to the distributed key-threshold path
+            return _token_prefix_by_threshold(
+                keyed,
+                int(token_budget),
+                id_col,
+                bins=threshold_bins,
+                collect_max=threshold_collect_max,
+            )
         cand = (
             keyed.orderBy(F.col("gumbel_key").desc(), id_col)
-            .limit(min(est, int(stats["n"])))
+            .limit(pull)
             .collect()
         )
         total = 0

@@ -105,7 +105,14 @@ _LOCAL_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
 
 # Hints whose subtree is structurally unbounded but bounded by a
 # DOCUMENTED contract the structural walk cannot see.  Maps query-name
-# substring -> the contract.  Anything not listed here gets flagged.
+# substring -> (contract, allowed unbounded-table signature).  The
+# signature is the set of sf-scaling base tables the contract-covered
+# hint subtree is allowed to scan (probed from the real analyzed plans
+# at sf0.01, round 8): the exemption applies HINT-BY-HINT, and only to
+# hints whose unbounded tables are a subset of the signature — a future
+# genuinely new unbounded hint over a different table in an allowlisted
+# query is still flagged (round-7 ADVICE: the old query-wide
+# short-circuit silently blessed any future hint in e.g. x02/x18).
 #
 # Deliberately MINIMAL — only the queries whose analyzed plans actually
 # surface such hints today (verified by running the audit over all 110
@@ -115,17 +122,18 @@ _LOCAL_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
 # returned plan's hint nodes; if a refactor ever surfaces one, the
 # audit FAILING is the desired behavior — re-allowlist consciously
 # with its contract, don't pre-bless it here.
+_DOCS = frozenset({"documents"})
 _BCAST_OK = {
     # per-language / per-source aggregates: grouping key domain is the
     # language / corpus-source vocabulary (dozens), not the row count
-    "x39": "per-language bounds aggregate — key domain = #languages",
-    "x37": "per-source rates table — key domain = #sources",
-    "x40": "per-source mixture weights — key domain = #sources",
+    "x39": ("per-language bounds aggregate — key domain = #languages", _DOCS),
+    "x37": ("per-source rates table — key domain = #sources", _DOCS),
+    "x40": ("per-source mixture weights — key domain = #sources", _DOCS),
     # decontamination: the broadcast side is the EVAL benchmark's n-gram
     # table — bounded by the benchmark suite size, never the corpus
     # (curation.py _containment_hits documents the BNLJ contract too)
-    "x18": "benchmark n-gram table — bounded by the eval set",
-    "x20": "benchmark n-gram table — bounded by the eval set",
+    "x18": ("benchmark n-gram table — bounded by the eval set", _DOCS),
+    "x20": ("benchmark n-gram table — bounded by the eval set", _DOCS),
     # MinHash/LSH verify joins: dedup.py MEASURES the candidate-pruned
     # side (a count action on materialized prep) and applies F.broadcast
     # only in the small regime — i.e. the hint IS size-guarded at
@@ -133,12 +141,12 @@ _BCAST_OK = {
     # regime (and so whether the hint appears in the plan) varies with
     # sf, so all five family members stay listed even though only the
     # sf0.01 plans of x02/x32 surface it today.
-    "x02": "measured-regime verify broadcast (dedup.py size switch)",
-    "x30": "measured-regime verify broadcast via x02 pair generation",
-    "x31": "measured-regime verify broadcast via x02 pair generation",
-    "x32": "measured-regime verify broadcast (two-corpus size switch)",
-    "x35": "measured-regime verify broadcast (chunk variant)",
-    "x16": "measured-regime verify broadcast (cosine near-dup)",
+    "x02": ("measured-regime verify broadcast (dedup.py size switch)", _DOCS),
+    "x30": ("measured-regime verify broadcast via x02 pair generation", _DOCS),
+    "x31": ("measured-regime verify broadcast via x02 pair generation", _DOCS),
+    "x32": ("measured-regime verify broadcast (two-corpus size switch)", _DOCS),
+    "x35": ("measured-regime verify broadcast (chunk variant)", _DOCS),
+    "x16": ("measured-regime verify broadcast (cosine near-dup)", _DOCS),
 }
 
 
@@ -167,13 +175,43 @@ def _contains_aggregate(node) -> bool:
     return any(_contains_aggregate(c) for c in _jchildren(node))
 
 
-def _post_agg_filter(node) -> bool:
-    """True if some Filter in the subtree sits ABOVE an Aggregate —
-    the decorrelated-scalar idiom (q57: revenue = max(revenue)) that
-    reduces an aggregate to a handful of rows after the fact."""
-    if _node_kind(node) == "Filter" and _contains_aggregate(node):
+def _global_reduction_below(node) -> bool:
+    """A max/min computed over the WHOLE frame somewhere in the subtree:
+    an unpartitioned Window carrying max/min, or a groupless Aggregate."""
+    kind = _node_kind(node)
+    if kind == "Window":
+        try:
+            if node.partitionSpec().size() == 0:
+                exprs = node.windowExpressions().toString()
+                if "max(" in exprs or "min(" in exprs:
+                    return True
+        except Exception:
+            pass
+    if kind == "Aggregate" and node.groupingExpressions().size() == 0:
         return True
-    return any(_post_agg_filter(c) for c in _jchildren(node))
+    return any(_global_reduction_below(c) for c in _jchildren(node))
+
+
+def _max_reduction_filter(node) -> bool:
+    """True iff some Filter EQUALITY-compares two attributes with a
+    global max/min reduction computed beneath it — q57's ties-to-the-max
+    idiom (revenue = max(revenue)), whose post-filter cardinality is the
+    tie count regardless of input scale.  Round-7 ADVICE tightening: the
+    old form ("any Filter above any Aggregate") also blessed HAVING-
+    style per-key filters (Filter(sum > literal) over a grouped
+    aggregate — the q54 |part|-cardinality shape), which prune nothing
+    at scale; those now fall through to the flag."""
+    if _node_kind(node) == "Filter":
+        try:
+            cond = node.condition()
+            if cond.getClass().getSimpleName() == "EqualTo" and all(
+                side.getClass().getSimpleName() == "AttributeReference"
+                for side in (cond.left(), cond.right())
+            ) and _global_reduction_below(node):
+                return True
+        except Exception:
+            pass
+    return any(_max_reduction_filter(c) for c in _jchildren(node))
 
 
 def _bounded_subtree(node) -> bool:
@@ -216,14 +254,18 @@ def audit_broadcast_hints(name: str, analyzed_jplan) -> list[str]:
     ``analyzed_jplan`` is ``df._jdf.queryExecution().analyzed()``.  A
     hint passes if its subtree is bounded by construction (nation/region
     leaves, literal local relations, global aggregates), carries a
-    post-aggregate filter (the q57 max-reduction idiom), or the query
-    is in the documented ``_BCAST_OK`` contract list.  Everything else
-    — q54's |part|-cardinality thresholds aggregate was the motivating
-    case — is a forced driver OOM at 100 TB and gets flagged.
+    ties-to-the-max equality filter against a global reduction (the q57
+    idiom), or — evaluated HINT-BY-HINT — matches a documented
+    ``_BCAST_OK`` contract for this query, including the contract's
+    unbounded-table signature.  Everything else — q54's
+    |part|-cardinality thresholds aggregate was the motivating case —
+    is a forced driver OOM at 100 TB and gets flagged.  The structural
+    checks run FIRST for every hint (round-7 ADVICE): a contract entry
+    no longer short-circuits the audit for the whole query, so a new
+    unbounded hint over an unexpected table in e.g. x02/x18 is still
+    caught.
     """
-    ok_reason = next((v for k, v in _BCAST_OK.items() if k in name), None)
-    if ok_reason is not None:
-        return []
+    contract = next((v for k, v in _BCAST_OK.items() if k in name), None)
     hints: list = []
     _collect_hints(analyzed_jplan, hints)
     flags: list[str] = []
@@ -231,14 +273,23 @@ def audit_broadcast_hints(name: str, analyzed_jplan) -> list[str]:
         child = _jchildren(h)[0]
         if _bounded_subtree(child):
             continue
-        if _post_agg_filter(child):
+        if _max_reduction_filter(child):
             continue
         tables: set = set()
         _unbounded_tables(child, tables)
+        if contract is not None and tables <= contract[1]:
+            continue  # this hint is the documented contract shape
+        hint_tables = ", ".join(sorted(tables)) or "derived"
+        suffix = (
+            f" (query contract '{contract[0]}' covers only "
+            f"{sorted(contract[1])}, not this hint)"
+            if contract is not None
+            else ""
+        )
         flags.append(
             "static broadcast hint over sf-scaling input "
-            f"(tables: {', '.join(sorted(tables)) or 'derived'}) — "
-            "forced broadcast cannot survive 100 TB; drop the hint "
-            "(AQE decides from measured sizes) or add a size guard"
+            f"(tables: {hint_tables}) — forced broadcast cannot survive "
+            "100 TB; drop the hint (AQE decides from measured sizes) or "
+            f"add a size guard{suffix}"
         )
     return flags

@@ -4502,40 +4502,40 @@ def q60(spark, sf_dir):
 # order rotates.  A name here that no longer exists in QUERIES raises at
 # import (see below) so a rename cannot silently drop coverage.
 #
-# Round 7: the six _DEFERRED_NEW queries (zero driver history — their
-# correctness rested solely on the judge's replica) take the leading
-# slots, emptying the deferral queue; the four NEW round-7 queries
-# (q58/q59/q60 close TPC-H at 22/22 via derived partsupp; x47 is the
-# DSIR resampling step) follow; the remaining 40 slots re-attest the
-# r05-stale set (attested in r05, rotated out in r06).  Ten of the 50
-# r05-stale names wait one more round (q01/q13/q32/q36/x21/x22/x23/
-# x24/x27/x37 — structurally stable, code untouched this round); the
-# ceil(N/50)-cycle coverage test accounts for them via the r05
-# artifact, and round 8's rotation must lead with them.
+# Round 8: the ten r05-stale names (their only driver attestation is the
+# r05 artifact, which falls out of the ceil(110/50)=3-round union after
+# this round) take the leading slots, exactly as round 7's note demanded.
+# The remaining 40 slots re-attest names from the r06 window, preferring
+# the ones whose code round 8 touched (x13/x14 sit atop multimodal.py,
+# which gained the VP8L/WebP decoder; x44 sits atop curation.py, which
+# gained the distributed token-budget selection path; x08 sits atop
+# text.py, which gained byte-level BPE).  Ten structurally-stable r06
+# names (q02/q03/q05/q06/q07/q10/q15/q16/q18/q24b — pure cast/scalar
+# shapes, code untouched since r06) wait for round 9; the cycle test
+# covers them via the r06 artifact, and round 9's rotation must lead
+# with them.
 _DRIVER_ROTATION = [
-    # deferral queue drain (6): first-ever driver rows
-    "q52_product_profit", "q53_customer_distribution",
-    "q55_disjunctive_revenue", "q57_top_supplier",
-    "x45_dsir_weights", "x46_filter_cascade",
-    # new round-7 queries (4): zero history, must be in the window
-    "q58_min_cost_supplier", "q59_important_stock",
-    "q60_potential_promotion", "x47_dsir_resample",
-    # r05-stale re-attestations (40)
-    "q29_asof_join", "q30_range_join", "q33_revenue_by_nation",
-    "q34_rollup_revenue", "q35_window_functions", "q37_promo_share",
-    "q38_semi_anti_join", "q39_pricing_summary", "q40_shipping_priority",
-    "q41_revenue_forecast", "q42_returned_items", "q43_large_orders",
-    "q44_cube_orders", "q45_above_average", "q46_late_orders_exists",
-    "q47_supplier_nation_cycle", "q48_priority_class_agg",
-    "q49_supplier_part_counts", "x02_minhash_near_dup",
-    "x03_ngram_jaccard", "x04_simhash_near_dup", "x16_cosine_near_dup",
-    "x17_quality_scores", "x18_pipeline_end_to_end", "x20_decontaminate",
-    "x25_stream_dedup", "x26_stream_sessions", "x28_stream_stream_join",
-    "x29_foreachbatch_sink", "x30_dedup_clusters", "x31_dedup_canonical",
-    "x32_fuzzy_join", "x33_gopher_rules", "x34_tfidf_top_terms",
-    "x35_chunk_dedup", "x36_incremental_dedup",
-    "x38_knn_graph", "x39_adaptive_length_filter", "x40_mix_corpus",
-    "x41_dedup_keep_best",
+    # r05-stale re-attestations (10): r05 leaves the 3-round union now
+    "q01_detect_tags", "q13_parse_temporal", "q32_map_ops",
+    "q36_profile", "x21_redact_pii", "x22_pack_sequences",
+    "x23_stratified_sample", "x24_repetition_score",
+    "x27_corpus_stats", "x37_temperature_resample",
+    # r06 re-attestations (40): code-touched names first
+    "x13_media_sniff", "x14_media_decode", "x44_overlap_report",
+    "x08_token_stats",
+    "q04_rounding_rules", "q08_epoch_datetime", "q09_radix_format",
+    "q11_datetime_units", "q12_string_to_bool", "q14_categorize",
+    "q17_where_ternary", "q17b_where_filter", "q19_concat_sep",
+    "q19b_union_all", "q20_find_replace", "q21_reductions",
+    "q22_stable_sort", "q23_ordered_dedup", "q24_intersect",
+    "q25_dt_td_conversions", "q26_calendar_units", "q27_object_roundtrip",
+    "q28_anonymous_cast", "q31_regex_dialect", "q50_nation_trade_volume",
+    "q51_market_share", "q54_small_quantity_revenue",
+    "q56_waiting_supplier", "x01_exact_dedup", "x05_cosine_topk",
+    "x06_cosine_pairs", "x07_ivf_topk", "x09_lang_scores",
+    "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
+    "x15_rolling_fingerprints", "x19_stream_rollup", "x42_lm_perplexity",
+    "x43_semdedup",
 ]
 
 
@@ -4549,8 +4549,9 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 7: empty — the round-6 queue (q52/q53/q55/q57/x45/x46) drained
-# into the leading slots above.
+# Round 8: empty — no new queries this round (the oracle set is frozen
+# at 110 per the round-7 verdict; round-8 work is unit-gated extension
+# depth, not query surface).
 _DEFERRED_NEW: list = []
 
 _missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]
