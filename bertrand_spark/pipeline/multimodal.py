@@ -1181,11 +1181,12 @@ def _real_decode(Image, payload: bytes, channels: int):
     """Real decode → (width, height, channels, raw bytes); native size.
     ``Image`` is the PIL module when importable, else None — then the
     stdlib paths handle PNG (:func:`_png_decode`), JPEG baseline +
-    progressive (:func:`_jpeg_decode`), and GIF first frames
-    (:func:`_gif_decode`); everything else (riff/WebP, unknown) is
-    undecodable.  Corrupt/empty/NULL payloads return an all-None row
-    instead of killing the task — on real crawl corpora broken images
-    are routine, and one bad row must not abort a 100 TB job."""
+    progressive (:func:`_jpeg_decode`), GIF first frames
+    (:func:`_gif_decode`), and lossless WebP (:func:`_vp8l_decode`);
+    only lossy-VP8 WebP and unknown formats are undecodable.
+    Corrupt/empty/NULL payloads return an all-None row instead of
+    killing the task — on real crawl corpora broken images are routine,
+    and one bad row must not abort a 100 TB job."""
     import io
 
     if Image is None:
@@ -1193,6 +1194,8 @@ def _real_decode(Image, payload: bytes, channels: int):
             return _jpeg_decode(payload, channels)
         if payload[:4] == b"GIF8":
             return _gif_decode(payload, channels)
+        if payload[:4] == b"RIFF":
+            return _vp8l_decode(payload, channels)
         return _png_decode(payload, channels)
     try:
         img = Image.open(io.BytesIO(payload))
@@ -1240,10 +1243,10 @@ def decode_images(
 
         warnings.warn(
             "decode='real' but PIL is not importable on the DRIVER: "
-            "the stdlib fallback decodes PNG, JPEG and GIF only — "
-            "WebP/arithmetic-JPEG payloads will yield NULL rows. "
-            "Install PIL in the executor image, or use decode='strict' "
-            "to fail fast.",
+            "the stdlib fallback decodes PNG, JPEG, GIF and lossless "
+            "WebP only — lossy-VP8 WebP / arithmetic-JPEG payloads "
+            "will yield NULL rows. Install PIL in the executor image, "
+            "or use decode='strict' to fail fast.",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -1264,9 +1267,10 @@ def decode_images(
 
             warnings.warn(
                 "decode='real' without PIL: stdlib fallback decodes "
-                "PNG, JPEG and GIF only; WebP/arithmetic payloads "
-                "will yield NULL rows.  Install PIL in the executor "
-                "image, or use decode='strict' to fail fast.",
+                "PNG, JPEG, GIF and lossless WebP only; lossy-VP8 / "
+                "arithmetic payloads will yield NULL rows.  Install "
+                "PIL in the executor image, or use decode='strict' to "
+                "fail fast.",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -1330,9 +1334,10 @@ def decode_format_report(
     offsets, no decode; 8/16-bit and Adam7 are all DECODED since round
     6 closed those gaps);
     ``n_null_no_decoder`` counts formats with NO stdlib path at all
-    (riff/WebP and unknown — rounds 7-7c moved jpeg, then gif, out of
-    this class; a nulled JPEG is arithmetic/12-bit or corrupt and a
-    nulled GIF is corrupt — both count in ``n_null_other``).  The first class needs a corpus
+    (``unknown`` only — rounds 7-8 moved jpeg, gif, then riff/WebP out
+    of this class; a nulled JPEG is arithmetic/12-bit or corrupt, a
+    nulled GIF is corrupt, and a nulled riff is lossy-VP8 or corrupt —
+    all count in ``n_null_other``).  The first class needs a corpus
     fix or PIL; the second needs PIL on the workers — operators can now
     tell which.  ``n_null_other`` is the remainder (corrupt/truncated
     payloads).  Plan: one id join + a categorical groupBy — O(rows),
@@ -1367,18 +1372,16 @@ def decode_format_report(
         ),
         F.lit(False),
     )
-    # rounds 7-7c: JPEG (baseline + progressive) and GIF joined PNG in
-    # the stdlib fallback, so the no-decoder class shrinks to the
-    # formats with NO stdlib path at all (riff/WebP, unknown).  A JPEG
-    # that still nulls is an arithmetic/12-bit variant or corrupt; a
-    # GIF that nulls is corrupt — all land in n_null_other (variant
+    # rounds 7-8: JPEG (baseline + progressive), GIF, then lossless
+    # WebP joined PNG in the stdlib fallback, so the no-decoder class
+    # shrinks to the one format with NO stdlib path at all: unknown.
+    # A JPEG that still nulls is an arithmetic/12-bit variant or
+    # corrupt; a GIF that nulls is corrupt; a riff that nulls is
+    # lossy-VP8 or corrupt — all land in n_null_other (variant
     # detection would need a segment scan, not a fixed-offset probe;
     # the report keys on cheap native byte probes only).
-    no_decoder = (
-        F.lit(decoder == "stdlib-png-jpeg")
-        & ~is_png
-        & (F.col("sniffed_format") != "jpeg")
-        & (F.col("sniffed_format") != "gif")
+    no_decoder = F.lit(decoder == "stdlib-png-jpeg") & (
+        F.col("sniffed_format") == "unknown"
     )
     null_row = ~F.col("__ok")
     return (
@@ -1967,3 +1970,852 @@ def gif_encode(width: int, height: int, pixels_idx, palette) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# --- stdlib VP8L (lossless WebP) decoder (round 8) ---------------------------
+# Closes the last NAMED no-decoder class: RIFF/WEBP payloads carrying a
+# VP8L (lossless) bitstream decode without PIL; lossy VP8 stays NULL
+# (n_null_other) — a DCT decoder for it would duplicate the JPEG path's
+# scope without its interoperability gate.  Implemented from the public
+# WebP Lossless Bitstream Specification (RFC 9649): LSB-first bit
+# reader, canonical prefix codes (simple + code-length-coded), color
+# cache, LZ77 backrefs with the 120-entry distance neighborhood map,
+# meta-prefix images, and all four transforms (predictor, cross-color,
+# subtract-green, color-indexing incl. sub-byte pixel bundling).
+# Reference anchor for the per-row degrade contract:
+# /root/reference/bertrand/types/object.py:10-42 (objects that cannot
+# convert degrade to NA per element; here a payload that cannot decode
+# degrades to the all-None row, never an exception).
+
+_VP8L_CL_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+)
+
+# RFC 9649 §5.2.2: distance codes 1..120 map to a pixel neighborhood.
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
+    (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 4), (7, 7), (-7, 7), (8, 5),
+    (8, 6), (8, 7),
+)
+
+
+class _Vp8lBits:
+    """LSB-first bit reader over the VP8L payload (RFC 9649 §4)."""
+
+    __slots__ = ("d", "pos", "total")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.total = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.total:
+            raise ValueError("vp8l: bitstream overrun")
+        byte_i = self.pos >> 3
+        window = int.from_bytes(
+            self.d[byte_i : byte_i + ((n + (self.pos & 7) + 7) >> 3)],
+            "little",
+        )
+        v = (window >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+
+def _vp8l_canonical(lengths):
+    """Canonical prefix code from code lengths (deflate convention:
+    shorter codes first, ties by symbol order).  Returns
+    (table {(len, code): symbol}, single_symbol_or_None)."""
+    syms = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not syms:
+        raise ValueError("vp8l: empty code")
+    if len(syms) == 1:
+        return {}, syms[0][1]
+    syms.sort()
+    table = {}
+    code = 0
+    last = syms[0][0]
+    for l, s in syms:
+        code <<= l - last
+        last = l
+        table[(l, code)] = s
+        code += 1
+    return table, None
+
+
+def _vp8l_read_sym(huff, br) -> int:
+    table, single = huff
+    if single is not None:
+        return single
+    code = 0
+    for l in range(1, 16):
+        code = (code << 1) | br.read(1)
+        s = table.get((l, code))
+        if s is not None:
+            return s
+    raise ValueError("vp8l: bad prefix code")
+
+
+def _vp8l_read_code(alphabet: int, br):
+    """One prefix code: simple (1-2 symbols) or code-length-coded
+    (RFC 9649 §5.2.4)."""
+    if br.read(1):  # simple
+        n = br.read(1) + 1
+        s0 = br.read(8 if br.read(1) else 1)
+        if s0 >= alphabet:
+            raise ValueError("vp8l: simple symbol out of range")
+        if n == 1:
+            return {}, s0
+        s1 = br.read(8)
+        if s1 >= alphabet:
+            raise ValueError("vp8l: simple symbol out of range")
+        return {(1, 0): s0, (1, 1): s1}, None
+    ncodes = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(ncodes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_huff = _vp8l_canonical(cl_lengths)
+    if br.read(1):  # explicit max symbol count
+        nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = _vp8l_read_sym(cl_huff, br)
+        if cl < 16:
+            lengths[i] = cl
+            i += 1
+            if cl:
+                prev = cl
+        else:
+            if cl == 16:
+                rep, val = 3 + br.read(2), prev
+            elif cl == 17:
+                rep, val = 3 + br.read(3), 0
+            else:
+                rep, val = 11 + br.read(7), 0
+            if i + rep > alphabet:
+                raise ValueError("vp8l: code-length repeat overrun")
+            for _ in range(rep):
+                lengths[i] = val
+                i += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_value(code: int, br) -> int:
+    """LZ77 length/distance prefix decode (RFC 9649 §5.2.3)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_entropy_image(br, xsize: int, ysize: int, level0: bool):
+    """DecodeImageStream (RFC 9649 §6): transforms (level 0 only),
+    color cache, optional meta-prefix image, prefix codes, pixel loop.
+    Returns (argb pixel list, transforms read, final coded xsize)."""
+    transforms = []
+    seen_types = set()
+    if level0:
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen_types:
+                raise ValueError("vp8l: duplicate transform")
+            seen_types.add(ttype)
+            if ttype in (0, 1):  # predictor / cross-color
+                bits = br.read(3) + 2
+                timg, _, _ = _vp8l_entropy_image(
+                    br,
+                    _vp8l_subsample(xsize, bits),
+                    _vp8l_subsample(ysize, bits),
+                    False,
+                )
+                transforms.append((ttype, bits, timg))
+            elif ttype == 2:  # subtract green
+                transforms.append((2,))
+            else:  # color indexing
+                n = br.read(8) + 1
+                pal, _, _ = _vp8l_entropy_image(br, n, 1, False)
+                for i in range(1, n):  # undo component subtraction coding
+                    a = pal[i]
+                    b = pal[i - 1]
+                    pal[i] = (
+                        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+                        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+                        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+                        | (((a + b) & 0xFF))
+                    )
+                wb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+                transforms.append((3, wb, pal, xsize))
+                xsize = _vp8l_subsample(xsize, wb)
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: bad cache bits")
+    meta = None
+    meta_bits = 0
+    ngroups = 1
+    if level0 and br.read(1):
+        meta_bits = br.read(3) + 2
+        meta, _, _ = _vp8l_entropy_image(
+            br,
+            _vp8l_subsample(xsize, meta_bits),
+            _vp8l_subsample(ysize, meta_bits),
+            False,
+        )
+        ngroups = max((p >> 8) & 0xFFFF for p in meta) + 1
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = [
+        (
+            _vp8l_read_code(green_alpha, br),
+            _vp8l_read_code(256, br),
+            _vp8l_read_code(256, br),
+            _vp8l_read_code(256, br),
+            _vp8l_read_code(40, br),
+        )
+        for _ in range(ngroups)
+    ]
+    npix = xsize * ysize
+    out = [0] * npix
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    meta_w = _vp8l_subsample(xsize, meta_bits) if meta else 0
+    pos = 0
+    while pos < npix:
+        if meta is not None:
+            x = pos % xsize
+            y = pos // xsize
+            g_idx = (
+                meta[(y >> meta_bits) * meta_w + (x >> meta_bits)] >> 8
+            ) & 0xFFFF
+            cg, cr, cb, ca, cd = groups[g_idx]
+        else:
+            cg, cr, cb, ca, cd = groups[0]
+        s = _vp8l_read_sym(cg, br)
+        if s < 256:
+            red = _vp8l_read_sym(cr, br)
+            blue = _vp8l_read_sym(cb, br)
+            alpha = _vp8l_read_sym(ca, br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+        elif s < 280:
+            length = _vp8l_prefix_value(s - 256, br)
+            dcode = _vp8l_prefix_value(_vp8l_read_sym(cd, br), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dcode - 1]
+                dist = dy * xsize + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > npix:
+                raise ValueError("vp8l: backref out of range")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+        else:
+            if cache is None:
+                raise ValueError("vp8l: cache symbol without cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out, transforms, xsize
+
+
+def _vp8l_delta(t: int, c: int) -> int:
+    """ColorTransformDelta (RFC 9649 §4.3.2): signed int8 product >> 5."""
+    t = t - 256 if t > 127 else t
+    c = c - 256 if c > 127 else c
+    return (t * c) >> 5
+
+
+def _vp8l_apply_inverse(argb, transforms, xsize: int, ysize: int):
+    """Apply inverse transforms in reverse read order (RFC 9649 §4)."""
+    for t in reversed(transforms):
+        if t[0] == 3:  # color indexing: palette lookup (+ unbundle)
+            _, wb, pal, orig_x = t
+            npal = len(pal)
+            if wb:
+                bpp = 8 >> wb
+                mask = (1 << bpp) - 1
+                packed_x = _vp8l_subsample(orig_x, wb)
+                new = [0] * (orig_x * ysize)
+                for y in range(ysize):
+                    row = y * packed_x
+                    nrow = y * orig_x
+                    for x in range(orig_x):
+                        g = (argb[row + (x >> wb)] >> 8) & 0xFF
+                        idx = (g >> ((x & ((1 << wb) - 1)) * bpp)) & mask
+                        new[nrow + x] = pal[idx] if idx < npal else 0
+                argb = new
+            else:
+                argb = [
+                    pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < npal else 0
+                    for p in argb
+                ]
+            xsize = orig_x
+        elif t[0] == 2:  # add green
+            argb = [
+                (p & 0xFF000000)
+                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
+                | (p & 0xFF00)
+                | ((p + (p >> 8)) & 0xFF)
+                for p in argb
+            ]
+        elif t[0] == 1:  # cross-color inverse
+            _, bits, timg = t
+            tw = _vp8l_subsample(xsize, bits)
+            for y in range(ysize):
+                trow = (y >> bits) * tw
+                row = y * xsize
+                for x in range(xsize):
+                    e = timg[trow + (x >> bits)]
+                    g2r = (e >> 0) & 0xFF   # blue channel of the element
+                    g2b = (e >> 8) & 0xFF   # green channel
+                    r2b = (e >> 16) & 0xFF  # red channel
+                    p = argb[row + x]
+                    g = (p >> 8) & 0xFF
+                    red = ((p >> 16) & 0xFF) + _vp8l_delta(g2r, g)
+                    blue = (p & 0xFF) + _vp8l_delta(g2b, g)
+                    blue += _vp8l_delta(r2b, red & 0xFF)
+                    argb[row + x] = (
+                        (p & 0xFF000000)
+                        | ((red & 0xFF) << 16)
+                        | (p & 0xFF00)
+                        | (blue & 0xFF)
+                    )
+        else:  # predictor inverse
+            _, bits, timg = t
+            tw = _vp8l_subsample(xsize, bits)
+            add = _vp8l_add_pixels
+            for y in range(ysize):
+                trow = (y >> bits) * tw
+                row = y * xsize
+                for x in range(xsize):
+                    pos = row + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = argb[pos - 1]
+                    elif x == 0:
+                        pred = argb[pos - xsize]
+                    else:
+                        mode = (timg[trow + (x >> bits)] >> 8) & 0xFF
+                        pred = _vp8l_predict(
+                            mode,
+                            argb[pos - 1],
+                            argb[pos - xsize],
+                            argb[pos - xsize - 1],
+                            argb[pos - xsize + 1],
+                        )
+                    argb[pos] = add(argb[pos], pred)
+    return argb, xsize
+
+
+def _vp8l_add_pixels(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | ((a + b) & 0xFF)
+    )
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24 & 0xFF) + (b >> 24 & 0xFF)) >> 1) << 24)
+        | ((((a >> 16 & 0xFF) + (b >> 16 & 0xFF)) >> 1) << 16)
+        | ((((a >> 8 & 0xFF) + (b >> 8 & 0xFF)) >> 1) << 8)
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """The 14 spatial predictors (RFC 9649 §4.3.1)."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    ch = lambda p, i: (p >> i) & 0xFF  # noqa: E731
+    if mode == 11:  # Select
+        pL = pT = 0
+        for i in (24, 16, 8, 0):
+            est = ch(L, i) + ch(T, i) - ch(TL, i)
+            pL += abs(est - ch(L, i))
+            pT += abs(est - ch(T, i))
+        return L if pL < pT else T
+    if mode == 12:  # ClampAddSubtractFull
+        v = 0
+        for i in (24, 16, 8, 0):
+            c = ch(L, i) + ch(T, i) - ch(TL, i)
+            v |= (0 if c < 0 else 255 if c > 255 else c) << i
+        return v
+    if mode == 13:  # ClampAddSubtractHalf (C truncating division)
+        v = 0
+        for i in (24, 16, 8, 0):
+            a = (ch(L, i) + ch(T, i)) >> 1
+            d = a - ch(TL, i)
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            c = a + half
+            v |= (0 if c < 0 else 255 if c > 255 else c) << i
+        return v
+    raise ValueError(f"vp8l: bad predictor mode {mode}")
+
+
+def _webp_find_vp8l(payload: bytes):
+    """Walk the RIFF container for the (first) VP8L chunk — simple
+    lossless files, VP8X extended files, and the first ANMF frame of a
+    lossless animation.  None when absent (lossy VP8, alpha-only,
+    malformed)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+
+    def scan(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"VP8L":
+                return body
+            if tag == b"ANMF" and len(body) > 16:
+                sub = scan(body[16:])  # frame data = chunks after the
+                if sub is not None:    # 16-byte ANMF frame header
+                    return sub
+            pos += 8 + size + (size & 1)
+        return None
+
+    return scan(payload[12:])
+
+
+def _vp8l_decode(payload: bytes, channels: int):
+    """Stdlib VP8L (lossless WebP) decode → (w, h, channels, raw
+    bytes).  Lossy VP8, malformed containers, and corrupt bitstreams
+    return the all-None row — the per-row degrade contract shared by
+    every stdlib codec here."""
+    import numpy as np
+
+    try:
+        data = _webp_find_vp8l(payload)
+        if data is None or data[0] != 0x2F:
+            return None, None, None, None
+        br = _Vp8lBits(data[1:])
+        w = br.read(14) + 1
+        h = br.read(14) + 1
+        br.read(1)  # alpha-used hint
+        if br.read(3) != 0:  # version must be 0
+            return None, None, None, None
+        if w * h > (1 << 24):
+            # per-pixel Python decode: bound the work a (possibly
+            # corrupt) header can demand; >16 MP degrades to NULL like
+            # any other out-of-scope payload — ship PIL for those
+            return None, None, None, None
+        argb, transforms, _ = _vp8l_entropy_image(br, w, h, True)
+        argb, _ = _vp8l_apply_inverse(argb, transforms, w, h)
+        arr = np.asarray(argb, dtype=np.uint32).reshape(h, w)
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (arr >> 16) & 0xFF
+        px[:, :, 1] = (arr >> 8) & 0xFF
+        px[:, :, 2] = arr & 0xFF
+        if channels == 1:
+            r = px[:, :, 0].astype(np.uint32)
+            g = px[:, :, 1].astype(np.uint32)
+            b = px[:, :, 2].astype(np.uint32)
+            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(
+                np.uint8
+            )[:, :, None]
+        return int(w), int(h), channels, px.tobytes()
+    except Exception:
+        return None, None, None, None
+
+
+class _Vp8lBitWriter:
+    """LSB-first bit writer (the encoder-side mirror of _Vp8lBits)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def put_code(self, code: int, length: int) -> None:
+        """Prefix codes are read bit-by-bit MSB-first — write likewise."""
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _vp8l_emit_two_len_code(bw, alphabet: int, short: int, long_: int):
+    """Emit a COMPLETE canonical code where symbols 0..n_short-1 get
+    ``short``-bit codes and the rest ``long_``-bit codes (kraft == 1 by
+    construction: n_short = 2^long - alphabet scaled).  Returns the
+    symbol → (code, len) encoder map.  ``short == long_`` emits a
+    single-length (identity-style) code."""
+    if short == long_:
+        n_short = alphabet
+    else:
+        # completeness: n_short*2^(long-short) + (alphabet-n_short) = 2^long
+        n_short = ((1 << long_) - alphabet) // ((1 << (long_ - short)) - 1)
+        if not 0 < n_short < alphabet:
+            raise ValueError("vp8l_encode: alphabet unsplittable at lengths")
+    bw.put(0, 1)  # not a simple code
+    used = {short} if short == long_ else {short, long_}
+    max_idx = max(_VP8L_CL_ORDER.index(l) for l in used)
+    ncodes = max_idx + 1
+    if ncodes < 4:
+        ncodes = 4
+    bw.put(ncodes - 4, 4)
+    for i in range(ncodes):
+        bw.put(1 if _VP8L_CL_ORDER[i] in used else 0, 3)
+    bw.put(0, 1)  # no explicit max-symbol count
+    enc = {}
+    if short == long_:
+        # single-symbol code-length code: zero bits per emitted length
+        for s in range(alphabet):
+            enc[s] = (s, short)
+        return enc
+    # code-length code: {short→0, long→1}, one bit per symbol length
+    for s in range(alphabet):
+        bw.put(0 if s < n_short else 1, 1)
+    base_long = n_short << (long_ - short)
+    for s in range(alphabet):
+        if s < n_short:
+            enc[s] = (s, short)
+        else:
+            enc[s] = (base_long + (s - n_short), long_)
+    return enc
+
+
+def _vp8l_emit_identity8(bw):
+    return _vp8l_emit_two_len_code(bw, 256, 8, 8)
+
+
+def _vp8l_emit_prefix_value(bw, value: int, enc, sym_base: int):
+    """Emit an LZ77 length/distance value: prefix symbol + extra bits."""
+    if value <= 4:
+        code = value - 1
+        c, l = enc[sym_base + code]
+        bw.put_code(c, l)
+        return
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= value <= offset + (1 << extra):
+            c, l = enc[sym_base + code]
+            bw.put_code(c, l)
+            bw.put(value - offset - 1, extra)
+            return
+    raise ValueError(f"vp8l_encode: value {value} out of prefix range")
+
+
+def _vp8l_emit_entropy_image(bw, argb, use_lz77=False, cache_bits=0,
+                             level0=False):
+    """Write one entropy-coded image.  Sub-resolution images carry no
+    meta-prefix bit; the level-0 image writes it (as 0: one code
+    group).  Fixed complete two-length codes keep the encoder tiny;
+    optional run-of-previous-pixel LZ77 and color cache exercise the
+    decoder's backref/cache paths."""
+    bw.put(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.put(cache_bits, 4)
+    if level0:
+        bw.put(0, 1)  # no meta-prefix image: a single code group
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    # complete two-length split for the green alphabet at max len 9
+    g_enc = _vp8l_emit_two_len_code(bw, green_alpha, 8, 9)
+    r_enc = _vp8l_emit_identity8(bw)
+    b_enc = _vp8l_emit_identity8(bw)
+    a_enc = _vp8l_emit_identity8(bw)
+    if use_lz77:
+        d_enc = _vp8l_emit_two_len_code(bw, 40, 5, 6)
+    else:  # single-symbol simple code: zero bits ever read for distance
+        bw.put(1, 1)  # simple
+        bw.put(0, 1)  # one symbol
+        bw.put(0, 1)  # 1-bit symbol
+        bw.put(0, 1)  # symbol 0
+        d_enc = None
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def cache_put(px):
+        if cache is not None:
+            cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+
+    def emit_literal(px):
+        if cache is not None:
+            k = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift
+            if cache[k] == px:
+                c, l = g_enc[280 + k]
+                bw.put_code(c, l)
+                return
+        g = (px >> 8) & 0xFF
+        c, l = g_enc[g]
+        bw.put_code(c, l)
+        c, l = r_enc[(px >> 16) & 0xFF]
+        bw.put_code(c, l)
+        c, l = b_enc[px & 0xFF]
+        bw.put_code(c, l)
+        c, l = a_enc[(px >> 24) & 0xFF]
+        bw.put_code(c, l)
+        cache_put(px)
+
+    i = 0
+    n = len(argb)
+    while i < n:
+        if use_lz77 and i > 0 and argb[i] == argb[i - 1]:
+            run = 1
+            while i + run < n and argb[i + run] == argb[i - 1]:
+                run += 1
+            if run >= 3:
+                _vp8l_emit_prefix_value(bw, run, g_enc, 256)
+                _vp8l_emit_prefix_value(bw, 1 + 120, d_enc, 0)
+                for k in range(run):
+                    cache_put(argb[i + k])
+                i += run
+                continue
+        emit_literal(argb[i])
+        i += 1
+
+
+def vp8l_encode(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    *,
+    subtract_green: bool = False,
+    predictor_bits: int | None = None,
+    cross_color_bits: int | None = None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = False,
+) -> bytes:
+    """Minimal spec-conformant VP8L (lossless WebP) test writer — the
+    inverse fixture for :func:`_vp8l_decode`, with switches that force
+    each decoder path: subtract-green, spatial prediction (per-block
+    modes cycling through all 14), cross-color (per-block elements),
+    color indexing (incl. sub-byte bundling for ≤16-color palettes),
+    color cache, and run-length LZ77 backrefs.  ``channels`` is 3 (RGB,
+    alpha=255) or 4 (RGBA)."""
+    import numpy as np
+
+    if channels not in (3, 4):
+        raise ValueError("vp8l_encode: channels must be 3 or 4")
+    if len(pixels) != width * height * channels:
+        raise ValueError("vp8l_encode: pixel buffer size mismatch")
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.uint32)
+    if channels == 3:
+        alpha = np.full((height, width), 255, dtype=np.uint32)
+    else:
+        alpha = px[:, :, 3]
+    argb = list(
+        (
+            (alpha << 24) | (px[:, :, 0] << 16) | (px[:, :, 1] << 8)
+            | px[:, :, 2]
+        ).reshape(-1)
+    )
+    argb = [int(v) for v in argb]
+    bw = _Vp8lBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(width - 1, 14)
+    bw.put(height - 1, 14)
+    bw.put(1 if channels == 4 else 0, 1)  # alpha hint
+    bw.put(0, 3)  # version
+    xsize = width
+    if palette:
+        if subtract_green or predictor_bits or cross_color_bits:
+            raise ValueError("vp8l_encode: palette excludes other transforms")
+        uniq = sorted(set(argb))
+        if len(uniq) > 256:
+            raise ValueError("vp8l_encode: >256 colors cannot be paletted")
+        lookup = {v: i for i, v in enumerate(uniq)}
+        bw.put(1, 1)
+        bw.put(3, 2)
+        bw.put(len(uniq) - 1, 8)
+        diffs = [uniq[0]]
+        for i in range(1, len(uniq)):  # component subtraction coding
+            a, b = uniq[i], uniq[i - 1]
+            diffs.append(
+                ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+                | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+                | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+                | (((a - b) & 0xFF))
+            )
+        _vp8l_emit_entropy_image(bw, diffs)
+        n = len(uniq)
+        wb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        idx = [lookup[v] for v in argb]
+        if wb:
+            bpp = 8 >> wb
+            ppb = 1 << wb
+            packed_x = _vp8l_subsample(width, wb)
+            packed = [0] * (packed_x * height)
+            for y in range(height):
+                for x in range(width):
+                    packed[y * packed_x + (x >> wb)] |= idx[
+                        y * width + x
+                    ] << ((x & (ppb - 1)) * bpp)
+            argb = [0xFF000000 | (g << 8) for g in packed]
+            xsize = packed_x
+        else:
+            argb = [0xFF000000 | (i << 8) for i in idx]
+    if subtract_green:
+        bw.put(1, 1)
+        bw.put(2, 2)
+        argb = [
+            (p & 0xFF000000)
+            | (((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16)
+            | (p & 0xFF00)
+            | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+            for p in argb
+        ]
+    if cross_color_bits:
+        bits = cross_color_bits
+        bw.put(1, 1)
+        bw.put(1, 2)
+        bw.put(bits - 2, 3)
+        tw = _vp8l_subsample(xsize, bits)
+        th = _vp8l_subsample(height, bits)
+        # deterministic per-block elements covering ± values
+        elems = [
+            0xFF000000
+            | ((((bx * 37 + by * 11) % 256)) << 16)   # red_to_blue
+            | ((((bx * 53 + by * 29) % 256)) << 8)    # green_to_blue
+            | (((bx * 17 + by * 7) % 256))            # green_to_red
+            for by in range(th)
+            for bx in range(tw)
+        ]
+        _vp8l_emit_entropy_image(bw, elems)
+        for y in range(height):
+            trow = (y >> bits) * tw
+            row = y * xsize
+            for x in range(xsize):
+                e = elems[trow + (x >> bits)]
+                p = argb[row + x]
+                g = (p >> 8) & 0xFF
+                red = (p >> 16) & 0xFF
+                enc_r = (red - _vp8l_delta(e & 0xFF, g)) & 0xFF
+                enc_b = (
+                    (p & 0xFF)
+                    - _vp8l_delta((e >> 8) & 0xFF, g)
+                    - _vp8l_delta((e >> 16) & 0xFF, red)
+                ) & 0xFF
+                argb[row + x] = (
+                    (p & 0xFF000000) | (enc_r << 16) | (p & 0xFF00) | enc_b
+                )
+    if predictor_bits:
+        bits = predictor_bits
+        bw.put(1, 1)
+        bw.put(0, 2)
+        bw.put(bits - 2, 3)
+        tw = _vp8l_subsample(xsize, bits)
+        th = _vp8l_subsample(height, bits)
+        modes = [
+            0xFF000000 | ((((by * tw + bx) % 14)) << 8)
+            for by in range(th)
+            for bx in range(tw)
+        ]
+        _vp8l_emit_entropy_image(bw, modes)
+        src = list(argb)  # predict from ORIGINAL neighbors
+        sub = lambda a, b: (  # noqa: E731 — componentwise mod-256 diff
+            ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+            | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+            | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+            | (((a - b) & 0xFF))
+        )
+        for y in range(height):
+            trow = (y >> bits) * tw
+            row = y * xsize
+            for x in range(xsize):
+                pos = row + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = src[pos - 1]
+                elif x == 0:
+                    pred = src[pos - xsize]
+                else:
+                    mode = (modes[trow + (x >> bits)] >> 8) & 0xFF
+                    pred = _vp8l_predict(
+                        mode,
+                        src[pos - 1],
+                        src[pos - xsize],
+                        src[pos - xsize - 1],
+                        src[pos - xsize + 1],
+                    )
+                argb[pos] = sub(src[pos], pred)
+    bw.put(0, 1)  # end of the transform list
+    _vp8l_emit_entropy_image(
+        bw, argb, use_lz77=lz77, cache_bits=cache_bits, level0=True
+    )
+    stream = bw.done()
+    body = b"VP8L" + len(stream).to_bytes(4, "little") + stream
+    if len(stream) & 1:
+        body += b"\x00"
+    riff = b"WEBP" + body
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

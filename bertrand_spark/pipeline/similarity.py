@@ -1490,6 +1490,7 @@ def kcenter_select(
     n: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_picks: int = 10_000,
 ) -> "list":
     """Greedy k-center DIVERSITY selection (Gonzalez 1985 farthest-point
     traversal, the classic 2-approximation to the k-center objective):
@@ -1521,11 +1522,30 @@ def kcenter_select(
     TakeOrdered(1).  State shipped per round: one d-vector in the
     closure.  The n sequential barriers are inherent to the greedy
     algorithm; at 1000 executors each pass is embarrassingly parallel.
+
+    Practical budget ceiling: each pick is a full Spark JOB (~1 s of
+    fixed scheduling overhead at minimum), so wall-clock is ≥ n
+    seconds regardless of cluster size — n ≤ a few thousand is the
+    regime this operator is FOR (annotation/eval budgets).  Beyond
+    ``max_picks`` (default 10,000 ≈ 3+ hours of pure job overhead) it
+    raises with guidance instead of silently running for days — the
+    same explicit-regime-guard convention as
+    ``curation.dsir_resample_tokens``: coreset selection at corpus
+    scale wants k-means-style assignment (``semdedup_ivf``), not a
+    sequential greedy.
     """
     import numpy as np
 
     if n <= 0:
         return []
+    if n > max_picks:
+        raise ValueError(
+            f"n={n:,} picks = {n:,} sequential Spark jobs (~1 s fixed "
+            "overhead each) — beyond the greedy k-center regime; for "
+            "corpus-scale coreset selection use semdedup_ivf's k-means "
+            "clustering and sample per cluster, or raise max_picks "
+            "explicitly if the wall-clock is acceptable"
+        )
     base = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))

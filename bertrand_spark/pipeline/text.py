@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokenize", "token_count", "bpe_ish_token_count",
     "BpeModel", "train_bpe", "bpe_tokenize", "bpe_token_count",
+    "ByteBpeModel", "train_bpe_bytes", "bpe_tokenize_bytes",
+    "bpe_token_count_bytes",
     "char_ngrams", "word_ngrams",
     "quality_features", "quality_score", "gopher_quality_flags",
     "language_scores", "detect_language",
@@ -692,8 +694,6 @@ def train_bpe(
     rescan — num_merges=50k over a million-word table is feasible,
     not days of driver time.
     """
-    import heapq
-
     from pyspark.sql import functions as F
 
     rows = (
@@ -710,6 +710,17 @@ def train_bpe(
     for r in rows:
         w = r["w"]
         words.append((list(w[:-1]) + [w[-1] + BpeModel.END], r["count"]))
+    return BpeModel(_bpe_merge_loop(words, num_merges))
+
+
+def _bpe_merge_loop(words: list, num_merges: int) -> list:
+    """The incremental (pair→words index + lazily-invalidated heap)
+    merge loop shared by the word-level and byte-level trainers.
+    ``words`` is a list of (symbol list, count); returns the learned
+    merge sequence.  Deterministic: best pair = (max count, then
+    lexicographically smallest), so two runs — or two engines — learn
+    identical merges."""
+    import heapq
 
     pair_counts: dict = {}
     pair_words: dict = {}  # pair -> set of word ids containing it
@@ -769,7 +780,7 @@ def train_bpe(
                 touched.add((a, b))
             for p in touched:
                 push(p)
-    return BpeModel(merges)
+    return merges
 
 
 def _bpe_out_schema(df, text_col: str, out_col: str, out_type: str) -> str:
@@ -805,6 +816,293 @@ def bpe_token_count(df, model: BpeModel, text_col: str = "text",
                     out_col: str = "bpe_n_tokens"):
     """(all other columns, subword token count) per row — the learned
     upgrade of :func:`token_count` / :func:`bpe_ish_token_count`."""
+    schema = _bpe_out_schema(df, text_col, out_col, "long")
+    return df.mapInPandas(
+        model.tokenize_kernel(text_col, out_col, counts_only=True), schema
+    )
+
+
+# --- byte-level BPE (GPT-2 style, round 8) ----------------------------------
+# The production-tokenizer shape: pre-tokenize text with a GPT-2-style
+# pattern, map each UTF-8 byte to a printable stand-in character, learn
+# merges over that byte alphabet — so EVERY input round-trips exactly
+# (no unknown symbols, no lossy lowercase/END-marker convention), and
+# bpe_token_count_bytes feeds dsir_resample_tokens with budgets
+# comparable to production tokenizers.  Reserved special tokens (e.g.
+# "<|endoftext|>") are atomic: never split, never merged across.
+
+
+def _byte_unicode_table() -> dict:
+    """The GPT-2 byte→printable-unicode bijection (public convention):
+    printable latin-1 bytes map to themselves, the rest to U+0100+n in
+    first-seen order — merges then operate on ordinary strings."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    table = {}
+    n = 0
+    for b in range(256):
+        if b in table:
+            continue
+        if b in keep:
+            table[b] = chr(b)
+        else:
+            table[b] = chr(256 + n)
+            n += 1
+    return table
+
+
+_BYTE_TO_CHAR = _byte_unicode_table()
+_CHAR_TO_BYTE = {c: b for b, c in _BYTE_TO_CHAR.items()}
+
+# GPT-2-style pre-tokenizer in stdlib-re dialect: contractions, a
+# leading-space letter run ([^\W\d_] ≈ \p{L}), a leading-space digit
+# run, a leading-space other-symbol run (underscore grouped with
+# symbols, as GPT-2 does), trailing-whitespace lookahead, whitespace.
+# Documented DIALECT: \d is Unicode Nd (GPT-2 uses \p{N}, a superset);
+# the gate is exact parity with the in-repo naive reference plus exact
+# reversibility, not tiktoken-vocabulary compatibility.
+_BYTE_PRETOK = None
+
+
+def _byte_pretok():
+    global _BYTE_PRETOK
+    if _BYTE_PRETOK is None:
+        import re
+
+        _BYTE_PRETOK = re.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d"
+            r"| ?[^\W\d_]+| ?\d+| ?(?:_|[^\s\w])+"
+            r"|\s+(?!\S)|\s+"
+        )
+    return _BYTE_PRETOK
+
+
+def _byte_pre_tokenize(text: str, specials: tuple) -> list:
+    """(piece, is_special) pre-tokens; special tokens split first
+    (longest-first so an overlapping shorter special cannot shadow a
+    longer one), the rest through the GPT-2-style pattern."""
+    if not specials:
+        return [(m.group(0), False) for m in _byte_pretok().finditer(text)]
+    import re
+
+    pat = "|".join(
+        re.escape(s) for s in sorted(specials, key=len, reverse=True)
+    )
+    out = []
+    pos = 0
+    for m in re.finditer(pat, text):
+        if m.start() > pos:
+            out.extend(_byte_pre_tokenize(text[pos : m.start()], ()))
+        out.append((m.group(0), True))
+        pos = m.end()
+    if pos < len(text):
+        out.extend(_byte_pre_tokenize(text[pos:], ()))
+    return out
+
+
+def _byte_syms(piece: str) -> list:
+    """UTF-8 bytes of a pre-token as byte-unicode symbols.
+    surrogatepass keeps even lone-surrogate (non-UTF-8-safe) inputs
+    reversible."""
+    return [
+        _BYTE_TO_CHAR[b]
+        for b in piece.encode("utf-8", errors="surrogatepass")
+    ]
+
+
+class ByteBpeModel:
+    """Byte-level BPE: merges over the 256-symbol byte alphabet, GPT-2
+    pre-tokenization, atomic special tokens.  Tokens are byte-unicode
+    strings (the familiar "Ġword" form); ``decode_tokens`` inverts
+    ``encode_text`` EXACTLY for any input string."""
+
+    def __init__(self, merges: "list[tuple[str, str]]",
+                 special_tokens: "tuple[str, ...]" = ()):
+        self.merges = list(merges)
+        self.special_tokens = tuple(special_tokens)
+        self._ranks = {pair: i for i, pair in enumerate(self.merges)}
+
+    def save(self, spark, path: str) -> None:
+        import json
+
+        spark.createDataFrame(
+            [(json.dumps(self.merges), json.dumps(list(self.special_tokens)))],
+            "merges string, specials string",
+        ).coalesce(1).write.mode("overwrite").json(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ByteBpeModel":
+        import json
+
+        row = spark.read.json(path).collect()[0]
+        return cls(
+            [tuple(p) for p in json.loads(row["merges"])],
+            tuple(json.loads(row["specials"])),
+        )
+
+    def encode_piece(self, piece: str) -> list:
+        """Greedy lowest-rank-first merges over one pre-token's bytes —
+        identical control flow to BpeModel.encode_word, minus the END
+        marker (byte-level BPE needs none: the pre-tokenizer owns the
+        word boundary)."""
+        syms = _byte_syms(piece)
+        ranks = self._ranks
+        while len(syms) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            pair = (syms[best], syms[best + 1])
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def encode_text(self, text: str) -> list:
+        toks: list = []
+        for piece, special in _byte_pre_tokenize(text, self.special_tokens):
+            if special:
+                toks.append(piece)
+            else:
+                toks.extend(self.encode_piece(piece))
+        return toks
+
+    def decode_tokens(self, tokens) -> str:
+        specials = set(self.special_tokens)
+        out: list = []
+        buf = bytearray()
+        for t in tokens:
+            if t in specials:
+                if buf:
+                    out.append(
+                        bytes(buf).decode("utf-8", errors="surrogatepass")
+                    )
+                    buf = bytearray()
+                out.append(t)
+            else:
+                buf.extend(_CHAR_TO_BYTE[c] for c in t)
+        if buf:
+            out.append(bytes(buf).decode("utf-8", errors="surrogatepass"))
+        return "".join(out)
+
+    def tokenize_kernel(self, text_col: str, out_col: str,
+                        counts_only: bool):
+        """mapInPandas kernel, same per-TASK Zipf cache bounds as the
+        word-level model (keyed by pre-token piece)."""
+        model = self
+        cache: dict = {}
+        cache_chars = [0]
+
+        def run(batches):
+            encode = model.encode_piece
+            specials = model.special_tokens
+            for pdf in batches:
+                out = []
+                for text in pdf[text_col]:
+                    if text is None:
+                        out.append(None)
+                        continue
+                    toks: list = []
+                    for piece, sp in _byte_pre_tokenize(text, specials):
+                        if sp:
+                            toks.append(piece)
+                            continue
+                        enc = cache.get(piece)
+                        if enc is None:
+                            enc = encode(piece)
+                            if (
+                                len(piece) <= 64
+                                and len(cache) < 500_000
+                                and cache_chars[0] < 16_000_000
+                            ):
+                                cache[piece] = enc
+                                cache_chars[0] += len(piece)
+                        toks.extend(enc)
+                    out.append(len(toks) if counts_only else toks)
+                res = pdf.drop(columns=[text_col])
+                res[out_col] = out
+                yield res
+
+        return run
+
+
+def train_bpe_bytes(
+    df,
+    text_col: str = "text",
+    num_merges: int = 500,
+    min_freq: int = 2,
+    max_words: int = 1_000_000,
+    special_tokens: "tuple[str, ...]" = (),
+) -> ByteBpeModel:
+    """Fit byte-level BPE merges: one Arrow-kernel corpus pass emits
+    per-task (pre-token, partial count) rows — the pre-tokenizer is
+    Python regex, so unlike :func:`train_bpe` the word profile cannot
+    be a native explode; the kernel pre-aggregates per batch so the
+    shuffle carries distinct pieces, not occurrences — then groupBy,
+    the same bounded TakeOrdered word table, and the shared incremental
+    merge loop (:func:`_bpe_merge_loop`).  Special tokens are atomic
+    and excluded from merge statistics, matching every production
+    trainer."""
+    from pyspark.sql import functions as F
+
+    specials = tuple(special_tokens)
+
+    def count_pieces(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for piece, sp in _byte_pre_tokenize(text, specials):
+                    if not sp:
+                        c[piece] += 1
+            yield pd.DataFrame(
+                {"w": list(c.keys()), "n": list(c.values())}
+            )
+
+    rows = (
+        df.select(text_col)
+        .mapInPandas(count_pieces, "w string, n long")
+        .groupBy("w")
+        .agg(F.sum("n").alias("count"))
+        .filter(F.col("count") >= int(min_freq))
+        .orderBy(F.col("count").desc(), "w")
+        .limit(int(max_words))
+        .collect()
+    )
+    words = [(_byte_syms(r["w"]), r["count"]) for r in rows]
+    return ByteBpeModel(_bpe_merge_loop(words, num_merges), specials)
+
+
+def bpe_tokenize_bytes(df, model: ByteBpeModel, text_col: str = "text",
+                       out_col: str = "bpe_tokens"):
+    """(all other columns, array<string> byte-level subword tokens)."""
+    schema = _bpe_out_schema(df, text_col, out_col, "array<string>")
+    return df.mapInPandas(
+        model.tokenize_kernel(text_col, out_col, counts_only=False), schema
+    )
+
+
+def bpe_token_count_bytes(df, model: ByteBpeModel, text_col: str = "text",
+                          out_col: str = "bpe_n_tokens"):
+    """(all other columns, byte-level subword token count) — the
+    production-comparable budget feed for dsir_resample_tokens."""
     schema = _bpe_out_schema(df, text_col, out_col, "long")
     return df.mapInPandas(
         model.tokenize_kernel(text_col, out_col, counts_only=True), schema

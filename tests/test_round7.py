@@ -465,9 +465,10 @@ class TestBaselineJpegCodec:
 
     def test_decode_images_end_to_end(self, spark):
         """Through the Spark seam: JPEG and GIF payloads now DECODE
-        under decode='real' without PIL, and the format report's
-        no-decoder class shrinks to riff/unknown (a corrupt GIF counts
-        as n_null_other, not no-decoder)."""
+        under decode='real' without PIL.  Round 8 moved riff/WebP out
+        of the report's no-decoder class too (a VP8L-less RIFF payload
+        is corrupt-or-lossy → n_null_other; only 'unknown' remains
+        no-decoder)."""
         import warnings
 
         import numpy as np
@@ -511,7 +512,8 @@ class TestBaselineJpegCodec:
         assert rep["gif"]["n_decoded"] == 1
         assert rep["gif"]["n_null_other"] == 1  # the corrupt one
         assert rep["gif"]["n_null_no_decoder"] == 0
-        assert rep["riff"]["n_null_no_decoder"] == 1
+        assert rep["riff"]["n_null_no_decoder"] == 0  # round 8: stdlib VP8L
+        assert rep["riff"]["n_null_other"] == 1  # VP8L-less RIFF payload
 
 
 class TestKcenterSelect:

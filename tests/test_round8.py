@@ -24,6 +24,216 @@ def _analyzed(df):
     return df._jdf.queryExecution().analyzed()
 
 
+class TestVp8lCodec:
+    """Stdlib VP8L (lossless WebP) decoder — closes the last NAMED
+    no-decoder class.  Gate: EXACT round trips against the in-repo
+    spec-conformant test writer across every decoder path (transforms,
+    palette bundling, color cache, LZ77 backrefs), container-walk
+    variants, per-row degrade on everything else, corruption fuzz."""
+
+    def _rt(self, w, h, ch, px, **kw):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _vp8l_decode, vp8l_encode,
+        )
+
+        blob = vp8l_encode(w, h, ch, px.tobytes(), **kw)
+        W, H, C, raw = _vp8l_decode(blob, 3)
+        assert (W, H, C) == (w, h, 3), kw
+        got = np.frombuffer(raw, np.uint8).reshape(H, W, 3)
+        assert (got == px[:, :, :3]).all(), kw
+        return blob
+
+    def test_roundtrip_matrix(self):
+        """Every encoder switch — and so every decoder path — is
+        pixel-exact: plain literals, subtract-green, per-block
+        predictors (all 14 modes cycled), cross-color, their stack,
+        color cache, LZ77 runs, and palettes at every bundling width
+        (no-bundle / 2 / 4 / 8 pixels per byte)."""
+        import numpy as np
+
+        rng = np.random.default_rng(81)
+        px = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+        for kw in (
+            {},
+            {"subtract_green": True},
+            {"predictor_bits": 2},
+            {"subtract_green": True, "predictor_bits": 3},
+            {"cross_color_bits": 2},
+            {
+                "subtract_green": True,
+                "cross_color_bits": 3,
+                "predictor_bits": 2,
+            },
+            {"cache_bits": 4},
+        ):
+            self._rt(13, 11, 3, px, **kw)
+        runs = np.repeat(
+            rng.integers(0, 256, size=(7, 4, 3), dtype=np.uint8), 5, axis=1
+        )
+        self._rt(20, 7, 3, runs, lz77=True)
+        self._rt(20, 7, 3, runs, lz77=True, cache_bits=3)
+        for ncol in (32, 13, 4, 2):  # bundle widths 0/1/2/3
+            pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+            self._rt(17, 9, 3, pal[rng.integers(0, ncol, size=(9, 17))])
+        self._rt(
+            6, 5, 4, rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
+        )
+
+    def test_gray_output_matches_gif_luma(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _vp8l_decode, vp8l_encode,
+        )
+
+        rng = np.random.default_rng(82)
+        px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+        W, H, C, raw = _vp8l_decode(vp8l_encode(8, 6, 3, px.tobytes()), 1)
+        got = np.frombuffer(raw, np.uint8).reshape(H, W)
+        r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+        exp = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
+        assert C == 1 and (got == exp).all()
+
+    def test_container_walk_vp8x_and_anmf(self):
+        """The RIFF walk finds the VP8L chunk behind a VP8X extended
+        header and inside the FIRST ANMF animation frame."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _vp8l_decode, vp8l_encode,
+        )
+
+        rng = np.random.default_rng(83)
+        px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        simple = vp8l_encode(5, 4, 3, px.tobytes())
+        vp8l_chunk = simple[12:]  # "VP8L" + size + stream (+pad)
+
+        def riff(body: bytes) -> bytes:
+            return b"RIFF" + len(body + b"WEBP").to_bytes(4, "little") + b"WEBP" + body
+
+        vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
+        assert _vp8l_decode(riff(vp8x + vp8l_chunk), 3)[0] == 5
+        anmf_body = bytes(16) + vp8l_chunk  # 16-byte frame header
+        anmf = b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
+        assert _vp8l_decode(riff(vp8x + anmf), 3)[0] == 5
+
+    def test_degrade_cases(self):
+        """Lossy VP8, truncation, bad version, bad signature, junk —
+        all-None rows, never an exception."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _vp8l_decode, vp8l_encode,
+        )
+
+        rng = np.random.default_rng(84)
+        px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        blob = vp8l_encode(5, 4, 3, px.tobytes())
+        lossy = (
+            b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (4).to_bytes(4, "little") + bytes(4)
+        )
+        assert _vp8l_decode(lossy, 3)[0] is None
+        assert _vp8l_decode(blob[:30], 3)[0] is None
+        assert _vp8l_decode(b"RIFF\x00\x00\x00\x00WEBP", 3)[0] is None
+        assert _vp8l_decode(b"not riff at all", 3)[0] is None
+        assert _vp8l_decode(b"", 3)[0] is None
+        # flip the version bits (byte after the 0x2f signature carries
+        # them at bit offset 28+1 → inside byte 4 of the stream)
+        mutated = bytearray(blob)
+        sig = blob.index(b"\x2f", 12)
+        mutated[sig + 4] ^= 0xE0
+        assert _vp8l_decode(bytes(mutated), 3)[0] is None
+
+    def test_vp8l_fuzz(self):
+        """Corruption fuzz, same contract as the other stdlib codecs:
+        no mutation may raise (pixels or the all-None row only)."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _vp8l_decode, vp8l_encode,
+        )
+
+        def fuzz(blob, rng, n_trials=200):
+            blob = bytearray(blob)
+            for _ in range(n_trials):
+                kind = rng.integers(0, 4)
+                mutated = bytearray(blob)
+                if kind == 0:  # flip random bytes
+                    for _ in range(int(rng.integers(1, 8))):
+                        mutated[int(rng.integers(0, len(mutated)))] = int(
+                            rng.integers(0, 256)
+                        )
+                elif kind == 1:  # truncate anywhere
+                    mutated = mutated[: int(rng.integers(0, len(mutated)))]
+                elif kind == 2:  # insert junk
+                    at = int(rng.integers(0, len(mutated)))
+                    mutated = (
+                        mutated[:at]
+                        + bytearray(
+                            rng.integers(0, 256, size=9, dtype="uint8")
+                        )
+                        + mutated[at:]
+                    )
+                else:  # delete a span
+                    at = int(rng.integers(0, max(1, len(mutated) - 10)))
+                    del mutated[at : at + int(rng.integers(1, 10))]
+                out = _vp8l_decode(bytes(mutated), 3)  # must not raise
+                assert out[0] is None or isinstance(out[0], int)
+
+        rng = np.random.default_rng(85)
+        px = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+        fuzz(vp8l_encode(12, 9, 3, px.tobytes()), rng)
+        fuzz(
+            vp8l_encode(
+                12, 9, 3, px.tobytes(),
+                subtract_green=True, predictor_bits=2, cache_bits=3,
+            ),
+            rng,
+        )
+
+    def test_decode_images_and_report_end_to_end(self, spark):
+        """Through the Spark seam: a lossless-WebP payload DECODES
+        under decode='real' without PIL; the report's no-decoder class
+        is now 'unknown' only (a lossy/corrupt riff → n_null_other)."""
+        import warnings
+
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            decode_format_report, decode_images, vp8l_encode,
+        )
+
+        rng = np.random.default_rng(86)
+        px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        webp = vp8l_encode(7, 5, 3, px.tobytes(), subtract_green=True)
+        bad_riff = b"RIFF" + bytes(20)
+        unknown = b"\x00\x01\x02\x03garbage"
+        df = spark.createDataFrame(
+            [(1, webp), (2, bad_riff), (3, unknown)],
+            "media_id long, payload binary",
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            decoded = decode_images(df, decode="real")
+        rows = {r["media_id"]: r for r in decoded.collect()}
+        assert rows[1]["width"] == 7 and rows[1]["height"] == 5
+        got = np.frombuffer(rows[1]["pixels"], np.uint8).reshape(5, 7, 3)
+        assert (got == px).all()
+        assert rows[2]["pixels"] is None
+        assert rows[3]["pixels"] is None
+        rep = {
+            r["sniffed_format"]: r
+            for r in decode_format_report(df, decoded).collect()
+        }
+        assert rep["riff"]["n_decoded"] == 1
+        assert rep["riff"]["n_null_other"] == 1
+        assert rep["riff"]["n_null_no_decoder"] == 0
+        assert rep["unknown"]["n_null_no_decoder"] == 1
+
+
 class TestTokenPrefixByThreshold:
     """The distributed key-threshold path of dsir_resample_tokens
     (round-7 VERDICT item 4: the >10M-candidate regime is now a real
@@ -95,6 +305,186 @@ class TestTokenPrefixByThreshold:
             threshold_bins=8,
         ).collect()
         assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+
+class TestByteBpe:
+    """Byte-level BPE (GPT-2 style) + special tokens (round-7 VERDICT
+    item 5).  Gates: EXACT merge-sequence parity vs an independent
+    naive reference on the real corpus, exact reversibility including
+    non-UTF-8-safe inputs, atomic special tokens, Spark-kernel
+    consistency + repartition stability."""
+
+    @staticmethod
+    def _naive_reference_merges(texts, num_merges, min_freq, specials=()):
+        """Independent trainer: full pair-rescan per merge (O(V) each),
+        same (max count, lexicographically smallest) tie-break."""
+        from collections import Counter
+
+        from bertrand_spark.pipeline.text import (
+            _byte_pre_tokenize, _byte_syms,
+        )
+
+        wc: Counter = Counter()
+        for t in texts:
+            for piece, sp in _byte_pre_tokenize(t, tuple(specials)):
+                if not sp:
+                    wc[piece] += 1
+        words = [
+            (_byte_syms(w), c) for w, c in wc.items() if c >= min_freq
+        ]
+        merges = []
+        for _ in range(num_merges):
+            pc: Counter = Counter()
+            for syms, c in words:
+                for p in zip(syms, syms[1:]):
+                    pc[p] += c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pc[best] < 2:
+                break
+            merges.append(best)
+            nxt = []
+            for syms, c in words:
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt.append((out, c))
+            words = nxt
+        return merges
+
+    def test_merge_parity_vs_naive_reference(self, spark, sf_dir):
+        from bertrand_spark.pipeline.text import train_bpe_bytes
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(200)
+        texts = [r["text"] for r in d.select("text").collect()]
+        model = train_bpe_bytes(d, num_merges=250, min_freq=2)
+        ref = self._naive_reference_merges(texts, 250, 2)
+        assert model.merges == ref  # EXACT sequence, not just the set
+
+    def test_reversibility_trained(self, spark, sf_dir):
+        from bertrand_spark.pipeline.text import train_bpe_bytes
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(100)
+        model = train_bpe_bytes(
+            d, num_merges=120, min_freq=2,
+            special_tokens=("<|endoftext|>", "<|pad|>"),
+        )
+        cases = [
+            "Hello, world!  How are you?",
+            "naïve café — résumé 東京 🎉🎉 mixed_case_snake",
+            "it's we're I'll they've can't",
+            "tabs\tand\nnewlines  trailing   ",
+            "a<|endoftext|>b <|pad|><|endoftext|> c",
+            "",
+            "    ",
+            "123abc !!! __init__ x2",
+            "bad:" + chr(0xD800) + ":lone surrogate",  # non-UTF-8-safe
+        ]
+        for c in cases:
+            toks = model.encode_text(c)
+            assert model.decode_tokens(toks) == c, c
+        # special tokens are ATOMIC: present verbatim, never split
+        toks = model.encode_text("x<|endoftext|>y")
+        assert "<|endoftext|>" in toks
+        assert all("<|" not in t or t == "<|endoftext|>" for t in toks)
+
+    def test_merges_actually_compress(self, spark, sf_dir):
+        from bertrand_spark.pipeline.text import (
+            ByteBpeModel, train_bpe_bytes,
+        )
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(100)
+        model = train_bpe_bytes(d, num_merges=200, min_freq=2)
+        raw = ByteBpeModel([])
+        text = d.select("text").collect()[0]["text"]
+        assert len(model.encode_text(text)) < len(raw.encode_text(text))
+
+    def test_spark_kernels_and_repartition_stability(self, spark, sf_dir):
+        from bertrand_spark.pipeline.text import (
+            bpe_token_count_bytes, bpe_tokenize_bytes, train_bpe_bytes,
+        )
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(80).select(
+            "doc_id", "text"
+        )
+        model = train_bpe_bytes(d, num_merges=80, min_freq=2)
+        toks = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_tokenize_bytes(d, model).collect()
+        }
+        counts = {
+            r["doc_id"]: r["bpe_n_tokens"]
+            for r in bpe_token_count_bytes(d, model).collect()
+        }
+        assert counts == {k: len(v) for k, v in toks.items()}
+        texts = {r["doc_id"]: r["text"] for r in d.collect()}
+        for did, t in texts.items():  # exact decode through the kernel
+            assert model.decode_tokens(toks[did]) == t
+        toks2 = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_tokenize_bytes(d.repartition(13), model).collect()
+        }
+        assert toks2 == toks
+        # training is repartition-stable too
+        m2 = train_bpe_bytes(d.repartition(13), num_merges=80, min_freq=2)
+        assert m2.merges == model.merges
+
+    def test_save_load_roundtrip(self, spark, sf_dir, tmp_path):
+        from bertrand_spark.pipeline.text import (
+            ByteBpeModel, train_bpe_bytes,
+        )
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(50)
+        model = train_bpe_bytes(
+            d, num_merges=40, special_tokens=("<|endoftext|>",)
+        )
+        model.save(spark, str(tmp_path / "bpe"))
+        back = ByteBpeModel.load(spark, str(tmp_path / "bpe"))
+        assert back.merges == model.merges
+        assert back.special_tokens == model.special_tokens
+
+
+class TestKcenterRegimeGuard:
+    """kcenter_select states its practical budget ceiling as code
+    (round-7 VERDICT item 6): n picks = n sequential Spark jobs, so
+    beyond max_picks it raises with guidance instead of running for
+    days; max_picks is an explicit opt-out."""
+
+    def test_guard_raises_with_guidance(self, spark):
+        from bertrand_spark.pipeline.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="sequential Spark jobs"):
+            kcenter_select(df, 10_001)
+        # explicit opt-out: a raised ceiling admits the same n
+        out = kcenter_select(df, 1, max_picks=10)
+        assert len(out) == 1
+
+    def test_small_budget_unaffected(self, spark):
+        from bertrand_spark.pipeline.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        assert len(kcenter_select(df, 3)) == 3
 
 
 class TestHintAuditTightenings:
