@@ -661,7 +661,8 @@ def stream_decode_media(
     """Multimodal ingest on a stream: a ``foreachBatch`` handler that
     sniffs + decodes each micro-batch of binary payloads
     (:func:`~bertrand_spark.pipeline.multimodal.decode_images` — PIL
-    when workers have it, the stdlib PNG/JPEG/GIF codecs otherwise)
+    when workers have it, the stdlib PNG/JPEG/GIF/lossless-WebP codecs
+    otherwise; per-epoch decode budget measured in SCALE.md)
     and lands (id, sniffed_format, width, height, channels, pixels) in
     the idempotent per-epoch parquet layout
     (:func:`foreach_batch_parquet_sink`'s exactly-once recipe).  When

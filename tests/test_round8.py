@@ -443,6 +443,43 @@ class TestByteBpe:
         m2 = train_bpe_bytes(d.repartition(13), num_merges=80, min_freq=2)
         assert m2.merges == model.merges
 
+    def test_feeds_dsir_token_budget(self, spark, sf_dir):
+        """The item-5 motivation end-to-end: byte-level BPE counts via
+        token_col give dsir_resample_tokens a production-comparable
+        budget — the selection's BPE-token sum fits the budget and the
+        next doc in Gumbel order would overflow it."""
+        from bertrand_spark.pipeline import curation as CU
+        from bertrand_spark.pipeline.text import (
+            bpe_token_count_bytes, train_bpe_bytes,
+        )
+        from bertrand_spark.sources import read_table
+
+        d = read_table(spark, sf_dir, "documents").limit(120).select(
+            "doc_id", "text", "lang"
+        )
+        bpe = train_bpe_bytes(d, num_merges=100, min_freq=2)
+        # the count kernel drops text_col; join the counts back (DSIR
+        # scoring still needs the text)
+        counted = d.join(
+            bpe_token_count_bytes(d, bpe).select("doc_id", "bpe_n_tokens"),
+            "doc_id",
+        )
+        model = CU.train_dsir(
+            d.filter(F.col("lang") == "en"), d, buckets=256, alpha=1.0
+        )
+        budget = 4_000
+        sel = CU.dsir_resample_tokens(
+            counted, model, budget, token_col="bpe_n_tokens"
+        ).collect()
+        total = sum(r["n_tokens"] for r in sel)
+        assert 0 < total <= budget
+        # maximal: the first excluded doc overflows
+        full = CU.dsir_resample_tokens(
+            counted, model, 10**9, token_col="bpe_n_tokens"
+        ).collect()
+        if len(full) > len(sel):
+            assert total + full[len(sel)]["n_tokens"] > budget
+
     def test_save_load_roundtrip(self, spark, sf_dir, tmp_path):
         from bertrand_spark.pipeline.text import (
             ByteBpeModel, train_bpe_bytes,
