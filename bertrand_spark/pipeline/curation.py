@@ -1105,6 +1105,13 @@ def train_dsir(
     return DsirModel(lam, B, alpha)
 
 
+# TakeOrdered selection-regime bound: orderBy().limit(k) keeps a k-slot
+# heap per task plus a k-row driver merge, so pulls beyond ~10M rows are
+# a driver OOM.  Above this, both DSIR resamplers switch to the
+# distributed key-threshold path (_token_prefix_by_threshold).
+_SELECTION_REGIME_MAX = 10_000_000
+
+
 def dsir_resample(
     df: DataFrame,
     model: DsirModel,
@@ -1114,6 +1121,7 @@ def dsir_resample(
     out_col: str = "dsir_logw",
     salt: str = "gumbel",
     vectorized: bool = True,
+    max_candidates: int = _SELECTION_REGIME_MAX,
 ) -> DataFrame:
     """The RESAMPLING half of DSIR (Xie et al. 2023 §2.3): draw ``n``
     documents with probability proportional to their importance weight
@@ -1136,17 +1144,14 @@ def dsir_resample(
     per-partition heap of n and merges, never a global sort, so the
     plan holds at any corpus size.  Ties: the key is continuous, and
     ``id_col`` breaks the measure-zero remainder, so the cutoff is a
-    total order.
+    total order.  A selection budget beyond ``max_candidates`` (where
+    the per-task heap + driver merge become the bottleneck) routes to
+    the same histogram-bisection cutoff search as
+    :func:`dsir_resample_tokens` — a document-count budget is the
+    token budget with unit weights — so near-complete selections run
+    distributed instead of raising (round 8; the pre-round-8 guard
+    rejected them).
     """
-    if int(n) > 10_000_000:
-        # orderBy().limit(k) is TakeOrdered: a k-slot heap PER TASK plus
-        # a k-row driver merge — a selection budget beyond ~10M rows is
-        # a driver OOM, not a plan.  For near-complete selections,
-        # filter on a gumbel_key threshold instead (or sort and write).
-        raise ValueError(
-            f"n={n:,} is beyond the TakeOrdered selection regime; "
-            "use a key-threshold filter for near-complete selections"
-        )
     scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
     # uniforms via THE bucket convention (md5_bucket, 2^32 buckets =
     # the full 8-hex-digit range), same (b + 0.5)/M pattern as
@@ -1159,19 +1164,21 @@ def dsir_resample(
         + F.lit(0.5)
     ) / F.lit(float(1 << 32))
     key = F.col(out_col) - F.log(-F.log(u))
+    keyed = scored.withColumn("gumbel_key", key.cast("double"))
+    if int(n) > int(max_candidates):
+        sel = _token_prefix_by_threshold(
+            keyed.withColumn("__ntok", F.lit(1).cast("long")).select(
+                id_col, out_col, "n_feats", "__ntok", "gumbel_key"
+            ),
+            int(n),
+            id_col,
+        )
+        return sel.drop("n_tokens")
     return (
-        scored.withColumn("gumbel_key", key.cast("double"))
-        .select(id_col, out_col, "n_feats", "gumbel_key")
+        keyed.select(id_col, out_col, "n_feats", "gumbel_key")
         .orderBy(F.col("gumbel_key").desc(), id_col)
         .limit(int(n))
     )
-
-
-# TakeOrdered selection-regime bound: orderBy().limit(k) keeps a k-slot
-# heap per task plus a k-row driver merge, so pulls beyond ~10M rows are
-# a driver OOM.  Above this, dsir_resample_tokens switches to the
-# distributed key-threshold path (_token_prefix_by_threshold).
-_SELECTION_REGIME_MAX = 10_000_000
 
 
 def _token_prefix_by_threshold(

@@ -295,6 +295,20 @@ class TestTokenPrefixByThreshold:
         ref = CU.dsir_resample_tokens(d, model, 100_000).collect()
         assert [r["doc_id"] for r in sel] == [r["doc_id"] for r in ref]
 
+    def test_doc_count_variant_routes_to_threshold(self, spark, sf_dir):
+        """dsir_resample (document-COUNT budget) beyond its regime
+        bound routes to the same cutoff search (unit weights) instead
+        of the pre-round-8 ValueError — identical selection to the
+        TakeOrdered path on a forced-small regime."""
+        CU, d, model = self._setup(spark, sf_dir)
+        for n in (1, 17, 299, 10_000):
+            fast = CU.dsir_resample(d, model, n).collect()
+            slow = CU.dsir_resample(d, model, n, max_candidates=0).collect()
+            assert [r["doc_id"] for r in slow] == [
+                r["doc_id"] for r in fast
+            ], n
+            assert slow[0].asDict().keys() == fast[0].asDict().keys()
+
     def test_threshold_path_repartition_stable(self, spark, sf_dir):
         CU, d, model = self._setup(spark, sf_dir)
         a = CU.dsir_resample_tokens(
