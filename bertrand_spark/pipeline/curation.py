@@ -1216,23 +1216,60 @@ def _token_prefix_by_threshold(
     Raises only in the adversarial case of > ``collect_max`` documents
     sharing ONE double-valued Gumbel key (measure-zero under the md5
     key construction).
+
+    The bisection rounds run against a PERSISTED copy of ``keyed``
+    (the scoring kernel + key computation execute once, not once per
+    aggregate — the repo's persist-before-fanout lesson); the cache is
+    released before returning, so the returned selection recomputes
+    the lineage exactly once when the caller executes it and nothing
+    leaks across calls.
     """
     key = F.col("gumbel_key")
-    totals = keyed.agg(
-        F.sum("__ntok").alias("tot"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    if not totals["n"]:
-        return keyed.limit(0).withColumnRenamed("__ntok", "n_tokens")
-    ordered_out = (
-        lambda sel: sel.withColumnRenamed("__ntok", "n_tokens").orderBy(
-            key.desc(), id_col
+    cached = keyed.persist()
+    try:
+        totals = cached.agg(
+            F.sum("__ntok").alias("tot"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if not totals["n"]:
+            return keyed.limit(0).withColumnRenamed("__ntok", "n_tokens")
+        ordered_out = (
+            lambda sel: sel.withColumnRenamed("__ntok", "n_tokens").orderBy(
+                key.desc(), id_col
+            )
         )
-    )
-    if int(totals["tot"] or 0) <= int(token_budget):
-        return ordered_out(keyed)  # everything fits: no cutoff exists
-    region = keyed
+        if int(totals["tot"] or 0) <= int(token_budget):
+            return ordered_out(keyed)  # everything fits: no cutoff
+        cutoff = _threshold_cutoff(
+            cached, int(token_budget), id_col, int(totals["n"]),
+            bins, collect_max, max_rounds,
+        )
+        sel = keyed.filter(
+            (key > F.lit(cutoff["gumbel_key"]))
+            | (
+                (key == F.lit(cutoff["gumbel_key"]))
+                & (F.col(id_col) < F.lit(cutoff[id_col]))
+            )
+        )
+        return ordered_out(sel)
+    finally:
+        cached.unpersist()
+
+
+def _threshold_cutoff(
+    cached: DataFrame,
+    token_budget: int,
+    id_col: str,
+    total_n: int,
+    bins: int,
+    collect_max: int,
+    max_rounds: int,
+):
+    """Histogram bisection over the persisted keyed frame: returns the
+    FIRST EXCLUDED row of the maximal token prefix."""
+    key = F.col("gumbel_key")
+    region = cached
     budget_left = int(token_budget)
-    region_n = int(totals["n"])
+    region_n = total_n
     for _ in range(max_rounds):
         if region_n <= collect_max:
             rows = region.orderBy(key.desc(), id_col).collect()
@@ -1245,15 +1282,7 @@ def _token_prefix_by_threshold(
                 cut += 1
             # the overflow doc is inside the region by invariant (the
             # boundary bin was chosen because it crosses the budget)
-            ex = rows[cut]
-            sel = keyed.filter(
-                (key > F.lit(ex["gumbel_key"]))
-                | (
-                    (key == F.lit(ex["gumbel_key"]))
-                    & (F.col(id_col) < F.lit(ex[id_col]))
-                )
-            )
-            return ordered_out(sel)
+            return rows[cut]
         span = region.agg(
             F.min("gumbel_key").alias("lo"), F.max("gumbel_key").alias("hi")
         ).collect()[0]

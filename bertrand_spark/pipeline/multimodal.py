@@ -2156,7 +2156,12 @@ def _vp8l_entropy_image(br, xsize: int, ysize: int, level0: bool):
                     _vp8l_subsample(ysize, bits),
                     False,
                 )
-                transforms.append((ttype, bits, timg))
+                # record the xsize AT READ TIME: a transform read
+                # after color-indexing operates on the PACKED width,
+                # and the inverse pass must index with that width
+                # (review finding — the in-repo encoder never emits
+                # the combination, but foreign streams may)
+                transforms.append((ttype, bits, timg, xsize))
             elif ttype == 2:  # subtract green
                 transforms.append((2,))
             else:  # color indexing
@@ -2295,7 +2300,7 @@ def _vp8l_apply_inverse(argb, transforms, xsize: int, ysize: int):
                 for p in argb
             ]
         elif t[0] == 1:  # cross-color inverse
-            _, bits, timg = t
+            _, bits, timg, xsize = t  # width recorded at read time
             tw = _vp8l_subsample(xsize, bits)
             for y in range(ysize):
                 trow = (y >> bits) * tw
@@ -2317,7 +2322,7 @@ def _vp8l_apply_inverse(argb, transforms, xsize: int, ysize: int):
                         | (blue & 0xFF)
                     )
         else:  # predictor inverse
-            _, bits, timg = t
+            _, bits, timg, xsize = t  # width recorded at read time
             tw = _vp8l_subsample(xsize, bits)
             add = _vp8l_add_pixels
             for y in range(ysize):
@@ -2553,14 +2558,25 @@ def _vp8l_emit_identity8(bw):
     return _vp8l_emit_two_len_code(bw, 256, 8, 8)
 
 
-def _vp8l_emit_prefix_value(bw, value: int, enc, sym_base: int):
-    """Emit an LZ77 length/distance value: prefix symbol + extra bits."""
+# length prefix codes span symbols 256..279 — 24 codes, so the largest
+# encodable LZ77 run is (2+1)<<10 + 2^10 = 4096 pixels (RFC 9649
+# §5.2.3); longer runs must be SPLIT by the emitter (review finding:
+# an unsplit 4900-run emitted symbol 280, which is a color-cache
+# reference, silently corrupting the fixture stream)
+_VP8L_MAX_LZ77_LEN = 4096
+
+
+def _vp8l_emit_prefix_value(bw, value: int, enc, sym_base: int,
+                            max_codes: int = 40):
+    """Emit an LZ77 length/distance value: prefix symbol + extra bits.
+    ``max_codes`` bounds the prefix alphabet (24 for lengths, 40 for
+    distances) so an out-of-range value fails loudly instead of
+    emitting a neighboring alphabet's symbol."""
     if value <= 4:
-        code = value - 1
-        c, l = enc[sym_base + code]
+        c, l = enc[sym_base + value - 1]
         bw.put_code(c, l)
         return
-    for code in range(4, 40):
+    for code in range(4, max_codes):
         extra = (code - 2) >> 1
         offset = (2 + (code & 1)) << extra
         if offset + 1 <= value <= offset + (1 << extra):
@@ -2568,7 +2584,10 @@ def _vp8l_emit_prefix_value(bw, value: int, enc, sym_base: int):
             bw.put_code(c, l)
             bw.put(value - offset - 1, extra)
             return
-    raise ValueError(f"vp8l_encode: value {value} out of prefix range")
+    raise ValueError(
+        f"vp8l_encode: value {value} exceeds the {max_codes}-code "
+        "prefix range"
+    )
 
 
 def _vp8l_emit_entropy_image(bw, argb, use_lz77=False, cache_bits=0,
@@ -2627,10 +2646,14 @@ def _vp8l_emit_entropy_image(bw, argb, use_lz77=False, cache_bits=0,
     while i < n:
         if use_lz77 and i > 0 and argb[i] == argb[i - 1]:
             run = 1
-            while i + run < n and argb[i + run] == argb[i - 1]:
+            while (
+                i + run < n
+                and run < _VP8L_MAX_LZ77_LEN
+                and argb[i + run] == argb[i - 1]
+            ):
                 run += 1
             if run >= 3:
-                _vp8l_emit_prefix_value(bw, run, g_enc, 256)
+                _vp8l_emit_prefix_value(bw, run, g_enc, 256, max_codes=24)
                 _vp8l_emit_prefix_value(bw, 1 + 120, d_enc, 0)
                 for k in range(run):
                     cache_put(argb[i + k])
@@ -2688,8 +2711,13 @@ def vp8l_encode(
     bw.put(0, 3)  # version
     xsize = width
     if palette:
-        if subtract_green or predictor_bits or cross_color_bits:
-            raise ValueError("vp8l_encode: palette excludes other transforms")
+        if subtract_green or cross_color_bits:
+            raise ValueError(
+                "vp8l_encode: palette excludes color-space transforms"
+            )
+        # predictor_bits IS allowed after palette: the predictor then
+        # operates on the PACKED index image (read-time width), which
+        # exercises the decoder's recorded-width inverse path
         uniq = sorted(set(argb))
         if len(uniq) > 256:
             raise ValueError("vp8l_encode: >256 colors cannot be paletted")

@@ -841,12 +841,11 @@ def _byte_unicode_table() -> dict:
         + list(range(0xA1, 0xAC + 1))
         + list(range(0xAE, 0xFF + 1))
     )
+    keep_set = set(keep)
     table = {}
     n = 0
     for b in range(256):
-        if b in table:
-            continue
-        if b in keep:
+        if b in keep_set:
             table[b] = chr(b)
         else:
             table[b] = chr(256 + n)

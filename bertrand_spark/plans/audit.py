@@ -175,40 +175,58 @@ def _contains_aggregate(node) -> bool:
     return any(_contains_aggregate(c) for c in _jchildren(node))
 
 
-def _global_reduction_below(node) -> bool:
-    """A max/min computed over the WHOLE frame somewhere in the subtree:
-    an unpartitioned Window carrying max/min, or a groupless Aggregate."""
+def _global_reduction_attr_ids(node, out: set) -> None:
+    """Collect the exprIds of max/min outputs computed over the WHOLE
+    frame: unpartitioned-Window max/min expressions and groupless-
+    Aggregate max/min aggregate expressions."""
     kind = _node_kind(node)
-    if kind == "Window":
-        try:
-            if node.partitionSpec().size() == 0:
-                exprs = node.windowExpressions().toString()
-                if "max(" in exprs or "min(" in exprs:
-                    return True
-        except Exception:
-            pass
-    if kind == "Aggregate" and node.groupingExpressions().size() == 0:
-        return True
-    return any(_global_reduction_below(c) for c in _jchildren(node))
+    try:
+        if kind == "Window" and node.partitionSpec().size() == 0:
+            exprs = node.windowExpressions()
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                s = e.toString()
+                if "max(" in s or "min(" in s:
+                    out.add(e.toAttribute().exprId().id())
+        if kind == "Aggregate" and node.groupingExpressions().size() == 0:
+            exprs = node.aggregateExpressions()
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                s = e.toString()
+                if "max(" in s or "min(" in s:
+                    out.add(e.toAttribute().exprId().id())
+    except Exception:
+        pass
+    for c in _jchildren(node):
+        _global_reduction_attr_ids(c, out)
 
 
 def _max_reduction_filter(node) -> bool:
-    """True iff some Filter EQUALITY-compares two attributes with a
-    global max/min reduction computed beneath it — q57's ties-to-the-max
-    idiom (revenue = max(revenue)), whose post-filter cardinality is the
-    tie count regardless of input scale.  Round-7 ADVICE tightening: the
-    old form ("any Filter above any Aggregate") also blessed HAVING-
-    style per-key filters (Filter(sum > literal) over a grouped
-    aggregate — the q54 |part|-cardinality shape), which prune nothing
-    at scale; those now fall through to the flag."""
+    """True iff some Filter EQUALITY-compares an attribute against THE
+    OUTPUT of a global max/min reduction computed beneath it — q57's
+    ties-to-the-max idiom (revenue = max(revenue)), whose post-filter
+    cardinality is the tie count regardless of input scale.  Two
+    round-8 tightenings beyond the round-7 ADVICE: (a) HAVING-style
+    per-key filters (Filter(sum > literal) over a grouped aggregate —
+    the q54 shape) fail the EqualTo test; (b) an UNRELATED equality
+    (a == b with a global count() merely present in the subtree) fails
+    the provenance test — one EqualTo side must be the reduction's own
+    exprId, so the filter provably selects the argmax/argmin ties."""
     if _node_kind(node) == "Filter":
         try:
             cond = node.condition()
-            if cond.getClass().getSimpleName() == "EqualTo" and all(
-                side.getClass().getSimpleName() == "AttributeReference"
-                for side in (cond.left(), cond.right())
-            ) and _global_reduction_below(node):
-                return True
+            if cond.getClass().getSimpleName() == "EqualTo":
+                sides = [cond.left(), cond.right()]
+                if all(
+                    s.getClass().getSimpleName() == "AttributeReference"
+                    for s in sides
+                ):
+                    reduction_ids: set = set()
+                    _global_reduction_attr_ids(node, reduction_ids)
+                    if any(
+                        s.exprId().id() in reduction_ids for s in sides
+                    ):
+                        return True
         except Exception:
             pass
     return any(_max_reduction_filter(c) for c in _jchildren(node))
@@ -248,6 +266,16 @@ def _unbounded_tables(node, out):
         _unbounded_tables(c, out)
 
 
+def _contract_covers(contract, tables: set) -> bool:
+    """A _BCAST_OK contract covers a structurally-failing hint only
+    when the hint's unbounded tables are a NON-EMPTY subset of the
+    contract's signature.  An empty table set (derived subtree whose
+    leaves the walk doesn't recognize — e.g. a future DataSourceV2
+    relation) must NOT pass vacuously (review finding): flag it and
+    force a conscious re-allowlist instead."""
+    return bool(tables) and tables <= contract[1]
+
+
 def audit_broadcast_hints(name: str, analyzed_jplan) -> list[str]:
     """Flag static F.broadcast hints whose input scales with the data.
 
@@ -277,7 +305,7 @@ def audit_broadcast_hints(name: str, analyzed_jplan) -> list[str]:
             continue
         tables: set = set()
         _unbounded_tables(child, tables)
-        if contract is not None and tables <= contract[1]:
+        if contract is not None and _contract_covers(contract, tables):
             continue  # this hint is the documented contract shape
         hint_tables = ", ".join(sorted(tables)) or "derived"
         suffix = (

@@ -76,10 +76,39 @@ class TestVp8lCodec:
         self._rt(20, 7, 3, runs, lz77=True, cache_bits=3)
         for ncol in (32, 13, 4, 2):  # bundle widths 0/1/2/3
             pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
-            self._rt(17, 9, 3, pal[rng.integers(0, ncol, size=(9, 17))])
+            self._rt(
+                17, 9, 3, pal[rng.integers(0, ncol, size=(9, 17))],
+                palette=True,
+            )
         self._rt(
             6, 5, 4, rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
         )
+
+    def test_long_lz77_runs_split_at_prefix_cap(self):
+        """Runs beyond 4096 pixels (the 24-code length-prefix cap) are
+        SPLIT by the emitter — review finding: an unsplit 4900-run
+        emitted symbol 280 (a cache reference), KeyError without a
+        cache and silent stream corruption with one."""
+        import numpy as np
+
+        rng = np.random.default_rng(87)
+        row = rng.integers(0, 256, size=(1, 1, 3), dtype=np.uint8)
+        px = np.tile(row, (70, 70, 1))  # one 4900-pixel run
+        self._rt(70, 70, 3, px, lz77=True)
+        self._rt(70, 70, 3, px, lz77=True, cache_bits=7)
+
+    def test_predictor_after_palette_uses_packed_width(self):
+        """A predictor transform read AFTER color-indexing operates on
+        the PACKED width — the inverse must index with the recorded
+        read-time width (review finding: it used the full width and
+        degraded spec-legal foreign streams to NULL)."""
+        import numpy as np
+
+        rng = np.random.default_rng(88)
+        for ncol in (32, 4):  # no bundling / 4-per-byte bundling
+            pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+            px = pal[rng.integers(0, ncol, size=(11, 19))]
+            self._rt(19, 11, 3, px, palette=True, predictor_bits=2)
 
     def test_gray_output_matches_gif_luma(self):
         import numpy as np
@@ -589,6 +618,34 @@ class TestHintAuditTightenings:
         flags = audit_broadcast_hints("x02_minhash_near_dup", _analyzed(df))
         assert len(flags) == 1, flags
         assert "orders" in flags[0] and "contract" in flags[0], flags
+
+    def test_unrelated_equality_does_not_launder(self, spark, sf_dir):
+        """Review finding: an a==b filter with a global count() merely
+        PRESENT in the subtree used to pass as the q57 idiom.  The
+        provenance check requires one EqualTo side to BE the global
+        max/min reduction's output attribute."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        total = d.agg(F.count(F.lit(1)).alias("n_total"))
+        shaped = d.crossJoin(total).filter(
+            F.col("n_chars") == F.col("doc_id")  # unrelated equality
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(5)
+        df = o.crossJoin(F.broadcast(shaped))
+        flags = audit_broadcast_hints("unrelated_eq", _analyzed(df))
+        assert len(flags) == 1 and "documents" in flags[0], flags
+
+    def test_contract_never_covers_empty_signature(self):
+        """Review finding: an unbounded hint whose leaves the table
+        walk doesn't recognize (empty signature, e.g. a future
+        DataSourceV2 relation) must NOT pass vacuously through the
+        subset check in an allowlisted query."""
+        from bertrand_spark.plans.audit import _BCAST_OK, _contract_covers
+
+        contract = _BCAST_OK["x02"]
+        assert _contract_covers(contract, {"documents"})
+        assert not _contract_covers(contract, set())  # no vacuous pass
+        assert not _contract_covers(contract, {"lineitem"})
+        assert not _contract_covers(contract, {"documents", "orders"})
 
     def test_allowlisted_contract_shape_passes(self, spark, sf_dir):
         """A documents-derived unbounded hint under an allowlisted name
