@@ -30,7 +30,8 @@ import pyspark.sql.types as st
 __all__ = [
     "IMAGE_META_SCHEMA", "image_table_schema", "attach_media_metadata",
     "decode_images", "resize_images", "sample_video_frames",
-    "extract_audio_features", "png_encode",
+    "extract_audio_features", "probe_video_metadata",
+    "png_encode", "wav_encode", "avi_mjpeg_encode", "vp8l_encode",
 ]
 
 IMAGE_META_SCHEMA = st.StructType([
@@ -1448,37 +1449,67 @@ def resize_images(
     return decoded.mapInPandas(batches, schema)
 
 
+_FRAME_SCHEMA = st.StructType([
+    st.StructField("media_id", st.LongType()),
+    st.StructField("frame_index", st.IntegerType()),
+    st.StructField("width", st.IntegerType()),
+    st.StructField("height", st.IntegerType()),
+    st.StructField("channels", st.IntegerType()),
+    st.StructField("frame", st.BinaryType()),
+])
+
+
 def sample_video_frames(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
     every_n: int = 10,
     max_frames: int = 8,
+    decode: str = "fake",
 ) -> DataFrame:
-    """Frame sampling plumbing: one row per sampled frame index.
+    """Frame sampling: one row per sampled frame (media → frames
+    fan-out inside one Arrow pass, no shuffle).
 
-    The frame *decode* is stubbed (deterministic fake), but the fan-out
-    shape (media → frames) and schema match a real ffmpeg-backed kernel.
+    - ``decode='real'`` (round 8): Motion-JPEG AVI payloads decode for
+      real — every ``every_n``-th '00dc' JPEG chunk (up to
+      ``max_frames``) through the stdlib JPEG decoder → raw RGB pixel
+      buffers with true dimensions.  Inter-coded video (H.264/VP9/...)
+      and non-AVI containers yield NO rows for that payload plus the
+      per-row degrade guarantee (never an exception); run
+      :func:`probe_video_metadata` first to see the codec mix.
+    - ``decode='fake'``: the plumbing mode — ``max_frames``
+      deterministic 8×8×3 payload-hash frames per payload, schema
+      identical to the real path.
     """
-    schema = st.StructType([
-        st.StructField("media_id", st.LongType()),
-        st.StructField("frame_index", st.IntegerType()),
-        st.StructField("frame", st.BinaryType()),
-    ])
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+    cols = [f.name for f in _FRAME_SCHEMA]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col] or b""
-                for j in range(max_frames):
-                    idx = j * every_n
-                    rows.append(
-                        (r[id_col], idx, _fake_pixels(payload + bytes([j]), 8, 8, 3))
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                if decode == "real":
+                    try:
+                        frames = _avi_mjpeg_frames(payload) or []
+                        picked = frames[::every_n][:max_frames]
+                        for j, fr in enumerate(picked):
+                            w, h, c, px = _jpeg_decode(fr, 3)
+                            if w is None:
+                                continue
+                            rows.append((mid, j * every_n, w, h, c, px))
+                    except Exception:
+                        pass  # per-row degrade: drop the payload's rows
+                else:
+                    for j in range(max_frames):
+                        rows.append((
+                            mid, j * every_n, 8, 8, 3,
+                            _fake_pixels(payload + bytes([j]), 8, 8, 3),
+                        ))
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+    return df.select(id_col, payload_col).mapInPandas(batches, _FRAME_SCHEMA)
 
 
 def extract_audio_features(
@@ -1486,8 +1517,26 @@ def extract_audio_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     n_features: int = 16,
+    decode: str = "fake",
 ) -> DataFrame:
-    """Audio feature extraction plumbing (MFCC-shaped output, fake values)."""
+    """Audio feature extraction over binary payloads (Arrow-batched
+    mapInPandas; one row per input with an ``array<double>`` feature
+    vector).
+
+    - ``decode='real'`` (round 8): stdlib WAV decode (PCM u8/s16/s24/
+      s32 + IEEE float, extensible wrapper, multi-channel mixed to
+      mono) and a deterministic numpy feature vector — duration, RMS,
+      zero-crossing rate, spectral centroid / 85% rolloff / bandwidth,
+      plus log-spaced band energies (see :func:`_wav_features`).
+      Compressed audio (MP3/AAC/OGG/FLAC) and corrupt payloads yield
+      NULL features — the same per-row degrade contract as the image
+      codecs; analysis is capped at 2^21 samples per row so a huge or
+      corrupt payload cannot stall a task.
+    - ``decode='fake'``: deterministic payload-hash values (production
+      schema, no decode) — the oracle-replayable mode.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
     schema = st.StructType([
         st.StructField("media_id", st.LongType()),
         st.StructField("features", st.ArrayType(st.DoubleType())),
@@ -1497,8 +1546,16 @@ def extract_audio_features(
         for pdf in it:
             feats = []
             for p in pdf[payload_col]:
-                h = hashlib.sha256(p or b"").digest()
-                feats.append([b / 255.0 for b in h[:n_features]])
+                if decode == "real":
+                    dec = _wav_decode(bytes(p)) if p is not None else None
+                    feats.append(
+                        None
+                        if dec is None
+                        else _wav_features(dec[0], dec[2], n_features)
+                    )
+                else:
+                    h = hashlib.sha256(p or b"").digest()
+                    feats.append([b / 255.0 for b in h[:n_features]])
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
@@ -2847,3 +2904,431 @@ def vp8l_encode(
         body += b"\x00"
     riff = b"WEBP" + body
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# --- stdlib WAV audio decode + real features (round 8) -----------------------
+# The audio lane gets the same treatment images got: a real stdlib
+# decode path behind the fake, per-row degrade on anything else.  WAV
+# (RIFF/WAVE) is the one audio container fully decodable with stdlib
+# struct parsing — PCM u8/s16/s24/s32 and IEEE float32/64, plus the
+# WAVE_FORMAT_EXTENSIBLE wrapper.  Compressed audio (MP3/AAC/OGG/FLAC)
+# stays NULL without worker codecs, visible per corpus through
+# audio_format_report-style aggregation of the NULL rows.
+
+# analysis cap: bound the per-row FFT work a (possibly huge or corrupt)
+# payload can demand — 2^21 samples ≈ 47 s at 44.1 kHz mono
+_WAV_ANALYSIS_MAX_SAMPLES = 1 << 21
+
+
+def _wav_decode(payload: bytes):
+    """Stdlib WAV decode → (sample_rate, n_channels, mono float64
+    samples in [-1, 1]) or None on anything malformed/unsupported —
+    the per-row degrade contract."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + size]
+            if tag == b"fmt " and len(body) >= 16:
+                fmt = body
+            elif tag == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            return None
+        audio_format, n_ch, sr, _, _, bits = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if audio_format == 0xFFFE and len(fmt) >= 26:
+            # WAVE_FORMAT_EXTENSIBLE: the real format leads the GUID
+            audio_format = int.from_bytes(fmt[24:26], "little")
+        if n_ch < 1 or n_ch > 32 or sr < 1:
+            return None
+        if audio_format == 1:  # integer PCM
+            if bits == 8:
+                x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                x = (x - 128.0) / 128.0
+            elif bits == 16:
+                x = np.frombuffer(
+                    data[: len(data) & ~1], dtype="<i2"
+                ).astype(np.float64) / 32768.0
+            elif bits == 24:
+                usable = len(data) - len(data) % 3
+                raw = np.frombuffer(data[:usable], dtype=np.uint8)
+                raw = raw.reshape(-1, 3).astype(np.int64)
+                v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(np.float64) / float(1 << 23)
+            elif bits == 32:
+                x = np.frombuffer(
+                    data[: len(data) & ~3], dtype="<i4"
+                ).astype(np.float64) / float(1 << 31)
+            else:
+                return None
+        elif audio_format == 3:  # IEEE float
+            if bits == 32:
+                x = np.frombuffer(
+                    data[: len(data) & ~3], dtype="<f4"
+                ).astype(np.float64)
+            elif bits == 64:
+                x = np.frombuffer(
+                    data[: len(data) & ~7], dtype="<f8"
+                ).astype(np.float64)
+            else:
+                return None
+        else:
+            return None  # compressed formats need worker codecs
+        frames = len(x) // n_ch
+        if frames == 0:
+            return None
+        x = x[: frames * n_ch].reshape(frames, n_ch).mean(axis=1)
+        return int(sr), int(n_ch), x
+    except Exception:
+        return None
+
+
+def wav_encode(
+    sample_rate: int,
+    samples,
+    channels: int = 1,
+    fmt: str = "s16",
+) -> bytes:
+    """Test-side WAV writer (PCM s16/u8/s24 and float32) — the inverse
+    fixture for :func:`_wav_decode`.  ``samples`` is a float array in
+    [-1, 1], interleaved if ``channels > 1``."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if fmt == "s16":
+        audio_format, bits = 1, 16
+        data = (
+            np.clip(np.round(x * 32768.0), -32768, 32767)
+            .astype("<i2").tobytes()
+        )
+    elif fmt == "u8":
+        audio_format, bits = 1, 8
+        data = (
+            np.clip(np.round(x * 128.0 + 128.0), 0, 255)
+            .astype(np.uint8).tobytes()
+        )
+    elif fmt == "s24":
+        audio_format, bits = 1, 24
+        v = np.clip(
+            np.round(x * float(1 << 23)), -(1 << 23), (1 << 23) - 1
+        ).astype(np.int64)
+        v = np.where(v < 0, v + (1 << 24), v)
+        b = np.empty((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+    elif fmt == "f32":
+        audio_format, bits = 3, 32
+        data = x.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"wav_encode: unsupported fmt {fmt!r}")
+    block_align = channels * bits // 8
+    fmt_body = struct.pack(
+        "<HHIIHH", audio_format, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _wav_features(sr: int, x, n_features: int):
+    """Deterministic numpy feature vector over mono samples: [duration
+    seconds, RMS, zero-crossing rate, spectral centroid Hz, 85%%
+    rolloff Hz, spectral bandwidth Hz, then ``n_features - 6``
+    log-band energies over log-spaced bands 20 Hz..sr/2].  Analysis is
+    capped at the first 2^21 samples (bounded per-row work)."""
+    import numpy as np
+
+    x = x[:_WAV_ANALYSIS_MAX_SAMPLES]
+    n = len(x)
+    duration = n / sr
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    tot = float(mag.sum())
+    if tot > 0:
+        centroid = float((freqs * mag).sum() / tot)
+        cum = np.cumsum(mag)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+        bandwidth = float(
+            np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot)
+        )
+    else:
+        centroid = rolloff = bandwidth = 0.0
+    n_bands = max(0, n_features - 6)
+    bands = []
+    if n_bands:
+        edges = np.geomspace(20.0, sr / 2.0, n_bands + 1)
+        power = mag * mag
+        for i in range(n_bands):
+            sel = (freqs >= edges[i]) & (freqs < edges[i + 1])
+            bands.append(float(np.log1p(power[sel].sum())))
+    return [duration, rms, zcr, centroid, rolloff, bandwidth] + bands
+
+
+# --- stdlib video: container probe + MJPEG-AVI frame sampling (round 8) ------
+# Video gets the image treatment where stdlib can genuinely go: (a) a
+# container METADATA probe (MP4/ISO-BMFF box walk + AVI header parse —
+# pure struct reads, no decode) and (b) a REAL frame-sampling path for
+# Motion-JPEG AVI, where each '00dc' chunk is a JPEG the round-7 stdlib
+# decoder already handles.  Inter-coded video (H.264/VP9/AV1) stays
+# NULL without worker codecs — per-row degrade, visible in the probe's
+# codec column.
+
+
+def _mp4_probe(payload: bytes):
+    """ISO-BMFF box walk → (duration_s, width, height, n_tracks,
+    codec fourccs) from mvhd/tkhd/stsd.  None on malformed input."""
+    import struct
+
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            tag = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1 and pos + 16 <= end:
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    try:
+        duration = None
+        n_tracks = 0
+        width = height = None
+        codecs = []
+
+        def walk(pos, end, depth=0):
+            nonlocal duration, n_tracks, width, height
+            if depth > 8:
+                return
+            for tag, b0, b1 in boxes(payload, pos, end):
+                if tag == b"mvhd" and b1 - b0 >= 20:
+                    ver = payload[b0]
+                    if ver == 1 and b1 - b0 >= 28:
+                        ts = int.from_bytes(payload[b0 + 20 : b0 + 24], "big")
+                        dur = int.from_bytes(payload[b0 + 24 : b0 + 32], "big")
+                    else:
+                        ts = int.from_bytes(payload[b0 + 12 : b0 + 16], "big")
+                        dur = int.from_bytes(payload[b0 + 16 : b0 + 20], "big")
+                    if ts:
+                        duration = dur / ts
+                elif tag == b"trak":
+                    n_tracks += 1
+                    walk(b0, b1, depth + 1)
+                elif tag == b"tkhd" and b1 - b0 >= 84:
+                    ver = payload[b0]
+                    off = 88 if ver == 1 else 76
+                    if b1 - b0 >= off + 8:
+                        w = int.from_bytes(
+                            payload[b0 + off : b0 + off + 4], "big"
+                        ) >> 16  # 16.16 fixed point
+                        h = int.from_bytes(
+                            payload[b0 + off + 4 : b0 + off + 8], "big"
+                        ) >> 16
+                        if w and h and width is None:
+                            width, height = w, h
+                elif tag == b"stsd" and b1 - b0 >= 16:
+                    codecs.append(payload[b0 + 12 : b0 + 16].decode(
+                        "ascii", "replace"
+                    ))
+                elif tag in (b"moov", b"mdia", b"minf", b"stbl"):
+                    walk(b0, b1, depth + 1)
+
+        walk(0, len(payload))
+        if duration is None and not n_tracks:
+            return None
+        return duration, width, height, n_tracks, codecs
+    except Exception:
+        return None
+
+
+def _avi_probe(payload: bytes):
+    """AVI avih header → (duration_s, width, height, n_frames, codec
+    fourcc from the first strh).  None on malformed input."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        avih = None
+        codec = None
+
+        def scan(buf, pos, end, depth=0):
+            nonlocal avih, codec
+            if depth > 6:
+                return
+            while pos + 8 <= end:
+                tag = buf[pos : pos + 4]
+                size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+                if pos + 8 + size > end:
+                    return
+                if tag == b"LIST":
+                    scan(buf, pos + 12, pos + 8 + size, depth + 1)
+                elif tag == b"avih" and size >= 40:
+                    avih = buf[pos + 8 : pos + 8 + size]
+                elif tag == b"strh" and size >= 8 and codec is None:
+                    if buf[pos + 8 : pos + 12] == b"vids":
+                        codec = buf[pos + 12 : pos + 16].decode(
+                            "ascii", "replace"
+                        )
+                pos += 8 + size + (size & 1)
+
+        scan(payload, 12, len(payload))
+        if avih is None:
+            return None
+        usec_per_frame = int.from_bytes(avih[0:4], "little")
+        n_frames = int.from_bytes(avih[16:20], "little")
+        width = int.from_bytes(avih[32:36], "little")
+        height = int.from_bytes(avih[36:40], "little")
+        duration = n_frames * usec_per_frame / 1e6 if usec_per_frame else None
+        return duration, width or None, height or None, n_frames, codec
+    except Exception:
+        return None
+
+
+_VIDEO_META_SCHEMA = st.StructType([
+    st.StructField("media_id", st.LongType()),
+    st.StructField("container", st.StringType()),
+    st.StructField("duration_s", st.DoubleType()),
+    st.StructField("width", st.IntegerType()),
+    st.StructField("height", st.IntegerType()),
+    st.StructField("n_frames_or_tracks", st.LongType()),
+    st.StructField("codec", st.StringType()),
+])
+
+
+def probe_video_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Container-level video metadata WITHOUT decoding: MP4/ISO-BMFF
+    box walk (mvhd duration, tkhd dimensions, stsd codec fourccs,
+    track count) and AVI header parse (avih frames/dims/rate, first
+    vids strh fourcc).  One Arrow pass, metadata-sized output; rows no
+    probe understands degrade to a NULL-container row — the operator a
+    100 TB crawl triage runs BEFORE deciding what to decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p) if p is not None else b""
+                got = None
+                if p[4:8] == b"ftyp" or p[4:8] == b"moov":
+                    m = _mp4_probe(p)
+                    if m is not None:
+                        d, w, h, nt, codecs = m
+                        got = (
+                            "mp4", d, w, h, nt,
+                            ",".join(codecs) if codecs else None,
+                        )
+                elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    a = _avi_probe(p)
+                    if a is not None:
+                        d, w, h, nf, codec = a
+                        got = ("avi", d, w, h, nf, codec)
+                if got is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                else:
+                    rows.append((mid, *got))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VIDEO_META_SCHEMA]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, _VIDEO_META_SCHEMA
+    )
+
+
+def _avi_mjpeg_frames(payload: bytes):
+    """Iterate the JPEG bytes of an MJPG AVI's video frames ('00dc'/
+    '00db' chunks inside the movi LIST).  Returns a list (possibly
+    empty) or None when the container isn't an AVI."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    frames = []
+
+    def scan(buf, pos, end, depth=0):
+        if depth > 6:
+            return
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > end:
+                return
+            if tag == b"LIST":
+                scan(buf, pos + 12, pos + 8 + size, depth + 1)
+            elif tag[2:4] in (b"dc", b"db") and size >= 2:
+                body = buf[pos + 8 : pos + 8 + size]
+                if body[:2] == b"\xff\xd8":
+                    frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    try:
+        scan(payload, 12, len(payload))
+    except Exception:
+        return None
+    return frames
+
+
+def avi_mjpeg_encode(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Test-side Motion-JPEG AVI writer: avih + one vids/MJPG stream +
+    movi with the given JPEG payloads — the inverse fixture for the
+    real :func:`sample_video_frames` path."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height,
+    ) + bytes(16)
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        fps, 0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(
+            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        ),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -350,6 +350,226 @@ class TestTokenPrefixByThreshold:
         assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
 
 
+class TestStdlibAudio:
+    """Round 8 gives the audio lane the image treatment: a real stdlib
+    WAV decode path (PCM u8/s16/s24 + float32, extensible wrapper,
+    stereo mixdown) behind the fake, deterministic numpy features, and
+    per-row degrade + fuzz on everything else."""
+
+    def _tone(self, sr=8000, hz=440.0, seconds=1.0):
+        import numpy as np
+
+        t = np.arange(int(sr * seconds)) / sr
+        return 0.5 * np.sin(2 * np.pi * hz * t)
+
+    def test_wav_roundtrip_formats(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _wav_decode, wav_encode
+
+        x = self._tone()
+        for fmt, tol in (
+            ("s16", 1e-4), ("u8", 8e-3), ("s24", 1e-6), ("f32", 1e-7)
+        ):
+            sr, nch, y = _wav_decode(wav_encode(8000, x, 1, fmt))
+            assert sr == 8000 and nch == 1
+            assert np.abs(y - x).max() < tol, fmt
+
+    def test_stereo_mixdown_and_extensible(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _wav_decode, wav_encode
+
+        x = self._tone()
+        inter = np.empty(2 * len(x))
+        inter[0::2] = x
+        inter[1::2] = -x  # perfect cancellation under mean-mixdown
+        sr, nch, y = _wav_decode(wav_encode(8000, inter, 2, "s16"))
+        assert nch == 2 and np.abs(y).max() < 1e-4
+        # WAVE_FORMAT_EXTENSIBLE wrapper: rewrite fmt tag 1 -> 0xFFFE
+        # with the real format leading the GUID
+        import struct
+
+        blob = bytearray(wav_encode(8000, x, 1, "s16"))
+        i = blob.index(b"fmt ")
+        body = blob[i + 8 : i + 24]
+        ext = bytearray(body)
+        ext[0:2] = struct.pack("<H", 0xFFFE)
+        ext += struct.pack("<HHI", 22, 16, 0) + struct.pack("<H", 1) + bytes(14)
+        new = blob[: i + 4] + struct.pack("<I", len(ext)) + ext + blob[i + 24 :]
+        sr2, _, y2 = _wav_decode(bytes(new))
+        assert sr2 == 8000 and np.abs(y2 - x).max() < 1e-4
+
+    def test_features_physical_sanity(self):
+        from bertrand_spark.pipeline.multimodal import (
+            _wav_decode, _wav_features, wav_encode,
+        )
+
+        sr, _, y = _wav_decode(wav_encode(8000, self._tone(hz=440.0), 1, "s16"))
+        f = _wav_features(sr, y, 16)
+        assert len(f) == 16
+        assert abs(f[0] - 1.0) < 1e-9          # duration
+        assert abs(f[1] - 0.3536) < 0.01       # RMS of 0.5·sin
+        assert abs(f[3] - 440.0) < 5.0         # spectral centroid
+        assert abs(f[4] - 440.0) < 5.0         # rolloff
+        # a higher tone moves the centroid up
+        sr2, _, y2 = _wav_decode(
+            wav_encode(8000, self._tone(hz=1760.0), 1, "s16")
+        )
+        assert _wav_features(sr2, y2, 16)[3] > f[3] * 3
+
+    def test_spark_real_path_and_degrade(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            extract_audio_features, wav_encode,
+        )
+
+        wav = wav_encode(8000, self._tone(), 1, "s16")
+        df = spark.createDataFrame(
+            [(1, wav), (2, b"ID3" + bytes(64)), (3, b""), (4, None)],
+            "media_id long, payload binary",
+        )
+        rows = {
+            r["media_id"]: r["features"]
+            for r in extract_audio_features(df, decode="real").collect()
+        }
+        assert rows[1] is not None and abs(rows[1][3] - 440.0) < 5.0
+        assert rows[2] is None and rows[3] is None and rows[4] is None
+        # fake mode unchanged: 16 hash-derived values for every row
+        fake = extract_audio_features(df).collect()
+        assert all(len(r["features"]) == 16 for r in fake)
+
+    def test_wav_fuzz(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import _wav_decode, wav_encode
+
+        rng = np.random.default_rng(89)
+        blob = bytearray(wav_encode(8000, self._tone(seconds=0.05), 1, "s16"))
+        for _ in range(200):
+            m = bytearray(blob)
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                for _ in range(int(rng.integers(1, 6))):
+                    m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            elif kind == 1:
+                m = m[: int(rng.integers(0, len(m)))]
+            else:
+                at = int(rng.integers(0, max(1, len(m) - 8)))
+                del m[at : at + int(rng.integers(1, 8))]
+            out = _wav_decode(bytes(m))  # must not raise
+            assert out is None or out[0] >= 1
+
+
+class TestStdlibVideo:
+    """Container metadata probe (MP4 box walk + AVI header) and the
+    REAL Motion-JPEG frame-sampling path (every '00dc' chunk is a JPEG
+    the stdlib decoder handles)."""
+
+    def _mjpeg(self, n=7, w=24, h=16, fps=5, seed=3):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            avi_mjpeg_encode, jpeg_encode,
+        )
+
+        rng = np.random.default_rng(seed)
+        pxs = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        avi = avi_mjpeg_encode(
+            [jpeg_encode(w, h, 3, p.tobytes(), quality=100) for p in pxs],
+            w, h, fps=fps,
+        )
+        return avi, pxs
+
+    def test_probe_avi_and_mp4_and_junk(self, spark):
+        import struct
+
+        from bertrand_spark.pipeline.multimodal import probe_video_metadata
+
+        avi, _ = self._mjpeg()
+
+        def box(tag, body):
+            return struct.pack(">I", 8 + len(body)) + tag + body
+
+        mvhd = bytes(12) + struct.pack(">II", 1000, 2500) + bytes(80)
+        tkhd = bytes(76) + struct.pack(">II", 320 << 16, 240 << 16)
+        moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+        mp4 = box(b"ftyp", b"isom" + bytes(8)) + moov
+        df = spark.createDataFrame(
+            [(1, avi), (2, mp4), (3, b"not a video"), (4, None)],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r for r in probe_video_metadata(df).collect()}
+        assert rows[1]["container"] == "avi" and rows[1]["codec"] == "MJPG"
+        assert rows[1]["n_frames_or_tracks"] == 7
+        assert abs(rows[1]["duration_s"] - 1.4) < 1e-9
+        assert rows[2]["container"] == "mp4"
+        assert rows[2]["duration_s"] == 2.5 and rows[2]["width"] == 320
+        assert rows[3]["container"] is None
+        assert rows[4]["container"] is None
+
+    def test_real_frame_sampling_decodes_content(self, spark):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import sample_video_frames
+
+        avi, pxs = self._mjpeg(n=7)
+        df = spark.createDataFrame(
+            [(1, avi), (2, b"not a video")], "media_id long, payload binary"
+        )
+        rows = sample_video_frames(
+            df, every_n=3, max_frames=2, decode="real"
+        ).collect()
+        got = {(r["media_id"], r["frame_index"]): r for r in rows}
+        # payload 2 contributes NO rows; payload 1 yields frames 0 and 3
+        assert set(got) == {(1, 0), (1, 3)}
+        for j, key in ((0, (1, 0)), (3, (1, 3))):
+            r = got[key]
+            assert (r["width"], r["height"], r["channels"]) == (24, 16, 3)
+            arr = np.frombuffer(r["frame"], np.uint8).reshape(16, 24, 3)
+            assert np.abs(arr.astype(int) - pxs[j].astype(int)).max() <= 4
+
+    def test_fake_mode_schema_parity(self, spark):
+        from bertrand_spark.pipeline.multimodal import sample_video_frames
+
+        df = spark.createDataFrame(
+            [(1, b"payload")], "media_id long, payload binary"
+        )
+        fake = sample_video_frames(df, every_n=5, max_frames=3)
+        real = sample_video_frames(df, every_n=5, max_frames=3, decode="real")
+        assert fake.schema == real.schema
+        rows = fake.collect()
+        assert [r["frame_index"] for r in rows] == [0, 5, 10]
+        assert all((r["width"], r["height"], r["channels"]) == (8, 8, 3) for r in rows)
+
+    def test_avi_fuzz(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _avi_mjpeg_frames, _avi_probe, _mp4_probe,
+        )
+
+        rng = np.random.default_rng(90)
+        avi, _ = self._mjpeg(n=3, w=8, h=8)
+        blob = bytearray(avi)
+        for _ in range(200):
+            m = bytearray(blob)
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                for _ in range(int(rng.integers(1, 6))):
+                    m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            elif kind == 1:
+                m = m[: int(rng.integers(0, len(m)))]
+            else:
+                at = int(rng.integers(0, max(1, len(m) - 8)))
+                del m[at : at + int(rng.integers(1, 8))]
+            _avi_probe(bytes(m))        # must not raise
+            _avi_mjpeg_frames(bytes(m))
+            _mp4_probe(bytes(m))
+
+
 class TestByteBpe:
     """Byte-level BPE (GPT-2 style) + special tokens (round-7 VERDICT
     item 5).  Gates: EXACT merge-sequence parity vs an independent
