@@ -1491,8 +1491,10 @@ def sample_video_frames(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
                 if decode == "real":
+                    start = len(rows)
                     try:
-                        frames = _avi_mjpeg_frames(payload) or []
+                        needed = (max_frames - 1) * every_n + 1
+                        frames = _avi_mjpeg_frames(payload, needed) or []
                         picked = frames[::every_n][:max_frames]
                         for j, fr in enumerate(picked):
                             w, h, c, px = _jpeg_decode(fr, 3)
@@ -1500,7 +1502,9 @@ def sample_video_frames(
                                 continue
                             rows.append((mid, j * every_n, w, h, c, px))
                     except Exception:
-                        pass  # per-row degrade: drop the payload's rows
+                        # per-row degrade, all-or-nothing: drop rows
+                        # already appended for THIS payload too
+                        del rows[start:]
                 else:
                     for j in range(max_frames):
                         rows.append((
@@ -1551,7 +1555,9 @@ def extract_audio_features(
                     feats.append(
                         None
                         if dec is None
-                        else _wav_features(dec[0], dec[2], n_features)
+                        else _wav_features(
+                            dec[0], dec[2], n_features, duration=dec[3]
+                        )
                     )
                 else:
                     h = hashlib.sha256(p or b"").digest()
@@ -2922,8 +2928,14 @@ _WAV_ANALYSIS_MAX_SAMPLES = 1 << 21
 
 def _wav_decode(payload: bytes):
     """Stdlib WAV decode → (sample_rate, n_channels, mono float64
-    samples in [-1, 1]) or None on anything malformed/unsupported —
-    the per-row degrade contract."""
+    samples in [-1, 1], true_duration_seconds) or None on anything
+    malformed/unsupported — the per-row degrade contract.
+
+    Samples are TRUNCATED to the first ``_WAV_ANALYSIS_MAX_SAMPLES``
+    mono frames BEFORE any float conversion (review finding: a 2 GB
+    payload must not allocate 8 GB of float64 per row), so the
+    returned duration — computed from the full data-chunk length —
+    is the one to trust for clips longer than the cap."""
     import struct
 
     import numpy as np
@@ -2953,6 +2965,13 @@ def _wav_decode(payload: bytes):
             audio_format = int.from_bytes(fmt[24:26], "little")
         if n_ch < 1 or n_ch > 32 or sr < 1:
             return None
+        if bits % 8 or not bits:
+            return None
+        bytes_per_frame = n_ch * bits // 8
+        total_frames = len(data) // bytes_per_frame
+        duration = total_frames / sr
+        # bound the float work BEFORE conversion (review finding)
+        data = data[: _WAV_ANALYSIS_MAX_SAMPLES * bytes_per_frame]
         if audio_format == 1:  # integer PCM
             if bits == 8:
                 x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
@@ -2991,7 +3010,7 @@ def _wav_decode(payload: bytes):
         if frames == 0:
             return None
         x = x[: frames * n_ch].reshape(frames, n_ch).mean(axis=1)
-        return int(sr), int(n_ch), x
+        return int(sr), int(n_ch), x, float(duration)
     except Exception:
         return None
 
@@ -3052,17 +3071,22 @@ def wav_encode(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
-def _wav_features(sr: int, x, n_features: int):
+def _wav_features(sr: int, x, n_features: int, duration: float = None):
     """Deterministic numpy feature vector over mono samples: [duration
     seconds, RMS, zero-crossing rate, spectral centroid Hz, 85%%
     rolloff Hz, spectral bandwidth Hz, then ``n_features - 6``
-    log-band energies over log-spaced bands 20 Hz..sr/2].  Analysis is
-    capped at the first 2^21 samples (bounded per-row work)."""
+    log-band energies over log-spaced bands 20 Hz..sr/2], truncated to
+    exactly ``n_features`` values (review finding: n_features < 6 must
+    honor the requested width like the fake mode does).  Analysis is
+    capped at the first 2^21 samples (bounded per-row work); pass the
+    decoder's ``duration`` so clips beyond the cap report their TRUE
+    length (review finding) — it defaults to the analyzed span."""
     import numpy as np
 
     x = x[:_WAV_ANALYSIS_MAX_SAMPLES]
     n = len(x)
-    duration = n / sr
+    if duration is None:
+        duration = n / sr
     rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
     mag = np.abs(np.fft.rfft(x))
@@ -3085,7 +3109,9 @@ def _wav_features(sr: int, x, n_features: int):
         for i in range(n_bands):
             sel = (freqs >= edges[i]) & (freqs < edges[i + 1])
             bands.append(float(np.log1p(power[sel].sum())))
-    return [duration, rms, zcr, centroid, rolloff, bandwidth] + bands
+    return ([duration, rms, zcr, centroid, rolloff, bandwidth] + bands)[
+        :n_features
+    ]
 
 
 # --- stdlib video: container probe + MJPEG-AVI frame sampling (round 8) ------
@@ -3131,7 +3157,9 @@ def _mp4_probe(payload: bytes):
             for tag, b0, b1 in boxes(payload, pos, end):
                 if tag == b"mvhd" and b1 - b0 >= 20:
                     ver = payload[b0]
-                    if ver == 1 and b1 - b0 >= 28:
+                    if ver == 1:
+                        if b1 - b0 < 32:  # duration ends at b0+32
+                            continue  # truncated v1 box: degrade
                         ts = int.from_bytes(payload[b0 + 20 : b0 + 24], "big")
                         dur = int.from_bytes(payload[b0 + 24 : b0 + 32], "big")
                     else:
@@ -3146,12 +3174,12 @@ def _mp4_probe(payload: bytes):
                     ver = payload[b0]
                     off = 88 if ver == 1 else 76
                     if b1 - b0 >= off + 8:
-                        w = int.from_bytes(
+                        w = _clamp_dim(int.from_bytes(
                             payload[b0 + off : b0 + off + 4], "big"
-                        ) >> 16  # 16.16 fixed point
-                        h = int.from_bytes(
+                        ) >> 16)  # 16.16 fixed point
+                        h = _clamp_dim(int.from_bytes(
                             payload[b0 + off + 4 : b0 + off + 8], "big"
-                        ) >> 16
+                        ) >> 16)
                         if w and h and width is None:
                             width, height = w, h
                 elif tag == b"stsd" and b1 - b0 >= 16:
@@ -3169,44 +3197,67 @@ def _mp4_probe(payload: bytes):
         return None
 
 
+def _riff_walk(buf: bytes, pos: int, end: int, on_chunk, depth: int = 0):
+    """THE RIFF little-endian chunk walk (shared by the AVI probe and
+    the MJPEG frame iterator — review finding: three hand-rolled
+    copies drift).  ``on_chunk(tag, body_start, body_end)`` is called
+    for every non-LIST chunk; LIST chunks recurse (depth-capped);
+    a truthy return from the callback stops the walk early."""
+    if depth > 6:
+        return False
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > end:
+            return False
+        if tag == b"LIST":
+            if _riff_walk(buf, pos + 12, pos + 8 + size, on_chunk, depth + 1):
+                return True
+        elif on_chunk(tag, pos + 8, pos + 8 + size):
+            return True
+        pos += 8 + size + (size & 1)
+    return False
+
+
+def _clamp_dim(v):
+    """Parsed container dimensions → int32-safe value or None (review
+    finding: a corrupt 0xFFFFFFFF width crashed the Arrow conversion
+    of the IntegerType column instead of degrading)."""
+    return int(v) if 0 < v < (1 << 31) else None
+
+
 def _avi_probe(payload: bytes):
     """AVI avih header → (duration_s, width, height, n_frames, codec
-    fourcc from the first strh).  None on malformed input."""
+    fourcc from the first vids strh).  None on malformed input."""
     try:
         if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             return None
-        avih = None
-        codec = None
+        found = {"avih": None, "codec": None}
 
-        def scan(buf, pos, end, depth=0):
-            nonlocal avih, codec
-            if depth > 6:
-                return
-            while pos + 8 <= end:
-                tag = buf[pos : pos + 4]
-                size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
-                if pos + 8 + size > end:
-                    return
-                if tag == b"LIST":
-                    scan(buf, pos + 12, pos + 8 + size, depth + 1)
-                elif tag == b"avih" and size >= 40:
-                    avih = buf[pos + 8 : pos + 8 + size]
-                elif tag == b"strh" and size >= 8 and codec is None:
-                    if buf[pos + 8 : pos + 12] == b"vids":
-                        codec = buf[pos + 12 : pos + 16].decode(
-                            "ascii", "replace"
-                        )
-                pos += 8 + size + (size & 1)
+        def on_chunk(tag, b0, b1):
+            if tag == b"avih" and b1 - b0 >= 40:
+                found["avih"] = payload[b0:b1]
+            elif (
+                tag == b"strh"
+                and b1 - b0 >= 8
+                and found["codec"] is None
+                and payload[b0 : b0 + 4] == b"vids"
+            ):
+                found["codec"] = payload[b0 + 4 : b0 + 8].decode(
+                    "ascii", "replace"
+                )
+            return False
 
-        scan(payload, 12, len(payload))
+        _riff_walk(payload, 12, len(payload), on_chunk)
+        avih = found["avih"]
         if avih is None:
             return None
         usec_per_frame = int.from_bytes(avih[0:4], "little")
         n_frames = int.from_bytes(avih[16:20], "little")
-        width = int.from_bytes(avih[32:36], "little")
-        height = int.from_bytes(avih[36:40], "little")
+        width = _clamp_dim(int.from_bytes(avih[32:36], "little"))
+        height = _clamp_dim(int.from_bytes(avih[36:40], "little"))
         duration = n_frames * usec_per_frame / 1e6 if usec_per_frame else None
-        return duration, width or None, height or None, n_frames, codec
+        return duration, width, height, n_frames, found["codec"]
     except Exception:
         return None
 
@@ -3240,7 +3291,14 @@ def probe_video_metadata(
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 p = bytes(p) if p is not None else b""
                 got = None
-                if p[4:8] == b"ftyp" or p[4:8] == b"moov":
+                # top-level ISO-BMFF boxes seen in the wild: fast-start
+                # and legacy QuickTime files may lead with wide/skip/
+                # free/mdat before moov (review finding — sniffing only
+                # ftyp/moov NULL'ed decodable .mov files)
+                if p[4:8] in (
+                    b"ftyp", b"moov", b"wide", b"skip", b"free",
+                    b"mdat", b"pnot",
+                ):
                     m = _mp4_probe(p)
                     if m is not None:
                         d, w, h, nt, codecs = m
@@ -3266,32 +3324,28 @@ def probe_video_metadata(
     )
 
 
-def _avi_mjpeg_frames(payload: bytes):
-    """Iterate the JPEG bytes of an MJPG AVI's video frames ('00dc'/
-    '00db' chunks inside the movi LIST).  Returns a list (possibly
-    empty) or None when the container isn't an AVI."""
+def _avi_mjpeg_frames(payload: bytes, max_needed: int = None):
+    """The JPEG bytes of an MJPG AVI's FIRST video stream's frames
+    ('00dc'/'00db' chunks — other streams' '01dc'… chunks are a
+    different track and must not interleave; review finding).  Stops
+    scanning once ``max_needed`` frames are collected (review finding:
+    a multi-GB clip must not be copied wholesale when the sampler
+    needs the first ~71 frames).  Returns a list (possibly empty) or
+    None when the container isn't an AVI."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
-    frames = []
+    frames: list = []
 
-    def scan(buf, pos, end, depth=0):
-        if depth > 6:
-            return
-        while pos + 8 <= end:
-            tag = buf[pos : pos + 4]
-            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
-            if pos + 8 + size > end:
-                return
-            if tag == b"LIST":
-                scan(buf, pos + 12, pos + 8 + size, depth + 1)
-            elif tag[2:4] in (b"dc", b"db") and size >= 2:
-                body = buf[pos + 8 : pos + 8 + size]
-                if body[:2] == b"\xff\xd8":
-                    frames.append(body)
-            pos += 8 + size + (size & 1)
+    def on_chunk(tag, b0, b1):
+        if tag in (b"00dc", b"00db") and b1 - b0 >= 2:
+            if payload[b0 : b0 + 2] == b"\xff\xd8":
+                frames.append(payload[b0:b1])
+                if max_needed is not None and len(frames) >= max_needed:
+                    return True
+        return False
 
     try:
-        scan(payload, 12, len(payload))
+        _riff_walk(payload, 12, len(payload), on_chunk)
     except Exception:
         return None
     return frames

@@ -371,7 +371,7 @@ class TestStdlibAudio:
         for fmt, tol in (
             ("s16", 1e-4), ("u8", 8e-3), ("s24", 1e-6), ("f32", 1e-7)
         ):
-            sr, nch, y = _wav_decode(wav_encode(8000, x, 1, fmt))
+            sr, nch, y, dur = _wav_decode(wav_encode(8000, x, 1, fmt))
             assert sr == 8000 and nch == 1
             assert np.abs(y - x).max() < tol, fmt
 
@@ -384,7 +384,7 @@ class TestStdlibAudio:
         inter = np.empty(2 * len(x))
         inter[0::2] = x
         inter[1::2] = -x  # perfect cancellation under mean-mixdown
-        sr, nch, y = _wav_decode(wav_encode(8000, inter, 2, "s16"))
+        sr, nch, y, _dur = _wav_decode(wav_encode(8000, inter, 2, "s16"))
         assert nch == 2 and np.abs(y).max() < 1e-4
         # WAVE_FORMAT_EXTENSIBLE wrapper: rewrite fmt tag 1 -> 0xFFFE
         # with the real format leading the GUID
@@ -397,7 +397,7 @@ class TestStdlibAudio:
         ext[0:2] = struct.pack("<H", 0xFFFE)
         ext += struct.pack("<HHI", 22, 16, 0) + struct.pack("<H", 1) + bytes(14)
         new = blob[: i + 4] + struct.pack("<I", len(ext)) + ext + blob[i + 24 :]
-        sr2, _, y2 = _wav_decode(bytes(new))
+        sr2, _, y2, _d = _wav_decode(bytes(new))
         assert sr2 == 8000 and np.abs(y2 - x).max() < 1e-4
 
     def test_features_physical_sanity(self):
@@ -405,7 +405,7 @@ class TestStdlibAudio:
             _wav_decode, _wav_features, wav_encode,
         )
 
-        sr, _, y = _wav_decode(wav_encode(8000, self._tone(hz=440.0), 1, "s16"))
+        sr, _, y, dur = _wav_decode(wav_encode(8000, self._tone(hz=440.0), 1, "s16"))
         f = _wav_features(sr, y, 16)
         assert len(f) == 16
         assert abs(f[0] - 1.0) < 1e-9          # duration
@@ -413,7 +413,7 @@ class TestStdlibAudio:
         assert abs(f[3] - 440.0) < 5.0         # spectral centroid
         assert abs(f[4] - 440.0) < 5.0         # rolloff
         # a higher tone moves the centroid up
-        sr2, _, y2 = _wav_decode(
+        sr2, _, y2, _d = _wav_decode(
             wav_encode(8000, self._tone(hz=1760.0), 1, "s16")
         )
         assert _wav_features(sr2, y2, 16)[3] > f[3] * 3
@@ -437,6 +437,29 @@ class TestStdlibAudio:
         # fake mode unchanged: 16 hash-derived values for every row
         fake = extract_audio_features(df).collect()
         assert all(len(r["features"]) == 16 for r in fake)
+
+    def test_review_findings_duration_cap_and_width(self):
+        """Review findings: (a) duration reports the TRUE clip length
+        even beyond the 2^21-sample analysis cap, and conversion is
+        bounded (samples truncated before float64); (b) n_features < 6
+        honors the requested width exactly, matching fake mode."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _WAV_ANALYSIS_MAX_SAMPLES, _wav_decode, _wav_features,
+            wav_encode,
+        )
+
+        n = _WAV_ANALYSIS_MAX_SAMPLES + 50_000
+        x = np.zeros(n)
+        x[::2] = 0.25
+        sr, _, y, dur = _wav_decode(wav_encode(44_100, x, 1, "s16"))
+        assert len(y) == _WAV_ANALYSIS_MAX_SAMPLES  # bounded conversion
+        assert abs(dur - n / 44_100) < 1e-9        # true duration
+        f = _wav_features(sr, y, 16, duration=dur)
+        assert abs(f[0] - n / 44_100) < 1e-9
+        short = _wav_features(sr, y[:1000], 4)
+        assert len(short) == 4
 
     def test_wav_fuzz(self):
         import numpy as np
@@ -543,6 +566,57 @@ class TestStdlibVideo:
         rows = fake.collect()
         assert [r["frame_index"] for r in rows] == [0, 5, 10]
         assert all((r["width"], r["height"], r["channels"]) == (8, 8, 3) for r in rows)
+
+    def test_review_findings_probe_robustness(self, spark):
+        """Review findings: (a) a corrupt AVI with 0xFFFFFFFF dims
+        degrades to NULL dims instead of crashing the Arrow conversion;
+        (b) a truncated version-1 mvhd degrades instead of reading a
+        garbage duration; (c) a QuickTime layout leading with 'wide'
+        still probes as mp4; (d) only stream 0's frames are sampled."""
+        import struct
+
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _avi_mjpeg_frames, _mp4_probe, avi_mjpeg_encode, jpeg_encode,
+            probe_video_metadata,
+        )
+
+        avi, _ = self._mjpeg(n=2, w=8, h=8)
+        bad = bytearray(avi)
+        i = bad.index(b"avih") + 8
+        bad[i + 32 : i + 40] = b"\xff" * 8  # width/height = 0xFFFFFFFF
+        mvhd_v1 = b"\x01" + bytes(27)  # 28-byte v1 body: truncated
+
+        def box(tag, body):
+            return struct.pack(">I", 8 + len(body)) + tag + body
+
+        trunc_mp4 = box(b"ftyp", b"isom") + box(
+            b"moov", box(b"mvhd", mvhd_v1) + box(b"free", bytes(64))
+        )
+        wide_mp4 = box(b"wide", b"") + box(
+            b"moov",
+            box(b"mvhd", bytes(12) + struct.pack(">II", 100, 250) + bytes(80)),
+        )
+        df = spark.createDataFrame(
+            [(1, bytes(bad)), (2, trunc_mp4), (3, wide_mp4)],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r for r in probe_video_metadata(df).collect()}
+        assert rows[1]["container"] == "avi" and rows[1]["width"] is None
+        assert rows[2]["duration_s"] is None  # truncated v1 mvhd degrades
+        assert rows[3]["container"] == "mp4"
+        assert rows[3]["duration_s"] == 2.5  # found behind 'wide'
+        # (d) second-stream chunks ('01dc') are not stream 0's frames
+        jpeg = jpeg_encode(8, 8, 3, bytes(192), quality=90)
+        two_stream = bytearray(avi_mjpeg_encode([jpeg, jpeg], 8, 8))
+        two_stream = bytes(two_stream).replace(b"00dc", b"01dc", 1)
+        frames = _avi_mjpeg_frames(two_stream)
+        assert len(frames) == 1  # only the remaining stream-0 chunk
+        # early-exit honors max_needed
+        many, _ = self._mjpeg(n=7, w=8, h=8)
+        assert len(_avi_mjpeg_frames(many, max_needed=3)) == 3
+        assert _mp4_probe(trunc_mp4) is None or _mp4_probe(trunc_mp4)[0] is None
 
     def test_avi_fuzz(self):
         import numpy as np
