@@ -34,6 +34,7 @@ __all__ = [
     "foreach_batch_parquet_sink", "stream_dedup_against_store",
     "stream_dedup_against_fingerprint_store",
     "stream_curation_pipeline", "stream_ann_enrich", "stream_fuzzy_dedup",
+    "stream_decode_media", "stream_extract_audio",
 ]
 
 
@@ -704,6 +705,60 @@ def stream_decode_media(
         if report_dir is not None:
             decode_format_report(
                 batch_df, decoded, payload_col=payload_col, id_col=id_col
+            ).write.mode("overwrite").parquet(
+                f"{report_dir}/ingest_batch={batch_id}"
+            )
+
+    return handle
+
+
+def stream_extract_audio(
+    out_dir: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_features: int = 16,
+    decode: str = "real",
+    report_dir: str | None = None,
+):
+    """Audio ingest on a stream — the audio twin of
+    :func:`stream_decode_media`: a ``foreachBatch`` handler that runs
+    :func:`~bertrand_spark.pipeline.multimodal.extract_audio_features`
+    (stdlib WAV decode + deterministic spectral features under
+    ``decode='real'``) over each micro-batch and lands
+    (id, features) in the idempotent per-epoch parquet layout.  When
+    ``report_dir`` is set, each epoch also writes one
+    (n_total, n_decoded, n_null) row — a compressed-audio or corrupt
+    burst is visible per micro-batch, not at end-of-job.
+
+    Scale shape: stateless (one Arrow pass per batch, per-row work
+    capped by the decoder's 2^21-sample analysis bound), the report is
+    one global aggregate on the batch — no streaming state, throughput
+    bounded by the feature kernel.  Replayed epochs overwrite their own
+    directories (features are deterministic per payload), preserving
+    exactly-once.
+    """
+    from ..pipeline.multimodal import extract_audio_features
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        feats = extract_audio_features(
+            batch_df, payload_col=payload_col, id_col=id_col,
+            n_features=n_features, decode=decode,
+        )
+        feats.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={batch_id}"
+        )
+        if report_dir is not None:
+            landed = batch_df.sparkSession.read.parquet(
+                f"{out_dir}/ingest_batch={batch_id}"
+            )
+            landed.agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(
+                    F.when(F.col("features").isNotNull(), 1).otherwise(0)
+                ).alias("n_decoded"),
+                F.sum(
+                    F.when(F.col("features").isNull(), 1).otherwise(0)
+                ).alias("n_null"),
             ).write.mode("overwrite").parquet(
                 f"{report_dir}/ingest_batch={batch_id}"
             )

@@ -644,6 +644,69 @@ class TestStdlibVideo:
             _mp4_probe(bytes(m))
 
 
+class TestStreamExtractAudio:
+    """Streaming audio ingest: stateless foreachBatch, idempotent
+    per-epoch sinks, per-epoch decode report — the audio twin of
+    stream_decode_media."""
+
+    def test_epochs_land_idempotently_with_reports(self, spark, tmp_path):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import wav_encode
+        from bertrand_spark.streaming.rollup import stream_extract_audio
+
+        t = np.arange(4000) / 8000.0
+        wav = wav_encode(8000, 0.5 * np.sin(2 * np.pi * 440 * t), 1, "s16")
+        batch = spark.createDataFrame(
+            [(1, wav), (2, b"ID3" + bytes(32)), (3, None)],
+            "media_id long, payload binary",
+        )
+        out = str(tmp_path / "audio")
+        rep = str(tmp_path / "reports")
+        handle = stream_extract_audio(out, report_dir=rep)
+        handle(batch, 0)
+        handle(batch, 0)  # epoch replay: overwrites, no dupes
+        handle(batch, 1)
+        landed = spark.read.parquet(f"{out}/ingest_batch=*")
+        assert landed.count() == 6  # 3 payloads x 2 epochs
+        by_id = {
+            r["media_id"]: r
+            for r in landed.filter("media_id = 1").collect()
+        }
+        assert abs(by_id[1]["features"][3] - 440.0) < 5.0
+        reports = spark.read.parquet(f"{rep}/ingest_batch=*").collect()
+        assert len(reports) == 2
+        assert all(
+            r["n_total"] == 3 and r["n_decoded"] == 1 and r["n_null"] == 2
+            for r in reports
+        )
+
+    def test_runs_as_a_real_stream(self, spark, tmp_path):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import wav_encode
+        from bertrand_spark.streaming.rollup import stream_extract_audio
+
+        src = str(tmp_path / "src")
+        wav = wav_encode(8000, np.zeros(100), 1, "s16")
+        spark.createDataFrame(
+            [(1, wav)], "media_id long, payload binary"
+        ).write.parquet(src)
+        out = str(tmp_path / "out")
+        stream = spark.readStream.schema(
+            "media_id long, payload binary"
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(stream_extract_audio(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(f"{out}/ingest_batch=*").collect()
+        assert len(got) == 1 and got[0]["features"] is not None
+
+
 class TestByteBpe:
     """Byte-level BPE (GPT-2 style) + special tokens (round-7 VERDICT
     item 5).  Gates: EXACT merge-sequence parity vs an independent
