@@ -132,6 +132,25 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     )
 
 
+
+def _rgb_to_luma(px):
+    """PIL's exact RGB→L fixed-point (ImagingConvert.c: ``L24(rgb) >>
+    16`` with L24 = R*19595 + G*38470 + B*7471, truncating) — NOT a
+    */1000 integer formula, which diverges from PIL on some triples
+    (e.g. RGB(6,215,0): 127 vs 128); bit-parity keeps pixel hashes
+    identical whether a worker decodes via PIL or a stdlib fallback,
+    so mixed-environment clusters stay deterministic.  (H, W, 3)
+    uint8 → (H, W, 1) uint8."""
+    import numpy as np
+
+    r = px[:, :, 0].astype(np.uint32)
+    g = px[:, :, 1].astype(np.uint32)
+    b = px[:, :, 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)[
+        :, :, None
+    ]
+
+
 def _png_unfilter(raw, h: int, stride: int, bpp: int):
     """Undo PNG scanline filters 0-4 over ``h`` rows of ``stride`` bytes
     (``bpp`` = bytes per complete pixel — the spec's left-predictor
@@ -297,18 +316,7 @@ def _png_decode(payload: bytes, channels: int):
         if channels == 3 and nch == 1:
             px = np.repeat(px, 3, axis=2)
         elif channels == 1 and nch == 3:
-            # PIL's exact RGB→L fixed-point (ImagingConvert.c:
-            # ``L24(rgb) >> 16`` with L24 = R*19595 + G*38470 + B*7471,
-            # truncating) — NOT a */1000 integer formula, which diverges
-            # from PIL on some triples (e.g. RGB(6,215,0): 127 vs 128);
-            # bit-parity keeps pixel hashes identical whether a worker
-            # decodes via PIL or this fallback, so mixed-environment
-            # clusters stay deterministic.
-            r = px[:, :, 0].astype(np.uint32)
-            g = px[:, :, 1].astype(np.uint32)
-            b = px[:, :, 2].astype(np.uint32)
-            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
-            px = px[:, :, None]
+            px = _rgb_to_luma(px)
         return int(w), int(h), channels, px.astype(np.uint8).tobytes()
     except Exception:
         return None, None, None, None
@@ -890,13 +898,7 @@ def _jpeg_decode(payload: bytes, channels: int):
         if channels == 3 and nch == 1:
             px = np.repeat(px, 3, axis=2)
         elif channels == 1 and nch == 3:
-            # same PIL fixed-point RGB→L as the PNG path
-            r = px[:, :, 0].astype(np.uint32)
-            g = px[:, :, 1].astype(np.uint32)
-            b = px[:, :, 2].astype(np.uint32)
-            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(
-                np.uint8
-            )[:, :, None]
+            px = _rgb_to_luma(px)
         return int(w), int(h), channels, px.tobytes()
     except Exception:
         return None, None, None, None
@@ -1970,12 +1972,7 @@ def _gif_decode(payload: bytes, channels: int):
         if px is None:
             return None, None, None, None
         if channels == 1:
-            r = px[:, :, 0].astype(np.uint32)
-            g = px[:, :, 1].astype(np.uint32)
-            b = px[:, :, 2].astype(np.uint32)
-            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(
-                np.uint8
-            )[:, :, None]
+            px = _rgb_to_luma(px)
         return int(w), int(h), channels, px.tobytes()
     except Exception:
         return None, None, None, None
@@ -2487,23 +2484,17 @@ def _webp_find_vp8l(payload: bytes):
     malformed)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
+    found: list = []
 
-    def scan(buf: bytes):
-        pos = 0
-        while pos + 8 <= len(buf):
-            tag = buf[pos : pos + 4]
-            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
-            body = buf[pos + 8 : pos + 8 + size]
-            if tag == b"VP8L":
-                return body
-            if tag == b"ANMF" and len(body) > 16:
-                sub = scan(body[16:])  # frame data = chunks after the
-                if sub is not None:    # 16-byte ANMF frame header
-                    return sub
-            pos += 8 + size + (size & 1)
-        return None
+    def on_chunk(tag, b0, b1):
+        if tag == b"VP8L":
+            found.append(payload[b0:b1])
+            return True  # first VP8L wins
+        return False
 
-    return scan(payload[12:])
+    # ANMF frame data = chunks after the 16-byte ANMF frame header
+    _riff_walk(payload, 12, len(payload), on_chunk, recurse={b"ANMF": 16})
+    return found[0] if found else None
 
 
 def _vp8l_decode(payload: bytes, channels: int):
@@ -2536,12 +2527,7 @@ def _vp8l_decode(payload: bytes, channels: int):
         px[:, :, 1] = (arr >> 8) & 0xFF
         px[:, :, 2] = arr & 0xFF
         if channels == 1:
-            r = px[:, :, 0].astype(np.uint32)
-            g = px[:, :, 1].astype(np.uint32)
-            b = px[:, :, 2].astype(np.uint32)
-            px = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(
-                np.uint8
-            )[:, :, None]
+            px = _rgb_to_luma(px)
         return int(w), int(h), channels, px.tobytes()
     except Exception:
         return None, None, None, None
@@ -3197,12 +3183,18 @@ def _mp4_probe(payload: bytes):
         return None
 
 
-def _riff_walk(buf: bytes, pos: int, end: int, on_chunk, depth: int = 0):
-    """THE RIFF little-endian chunk walk (shared by the AVI probe and
-    the MJPEG frame iterator — review finding: three hand-rolled
-    copies drift).  ``on_chunk(tag, body_start, body_end)`` is called
-    for every non-LIST chunk; LIST chunks recurse (depth-capped);
-    a truthy return from the callback stops the walk early."""
+_RIFF_LIST_RECURSE = {b"LIST": 4}  # skip the 4-byte list-type fourcc
+
+
+def _riff_walk(buf: bytes, pos: int, end: int, on_chunk,
+               depth: int = 0, recurse: dict = _RIFF_LIST_RECURSE):
+    """THE RIFF little-endian chunk walk (shared by the AVI probe, the
+    MJPEG frame iterator, and the WebP container — review finding:
+    hand-rolled copies drift).  ``on_chunk(tag, body_start, body_end)``
+    is called for every non-container chunk; tags in ``recurse`` map to
+    the byte offset of their nested chunks within the body (LIST → 4
+    past the list type, WebP ANMF → 16 past the frame header); a truthy
+    return from the callback stops the walk early."""
     if depth > 6:
         return False
     while pos + 8 <= end:
@@ -3210,8 +3202,12 @@ def _riff_walk(buf: bytes, pos: int, end: int, on_chunk, depth: int = 0):
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
         if pos + 8 + size > end:
             return False
-        if tag == b"LIST":
-            if _riff_walk(buf, pos + 12, pos + 8 + size, on_chunk, depth + 1):
+        off = recurse.get(tag)
+        if off is not None:
+            if _riff_walk(
+                buf, pos + 8 + off, pos + 8 + size, on_chunk,
+                depth + 1, recurse,
+            ):
                 return True
         elif on_chunk(tag, pos + 8, pos + 8 + size):
             return True

@@ -879,20 +879,36 @@ def _byte_pretok():
     return _BYTE_PRETOK
 
 
+_SPECIALS_PATTERNS: dict = {}
+
+
+def _specials_pattern(specials: tuple):
+    """Compiled longest-first alternation for the special tokens —
+    cached on the specials tuple so the kernel's per-ROW calls don't
+    rebuild the pattern string (simplify-pass finding)."""
+    import re
+
+    pat = _SPECIALS_PATTERNS.get(specials)
+    if pat is None:
+        pat = re.compile(
+            "|".join(
+                re.escape(s) for s in sorted(specials, key=len, reverse=True)
+            )
+        )
+        if len(_SPECIALS_PATTERNS) < 64:  # bounded worker-side cache
+            _SPECIALS_PATTERNS[specials] = pat
+    return pat
+
+
 def _byte_pre_tokenize(text: str, specials: tuple) -> list:
     """(piece, is_special) pre-tokens; special tokens split first
     (longest-first so an overlapping shorter special cannot shadow a
     longer one), the rest through the GPT-2-style pattern."""
     if not specials:
         return [(m.group(0), False) for m in _byte_pretok().finditer(text)]
-    import re
-
-    pat = "|".join(
-        re.escape(s) for s in sorted(specials, key=len, reverse=True)
-    )
     out = []
     pos = 0
-    for m in re.finditer(pat, text):
+    for m in _specials_pattern(specials).finditer(text):
         if m.start() > pos:
             out.extend(_byte_pre_tokenize(text[pos : m.start()], ()))
         out.append((m.group(0), True))

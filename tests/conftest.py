@@ -35,3 +35,29 @@ def lineitem(spark, sf_dir):
 @pytest.fixture(scope="session")
 def orders(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def mutate_blob(blob: bytearray, rng) -> bytearray:
+    """One random corruption of a codec payload (byte flips, truncate,
+    junk insertion, span deletion) — THE mutation kernel shared by
+    every codec-fuzz test (simplify-pass dedup of four copies)."""
+    kind = rng.integers(0, 4)
+    mutated = bytearray(blob)
+    if kind == 0:  # flip random bytes
+        for _ in range(int(rng.integers(1, 8))):
+            mutated[int(rng.integers(0, len(mutated)))] = int(
+                rng.integers(0, 256)
+            )
+    elif kind == 1:  # truncate anywhere
+        mutated = mutated[: int(rng.integers(0, len(mutated)))]
+    elif kind == 2:  # insert junk
+        at = int(rng.integers(0, len(mutated)))
+        mutated = (
+            mutated[:at]
+            + bytearray(rng.integers(0, 256, size=9, dtype="uint8"))
+            + mutated[at:]
+        )
+    else:  # delete a span
+        at = int(rng.integers(0, max(1, len(mutated) - 10)))
+        del mutated[at : at + int(rng.integers(1, 10))]
+    return mutated

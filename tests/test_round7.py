@@ -941,28 +941,11 @@ class TestCodecCorruptionFuzz:
     pixels or the all-None row, nothing else."""
 
     def _fuzz(self, decode, blob, rng, n_trials=150):
+        from conftest import mutate_blob  # shared mutation kernel
+
         blob = bytearray(blob)
         for _ in range(n_trials):
-            kind = rng.integers(0, 4)
-            mutated = bytearray(blob)
-            if kind == 0:  # flip random bytes
-                for _ in range(int(rng.integers(1, 8))):
-                    mutated[int(rng.integers(0, len(mutated)))] = int(
-                        rng.integers(0, 256)
-                    )
-            elif kind == 1:  # truncate anywhere
-                mutated = mutated[: int(rng.integers(0, len(mutated)))]
-            elif kind == 2:  # insert junk
-                at = int(rng.integers(0, len(mutated)))
-                mutated = (
-                    mutated[:at]
-                    + bytearray(rng.integers(0, 256, size=9, dtype="uint8"))
-                    + mutated[at:]
-                )
-            else:  # delete a span
-                at = int(rng.integers(0, max(1, len(mutated) - 10)))
-                del mutated[at : at + int(rng.integers(1, 10))]
-            out = decode(bytes(mutated), 3)  # must not raise
+            out = decode(bytes(mutate_blob(blob, rng)), 3)  # must not raise
             assert out[0] is None or isinstance(out[0], int)
 
     def test_jpeg_fuzz(self):

@@ -185,31 +185,12 @@ class TestVp8lCodec:
             _vp8l_decode, vp8l_encode,
         )
 
+        from conftest import mutate_blob
+
         def fuzz(blob, rng, n_trials=200):
             blob = bytearray(blob)
             for _ in range(n_trials):
-                kind = rng.integers(0, 4)
-                mutated = bytearray(blob)
-                if kind == 0:  # flip random bytes
-                    for _ in range(int(rng.integers(1, 8))):
-                        mutated[int(rng.integers(0, len(mutated)))] = int(
-                            rng.integers(0, 256)
-                        )
-                elif kind == 1:  # truncate anywhere
-                    mutated = mutated[: int(rng.integers(0, len(mutated)))]
-                elif kind == 2:  # insert junk
-                    at = int(rng.integers(0, len(mutated)))
-                    mutated = (
-                        mutated[:at]
-                        + bytearray(
-                            rng.integers(0, 256, size=9, dtype="uint8")
-                        )
-                        + mutated[at:]
-                    )
-                else:  # delete a span
-                    at = int(rng.integers(0, max(1, len(mutated) - 10)))
-                    del mutated[at : at + int(rng.integers(1, 10))]
-                out = _vp8l_decode(bytes(mutated), 3)  # must not raise
+                out = _vp8l_decode(bytes(mutate_blob(blob, rng)), 3)
                 assert out[0] is None or isinstance(out[0], int)
 
         rng = np.random.default_rng(85)
@@ -466,20 +447,12 @@ class TestStdlibAudio:
 
         from bertrand_spark.pipeline.multimodal import _wav_decode, wav_encode
 
+        from conftest import mutate_blob
+
         rng = np.random.default_rng(89)
         blob = bytearray(wav_encode(8000, self._tone(seconds=0.05), 1, "s16"))
         for _ in range(200):
-            m = bytearray(blob)
-            kind = rng.integers(0, 3)
-            if kind == 0:
-                for _ in range(int(rng.integers(1, 6))):
-                    m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
-            elif kind == 1:
-                m = m[: int(rng.integers(0, len(m)))]
-            else:
-                at = int(rng.integers(0, max(1, len(m) - 8)))
-                del m[at : at + int(rng.integers(1, 8))]
-            out = _wav_decode(bytes(m))  # must not raise
+            out = _wav_decode(bytes(mutate_blob(blob, rng)))  # must not raise
             assert out is None or out[0] >= 1
 
 
@@ -625,23 +598,16 @@ class TestStdlibVideo:
             _avi_mjpeg_frames, _avi_probe, _mp4_probe,
         )
 
+        from conftest import mutate_blob
+
         rng = np.random.default_rng(90)
         avi, _ = self._mjpeg(n=3, w=8, h=8)
         blob = bytearray(avi)
         for _ in range(200):
-            m = bytearray(blob)
-            kind = rng.integers(0, 3)
-            if kind == 0:
-                for _ in range(int(rng.integers(1, 6))):
-                    m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
-            elif kind == 1:
-                m = m[: int(rng.integers(0, len(m)))]
-            else:
-                at = int(rng.integers(0, max(1, len(m) - 8)))
-                del m[at : at + int(rng.integers(1, 8))]
-            _avi_probe(bytes(m))        # must not raise
-            _avi_mjpeg_frames(bytes(m))
-            _mp4_probe(bytes(m))
+            m = bytes(mutate_blob(blob, rng))
+            _avi_probe(m)        # must not raise
+            _avi_mjpeg_frames(m)
+            _mp4_probe(m)
 
 
 class TestStreamExtractAudio:
