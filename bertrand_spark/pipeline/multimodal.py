@@ -2072,57 +2072,105 @@ _VP8L_DIST_MAP = (
 )
 
 
-class _Vp8lBits:
-    """LSB-first bit reader over the VP8L payload (RFC 9649 §4)."""
+# bit-reversal of a 9-bit value: prefix codes are read bit-by-bit with
+# the FIRST stream bit as the code's MSB, while the stream itself is
+# LSB-first — the LUT peek reverses once instead of looping per bit
+_REV9 = tuple(
+    int(format(i, "09b")[::-1], 2) for i in range(512)
+)
+_LUT_BITS = 9
 
-    __slots__ = ("d", "pos", "total")
+
+class _Vp8lBits:
+    """LSB-first bit reader over the VP8L payload (RFC 9649 §4) with a
+    refilling accumulator — one slice per ~8 bytes instead of per bit
+    (the per-bit ``int.from_bytes`` was the decoder's hot spot)."""
+
+    __slots__ = ("d", "n", "byte_i", "acc", "nacc", "pos")
 
     def __init__(self, data: bytes):
         self.d = data
-        self.pos = 0
-        self.total = 8 * len(data)
+        self.n = len(data)
+        self.byte_i = 0
+        self.acc = 0
+        self.nacc = 0
+        self.pos = 0  # bits consumed (debug/tests)
+
+    def _fill(self, need: int) -> None:
+        while self.nacc < need and self.byte_i < self.n:
+            self.acc |= self.d[self.byte_i] << self.nacc
+            self.byte_i += 1
+            self.nacc += 8
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.total:
-            raise ValueError("vp8l: bitstream overrun")
-        byte_i = self.pos >> 3
-        window = int.from_bytes(
-            self.d[byte_i : byte_i + ((n + (self.pos & 7) + 7) >> 3)],
-            "little",
-        )
-        v = (window >> (self.pos & 7)) & ((1 << n) - 1)
+        if self.nacc < n:
+            self._fill(n)
+            if self.nacc < n:
+                raise ValueError("vp8l: bitstream overrun")
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nacc -= n
         self.pos += n
         return v
+
+    def peek_lut(self) -> int:
+        """Next ``_LUT_BITS`` stream bits WITHOUT consuming, zero-padded
+        past end-of-stream (a padded entry longer than the remaining
+        bits is caught by :meth:`skip`'s overrun check)."""
+        if self.nacc < _LUT_BITS:
+            self._fill(_LUT_BITS)
+        return self.acc & ((1 << _LUT_BITS) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.nacc < n:
+            raise ValueError("vp8l: bitstream overrun")
+        self.acc >>= n
+        self.nacc -= n
+        self.pos += n
 
 
 def _vp8l_canonical(lengths):
     """Canonical prefix code from code lengths (deflate convention:
-    shorter codes first, ties by symbol order).  Returns
-    (table {(len, code): symbol}, single_symbol_or_None)."""
+    shorter codes first, ties by symbol order).  Returns (table
+    {(len, code): symbol}, single_symbol_or_None, 512-entry peek LUT).
+
+    The LUT resolves codes of ≤ 9 bits in ONE indexed lookup of the
+    bit-reversed 9-bit peek (symbol, length); entries under a longer
+    code's prefix stay None and fall back to the bit-by-bit walk —
+    the same two-tier shape that doubled the stdlib JPEG decoder."""
     syms = [(l, s) for s, l in enumerate(lengths) if l > 0]
     if not syms:
         raise ValueError("vp8l: empty code")
     if len(syms) == 1:
-        return {}, syms[0][1]
+        return {}, syms[0][1], None
     syms.sort()
     table = {}
+    lut = [None] * (1 << _LUT_BITS)
     code = 0
     last = syms[0][0]
     for l, s in syms:
         code <<= l - last
         last = l
         table[(l, code)] = s
+        if l <= _LUT_BITS:
+            base = code << (_LUT_BITS - l)
+            for i in range(1 << (_LUT_BITS - l)):
+                lut[base + i] = (s, l)
         code += 1
-    return table, None
+    return table, None, lut
 
 
 def _vp8l_read_sym(huff, br) -> int:
-    table, single = huff
+    table, single, lut = huff
     if single is not None:
         return single
-    code = 0
+    ent = lut[_REV9[br.peek_lut()]]
+    if ent is not None:
+        br.skip(ent[1])
+        return ent[0]
+    code = 0  # escape: a code longer than the LUT covers
     for l in range(1, 16):
         code = (code << 1) | br.read(1)
         s = table.get((l, code))
@@ -2140,11 +2188,14 @@ def _vp8l_read_code(alphabet: int, br):
         if s0 >= alphabet:
             raise ValueError("vp8l: simple symbol out of range")
         if n == 1:
-            return {}, s0
+            return {}, s0, None
         s1 = br.read(8)
         if s1 >= alphabet:
             raise ValueError("vp8l: simple symbol out of range")
-        return {(1, 0): s0, (1, 1): s1}, None
+        # read-order assignment (s0 ↔ bit 0), NOT canonical-by-symbol
+        half = 1 << (_LUT_BITS - 1)
+        lut = [(s0, 1)] * half + [(s1, 1)] * half
+        return {(1, 0): s0, (1, 1): s1}, None, lut
     ncodes = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(ncodes):
