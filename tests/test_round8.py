@@ -610,6 +610,106 @@ class TestStdlibVideo:
             _mp4_probe(m)
 
 
+class TestHypothesisNewParsers:
+    """Hypothesis random-blob + prefixed-blob fuzz extended to every
+    round-8 parser: VP8L, WAV, the AVI/MP4 probes, and the MJPEG frame
+    iterator — the same no-raise property as the round-7 codecs."""
+
+    def test_random_blobs(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from bertrand_spark.pipeline.multimodal import (
+            _avi_mjpeg_frames, _avi_probe, _mp4_probe, _vp8l_decode,
+            _wav_decode,
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(hst.binary(min_size=0, max_size=600))
+        def run(blob):
+            out = _vp8l_decode(blob, 3)
+            assert out[0] is None or isinstance(out[0], int)
+            w = _wav_decode(blob)
+            assert w is None or w[0] >= 1
+            _avi_probe(blob)
+            _mp4_probe(blob)
+            _avi_mjpeg_frames(blob)
+
+        run()
+
+    def test_prefixed_blobs(self):
+        """Random bytes behind VALID container magics — forces the
+        parsers past the cheap signature check into chunk/box logic."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from bertrand_spark.pipeline.multimodal import (
+            _avi_mjpeg_frames, _avi_probe, _mp4_probe, _vp8l_decode,
+            _wav_decode,
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(hst.binary(min_size=4, max_size=400))
+        def run(tail):
+            # the property IS "returns instead of raising"
+            _vp8l_decode(b"RIFF\x00\x01\x00\x00WEBPVP8L" + tail, 3)
+            _wav_decode(b"RIFF\x00\x01\x00\x00WAVE" + tail)
+            _avi_probe(b"RIFF\x00\x01\x00\x00AVI " + tail)
+            _avi_mjpeg_frames(b"RIFF\x00\x01\x00\x00AVI " + tail)
+            _mp4_probe((len(tail) + 8).to_bytes(4, "big") + b"moov" + tail)
+
+        run()
+
+
+class TestAudioNearDupComposition:
+    """The multimodal stack composes: WAV payloads → real spectral
+    features → the EXISTING embedding near-dup operator finds the
+    duplicated recordings — no audio-specific similarity code."""
+
+    def test_duplicate_tones_pair_up(self, spark):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            extract_audio_features, wav_encode,
+        )
+        from bertrand_spark.pipeline.similarity import brute_force_topk
+
+        rng = np.random.default_rng(91)
+        rows = []
+        sr = 8000
+        t = np.arange(sr) / sr
+        for i in range(8):  # 8 distinct tone mixtures
+            x = 0.4 * np.sin(2 * np.pi * (220 + 60 * i) * t)
+            x += 0.2 * np.sin(2 * np.pi * (700 + 45 * i) * t)
+            rows.append((i, wav_encode(sr, x, 1, "s16")))
+        # id 100: a re-encode of id 3's signal (400 + 835 Hz) with tiny
+        # dither — the planted near-duplicate recording
+        x3 = 0.4 * np.sin(2 * np.pi * 400 * t) + 0.2 * np.sin(
+            2 * np.pi * 835 * t
+        )
+        rows.append(
+            (100, wav_encode(sr, x3 + 0.0005 * rng.normal(size=sr), 1, "s16"))
+        )
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        # embed on the SPECTRAL SHAPE (the log-band energies,
+        # features[6:]) — cosine over mixed-unit scalars like duration
+        # would be dominated by magnitudes identical across recordings
+        feats = extract_audio_features(df, decode="real", n_features=70).select(
+            F.col("media_id").alias("vec_id"),
+            F.slice(F.col("features"), 7, 64).alias("embedding"),
+        )
+        queries = feats.filter(F.col("vec_id") == 100).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        top = sorted(
+            brute_force_topk(feats, queries, k=2).collect(),
+            key=lambda r: -r["cosine"],
+        )
+        # nearest non-self neighbor of the dithered copy is id 3
+        others = [r for r in top if r["vec_id"] != 100]
+        assert others and others[0]["vec_id"] == 3
+
+
 class TestStreamExtractAudio:
     """Streaming audio ingest: stateless foreachBatch, idempotent
     per-epoch sinks, per-epoch decode report — the audio twin of
