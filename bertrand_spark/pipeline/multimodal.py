@@ -2378,60 +2378,67 @@ def _vp8l_delta(t: int, c: int) -> int:
 
 
 def _vp8l_apply_inverse(argb, transforms, xsize: int, ysize: int):
-    """Apply inverse transforms in reverse read order (RFC 9649 §4)."""
+    """Apply inverse transforms in reverse read order (RFC 9649 §4).
+
+    Palette lookup / unbundling, add-green, and cross-color are
+    whole-array numpy (no spatial dependency — cross-color's only
+    coupling is the per-block coefficients, expanded by index arrays);
+    the spatial predictor stays a scalar loop, inherently sequential in
+    x through the reconstructed left neighbor.  ``argb`` is a Python
+    list in and out (the entropy loop's native representation)."""
+    import numpy as np
+
     for t in reversed(transforms):
         if t[0] == 3:  # color indexing: palette lookup (+ unbundle)
             _, wb, pal, orig_x = t
-            npal = len(pal)
+            # out-of-range indices decode to 0x00000000 per libwebp:
+            # pad the lookup table with zeros
+            pal_np = np.zeros(256, dtype=np.uint32)
+            pal_np[: len(pal)] = pal
+            arr = np.asarray(argb, dtype=np.uint32)
             if wb:
                 bpp = 8 >> wb
                 mask = (1 << bpp) - 1
                 packed_x = _vp8l_subsample(orig_x, wb)
-                new = [0] * (orig_x * ysize)
-                for y in range(ysize):
-                    row = y * packed_x
-                    nrow = y * orig_x
-                    for x in range(orig_x):
-                        g = (argb[row + (x >> wb)] >> 8) & 0xFF
-                        idx = (g >> ((x & ((1 << wb) - 1)) * bpp)) & mask
-                        new[nrow + x] = pal[idx] if idx < npal else 0
-                argb = new
+                g = ((arr >> 8) & 0xFF).reshape(ysize, packed_x)
+                xs = np.arange(orig_x)
+                shifts = ((xs & ((1 << wb) - 1)) * bpp).astype(np.uint32)
+                idx = (g[:, xs >> wb] >> shifts[None, :]) & mask
+                argb = pal_np[idx].reshape(-1).tolist()
             else:
-                argb = [
-                    pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < npal else 0
-                    for p in argb
-                ]
+                argb = pal_np[(arr >> 8) & 0xFF].tolist()
             xsize = orig_x
         elif t[0] == 2:  # add green
-            argb = [
-                (p & 0xFF000000)
-                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
-                | (p & 0xFF00)
-                | ((p + (p >> 8)) & 0xFF)
-                for p in argb
-            ]
+            arr = np.asarray(argb, dtype=np.uint32)
+            g = (arr >> 8) & 0xFF
+            argb = (
+                (arr & 0xFF00FF00)
+                | ((((arr >> 16) & 0xFF) + g & 0xFF) << 16)
+                | ((arr & 0xFF) + g & 0xFF)
+            ).tolist()
         elif t[0] == 1:  # cross-color inverse
             _, bits, timg, xsize = t  # width recorded at read time
             tw = _vp8l_subsample(xsize, bits)
-            for y in range(ysize):
-                trow = (y >> bits) * tw
-                row = y * xsize
-                for x in range(xsize):
-                    e = timg[trow + (x >> bits)]
-                    g2r = (e >> 0) & 0xFF   # blue channel of the element
-                    g2b = (e >> 8) & 0xFF   # green channel
-                    r2b = (e >> 16) & 0xFF  # red channel
-                    p = argb[row + x]
-                    g = (p >> 8) & 0xFF
-                    red = ((p >> 16) & 0xFF) + _vp8l_delta(g2r, g)
-                    blue = (p & 0xFF) + _vp8l_delta(g2b, g)
-                    blue += _vp8l_delta(r2b, red & 0xFF)
-                    argb[row + x] = (
-                        (p & 0xFF000000)
-                        | ((red & 0xFF) << 16)
-                        | (p & 0xFF00)
-                        | (blue & 0xFF)
-                    )
+            e2d = np.asarray(timg, dtype=np.uint32).reshape(-1, tw)
+            ty = np.arange(ysize) >> bits
+            tx = np.arange(xsize) >> bits
+            e = e2d[ty][:, tx].reshape(-1)  # per-pixel elements
+
+            def s8(v):  # sign-extend a uint8 lane to int32
+                return (((v & 0xFF) + 128) % 256 - 128).astype(np.int32)
+
+            arr = np.asarray(argb, dtype=np.uint32)
+            g = s8(arr >> 8)
+            red = ((arr >> 16) & 0xFF).astype(np.int32) + (
+                (s8(e) * g) >> 5
+            )  # g2r lives in the element's blue byte
+            blue = (arr & 0xFF).astype(np.int32) + ((s8(e >> 8) * g) >> 5)
+            blue += (s8(e >> 16) * s8(red)) >> 5
+            argb = (
+                (arr & 0xFF00FF00)
+                | ((red.astype(np.uint32) & 0xFF) << 16)
+                | (blue.astype(np.uint32) & 0xFF)
+            ).tolist()
         else:  # predictor inverse
             _, bits, timg, xsize = t  # width recorded at read time
             tw = _vp8l_subsample(xsize, bits)
