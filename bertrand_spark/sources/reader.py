@@ -182,6 +182,32 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml_inferred(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    **options: str,
+) -> DataFrame:
+    """XML ingestion (Spark 4's built-in XML source — no external
+    package) with the same ENGINE re-classification pass as CSV/JSON:
+    string leaves that parse uniformly get promoted by the anonymous
+    cast (C31), so an all-numeric ``<qty>`` element becomes a numeric
+    column from ONE full-data aggregate, not Spark's sampler.
+    ``row_tag`` names the repeated element that forms a row; nested
+    elements arrive as struct columns (left untouched — the cast
+    promotes top-level strings only).  The source's own SAMPLING
+    inference is disabled (``inferSchema=false`` → all-string leaves)
+    so the engine's full-data pass owns the decision, same as the CSV
+    path."""
+    from ..convert.cast import cast
+
+    raw = (
+        spark.read.format("xml").option("rowTag", row_tag)
+        .option("inferSchema", "false").options(**options).load(path)
+    )
+    return cast(raw, errors="coerce")
+
+
 def read_text_lines(
     spark: SparkSession, path: str, classify: bool = False
 ) -> DataFrame:

@@ -37,6 +37,33 @@ class TestInferredSources:
             assert out.schema["n"].dataType.simpleString() == "bigint"
             assert out.schema["s"].dataType.simpleString() == "string"
 
+    def test_xml_strings_promoted(self, spark):
+        """Spark 4's built-in XML source behind the same engine
+        re-classification as CSV/JSON: numeric leaves promote, nested
+        structs pass through untouched (round 8)."""
+        import os
+
+        from bertrand_spark.sources.reader import read_xml_inferred
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "recs.xml")
+            with open(path, "w") as f:
+                f.write(
+                    "<records>"
+                    "<rec><qty>10</qty><name>ax</name>"
+                    "<meta><tag>u</tag></meta></rec>"
+                    "<rec><qty>25</qty><name>by</name>"
+                    "<meta><tag>v</tag></meta></rec>"
+                    "</records>"
+                )
+            out = read_xml_inferred(spark, path, row_tag="rec")
+            kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+            assert kinds["qty"] == "bigint"
+            assert kinds["name"] == "string"
+            assert kinds["meta"].startswith("struct")
+            rows = {r["name"]: r["qty"] for r in out.collect()}
+            assert rows == {"ax": 10, "by": 25}
+
     def test_write_partitioned_prunes(self, spark):
         with tempfile.TemporaryDirectory() as d:
             df = spark.createDataFrame(
