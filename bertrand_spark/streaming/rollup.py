@@ -753,11 +753,20 @@ def stream_extract_audio(
             )
             landed.agg(
                 F.count(F.lit(1)).alias("n_total"),
-                F.sum(
-                    F.when(F.col("features").isNotNull(), 1).otherwise(0)
+                # coalesce: F.sum over an EMPTY micro-batch is NULL,
+                # and a monitoring consumer summing/alerting on the
+                # counters must see 0 (review finding)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("features").isNotNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("n_decoded"),
-                F.sum(
-                    F.when(F.col("features").isNull(), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("features").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("n_null"),
             ).write.mode("overwrite").parquet(
                 f"{report_dir}/ingest_batch={batch_id}"

@@ -943,7 +943,6 @@ class TestCodecCorruptionFuzz:
     def _fuzz(self, decode, blob, rng, n_trials=150):
         from conftest import mutate_blob  # shared mutation kernel
 
-        blob = bytearray(blob)
         for _ in range(n_trials):
             out = decode(bytes(mutate_blob(blob, rng)), 3)  # must not raise
             assert out[0] is None or isinstance(out[0], int)

@@ -188,7 +188,6 @@ class TestVp8lCodec:
         from conftest import mutate_blob
 
         def fuzz(blob, rng, n_trials=200):
-            blob = bytearray(blob)
             for _ in range(n_trials):
                 out = _vp8l_decode(bytes(mutate_blob(blob, rng)), 3)
                 assert out[0] is None or isinstance(out[0], int)
@@ -746,6 +745,21 @@ class TestStreamExtractAudio:
             r["n_total"] == 3 and r["n_decoded"] == 1 and r["n_null"] == 2
             for r in reports
         )
+
+    def test_empty_batch_report_is_zero_not_null(self, spark, tmp_path):
+        """Review finding: F.sum over an empty micro-batch is NULL —
+        the report counters must read 0 so monitoring consumers can
+        sum/compare them."""
+        from bertrand_spark.streaming.rollup import stream_extract_audio
+
+        out = str(tmp_path / "audio")
+        rep = str(tmp_path / "reports")
+        empty = spark.createDataFrame(
+            [], "media_id long, payload binary"
+        )
+        stream_extract_audio(out, report_dir=rep)(empty, 0)
+        r = spark.read.parquet(f"{rep}/ingest_batch=0").collect()[0]
+        assert (r["n_total"], r["n_decoded"], r["n_null"]) == (0, 0, 0)
 
     def test_runs_as_a_real_stream(self, spark, tmp_path):
         import numpy as np
