@@ -1217,15 +1217,16 @@ def _token_prefix_by_threshold(
     sharing ONE double-valued Gumbel key (measure-zero under the md5
     key construction).
 
-    The bisection rounds run against a PERSISTED copy of ``keyed``
-    (the scoring kernel + key computation execute once, not once per
-    aggregate — the repo's persist-before-fanout lesson); the cache is
-    released before returning, so the returned selection recomputes
-    the lineage exactly once when the caller executes it and nothing
-    leaks across calls.
+    The bisection rounds run against a PERSISTED copy of the THREE
+    columns they read — (id, __ntok, gumbel_key), ~tens of bytes per
+    row — so the scoring kernel + key computation execute once (the
+    repo's persist-before-fanout lesson) without caching the scored
+    frame's full payload; the cache is released before returning, so
+    the returned selection recomputes the lineage exactly once when
+    the caller executes it and nothing leaks across calls.
     """
     key = F.col("gumbel_key")
-    cached = keyed.persist()
+    cached = keyed.select(id_col, "__ntok", "gumbel_key").persist()
     try:
         totals = cached.agg(
             F.sum("__ntok").alias("tot"), F.count(F.lit(1)).alias("n")
