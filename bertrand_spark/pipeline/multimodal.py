@@ -1848,15 +1848,22 @@ def _gif_lzw(data: bytes, min_code: int, expect: int):
     width = min_code + 1
     out: list = []
     prev = None
-    bitpos = 0
-    total_bits = 8 * len(data)
+    # refilling accumulator: one indexed byte per refill instead of a
+    # 3-byte slice + int.from_bytes per CODE (the _Vp8lBits lesson)
+    acc = 0
+    nacc = 0
+    byte_i = 0
+    n_bytes = len(data)
     while len(out) < expect:
-        if bitpos + width > total_bits:
+        while nacc < width and byte_i < n_bytes:
+            acc |= data[byte_i] << nacc
+            byte_i += 1
+            nacc += 8
+        if nacc < width:
             return None  # ran out before END/expected pixels
-        byte_i = bitpos >> 3
-        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
-        c = (window >> (bitpos & 7)) & ((1 << width) - 1)
-        bitpos += width
+        c = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
         if c == clear:
             codes = list(base)
             width = min_code + 1
