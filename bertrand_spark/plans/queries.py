@@ -4492,50 +4492,51 @@ def q60(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
-# STANDING POLICY (two-round rotation): the driver's correctness gate runs
-# exactly the FIRST 50 keys of ``queries()``.  With 93 oracle-backed queries
-# and a 50-slot window, every query must re-enter the window at least every
-# other round so no driver attestation is more than two rounds stale.  Each
-# round: (a) the queries NOT attested last round fill the leading slots;
-# (b) the remaining slots refresh queries whose kernels/plans this round
-# touched.  Registration order above is unchanged; only the public dict
-# order rotates.  A name here that no longer exists in QUERIES raises at
-# import (see below) so a rename cannot silently drop coverage.
+# STANDING POLICY (rotating 50-slot window): the driver's correctness gate
+# runs exactly the FIRST 50 keys of ``queries()``.  With 110 oracle-backed
+# queries and a 50-slot window, every query must re-enter the window at
+# least every ceil(110/50)=3 rounds so no driver attestation falls out of
+# the 3-round artifact union the cycle test checks.  Each round: (a) the
+# queries whose last attestation is about to age out fill the leading
+# slots; (b) the remaining slots refresh queries whose kernels/plans this
+# round touched.  Registration order above is unchanged; only the public
+# dict order rotates.  A name here that no longer exists in QUERIES raises
+# at import (see below) so a rename cannot silently drop coverage.
 #
-# Round 8: the ten r05-stale names (their only driver attestation is the
-# r05 artifact, which falls out of the ceil(110/50)=3-round union after
-# this round) take the leading slots, exactly as round 7's note demanded.
-# The remaining 40 slots re-attest names from the r06 window, preferring
-# the ones whose code round 8 touched (x13/x14 sit atop multimodal.py,
-# which gained the VP8L/WebP decoder; x44 sits atop curation.py, which
-# gained the distributed token-budget selection path; x08 sits atop
-# text.py, which gained byte-level BPE).  Ten structurally-stable r06
-# names (q02/q03/q05/q06/q07/q10/q15/q16/q18/q24b — pure cast/scalar
-# shapes, code untouched since r06) wait for round 9; the cycle test
-# covers them via the r06 artifact, and round 9's rotation must lead
+# Round 9: the ten r06-stale names (q02/q03/q05/q06/q07/q10/q15/q16/q18/
+# q24b — their only driver row is the r06 artifact, which leaves the
+# 3-round union after this round) take the leading slots, exactly as
+# round 8's note committed.  The remaining 40 slots re-attest names from
+# the r07 window, preferring the ones whose code round 9 touched
+# (x45/x46/x47/x20/x17/x39/x40 sit atop curation.py, which changed the
+# DSIR selection-regime default; q57 sits atop the tightened reduction-
+# filter audit in plans/audit.py).  Ten structurally-stable r07 TPC-H
+# planner shapes (q41/q43/q45/q46/q47/q48/q49/q52/q53/q55 — pure
+# join/agg plans over unchanged code) wait for round 10; the cycle test
+# covers them via the r07 artifact, and round 10's rotation must lead
 # with them.
 _DRIVER_ROTATION = [
-    # r05-stale re-attestations (10): r05 leaves the 3-round union now
-    "q01_detect_tags", "q13_parse_temporal", "q32_map_ops",
-    "q36_profile", "x21_redact_pii", "x22_pack_sequences",
-    "x23_stratified_sample", "x24_repetition_score",
-    "x27_corpus_stats", "x37_temperature_resample",
-    # r06 re-attestations (40): code-touched names first
-    "x13_media_sniff", "x14_media_decode", "x44_overlap_report",
-    "x08_token_stats",
-    "q04_rounding_rules", "q08_epoch_datetime", "q09_radix_format",
-    "q11_datetime_units", "q12_string_to_bool", "q14_categorize",
-    "q17_where_ternary", "q17b_where_filter", "q19_concat_sep",
-    "q19b_union_all", "q20_find_replace", "q21_reductions",
-    "q22_stable_sort", "q23_ordered_dedup", "q24_intersect",
-    "q25_dt_td_conversions", "q26_calendar_units", "q27_object_roundtrip",
-    "q28_anonymous_cast", "q31_regex_dialect", "q50_nation_trade_volume",
-    "q51_market_share", "q54_small_quantity_revenue",
-    "q56_waiting_supplier", "x01_exact_dedup", "x05_cosine_topk",
-    "x06_cosine_pairs", "x07_ivf_topk", "x09_lang_scores",
-    "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
-    "x15_rolling_fingerprints", "x19_stream_rollup", "x42_lm_perplexity",
-    "x43_semdedup",
+    # r06-stale re-attestations (10): r06 leaves the 3-round union now
+    "q02_typecheck_bounds", "q03_generic_casts", "q05_boundscheck",
+    "q06_downcast_feasibility", "q07_numeric_widening",
+    "q10_decimal_matrix", "q15_iota", "q16_enumerate",
+    "q18_slice", "q24b_except",
+    # r07 re-attestations (40): code-touched names first
+    "x45_dsir_weights", "x46_filter_cascade", "x47_dsir_resample",
+    "x20_decontaminate", "x17_quality_scores",
+    "x39_adaptive_length_filter", "x40_mix_corpus", "q57_top_supplier",
+    "q29_asof_join", "q30_range_join", "q33_revenue_by_nation",
+    "q34_rollup_revenue", "q35_window_functions", "q37_promo_share",
+    "q38_semi_anti_join", "q39_pricing_summary", "q40_shipping_priority",
+    "q42_returned_items", "q44_cube_orders", "q58_min_cost_supplier",
+    "q59_important_stock", "q60_potential_promotion",
+    "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
+    "x16_cosine_near_dup", "x18_pipeline_end_to_end", "x25_stream_dedup",
+    "x26_stream_sessions", "x28_stream_stream_join",
+    "x29_foreachbatch_sink", "x30_dedup_clusters", "x31_dedup_canonical",
+    "x32_fuzzy_join", "x33_gopher_rules", "x34_tfidf_top_terms",
+    "x35_chunk_dedup", "x36_incremental_dedup", "x38_knn_graph",
+    "x41_dedup_keep_best",
 ]
 
 
