@@ -1518,6 +1518,20 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, _FRAME_SCHEMA)
 
 
+def _audio_features_or_none(payload, n_features: int):
+    """Decode + featurize one audio payload, or None.  Feature
+    extraction honors the same per-row NULL-degrade contract as the
+    decode itself — a numpy edge case must degrade the row, never kill
+    the Spark task (round-8 ADVICE)."""
+    dec = _wav_decode(payload) if payload is not None else None
+    if dec is None:
+        return None
+    try:
+        return _wav_features(dec[0], dec[2], n_features, duration=dec[3])
+    except Exception:
+        return None
+
+
 def extract_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1553,14 +1567,9 @@ def extract_audio_features(
             feats = []
             for p in pdf[payload_col]:
                 if decode == "real":
-                    dec = _wav_decode(bytes(p)) if p is not None else None
-                    feats.append(
-                        None
-                        if dec is None
-                        else _wav_features(
-                            dec[0], dec[2], n_features, duration=dec[3]
-                        )
-                    )
+                    feats.append(_audio_features_or_none(
+                        bytes(p) if p is not None else None, n_features
+                    ))
                 else:
                     h = hashlib.sha256(p or b"").digest()
                     feats.append([b / 255.0 for b in h[:n_features]])
@@ -2153,6 +2162,15 @@ def _vp8l_canonical(lengths):
     if len(syms) == 1:
         return {}, syms[0][1], None
     syms.sort()
+    # Kraft completeness: a multi-symbol code must satisfy
+    # sum(2^-len) == 1 exactly (integer form: sum(2^(maxlen-len)) ==
+    # 2^maxlen).  Over-subscribed codes alias two symbols onto one bit
+    # pattern and under-subscribed ones leave undecodable patterns —
+    # libwebp rejects both; decoding them silently produces garbage
+    # pixels that would feed downstream hashes/dedup (round-8 ADVICE).
+    maxlen = syms[-1][0]
+    if sum(1 << (maxlen - l) for l, _ in syms) != 1 << maxlen:
+        raise ValueError("vp8l: prefix code not Kraft-complete")
     table = {}
     lut = [None] * (1 << _LUT_BITS)
     code = 0
@@ -2705,31 +2723,80 @@ def _vp8l_emit_prefix_value(bw, value: int, enc, sym_base: int,
 
 
 def _vp8l_emit_entropy_image(bw, argb, use_lz77=False, cache_bits=0,
-                             level0=False):
+                             level0=False, meta_bits=None, xsize=None,
+                             ysize=None):
     """Write one entropy-coded image.  Sub-resolution images carry no
-    meta-prefix bit; the level-0 image writes it (as 0: one code
-    group).  Fixed complete two-length codes keep the encoder tiny;
-    optional run-of-previous-pixel LZ77 and color cache exercise the
-    decoder's backref/cache paths."""
+    meta-prefix bit; the level-0 image writes it (0: a single code
+    group, or — with ``meta_bits`` — a real meta-prefix image assigning
+    TWO code groups in a per-block checkerboard, the branch real
+    libwebp output uses routinely; round-8 ADVICE asked for encoder
+    coverage).  The two groups use DIFFERENT green code shapes (8/9 vs
+    8/10 two-length splits) so a decoder that picks the wrong group
+    cannot round-trip.  Fixed complete two-length codes keep the
+    encoder tiny; optional run-of-previous-pixel LZ77 and color cache
+    exercise the decoder's backref/cache paths."""
     bw.put(1 if cache_bits else 0, 1)
     if cache_bits:
         bw.put(cache_bits, 4)
+    group_of = None
     if level0:
-        bw.put(0, 1)  # no meta-prefix image: a single code group
+        if meta_bits:
+            if cache_bits:
+                # the 8/10 split of the cache-widened green alphabet is
+                # not Kraft-splittable for most cache sizes — keep the
+                # fixture switches orthogonal
+                raise ValueError(
+                    "vp8l_encode: meta_prefix_bits excludes cache_bits"
+                )
+            bw.put(1, 1)
+            bw.put(meta_bits - 2, 3)
+            mw = _vp8l_subsample(xsize, meta_bits)
+            mh = _vp8l_subsample(ysize, meta_bits)
+            meta_px = [
+                0xFF000000 | (((bx + by) & 1) << 8)
+                for by in range(mh)
+                for bx in range(mw)
+            ]
+            _vp8l_emit_entropy_image(bw, meta_px)
+
+            def group_of(pos):
+                return (
+                    meta_px[
+                        ((pos // xsize) >> meta_bits) * mw
+                        + ((pos % xsize) >> meta_bits)
+                    ]
+                    >> 8
+                ) & 0xFFFF
+
+        else:
+            bw.put(0, 1)  # no meta-prefix image: a single code group
     green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
-    # complete two-length split for the green alphabet at max len 9
-    g_enc = _vp8l_emit_two_len_code(bw, green_alpha, 8, 9)
-    r_enc = _vp8l_emit_identity8(bw)
-    b_enc = _vp8l_emit_identity8(bw)
-    a_enc = _vp8l_emit_identity8(bw)
-    if use_lz77:
-        d_enc = _vp8l_emit_two_len_code(bw, 40, 5, 6)
-    else:  # single-symbol simple code: zero bits ever read for distance
-        bw.put(1, 1)  # simple
-        bw.put(0, 1)  # one symbol
-        bw.put(0, 1)  # 1-bit symbol
-        bw.put(0, 1)  # symbol 0
-        d_enc = None
+    # the group COUNT is derived from the meta image exactly as the
+    # decoder derives it (max referenced index + 1): a meta grid that
+    # degenerates to one block must also write one code group, or the
+    # streams desync
+    ngroups = (
+        max((p >> 8) & 0xFFFF for p in meta_px) + 1 if group_of else 1
+    )
+    groups = []
+    for gi in range(ngroups):
+        # complete two-length splits for the green alphabet: group 0
+        # at max len 9, group 1 at max len 10 (distinct code shapes)
+        g_enc = _vp8l_emit_two_len_code(
+            bw, green_alpha, 8, 9 if gi == 0 else 10
+        )
+        r_enc = _vp8l_emit_identity8(bw)
+        b_enc = _vp8l_emit_identity8(bw)
+        a_enc = _vp8l_emit_identity8(bw)
+        if use_lz77:
+            d_enc = _vp8l_emit_two_len_code(bw, 40, 5, 6)
+        else:  # single-symbol simple code: zero bits read for distance
+            bw.put(1, 1)  # simple
+            bw.put(0, 1)  # one symbol
+            bw.put(0, 1)  # 1-bit symbol
+            bw.put(0, 1)  # symbol 0
+            d_enc = None
+        groups.append((g_enc, r_enc, b_enc, a_enc, d_enc))
     cache = [None] * (1 << cache_bits) if cache_bits else None
     shift = 32 - cache_bits if cache_bits else 0
 
@@ -2737,7 +2804,8 @@ def _vp8l_emit_entropy_image(bw, argb, use_lz77=False, cache_bits=0,
         if cache is not None:
             cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
 
-    def emit_literal(px):
+    def emit_literal(px, enc5):
+        g_enc, r_enc, b_enc, a_enc, _ = enc5
         if cache is not None:
             k = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift
             if cache[k] == px:
@@ -2758,6 +2826,9 @@ def _vp8l_emit_entropy_image(bw, argb, use_lz77=False, cache_bits=0,
     i = 0
     n = len(argb)
     while i < n:
+        # the decoder selects the code group at the CURRENT pixel
+        # position for every symbol read this iteration
+        enc5 = groups[group_of(i)] if group_of else groups[0]
         if use_lz77 and i > 0 and argb[i] == argb[i - 1]:
             run = 1
             while (
@@ -2767,13 +2838,15 @@ def _vp8l_emit_entropy_image(bw, argb, use_lz77=False, cache_bits=0,
             ):
                 run += 1
             if run >= 3:
-                _vp8l_emit_prefix_value(bw, run, g_enc, 256, max_codes=24)
-                _vp8l_emit_prefix_value(bw, 1 + 120, d_enc, 0)
+                _vp8l_emit_prefix_value(
+                    bw, run, enc5[0], 256, max_codes=24
+                )
+                _vp8l_emit_prefix_value(bw, 1 + 120, enc5[4], 0)
                 for k in range(run):
                     cache_put(argb[i + k])
                 i += run
                 continue
-        emit_literal(argb[i])
+        emit_literal(argb[i], enc5)
         i += 1
 
 
@@ -2789,14 +2862,17 @@ def vp8l_encode(
     palette: bool = False,
     cache_bits: int = 0,
     lz77: bool = False,
+    meta_prefix_bits: int | None = None,
 ) -> bytes:
     """Minimal spec-conformant VP8L (lossless WebP) test writer — the
     inverse fixture for :func:`_vp8l_decode`, with switches that force
     each decoder path: subtract-green, spatial prediction (per-block
     modes cycling through all 14), cross-color (per-block elements),
     color indexing (incl. sub-byte bundling for ≤16-color palettes),
-    color cache, and run-length LZ77 backrefs.  ``channels`` is 3 (RGB,
-    alpha=255) or 4 (RGBA)."""
+    color cache, run-length LZ77 backrefs, and — via
+    ``meta_prefix_bits`` — a meta-prefix image with two code groups
+    (the multi-group branch real libwebp output exercises routinely).
+    ``channels`` is 3 (RGB, alpha=255) or 4 (RGBA)."""
     import numpy as np
 
     if channels not in (3, 4):
@@ -2953,7 +3029,8 @@ def vp8l_encode(
                 argb[pos] = sub(src[pos], pred)
     bw.put(0, 1)  # end of the transform list
     _vp8l_emit_entropy_image(
-        bw, argb, use_lz77=lz77, cache_bits=cache_bits, level0=True
+        bw, argb, use_lz77=lz77, cache_bits=cache_bits, level0=True,
+        meta_bits=meta_prefix_bits, xsize=xsize, ysize=height,
     )
     stream = bw.done()
     body = b"VP8L" + len(stream).to_bytes(4, "little") + stream
@@ -3146,7 +3223,11 @@ def _wav_features(sr: int, x, n_features: int, duration: float = None):
     if tot > 0:
         centroid = float((freqs * mag).sum() / tot)
         cum = np.cumsum(mag)
-        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+        # searchsorted can return len(cum) when 0.85*tot exceeds the
+        # last partial sum under extreme float rounding — clamp so the
+        # index never walks off the end (round-8 ADVICE)
+        idx = min(int(np.searchsorted(cum, 0.85 * tot)), len(freqs) - 1)
+        rolloff = float(freqs[idx])
         bandwidth = float(
             np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot)
         )

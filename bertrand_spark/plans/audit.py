@@ -175,6 +175,16 @@ def _contains_aggregate(node) -> bool:
     return any(_contains_aggregate(c) for c in _jchildren(node))
 
 
+# A named expression's toString is ``<child> AS <name>#<id>`` (Alias) or
+# the bare child, so a HEAD-anchored match is exactly "the outermost
+# function is the max/min aggregate".  The round-8 substring test
+# (``"max(" in s``) also matched e.g. ``array_max(col)`` — an elementwise
+# function whose output is NOT a global reduction — which would let an
+# equality filter against it launder an unbounded broadcast hint past the
+# audit (round-8 ADVICE).
+_REDUCTION_HEAD = re.compile(r"^(?:max|min)\(")
+
+
 def _global_reduction_attr_ids(node, out: set) -> None:
     """Collect the exprIds of max/min outputs computed over the WHOLE
     frame: unpartitioned-Window max/min expressions and groupless-
@@ -185,15 +195,13 @@ def _global_reduction_attr_ids(node, out: set) -> None:
             exprs = node.windowExpressions()
             for i in range(exprs.size()):
                 e = exprs.apply(i)
-                s = e.toString()
-                if "max(" in s or "min(" in s:
+                if _REDUCTION_HEAD.match(e.toString()):
                     out.add(e.toAttribute().exprId().id())
         if kind == "Aggregate" and node.groupingExpressions().size() == 0:
             exprs = node.aggregateExpressions()
             for i in range(exprs.size()):
                 e = exprs.apply(i)
-                s = e.toString()
-                if "max(" in s or "min(" in s:
+                if _REDUCTION_HEAD.match(e.toString()):
                     out.add(e.toAttribute().exprId().id())
     except Exception:
         pass
