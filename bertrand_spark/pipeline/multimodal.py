@@ -1519,11 +1519,12 @@ def sample_video_frames(
 
 
 def _audio_features_or_none(payload, n_features: int):
-    """Decode + featurize one audio payload, or None.  Feature
+    """Decode + featurize one audio payload, or None.  Routes through
+    :func:`_audio_decode` (WAV, then FLAC — round 9).  Feature
     extraction honors the same per-row NULL-degrade contract as the
     decode itself — a numpy edge case must degrade the row, never kill
     the Spark task (round-8 ADVICE)."""
-    dec = _wav_decode(payload) if payload is not None else None
+    dec = _audio_decode(payload) if payload is not None else None
     if dec is None:
         return None
     try:
@@ -1545,10 +1546,12 @@ def extract_audio_features(
 
     - ``decode='real'`` (round 8): stdlib WAV decode (PCM u8/s16/s24/
       s32 + IEEE float, extensible wrapper, multi-channel mixed to
-      mono) and a deterministic numpy feature vector — duration, RMS,
+      mono) — plus stdlib FLAC (round 9: all subframe types, Rice
+      partitions + escape, stereo decorrelation, CRC-verified frames)
+      — and a deterministic numpy feature vector — duration, RMS,
       zero-crossing rate, spectral centroid / 85% rolloff / bandwidth,
       plus log-spaced band energies (see :func:`_wav_features`).
-      Compressed audio (MP3/AAC/OGG/FLAC) and corrupt payloads yield
+      Lossy audio (MP3/AAC/OGG) and corrupt payloads yield
       NULL features — the same per-row degrade contract as the image
       codecs; analysis is capped at 2^21 samples per row so a huge or
       corrupt payload cannot stall a task.
@@ -3045,9 +3048,11 @@ def vp8l_encode(
 # decode path behind the fake, per-row degrade on anything else.  WAV
 # (RIFF/WAVE) is the one audio container fully decodable with stdlib
 # struct parsing — PCM u8/s16/s24/s32 and IEEE float32/64, plus the
-# WAVE_FORMAT_EXTENSIBLE wrapper.  Compressed audio (MP3/AAC/OGG/FLAC)
-# stays NULL without worker codecs, visible per corpus through
-# audio_format_report-style aggregation of the NULL rows.
+# WAVE_FORMAT_EXTENSIBLE wrapper.  FLAC, the lossless compressed
+# format, decodes via the stdlib bit parser below (round 9); LOSSY
+# audio (MP3/AAC/OGG) stays NULL without worker codecs, visible per
+# corpus through audio_format_report-style aggregation of the NULL
+# rows.
 
 # analysis cap: bound the per-row FFT work a (possibly huge or corrupt)
 # payload can demand — 2^21 samples ≈ 47 s at 44.1 kHz mono
@@ -3197,6 +3202,668 @@ def wav_encode(
         + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# --- stdlib FLAC decode (round 9) --------------------------------------------
+# FLAC (RFC 9639) is the LOSSLESS member of the compressed-audio NULL
+# class — spec-decodable with pure stdlib bit parsing the way VP8L was
+# for images (round 8), so it gets the same treatment: a real decoder
+# behind the audio seam, an in-repo spec-conformant test writer hitting
+# every decoder path, exact round trips, CRC-verified frames, and
+# per-row NULL degrade on everything malformed.  Lossy audio (MP3/AAC/
+# OGG) still needs worker codecs and stays NULL, report-visible.
+# Reference parity anchor: the per-row degrade philosophy of
+# /root/reference/bertrand/types/object.py:10-42.
+
+
+def _flac_crc_tables():
+    crc8 = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07 if c & 0x80 else c << 1) & 0xFF
+        crc8.append(c)
+    crc16 = []
+    for i in range(256):
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005 if c & 0x8000 else c << 1) & 0xFFFF
+        crc16.append(c)
+    return crc8, crc16
+
+
+_FLAC_CRC8, _FLAC_CRC16 = _flac_crc_tables()
+
+
+def _flac_crc8(data) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC8[c ^ b]
+    return c
+
+
+def _flac_crc16(data) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _FlacBits:
+    """MSB-first bit reader (FLAC's bit order is the opposite of
+    VP8L's).  ``pos`` is in BITS; frame fields are byte-aligned at the
+    CRC boundaries, so byte spans for CRC checks come from pos >> 3."""
+
+    __slots__ = ("d", "nbits", "pos")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.nbits = 8 * len(data)
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > self.nbits:
+            raise ValueError("flac: bitstream overrun")
+        first = self.pos >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self.d[first:last], "big")
+        v = (chunk >> ((last << 3) - end)) & ((1 << n) - 1)
+        self.pos = end
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        """Count of 0 bits before the next 1 bit (Rice quotient)."""
+        q = 0
+        pos = self.pos
+        d = self.d
+        nbits = self.nbits
+        while True:
+            if pos >= nbits:
+                raise ValueError("flac: bitstream overrun")
+            frag = d[pos >> 3] & ((1 << (8 - (pos & 7))) - 1)
+            if frag == 0:
+                q += 8 - (pos & 7)
+                pos += 8 - (pos & 7)
+            else:
+                z = (8 - (pos & 7)) - frag.bit_length()
+                self.pos = pos + z + 1
+                return q + z
+
+    def align(self) -> None:
+        if self.pos & 7:
+            if self.read(8 - (self.pos & 7)) != 0:
+                raise ValueError("flac: nonzero frame padding")
+
+
+def _flac_utf8_num(br) -> int:
+    """The frame header's UTF-8-style coded number (RFC 9639 §9.1.1 —
+    same prefix scheme as UTF-8, extended to 7 bytes / 36 bits)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("flac: bad coded number")
+    v = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("flac: bad coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_FLAC_SR_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _flac_residual(br, block_size: int, order: int) -> list:
+    """Rice-partitioned residual (RFC 9639 §9.2.7): 2-bit method (4- or
+    5-bit parameters), 4-bit partition order, per-partition parameter
+    with the all-ones escape to raw n-bit samples."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    if (block_size >> po) << po != block_size:
+        raise ValueError("flac: block size not divisible by partitions")
+    base = block_size >> po
+    if base <= order and nparts == 1:
+        raise ValueError("flac: partition shorter than predictor order")
+    out = []
+    for p in range(nparts):
+        count = base - order if p == 0 else base
+        if count < 0:
+            raise ValueError("flac: partition shorter than predictor order")
+        param = br.read(pbits)
+        if param == escape:
+            width = br.read(5)
+            if width == 0:
+                out.extend([0] * count)
+            else:
+                out.extend(br.read_signed(width) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                u = (q << param) | br.read(param)
+                out.append((u >> 1) ^ -(u & 1))  # unzigzag
+    return out
+
+
+def _flac_subframe(br, block_size: int, bps: int) -> list:
+    """One subframe (RFC 9639 §9.2): CONSTANT / VERBATIM / FIXED 0-4 /
+    LPC 1-32, each with optional wasted-bits shift."""
+    if br.read(1):
+        raise ValueError("flac: bad subframe padding bit")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if ftype == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        out = [v] * block_size
+    elif ftype == 1:  # VERBATIM
+        out = [br.read_signed(eff) for _ in range(block_size)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype & 7
+        if order > block_size:
+            raise ValueError("flac: predictor order exceeds block")
+        out = [br.read_signed(eff) for _ in range(order)]
+        res = _flac_residual(br, block_size, order)
+        if order == 0:
+            out = res
+        elif order == 1:
+            for r in res:
+                out.append(r + out[-1])
+        elif order == 2:
+            for r in res:
+                out.append(r + 2 * out[-1] - out[-2])
+        elif order == 3:
+            for r in res:
+                out.append(r + 3 * out[-1] - 3 * out[-2] + out[-3])
+        else:
+            for r in res:
+                out.append(
+                    r + 4 * out[-1] - 6 * out[-2] + 4 * out[-3] - out[-4]
+                )
+    elif ftype >= 32:  # LPC
+        order = (ftype & 31) + 1
+        if order > block_size:
+            raise ValueError("flac: predictor order exceeds block")
+        out = [br.read_signed(eff) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("flac: invalid LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _flac_residual(br, block_size, order)
+        for r in res:
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * out[-1 - j]
+            out.append(r + (pred >> shift))
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _flac_decode(payload: bytes):
+    """Stdlib FLAC decode → the same (sample_rate, n_channels, mono
+    float64 in [-1, 1], true_duration_seconds) contract as
+    :func:`_wav_decode`, or None on anything malformed — per-row
+    degrade, never raise.  Frame header CRC-8 and frame CRC-16 are
+    VERIFIED (a corrupt frame degrades the row rather than yielding
+    wrong samples); decoding stops at ``_WAV_ANALYSIS_MAX_SAMPLES``
+    mono frames while the reported duration comes from STREAMINFO's
+    total-samples field (the WAV cap convention)."""
+    import numpy as np
+
+    try:
+        if len(payload) < 42 or payload[:4] != b"fLaC":
+            return None
+        pos = 4
+        streaminfo = None
+        while pos + 4 <= len(payload):  # metadata blocks
+            hdr = payload[pos]
+            btype = hdr & 0x7F
+            size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 4 + size]
+            if len(body) != size:
+                return None
+            if btype == 0:
+                streaminfo = body
+            pos += 4 + size
+            if hdr & 0x80:  # last-metadata-block flag
+                break
+        else:
+            return None
+        if streaminfo is None or len(streaminfo) < 34:
+            return None
+        si = int.from_bytes(streaminfo[10:18], "big")
+        sr = (si >> 44) & 0xFFFFF
+        n_ch = ((si >> 41) & 0x7) + 1
+        bps = ((si >> 36) & 0x1F) + 1
+        total = si & 0xFFFFFFFFF
+        if sr == 0:
+            return None
+        br = _FlacBits(payload)
+        br.pos = pos * 8
+        cap = _WAV_ANALYSIS_MAX_SAMPLES
+        chans = [[] for _ in range(n_ch)]
+        got = 0
+        while br.pos + 16 <= br.nbits and got < cap:
+            frame_start = br.pos >> 3
+            if br.read(14) != 0x3FFE:
+                raise ValueError("flac: lost frame sync")
+            br.read(1)  # reserved
+            br.read(1)  # blocking strategy
+            bs_code = br.read(4)
+            sr_code = br.read(4)
+            ch_code = br.read(4)
+            ss_code = br.read(3)
+            if br.read(1):
+                raise ValueError("flac: reserved header bit")
+            _flac_utf8_num(br)
+            if bs_code == 0:
+                raise ValueError("flac: reserved block size")
+            elif bs_code == 1:
+                bs = 192
+            elif bs_code <= 5:
+                bs = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                bs = br.read(8) + 1
+            elif bs_code == 7:
+                bs = br.read(16) + 1
+            else:
+                bs = 256 << (bs_code - 8)
+            if sr_code == 12:
+                br.read(8)
+            elif sr_code in (13, 14):
+                br.read(16)
+            elif sr_code == 15:
+                raise ValueError("flac: invalid sample rate code")
+            fsr = _FLAC_SR_TABLE.get(sr_code, sr)
+            if fsr != sr:
+                raise ValueError("flac: frame/STREAMINFO rate mismatch")
+            fbps = {
+                0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32,
+            }.get(ss_code)
+            if fbps is None or fbps != bps:
+                raise ValueError("flac: frame/STREAMINFO bits mismatch")
+            hdr_end = br.pos >> 3
+            if _flac_crc8(payload[frame_start:hdr_end]) != br.read(8):
+                raise ValueError("flac: frame header CRC mismatch")
+            if ch_code < 8:
+                if ch_code + 1 != n_ch:
+                    raise ValueError("flac: channel count mismatch")
+                sub = [_flac_subframe(br, bs, bps) for _ in range(n_ch)]
+            elif ch_code in (8, 9, 10):
+                if n_ch != 2:
+                    raise ValueError("flac: stereo assignment, not stereo")
+                extra0 = 1 if ch_code == 9 else 0
+                extra1 = 1 if ch_code in (8, 10) else 0
+                a = _flac_subframe(br, bs, bps + extra0)
+                b = _flac_subframe(br, bs, bps + extra1)
+                if ch_code == 8:  # left/side
+                    sub = [a, [l - s for l, s in zip(a, b)]]
+                elif ch_code == 9:  # side/right
+                    sub = [[s + r for s, r in zip(a, b)], b]
+                else:  # mid/side
+                    left, right = [], []
+                    for m, s in zip(a, b):
+                        t = (m << 1) | (s & 1)
+                        left.append((t + s) >> 1)
+                        right.append((t - s) >> 1)
+                    sub = [left, right]
+            else:
+                raise ValueError("flac: reserved channel assignment")
+            br.align()
+            crc_end = br.pos >> 3
+            if (
+                _flac_crc16(payload[frame_start:crc_end]) != br.read(16)
+            ):
+                raise ValueError("flac: frame CRC mismatch")
+            for c in range(n_ch):
+                chans[c].extend(sub[c])
+            got += bs
+        if got == 0:
+            return None
+        x = np.array(chans, dtype=np.float64)[:, :cap]
+        x = x.mean(axis=0) / float(1 << (bps - 1))
+        duration = (total if total else got) / sr
+        return int(sr), int(n_ch), x, float(duration)
+    except Exception:
+        return None
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer (encoder mirror of :class:`_FlacBits`)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def done(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _flac_utf8_encode(bw, n: int) -> None:
+    if n < 0x80:
+        bw.put(n, 8)
+        return
+    tail = []
+    nbytes = 2
+    # an nbytes-byte encoding carries (7 - nbytes) + 6*(nbytes - 1)
+    # = 5*nbytes + 1 value bits
+    while n >= (1 << (5 * nbytes + 1)):
+        nbytes += 1
+    # leading byte: nbytes ones, a zero, then the high value bits
+    for _ in range(nbytes - 1):
+        tail.append(0x80 | (n & 0x3F))
+        n >>= 6
+    lead = ((0xFF << (8 - nbytes)) & 0xFF) | n
+    bw.put(lead, 8)
+    for b in reversed(tail):
+        bw.put(b, 8)
+
+
+def _flac_rice_param(res) -> int:
+    """Smallest-mean Rice parameter (the standard mean-based pick),
+    capped below the 4-bit escape."""
+    if not res:
+        return 0
+    mean = sum(abs(r) for r in res) / len(res)
+    k = 0
+    while (1 << k) < mean + 1 and k < 14:
+        k += 1
+    return k
+
+
+def _flac_emit_residual(bw, res, order: int, block_size: int,
+                        partition_order: int, rice_escape: bool) -> None:
+    # a short LAST frame may not be divisible into the requested
+    # partitions (or leave partition 0 shorter than the predictor
+    # order) — downgrade to the largest legal order, as real encoders
+    # do per frame
+    while partition_order and (
+        (block_size >> partition_order) << partition_order != block_size
+        or (block_size >> partition_order) < order
+    ):
+        partition_order -= 1
+    bw.put(0, 2)  # 4-bit Rice parameters
+    bw.put(partition_order, 4)
+    nparts = 1 << partition_order
+    base = block_size >> partition_order
+    at = 0
+    for p in range(nparts):
+        count = base - order if p == 0 else base
+        part = res[at : at + count]
+        at += count
+        if rice_escape:
+            width = max((1 + abs(int(v)).bit_length() for v in part),
+                        default=1)
+            bw.put(15, 4)
+            bw.put(width, 5)
+            for v in part:
+                bw.put(v & ((1 << width) - 1), width)
+        else:
+            k = _flac_rice_param(part)
+            bw.put(k, 4)
+            for v in part:
+                u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+                bw.put_unary(u >> k)
+                if k:
+                    bw.put(u & ((1 << k) - 1), k)
+
+
+def _flac_emit_subframe(bw, samples, bps: int, mode: str, *,
+                        fixed_order: int, lpc_order: int, lpc_shift: int,
+                        lpc_precision: int, partition_order: int,
+                        rice_escape: bool, wasted_bits: int) -> None:
+    bs = len(samples)
+    if wasted_bits:
+        mask = (1 << wasted_bits) - 1
+        if any(v & mask for v in samples):
+            raise ValueError(
+                "flac_encode: wasted_bits requires trailing-zero samples"
+            )
+        samples = [v >> wasted_bits for v in samples]
+    eff = bps - wasted_bits
+    if mode == "constant" and any(v != samples[0] for v in samples):
+        raise ValueError("flac_encode: constant subframe needs equal samples")
+    bw.put(0, 1)  # padding
+    if mode == "constant":
+        bw.put(0, 6)
+    elif mode == "verbatim":
+        bw.put(1, 6)
+    elif mode == "fixed":
+        bw.put(8 | fixed_order, 6)
+    elif mode == "lpc":
+        bw.put(32 | (lpc_order - 1), 6)
+    else:
+        raise ValueError(f"flac_encode: unknown subframe mode {mode!r}")
+    if wasted_bits:
+        bw.put(1, 1)
+        bw.put_unary(wasted_bits - 1)
+    else:
+        bw.put(0, 1)
+    if mode == "constant":
+        bw.put(samples[0] & ((1 << eff) - 1), eff)
+        return
+    if mode == "verbatim":
+        for v in samples:
+            bw.put(v & ((1 << eff) - 1), eff)
+        return
+    if mode == "fixed":
+        order = fixed_order
+        for v in samples[:order]:
+            bw.put(v & ((1 << eff) - 1), eff)
+        res = []
+        for i in range(order, bs):
+            if order == 0:
+                r = samples[i]
+            elif order == 1:
+                r = samples[i] - samples[i - 1]
+            elif order == 2:
+                r = samples[i] - 2 * samples[i - 1] + samples[i - 2]
+            elif order == 3:
+                r = (samples[i] - 3 * samples[i - 1]
+                     + 3 * samples[i - 2] - samples[i - 3])
+            else:
+                r = (samples[i] - 4 * samples[i - 1] + 6 * samples[i - 2]
+                     - 4 * samples[i - 3] + samples[i - 4])
+            res.append(r)
+    else:  # lpc
+        order = lpc_order
+        # deterministic non-trivial quantized coefficients: a damped
+        # weighted average of the last `order` samples
+        coefs = [
+            ((1 << lpc_shift) * (order - j)) // (order * (j + 2))
+            for j in range(order)
+        ]
+        if any(c >= (1 << (lpc_precision - 1)) for c in coefs):
+            raise ValueError("flac_encode: coefficients exceed precision")
+        for v in samples[:order]:
+            bw.put(v & ((1 << eff) - 1), eff)
+        bw.put(lpc_precision - 1, 4)
+        bw.put(lpc_shift & 0x1F, 5)
+        for c in coefs:
+            bw.put(c & ((1 << lpc_precision) - 1), lpc_precision)
+        res = []
+        for i in range(order, bs):
+            pred = sum(
+                coefs[j] * samples[i - 1 - j] for j in range(order)
+            ) >> lpc_shift
+            res.append(samples[i] - pred)
+    _flac_emit_residual(bw, res, order, bs, partition_order, rice_escape)
+
+
+def flac_encode(
+    sample_rate: int,
+    samples,
+    channels: int = 1,
+    bits: int = 16,
+    block_size: int = 4096,
+    *,
+    subframe: str = "fixed",
+    fixed_order: int = 2,
+    lpc_order: int = 2,
+    lpc_shift: int = 5,
+    lpc_precision: int = 12,
+    stereo_mode: str = "independent",
+    partition_order: int = 0,
+    rice_escape: bool = False,
+    wasted_bits: int = 0,
+) -> bytes:
+    """Test-side spec-conformant FLAC writer — the inverse fixture for
+    :func:`_flac_decode`, with switches forcing each decoder path:
+    CONSTANT/VERBATIM/FIXED(0-4)/LPC subframes, Rice partitions and the
+    raw-bits escape, wasted-bits shifts, and the three stereo
+    decorrelation modes.  ``samples`` is a float array in [-1, 1],
+    interleaved when ``channels == 2``; quantized to ``bits`` exactly
+    like :func:`wav_encode` so WAV/FLAC fixtures of the same signal
+    decode to identical integers."""
+    import numpy as np
+
+    if channels not in (1, 2):
+        raise ValueError("flac_encode: channels must be 1 or 2")
+    if bits not in (8, 16, 24):
+        raise ValueError("flac_encode: bits must be 8, 16 or 24")
+    if channels == 1 and stereo_mode != "independent":
+        raise ValueError("flac_encode: stereo_mode requires channels=2")
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    half = 1 << (bits - 1)
+    ints = np.clip(np.round(x * half), -half, half - 1).astype(np.int64)
+    if wasted_bits:
+        ints = ints & ~((1 << wasted_bits) - 1)
+    frames = len(ints) // channels
+    ints = ints[: frames * channels].reshape(frames, channels)
+    out = bytearray(b"fLaC")
+    si = bytearray(34)
+    last_bs = frames % block_size or block_size
+    si[0:2] = min(block_size, last_bs).to_bytes(2, "big")
+    si[2:4] = block_size.to_bytes(2, "big")
+    packed = (sample_rate << 44) | ((channels - 1) << 41) \
+        | ((bits - 1) << 36) | frames
+    si[10:18] = packed.to_bytes(8, "big")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    sub_kwargs = dict(
+        fixed_order=fixed_order, lpc_order=lpc_order, lpc_shift=lpc_shift,
+        lpc_precision=lpc_precision, partition_order=partition_order,
+        rice_escape=rice_escape, wasted_bits=wasted_bits,
+    )
+    ss_code = {8: 1, 16: 4, 24: 6}[bits]
+    for fi in range(0, frames, block_size):
+        blk = ints[fi : fi + block_size]
+        bs = len(blk)
+        bw = _FlacBitWriter()
+        bw.put(0x3FFE, 14)
+        bw.put(0, 1)
+        bw.put(0, 1)  # fixed blocking: coded number = frame index
+        bw.put(7, 4)  # block size: 16-bit field at header end
+        bw.put(0, 4)  # sample rate: from STREAMINFO
+        if channels == 2 and stereo_mode != "independent":
+            bw.put(
+                {"left_side": 8, "right_side": 9, "mid_side": 10}[
+                    stereo_mode
+                ],
+                4,
+            )
+        else:
+            bw.put(channels - 1, 4)
+        bw.put(ss_code, 3)
+        bw.put(0, 1)
+        _flac_utf8_encode(bw, fi // block_size)
+        bw.put(bs - 1, 16)
+        bw.align()
+        header = bytes(bw.buf)
+        bw.put(_flac_crc8(header), 8)
+        if channels == 1:
+            _flac_emit_subframe(
+                bw, [int(v) for v in blk[:, 0]], bits, subframe,
+                **sub_kwargs,
+            )
+        else:
+            l = [int(v) for v in blk[:, 0]]
+            r = [int(v) for v in blk[:, 1]]
+            if stereo_mode == "independent":
+                _flac_emit_subframe(bw, l, bits, subframe, **sub_kwargs)
+                _flac_emit_subframe(bw, r, bits, subframe, **sub_kwargs)
+            elif stereo_mode == "left_side":
+                side = [a - b for a, b in zip(l, r)]
+                _flac_emit_subframe(bw, l, bits, subframe, **sub_kwargs)
+                _flac_emit_subframe(
+                    bw, side, bits + 1, subframe, **sub_kwargs
+                )
+            elif stereo_mode == "right_side":
+                side = [a - b for a, b in zip(l, r)]
+                _flac_emit_subframe(
+                    bw, side, bits + 1, subframe, **sub_kwargs
+                )
+                _flac_emit_subframe(bw, r, bits, subframe, **sub_kwargs)
+            else:  # mid_side
+                mid = [(a + b) >> 1 for a, b in zip(l, r)]
+                side = [a - b for a, b in zip(l, r)]
+                _flac_emit_subframe(bw, mid, bits, subframe, **sub_kwargs)
+                _flac_emit_subframe(
+                    bw, side, bits + 1, subframe, **sub_kwargs
+                )
+        bw.align()
+        body = bytes(bw.buf)
+        bw.put(_flac_crc16(body), 16)
+        out += bw.done()
+    return bytes(out)
+
+
+def _audio_decode(payload: bytes):
+    """Route one payload through the stdlib audio decoders: WAV first
+    (cheap RIFF magic check), then FLAC.  Same return contract as
+    :func:`_wav_decode`; None for lossy/corrupt payloads."""
+    dec = _wav_decode(payload)
+    if dec is None:
+        dec = _flac_decode(payload)
+    return dec
 
 
 def _wav_features(sr: int, x, n_features: int, duration: float = None):

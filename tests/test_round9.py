@@ -216,3 +216,193 @@ class TestVp8lPrefixCodeHygiene:
             vp8l_encode(
                 4, 4, 3, px.tobytes(), meta_prefix_bits=2, cache_bits=3
             )
+
+
+class TestFlacCodec:
+    """Stdlib FLAC decoder (round-9 VERDICT item 3) — shrinks the
+    compressed-audio NULL class to LOSSY formats only, the way VP8L
+    shrank the image one.  Gate: exact integer parity with the WAV
+    decoder on identically-quantized signals across every decoder path
+    (subframe types, Rice partitions + escape, wasted bits, stereo
+    decorrelation, short last frames), CRC rejection, corruption fuzz,
+    physics sanity through the shared feature stack."""
+
+    SR = 16000
+
+    def _sig(self, seconds=2.0, hz=440.0):
+        import numpy as np
+
+        t = np.arange(int(self.SR * seconds)) / self.SR
+        return 0.5 * np.sin(2 * np.pi * hz * t)
+
+    def _parity(self, sig, channels=1, bits=16, **kw):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, _wav_decode, flac_encode, wav_encode,
+        )
+
+        blob = flac_encode(self.SR, sig, channels=channels, bits=bits, **kw)
+        dec = _flac_decode(blob)
+        assert dec is not None, kw
+        fmt = {16: "s16", 24: "s24"}[bits]
+        ref = _wav_decode(wav_encode(self.SR, sig, channels=channels, fmt=fmt))
+        assert dec[0] == ref[0] and dec[1] == channels
+        assert np.array_equal(dec[2], ref[2]), kw
+        assert abs(dec[3] - ref[3]) < 1e-9
+        return blob
+
+    def test_subframe_matrix_matches_wav(self):
+        sig = self._sig()
+        for kw in (
+            {"subframe": "verbatim"},
+            {"subframe": "fixed", "fixed_order": 0},
+            {"subframe": "fixed", "fixed_order": 1},
+            {"subframe": "fixed", "fixed_order": 2},
+            {"subframe": "fixed", "fixed_order": 3},
+            {"subframe": "fixed", "fixed_order": 4},
+            {"subframe": "lpc", "lpc_order": 2},
+            {"subframe": "lpc", "lpc_order": 8, "lpc_shift": 7,
+             "lpc_precision": 14},
+            {"partition_order": 3},
+            {"partition_order": 4, "subframe": "fixed", "fixed_order": 2},
+            {"rice_escape": True},
+            {"bits": 24},
+            {"block_size": 1000},  # short, non-partitionable last frame
+            {"block_size": 192},   # many frames: multi-byte coded numbers
+        ):
+            bits = kw.pop("bits", 16)
+            self._parity(sig, bits=bits, **kw)
+
+    def test_fixed_beats_verbatim_on_tonal_signal(self):
+        """Compression sanity: the order-4 fixed predictor must
+        actually shrink a sine (i.e. residuals are small and the Rice
+        coder engages) — a decoder-only identity path would not."""
+        from bertrand_spark.pipeline.multimodal import flac_encode
+
+        sig = self._sig()
+        smooth = len(flac_encode(self.SR, sig, subframe="fixed",
+                                 fixed_order=4))
+        raw = len(flac_encode(self.SR, sig, subframe="verbatim"))
+        assert smooth < raw * 0.5
+
+    def test_constant_and_wasted_bits(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, flac_encode,
+        )
+
+        const = np.full(5000, 0.25)
+        dec = _flac_decode(flac_encode(self.SR, const, subframe="constant"))
+        assert np.allclose(dec[2], dec[2][0]) and len(dec[2]) == 5000
+        # 4 wasted bits: quantize to multiples of 16 LSBs first
+        q = (np.round(self._sig() * 32768) // 16 * 16) / 32768
+        self._parity(q, wasted_bits=4)
+
+    def test_stereo_decorrelation_modes(self):
+        import numpy as np
+
+        t = np.arange(self.SR * 2) / self.SR
+        st = np.empty(len(t) * 2)
+        st[0::2] = 0.5 * np.sin(2 * np.pi * 440 * t)
+        st[1::2] = 0.3 * np.sin(2 * np.pi * 554 * t)
+        for mode in ("independent", "left_side", "right_side", "mid_side"):
+            self._parity(st, channels=2, stereo_mode=mode)
+
+    def test_coded_number_roundtrip(self):
+        from bertrand_spark.pipeline.multimodal import (
+            _FlacBits, _FlacBitWriter, _flac_utf8_encode, _flac_utf8_num,
+        )
+
+        for n in (0, 1, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 31) - 1,
+                  (1 << 36) - 1):
+            bw = _FlacBitWriter()
+            _flac_utf8_encode(bw, n)
+            assert _flac_utf8_num(_FlacBits(bw.done())) == n
+
+    def test_crc_rejection(self):
+        """A flipped sample byte breaks the frame CRC-16 → whole-row
+        degrade (never silently-wrong samples); a flipped header byte
+        breaks the CRC-8 likewise."""
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, flac_encode,
+        )
+
+        blob = bytearray(flac_encode(self.SR, self._sig(0.5)))
+        dec0 = _flac_decode(bytes(blob))
+        assert dec0 is not None
+        mid = len(blob) // 2
+        blob[mid] ^= 0x55
+        assert _flac_decode(bytes(blob)) is None
+
+    def test_degrade_matrix(self):
+        from bertrand_spark.pipeline.multimodal import _flac_decode
+
+        assert _flac_decode(b"") is None
+        assert _flac_decode(b"fLaC") is None
+        assert _flac_decode(b"OggS" + b"\x00" * 64) is None
+        assert _flac_decode(b"ID3\x03" + b"\x00" * 64) is None  # mp3
+        blob = bytes(42)
+        assert _flac_decode(blob) is None
+
+    def test_corruption_fuzz_never_raises(self):
+        import numpy as np
+
+        from conftest import mutate_blob
+
+        from bertrand_spark.pipeline.multimodal import _flac_decode
+
+        rng = np.random.default_rng(93)
+        base = bytearray(
+            __import__(
+                "bertrand_spark.pipeline.multimodal", fromlist=["flac_encode"]
+            ).flac_encode(self.SR, self._sig(0.3))
+        )
+        for _ in range(200):
+            mutated = mutate_blob(base, rng)
+            out = _flac_decode(bytes(mutated))  # None or a valid tuple
+            if out is not None:
+                assert len(out) == 4
+
+    def test_features_physics_and_dispatch(self):
+        """extract_audio_features(decode='real') decodes FLAC payloads:
+        a 440 Hz FLAC clip yields a centroid near 440 Hz, identical to
+        the same clip as WAV; lossy magic stays NULL."""
+        from bertrand_spark.pipeline.multimodal import (
+            _audio_features_or_none, flac_encode, wav_encode,
+        )
+
+        sig = self._sig()
+        f = _audio_features_or_none(flac_encode(self.SR, sig), 16)
+        w = _audio_features_or_none(wav_encode(self.SR, sig), 16)
+        assert f == w  # identical integers → identical features
+        assert abs(f[3] - 440.0) < 10.0  # spectral centroid
+        assert _audio_features_or_none(b"ID3\x03" + b"\x00" * 64, 16) is None
+
+    def test_spark_mixed_corpus(self, spark):
+        """End-to-end over mapInPandas: WAV rows and FLAC rows decode,
+        lossy rows degrade to NULL — one DataFrame, one pass."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            extract_audio_features, flac_encode, wav_encode,
+        )
+
+        sig = self._sig(0.5)
+        rows = [
+            (1, bytearray(wav_encode(self.SR, sig))),
+            (2, bytearray(flac_encode(self.SR, sig))),
+            (3, bytearray(b"ID3\x03" + b"\x00" * 64)),
+            (4, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        )
+        got = {
+            r["media_id"]: r["features"]
+            for r in extract_audio_features(df, decode="real").collect()
+        }
+        assert got[1] is not None and got[2] is not None
+        assert list(got[1]) == list(got[2])
+        assert got[3] is None and got[4] is None
