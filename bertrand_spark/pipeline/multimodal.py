@@ -4071,6 +4071,179 @@ def _avi_probe(payload: bytes):
         return None
 
 
+def _ebml_vint(buf: bytes, pos: int, keep_marker: bool):
+    """One EBML variable-length integer (RFC 8794 §4) → (value, width)
+    or None.  Element IDs keep the length-marker bit (the Matroska ID
+    convention); sizes strip it.  An all-ones size is 'unknown'
+    (returned as None value with its width)."""
+    if pos >= len(buf) or buf[pos] == 0:
+        return None
+    width = 8 - buf[pos].bit_length() + 1
+    if pos + width > len(buf):
+        return None
+    v = int.from_bytes(buf[pos : pos + width], "big")
+    if not keep_marker:
+        v &= (1 << (7 * width)) - 1
+        if v == (1 << (7 * width)) - 1:
+            return (None, width)  # unknown size
+    return (v, width)
+
+
+# Matroska/WebM element IDs (with marker bits, per the spec's notation)
+_EBML_HEADER = 0x1A45DFA3
+_MKV_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TS_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIX_W = 0xB0
+_MKV_PIX_H = 0xBA
+_MKV_CONTAINERS = {
+    _EBML_HEADER, _MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS,
+    _MKV_TRACK_ENTRY, _MKV_VIDEO,
+}
+
+
+def _mkv_probe(payload: bytes):
+    """Matroska/WebM EBML walk → (doctype, duration_s, width, height,
+    n_tracks, codec IDs) — pure struct reads like the MP4 box walk, no
+    decode.  Handles unknown-size elements (streamed Segments) by
+    extending to the end of the available bytes.  None on malformed
+    input."""
+    import struct
+
+    try:
+        state = {
+            "doctype": None, "ts_scale": 1_000_000, "dur_units": None,
+            "w": None, "h": None, "n_tracks": 0, "codecs": [],
+        }
+
+        def walk(pos, end, depth=0):
+            if depth > 8:
+                return
+            while pos < end:
+                got = _ebml_vint(payload, pos, True)
+                if got is None:
+                    return
+                eid, idw = got
+                got = _ebml_vint(payload, pos + idw, False)
+                if got is None:
+                    return
+                size, sw = got
+                body = pos + idw + sw
+                bend = end if size is None else body + size
+                if bend > end:
+                    return
+                if eid in _MKV_CONTAINERS:
+                    if eid == _MKV_TRACK_ENTRY:
+                        state["n_tracks"] += 1
+                    walk(body, bend, depth + 1)
+                elif eid == _MKV_DOCTYPE:
+                    state["doctype"] = payload[body:bend].rstrip(
+                        b"\x00"
+                    ).decode("ascii", "replace")
+                elif eid == _MKV_TS_SCALE:
+                    state["ts_scale"] = int.from_bytes(
+                        payload[body:bend], "big"
+                    )
+                elif eid == _MKV_DURATION and size in (4, 8):
+                    state["dur_units"] = struct.unpack(
+                        ">f" if size == 4 else ">d", payload[body:bend]
+                    )[0]
+                elif eid == _MKV_CODEC_ID:
+                    state["codecs"].append(
+                        payload[body:bend].decode("ascii", "replace")
+                    )
+                elif eid == _MKV_PIX_W and state["w"] is None:
+                    state["w"] = _clamp_dim(
+                        int.from_bytes(payload[body:bend], "big")
+                    )
+                elif eid == _MKV_PIX_H and state["h"] is None:
+                    state["h"] = _clamp_dim(
+                        int.from_bytes(payload[body:bend], "big")
+                    )
+                pos = bend
+
+        walk(0, len(payload))
+        if state["doctype"] is None and not state["n_tracks"]:
+            return None
+        duration = (
+            state["dur_units"] * state["ts_scale"] / 1e9
+            if state["dur_units"] is not None and state["ts_scale"]
+            else None
+        )
+        return (
+            state["doctype"], duration, state["w"], state["h"],
+            state["n_tracks"], state["codecs"],
+        )
+    except Exception:
+        return None
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    """One EBML element: marker-carrying ID bytes + minimal-width size
+    VINT + body (test-fixture writer, the probe's inverse)."""
+    idw = (eid.bit_length() + 7) // 8
+    n = len(body)
+    sw = 1
+    while n >= (1 << (7 * sw)) - 1:  # all-ones is reserved for unknown
+        sw += 1
+    size = n | (1 << (7 * sw))
+    return (
+        eid.to_bytes(idw, "big") + size.to_bytes(sw, "big") + body
+    )
+
+
+def mkv_encode_meta(
+    doctype: str = "matroska",
+    duration_s: float = None,
+    width: int = None,
+    height: int = None,
+    codecs: tuple = ("V_VP9",),
+    ts_scale: int = 1_000_000,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Minimal Matroska/WebM metadata skeleton — the test fixture for
+    :func:`_mkv_probe` (EBML header + Segment{Info, Tracks}, no
+    clusters; the probe never reads frame data anyway).  First codec
+    gets the Video element; the rest are audio-typed tracks."""
+    import struct
+
+    ebml = _ebml_elem(
+        _EBML_HEADER, _ebml_elem(_MKV_DOCTYPE, doctype.encode())
+    )
+    info = _ebml_elem(_MKV_TS_SCALE, ts_scale.to_bytes(3, "big"))
+    if duration_s is not None:
+        info += _ebml_elem(
+            _MKV_DURATION,
+            struct.pack(">d", duration_s * 1e9 / ts_scale),
+        )
+    tracks = b""
+    for i, cid in enumerate(codecs):
+        entry = _ebml_elem(_MKV_TRACK_TYPE, bytes([1 if i == 0 else 2]))
+        entry += _ebml_elem(_MKV_CODEC_ID, cid.encode())
+        if i == 0 and width and height:
+            entry += _ebml_elem(
+                _MKV_VIDEO,
+                _ebml_elem(_MKV_PIX_W, width.to_bytes(2, "big"))
+                + _ebml_elem(_MKV_PIX_H, height.to_bytes(2, "big")),
+            )
+        tracks += _ebml_elem(_MKV_TRACK_ENTRY, entry)
+    seg_body = _ebml_elem(_MKV_INFO, info) + _ebml_elem(
+        _MKV_TRACKS, tracks
+    )
+    if unknown_segment_size:
+        seg = _MKV_SEGMENT.to_bytes(4, "big") + b"\xFF" + seg_body
+    else:
+        seg = _ebml_elem(_MKV_SEGMENT, seg_body)
+    return ebml + seg
+
+
 _VIDEO_META_SCHEMA = st.StructType([
     st.StructField("media_id", st.LongType()),
     st.StructField("container", st.StringType()),
@@ -4089,9 +4262,12 @@ def probe_video_metadata(
 ) -> DataFrame:
     """Container-level video metadata WITHOUT decoding: MP4/ISO-BMFF
     box walk (mvhd duration, tkhd dimensions, stsd codec fourccs,
-    track count) and AVI header parse (avih frames/dims/rate, first
-    vids strh fourcc).  One Arrow pass, metadata-sized output; rows no
-    probe understands degrade to a NULL-container row — the operator a
+    track count), AVI header parse (avih frames/dims/rate, first
+    vids strh fourcc), and Matroska/WebM EBML walk (round 9: Info
+    duration × timestamp scale, first video track's PixelWidth/Height,
+    TrackEntry count, CodecID list — container 'webm' or 'mkv' by
+    DocType).  One Arrow pass, metadata-sized output; rows no probe
+    understands degrade to a NULL-container row — the operator a
     100 TB crawl triage runs BEFORE deciding what to decode."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4120,6 +4296,15 @@ def probe_video_metadata(
                     if a is not None:
                         d, w, h, nf, codec = a
                         got = ("avi", d, w, h, nf, codec)
+                elif p[:4] == _EBML_HEADER.to_bytes(4, "big"):
+                    k = _mkv_probe(p)
+                    if k is not None:
+                        doctype, d, w, h, nt, codecs = k
+                        got = (
+                            "webm" if doctype == "webm" else "mkv",
+                            d, w, h, nt,
+                            ",".join(codecs) if codecs else None,
+                        )
                 if got is None:
                     rows.append((mid, None, None, None, None, None, None))
                 else:

@@ -406,3 +406,96 @@ class TestFlacCodec:
         assert got[1] is not None and got[2] is not None
         assert list(got[1]) == list(got[2])
         assert got[3] is None and got[4] is None
+
+
+class TestMkvEbmlProbe:
+    """Matroska/WebM EBML metadata probe (round-9 VERDICT item 4) —
+    same contract as the MP4 box walk: struct reads only, no decode,
+    schema unchanged, NULL-container degrade on junk."""
+
+    def test_probe_fields(self):
+        from bertrand_spark.pipeline.multimodal import (
+            _mkv_probe, mkv_encode_meta,
+        )
+
+        got = _mkv_probe(mkv_encode_meta(
+            "webm", duration_s=12.5, width=1920, height=1080,
+            codecs=("V_VP9", "A_OPUS"),
+        ))
+        assert got == ("webm", 12.5, 1920, 1080, 2, ["V_VP9", "A_OPUS"])
+
+    def test_unknown_segment_size_and_ts_scale(self):
+        """Streamed files write the Segment with an all-ones (unknown)
+        size — the walk extends to end-of-buffer; a non-default
+        TimestampScale rescales the duration."""
+        from bertrand_spark.pipeline.multimodal import (
+            _mkv_probe, mkv_encode_meta,
+        )
+
+        got = _mkv_probe(mkv_encode_meta(
+            "matroska", duration_s=3.25, width=640, height=360,
+            codecs=("V_MPEG4/ISO/AVC",), unknown_segment_size=True,
+        ))
+        assert got[:4] == ("matroska", 3.25, 640, 360)
+        got = _mkv_probe(mkv_encode_meta(
+            "webm", duration_s=7.0, width=320, height=240,
+            ts_scale=500_000,
+        ))
+        assert abs(got[1] - 7.0) < 1e-9
+
+    def test_degrade_on_junk(self):
+        from bertrand_spark.pipeline.multimodal import _mkv_probe
+
+        assert _mkv_probe(b"") is None
+        assert _mkv_probe(b"\x1aE\xdf\xa3junkjunkjunk") is None
+        assert _mkv_probe(b"nonsense" * 8) is None
+
+    def test_fuzz_never_raises(self):
+        import numpy as np
+
+        from conftest import mutate_blob
+
+        from bertrand_spark.pipeline.multimodal import (
+            _mkv_probe, mkv_encode_meta,
+        )
+
+        base = bytearray(mkv_encode_meta(
+            "webm", duration_s=9.0, width=1280, height=720,
+            codecs=("V_AV1", "A_VORBIS"),
+        ))
+        rng = np.random.default_rng(94)
+        for _ in range(200):
+            out = _mkv_probe(bytes(mutate_blob(base, rng)))
+            assert out is None or len(out) == 6
+
+    def test_spark_probe_mixed_containers(self, spark):
+        """probe_video_metadata routes MP4, AVI, WebM/MKV and junk rows
+        through one Arrow pass with the UNCHANGED schema."""
+        from bertrand_spark.pipeline.multimodal import (
+            mkv_encode_meta, probe_video_metadata,
+        )
+
+        rows = [
+            (1, bytearray(mkv_encode_meta(
+                "webm", duration_s=4.0, width=640, height=480,
+                codecs=("V_VP8",),
+            ))),
+            (2, bytearray(mkv_encode_meta(
+                "matroska", duration_s=6.0, width=720, height=576,
+                codecs=("V_MS/VFW/FOURCC", "A_AAC"),
+            ))),
+            (3, bytearray(b"garbage-not-a-container")),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {
+            r["media_id"]: r
+            for r in probe_video_metadata(df).collect()
+        }
+        assert out[1]["container"] == "webm"
+        assert out[1]["width"] == 640 and out[1]["duration_s"] == 4.0
+        assert out[1]["codec"] == "V_VP8"
+        assert out[2]["container"] == "mkv"
+        assert out[2]["n_frames_or_tracks"] == 2
+        assert out[3]["container"] is None
+        assert out[4]["container"] is None
