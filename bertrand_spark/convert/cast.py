@@ -552,6 +552,29 @@ def _td_to_str(col, src, dst, a: CastArgs):
 
 
 # --- anonymous cast (C31) ---------------------------------------------------
+def _struct_string_leaves(name: str, dtype, prefix: str = "") -> list:
+    """(dotted_path, accessor_fn) for every STRING leaf under a struct
+    column — the nested candidates of the anonymous cast (round 9: the
+    XML source's nested elements arrive as all-string structs)."""
+    out = []
+    for f in dtype.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, st.StringType):
+            out.append((f"{name}.{path}", path))
+        elif isinstance(f.dataType, st.StructType):
+            out.extend(
+                _struct_string_leaves(name, f.dataType, f"{path}.")
+            )
+    return out
+
+
+def _field_expr(top: str, path: str) -> Column:
+    col = F.col(top)
+    for part in path.split("."):
+        col = col[part]
+    return col
+
+
 def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, str]:
     """Dominant parseable type per string/object column — ONE aggregate job
     over all candidate columns (reference anonymous cast,
@@ -561,6 +584,10 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
     target family: all-bool → bool, all-int → int64, int/float mix →
     float64, all-ISO-datetime → datetime; anything else stays put.
     Object (pickled binary) columns tag via the Arrow kernel first.
+    STRING LEAVES INSIDE STRUCT COLUMNS are candidates too (round 9),
+    keyed by their dotted path (``doc.meta.qty``) — the same one-
+    aggregate convention, so XML's nested all-string structs promote
+    exactly like its top-level elements; arrays are out of scope.
     """
     from ..types.detect import type_tag_column
 
@@ -570,6 +597,11 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
             continue
         if isinstance(f.dataType, st.StringType):
             candidates[f.name] = type_tag_column(F.col(f.name))
+        elif isinstance(f.dataType, st.StructType):
+            for dotted, path in _struct_string_leaves(f.name, f.dataType):
+                candidates[dotted] = type_tag_column(
+                    _field_expr(f.name, path)
+                )
         elif isinstance(f.dataType, st.BinaryType):
             from .objects import apply_with_errors
 
@@ -633,13 +665,56 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
             target = "datetime"
         elif present == {"timedelta"}:
             target = "timedelta"
-        elif present == {"str"} and isinstance(
-            df.schema[name].dataType, st.BinaryType
-        ):
+        elif present == {"str"} and name in {
+            f.name for f in df.schema.fields
+        } and isinstance(df.schema[name].dataType, st.BinaryType):
             target = "string"
         if target is not None:
             plan[name] = target
     return plan
+
+
+def _promote_struct_leaves(
+    df: DataFrame, nested: dict, a: "CastArgs", kwargs: dict
+) -> DataFrame:
+    """Apply the anonymous cast's struct-leaf promotions: each dotted
+    path gets its inferred cast, the error protocol runs over all
+    leaves in ONE validation aggregate (the cast() convention), and
+    each affected struct column is rebuilt with chained
+    ``withField`` (NULL structs stay NULL)."""
+    build_kwargs = (
+        {**kwargs, "errors": "coerce"} if a.errors == "ignore" else kwargs
+    )
+    exprs: dict[str, Column] = {}
+    validations: list[tuple[str, Column, Column]] = []
+    for dotted, dst in nested.items():
+        top, path = dotted.split(".", 1)
+        before = _field_expr(top, path)
+        try:
+            expr = cast_col(before, "string", dst, **build_kwargs)
+        except CastError:
+            if a.errors == "ignore":
+                continue
+            raise
+        exprs[dotted] = expr
+        if a.errors in ("raise", "ignore"):
+            validations.append((dotted, before, expr))
+    if a.errors == "raise":
+        _validate(df, validations)
+    elif a.errors == "ignore":
+        for name in _violation_counts(df, validations):
+            exprs.pop(name, None)
+    per_top: dict[str, list] = {}
+    for dotted, expr in exprs.items():
+        top, path = dotted.split(".", 1)
+        per_top.setdefault(top, []).append((path, expr))
+    out = {}
+    for top, items in per_top.items():
+        col = F.col(top)
+        for path, expr in items:
+            col = col.withField(path, expr)
+        out[top] = col
+    return df.withColumns(out) if out else df
 
 
 # --- public API ------------------------------------------------------------
@@ -715,6 +790,15 @@ def cast(
         )
         if not spec:
             return df
+        # dotted keys are struct-leaf promotions (round 9): rebuild the
+        # struct columns via withField, then run the top-level plan on
+        # the result
+        nested = {k: v for k, v in spec.items() if k not in observed}
+        if nested:
+            spec = {k: v for k, v in spec.items() if k in observed}
+            df = _promote_struct_leaves(df, nested, a, kwargs)
+            if not spec:
+                return df
 
     if isinstance(spec, Mapping):
         plan = {k: resolve(v) for k, v in spec.items()}

@@ -194,8 +194,9 @@ def read_xml_inferred(
     cast (C31), so an all-numeric ``<qty>`` element becomes a numeric
     column from ONE full-data aggregate, not Spark's sampler.
     ``row_tag`` names the repeated element that forms a row; nested
-    elements arrive as struct columns (left untouched — the cast
-    promotes top-level strings only).  The source's own SAMPLING
+    elements arrive as struct columns whose STRING LEAVES the cast
+    promotes recursively under the same one-aggregate convention
+    (round 9 — arrays stay as-is).  The source's own SAMPLING
     inference is disabled (``inferSchema=false`` → all-string leaves)
     so the engine's full-data pass owns the decision, same as the CSV
     path."""
