@@ -552,27 +552,47 @@ def _td_to_str(col, src, dst, a: CastArgs):
 
 
 # --- anonymous cast (C31) ---------------------------------------------------
-def _struct_string_leaves(name: str, dtype, prefix: str = "") -> list:
-    """(dotted_path, accessor_fn) for every STRING leaf under a struct
-    column — the nested candidates of the anonymous cast (round 9: the
-    XML source's nested elements arrive as all-string structs)."""
+def _struct_string_leaves(name: str, dtype, prefix: tuple = ()) -> list:
+    """(display_key, parts) for every STRING leaf under a struct column
+    — the nested candidates of the anonymous cast (round 9: the XML
+    source's nested elements arrive as all-string structs).  ``parts``
+    is the field-name PATH AS A LIST (never re-split, so field names
+    containing literal dots — legal in XML and ubiquitous as JSON keys
+    — resolve correctly); the display key is the fully backtick-quoted
+    dotted path, which also cannot collide with any top-level column's
+    raw name.  Names containing a backtick are skipped (unquotable in
+    withField)."""
     out = []
     for f in dtype.fields:
-        path = f"{prefix}{f.name}"
+        if "`" in f.name:
+            continue
+        parts = prefix + (f.name,)
         if isinstance(f.dataType, st.StringType):
-            out.append((f"{name}.{path}", path))
+            key = "`" + name + "`." + ".".join(f"`{p}`" for p in parts)
+            out.append((key, parts))
         elif isinstance(f.dataType, st.StructType):
-            out.extend(
-                _struct_string_leaves(name, f.dataType, f"{path}.")
-            )
+            out.extend(_struct_string_leaves(name, f.dataType, parts))
     return out
 
 
-def _field_expr(top: str, path: str) -> Column:
+def _field_expr(top: str, parts: tuple) -> Column:
     col = F.col(top)
-    for part in path.split("."):
-        col = col[part]
+    for part in parts:
+        col = col.getField(part)
     return col
+
+
+def _nested_candidate_paths(df: DataFrame) -> dict:
+    """{display_key: (top_column, parts)} over every struct string leaf
+    — the deterministic inverse of the keys infer_best_types emits."""
+    out = {}
+    for f in df.schema.fields:
+        if "`" in f.name:
+            continue
+        if isinstance(f.dataType, st.StructType):
+            for key, parts in _struct_string_leaves(f.name, f.dataType):
+                out[key] = (f.name, parts)
+    return out
 
 
 def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, str]:
@@ -597,10 +617,10 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
             continue
         if isinstance(f.dataType, st.StringType):
             candidates[f.name] = type_tag_column(F.col(f.name))
-        elif isinstance(f.dataType, st.StructType):
-            for dotted, path in _struct_string_leaves(f.name, f.dataType):
-                candidates[dotted] = type_tag_column(
-                    _field_expr(f.name, path)
+        elif isinstance(f.dataType, st.StructType) and "`" not in f.name:
+            for key, parts in _struct_string_leaves(f.name, f.dataType):
+                candidates[key] = type_tag_column(
+                    _field_expr(f.name, parts)
                 )
         elif isinstance(f.dataType, st.BinaryType):
             from .objects import apply_with_errors
@@ -674,47 +694,46 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
     return plan
 
 
-def _promote_struct_leaves(
+def _struct_leaf_casts(
     df: DataFrame, nested: dict, a: "CastArgs", kwargs: dict
-) -> DataFrame:
-    """Apply the anonymous cast's struct-leaf promotions: each dotted
-    path gets its inferred cast, the error protocol runs over all
-    leaves in ONE validation aggregate (the cast() convention), and
-    each affected struct column is rebuilt with chained
-    ``withField`` (NULL structs stay NULL)."""
+):
+    """Build the anonymous cast's struct-leaf promotion expressions:
+    {display_key: cast expr} plus the validation triples.  Validation
+    itself is DEFERRED to cast()'s single aggregate, so a frame with
+    both struct leaves and top-level promotions still costs one
+    validation scan (the module's one-scan convention)."""
+    paths = _nested_candidate_paths(df)
     build_kwargs = (
         {**kwargs, "errors": "coerce"} if a.errors == "ignore" else kwargs
     )
     exprs: dict[str, Column] = {}
     validations: list[tuple[str, Column, Column]] = []
-    for dotted, dst in nested.items():
-        top, path = dotted.split(".", 1)
-        before = _field_expr(top, path)
+    for key, dst in nested.items():
+        top, parts = paths[key]
+        before = _field_expr(top, parts)
         try:
             expr = cast_col(before, "string", dst, **build_kwargs)
         except CastError:
             if a.errors == "ignore":
                 continue
             raise
-        exprs[dotted] = expr
+        exprs[key] = expr
         if a.errors in ("raise", "ignore"):
-            validations.append((dotted, before, expr))
-    if a.errors == "raise":
-        _validate(df, validations)
-    elif a.errors == "ignore":
-        for name in _violation_counts(df, validations):
-            exprs.pop(name, None)
-    per_top: dict[str, list] = {}
-    for dotted, expr in exprs.items():
-        top, path = dotted.split(".", 1)
-        per_top.setdefault(top, []).append((path, expr))
-    out = {}
-    for top, items in per_top.items():
-        col = F.col(top)
-        for path, expr in items:
-            col = col.withField(path, expr)
-        out[top] = col
-    return df.withColumns(out) if out else df
+            validations.append((key, before, expr))
+    return exprs, validations, paths
+
+
+def _struct_rebuild_columns(exprs: dict, paths: dict) -> dict:
+    """Fold the surviving leaf casts into per-struct-column rebuild
+    expressions (chained withField over backtick-quoted literal field
+    names; NULL structs stay NULL)."""
+    per_top: dict[str, Column] = {}
+    for key, expr in exprs.items():
+        top, parts = paths[key]
+        field = ".".join(f"`{p}`" for p in parts)
+        col = per_top.get(top, F.col(top))
+        per_top[top] = col.withField(field, expr)
+    return per_top
 
 
 # --- public API ------------------------------------------------------------
@@ -784,21 +803,24 @@ def cast(
     a = CastArgs(**kwargs)
     observed = {f.name: resolve(f.dataType) for f in df.schema.fields}
 
+    nested_exprs: dict[str, Column] = {}
+    nested_validations: list[tuple[str, Column, Column]] = []
+    nested_paths: dict = {}
     if spec is None:
         spec = infer_best_types(
             df, [cols] if isinstance(cols, str) else cols
         )
         if not spec:
             return df
-        # dotted keys are struct-leaf promotions (round 9): rebuild the
-        # struct columns via withField, then run the top-level plan on
-        # the result
+        # quoted-path keys are struct-leaf promotions (round 9): their
+        # casts rebuild the struct columns via withField, validated in
+        # the SAME single aggregate as the top-level plan below
         nested = {k: v for k, v in spec.items() if k not in observed}
         if nested:
             spec = {k: v for k, v in spec.items() if k in observed}
-            df = _promote_struct_leaves(df, nested, a, kwargs)
-            if not spec:
-                return df
+            nested_exprs, nested_validations, nested_paths = (
+                _struct_leaf_casts(df, nested, a, kwargs)
+            )
 
     if isinstance(spec, Mapping):
         plan = {k: resolve(v) for k, v in spec.items()}
@@ -849,11 +871,16 @@ def cast(
             validations.append((name, F.col(name), expr))
 
     if a.errors == "raise":
-        _validate(df, validations)
+        _validate(df, nested_validations + validations)
     elif a.errors == "ignore":
-        for name in _violation_counts(df, validations):
+        for name in _violation_counts(
+            df, nested_validations + validations
+        ):
             out_cols.pop(name, None)  # keep the input column
+            nested_exprs.pop(name, None)  # keep the input leaf
 
+    if nested_exprs:
+        out_cols.update(_struct_rebuild_columns(nested_exprs, nested_paths))
     result = df.withColumns(out_cols) if out_cols else df
     if a.downcast:
         from .downcast import downcast as _dc

@@ -1105,10 +1105,13 @@ def train_dsir(
     return DsirModel(lam, B, alpha)
 
 
-# TakeOrdered selection-regime bound: orderBy().limit(k) keeps a k-slot
-# heap per task plus a k-row driver merge, so pulls beyond ~10M rows are
-# a driver OOM.  Above this, both DSIR resamplers switch to the
-# distributed key-threshold path (_token_prefix_by_threshold).
+# TakeOrdered selection-regime HARD ceiling: orderBy().limit(k) keeps a
+# k-slot heap per task plus a k-row driver merge, so pulls beyond ~10M
+# rows are a driver OOM.  Both resamplers clamp a user-supplied
+# max_candidates to this bound (round-9 review: after the default moved
+# to the measured crossover below, nothing enforced the safety ceiling
+# the comments advertised), so even max_candidates=10**9 routes pulls
+# beyond 10M to the distributed key-threshold path.
 _SELECTION_REGIME_MAX = 10_000_000
 
 # Default fast-path ceiling (round 9): the round-8 verdict flagged that
@@ -1180,6 +1183,7 @@ def dsir_resample(
     ) / F.lit(float(1 << 32))
     key = F.col(out_col) - F.log(-F.log(u))
     keyed = scored.withColumn("gumbel_key", key.cast("double"))
+    max_candidates = min(int(max_candidates), _SELECTION_REGIME_MAX)
     if int(n) > int(max_candidates):
         sel = _token_prefix_by_threshold(
             keyed.withColumn("__ntok", F.lit(1).cast("long")).select(
@@ -1421,6 +1425,7 @@ def dsir_resample_tokens(
         .join(toks, id_col)
         .select(id_col, out_col, "n_feats", "__ntok", "gumbel_key")
     )
+    max_candidates = min(int(max_candidates), _SELECTION_REGIME_MAX)
     stats = keyed.agg(
         F.avg("__ntok").alias("avg"), F.count(F.lit(1)).alias("n")
     ).collect()[0]

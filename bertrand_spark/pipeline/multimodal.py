@@ -3384,8 +3384,6 @@ def _flac_residual(br, block_size: int, order: int) -> list:
     if (block_size >> po) << po != block_size:
         raise ValueError("flac: block size not divisible by partitions")
     base = block_size >> po
-    if base <= order and nparts == 1:
-        raise ValueError("flac: partition shorter than predictor order")
     out = []
     for p in range(nparts):
         count = base - order if p == 0 else base
@@ -3516,7 +3514,7 @@ def _flac_decode(payload: bytes):
         cap = _WAV_ANALYSIS_MAX_SAMPLES
         chans = [[] for _ in range(n_ch)]
         got = 0
-        while br.pos + 16 <= br.nbits and got < cap:
+        def decode_frame():
             frame_start = br.pos >> 3
             if br.read(14) != 0x3FFE:
                 raise ValueError("flac: lost frame sync")
@@ -3588,6 +3586,21 @@ def _flac_decode(payload: bytes):
                 _flac_crc16(payload[frame_start:crc_end]) != br.read(16)
             ):
                 raise ValueError("flac: frame CRC mismatch")
+            return sub, bs
+
+        while br.pos + 16 <= br.nbits and got < cap:
+            try:
+                sub, bs = decode_frame()
+            except Exception:
+                # once a CRC-verified prefix has decoded, trailing junk
+                # (appended tags, concatenation artifacts) or a corrupt
+                # tail TRUNCATES the row instead of NULLing it — the
+                # stop-at-loss-of-sync convention of reference decoders
+                # (round-9 review); a failure before any frame still
+                # degrades the whole row
+                if got:
+                    break
+                raise
             for c in range(n_ch):
                 chans[c].extend(sub[c])
             got += bs
@@ -3707,13 +3720,26 @@ def _flac_emit_subframe(bw, samples, bps: int, mode: str, *,
                         rice_escape: bool, wasted_bits: int) -> None:
     bs = len(samples)
     if wasted_bits:
-        mask = (1 << wasted_bits) - 1
-        if any(v & mask for v in samples):
-            raise ValueError(
-                "flac_encode: wasted_bits requires trailing-zero samples"
-            )
+        # effective wasted bits are the trailing zeros THIS channel
+        # actually has (round-9 review: the mid channel of mid/side is
+        # (l+r)>>1, which halves away one of the quantizer's zeros —
+        # the switches must compose, so downgrade instead of raising)
+        def _tz(v):
+            return wasted_bits if v == 0 else (v & -v).bit_length() - 1
+
+        wasted_bits = min(
+            [wasted_bits] + [_tz(v) for v in samples]
+        )
+    if wasted_bits:
         samples = [v >> wasted_bits for v in samples]
     eff = bps - wasted_bits
+    # a last frame shorter than the predictor order cannot carry its
+    # warmup — emit it VERBATIM (spec-legal, exact; round-9 review:
+    # the truncated warmup silently produced an undecodable stream)
+    if mode == "fixed" and fixed_order > bs:
+        mode = "verbatim"
+    if mode == "lpc" and lpc_order > bs:
+        mode = "verbatim"
     if mode == "constant" and any(v != samples[0] for v in samples):
         raise ValueError("flac_encode: constant subframe needs equal samples")
     bw.put(0, 1)  # padding

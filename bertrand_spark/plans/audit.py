@@ -181,8 +181,10 @@ def _contains_aggregate(node) -> bool:
 # (``"max(" in s``) also matched e.g. ``array_max(col)`` — an elementwise
 # function whose output is NOT a global reduction — which would let an
 # equality filter against it launder an unbounded broadcast hint past the
-# audit (round-8 ADVICE).
-_REDUCTION_HEAD = re.compile(r"^(?:max|min)\(")
+# audit (round-8 ADVICE).  A chain of cast() wrappers is allowed
+# (round-9 review: ``cast(max(x#1) as bigint) AS mx#2`` is still a
+# global reduction — an equality against it is still tie-bounded).
+_REDUCTION_HEAD = re.compile(r"^(?:cast\()*(?:max|min)\(")
 
 
 def _global_reduction_attr_ids(node, out: set) -> None:

@@ -57,6 +57,17 @@ class TestReductionHeadMatch:
         df = o.crossJoin(F.broadcast(shaped))
         assert audit_broadcast_hints("true_max", _analyzed(df)) == []
 
+    def test_cast_wrapped_global_max_still_recognized(self, spark, sf_dir):
+        """Round-9 review: a global max wrapped in a cast is still a
+        reduction (equality against it is tie-bounded) — the anchored
+        match must not regress it into a false positive."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mx = d.agg(F.max("n_chars").cast("long").alias("mx"))
+        shaped = d.crossJoin(mx).filter(F.col("n_chars") == F.col("mx"))
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(5)
+        df = o.crossJoin(F.broadcast(shaped))
+        assert audit_broadcast_hints("cast_max", _analyzed(df)) == []
+
 
 class TestAudioFeatureDegrade:
     """extract_audio_features(decode='real') routes every row through
@@ -321,20 +332,90 @@ class TestFlacCodec:
             _flac_utf8_encode(bw, n)
             assert _flac_utf8_num(_FlacBits(bw.done())) == n
 
-    def test_crc_rejection(self):
-        """A flipped sample byte breaks the frame CRC-16 → whole-row
-        degrade (never silently-wrong samples); a flipped header byte
-        breaks the CRC-8 likewise."""
+    def test_crc_rejection_and_prefix_truncation(self):
+        """A flipped byte in the FIRST frame breaks its CRC → whole-row
+        degrade (never silently-wrong samples).  A flipped byte in a
+        LATER frame truncates to the CRC-verified prefix — the
+        stop-at-loss-of-sync convention of reference decoders (round-9
+        review: NULLing the whole row dropped otherwise-good audio)."""
+        import numpy as np
+
         from bertrand_spark.pipeline.multimodal import (
             _flac_decode, flac_encode,
         )
 
-        blob = bytearray(flac_encode(self.SR, self._sig(0.5)))
-        dec0 = _flac_decode(bytes(blob))
-        assert dec0 is not None
-        mid = len(blob) // 2
-        blob[mid] ^= 0x55
-        assert _flac_decode(bytes(blob)) is None
+        blob = bytearray(flac_encode(self.SR, self._sig(1.0)))
+        ref = _flac_decode(bytes(blob))
+        assert ref is not None
+        first = bytearray(blob)
+        first[60] ^= 0x55  # inside frame 0 (metadata ends at byte 42)
+        assert _flac_decode(bytes(first)) is None
+        later = bytearray(blob)
+        later[len(later) // 2] ^= 0x55
+        dec = _flac_decode(bytes(later))
+        assert dec is not None and 0 < len(dec[2]) < len(ref[2])
+        assert np.array_equal(dec[2], ref[2][: len(dec[2])])
+
+    def test_trailing_junk_keeps_verified_prefix(self):
+        """Appended tags / concatenation artifacts after the last frame
+        (e.g. an ID3v1 'TAG' block) must not NULL a fully decodable
+        stream (round-9 review repro)."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, flac_encode,
+        )
+
+        blob = flac_encode(self.SR, self._sig(0.5))
+        ref = _flac_decode(blob)
+        for junk in (b"TAG" + bytes(125), b"\x00\x00"):
+            dec = _flac_decode(blob + junk)
+            assert dec is not None
+            assert np.array_equal(dec[2], ref[2]) and dec[3] == ref[3]
+
+    def test_short_last_frame_order_fallback(self):
+        """A last frame shorter than the predictor order emits verbatim
+        and bs == order decodes (round-9 review repro: these lengths
+        silently produced undecodable streams)."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, _wav_decode, flac_encode, wav_encode,
+        )
+
+        for n_extra in (1, 2, 3, 4, 5):
+            for kw in (
+                {"subframe": "fixed", "fixed_order": 4},
+                {"subframe": "lpc", "lpc_order": 8, "partition_order": 2},
+            ):
+                sig = 0.5 * np.sin(np.arange(4096 + n_extra) * 0.1)
+                dec = _flac_decode(flac_encode(self.SR, sig, **kw))
+                ref = _wav_decode(wav_encode(self.SR, sig, fmt="s16"))
+                assert dec is not None, (n_extra, kw)
+                assert np.array_equal(dec[2], ref[2]), (n_extra, kw)
+
+    def test_mid_side_composes_with_wasted_bits(self):
+        """The mid channel halves away one quantizer zero — the encoder
+        downgrades the wasted count per channel instead of raising
+        (round-9 review repro)."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, _wav_decode, flac_encode, wav_encode,
+        )
+
+        t = np.arange(self.SR) / self.SR
+        st = np.empty(len(t) * 2)
+        st[0::2] = (np.round(0.4 * np.sin(2 * np.pi * 220 * t) * 32768)
+                    // 16 * 16) / 32768
+        st[1::2] = (np.round(0.3 * np.sin(2 * np.pi * 330 * t) * 32768)
+                    // 16 * 16) / 32768
+        blob = flac_encode(
+            self.SR, st, channels=2, stereo_mode="mid_side", wasted_bits=4
+        )
+        dec = _flac_decode(blob)
+        ref = _wav_decode(wav_encode(self.SR, st, channels=2, fmt="s16"))
+        assert dec is not None and np.array_equal(dec[2], ref[2])
 
     def test_degrade_matrix(self):
         from bertrand_spark.pipeline.multimodal import _flac_decode
@@ -577,3 +658,66 @@ class TestNestedStructPromotion:
 
         out = cast(self._frame(spark), errors="coerce")
         assert out.schema["id"].dataType.simpleString() == "bigint"
+
+
+class TestNestedPromotionReviewFindings:
+    """Round-9 review closures on the struct-leaf promotion."""
+
+    def test_literal_dot_field_names(self, spark):
+        """Field names containing literal dots (legal XML element
+        names, ubiquitous JSON keys) must resolve as ONE field, not be
+        re-split into a phantom nested path (review repro: this
+        crashed with FIELD_NOT_FOUND)."""
+        from bertrand_spark.convert.cast import cast
+
+        df = spark.createDataFrame(
+            [("1", ("7", "x"))], "id string, s struct<`a.b`:string, c:string>"
+        )
+        out = cast(df, errors="coerce")
+        assert out.schema["s"].dataType["a.b"].dataType.simpleString() == (
+            "bigint"
+        )
+        assert out.collect()[0]["s"]["a.b"] == 7
+
+    def test_top_level_name_cannot_collide_with_leaf_key(self, spark):
+        """A top-level column literally named 's.qty' and the struct
+        leaf s.qty are distinct candidates (quoted display keys)."""
+        from bertrand_spark.convert.cast import cast
+
+        df = spark.createDataFrame(
+            [("5", ("7",))], "`s.qty` string, s struct<qty:string>"
+        )
+        out = cast(df, errors="coerce")
+        assert out.schema["s.qty"].dataType.simpleString() == "bigint"
+        assert out.schema["s"].dataType["qty"].dataType.simpleString() == (
+            "bigint"
+        )
+        r = out.collect()[0]
+        assert r["s.qty"] == 7 and r["s"]["qty"] == 7
+
+    def test_raise_names_the_leaf(self, spark):
+        """A leaf that TAGS as a family but fails the real cast (e.g. a
+        datetime-shaped string with impossible fields) raises with the
+        leaf's quoted path under errors='raise'."""
+        from bertrand_spark.convert.cast import CastError, cast
+
+        df = spark.createDataFrame(
+            [("1", ("7", "2021-13-45")), ("2", ("8", "2021-01-01"))],
+            "id string, s struct<qty:string, d:string>",
+        )
+        with pytest.raises(CastError, match=r"`s`\.`d`"):
+            cast(df, errors="raise")
+
+    def test_ignore_reverts_only_the_bad_leaf(self, spark):
+        from bertrand_spark.convert.cast import cast
+
+        df = spark.createDataFrame(
+            [("1", ("7", "2021-13-45")), ("2", ("8", "2021-01-01"))],
+            "id string, s struct<qty:string, d:string>",
+        )
+        out = cast(df, errors="ignore")
+        s = out.schema["s"].dataType
+        assert s["qty"].dataType.simpleString() == "bigint"
+        assert s["d"].dataType.simpleString() == "string"  # reverted
+        vals = {r["id"]: r["s"]["d"] for r in out.collect()}
+        assert vals[1] == "2021-13-45"  # id itself promoted to bigint
