@@ -721,3 +721,54 @@ class TestNestedPromotionReviewFindings:
         assert s["d"].dataType.simpleString() == "string"  # reverted
         vals = {r["id"]: r["s"]["d"] for r in out.collect()}
         assert vals[1] == "2021-13-45"  # id itself promoted to bigint
+
+
+class TestHypothesisRound9Parsers:
+    """Hypothesis random-blob + prefixed-blob fuzz extended to the
+    round-9 parsers: the FLAC decoder and the EBML probe — the same
+    no-raise property as every prior codec."""
+
+    def test_random_blobs(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, _mkv_probe,
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(hst.binary(min_size=0, max_size=600))
+        def run(blob):
+            f = _flac_decode(blob)
+            assert f is None or f[0] >= 1
+            m = _mkv_probe(blob)
+            assert m is None or len(m) == 6
+
+        run()
+
+    def test_prefixed_blobs(self):
+        """Random bytes behind VALID magics — past the signature check
+        into the metadata/frame walk and the EBML VINT loop."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_decode, _mkv_probe,
+        )
+
+        # a real STREAMINFO header so frame-parse logic is reached
+        si = bytearray(34)
+        packed = (16000 << 44) | (0 << 41) | (15 << 36) | 16000
+        si[10:18] = packed.to_bytes(8, "big")
+        flac_head = (
+            b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si)
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(hst.binary(min_size=4, max_size=400))
+        def run(tail):
+            _flac_decode(b"fLaC" + tail)
+            _flac_decode(flac_head + tail)
+            _mkv_probe(b"\x1aE\xdf\xa3" + tail)
+
+        run()
