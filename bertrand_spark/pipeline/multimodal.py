@@ -30,8 +30,10 @@ import pyspark.sql.types as st
 __all__ = [
     "IMAGE_META_SCHEMA", "image_table_schema", "attach_media_metadata",
     "decode_images", "resize_images", "sample_video_frames",
-    "extract_audio_features", "probe_video_metadata",
+    "extract_audio_features", "audio_format_report",
+    "probe_video_metadata",
     "png_encode", "wav_encode", "avi_mjpeg_encode", "vp8l_encode",
+    "flac_encode", "mkv_encode_meta",
 ]
 
 IMAGE_META_SCHEMA = st.StructType([
@@ -3934,6 +3936,74 @@ def _audio_decode(payload: bytes):
     if dec is None:
         dec = _flac_decode(payload)
     return dec
+
+
+def audio_format_report(
+    df: DataFrame,
+    features: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-container audio decode outcomes — the audio twin of
+    :func:`decode_format_report`: makes the stdlib audio seam's NULL
+    classes operationally VISIBLE per corpus instead of warn-only.
+
+    ``df`` is the payload table fed to :func:`extract_audio_features`;
+    ``features`` its output.  One row per sniffed container
+    (magic-byte sniff, native expressions, no decode) with
+    (sniffed_format, codec_class, n_total, n_decoded, n_null):
+
+    - ``wav``/``flac`` → ``lossless-decodable`` (rounds 8/9 stdlib
+      decoders; a non-zero n_null here means corrupt payloads or —
+      for wav — a compressed codec inside the RIFF wrapper);
+    - ``mp3``/``ogg``/``m4a`` → ``lossy-no-decoder`` (expected
+      n_null == n_total without worker codecs — the documented
+      degrade class);
+    - anything else → ``unknown``.
+    """
+    head4 = F.hex(F.substring(F.col(payload_col).cast("binary"), 1, 4))
+    head3 = F.hex(F.substring(F.col(payload_col).cast("binary"), 1, 3))
+    head2 = F.hex(F.substring(F.col(payload_col).cast("binary"), 1, 2))
+    wave = F.hex(F.substring(F.col(payload_col).cast("binary"), 9, 4))
+    ftyp = F.hex(F.substring(F.col(payload_col).cast("binary"), 5, 4))
+    fmt = (
+        F.when((head4 == "52494646") & (wave == "57415645"), "wav")
+        .when(head4 == "664C6143", "flac")
+        .when(
+            (head3 == "494433") | head2.startswith("FFF")
+            | head2.startswith("FFE"),
+            "mp3",
+        )
+        .when(head4 == "4F676753", "ogg")
+        .when(ftyp == "66747970", "m4a")  # ISO-BMFF ftyp (M4A/MP4 audio)
+        .otherwise("unknown")
+    )
+    klass = (
+        F.when(fmt.isin("wav", "flac"), "lossless-decodable")
+        .when(fmt.isin("mp3", "ogg", "m4a"), "lossy-no-decoder")
+        .otherwise("unknown")
+    )
+    sniffed = df.select(
+        F.col(id_col), fmt.alias("sniffed_format"),
+        klass.alias("codec_class"),
+    )
+    ok = features.select(
+        F.col(id_col), F.col("features").isNotNull().alias("__ok")
+    )
+    return (
+        sniffed.join(ok, id_col, "left")
+        .groupBy("sniffed_format", "codec_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ok"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_decoded"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ok"), 0).otherwise(1)), F.lit(0)
+            ).alias("n_null"),
+        )
+        .orderBy("sniffed_format")
+    )
 
 
 def _wav_features(sr: int, x, n_features: int, duration: float = None):
