@@ -723,7 +723,7 @@ def stream_extract_audio(
     """Audio ingest on a stream — the audio twin of
     :func:`stream_decode_media`: a ``foreachBatch`` handler that runs
     :func:`~bertrand_spark.pipeline.multimodal.extract_audio_features`
-    (stdlib WAV decode + deterministic spectral features under
+    (stdlib WAV + FLAC decode + deterministic spectral features under
     ``decode='real'``) over each micro-batch and lands
     (id, features) in the idempotent per-epoch parquet layout.  When
     ``report_dir`` is set, each epoch also writes one
