@@ -3987,20 +3987,20 @@ def audio_format_report(
         F.col(id_col), fmt.alias("sniffed_format"),
         klass.alias("codec_class"),
     )
+    # extract_audio_features emits its id as 'media_id' regardless of
+    # the input id_col (fixed output schema) — re-alias so a custom
+    # id_col joins (round-9 review; decode_format_report's convention)
     ok = features.select(
-        F.col(id_col), F.col("features").isNotNull().alias("__ok")
+        F.col("media_id").alias(id_col),
+        F.col("features").isNotNull().alias("__ok"),
     )
     return (
         sniffed.join(ok, id_col, "left")
         .groupBy("sniffed_format", "codec_class")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
-            F.coalesce(
-                F.sum(F.when(F.col("__ok"), 1).otherwise(0)), F.lit(0)
-            ).alias("n_decoded"),
-            F.coalesce(
-                F.sum(F.when(F.col("__ok"), 0).otherwise(1)), F.lit(0)
-            ).alias("n_null"),
+            F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n_decoded"),
+            F.sum(F.when(F.col("__ok"), 0).otherwise(1)).alias("n_null"),
         )
         .orderBy("sniffed_format")
     )

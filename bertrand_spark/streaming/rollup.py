@@ -728,7 +728,12 @@ def stream_extract_audio(
     (id, features) in the idempotent per-epoch parquet layout.  When
     ``report_dir`` is set, each epoch also writes one
     (n_total, n_decoded, n_null) row — a compressed-audio or corrupt
-    burst is visible per micro-batch, not at end-of-job.
+    burst is visible per micro-batch, not at end-of-job — plus the
+    PER-CONTAINER breakdown (``audio_format_report``: wav/flac/lossy
+    classes) under ``{report_dir}/formats/`` (round 9), the same
+    per-format visibility stream_decode_media gives images.  The
+    global row keeps its schema and its empty-batch-reads-zero
+    contract; the format table is empty for an empty batch.
 
     Scale shape: stateless (one Arrow pass per batch, per-row work
     capped by the decoder's 2^21-sample analysis bound), the report is
@@ -737,7 +742,9 @@ def stream_extract_audio(
     directories (features are deterministic per payload), preserving
     exactly-once.
     """
-    from ..pipeline.multimodal import extract_audio_features
+    from ..pipeline.multimodal import (
+        audio_format_report, extract_audio_features,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         feats = extract_audio_features(
@@ -770,6 +777,11 @@ def stream_extract_audio(
                 ).alias("n_null"),
             ).write.mode("overwrite").parquet(
                 f"{report_dir}/ingest_batch={batch_id}"
+            )
+            audio_format_report(
+                batch_df, landed, payload_col=payload_col, id_col=id_col
+            ).write.mode("overwrite").parquet(
+                f"{report_dir}/formats/ingest_batch={batch_id}"
             )
 
     return handle

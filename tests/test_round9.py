@@ -837,7 +837,7 @@ class TestVp8lExternalCrossCheck:
     def pil(self):
         return pytest.importorskip("PIL.Image", reason="PIL not installed")
 
-    def test_decode_pil_encoded_lossless_webp(self, tmp_path):
+    def test_decode_pil_encoded_lossless_webp(self):
         import io
 
         import numpy as np
@@ -877,3 +877,68 @@ class TestVp8lExternalCrossCheck:
             blob = vp8l_encode(18, 14, 3, src.tobytes(), **kw)
             im = self.pil.open(io.BytesIO(blob)).convert("RGB")
             assert (np.asarray(im) == src).all(), kw
+
+
+class TestStreamAudioFormatReport:
+    """stream_extract_audio writes the per-container breakdown under
+    {report_dir}/formats/ alongside the round-8 global counters —
+    closing the symmetry gap with stream_decode_media (round-9
+    review)."""
+
+    def test_per_epoch_format_breakdown(self, spark, tmp_path):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            flac_encode, wav_encode,
+        )
+        from bertrand_spark.streaming.rollup import stream_extract_audio
+
+        sr = 8000
+        sig = 0.4 * np.sin(np.arange(sr) * 0.3)
+        batch = spark.createDataFrame(
+            [
+                (1, bytearray(wav_encode(sr, sig))),
+                (2, bytearray(flac_encode(sr, sig))),
+                (3, bytearray(b"ID3" + bytes(32))),
+            ],
+            "media_id long, payload binary",
+        )
+        out = str(tmp_path / "audio")
+        rep = str(tmp_path / "reports")
+        handle = stream_extract_audio(out, report_dir=rep)
+        handle(batch, 0)
+        handle(batch, 0)  # idempotent replay overwrites
+        # the round-8 global row keeps its schema and values
+        g = spark.read.parquet(f"{rep}/ingest_batch=0").collect()[0]
+        assert (g["n_total"], g["n_decoded"], g["n_null"]) == (3, 2, 1)
+        # the new per-format table
+        fr = {
+            r["sniffed_format"]: r
+            for r in spark.read.parquet(
+                f"{rep}/formats/ingest_batch=0"
+            ).collect()
+        }
+        assert fr["wav"]["n_decoded"] == 1
+        assert fr["flac"]["n_decoded"] == 1
+        assert fr["flac"]["codec_class"] == "lossless-decodable"
+        assert fr["mp3"]["n_null"] == 1
+        assert fr["mp3"]["codec_class"] == "lossy-no-decoder"
+
+    def test_custom_id_col_joins(self, spark):
+        """Round-9 review repro: extract_audio_features hardcodes its
+        output id as media_id — the report must re-alias so a custom
+        id_col works end to end."""
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            audio_format_report, extract_audio_features, wav_encode,
+        )
+
+        sr = 8000
+        df = spark.createDataFrame(
+            [(7, bytearray(wav_encode(sr, np.zeros(100))))],
+            "clip_id long, payload binary",
+        )
+        feats = extract_audio_features(df, id_col="clip_id", decode="real")
+        rep = audio_format_report(df, feats, id_col="clip_id").collect()
+        assert len(rep) == 1 and rep[0]["n_decoded"] == 1
