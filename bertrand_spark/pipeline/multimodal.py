@@ -3301,12 +3301,10 @@ class _FlacBits:
             if self.read(8 - (self.pos & 7)) != 0:
                 raise ValueError("flac: nonzero frame padding")
 
-    def read_rice(self, param: int, count: int) -> list:
-        """Decode ``count`` Rice-coded residuals in one call — the
-        decoder's hot loop, kept in local variables (the per-call
-        attribute traffic of read_unary()+read() cost ~2× on real
-        clips; same micro-optimization family as the VP8L LUT
-        reader)."""
+    def read_rice_scalar(self, param: int, count: int) -> list:
+        """Scalar Rice decode — the reference implementation the
+        windowed path is parity-gated against, and the path for tiny
+        partitions where window setup outweighs the win."""
         d = self.d
         nbits = self.nbits
         pos = self.pos
@@ -3340,6 +3338,77 @@ class _FlacBits:
             else:
                 u = q
             out.append((u >> 1) ^ -(u & 1))
+        self.pos = pos
+        return out
+
+    def read_rice(self, param: int, count: int) -> list:
+        """Decode ``count`` Rice-coded residuals — the decoder's hot
+        loop.  Windowed bit-array decode (round 9): unpack a window of
+        the stream to a numpy bit vector once, list the set-bit
+        positions, and precompute a 24-bit byte-aligned lookup; then
+        walk samples with O(1) Python-list ops — each sample's unary
+        terminator is ``ones[ci]`` because the unary span holds no set
+        bits, and ``ci`` advances by 1 + popcount(param field) so no
+        prefix-count array is needed.  ~1.7× over the scalar loop
+        (SCALE.md); exact parity is unit-gated against
+        :meth:`read_rice_scalar` on random streams and the whole
+        encoder matrix.  Tiny partitions and rice2 params > 14 (the
+        5-bit parameter space a foreign stream may use; 24-bit lookups
+        can't span them) take the scalar path."""
+        import numpy as np
+
+        if count < 64 or param > 14:
+            return self.read_rice_scalar(param, count)
+        d = self.d
+        pos = self.pos
+        out = []
+        mask = (1 << param) - 1
+        # expected bits/sample ≈ 1 (terminator) + param + mean quotient
+        need = count * (param + 3) + 64
+        while len(out) < count:
+            start_byte = pos >> 3
+            end_byte = min((pos + need + 7) >> 3, len(d))
+            base = start_byte << 3
+            arr = np.frombuffer(
+                d, np.uint8, count=end_byte - start_byte, offset=start_byte
+            )
+            win = np.unpackbits(arr)
+            wlen = len(win)
+            ones = np.flatnonzero(win).tolist()
+            nones = len(ones)
+            # 24-bit big-endian value starting at each window byte:
+            # covers any param ≤ 14 at any bit offset ≤ 7 (zero-padded
+            # tail; a read past the true end is caught by the wlen
+            # straddle check before the value is used)
+            a = np.concatenate(
+                [arr.astype(np.int64), np.zeros(2, dtype=np.int64)]
+            )
+            b24 = ((a[:-2] << 16) | (a[1:-1] << 8) | a[2:]).tolist()
+            p = pos - base
+            ci = int(win[:p].sum()) if p else 0
+            todo = count - len(out)
+            append = out.append
+            while todo:
+                if ci >= nones:
+                    break  # no terminator left in the window
+                t = ones[ci]
+                s = t + 1
+                if s + param > wlen:
+                    break  # param bits straddle the window edge
+                if param:  # param == 0 admits s == wlen: no bits to read
+                    val = (b24[s >> 3] >> (24 - (s & 7) - param)) & mask
+                else:
+                    val = 0
+                u = ((t - p) << param) | val
+                append((u >> 1) ^ -(u & 1))
+                ci += 1 + val.bit_count()
+                p = s + param
+                todo -= 1
+            pos = base + p
+            if len(out) < count:
+                if end_byte >= len(d):
+                    raise ValueError("flac: bitstream overrun")
+                need *= 2  # quotients larger than estimated: widen
         self.pos = pos
         return out
 
@@ -3446,7 +3515,7 @@ def _flac_subframe(br, block_size: int, bps: int) -> list:
                 cur = np.cumsum(
                     np.concatenate(([diffs[level - 1][0]], cur))
                 )
-            out = [int(v) for v in cur]
+            out = cur.tolist()  # C-path int64 → Python ints
     elif ftype >= 32:  # LPC
         order = (ftype & 31) + 1
         if order > block_size:

@@ -942,3 +942,68 @@ class TestStreamAudioFormatReport:
         feats = extract_audio_features(df, id_col="clip_id", decode="real")
         rep = audio_format_report(df, feats, id_col="clip_id").collect()
         assert len(rep) == 1 and rep[0]["n_decoded"] == 1
+
+
+class TestRiceWindowedParity:
+    """The windowed byte-aligned Rice decoder must agree EXACTLY (values
+    and end position) with the scalar reference on random streams at
+    random bit offsets — the gate for the round-9 hot-loop rewrite."""
+
+    def test_parity_random_streams(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            _FlacBits, _FlacBitWriter,
+        )
+
+        rng = np.random.default_rng(98)
+        for trial in range(60):
+            param = int(rng.integers(0, 15))
+            count = int(rng.integers(1, 1200))
+            pre_bits = int(rng.integers(0, 30))
+            vals = [int(v) for v in rng.integers(-3000, 3000, size=count)]
+            bw = _FlacBitWriter()
+            if pre_bits:
+                bw.put(int(rng.integers(0, 1 << pre_bits)), pre_bits)
+            for v in vals:
+                u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+                q = u >> param
+                while q >= 32:
+                    bw.put(0, 32)
+                    q -= 32
+                bw.put(1, q + 1)
+                if param:
+                    bw.put(u & ((1 << param) - 1), param)
+            data = bw.done()
+            a = _FlacBits(data)
+            a.pos = pre_bits
+            b = _FlacBits(data)
+            b.pos = pre_bits
+            ra = a.read_rice(param, count)
+            rb = b.read_rice_scalar(param, count)
+            assert ra == rb == vals, (trial, param, count, pre_bits)
+            assert a.pos == b.pos, trial
+
+    def test_truncated_stream_raises_both_paths(self):
+        from bertrand_spark.pipeline.multimodal import _FlacBits
+
+        data = bytes([0x00] * 8)  # all zeros: unary never terminates
+        for fn in ("read_rice", "read_rice_scalar"):
+            with pytest.raises(ValueError, match="overrun"):
+                getattr(_FlacBits(data), fn)(5, 100)
+
+    def test_rice2_params_route_to_scalar(self):
+        """5-bit (rice2) parameters above 14 exceed the 24-bit lookup
+        span — they must take the scalar path and still decode."""
+        from bertrand_spark.pipeline.multimodal import (
+            _FlacBits, _FlacBitWriter,
+        )
+
+        param, vals = 20, [5, -7, 123456, 0, -99999] * 40
+        bw = _FlacBitWriter()
+        for v in vals:
+            u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+            bw.put(1, (u >> param) + 1)
+            bw.put(u & ((1 << param) - 1), param)
+        br = _FlacBits(bw.done())
+        assert br.read_rice(param, len(vals)) == vals
