@@ -31,7 +31,7 @@ __all__ = [
     "IMAGE_META_SCHEMA", "image_table_schema", "attach_media_metadata",
     "decode_images", "resize_images", "sample_video_frames",
     "extract_audio_features", "audio_format_report",
-    "probe_video_metadata",
+    "probe_audio_metadata", "probe_video_metadata",
     "png_encode", "wav_encode", "avi_mjpeg_encode", "vp8l_encode",
     "flac_encode", "mkv_encode_meta",
 ]
@@ -4005,6 +4005,196 @@ def _audio_decode(payload: bytes):
     if dec is None:
         dec = _flac_decode(payload)
     return dec
+
+
+def _wav_meta(p: bytes):
+    """RIFF/WAVE fmt+data struct read → (duration_s, rate, channels,
+    bits) without decoding samples."""
+    import struct
+
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(p):
+        tag = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if tag == b"fmt " and pos + 8 + 16 <= len(p):
+            fmt = p[pos + 8 : pos + 8 + 16]
+        elif tag == b"data":
+            data_len = min(size, len(p) - pos - 8)
+        pos += 8 + size + (size & 1)
+    if fmt is None:
+        return None
+    _, n_ch, sr, _, block_align, bits = struct.unpack("<HHIIHH", fmt)
+    if not sr or not n_ch or not block_align:
+        return None
+    dur = (data_len / block_align / sr) if data_len else None
+    return dur, sr, n_ch, bits
+
+
+def _flac_meta(p: bytes):
+    """STREAMINFO struct read → (duration_s, rate, channels, bits)."""
+    if len(p) < 42 or p[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(p):
+        hdr = p[pos]
+        size = int.from_bytes(p[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 0 and size >= 34:
+            si = int.from_bytes(p[pos + 14 : pos + 22], "big")
+            sr = (si >> 44) & 0xFFFFF
+            n_ch = ((si >> 41) & 0x7) + 1
+            bits = ((si >> 36) & 0x1F) + 1
+            total = si & 0xFFFFFFFFF
+            if not sr:
+                return None
+            return (total / sr if total else None), sr, n_ch, bits
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    return None
+
+
+# MPEG1 Layer III bitrate (kbps) and sample-rate tables (public spec)
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0,
+)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def _mp3_meta(p: bytes):
+    """First-frame header read → (duration_estimate_s, rate, channels,
+    None).  Skips a leading ID3v2 tag (syncsafe size); the duration is
+    the CBR estimate payload_bytes * 8 / bitrate — the triage-grade
+    number (VBR files need a full frame walk a probe doesn't do)."""
+    pos = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        size = (
+            (p[6] & 0x7F) << 21 | (p[7] & 0x7F) << 14
+            | (p[8] & 0x7F) << 7 | (p[9] & 0x7F)
+        )
+        pos = 10 + size
+    if pos + 4 > len(p):
+        return None
+    h = int.from_bytes(p[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    version = (h >> 19) & 3
+    layer = (h >> 17) & 3
+    if version != 3 or layer != 1:  # MPEG1 Layer III only (the crawl bulk)
+        return None
+    bitrate = _MP3_BITRATES[(h >> 12) & 0xF] * 1000
+    rate = _MP3_RATES[(h >> 10) & 3]
+    if not bitrate or not rate:
+        return None
+    mode = (h >> 6) & 3
+    n_ch = 1 if mode == 3 else 2
+    dur = (len(p) - pos) * 8.0 / bitrate
+    return dur, rate, n_ch, None
+
+
+def _ogg_meta(p: bytes):
+    """Ogg page-0 id-header read (Vorbis or Opus) → (duration_s, rate,
+    channels, None).  Duration comes from the LAST page's granule
+    position (total PCM samples at the stream's rate for Vorbis; 48 kHz
+    ticks for Opus) — an rfind + struct read, no packet decode."""
+    if len(p) < 28 or p[:4] != b"OggS":
+        return None
+    seg_count = p[26]
+    body = 27 + seg_count
+    rate = n_ch = None
+    gran_rate = None
+    if p[body : body + 7] == b"\x01vorbis" and body + 16 <= len(p):
+        n_ch = p[body + 11]
+        rate = int.from_bytes(p[body + 12 : body + 16], "little")
+        gran_rate = rate
+    elif p[body : body + 8] == b"OpusHead" and body + 16 <= len(p):
+        n_ch = p[body + 9]
+        rate = int.from_bytes(p[body + 12 : body + 16], "little") or 48000
+        gran_rate = 48000  # Opus granules are 48 kHz ticks by spec
+    else:
+        return None
+    if not rate or not n_ch:
+        return None
+    dur = None
+    last = p.rfind(b"OggS")
+    if last > 0 and last + 14 <= len(p):
+        granule = int.from_bytes(
+            p[last + 6 : last + 14], "little", signed=True
+        )
+        if granule > 0:
+            dur = granule / gran_rate
+    return dur, rate, n_ch, None
+
+
+_AUDIO_META_SCHEMA = st.StructType([
+    st.StructField("media_id", st.LongType()),
+    st.StructField("container", st.StringType()),
+    st.StructField("duration_s", st.DoubleType()),
+    st.StructField("sample_rate", st.IntegerType()),
+    st.StructField("n_channels", st.IntegerType()),
+    st.StructField("bits_per_sample", st.IntegerType()),
+])
+
+
+def probe_audio_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Container-level AUDIO metadata without decoding — the audio twin
+    of :func:`probe_video_metadata` and the triage a 100 TB crawl runs
+    before spending decode cycles: WAV fmt-chunk read, FLAC STREAMINFO
+    read, MP3 first-frame header (CBR duration estimate, ID3v2
+    skipped), and Ogg Vorbis/Opus id-header + last-page granule.  One
+    Arrow pass, struct reads only; rows no probe understands degrade
+    to a NULL-container row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p) if p is not None else b""
+                got = None
+                try:
+                    if p[:4] == b"RIFF":
+                        m = _wav_meta(p)
+                        if m is not None:
+                            got = ("wav", *m)
+                    elif p[:4] == b"fLaC":
+                        m = _flac_meta(p)
+                        if m is not None:
+                            got = ("flac", *m)
+                    elif p[:4] == b"OggS":
+                        m = _ogg_meta(p)
+                        if m is not None:
+                            got = ("ogg", *m)
+                    else:
+                        m = _mp3_meta(p)
+                        if m is not None:
+                            got = ("mp3", *m)
+                except Exception:
+                    got = None  # per-row degrade, never a task death
+                if got is None:
+                    rows.append((mid, None, None, None, None, None))
+                else:
+                    c, dur, sr, n_ch, bits = got
+                    rows.append((
+                        mid, c,
+                        float(dur) if dur is not None else None,
+                        int(sr) if sr else None,
+                        int(n_ch) if n_ch else None,
+                        int(bits) if bits else None,
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_META_SCHEMA]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, _AUDIO_META_SCHEMA
+    )
 
 
 def audio_format_report(

@@ -1007,3 +1007,120 @@ class TestRiceWindowedParity:
             bw.put(u & ((1 << param) - 1), param)
         br = _FlacBits(bw.done())
         assert br.read_rice(param, len(vals)) == vals
+
+
+class TestProbeAudioMetadata:
+    """probe_audio_metadata — struct-read audio triage (the audio twin
+    of the video probe): WAV fmt chunk, FLAC STREAMINFO, MP3 first
+    frame (ID3v2 skipped, CBR estimate), Ogg Vorbis/Opus id header +
+    last-page granule.  No decode anywhere."""
+
+    @staticmethod
+    def _ogg_page(body, granule=0, first=True, seq=0):
+        import struct
+
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        return (
+            b"OggS" + b"\x00" + (b"\x02" if first else b"\x04")
+            + struct.pack("<q", granule) + struct.pack("<I", 1)
+            + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs) + body
+        )
+
+    def test_wav_and_flac(self, spark):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            flac_encode, probe_audio_metadata, wav_encode,
+        )
+
+        sr = 16000
+        t = np.arange(sr * 3) / sr
+        st = np.empty(len(t) * 2)
+        st[0::2] = 0.4 * np.sin(2 * np.pi * 220 * t)
+        st[1::2] = 0.2 * np.sin(2 * np.pi * 330 * t)
+        rows = [
+            (1, bytearray(wav_encode(sr, st, channels=2, fmt="s16"))),
+            (2, bytearray(flac_encode(sr, st, channels=2, bits=16))),
+            (3, bytearray(b"junk-payload")),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {
+            r["media_id"]: r for r in probe_audio_metadata(df).collect()
+        }
+        for mid, container in ((1, "wav"), (2, "flac")):
+            r = got[mid]
+            assert r["container"] == container
+            assert abs(r["duration_s"] - 3.0) < 1e-6
+            assert r["sample_rate"] == sr and r["n_channels"] == 2
+            assert r["bits_per_sample"] == 16
+        assert got[3]["container"] is None
+        assert got[4]["container"] is None
+
+    def test_mp3_header_with_id3(self):
+        from bertrand_spark.pipeline.multimodal import _mp3_meta
+
+        # ID3v2 tag of 100 syncsafe bytes, then an MPEG1 Layer III
+        # frame header: 128 kbps, 44100 Hz, joint stereo
+        tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x40])
+        payload = tag + hdr + bytes(16000)  # ~1 s at 128 kbps
+        dur, rate, n_ch, bits = _mp3_meta(payload)
+        assert rate == 44100 and n_ch == 2 and bits is None
+        assert abs(dur - (len(payload) - 110) * 8 / 128000) < 1e-9
+        assert _mp3_meta(b"\x00" * 64) is None
+        assert _mp3_meta(tag) is None  # tag but no frame
+
+    def test_ogg_vorbis_and_opus(self):
+        import struct
+
+        from bertrand_spark.pipeline.multimodal import _ogg_meta
+
+        vorbis_id = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+            + struct.pack("<I", 44100) + bytes(16)
+        )
+        last = self._ogg_page(b"\x05vorbis" + bytes(8),
+                              granule=44100 * 7, first=False, seq=9)
+        blob = self._ogg_page(vorbis_id) + bytes(64) + last
+        dur, rate, n_ch, _ = _ogg_meta(blob)
+        assert (rate, n_ch) == (44100, 2) and abs(dur - 7.0) < 1e-9
+
+        opus_id = (
+            b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + bytes(3)
+        )
+        last = self._ogg_page(b"x", granule=48000 * 2, first=False, seq=3)
+        blob = self._ogg_page(opus_id) + last
+        dur, rate, n_ch, _ = _ogg_meta(blob)
+        assert (rate, n_ch) == (48000, 2) and abs(dur - 2.0) < 1e-9
+        # no last-page granule → duration unknown, header still read
+        dur, rate, n_ch, _ = _ogg_meta(self._ogg_page(opus_id))
+        assert dur is None and rate == 48000
+
+    def test_fuzz_never_raises(self, spark):
+        import numpy as np
+
+        from conftest import mutate_blob
+
+        from bertrand_spark.pipeline.multimodal import (
+            _flac_meta, _mp3_meta, _ogg_meta, _wav_meta, wav_encode,
+        )
+
+        rng = np.random.default_rng(99)
+        base = bytearray(wav_encode(8000, np.zeros(4000)))
+        for _ in range(150):
+            blob = bytes(mutate_blob(base, rng))
+            for fn in (_wav_meta, _flac_meta, _mp3_meta, _ogg_meta):
+                try:
+                    fn(blob)
+                except Exception as e:
+                    # helpers may raise; the OPERATOR catches per row —
+                    # but struct helpers should themselves be total
+                    raise AssertionError(f"{fn.__name__}: {e}")
