@@ -552,24 +552,40 @@ def _td_to_str(col, src, dst, a: CastArgs):
 
 
 # --- anonymous cast (C31) ---------------------------------------------------
+def _quoted_key(name: str, parts: tuple) -> str:
+    key = "`" + name + "`"
+    if parts:
+        key += "." + ".".join(f"`{p}`" for p in parts)
+    return key
+
+
 def _struct_string_leaves(name: str, dtype, prefix: tuple = ()) -> list:
-    """(display_key, parts) for every STRING leaf under a struct column
-    — the nested candidates of the anonymous cast (round 9: the XML
-    source's nested elements arrive as all-string structs).  ``parts``
+    """(display_key, parts, is_array) for every STRING and
+    ARRAY<STRING> leaf under a struct column — the nested candidates of
+    the anonymous cast (round 9: the XML source's nested elements
+    arrive as all-string structs; round 10: its *repeated* elements
+    arrive as ``array<string>`` and promote element-wise).  ``parts``
     is the field-name PATH AS A LIST (never re-split, so field names
     containing literal dots — legal in XML and ubiquitous as JSON keys
     — resolve correctly); the display key is the fully backtick-quoted
-    dotted path, which also cannot collide with any top-level column's
-    raw name.  Names containing a backtick are skipped (unquotable in
-    withField)."""
+    dotted path (``[]``-suffixed for arrays), which also cannot collide
+    with any top-level column's raw name — top-level candidates with a
+    backtick in the name are skipped from candidacy, mirroring this
+    skip.  Names containing a backtick are skipped (unquotable in
+    withField).  Arrays of structs stay as-is (Spark's XML source emits
+    them for repeated complex elements; promoting inside them would
+    need transform-over-struct rebuilds with no reference precedent)."""
     out = []
     for f in dtype.fields:
         if "`" in f.name:
             continue
         parts = prefix + (f.name,)
         if isinstance(f.dataType, st.StringType):
-            key = "`" + name + "`." + ".".join(f"`{p}`" for p in parts)
-            out.append((key, parts))
+            out.append((_quoted_key(name, parts), parts, False))
+        elif isinstance(f.dataType, st.ArrayType) and isinstance(
+            f.dataType.elementType, st.StringType
+        ):
+            out.append((_quoted_key(name, parts) + "[]", parts, True))
         elif isinstance(f.dataType, st.StructType):
             out.extend(_struct_string_leaves(name, f.dataType, parts))
     return out
@@ -583,15 +599,24 @@ def _field_expr(top: str, parts: tuple) -> Column:
 
 
 def _nested_candidate_paths(df: DataFrame) -> dict:
-    """{display_key: (top_column, parts)} over every struct string leaf
-    — the deterministic inverse of the keys infer_best_types emits."""
+    """{display_key: (top_column, parts, is_array)} over every struct
+    string/array<string> leaf and top-level array<string> column — the
+    deterministic inverse of the keys infer_best_types emits.  A
+    top-level array column has ``parts == ()`` (its rebuild replaces
+    the column outright, no withField)."""
     out = {}
     for f in df.schema.fields:
         if "`" in f.name:
             continue
         if isinstance(f.dataType, st.StructType):
-            for key, parts in _struct_string_leaves(f.name, f.dataType):
-                out[key] = (f.name, parts)
+            for key, parts, is_arr in _struct_string_leaves(
+                f.name, f.dataType
+            ):
+                out[key] = (f.name, parts, is_arr)
+        elif isinstance(f.dataType, st.ArrayType) and isinstance(
+            f.dataType.elementType, st.StringType
+        ):
+            out[_quoted_key(f.name, ()) + "[]"] = (f.name, (), True)
     return out
 
 
@@ -607,21 +632,40 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
     STRING LEAVES INSIDE STRUCT COLUMNS are candidates too (round 9),
     keyed by their dotted path (``doc.meta.qty``) — the same one-
     aggregate convention, so XML's nested all-string structs promote
-    exactly like its top-level elements; arrays are out of scope.
+    exactly like its top-level elements.  ARRAY<STRING> columns and
+    struct leaves (round 10: XML's *repeated* elements) are candidates
+    too, keyed with a ``[]`` suffix: every element across every row is
+    tagged inside the SAME aggregate (per-tag ``size(filter(...))``
+    sums — higher-order functions are CodegenFallback, but this is the
+    one inference scan, not a per-row hot path) and the column promotes
+    only when every non-null element agrees, exactly like a scalar
+    column.  Top-level candidates with a backtick in the name are
+    skipped (they could collide with a quoted nested display key).
     """
     from ..types.detect import type_tag_column
 
     candidates: dict[str, Column] = {}
+    array_candidates: dict[str, Column] = {}
     for f in df.schema.fields:
         if cols is not None and f.name not in cols:
             continue
+        if "`" in f.name:
+            continue
         if isinstance(f.dataType, st.StringType):
             candidates[f.name] = type_tag_column(F.col(f.name))
-        elif isinstance(f.dataType, st.StructType) and "`" not in f.name:
-            for key, parts in _struct_string_leaves(f.name, f.dataType):
-                candidates[key] = type_tag_column(
-                    _field_expr(f.name, parts)
-                )
+        elif isinstance(f.dataType, st.ArrayType) and isinstance(
+            f.dataType.elementType, st.StringType
+        ):
+            array_candidates[_quoted_key(f.name, ()) + "[]"] = F.col(f.name)
+        elif isinstance(f.dataType, st.StructType):
+            for key, parts, is_arr in _struct_string_leaves(
+                f.name, f.dataType
+            ):
+                expr = _field_expr(f.name, parts)
+                if is_arr:
+                    array_candidates[key] = expr
+                else:
+                    candidates[key] = type_tag_column(expr)
         elif isinstance(f.dataType, st.BinaryType):
             from .objects import apply_with_errors
 
@@ -652,7 +696,7 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
                 ),
                 F.lit("missing"),
             )
-    if not candidates:
+    if not candidates and not array_candidates:
         return {}
 
     tags = ("missing", "bool", "int", "float", "complex", "decimal",
@@ -662,10 +706,24 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
         for name, tag_expr in candidates.items()
         for i, t in enumerate(tags)
     ]
+    # array candidates: per-tag element counts (NULL/empty arrays and
+    # NULL elements contribute nothing to the non-missing present set).
+    # NB: the predicate must be a ONE-parameter lambda — F.filter reads
+    # a second parameter as the element-index binding.
+    def _tag_eq(t: str):
+        return lambda x: type_tag_column(x) == t
+
+    aggs += [
+        F.sum(F.coalesce(
+            F.size(F.filter(arr, _tag_eq(t))), F.lit(0),
+        )).alias(f"{name}\tc{i}")
+        for name, arr in array_candidates.items()
+        for i, t in enumerate(tags)
+    ]
     row = df.select(*aggs).collect()[0]
 
     plan: dict[str, str] = {}
-    for name in candidates:
+    for name in list(candidates) + list(array_candidates):
         counts = {t: row[f"{name}\tc{i}"] for i, t in enumerate(tags)}
         present = {t for t, n in counts.items() if n > 0 and t != "missing"}
         if not present:
@@ -707,29 +765,50 @@ def _struct_leaf_casts(
         {**kwargs, "errors": "coerce"} if a.errors == "ignore" else kwargs
     )
     exprs: dict[str, Column] = {}
-    validations: list[tuple[str, Column, Column]] = []
+    validations: list[tuple[str, Column]] = []
     for key, dst in nested.items():
-        top, parts = paths[key]
+        top, parts, is_arr = paths[key]
         before = _field_expr(top, parts)
         try:
-            expr = cast_col(before, "string", dst, **build_kwargs)
+            if is_arr:
+                # element-wise promotion: transform over the array; the
+                # violation count is element-level (a non-null element
+                # whose cast nulled), summed inside the same aggregate
+                expr = F.transform(
+                    before,
+                    lambda x: cast_col(x, "string", dst, **build_kwargs),
+                )
+            else:
+                expr = cast_col(before, "string", dst, **build_kwargs)
         except CastError:
             if a.errors == "ignore":
                 continue
             raise
         exprs[key] = expr
         if a.errors in ("raise", "ignore"):
-            validations.append((key, before, expr))
+            if is_arr:
+                validations.append((key, _array_violation_agg(
+                    key, before,
+                    lambda x: cast_col(x, "string", dst, **build_kwargs),
+                )))
+            else:
+                validations.append(
+                    (key, _violation_agg(key, before, expr))
+                )
     return exprs, validations, paths
 
 
 def _struct_rebuild_columns(exprs: dict, paths: dict) -> dict:
     """Fold the surviving leaf casts into per-struct-column rebuild
     expressions (chained withField over backtick-quoted literal field
-    names; NULL structs stay NULL)."""
+    names; NULL structs stay NULL).  A top-level array promotion
+    (``parts == ()``) replaces its column outright."""
     per_top: dict[str, Column] = {}
     for key, expr in exprs.items():
-        top, parts = paths[key]
+        top, parts, _ = paths[key]
+        if not parts:
+            per_top[top] = expr
+            continue
         field = ".".join(f"`{p}`" for p in parts)
         col = per_top.get(top, F.col(top))
         per_top[top] = col.withField(field, expr)
@@ -758,23 +837,32 @@ def cast_col(
     return out
 
 
+def _violation_agg(name: str, before: Column, after: Column) -> Column:
+    """New-NULL count for one scalar cast column."""
+    return F.count(F.when(before.isNotNull() & after.isNull(), 1)).alias(name)
+
+
+def _array_violation_agg(name: str, arr: Column, cast_fn) -> Column:
+    """Element-level new-NULL count for one array<string> promotion: a
+    non-null element whose cast nulled is a violation; NULL arrays
+    contribute nothing (size(NULL) → NULL → coalesce 0)."""
+    bad = F.filter(arr, lambda x: x.isNotNull() & cast_fn(x).isNull())
+    return F.sum(F.coalesce(F.size(bad), F.lit(0))).alias(name)
+
+
 def _violation_counts(
-    df: DataFrame, validations: list[tuple[str, Column, Column]]
+    df: DataFrame, validations: list[tuple[str, Column]]
 ) -> dict[str, int]:
     """ONE aggregate job counting new NULLs across ALL cast columns (same
     single-pass pattern as downcast_plan, convert/downcast.py:79-93) — a
     50-column cast costs one scan, not 50."""
     if not validations:
         return {}
-    aggs = [
-        F.count(F.when(before.isNotNull() & after.isNull(), 1)).alias(name)
-        for name, before, after in validations
-    ]
-    row = df.select(*aggs).collect()[0]
-    return {name: row[name] for name, _, _ in validations if row[name]}
+    row = df.select(*[agg for _, agg in validations]).collect()[0]
+    return {name: row[name] for name, _ in validations if row[name]}
 
 
-def _validate(df: DataFrame, validations: list[tuple[str, Column, Column]]) -> None:
+def _validate(df: DataFrame, validations: list[tuple[str, Column]]) -> None:
     """errors='raise': raise when any column produced violations."""
     bad = _violation_counts(df, validations)
     if bad:
@@ -804,7 +892,7 @@ def cast(
     observed = {f.name: resolve(f.dataType) for f in df.schema.fields}
 
     nested_exprs: dict[str, Column] = {}
-    nested_validations: list[tuple[str, Column, Column]] = []
+    nested_validations: list[tuple[str, Column]] = []
     nested_paths: dict = {}
     if spec is None:
         spec = infer_best_types(
@@ -812,12 +900,23 @@ def cast(
         )
         if not spec:
             return df
-        # quoted-path keys are struct-leaf promotions (round 9): their
-        # casts rebuild the struct columns via withField, validated in
-        # the SAME single aggregate as the top-level plan below
-        nested = {k: v for k, v in spec.items() if k not in observed}
+
+    if isinstance(spec, Mapping):
+        # quoted-path keys are struct-leaf promotions (round 9) and
+        # array<string> element promotions (round 10, ``[]``-suffixed):
+        # their casts rebuild the struct columns via withField (or
+        # replace the array column), validated in the SAME single
+        # aggregate as the top-level plan below.  Routing is by nested-
+        # candidate membership, NOT by absence from the schema — a
+        # (contrived) top-level column literally named ``\`s\`.\`t\```
+        # can therefore never shadow a nested promotion; such names are
+        # also skipped from candidacy, so the quoted key is unambiguous.
+        # Explicit mappings address nested candidates by the same keys;
+        # genuinely unknown names fall to the plan loop's error.
+        known = _nested_candidate_paths(df)
+        nested = {k: v for k, v in spec.items() if k in known}
         if nested:
-            spec = {k: v for k, v in spec.items() if k in observed}
+            spec = {k: v for k, v in spec.items() if k not in nested}
             nested_exprs, nested_validations, nested_paths = (
                 _struct_leaf_casts(df, nested, a, kwargs)
             )
@@ -833,7 +932,7 @@ def cast(
             plan = {n: target for n in names}
 
     out_cols: dict[str, Column] = {}
-    validations: list[tuple[str, Column, Column]] = []
+    validations: list[tuple[str, Column]] = []
     for name, dst in plan.items():
         if name not in observed:
             raise CastError(f"no such column: {name!r}")
@@ -868,7 +967,7 @@ def cast(
             raise
         out_cols[name] = expr
         if a.errors in ("raise", "ignore"):
-            validations.append((name, F.col(name), expr))
+            validations.append((name, _violation_agg(name, F.col(name), expr)))
 
     if a.errors == "raise":
         _validate(df, nested_validations + validations)

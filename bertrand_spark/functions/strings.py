@@ -52,9 +52,25 @@ def int_to_base(col: Column, base: int) -> Column:
     return F.when(col < 0, F.concat(F.lit("-"), pos)).otherwise(pos)
 
 
+def _conv_guarded(body: Column, base: int) -> Column:
+    """``F.conv(body, base, 10)`` that can NEVER throw: under ANSI mode
+    (Spark 4's default) conv raises ARITHMETIC_OVERFLOW past 2^64-1, so
+    inputs whose zero-stripped digit count can exceed it return NULL
+    instead — a coerce-mode cast must null, not crash the job."""
+    import math
+
+    stripped = F.regexp_replace(body, r"^0+(.)", "$1")
+    maxlen = int(64 // math.log2(base))  # maxlen digits always < 2^64
+    return F.when(
+        F.length(stripped) <= maxlen, F.conv(stripped, base, 10)
+    ).otherwise(F.lit(None))
+
+
 def base_to_int(col: Column, base: int = 10) -> Column:
     """String in radix ``base`` → LongType; base=0 auto-detects 0b/0o/0x
-    prefixes (reference ``convert/string.py:56-76``)."""
+    prefixes (reference ``convert/string.py:56-76``).  Out-of-int64
+    magnitudes null (try_cast), except INT64_MIN whose magnitude is one
+    past INT64_MAX."""
     s = F.trim(col)
     neg = s.startswith("-")
     mag = F.when(neg | s.startswith("+"), F.substring(s, 2, 2**31 - 1)).otherwise(s)
@@ -62,18 +78,22 @@ def base_to_int(col: Column, base: int = 10) -> Column:
         low = F.lower(mag)
         body_bin = F.substring(mag, 3, 2**31 - 1)
         val = (
-            F.when(low.startswith("0b"), F.conv(body_bin, 2, 10))
-            .when(low.startswith("0o"), F.conv(body_bin, 8, 10))
-            .when(low.startswith("0x"), F.conv(body_bin, 16, 10))
-            .otherwise(F.conv(mag, 10, 10))
+            F.when(low.startswith("0b"), _conv_guarded(body_bin, 2))
+            .when(low.startswith("0o"), _conv_guarded(body_bin, 8))
+            .when(low.startswith("0x"), _conv_guarded(body_bin, 16))
+            .otherwise(_conv_guarded(mag, 10))
         )
     else:
-        val = F.conv(mag, base, 10)
+        val = _conv_guarded(mag, base)
     # conv returns NULL on bad digits in Spark 4; reject non-digit base-10 early
     if base == 10:
         val = F.when(mag.rlike(r"^\d+$"), val).otherwise(F.lit(None))
-    out = val.cast("long")
-    return F.when(neg, -out).otherwise(out)
+    out = val.try_cast("long")
+    return (
+        F.when(neg & (val == F.lit("9223372036854775808")), F.lit(-(2**63)))
+        .when(neg, -out)
+        .otherwise(out)
+    )
 
 
 _COMPLEX_RE = (

@@ -4043,6 +4043,8 @@ def _flac_meta(p: bytes):
         hdr = p[pos]
         size = int.from_bytes(p[pos + 1 : pos + 4], "big")
         if (hdr & 0x7F) == 0 and size >= 34:
+            if pos + 4 + size > len(p):  # block body truncated mid-payload
+                return None
             si = int.from_bytes(p[pos + 14 : pos + 22], "big")
             sr = (si >> 44) & 0xFFFFF
             n_ch = ((si >> 41) & 0x7) + 1
@@ -4119,13 +4121,20 @@ def _ogg_meta(p: bytes):
     if not rate or not n_ch:
         return None
     dur = None
+    # 'OggS' can occur inside packet payload bytes; only trust a
+    # candidate whose page header validates (version byte 0, header-type
+    # flags within the 3 defined bits) — scan earlier candidates until
+    # one does.
     last = p.rfind(b"OggS")
-    if last > 0 and last + 14 <= len(p):
-        granule = int.from_bytes(
-            p[last + 6 : last + 14], "little", signed=True
-        )
-        if granule > 0:
-            dur = granule / gran_rate
+    while last > 0:
+        if last + 27 <= len(p) and p[last + 4] == 0 and p[last + 5] <= 7:
+            granule = int.from_bytes(
+                p[last + 6 : last + 14], "little", signed=True
+            )
+            if granule > 0:
+                dur = granule / gran_rate
+            break
+        last = p.rfind(b"OggS", 0, last)
     return dur, rate, n_ch, None
 
 

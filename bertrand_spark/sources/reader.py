@@ -196,7 +196,10 @@ def read_xml_inferred(
     ``row_tag`` names the repeated element that forms a row; nested
     elements arrive as struct columns whose STRING LEAVES the cast
     promotes recursively under the same one-aggregate convention
-    (round 9 — arrays stay as-is).  The source's own SAMPLING
+    (round 9), and *repeated* elements arrive as ``array<string>``
+    columns whose ELEMENTS promote the same way (round 10 — an
+    all-numeric repeated ``<qty>`` becomes ``array<bigint>``; a mixed
+    one stays string).  The source's own SAMPLING
     inference is disabled (``inferSchema=false`` → all-string leaves)
     so the engine's full-data pass owns the decision, same as the CSV
     path."""
