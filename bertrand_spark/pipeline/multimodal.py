@@ -1200,8 +1200,17 @@ def _real_decode(Image, payload: bytes, channels: int):
         if payload[:4] == b"GIF8":
             return _gif_decode(payload, channels)
         if payload[:4] == b"RIFF":
-            return _vp8l_decode(payload, channels)
-        return _png_decode(payload, channels)
+            # sniff gate (round 10): only a WEBP container that can
+            # still hold lossless data enters the decoder — a lossy
+            # 'VP8 ' primary chunk or a non-WEBP RIFF (AVI, WAV) is
+            # ruled out by its magic alone, so the riff walk never
+            # runs on a payload its class already condemns
+            if payload[8:12] == b"WEBP" and payload[12:16] != b"VP8 ":
+                return _vp8l_decode(payload, channels)
+            return None, None, None, None
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _png_decode(payload, channels)
+        return None, None, None, None
     try:
         img = Image.open(io.BytesIO(payload))
         img = img.convert("RGB" if channels == 3 else "L")
@@ -1553,32 +1562,58 @@ def extract_audio_features(
       — and a deterministic numpy feature vector — duration, RMS,
       zero-crossing rate, spectral centroid / 85% rolloff / bandwidth,
       plus log-spaced band energies (see :func:`_wav_features`).
-      Lossy audio (MP3/AAC/OGG) and corrupt payloads yield
-      NULL features — the same per-row degrade contract as the image
+      Round 10: the container sniff runs FIRST as the decode
+      skip-list (:func:`_audio_container_class`, SCALE.md's round-9
+      conclusion): known-lossy (MP3/AAC/OGG) and unknown containers
+      never enter the decoder and report ``decode_status =
+      'skipped-lossy'`` / ``'skipped-unknown'``; a lossless-class
+      payload whose decode or featurization fails reports
+      ``'decode-failed'``.  Decode cost therefore tracks decodable
+      bytes, not corpus bytes.  All non-decoded rows keep NULL
+      features — the same per-row degrade contract as the image
       codecs; analysis is capped at 2^21 samples per row so a huge or
       corrupt payload cannot stall a task.
     - ``decode='fake'``: deterministic payload-hash values (production
-      schema, no decode) — the oracle-replayable mode.
+      schema incl. ``decode_status='decoded'``, no decode) — the
+      oracle-replayable mode.
     """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     schema = st.StructType([
         st.StructField("media_id", st.LongType()),
         st.StructField("features", st.ArrayType(st.DoubleType())),
+        st.StructField("decode_status", st.StringType()),
     ])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
+            statuses = []
             for p in pdf[payload_col]:
                 if decode == "real":
-                    feats.append(_audio_features_or_none(
-                        bytes(p) if p is not None else None, n_features
-                    ))
+                    b = bytes(p) if p is not None else None
+                    _, klass = _audio_container_class(b)
+                    if klass == "lossy-no-decoder":
+                        feats.append(None)
+                        statuses.append("skipped-lossy")
+                    elif klass == "unknown":
+                        feats.append(None)
+                        statuses.append("skipped-unknown")
+                    else:
+                        f = _audio_features_or_none(b, n_features)
+                        feats.append(f)
+                        statuses.append(
+                            "decoded" if f is not None else "decode-failed"
+                        )
                 else:
                     h = hashlib.sha256(p or b"").digest()
                     feats.append([b / 255.0 for b in h[:n_features]])
-            yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
+                    statuses.append("decoded")
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "features": feats,
+                "decode_status": statuses,
+            })
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
@@ -4005,6 +4040,31 @@ def _audio_decode(payload: bytes):
     if dec is None:
         dec = _flac_decode(payload)
     return dec
+
+
+def _audio_container_class(p) -> tuple:
+    """(container, codec_class) magic-byte sniff — the Python twin of
+    :func:`audio_format_report`'s native-expression sniff (kept in
+    exact agreement; the round-10 unit pins the parity).  This is the
+    probe-as-skip-list the decode pass runs FIRST (SCALE.md's round-9
+    conclusion): known-lossy and unknown containers never enter
+    :func:`_audio_decode`, so decode cost tracks decodable bytes, not
+    corpus bytes."""
+    if not p:
+        return None, "unknown"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav", "lossless-decodable"
+    if p[:4] == b"fLaC":
+        return "flac", "lossless-decodable"
+    if p[:3] == b"ID3" or (
+        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+    ):
+        return "mp3", "lossy-no-decoder"
+    if p[:4] == b"OggS":
+        return "ogg", "lossy-no-decoder"
+    if p[4:8] == b"ftyp":
+        return "m4a", "lossy-no-decoder"
+    return None, "unknown"
 
 
 def _wav_meta(p: bytes):

@@ -725,9 +725,13 @@ def stream_extract_audio(
     :func:`~bertrand_spark.pipeline.multimodal.extract_audio_features`
     (stdlib WAV + FLAC decode + deterministic spectral features under
     ``decode='real'``) over each micro-batch and lands
-    (id, features) in the idempotent per-epoch parquet layout.  When
+    (id, features, decode_status) in the idempotent per-epoch parquet
+    layout.  The container sniff gates the decoder (round 10): known-
+    lossy and unknown payloads are routed AROUND it, so each epoch's
+    decode cost tracks its decodable bytes.  When
     ``report_dir`` is set, each epoch also writes one
-    (n_total, n_decoded, n_null) row — a compressed-audio or corrupt
+    (n_total, n_decoded, n_null, n_skipped_lossy, n_skipped_unknown,
+    n_decode_failed) row — a compressed-audio or corrupt
     burst is visible per micro-batch, not at end-of-job — plus the
     PER-CONTAINER breakdown (``audio_format_report``: wav/flac/lossy
     classes) under ``{report_dir}/formats/`` (round 9), the same
@@ -758,23 +762,27 @@ def stream_extract_audio(
             landed = batch_df.sparkSession.read.parquet(
                 f"{out_dir}/ingest_batch={batch_id}"
             )
+
+            # coalesce: F.sum over an EMPTY micro-batch is NULL, and a
+            # monitoring consumer summing/alerting on the counters must
+            # see 0 (review finding)
+            def _n(cond, alias):
+                return F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                ).alias(alias)
+
+            status = F.col("decode_status")
             landed.agg(
                 F.count(F.lit(1)).alias("n_total"),
-                # coalesce: F.sum over an EMPTY micro-batch is NULL,
-                # and a monitoring consumer summing/alerting on the
-                # counters must see 0 (review finding)
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("features").isNotNull(), 1).otherwise(0)
-                    ),
-                    F.lit(0),
-                ).alias("n_decoded"),
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("features").isNull(), 1).otherwise(0)
-                    ),
-                    F.lit(0),
-                ).alias("n_null"),
+                _n(F.col("features").isNotNull(), "n_decoded"),
+                _n(F.col("features").isNull(), "n_null"),
+                # round 10 (probe-gated decode): the NULL class splits
+                # into rows the sniff ROUTED AROUND the decoder vs rows
+                # that entered it and failed — the per-epoch evidence
+                # that decode cost tracks decodable bytes
+                _n(status == "skipped-lossy", "n_skipped_lossy"),
+                _n(status == "skipped-unknown", "n_skipped_unknown"),
+                _n(status == "decode-failed", "n_decode_failed"),
             ).write.mode("overwrite").parquet(
                 f"{report_dir}/ingest_batch={batch_id}"
             )

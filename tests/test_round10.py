@@ -226,3 +226,133 @@ class TestAudioProbeHardening:
         meta2 = _ogg_meta(poisoned)
         # the real LAST page (granule 4s) wins, not the payload fake
         assert meta2 is not None and abs(meta2[0] - 4.0) < 1e-9
+
+
+class TestProbeGatedAudioDecode:
+    """Round-10 (VERDICT items 4/5): the container sniff is the decode
+    skip-list — lossy/unknown payloads never enter _audio_decode, the
+    per-row decode_status records which path each row took, and the
+    streaming epoch report splits skipped-lossy vs decoded vs
+    decode-failed."""
+
+    @pytest.fixture()
+    def mixed(self, spark):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import flac_encode, wav_encode
+
+        sr = 16000
+        sig = 0.3 * np.sin(np.arange(sr) * 0.2)
+        rows = [
+            (1, bytearray(wav_encode(sr, sig))),
+            (2, bytearray(flac_encode(sr, sig))),
+            (3, bytearray(b"ID3\x04" + bytes(64))),           # mp3 (ID3)
+            (4, bytearray(b"\xff\xfb\x90" + bytes(64))),      # mp3 (sync)
+            (5, bytearray(b"OggS" + bytes(64))),              # ogg
+            (6, bytearray(bytes(4) + b"ftypM4A " + bytes(32))),  # m4a
+            (7, bytearray(b"garbage")),
+            (8, bytearray(wav_encode(sr, sig))[:30]),         # corrupt wav
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_decode_status_split(self, mixed):
+        from bertrand_spark.pipeline.multimodal import extract_audio_features
+
+        out = {
+            r.media_id: r
+            for r in extract_audio_features(mixed, decode="real").collect()
+        }
+        assert out[1].decode_status == "decoded" and out[1].features
+        assert out[2].decode_status == "decoded" and out[2].features
+        # lossy containers are ROUTED AROUND the decoder — the only
+        # branch that can emit 'skipped-lossy' is the pre-decode gate
+        for mid in (3, 4, 5, 6):
+            assert out[mid].decode_status == "skipped-lossy", mid
+            assert out[mid].features is None
+        assert out[7].decode_status == "skipped-unknown"
+        # lossless-class payload that entered the decoder and failed
+        assert out[8].decode_status == "decode-failed"
+        assert out[8].features is None
+
+    def test_fake_mode_schema_parity(self, mixed):
+        from bertrand_spark.pipeline.multimodal import extract_audio_features
+
+        fake = extract_audio_features(mixed, decode="fake")
+        assert [f.name for f in fake.schema.fields] == [
+            "media_id", "features", "decode_status",
+        ]
+        assert {r.decode_status for r in fake.collect()} == {"decoded"}
+
+    def test_python_sniff_matches_native_sniff(self, mixed):
+        """_audio_container_class (the kernel's gate) and
+        audio_format_report's native-expression sniff must classify
+        identically — a divergence would make the report's class
+        counts lie about what the gate actually did."""
+        from bertrand_spark.pipeline.multimodal import (
+            _audio_container_class, audio_format_report,
+            extract_audio_features,
+        )
+
+        feats = extract_audio_features(mixed, decode="real")
+        native = {
+            r["sniffed_format"]: (r["codec_class"], r["n_total"])
+            for r in audio_format_report(mixed, feats).collect()
+        }
+        py_counts: dict = {}
+        for row in mixed.collect():
+            c, k = _audio_container_class(bytes(row.payload))
+            key = c or "unknown"
+            py_counts.setdefault(key, [k, 0])
+            py_counts[key][1] += 1
+        assert {k: (v[0], v[1]) for k, v in py_counts.items()} == native
+
+    def test_stream_report_splits(self, spark, mixed, tmp_path):
+        from bertrand_spark.streaming.rollup import stream_extract_audio
+
+        out_dir, rep_dir = str(tmp_path / "out"), str(tmp_path / "rep")
+        handle = stream_extract_audio(out_dir, report_dir=rep_dir)
+        handle(mixed, 0)
+        rep = spark.read.parquet(f"{rep_dir}/ingest_batch=0").collect()[0]
+        assert rep.n_total == 8
+        assert rep.n_decoded == 2
+        assert rep.n_skipped_lossy == 4   # 2 mp3 + ogg + m4a
+        assert rep.n_skipped_unknown == 1
+        assert rep.n_decode_failed == 1   # the truncated wav
+        assert rep.n_null == 6
+        # per-container table still written (round-9 contract)
+        fmts = spark.read.parquet(f"{rep_dir}/formats/ingest_batch=0")
+        assert fmts.count() >= 4
+
+
+class TestSniffGatedImageDecode:
+    """The image twin: with no PIL, _real_decode must never hand a
+    payload to a codec its magic already rules out — a lossy 'VP8 '
+    WebP or a non-WEBP RIFF skips the riff walk, unknown magic skips
+    the PNG path."""
+
+    def test_ruled_out_payloads_never_reach_codecs(self, monkeypatch):
+        from bertrand_spark.pipeline import multimodal as mm
+
+        def boom(*a, **k):
+            raise AssertionError("codec called on a ruled-out payload")
+
+        monkeypatch.setattr(mm, "_vp8l_decode", boom)
+        monkeypatch.setattr(mm, "_png_decode", boom)
+        null = (None, None, None, None)
+        lossy_webp = b"RIFF" + bytes(4) + b"WEBP" + b"VP8 " + bytes(32)
+        avi = b"RIFF" + bytes(4) + b"AVI " + bytes(32)
+        junk = b"not an image at all"
+        assert mm._real_decode(None, lossy_webp, 3) == null
+        assert mm._real_decode(None, avi, 3) == null
+        assert mm._real_decode(None, junk, 3) == null
+
+    def test_decodable_classes_still_route(self):
+        from bertrand_spark.pipeline import multimodal as mm
+
+        png = mm.png_encode(4, 4, 3, bytes(range(48)))
+        w, h, c, px = mm._real_decode(None, png, 3)
+        assert (w, h, c) == (4, 4, 3) and px == bytes(range(48))
+        # VP8L (lossless webp) still decodes through the gate
+        vp8l = mm.vp8l_encode(4, 4, 3, bytes(48))
+        w, h, c, px = mm._real_decode(None, vp8l, 3)
+        assert (w, h) == (4, 4) and px is not None
