@@ -1529,6 +1529,41 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, _FRAME_SCHEMA)
 
 
+def _mp3_features_or_status(payload, n_features: int):
+    """MP3 row → (features or None, decode_status).  The status
+    vocabulary extends the seam's three-way split with the gated
+    decoder's coverage outcome (round 10):
+
+    - ``'decoded'``: full-coverage decode (every granule bit-exact
+      over validated tables) + featurization;
+    - ``'decode-partial'``: the stream parses but at least one
+      granule selected a Huffman table outside the validated set or
+      failed accounting — honest NULL, distinct from corruption;
+    - ``'decode-failed'``: no two consistent frames / hard error.
+    """
+    from .mp3dec import decode as _mp3_full_decode
+
+    try:
+        d = _mp3_full_decode(
+            payload, max_samples=_WAV_ANALYSIS_MAX_SAMPLES,
+            stop_on_fail=True,
+        )
+    except Exception:
+        return None, "decode-failed"
+    if d is None or not d["n_granules"]:
+        return None, "decode-failed"
+    if d["coverage"] < 1.0:
+        return None, "decode-partial"
+    try:
+        feats = _wav_features(
+            d["sample_rate"], d["samples"], n_features,
+            duration=d["duration_s"],
+        )
+    except Exception:
+        return None, "decode-failed"
+    return feats, "decoded" if feats is not None else "decode-failed"
+
+
 def _audio_features_or_none(payload, n_features: int):
     """Decode + featurize one audio payload, or None.  Routes through
     :func:`_audio_decode` (WAV, then FLAC — round 9).  Feature
@@ -1564,9 +1599,12 @@ def extract_audio_features(
       plus log-spaced band energies (see :func:`_wav_features`).
       Round 10: the container sniff runs FIRST as the decode
       skip-list (:func:`_audio_container_class`, SCALE.md's round-9
-      conclusion): known-lossy (MP3/AAC/OGG) and unknown containers
-      never enter the decoder and report ``decode_status =
-      'skipped-lossy'`` / ``'skipped-unknown'``; a lossless-class
+      conclusion): no-decoder lossy (AAC/OGG) and unknown containers
+      never enter a decoder and report ``decode_status =
+      'skipped-lossy'`` / ``'skipped-unknown'``; MP3 rows route
+      through the gated mp3dec decoder (full-coverage contract,
+      first-failure early exit) reporting ``'decoded'`` /
+      ``'decode-partial'`` / ``'decode-failed'``; a lossless-class
       payload whose decode or featurization fails reports
       ``'decode-failed'``.  Decode cost therefore tracks decodable
       bytes, not corpus bytes.  All non-decoded rows keep NULL
@@ -1599,6 +1637,10 @@ def extract_audio_features(
                     elif klass == "unknown":
                         feats.append(None)
                         statuses.append("skipped-unknown")
+                    elif klass == "lossy-decodable":
+                        f, s = _mp3_features_or_status(b, n_features)
+                        feats.append(f)
+                        statuses.append(s)
                     else:
                         f = _audio_features_or_none(b, n_features)
                         feats.append(f)
@@ -4032,13 +4074,45 @@ def flac_encode(
     return bytes(out)
 
 
+def _mp3_decode(payload: bytes):
+    """Gated MP3 decode → the :func:`_wav_decode` tuple contract, or
+    None.  Round 10: :func:`bertrand_spark.pipeline.mp3dec.decode`
+    under its full-coverage contract — PCM is returned ONLY when
+    every granule decoded with exact bit accounting over validated
+    Huffman tables (mp3dec module docstring has the evidence-grade
+    discussion); any gated or failed granule aborts early
+    (``stop_on_fail``) and the row degrades to NULL, so the per-row
+    cost of an out-of-table-set MP3 is bounded by its first loud
+    granule."""
+    from .mp3dec import decode as _mp3_full_decode
+
+    try:
+        d = _mp3_full_decode(
+            payload, max_samples=_WAV_ANALYSIS_MAX_SAMPLES,
+            stop_on_fail=True,
+        )
+    except Exception:
+        return None
+    if d is None or not d["n_granules"] or d["coverage"] < 1.0:
+        return None
+    return d["sample_rate"], d["n_channels"], d["samples"], \
+        d["duration_s"]
+
+
 def _audio_decode(payload: bytes):
     """Route one payload through the stdlib audio decoders: WAV first
-    (cheap RIFF magic check), then FLAC.  Same return contract as
-    :func:`_wav_decode`; None for lossy/corrupt payloads."""
+    (cheap RIFF magic check), then FLAC, then gated MP3 (round 10).
+    Same return contract as :func:`_wav_decode`; None for
+    undecodable/corrupt payloads."""
     dec = _wav_decode(payload)
     if dec is None:
         dec = _flac_decode(payload)
+    if dec is None and payload is not None and (
+        payload[:3] == b"ID3"
+        or (len(payload) >= 2 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0)
+    ):
+        dec = _mp3_decode(payload)
     return dec
 
 
@@ -4059,7 +4133,9 @@ def _audio_container_class(p) -> tuple:
     if p[:3] == b"ID3" or (
         len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
     ):
-        return "mp3", "lossy-no-decoder"
+        # round 10: the gated mp3dec decoder exists — decode is
+        # ATTEMPTED (full-coverage contract), not skipped
+        return "mp3", "lossy-decodable"
     if p[:4] == b"OggS":
         return "ogg", "lossy-no-decoder"
     if p[4:8] == b"ftyp":
@@ -4241,9 +4317,22 @@ def probe_audio_metadata(
                         if m is not None:
                             got = ("ogg", *m)
                     else:
-                        m = _mp3_meta(p)
-                        if m is not None:
-                            got = ("mp3", *m)
+                        # round 10: exact header-walk duration (VBR-
+                        # correct, counts real frames) when the stream
+                        # has >=2 consistent frames; the round-9
+                        # first-frame CBR estimate stays as the
+                        # single-frame / truncated-tail fallback
+                        from .mp3dec import parse_stream as _mp3_walk
+
+                        info = _mp3_walk(p, decode_side_info=False)
+                        if info is not None:
+                            got = ("mp3", info["duration_s"],
+                                   info["sample_rate"],
+                                   info["n_channels"], None)
+                        else:
+                            m = _mp3_meta(p)
+                            if m is not None:
+                                got = ("mp3", *m)
                 except Exception:
                     got = None  # per-row degrade, never a task death
                 if got is None:
@@ -4284,9 +4373,12 @@ def audio_format_report(
     - ``wav``/``flac`` → ``lossless-decodable`` (rounds 8/9 stdlib
       decoders; a non-zero n_null here means corrupt payloads or —
       for wav — a compressed codec inside the RIFF wrapper);
-    - ``mp3``/``ogg``/``m4a`` → ``lossy-no-decoder`` (expected
-      n_null == n_total without worker codecs — the documented
-      degrade class);
+    - ``mp3`` → ``lossy-decodable`` (round 10: the gated mp3dec
+      decoder — n_decoded counts full-coverage decodes; NULLs here
+      are coverage gaps or corruption, split per-row by
+      ``decode_status`` 'decode-partial' vs 'decode-failed');
+    - ``ogg``/``m4a`` → ``lossy-no-decoder`` (expected n_null ==
+      n_total without worker codecs — the documented degrade class);
     - anything else → ``unknown``.
     """
     head4 = F.hex(F.substring(F.col(payload_col).cast("binary"), 1, 4))
@@ -4308,7 +4400,8 @@ def audio_format_report(
     )
     klass = (
         F.when(fmt.isin("wav", "flac"), "lossless-decodable")
-        .when(fmt.isin("mp3", "ogg", "m4a"), "lossy-no-decoder")
+        .when(fmt == "mp3", "lossy-decodable")
+        .when(fmt.isin("ogg", "m4a"), "lossy-no-decoder")
         .otherwise("unknown")
     )
     sniffed = df.select(

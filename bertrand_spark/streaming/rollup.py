@@ -731,8 +731,10 @@ def stream_extract_audio(
     decode cost tracks its decodable bytes.  When
     ``report_dir`` is set, each epoch also writes one
     (n_total, n_decoded, n_null, n_skipped_lossy, n_skipped_unknown,
-    n_decode_failed) row — a compressed-audio or corrupt
-    burst is visible per micro-batch, not at end-of-job — plus the
+    n_decode_failed, n_decode_partial) row — a compressed-audio or
+    corrupt burst is visible per micro-batch, not at end-of-job (and
+    round 10's n_decode_partial isolates gated-MP3 coverage gaps from
+    corruption) — plus the
     PER-CONTAINER breakdown (``audio_format_report``: wav/flac/lossy
     classes) under ``{report_dir}/formats/`` (round 9), the same
     per-format visibility stream_decode_media gives images.  The
@@ -783,6 +785,10 @@ def stream_extract_audio(
                 _n(status == "skipped-lossy", "n_skipped_lossy"),
                 _n(status == "skipped-unknown", "n_skipped_unknown"),
                 _n(status == "decode-failed", "n_decode_failed"),
+                # round 10: gated-MP3 coverage gaps (stream parsed,
+                # some granule outside the validated Huffman set) —
+                # distinct from corruption
+                _n(status == "decode-partial", "n_decode_partial"),
             ).write.mode("overwrite").parquet(
                 f"{report_dir}/ingest_batch={batch_id}"
             )

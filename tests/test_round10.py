@@ -264,9 +264,14 @@ class TestProbeGatedAudioDecode:
         }
         assert out[1].decode_status == "decoded" and out[1].features
         assert out[2].decode_status == "decoded" and out[2].features
-        # lossy containers are ROUTED AROUND the decoder — the only
-        # branch that can emit 'skipped-lossy' is the pre-decode gate
-        for mid in (3, 4, 5, 6):
+        # no-decoder lossy containers are ROUTED AROUND the decoders —
+        # the only branch that can emit 'skipped-lossy' is the
+        # pre-decode gate; mp3 (round 10) ENTERS the gated decoder and
+        # these corrupt/truncated fixtures fail its frame walk
+        for mid in (3, 4):
+            assert out[mid].decode_status == "decode-failed", mid
+            assert out[mid].features is None
+        for mid in (5, 6):
             assert out[mid].decode_status == "skipped-lossy", mid
             assert out[mid].features is None
         assert out[7].decode_status == "skipped-unknown"
@@ -315,9 +320,12 @@ class TestProbeGatedAudioDecode:
         rep = spark.read.parquet(f"{rep_dir}/ingest_batch=0").collect()[0]
         assert rep.n_total == 8
         assert rep.n_decoded == 2
-        assert rep.n_skipped_lossy == 4   # 2 mp3 + ogg + m4a
+        assert rep.n_skipped_lossy == 2   # ogg + m4a (mp3 decodes now)
         assert rep.n_skipped_unknown == 1
-        assert rep.n_decode_failed == 1   # the truncated wav
+        # truncated wav + the two corrupt mp3 fixtures that entered
+        # the round-10 gated decoder
+        assert rep.n_decode_failed == 3
+        assert rep.n_decode_partial == 0
         assert rep.n_null == 6
         # per-container table still written (round-9 contract)
         fmts = spark.read.parquet(f"{rep_dir}/formats/ingest_batch=0")
@@ -356,3 +364,515 @@ class TestSniffGatedImageDecode:
         vp8l = mm.vp8l_encode(4, 4, 3, bytes(48))
         w, h, c, px = mm._real_decode(None, vp8l, 3)
         assert (w, h) == (4, 4) and px is not None
+
+
+class TestMp3HuffmanTables:
+    """Round-10 stretch (VERDICT item 7): the validated-subset
+    contract.  Every SHIPPED table must be a Kraft-complete prefix
+    code; every id outside the validated set must be absent (gated),
+    never 'repaired'."""
+
+    def test_shipped_tables_structurally_exact(self):
+        from bertrand_spark.pipeline import _mp3huff as H
+
+        for tid in list(H.PAIR_TABLES) + ["A", "B"]:
+            got = H.lookup_table(tid)
+            assert got is not None, tid
+            maxlen, lut, _ = got
+            # every peek value decodes to something (completeness
+            # means no dead entries)
+            assert all(p >> 16 for p in lut), tid
+
+    def test_untrusted_ids_absent(self):
+        from bertrand_spark.pipeline import _mp3huff as H
+
+        for tid in (7, 9, 10, 11, 12, 13, 15, 16, 24, 31):
+            assert H.lookup_table(tid) is None, tid
+            assert tid not in H.PAIR_TABLES
+
+    def test_validator_rejects_corruption(self):
+        import pytest
+
+        from bertrand_spark.pipeline import _mp3huff as H
+
+        nx, ny, entries = H.PAIR_TABLES[8]
+        broken = list(entries)
+        broken[0] = (broken[0][0] + 1, broken[0][1])  # break Kraft
+        with pytest.raises(AssertionError):
+            H.validate_table(broken, "corrupted")
+
+
+class TestMp3ParseLayer:
+    """The exact layer: frame walk, side info, VBR headers."""
+
+    def _tone_spec(self, line=30, mag=5, table=8):
+        vals = [0] * 576
+        vals[line] = mag
+        vals[line + 1] = -mag
+        return {"values": vals, "table": table}
+
+    def test_frame_walk_exact_duration(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        stream = M.build_frames([self._tone_spec()] * 8,
+                                sample_rate=44100)
+        info = M.parse_stream(stream)
+        assert info["n_frames"] == 4            # 2 granules/frame
+        assert info["n_samples"] == 4 * 1152
+        assert info["version"] == "mpeg1"
+        assert info["sample_rate"] == 44100
+        assert info["n_bad_side_info"] == 0
+        assert info["table_histogram"] == {8: 4 * 2 * 3}
+
+    def test_probe_mode_skips_side_info(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        stream = M.build_frames([self._tone_spec()] * 8)
+        info = M.parse_stream(stream, decode_side_info=False)
+        assert info["n_frames"] == 4
+        assert info["table_histogram"] == {}
+
+    def test_vbr_detected_from_mixed_frame_sizes(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        # a loud wide-spectrum granule forces a bigger bitrate index
+        # than a near-silent one -> the builder emits a VBR stream
+        big = [0] * 576
+        for i in range(0, 400, 2):
+            big[i] = 5
+        quiet = self._tone_spec()
+        stream = M.build_frames(
+            [{"values": big, "table": 8}, {"values": big, "table": 8},
+             quiet, quiet])
+        info = M.parse_stream(stream)
+        assert info["is_vbr"]
+        assert info["bitrate_max"] > info["bitrate_min"]
+        # duration still exact under VBR (frame-walk, not estimate)
+        assert info["n_samples"] == 2 * 1152
+
+    def test_id3v2_skip_and_id3v1_stop(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        body = M.build_frames([self._tone_spec()] * 4)
+        tag = b"ID3\x03\x00\x00\x00\x00\x00\x20" + bytes(0x20)
+        stream = tag + body + b"TAG" + bytes(125)
+        info = M.parse_stream(stream)
+        assert info["n_frames"] == 2
+        assert info["n_samples"] == 2 * 1152
+
+    def test_resync_over_garbage(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        f = M.build_frames([self._tone_spec()] * 4)
+        half = len(f) // 2
+        # builder emits equal-content frames; find the real boundary
+        frames = list(M.iter_frames(f))
+        boundary = frames[1][0]
+        stream = f[:boundary] + b"\x00garbage\x00" + f[boundary:]
+        info = M.parse_stream(stream)
+        assert info["n_frames"] == 2
+
+    def test_xing_header_parsed(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        # hand-build a Xing tag frame: header + empty side info +
+        # 'Xing' + flags(frames|bytes) + values
+        body = M.build_frames([self._tone_spec()] * 4)
+        hdr = body[:4]
+        import struct
+        tagframe = bytearray(M.parse_header(
+            int.from_bytes(hdr, "big")).frame_bytes)
+        tagframe[:4] = hdr
+        off = 4 + 17
+        tagframe[off:off + 4] = b"Xing"
+        tagframe[off + 4:off + 8] = struct.pack(">I", 3)
+        tagframe[off + 8:off + 12] = struct.pack(">I", 2)
+        tagframe[off + 12:off + 16] = struct.pack(">I", len(body))
+        stream = bytes(tagframe) + body
+        info = M.parse_stream(stream)
+        assert info["vbr_tag"] == {
+            "is_cbr_tag": False, "n_frames": 2,
+            "n_stream_bytes": len(body),
+        }
+        # the tag frame carries no audio: duration counts real frames
+        assert info["n_frames"] == 2
+
+    def test_bad_side_info_counted(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        stream = bytearray(M.build_frames([self._tone_spec()] * 4))
+        # corrupt granule 0's big_values to > 288: side info bits
+        # 18..18+12 are part2_3_length, then 9 bits big_values
+        bitpos = (4 * 8) + 18 + 12
+        for b in range(9):
+            byte, bit = divmod(bitpos + b, 8)
+            stream[byte] |= 0x80 >> bit
+        info = M.parse_stream(bytes(stream))
+        assert info["n_bad_side_info"] == 1
+
+
+class TestMp3RoundTrip:
+    """Exact Huffman-integer round trips through build_frames →
+    decode (_collect_spectra), the strongest in-repo evidence for the
+    decode chain: every region split, sign bit, count1 quad and
+    scalefactor read must agree with the builder bit-for-bit, and
+    exact accounting must hold on every granule."""
+
+    def _roundtrip(self, specs, sample_rate=44100):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        stream = M.build_frames(specs, sample_rate=sample_rate)
+        got = []
+        d = M.decode(stream, _collect_spectra=got)
+        return d, [g[3] for g in got]
+
+    def test_fuzz_all_trusted_tables(self):
+        import numpy as np
+
+        rng = np.random.default_rng(4210)
+        tables = {1: 1, 2: 2, 3: 2, 5: 3, 6: 3, 8: 5}
+        specs = []
+        for case in range(36):
+            tid = list(tables)[case % 6]
+            vmax = tables[tid]
+            vals = [0] * 576
+            nbig = int(rng.integers(0, 120)) * 2
+            for i in range(nbig):
+                vals[i] = int(rng.integers(-vmax, vmax + 1))
+            ntail = int(rng.integers(0, 40)) * 4
+            for i in range(nbig, min(nbig + ntail, 576)):
+                vals[i] = int(rng.integers(-1, 2))
+            specs.append({
+                "values": vals,
+                "table": tid,
+                "scalefac_long": [int(x) for x in
+                                  rng.integers(0, 8, size=21)],
+                "scalefac_scale": int(rng.integers(0, 2)),
+                "preflag": int(rng.integers(0, 2)),
+                "count1table": "B" if rng.integers(0, 2) else "A",
+                "global_gain": int(rng.integers(150, 240)),
+            })
+        d, spectra = self._roundtrip(specs)
+        assert d["coverage"] == 1.0
+        assert d["n_acct_fail"] == 0 and d["n_gated"] == 0
+        assert len(spectra) == len(specs)
+        for spec, got in zip(specs, spectra):
+            assert got == spec["values"]
+
+    def test_lsf_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(77)
+        specs = []
+        for _ in range(8):
+            vals = [0] * 576
+            for i in range(int(rng.integers(2, 60)) * 2):
+                vals[i] = int(rng.integers(-5, 6))
+            # LSF scalefac_compress (table 0) caps partitions at
+            # 4/4/3/3 bits -> values 0..15, 0..15, 0..7, 0..7
+            sfl = [int(x) for x in rng.integers(0, 15, size=21)]
+            sfl[11:] = [min(v, 7) for v in sfl[11:]]
+            specs.append({
+                "values": vals, "table": 8, "scalefac_long": sfl,
+            })
+        d, spectra = self._roundtrip(specs, sample_rate=22050)
+        assert d["coverage"] == 1.0
+        assert d["sample_rate"] == 22050
+        for spec, got in zip(specs, spectra):
+            assert got == spec["values"]
+
+    def test_reservoir_spill(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        vals[0], vals[1], vals[10], vals[11] = 3, -3, 1, -1
+        specs = [{"values": vals, "table": 6}] * 6
+        stream = M.build_frames(specs, spill=11)
+        got = []
+        d = M.decode(stream, _collect_spectra=got)
+        assert d["coverage"] == 1.0
+        assert d["n_resv_miss"] == 0
+        assert all(g[3] == vals for g in got)
+
+    def test_gated_table_degrades_to_counted_silence(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        vals[0] = 3
+        specs = [
+            {"values": vals, "table": 5, "declare_table": 13},
+            {"values": vals, "table": 5},
+            {"values": vals, "table": 5},
+            {"values": vals, "table": 5},
+        ]
+        d = M.decode(M.build_frames(specs))
+        assert d["n_gated"] == 1
+        assert d["n_decoded"] == 3
+        assert d["coverage"] < 1.0
+        early = M.decode(M.build_frames(specs), stop_on_fail=True)
+        assert early["coverage"] < 1.0 and len(early["samples"]) == 0
+
+    def test_wrong_trusted_table_never_decodes_same_spectrum(self):
+        """Declaring table 1 over table-8 bits must NOT round-trip:
+        either exact accounting fails (the usual case) or the decoded
+        values differ — never a silent identical pass."""
+        import numpy as np
+
+        rng = np.random.default_rng(99)
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        for i in range(60):
+            vals[i] = int(rng.integers(-5, 6))
+        specs = [{"values": vals, "table": 8, "declare_table": 1}]
+        got = []
+        d = M.decode(M.build_frames(specs * 4), _collect_spectra=got)
+        ok_same = (d["coverage"] == 1.0
+                   and all(g[3] == vals for g in got[:1]))
+        assert not ok_same
+
+    def test_accounting_rejects_truncated_main_data(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        for i in range(0, 100, 2):
+            vals[i] = 5
+        stream = bytearray(M.build_frames([{"values": vals,
+                                            "table": 8}] * 4))
+        # shrink part2_3_length by 8 bits: accounting must fail, the
+        # granule must degrade, and nothing may raise
+        b = M.Bits(bytes(stream))
+        b.skip(4 * 8 + 18)
+        p23 = b.read(12)
+        w = p23 - 8
+        bitpos = 4 * 8 + 18
+        for i in range(12):
+            byte, bit = divmod(bitpos + i, 8)
+            stream[byte] = (stream[byte] & ~(0x80 >> bit)) | (
+                ((w >> (11 - i)) & 1) << (7 - bit))
+        d = M.decode(bytes(stream))
+        assert d["n_acct_fail"] >= 1
+        assert d["coverage"] < 1.0
+
+    def test_byteflip_fuzz_never_raises(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        rng = np.random.default_rng(1234)
+        vals = [0] * 576
+        for i in range(80):
+            vals[i] = int(rng.integers(-5, 6))
+        base = M.build_frames([{"values": vals, "table": 8}] * 4)
+        for _ in range(150):
+            s = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                s[int(rng.integers(0, len(s)))] = int(
+                    rng.integers(0, 256))
+            M.decode(bytes(s))  # must never raise
+        for cut in (0, 1, 3, 7, 50, len(base) - 1):
+            M.decode(base[:cut])
+            M.parse_stream(base[:cut])
+
+
+class TestMp3Filterbank:
+    """Closed-form hybrid filterbank + the designed window pair."""
+
+    def test_silence_is_exact_zero(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        d = M.decode(M.build_frames([{"values": [0] * 576}] * 6))
+        assert d["coverage"] == 1.0
+        assert float(np.abs(d["samples"]).max()) == 0.0
+
+    def test_single_line_is_a_clean_tone(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        line = 40
+        vals = [0] * 576
+        vals[line] = 5
+        d = M.decode(M.build_frames(
+            [{"values": vals, "table": 8, "global_gain": 250}] * 10))
+        x = d["samples"][2304:]
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        peak_hz = spec.argmax() / len(x) * 44100
+        expect_hz = (line + 0.5) / 576 * 22050
+        assert abs(peak_hz - expect_hz) / expect_hz < 0.03
+        purity = (spec[spec.argmax() - 5:spec.argmax() + 6] ** 2
+                  ).sum() / (spec ** 2).sum()
+        assert purity > 0.97
+
+    def test_window_pair_reconstruction_snr_floor(self):
+        """Held-out self-reconstruction of the designed window pair
+        (the documented ISO-B.3 deviation, mp3dec._synth_window):
+        >= 45 dB on fresh noise."""
+        import numpy as np
+
+        from bertrand_spark.pipeline._mp3window import (
+            analysis_window, synth_window,
+        )
+        from bertrand_spark.pipeline.mp3dec import _Synth
+
+        c_win, d_win = analysis_window(), synth_window()
+        n = np.arange(512)
+        k = np.arange(32)
+        cosa = np.cos((2 * k[:, None] + 1) * ((n[None, :] % 64) - 16)
+                      * np.pi / 64) * ((-1.0) ** (n[None, :] // 64))
+        sig = np.random.default_rng(5).standard_normal(4096)
+        steps = len(sig) // 32
+        x = np.zeros((steps, 512))
+        for s in range(16, steps):
+            x[s] = sig[32 * s + 31 - n]
+        sbs = np.einsum("sn,kn,n->sk", x, cosa, c_win)
+        syn = _Synth()
+        rec = syn.consume(sbs)
+        best = -np.inf
+        for delay in range(380, 560):
+            a = sig[512:len(rec) - delay]
+            b = rec[512 + delay:512 + delay + len(a)]
+            if len(a) < 1500:
+                continue
+            g = (a @ b) / (b @ b)
+            e = a - g * b
+            best = max(best,
+                       10 * np.log10((a @ a) / max(e @ e, 1e-30)))
+        assert best >= 45.0, best
+
+    def test_scalefactor_scaling_halves_amplitude_per_step(self):
+        """Requantization physics: +2 on a scalefactor with
+        scalefac_scale=0 must scale that band by exactly 2^-1."""
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        vals[0], vals[1] = 5, 5
+        base = {"values": vals, "table": 8, "global_gain": 230}
+        quiet = dict(base, scalefac_long=[2] + [0] * 20)
+        d0 = M.decode(M.build_frames([base] * 6))
+        d1 = M.decode(M.build_frames([quiet] * 6))
+        r0 = float(np.sqrt((d0["samples"][2304:] ** 2).mean()))
+        r1 = float(np.sqrt((d1["samples"][2304:] ** 2).mean()))
+        assert abs(r0 / r1 - 2.0) < 0.02
+
+
+class TestMp3ConformanceVector:
+    """CI-optional: the real-encoder stream shipped with gsutil
+    (publicly distributed test data present in this container).  It
+    is digital silence — which makes it a strong conformance anchor
+    for everything EXCEPT spectrum tables: 45 frames of real LSF
+    side info, real reservoir backpointers (main_data_begin up to
+    255), and an exact-zero PCM expectation."""
+
+    VEC = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+           "test_data/test.mp3")
+
+    @pytest.fixture()
+    def payload(self):
+        import os
+
+        if not os.path.exists(self.VEC):
+            pytest.skip("gsutil conformance vector not present")
+        with open(self.VEC, "rb") as fh:
+            return fh.read()
+
+    def test_parse_layer_selfconsistent(self, payload):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        info = M.parse_stream(payload)
+        assert info["version"] == "mpeg2"
+        assert info["sample_rate"] == 22050
+        assert info["n_channels"] == 1
+        assert info["n_frames"] == 45
+        assert info["n_bad_side_info"] == 0
+        assert not info["is_vbr"]
+        assert abs(info["duration_s"] - 45 * 576 / 22050) < 1e-9
+
+    def test_decodes_to_exact_silence_full_coverage(self, payload):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        d = M.decode(payload)
+        assert d["coverage"] == 1.0
+        assert d["n_granules"] == 45
+        assert len(d["samples"]) == 45 * 576
+        assert float(np.abs(d["samples"]).max()) == 0.0
+
+
+class TestMp3SeamIntegration:
+    """End-to-end through the Spark seam: a builder-constructed MP3
+    decodes to features ('decoded'), a gated-table MP3 reports
+    'decode-partial', and the probe's MP3 duration is frame-walk
+    exact under VBR (where the round-9 first-frame estimate is
+    wrong by construction)."""
+
+    def _tone_mp3(self, n=12):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        vals[40], vals[41] = 5, -5
+        return M.build_frames(
+            [{"values": vals, "table": 8, "global_gain": 240}] * n)
+
+    def test_built_mp3_decodes_through_seam(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            extract_audio_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._tone_mp3()))],
+            "media_id long, payload binary",
+        )
+        row = extract_audio_features(df, decode="real").collect()[0]
+        assert row.decode_status == "decoded"
+        assert row.features is not None
+        assert row.features[0] > 0  # duration feature
+
+    def test_gated_mp3_reports_partial(self, spark):
+        from bertrand_spark.pipeline import mp3dec as M
+        from bertrand_spark.pipeline.multimodal import (
+            extract_audio_features,
+        )
+
+        vals = [0] * 576
+        vals[0] = 3
+        specs = [{"values": vals, "table": 5, "declare_table": 13}] \
+            + [{"values": vals, "table": 5}] * 3
+        df = spark.createDataFrame(
+            [(1, bytearray(M.build_frames(specs)))],
+            "media_id long, payload binary",
+        )
+        row = extract_audio_features(df, decode="real").collect()[0]
+        assert row.decode_status == "decode-partial"
+        assert row.features is None
+
+    def test_probe_exact_vbr_duration(self, spark):
+        from bertrand_spark.pipeline import mp3dec as M
+        from bertrand_spark.pipeline.multimodal import (
+            probe_audio_metadata,
+        )
+
+        big = [0] * 576
+        for i in range(0, 400, 2):
+            big[i] = 5
+        quiet = [0] * 576
+        quiet[40] = 3
+        specs = ([{"values": big, "table": 8}] * 2
+                 + [{"values": quiet, "table": 5}] * 6)
+        stream = M.build_frames(specs)
+        info = M.parse_stream(stream)
+        assert info["is_vbr"]
+        df = spark.createDataFrame(
+            [(1, bytearray(stream))], "media_id long, payload binary")
+        row = probe_audio_metadata(df).collect()[0]
+        assert row.container == "mp3"
+        # frame-walk exact: 4 frames * 1152 samples at 44100
+        assert abs(row.duration_s - 4 * 1152 / 44100) < 1e-9
+        assert row.sample_rate == 44100 and row.n_channels == 1

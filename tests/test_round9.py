@@ -811,8 +811,11 @@ class TestAudioFormatReport:
         assert rep["wav"]["codec_class"] == "lossless-decodable"
         assert rep["flac"]["n_decoded"] == 1 and rep["flac"]["n_null"] == 0
         assert rep["mp3"]["n_total"] == 2
-        assert rep["mp3"]["n_null"] == 2  # documented degrade class
-        assert rep["mp3"]["codec_class"] == "lossy-no-decoder"
+        # round 10: mp3 is lossy-DECODABLE now; these two corrupt
+        # fixtures still NULL (failed frame walk), but through the
+        # gated decoder rather than the skip-list
+        assert rep["mp3"]["n_null"] == 2
+        assert rep["mp3"]["codec_class"] == "lossy-decodable"
         assert rep["ogg"]["n_null"] == 1 and rep["m4a"]["n_null"] == 1
         assert rep["unknown"]["n_total"] == 1
 
@@ -922,7 +925,7 @@ class TestStreamAudioFormatReport:
         assert fr["flac"]["n_decoded"] == 1
         assert fr["flac"]["codec_class"] == "lossless-decodable"
         assert fr["mp3"]["n_null"] == 1
-        assert fr["mp3"]["codec_class"] == "lossy-no-decoder"
+        assert fr["mp3"]["codec_class"] == "lossy-decodable"  # round 10
 
     def test_custom_id_col_joins(self, spark):
         """Round-9 review repro: extract_audio_features hardcodes its
