@@ -4130,6 +4130,11 @@ def _audio_container_class(p) -> tuple:
         return "wav", "lossless-decodable"
     if p[:4] == b"fLaC":
         return "flac", "lossless-decodable"
+    if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xF6) == 0xF0:
+        # ADTS AAC: syncword 0xFFF + layer bits 00 — checked BEFORE
+        # the mp3 sync (whose Layer III second bytes are disjoint:
+        # layer bits 01 -> p[1] & 0x06 == 0x02)
+        return "aac", "lossy-no-decoder"
     if p[:3] == b"ID3" or (
         len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
     ):
@@ -4233,6 +4238,110 @@ def _mp3_meta(p: bytes):
     return dur, rate, n_ch, None
 
 
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+               22050, 16000, 12000, 11025, 8000, 7350)
+
+
+def _adts_meta(p: bytes):
+    """Exact ADTS (AAC) metadata via frame walk → (duration_s, rate,
+    channels, None), or None.  Each ADTS header carries an explicit
+    13-bit frame_length, so the walk is one struct read per frame
+    (the same crawl-triage shape as the round-10 MP3 probe); every
+    frame contributes 1024 PCM samples per channel.  Headers must
+    stay consistent on rate/channel config; a mid-stream mismatch
+    ends the walk (truncated tails and trailing garbage are normal
+    in crawls)."""
+    pos = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    rate = channels = None
+    while pos + 7 <= len(p):
+        if not (p[pos] == 0xFF and (p[pos + 1] & 0xF6) == 0xF0):
+            break
+        sr_idx = (p[pos + 2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            break
+        ch_cfg = ((p[pos + 2] & 1) << 2) | (p[pos + 3] >> 6)
+        flen = ((p[pos + 3] & 3) << 11) | (p[pos + 4] << 3) \
+            | (p[pos + 5] >> 5)
+        if flen < 7 or pos + flen > len(p):
+            break
+        r = _ADTS_RATES[sr_idx]
+        c = ch_cfg if ch_cfg else None
+        if rate is None:
+            rate, channels = r, c
+        elif r != rate or c != channels:
+            break
+        n_frames += 1
+        pos += flen
+    if not n_frames or not rate:
+        return None
+    return n_frames * 1024 / rate, rate, channels, None
+
+
+def _m4a_meta(p: bytes):
+    """M4A/MP4 audio metadata via ISO-BMFF box walk → (duration_s,
+    rate, channels, None), or None.  Duration comes from mvhd (the
+    same read :func:`_mp4_probe` does); rate/channels from the first
+    mp4a/alac/ac-3 AudioSampleEntry under stsd (channelcount at
+    entry+24, samplerate 16.16 fixed at entry+32 — ISO 14496-12
+    12.2.3)."""
+    probe = _mp4_probe(p)
+    if probe is None:
+        return None
+    duration = probe[0]
+    rate = channels = None
+
+    def boxes(pos, end):
+        while pos + 8 <= end:
+            size = int.from_bytes(p[pos:pos + 4], "big")
+            tag = p[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1 and pos + 16 <= end:
+                size = int.from_bytes(p[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    def walk(pos, end, depth=0):
+        nonlocal rate, channels
+        if depth > 8 or rate is not None:
+            return
+        for tag, b0, b1 in boxes(pos, end):
+            if tag == b"stsd" and b1 - b0 >= 8 + 36:
+                entry = b0 + 8  # fullbox(4) + entry_count(4)
+                fourcc = p[entry + 4:entry + 8]
+                if fourcc in (b"mp4a", b"alac", b"ac-3", b"ec-3",
+                              b"samr", b"Opus", b"fLaC"):
+                    ch = int.from_bytes(p[entry + 24:entry + 26],
+                                        "big")
+                    sr = int.from_bytes(p[entry + 32:entry + 36],
+                                        "big") >> 16
+                    if 0 < ch <= 32:
+                        channels = ch
+                    if 0 < sr <= 768000:
+                        rate = sr
+            elif tag in (b"moov", b"trak", b"mdia", b"minf",
+                         b"stbl"):
+                walk(b0, b1, depth + 1)
+
+    try:
+        walk(0, len(p))
+    except Exception:
+        pass
+    if duration is None and rate is None:
+        return None
+    return duration, rate, channels, None
+
+
+
 def _ogg_meta(p: bytes):
     """Ogg page-0 id-header read (Vorbis or Opus) → (duration_s, rate,
     channels, None).  Duration comes from the LAST page's granule
@@ -4292,10 +4401,13 @@ def probe_audio_metadata(
     """Container-level AUDIO metadata without decoding — the audio twin
     of :func:`probe_video_metadata` and the triage a 100 TB crawl runs
     before spending decode cycles: WAV fmt-chunk read, FLAC STREAMINFO
-    read, MP3 first-frame header (CBR duration estimate, ID3v2
-    skipped), and Ogg Vorbis/Opus id-header + last-page granule.  One
-    Arrow pass, struct reads only; rows no probe understands degrade
-    to a NULL-container row."""
+    read, MP3 exact frame walk (round 10: VBR-correct duration via
+    mp3dec.parse_stream's probe mode; first-frame CBR estimate as the
+    <2-frame fallback), ADTS AAC exact frame walk (round 10), M4A/MP4
+    mvhd duration + mp4a sample entry (round 10), and Ogg Vorbis/Opus
+    id-header + last-page granule.  One Arrow pass, struct reads
+    only; rows no probe understands degrade to a NULL-container
+    row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4316,6 +4428,20 @@ def probe_audio_metadata(
                         m = _ogg_meta(p)
                         if m is not None:
                             got = ("ogg", *m)
+                    elif len(p) >= 2 and p[0] == 0xFF and (
+                        p[1] & 0xF6
+                    ) == 0xF0:
+                        # ADTS AAC (round 10): exact frame walk —
+                        # disjoint from the mp3 sync (layer bits 00)
+                        m = _adts_meta(p)
+                        if m is not None:
+                            got = ("aac", *m)
+                    elif p[4:8] == b"ftyp":
+                        # M4A/MP4 audio (round 10): mvhd duration +
+                        # mp4a sample-entry rate/channels
+                        m = _m4a_meta(p)
+                        if m is not None:
+                            got = ("m4a", *m)
                     else:
                         # round 10: exact header-walk duration (VBR-
                         # correct, counts real frames) when the stream
@@ -4389,6 +4515,8 @@ def audio_format_report(
     fmt = (
         F.when((head4 == "52494646") & (wave == "57415645"), "wav")
         .when(head4 == "664C6143", "flac")
+        # ADTS AAC before the mp3 sync: 0xFFF + layer bits 00
+        .when(head2.isin("FFF0", "FFF1", "FFF8", "FFF9"), "aac")
         .when(
             (head3 == "494433") | head2.startswith("FFF")
             | head2.startswith("FFE"),
@@ -4401,7 +4529,7 @@ def audio_format_report(
     klass = (
         F.when(fmt.isin("wav", "flac"), "lossless-decodable")
         .when(fmt == "mp3", "lossy-decodable")
-        .when(fmt.isin("ogg", "m4a"), "lossy-no-decoder")
+        .when(fmt.isin("aac", "ogg", "m4a"), "lossy-no-decoder")
         .otherwise("unknown")
     )
     sniffed = df.select(

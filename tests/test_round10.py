@@ -876,3 +876,144 @@ class TestMp3SeamIntegration:
         # frame-walk exact: 4 frames * 1152 samples at 44100
         assert abs(row.duration_s - 4 * 1152 / 44100) < 1e-9
         assert row.sample_rate == 44100 and row.n_channels == 1
+
+
+def _build_adts(n_frames=10, sr_idx=4, ch_cfg=1, payload_len=40,
+                id3=False):
+    """Minimal valid ADTS stream: 7-byte headers + dummy payloads."""
+    out = bytearray()
+    if id3:
+        out += b"ID3\x03\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    for _ in range(n_frames):
+        flen = 7 + payload_len
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1            # MPEG-4, layer 00, no CRC
+        h[2] = (1 << 6) | (sr_idx << 2) | (ch_cfg >> 2)
+        h[3] = ((ch_cfg & 3) << 6) | (flen >> 11)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 7) << 5) | 0x1F
+        h[6] = 0xFC
+        out += h + bytes(payload_len)
+    return bytes(out)
+
+
+def _build_m4a(duration_s=2.5, timescale=1000, rate=44100, ch=2):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak/mdia/minf/stbl/stsd
+    with one mp4a AudioSampleEntry)."""
+    import struct
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    mvhd = box(b"mvhd", bytes(4) + bytes(8)
+               + struct.pack(">II", timescale,
+                             int(duration_s * timescale)) + bytes(80))
+    entry = (struct.pack(">I", 36) + b"mp4a" + bytes(6)
+             + struct.pack(">H", 1) + bytes(8)
+             + struct.pack(">HH", ch, 16) + bytes(4)
+             + struct.pack(">I", rate << 16))
+    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42")
+    return ftyp + moov
+
+
+class TestLossyProbeDepth:
+    """Round 10: exact triage for the no-decoder lossy classes — ADTS
+    AAC frame walk (explicit frame_length per header) and M4A mvhd +
+    mp4a sample entry.  Also pins the ADTS/MP3 sync disambiguation
+    (layer bits): before this round ADTS payloads sniffed as mp3."""
+
+    def test_adts_meta_exact(self):
+        from bertrand_spark.pipeline.multimodal import _adts_meta
+
+        dur, rate, ch, bits = _adts_meta(_build_adts(n_frames=25))
+        assert rate == 44100 and ch == 1 and bits is None
+        assert abs(dur - 25 * 1024 / 44100) < 1e-9
+        # ID3-prefixed, different rate index, stereo
+        dur, rate, ch, _ = _adts_meta(
+            _build_adts(n_frames=8, sr_idx=7, ch_cfg=2, id3=True))
+        assert rate == 22050 and ch == 2
+        assert abs(dur - 8 * 1024 / 22050) < 1e-9
+
+    def test_adts_meta_stops_at_garbage_and_truncation(self):
+        from bertrand_spark.pipeline.multimodal import _adts_meta
+
+        s = _build_adts(n_frames=5)
+        dur, rate, *_ = _adts_meta(s + b"\x00garbage")
+        assert abs(dur - 5 * 1024 / 44100) < 1e-9
+        dur2, *_ = _adts_meta(s[:-20])  # truncated final frame
+        assert abs(dur2 - 4 * 1024 / 44100) < 1e-9
+        assert _adts_meta(b"\xff\xf1") is None
+        assert _adts_meta(b"") is None
+
+    def test_m4a_meta_reads_duration_rate_channels(self):
+        from bertrand_spark.pipeline.multimodal import _m4a_meta
+
+        dur, rate, ch, bits = _m4a_meta(_build_m4a())
+        assert abs(dur - 2.5) < 1e-9
+        assert rate == 44100 and ch == 2 and bits is None
+        assert _m4a_meta(b"\x00\x00\x00\x08ftyp") in (None,)
+
+    def test_sniff_separates_adts_from_mp3(self):
+        from bertrand_spark.pipeline.multimodal import (
+            _audio_container_class,
+        )
+
+        assert _audio_container_class(_build_adts()) == (
+            "aac", "lossy-no-decoder")
+        assert _audio_container_class(b"\xff\xfb\x90" + bytes(32)) == (
+            "mp3", "lossy-decodable")
+        # ID3-prefixed content stays mp3-classed in BOTH sniffs
+        assert _audio_container_class(
+            _build_adts(id3=True))[0] == "mp3"
+
+    def test_probe_rows_end_to_end(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            probe_audio_metadata,
+        )
+
+        rows = [
+            (1, bytearray(_build_adts(n_frames=25))),
+            (2, bytearray(_build_m4a())),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in probe_audio_metadata(df).collect()}
+        assert got[1].container == "aac"
+        assert abs(got[1].duration_s - 25 * 1024 / 44100) < 1e-6
+        assert got[1].sample_rate == 44100 and got[1].n_channels == 1
+        assert got[2].container == "m4a"
+        assert abs(got[2].duration_s - 2.5) < 1e-6
+        assert got[2].sample_rate == 44100 and got[2].n_channels == 2
+
+    def test_native_sniff_parity_with_aac(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            _audio_container_class, audio_format_report,
+            extract_audio_features,
+        )
+
+        rows = [
+            (1, bytearray(_build_adts())),
+            (2, bytearray(b"\xff\xfb\x90" + bytes(32))),
+            (3, bytearray(_build_m4a())),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        feats = extract_audio_features(df, decode="real")
+        native = {
+            r["sniffed_format"]: r["codec_class"]
+            for r in audio_format_report(df, feats).collect()
+        }
+        py = {}
+        for _, p in rows:
+            c, k = _audio_container_class(bytes(p))
+            py[c] = k
+        assert native == py == {
+            "aac": "lossy-no-decoder",
+            "mp3": "lossy-decodable",
+            "m4a": "lossy-no-decoder",
+        }
