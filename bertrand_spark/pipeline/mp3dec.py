@@ -1018,7 +1018,8 @@ class _Synth:
 
 
 def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
-           stop_on_fail: bool = False, _collect_spectra=None):
+           stop_on_fail: bool = False, _collect_spectra=None,
+           _keep_channels: bool = False):
     """Full-stream PCM decode under the gated-confidence contract
     (module docstring): returns None when the stream has no two
     consistent frames, else a dict with
@@ -1159,7 +1160,11 @@ def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
     if hdr0 is None or n_frames < 2:
         return None
     mono = np.concatenate([p.mean(axis=0) for p in pcm])
+    out = {}
+    if _keep_channels:
+        out["channels"] = np.concatenate(pcm, axis=1)
     return {
+        **out,
         "sample_rate": hdr0.sample_rate,
         "n_channels": hdr0.n_channels,
         "samples": mono[:max_samples],
@@ -1203,19 +1208,24 @@ class _BitWriter:
         return bytes(out)
 
 
-def _encode_granule_bits(w, spec, hdr):
+def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     """Serialize one granule's scalefactors + spectrum; returns the
-    filled Granule side-info fields.  Long blocks only (the builder's
-    scope); values beyond big_values must be in {-1,0,1} and big
-    region magnitudes within the chosen table's dimensions."""
+    filled Granule side-info fields.  Long and (MPEG-1) pure short
+    blocks; values beyond big_values must be in {-1,0,1} and big
+    region magnitudes within the chosen table's dimensions.  With
+    ``scfsi`` (MPEG-1 long granule 1 only): groups whose flag is set
+    are NOT written — the decoder reuses granule 0's, so round-trip
+    tests must feed identical scalefactors in those groups."""
     from . import _mp3huff as H
 
     values = spec["values"]
     tid = spec.get("table", 5)
     nx, ny, entries = H.PAIR_TABLES[tid]
     assert len(values) == 576
+    short = spec.get("block") == "short"
     start = w.tell()
     sfl = spec.get("scalefac_long", [0] * 21)
+    sfs = spec.get("scalefac_short", [[0, 0, 0] for _ in range(12)])
     # choose scalefac_compress covering the scalefactor magnitudes
     def _need(vals):
         m = max(vals) if vals else 0
@@ -1223,15 +1233,31 @@ def _encode_granule_bits(w, spec, hdr):
         while (1 << n) - 1 < m:
             n += 1
         return n
-    if hdr.is_mpeg1:
+    if hdr.is_mpeg1 and short:
+        assert hdr.is_mpeg1, "builder short blocks are MPEG-1 only"
+        n1 = _need([v for row in sfs[:6] for v in row])
+        n2 = _need([v for row in sfs[6:12] for v in row])
+        sc = next(i for i, (a, b) in enumerate(_SLEN_V1)
+                  if a >= n1 and b >= n2)
+        slen1, slen2 = _SLEN_V1[sc]
+        for sfb in range(6):
+            for win in range(3):
+                w.write(sfs[sfb][win], slen1)
+        for sfb in range(6, 12):
+            for win in range(3):
+                w.write(sfs[sfb][win], slen2)
+    elif hdr.is_mpeg1:
         n1, n2 = _need(sfl[:11]), _need(sfl[11:21])
         sc = next(i for i, (a, b) in enumerate(_SLEN_V1)
                   if a >= n1 and b >= n2)
         slen1, slen2 = _SLEN_V1[sc]
-        for sfb in range(11):
-            w.write(sfl[sfb], slen1)
-        for sfb in range(11, 21):
-            w.write(sfl[sfb], slen2)
+        groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+                  (16, 21, slen2))
+        for gi, (a, b, sl) in enumerate(groups):
+            if gr_index == 1 and scfsi and scfsi[gi]:
+                continue  # decoder copies granule 0's group
+            for sfb in range(a, b):
+                w.write(sfl[sfb], sl)
     else:
         parts = ((0, 6), (6, 11), (11, 16), (16, 21))
         sl = [_need(sfl[a:b]) for a, b in parts]
@@ -1281,17 +1307,17 @@ def _encode_granule_bits(w, spec, hdr):
     g.big_values = bv2 // 2
     g.global_gain = spec.get("global_gain", 210)
     g.scalefac_compress = sc
-    g.window_switching = 0
-    g.block_type = 0
+    g.window_switching = 1 if short else 0
+    g.block_type = 2 if short else 0
     g.mixed_block = 0
     # tests can declare a DIFFERENT table id in the side info than
     # the one the bits were encoded with (gated-table / accounting-
     # mismatch fixtures)
     decl = spec.get("declare_table", tid)
     g.table_select = [decl, decl, decl]
-    g.subblock_gain = [0, 0, 0]
-    g.region0_count = 8
-    g.region1_count = 12
+    g.subblock_gain = spec.get("subblock_gain", [0, 0, 0])
+    g.region0_count = 7 if short else 8
+    g.region1_count = 36 if short else 12
     g.preflag = spec.get("preflag", 0)
     g.scalefac_scale = spec.get("scalefac_scale", 0)
     g.count1table_select = 1 if use_b else 0
@@ -1299,44 +1325,71 @@ def _encode_granule_bits(w, spec, hdr):
 
 
 def build_frames(granule_specs, sample_rate=44100, mpeg1=True,
-                 spill=0) -> bytes:
-    """Construct a valid mono Layer III stream from per-granule
-    spectral specs (dicts: values[576 ints], table, scalefac_long,
-    global_gain, scalefac_scale, preflag, count1table).  MPEG-1
-    packs two granules per frame (specs are padded with silence to an
-    even count); LSF rates emit one per frame.  ``spill`` > 0
-    exercises the bit reservoir: every frame after the first starts
-    its main data ``spill`` bytes before its own frame (inside the
-    previous frame's ancillary padding), setting main_data_begin
-    accordingly."""
+                 spill=0, mode=None, mode_ext=0, scfsi=None) -> bytes:
+    """Construct a valid Layer III stream from per-granule spectral
+    specs.  A spec is a dict (values[576 ints], table, block='short',
+    scalefac_long / scalefac_short, subblock_gain, global_gain,
+    scalefac_scale, preflag, count1table, declare_table) for mono, or
+    a (left, right) pair of dicts for a stereo stream.  MPEG-1 packs
+    two granules per frame (specs padded with silence to an even
+    count); LSF rates emit one per frame.
+
+    ``spill`` > 0 exercises the bit reservoir (frames after the first
+    start their main data inside the previous frame's padding);
+    ``mode``/``mode_ext`` set the header channel mode (default: mono
+    for dict specs, plain stereo for pairs; pass mode=1 + mode_ext
+    for joint stereo — with MS the builder's values are the
+    TRANSMITTED mid/side spectra, what the decoder matrixes);
+    ``scfsi`` (4 flags, MPEG-1 long only) marks scalefactor groups
+    granule 1 reuses — round-trip tests must feed granule 1 the same
+    scalefactors in those groups."""
     mpeg1 = sample_rate in (44100, 48000, 32000)
     per_frame = 2 if mpeg1 else 1
-    specs = list(granule_specs)
+    specs = [s if isinstance(s, (tuple, list)) else (s,)
+             for s in granule_specs]
+    nch = len(specs[0])
+    assert all(len(s) == nch for s in specs)
+    silent = tuple({"values": [0] * 576} for _ in range(nch))
     while len(specs) % per_frame:
-        specs.append({"values": [0] * 576})
+        specs.append(silent)
+    if mode is None:
+        mode = 3 if nch == 1 else 0
+    assert (mode == 3) == (nch == 1)
+    scfsi = list(scfsi or [0, 0, 0, 0])
+    assert len(scfsi) == 4
+    if any(scfsi):
+        assert mpeg1, "scfsi is an MPEG-1 feature"
     ver_bits = 3 if mpeg1 else (2 if sample_rate >= 16000 else 0)
     sr_idx = _SAMPLE_RATES[ver_bits].index(sample_rate)
     brs = _BITRATE_V1_L3 if mpeg1 else _BITRATE_V2_L3
     out = bytearray()
-    pending = b""  # spill bytes belonging to the NEXT frame
     frames = []
     for f in range(0, len(specs), per_frame):
         w = _BitWriter()
-        hdr_probe = MP3Header(ver_bits, 0, sample_rate, 0, 3, 0, 0,
-                              1152 if mpeg1 else 576, False)
-        gs = [_encode_granule_bits(w, s, hdr_probe)
-              for s in specs[f:f + per_frame]]
+        hdr_probe = MP3Header(ver_bits, 0, sample_rate, 0, mode,
+                              mode_ext, 0, 1152 if mpeg1 else 576,
+                              False)
+        gs = []
+        for gr in range(per_frame):
+            for ch in range(nch):
+                gs.append(_encode_granule_bits(
+                    w, specs[f + gr][ch], hdr_probe, gr_index=gr,
+                    scfsi=scfsi))
         frames.append((gs, w.to_bytes()))
+
     def _spilled(fi: int) -> int:
         # a frame cannot back-reference more bytes than it has
         return min(spill, len(frames[fi][1])) if fi > 0 else 0
 
+    if mpeg1:
+        side_bytes = 17 if nch == 1 else 32
+    else:
+        side_bytes = 9 if nch == 1 else 17
     for fi, (gs, main) in enumerate(frames):
         md_begin = _spilled(fi)
         local_main = main[md_begin:]
         next_spill = (frames[fi + 1][1][:_spilled(fi + 1)]
                       if spill and fi + 1 < len(frames) else b"")
-        side_bytes = 17 if mpeg1 else 9
         need = 4 + side_bytes + len(local_main) + len(next_spill)
         br_idx = next(
             i for i in range(1, 15)
@@ -1344,26 +1397,37 @@ def build_frames(granule_specs, sample_rate=44100, mpeg1=True,
             // sample_rate >= need)
         hdr_word = (0x7FF << 21) | (ver_bits << 19) | (1 << 17)
         hdr_word |= 1 << 16  # no CRC
-        hdr_word |= br_idx << 12 | sr_idx << 10 | 3 << 6
+        hdr_word |= br_idx << 12 | sr_idx << 10
+        hdr_word |= mode << 6 | mode_ext << 4
         hdr = parse_header(hdr_word)
         sw = _BitWriter()
         if mpeg1:
             sw.write(md_begin, 9)
-            sw.write(0, 5)
-            sw.write(0, 4)  # scfsi
+            sw.write(0, 5 if nch == 1 else 3)
+            for _ch in range(nch):
+                for flag in scfsi:
+                    sw.write(flag, 1)
         else:
             sw.write(md_begin, 8)
-            sw.write(0, 1)
+            sw.write(0, 1 if nch == 1 else 2)
         for g in gs:
             sw.write(g.part2_3_length, 12)
             sw.write(g.big_values, 9)
             sw.write(g.global_gain, 8)
             sw.write(g.scalefac_compress, 4 if mpeg1 else 9)
-            sw.write(0, 1)  # window_switching
-            for t in g.table_select:
-                sw.write(t, 5)
-            sw.write(g.region0_count, 4)
-            sw.write(g.region1_count, 3)
+            sw.write(g.window_switching, 1)
+            if g.window_switching:
+                sw.write(g.block_type, 2)
+                sw.write(g.mixed_block, 1)
+                for t in g.table_select[:2]:
+                    sw.write(t, 5)
+                for sb in g.subblock_gain:
+                    sw.write(sb, 3)
+            else:
+                for t in g.table_select:
+                    sw.write(t, 5)
+                sw.write(g.region0_count, 4)
+                sw.write(g.region1_count, 3)
             if mpeg1:
                 sw.write(g.preflag, 1)
             sw.write(g.scalefac_scale, 1)
