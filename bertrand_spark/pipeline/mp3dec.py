@@ -1191,6 +1191,7 @@ class _BitWriter:
         self.bits = []
 
     def write(self, value: int, n: int) -> None:
+        assert 0 <= value < (1 << n), (value, n)
         for k in range(n - 1, -1, -1):
             self.bits.append((value >> k) & 1)
 
@@ -1279,12 +1280,37 @@ def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     n1_lines = max(0, last_nz + 1 - bv2)
     n1_lines += -n1_lines % 4
     assert bv2 + n1_lines <= 576
-    enc = {}
-    for i, (hlen, hcod) in enumerate(entries):
-        enc[(i // ny, i % ny)] = (hlen, hcod)
+    # per-region table selection (long non-switching only): spec
+    # "tables" = (t0, t1, t2) + region0/region1_count override — the
+    # region-boundary fixture for the decoder's r1/r2 computation
+    tids = spec.get("tables", (tid, tid, tid))
+    # defaults put region boundaries at sfb 9 / sfb 17; region fields
+    # are 4/3-bit side info (region1_count > 7 is unencodable — the
+    # _BitWriter width assert catches a caller passing one)
+    r0c = spec.get("region0_count", 8)
+    r1c = spec.get("region1_count", 7)
+    sfbl = _SFB_LONG[hdr.sample_rate]
+    if short:
+        bounds = (min(3 * _SFB_SHORT[hdr.sample_rate][3], bv2), bv2)
+        tids = (tids[0], tids[1])
+    else:
+        bounds = (min(sfbl[min(r0c + 1, 22)], bv2),
+                  min(sfbl[min(r0c + 1 + r1c + 1, 22)], bv2), bv2)
+    encs = []
+    for t in tids:
+        _nx, t_ny, t_entries = H.PAIR_TABLES[t]
+        e = {}
+        for i, (hlen, hcod) in enumerate(t_entries):
+            e[(i // t_ny, i % t_ny)] = (hlen, hcod)
+        encs.append(e)
+    prev = 0
+    region_of = []
+    for ri, b in enumerate(bounds):
+        region_of.extend([ri] * (b - prev))
+        prev = b
     for i in range(0, bv2, 2):
         x, y = values[i], values[i + 1]
-        hlen, hcod = enc[(abs(x), abs(y))]
+        hlen, hcod = encs[region_of[i]][(abs(x), abs(y))]
         w.write(hcod, hlen)
         if x:
             w.write(1 if x < 0 else 0, 1)
@@ -1313,11 +1339,14 @@ def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     # tests can declare a DIFFERENT table id in the side info than
     # the one the bits were encoded with (gated-table / accounting-
     # mismatch fixtures)
-    decl = spec.get("declare_table", tid)
-    g.table_select = [decl, decl, decl]
+    if "declare_table" in spec:
+        decl = spec["declare_table"]
+        g.table_select = [decl, decl, decl]
+    else:
+        g.table_select = list(tids) + [0] * (3 - len(tids))
     g.subblock_gain = spec.get("subblock_gain", [0, 0, 0])
-    g.region0_count = 7 if short else 8
-    g.region1_count = 36 if short else 12
+    g.region0_count = 7 if short else r0c
+    g.region1_count = 36 if short else r1c
     g.preflag = spec.get("preflag", 0)
     g.scalefac_scale = spec.get("scalefac_scale", 0)
     g.count1table_select = 1 if use_b else 0

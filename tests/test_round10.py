@@ -1169,3 +1169,118 @@ class TestMp3ShortBlocksStereoScfsi:
         assert len(got) == 12
         for k, (fi, gr, ch, vals) in enumerate(got):
             assert vals == pairs[2 * fi + gr][ch]["values"]
+
+
+class TestMp3RegionsPreflagMpeg25:
+    """Round 10, third pass: region-boundary decode against builder
+    ground truth (distinct tables per region pin r1/r2 = the
+    sfb_long[region0_count+1] / [+region1_count+2] computation),
+    preflag physics, and MPEG-2.5 8 kHz (the special band tables)."""
+
+    def test_distinct_tables_per_region_roundtrip(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        rng = np.random.default_rng(17)
+        specs = []
+        for r0c, r1c in ((2, 3), (5, 7), (0, 0), (8, 7)):
+            vals = [0] * 576
+            sfbl = (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74,
+                    90, 110, 134, 162, 196, 238, 288, 342, 418, 576)
+            r1 = sfbl[r0c + 1]
+            r2 = sfbl[r0c + r1c + 2]
+            # region 0 uses table 1 (max 1), region 1 table 6 (max
+            # 3), region 2 table 8 (max 5) — a value out of range for
+            # the WRONG table would break the encode, and a decode
+            # with misplaced boundaries breaks accounting
+            for i in range(0, r1):
+                vals[i] = int(rng.integers(-1, 2))
+            for i in range(r1, r2):
+                vals[i] = int(rng.integers(-3, 4))
+            for i in range(r2, min(r2 + 40, 576)):
+                vals[i] = int(rng.integers(-5, 6))
+            # force the last big line inside the last NONEMPTY
+            # region (r2 == 576 makes region 2 empty)
+            if r2 < 576:
+                vals[min(r2 + 39, 575)] = 5
+            elif r1 < r2:
+                vals[r2 - 2] = 3
+            specs.append({"values": vals, "tables": (1, 6, 8),
+                          "region0_count": r0c, "region1_count": r1c})
+        got = []
+        d = M.decode(M.build_frames(specs), _collect_spectra=got)
+        assert d["coverage"] == 1.0 and d["n_acct_fail"] == 0
+        for spec, g in zip(specs, got):
+            assert g[3] == spec["values"]
+
+    def test_preflag_applies_pretab(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        # pretab is nonzero only from sfb 10 up; put the tone in
+        # sfb 16 (lines 162..195 at 44.1k) where pretab == 3
+        vals = [0] * 576
+        vals[162] = 5
+        base = {"values": vals, "table": 8, "global_gain": 240}
+        pre = dict(base, preflag=1)
+        d0 = M.decode(M.build_frames([base] * 6))
+        d1 = M.decode(M.build_frames([pre] * 6))
+        r0 = float(np.sqrt((d0["samples"][2304:] ** 2).mean()))
+        r1 = float(np.sqrt((d1["samples"][2304:] ** 2).mean()))
+        # preflag adds pretab[16]=3 to the scalefactor: 2^-1.5
+        assert abs(r0 / r1 - 2.0 ** 1.5) < 0.05
+
+    def test_mpeg25_8khz_roundtrip(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        rng = np.random.default_rng(25)
+        specs = []
+        for _ in range(6):
+            vals = [0] * 576
+            for i in range(int(rng.integers(2, 60)) * 2):
+                vals[i] = int(rng.integers(-5, 6))
+            sfl = [int(x) for x in rng.integers(0, 15, size=21)]
+            sfl[11:] = [min(v, 7) for v in sfl[11:]]
+            specs.append({"values": vals, "table": 8,
+                          "scalefac_long": sfl})
+        got = []
+        stream = M.build_frames(specs, sample_rate=8000)
+        d = M.decode(stream, _collect_spectra=got)
+        assert d["coverage"] == 1.0
+        assert d["sample_rate"] == 8000
+        info = M.parse_stream(stream)
+        assert info["version"] == "mpeg2.5"
+        for spec, g in zip(specs, got):
+            assert g[3] == spec["values"]
+
+
+class TestHypothesisMp3Parsers:
+    """Totality fuzz for the round-10 parsers, mirroring round 9's
+    FLAC/EBML pattern: random and magic-prefixed blobs must never
+    raise out of parse_stream / decode / _adts_meta / _m4a_meta."""
+
+    @pytest.mark.parametrize("prefix", [
+        b"", b"ID3\x03\x00\x00\x00\x00\x00\x10", b"\xff\xfb\x90\x00",
+        b"\xff\xf1\x50\x80", b"\x00\x00\x00\x18ftypM4A ",
+    ])
+    def test_no_raise_on_random_blobs(self, prefix):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+        from bertrand_spark.pipeline.multimodal import (
+            _adts_meta, _m4a_meta,
+        )
+
+        rng = np.random.default_rng(len(prefix))
+        for _ in range(60):
+            blob = prefix + bytes(
+                rng.integers(0, 256, size=int(rng.integers(0, 400)),
+                             dtype=np.uint8))
+            M.parse_stream(blob)
+            M.decode(blob)
+            _adts_meta(blob)
+            _m4a_meta(blob)
