@@ -1211,9 +1211,11 @@ class _BitWriter:
 
 def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     """Serialize one granule's scalefactors + spectrum; returns the
-    filled Granule side-info fields.  Long and (MPEG-1) pure short
-    blocks; values beyond big_values must be in {-1,0,1} and big
-    region magnitudes within the chosen table's dimensions.  With
+    filled Granule side-info fields.  Long, (MPEG-1) pure short and
+    mixed blocks (mixed: lines 0-35 in long order under sfl[0..7],
+    the rest in short transmission order from sfb 3); values beyond
+    big_values must be in {-1,0,1} and big region magnitudes within
+    the chosen table's dimensions.  With
     ``scfsi`` (MPEG-1 long granule 1 only): groups whose flag is set
     are NOT written — the decoder reuses granule 0's, so round-trip
     tests must feed identical scalefactors in those groups."""
@@ -1223,7 +1225,8 @@ def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     tid = spec.get("table", 5)
     nx, ny, entries = H.PAIR_TABLES[tid]
     assert len(values) == 576
-    short = spec.get("block") == "short"
+    short = spec.get("block") in ("short", "mixed")
+    mixed = spec.get("block") == "mixed"
     start = w.tell()
     sfl = spec.get("scalefac_long", [0] * 21)
     sfs = spec.get("scalefac_short", [[0, 0, 0] for _ in range(12)])
@@ -1235,13 +1238,23 @@ def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
             n += 1
         return n
     if hdr.is_mpeg1 and short:
-        assert hdr.is_mpeg1, "builder short blocks are MPEG-1 only"
-        n1 = _need([v for row in sfs[:6] for v in row])
-        n2 = _need([v for row in sfs[6:12] for v in row])
+        if mixed:
+            n1 = _need(sfl[:8]
+                       + [v for row in sfs[3:6] for v in row])
+            n2 = _need([v for row in sfs[6:12] for v in row])
+        else:
+            n1 = _need([v for row in sfs[:6] for v in row])
+            n2 = _need([v for row in sfs[6:12] for v in row])
         sc = next(i for i, (a, b) in enumerate(_SLEN_V1)
                   if a >= n1 and b >= n2)
         slen1, slen2 = _SLEN_V1[sc]
-        for sfb in range(6):
+        if mixed:
+            for sfb in range(8):
+                w.write(sfl[sfb], slen1)
+            lo = 3
+        else:
+            lo = 0
+        for sfb in range(lo, 6):
             for win in range(3):
                 w.write(sfs[sfb][win], slen1)
         for sfb in range(6, 12):
@@ -1335,7 +1348,7 @@ def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     g.scalefac_compress = sc
     g.window_switching = 1 if short else 0
     g.block_type = 2 if short else 0
-    g.mixed_block = 0
+    g.mixed_block = 1 if mixed else 0
     # tests can declare a DIFFERENT table id in the side info than
     # the one the bits were encoded with (gated-table / accounting-
     # mismatch fixtures)

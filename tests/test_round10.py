@@ -1284,3 +1284,62 @@ class TestHypothesisMp3Parsers:
             M.decode(blob)
             _adts_meta(blob)
             _m4a_meta(blob)
+
+
+class TestMp3MixedBlocks:
+    """Mixed blocks (block_type 2 + mixed flag): the last decode path
+    without builder coverage — 2 long subbands under long
+    scalefactors 0..7, short windows from sfb 3, one antialias
+    boundary.  LAME never emits these; other encoders can."""
+
+    def test_mixed_roundtrip_exact(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        rng = np.random.default_rng(61)
+        specs = []
+        for _ in range(6):
+            vals = [0] * 576
+            for i in range(int(rng.integers(4, 70)) * 2):
+                vals[i] = int(rng.integers(-5, 6))
+            sfl = [int(x) for x in rng.integers(0, 8, 21)]
+            specs.append({
+                "values": vals, "table": 8, "block": "mixed",
+                "scalefac_long": sfl,
+                "scalefac_short": [[int(x) for x in
+                                    rng.integers(0, 8, 3)]
+                                   for _ in range(12)],
+                "subblock_gain": [int(x) for x in
+                                  rng.integers(0, 4, 3)],
+            })
+        got = []
+        stream = M.build_frames(specs)
+        d = M.decode(stream, _collect_spectra=got)
+        assert d["coverage"] == 1.0 and d["n_acct_fail"] == 0
+        for spec, g in zip(specs, got):
+            assert g[3] == spec["values"]
+        info = M.parse_stream(stream)
+        assert info["block_types"]["mixed"] == 6
+
+    def test_mixed_synthesis_finite_and_long_region_physics(self):
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        # a tone in the LONG region (line 10 < 36) must synthesize
+        # through the long window of subband 0 exactly as in a long
+        # block (same line, same gain) — amplitudes comparable
+        vals = [0] * 576
+        vals[10] = 5
+        mixed = M.decode(M.build_frames(
+            [{"values": vals, "table": 8, "block": "mixed",
+              "global_gain": 240}] * 8))
+        longb = M.decode(M.build_frames(
+            [{"values": vals, "table": 8, "global_gain": 240}] * 8))
+        xm = mixed["samples"][2304:]
+        xl = longb["samples"][2304:]
+        assert np.all(np.isfinite(xm))
+        rm = float(np.sqrt((xm ** 2).mean()))
+        rl = float(np.sqrt((xl ** 2).mean()))
+        assert rm > 0 and abs(rm / rl - 1.0) < 0.05
