@@ -16,6 +16,10 @@ own ``__all__`` is authoritative):
   deterministic sampling, temperature resampling, repetition scoring
 * :mod:`.multimodal` — binary media columns, sniff/decode/resize/frame
   plumbing (optional PIL real decode)
+* :mod:`.mp3dec` — MPEG-1/2/2.5 Layer III: exact parse layer
+  (:func:`~.mp3dec.parse_stream`), gated PCM decode
+  (:func:`~.mp3dec.decode`), bitstream test writer
+  (:func:`~.mp3dec.build_frames`)
 """
 
 from .dedup import (  # noqa: F401

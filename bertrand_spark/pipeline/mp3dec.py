@@ -46,6 +46,11 @@ from __future__ import annotations
 
 from typing import Optional
 
+__all__ = [
+    "parse_stream", "decode", "build_frames", "iter_frames",
+    "parse_header", "parse_side_info", "parse_vbr_header",
+]
+
 # ---------------------------------------------------------------------------
 # header tables (ISO 11172-3 2.4.2.3, ISO 13818-3)
 # ---------------------------------------------------------------------------
