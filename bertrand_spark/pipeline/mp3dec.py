@@ -47,7 +47,7 @@ from __future__ import annotations
 from typing import Optional
 
 __all__ = [
-    "parse_stream", "decode", "build_frames", "iter_frames",
+    "parse_stream", "probe_info", "decode", "build_frames", "iter_frames",
     "parse_header", "parse_side_info", "parse_vbr_header",
 ]
 
@@ -1494,3 +1494,40 @@ def build_frames(granule_specs, sample_rate=44100, mpeg1=True,
             frame[len(frame) - len(next_spill):] = next_spill
         out.extend(frame)
     return bytes(out)
+
+
+def probe_info(payload: bytes) -> Optional[dict]:
+    """Probe-grade stream facts at the cheapest evidence level
+    available (the 100 TB triage path):
+
+    - a first-frame Xing/Info/VBRI tag carrying ``n_frames`` gives
+      O(1) exact duration (``source='tag'`` — the tag counts audio
+      frames; trusted like any container header field);
+    - otherwise the header walk (``source='walk'``, O(frames) at
+      ~566k frames/s — still struct reads only);
+    - None when no two consistent frames exist (single-frame payloads
+      fall back to the caller's CBR estimate).
+    """
+    pos = _skip_id3v2(payload)
+    hdr = parse_header(int.from_bytes(payload[pos:pos + 4], "big")) \
+        if pos + 4 <= len(payload) else None
+    if hdr is not None and pos + hdr.frame_bytes <= len(payload):
+        tag = parse_vbr_header(payload[pos:pos + hdr.frame_bytes],
+                               hdr)
+        if tag and tag.get("n_frames"):
+            return {
+                "duration_s": tag["n_frames"]
+                * hdr.samples_per_frame / hdr.sample_rate,
+                "sample_rate": hdr.sample_rate,
+                "n_channels": hdr.n_channels,
+                "source": "tag",
+            }
+    info = parse_stream(payload, decode_side_info=False)
+    if info is None:
+        return None
+    return {
+        "duration_s": info["duration_s"],
+        "sample_rate": info["sample_rate"],
+        "n_channels": info["n_channels"],
+        "source": "walk",
+    }

@@ -4443,14 +4443,14 @@ def probe_audio_metadata(
                         if m is not None:
                             got = ("m4a", *m)
                     else:
-                        # round 10: exact header-walk duration (VBR-
-                        # correct, counts real frames) when the stream
-                        # has >=2 consistent frames; the round-9
+                        # round 10: exact MP3 duration at the cheapest
+                        # evidence level — O(1) Xing/VBRI tag when
+                        # present, header walk otherwise; the round-9
                         # first-frame CBR estimate stays as the
                         # single-frame / truncated-tail fallback
-                        from .mp3dec import parse_stream as _mp3_walk
+                        from .mp3dec import probe_info as _mp3_probe2
 
-                        info = _mp3_walk(p, decode_side_info=False)
+                        info = _mp3_probe2(p)
                         if info is not None:
                             got = ("mp3", info["duration_s"],
                                    info["sample_rate"],

@@ -1343,3 +1343,62 @@ class TestMp3MixedBlocks:
         rm = float(np.sqrt((xm ** 2).mean()))
         rl = float(np.sqrt((xl ** 2).mean()))
         assert rm > 0 and abs(rm / rl - 1.0) < 0.05
+
+
+class TestMp3ProbeTagShortcut:
+    """probe_info: O(1) Xing-tag duration when the tag carries
+    n_frames; header walk otherwise — and both agree on the same
+    stream."""
+
+    def _stream_with_tag(self, n_audio_frames=6, lie=None):
+        import struct
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        vals[30] = 3
+        body = M.build_frames(
+            [{"values": vals, "table": 5}] * (2 * n_audio_frames))
+        hdr = body[:4]
+        tagframe = bytearray(M.parse_header(
+            int.from_bytes(hdr, "big")).frame_bytes)
+        tagframe[:4] = hdr
+        off = 4 + 17
+        tagframe[off:off + 4] = b"Xing"
+        tagframe[off + 4:off + 8] = struct.pack(">I", 1)
+        tagframe[off + 8:off + 12] = struct.pack(
+            ">I", lie if lie is not None else n_audio_frames)
+        return bytes(tagframe) + body, body
+
+    def test_tag_and_walk_agree(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        tagged, untagged = self._stream_with_tag()
+        via_tag = M.probe_info(tagged)
+        via_walk = M.probe_info(untagged)
+        assert via_tag["source"] == "tag"
+        assert via_walk["source"] == "walk"
+        assert abs(via_tag["duration_s"]
+                   - via_walk["duration_s"]) < 1e-9
+        assert via_tag["sample_rate"] == 44100
+
+    def test_probe_seam_uses_tag_duration(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            probe_audio_metadata,
+        )
+
+        tagged, _ = self._stream_with_tag(n_audio_frames=4)
+        df = spark.createDataFrame([(1, bytearray(tagged))],
+                                   "media_id long, payload binary")
+        row = probe_audio_metadata(df).collect()[0]
+        assert row.container == "mp3"
+        assert abs(row.duration_s - 4 * 1152 / 44100) < 1e-6
+
+    def test_zero_frame_tag_falls_back_to_walk(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        tagged, _ = self._stream_with_tag(n_audio_frames=6, lie=0)
+        got = M.probe_info(tagged)
+        # n_frames == 0 is not a usable tag -> the walk answers
+        assert got["source"] == "walk"
+        assert abs(got["duration_s"] - 6 * 1152 / 44100) < 1e-9
