@@ -911,8 +911,15 @@ def _fb_tables():
     i = np.arange(64)[:, None]
     k = np.arange(32)[None, :]
     nmat = np.cos((16 + i) * (2 * k + 1) * np.pi / 64)
+    # the U map (2.4.3.2) as (age-in-steps, W-line) pairs: index m
+    # reads V[idx_u[m]] and V[64a + r] == W[step - a][r]
+    idx_u = np.concatenate([
+        np.arange(32) + 128 * j + (0 if half == 0 else 96)
+        for j in range(8) for half in (0, 1)
+    ])
     _FB_CACHE.update(cs=cs, ca=ca, m36=m36, m12=m12, win=win,
                      win_short=win_short, nmat=nmat,
+                     u_age=idx_u // 64, u_line=idx_u % 64,
                      dwin=_synth_window())
     return _FB_CACHE
 
@@ -955,66 +962,69 @@ def _imdct_granule(xr, g, hdr, overlap):
     x = xr.reshape(32, 18)
 
     # alias reduction first (not for pure short blocks; one boundary
-    # for mixed — the two long subbands)
+    # for mixed — the two long subbands).  Boundary sb touches rows
+    # 10-17 of x[sb] and rows 0-7 of x[sb+1]: disjoint line sets, so
+    # all 31 butterflies vectorize in one shot.
     if cls != 1:
         nb = 1 if cls == 2 else 31
         cs, ca = t["cs"], t["ca"]
-        for sb in range(nb):
-            hi = x[sb, 17 - np.arange(8)].copy()
-            lo = x[sb + 1, np.arange(8)].copy()
-            x[sb, 17 - np.arange(8)] = hi * cs - lo * ca
-            x[sb + 1, np.arange(8)] = lo * cs + hi * ca
+        hi = x[:nb, 17:9:-1].copy()
+        lo = x[1:nb + 1, 0:8].copy()
+        x[:nb, 17:9:-1] = hi * cs - lo * ca
+        x[1:nb + 1, 0:8] = lo * cs + hi * ca
 
-    out = np.empty((32, 18))
-    long_bt = 0 if cls == 2 else bt
-    for sb in range(32):
-        use_short = (cls == 1) or (cls == 2 and sb >= 2)
-        if not use_short:
-            w = t["win"][long_bt if (cls != 2 or sb >= 2) else 0]
-            z = (t["m36"] @ x[sb]) * w
-        else:
-            z = np.zeros(36)
-            ws = t["win_short"]
-            m12 = t["m12"]
-            for wnd in range(3):
-                y = (m12 @ x[sb, wnd::3]) * ws
-                z[6 + 6 * wnd:18 + 6 * wnd] += y
-        out[sb] = z[:18] + overlap[sb]
-        overlap[sb] = z[18:]
+    def _short_z(rows):
+        z = np.zeros((len(rows), 36))
+        ws = t["win_short"]
+        m12t = t["m12"].T
+        for wnd in range(3):
+            z[:, 6 + 6 * wnd:18 + 6 * wnd] += (rows[:, wnd::3]
+                                               @ m12t) * ws
+        return z
+
+    if cls == 1:
+        z = _short_z(x)
+    elif cls == 2:
+        z = np.empty((32, 36))
+        z[:2] = (x[:2] @ t["m36"].T) * t["win"][0]
+        z[2:] = _short_z(x[2:])
+    else:
+        z = (x @ t["m36"].T) * t["win"][bt]
+    out = z[:, :18] + overlap
+    overlap[:] = z[:, 18:]
     # frequency inversion: odd subbands negate odd time samples
     out[1::2, 1::2] = -out[1::2, 1::2]
     return out
 
 
 class _Synth:
-    """Polyphase synthesis state (the 1024-sample V FIFO) for one
-    channel; consume() turns (nsteps, 32) subband samples into
-    nsteps*32 PCM samples."""
+    """Polyphase synthesis state for one channel; consume() turns
+    (nsteps, 32) subband samples into nsteps*32 PCM samples.
+
+    The classic 1024-entry V FIFO is equivalent to a 16-step history
+    of the 64-point matrixing outputs (V[64a + r] == W[step-a][r]),
+    so the whole call vectorizes as ONE fancy-indexed gather over a
+    chronological W history instead of a per-step shift loop — the
+    state carried between calls is just the last 16 W rows."""
 
     def __init__(self):
         import numpy as np
 
-        self.v = np.zeros(1024)
+        self.hist = np.zeros((16, 64))
 
     def consume(self, sbs):
         import numpy as np
 
         t = _fb_tables()
-        nmat, dwin = t["nmat"], t["dwin"]
-        vecs = sbs @ nmat.T  # (nsteps, 64)
-        out = np.empty((len(sbs), 32))
-        v = self.v
-        idx_u = np.concatenate([
-            np.arange(32) + 128 * j + (0 if half == 0 else 96)
-            for j in range(8) for half in (0, 1)
-        ])
-        for s in range(len(sbs)):
-            v = np.concatenate([vecs[s], v[:960]])
-            u = v[idx_u]
-            w = u * dwin
-            out[s] = w.reshape(16, 32).sum(axis=0)
-        self.v = v
-        return out.ravel()
+        vecs = sbs @ t["nmat"].T  # (nsteps, 64) chronological
+        hist = np.concatenate([self.hist, vecs])
+        self.hist = hist[-16:]
+        n = len(sbs)
+        # U[s, m] = W[16 + s - age(m)][line(m)]
+        rows = (16 + np.arange(n))[:, None] - t["u_age"][None, :]
+        u = hist[rows, t["u_line"][None, :]]
+        w = u * t["dwin"]
+        return w.reshape(n, 16, 32).sum(axis=1).ravel()
 
 
 # ---------------------------------------------------------------------------
