@@ -714,9 +714,15 @@ def infer_best_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, 
         return lambda x: type_tag_column(x) == t
 
     aggs += [
-        F.sum(F.coalesce(
-            F.size(F.filter(arr, _tag_eq(t))), F.lit(0),
-        )).alias(f"{name}\tc{i}")
+        # outer coalesce: F.sum over ZERO rows is SQL NULL (the same
+        # empty-input trap rollup.py's counters guard against), and
+        # the plan loop below compares counts with `> 0`
+        F.coalesce(
+            F.sum(F.coalesce(
+                F.size(F.filter(arr, _tag_eq(t))), F.lit(0),
+            )),
+            F.lit(0),
+        ).alias(f"{name}\tc{i}")
         for name, arr in array_candidates.items()
         for i, t in enumerate(tags)
     ]

@@ -736,7 +736,12 @@ def _requantize(vals, g, sfl, sfs, hdr, preflag):
                 sfl[sfb] + (_PRETAB[sfb] if preflag else 0))
         exps[sfbl[21]:576] = gexp
     else:
-        long_limit = 36 if cls == 2 else 0
+        # mixed blocks: the long region ends where short sfb 3 begins
+        # — 3*sfb_short[3], which is 36 at every rate EXCEPT MPEG-2.5
+        # 8 kHz where it is 72 (round-10 review: a literal 36 left
+        # lines [36,72) with NO gain there — a silently-wrong-samples
+        # hole that bit accounting cannot see)
+        long_limit = 3 * sfbs[3] if cls == 2 else 0
         if cls == 2:
             nlong = 8 if hdr.is_mpeg1 else 6
             for sfb in range(nlong):
@@ -762,9 +767,10 @@ def _requantize(vals, g, sfl, sfs, hdr, preflag):
 def _reorder_short(xr, g, hdr):
     """Short-block reordering (2.4.3.4.8): transmission order
     (sfb, window, line) → subband-time order the IMDCT consumes.
-    Mixed blocks keep the first 36 lines (2 long subbands) in place —
-    3*sfb_short[3] == 36 for every rate, so the short region below
-    always starts at line 36."""
+    Mixed blocks keep the long region in place — it ends at
+    3*sfb_short[3], which is 36 lines (2 subbands) at every rate
+    except MPEG-2.5 8 kHz where it is 72 (4 subbands); starting the
+    loop at sfb 3 lands on exactly that boundary either way."""
     import numpy as np
 
     cls = _block_class(g)
@@ -961,12 +967,17 @@ def _imdct_granule(xr, g, hdr, overlap):
     bt = g.block_type if g.window_switching else 0
     x = xr.reshape(32, 18)
 
-    # alias reduction first (not for pure short blocks; one boundary
-    # for mixed — the two long subbands).  Boundary sb touches rows
-    # 10-17 of x[sb] and rows 0-7 of x[sb+1]: disjoint line sets, so
-    # all 31 butterflies vectorize in one shot.
+    # long subbands in a mixed block: the long region spans
+    # 3*sfb_short[3] lines (36 -> 2 subbands everywhere except
+    # MPEG-2.5 8 kHz, where 72 -> 4)
+    nls = (3 * _SFB_SHORT[hdr.sample_rate][3]) // 18 if cls == 2 \
+        else 32
+    # alias reduction first (not for pure short blocks; boundaries
+    # between the long subbands only for mixed).  Boundary sb touches
+    # rows 10-17 of x[sb] and rows 0-7 of x[sb+1]: disjoint line
+    # sets, so all butterflies vectorize in one shot.
     if cls != 1:
-        nb = 1 if cls == 2 else 31
+        nb = (nls - 1) if cls == 2 else 31
         cs, ca = t["cs"], t["ca"]
         hi = x[:nb, 17:9:-1].copy()
         lo = x[1:nb + 1, 0:8].copy()
@@ -986,8 +997,8 @@ def _imdct_granule(xr, g, hdr, overlap):
         z = _short_z(x)
     elif cls == 2:
         z = np.empty((32, 36))
-        z[:2] = (x[:2] @ t["m36"].T) * t["win"][0]
-        z[2:] = _short_z(x[2:])
+        z[:nls] = (x[:nls] @ t["m36"].T) * t["win"][0]
+        z[nls:] = _short_z(x[nls:])
     else:
         z = (x @ t["m36"].T) * t["win"][bt]
     out = z[:, :18] + overlap
@@ -1068,7 +1079,9 @@ def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
     pcm = []
     n_granules = n_decoded = n_gated = n_acct = n_resv = n_bad = 0
     n_frames = 0
-    for fi, (off, hdr, frame) in enumerate(iter_frames(payload)):
+    frame_iter = iter_frames(payload)
+    n_tail_samples = 0
+    for fi, (off, hdr, frame) in enumerate(frame_iter):
         if hdr0 is None:
             if parse_vbr_header(frame, hdr) is not None:
                 continue  # tag frame carries no audio
@@ -1171,6 +1184,12 @@ def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
         if len(resv) > 2048:
             del resv[:len(resv) - 1024]
         if sum(p.shape[1] for p in pcm) >= max_samples:
+            # samples are capped but duration must stay frame-walk
+            # exact (the WAV/FLAC cap convention, round-10 review):
+            # finish the header walk without decoding
+            for _o, h, _f in frame_iter:
+                n_tail_samples += h.samples_per_frame
+                n_frames += 1
             break
     if hdr0 is None or n_frames < 2:
         return None
@@ -1183,7 +1202,8 @@ def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
         "sample_rate": hdr0.sample_rate,
         "n_channels": hdr0.n_channels,
         "samples": mono[:max_samples],
-        "duration_s": len(mono) / hdr0.sample_rate,
+        "duration_s": (len(mono) + n_tail_samples)
+        / hdr0.sample_rate,
         "n_granules": n_granules,
         "n_decoded": n_decoded,
         "n_gated": n_gated,
@@ -1242,6 +1262,11 @@ def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     assert len(values) == 576
     short = spec.get("block") in ("short", "mixed")
     mixed = spec.get("block") == "mixed"
+    # the builder serializes short/mixed scalefactors in the MPEG-1
+    # layout only; an LSF spec would emit long-layout bits under
+    # short side info and fail every granule's accounting confusingly
+    assert hdr.is_mpeg1 or not short, \
+        "builder short/mixed blocks are MPEG-1 only"
     start = w.tell()
     sfl = spec.get("scalefac_long", [0] * 21)
     sfs = spec.get("scalefac_short", [[0, 0, 0] for _ in range(12)])
@@ -1381,7 +1406,7 @@ def _encode_granule_bits(w, spec, hdr, gr_index=0, scfsi=None):
     return g
 
 
-def build_frames(granule_specs, sample_rate=44100, mpeg1=True,
+def build_frames(granule_specs, sample_rate=44100,
                  spill=0, mode=None, mode_ext=0, scfsi=None) -> bytes:
     """Construct a valid Layer III stream from per-granule spectral
     specs.  A spec is a dict (values[576 ints], table, block='short',

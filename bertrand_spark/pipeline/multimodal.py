@@ -1539,26 +1539,16 @@ def _mp3_features_or_status(payload, n_features: int):
     - ``'decode-partial'``: the stream parses but at least one
       granule selected a Huffman table outside the validated set or
       failed accounting — honest NULL, distinct from corruption;
-    - ``'decode-failed'``: no two consistent frames / hard error.
+    - ``'decode-failed'``: no two consistent frames / hard error;
+    - ``'skipped-lossy'``: ID3v2-tagged ADTS AAC unmasked after the
+      failed frame walk (see :func:`_mp3_gated_decode`).
     """
-    from .mp3dec import decode as _mp3_full_decode
-
+    dec, status = _mp3_gated_decode(payload)
+    if dec is None:
+        return None, status
     try:
-        d = _mp3_full_decode(
-            payload, max_samples=_WAV_ANALYSIS_MAX_SAMPLES,
-            stop_on_fail=True,
-        )
-    except Exception:
-        return None, "decode-failed"
-    if d is None or not d["n_granules"]:
-        return None, "decode-failed"
-    if d["coverage"] < 1.0:
-        return None, "decode-partial"
-    try:
-        feats = _wav_features(
-            d["sample_rate"], d["samples"], n_features,
-            duration=d["duration_s"],
-        )
+        feats = _wav_features(dec[0], dec[2], n_features,
+                              duration=dec[3])
     except Exception:
         return None, "decode-failed"
     return feats, "decoded" if feats is not None else "decode-failed"
@@ -4074,16 +4064,23 @@ def flac_encode(
     return bytes(out)
 
 
-def _mp3_decode(payload: bytes):
-    """Gated MP3 decode → the :func:`_wav_decode` tuple contract, or
-    None.  Round 10: :func:`bertrand_spark.pipeline.mp3dec.decode`
-    under its full-coverage contract — PCM is returned ONLY when
-    every granule decoded with exact bit accounting over validated
-    Huffman tables (mp3dec module docstring has the evidence-grade
-    discussion); any gated or failed granule aborts early
-    (``stop_on_fail``) and the row degrades to NULL, so the per-row
-    cost of an out-of-table-set MP3 is bounded by its first loud
-    granule."""
+def _mp3_gated_decode(payload: bytes):
+    """THE gated MP3 decode (single implementation — _mp3_decode and
+    _mp3_features_or_status both route here): returns
+    (:func:`_wav_decode`-shaped tuple or None, status).  Round 10:
+    :func:`bertrand_spark.pipeline.mp3dec.decode` under its
+    full-coverage contract — PCM is returned ONLY when every granule
+    decoded with exact bit accounting over validated Huffman tables
+    (mp3dec module docstring has the evidence-grade discussion); any
+    gated or failed granule aborts early (``stop_on_fail``), so the
+    per-row cost of an out-of-table-set MP3 is bounded by its first
+    loud granule.  Statuses: 'decoded' / 'decode-partial' (coverage
+    gap, distinct from corruption) / 'decode-failed' — plus
+    'skipped-lossy' for the one sniff blind spot the round-10 review
+    found: an ID3v2-tagged ADTS AAC payload classifies as mp3 (the
+    native sniff cannot skip a variable-length tag), but after the
+    failed frame walk the ADTS sync after the tag identifies it, and
+    it must count as routed-around, not corrupt."""
     from .mp3dec import decode as _mp3_full_decode
 
     try:
@@ -4092,26 +4089,37 @@ def _mp3_decode(payload: bytes):
             stop_on_fail=True,
         )
     except Exception:
-        return None
-    if d is None or not d["n_granules"] or d["coverage"] < 1.0:
-        return None
-    return d["sample_rate"], d["n_channels"], d["samples"], \
-        d["duration_s"]
+        return None, "decode-failed"
+    if d is None or not d["n_granules"]:
+        if _adts_meta(payload) is not None:
+            return None, "skipped-lossy"
+        return None, "decode-failed"
+    if d["coverage"] < 1.0:
+        return None, "decode-partial"
+    return (
+        (d["sample_rate"], d["n_channels"], d["samples"],
+         d["duration_s"]),
+        "decoded",
+    )
+
+
+def _mp3_decode(payload: bytes):
+    """Tuple-contract adapter over :func:`_mp3_gated_decode` for the
+    :func:`_audio_decode` chain."""
+    return _mp3_gated_decode(payload)[0]
 
 
 def _audio_decode(payload: bytes):
     """Route one payload through the stdlib audio decoders: WAV first
-    (cheap RIFF magic check), then FLAC, then gated MP3 (round 10).
-    Same return contract as :func:`_wav_decode`; None for
-    undecodable/corrupt payloads."""
+    (cheap RIFF magic check), then FLAC, then gated MP3 (round 10;
+    routed via the one centralized sniff, _audio_container_class —
+    round-10 review deduplicated the inline magic test).  Same return
+    contract as :func:`_wav_decode`; None for undecodable/corrupt
+    payloads."""
     dec = _wav_decode(payload)
     if dec is None:
         dec = _flac_decode(payload)
-    if dec is None and payload is not None and (
-        payload[:3] == b"ID3"
-        or (len(payload) >= 2 and payload[0] == 0xFF
-            and (payload[1] & 0xE0) == 0xE0)
-    ):
+    if dec is None and _audio_container_class(payload)[0] == "mp3":
         dec = _mp3_decode(payload)
     return dec
 
@@ -4459,6 +4467,14 @@ def probe_audio_metadata(
                             m = _mp3_meta(p)
                             if m is not None:
                                 got = ("mp3", *m)
+                            else:
+                                # ID3v2-tagged ADTS AAC: the walk
+                                # found no MP3 frames but the ADTS
+                                # sync sits right after the tag
+                                # (round-10 review)
+                                m = _adts_meta(p)
+                                if m is not None:
+                                    got = ("aac", *m)
                 except Exception:
                     got = None  # per-row degrade, never a task death
                 if got is None:

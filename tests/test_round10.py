@@ -1402,3 +1402,91 @@ class TestMp3ProbeTagShortcut:
         # n_frames == 0 is not a usable tag -> the walk answers
         assert got["source"] == "walk"
         assert abs(got["duration_s"] - 6 * 1152 / 44100) < 1e-9
+
+
+class TestRound10ReviewFixes:
+    """Confirmed findings from the round-10 code review, each with a
+    pinned regression."""
+
+    def test_empty_frame_with_array_candidate_is_a_noop(self, spark):
+        df = spark.createDataFrame([], "a array<string>, b string")
+        assert infer_best_types(df) == {}
+        out = cast(df)
+        assert out.schema["a"].dataType.simpleString() == "array<string>"
+        assert out.count() == 0
+
+    def test_mpeg25_8k_mixed_gap_lines_carry_gain(self):
+        """Lines [36,72) of an 8 kHz mixed block sit in long sfbs 3-5
+        (3*sfb_short[3] == 72 there, not 36): before the fix they got
+        NO gain at all — raw |v|^(4/3) amplitude, invisible to bit
+        accounting."""
+        import numpy as np
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        g = M.Granule()
+        g.part2_3_length = 0
+        g.big_values = 0
+        g.global_gain = 150          # 2^-15: any gained line is tiny
+        g.scalefac_compress = 0
+        g.window_switching = 1
+        g.block_type = 2
+        g.mixed_block = 1
+        g.table_select = [0, 0, 0]
+        g.subblock_gain = [0, 0, 0]
+        g.region0_count = 7
+        g.region1_count = 36
+        g.preflag = 0
+        g.scalefac_scale = 0
+        g.count1table_select = 0
+        hdr = M.MP3Header(0, 8000, 8000, 0, 3, 0, 0, 576, False)
+        vals = [0] * 576
+        vals[10], vals[50], vals[80] = 5, 5, 5
+        sfl = [0] * 21
+        sfs = [[0, 0, 0] for _ in range(13)]
+        xr = M._requantize(vals, g, sfl, sfs, hdr, 0)
+        gain = 2.0 ** ((150 - 210) / 4.0)
+        expect = 5 ** (4.0 / 3.0) * gain
+        for line in (10, 50, 80):
+            assert abs(xr[line] - expect) < 1e-12, (line, xr[line])
+        # and the IMDCT's long-subband count follows the same split
+        overlap = np.zeros((32, 18))
+        out = M._imdct_granule(xr.copy(), g, hdr, overlap)
+        assert np.all(np.isfinite(out))
+
+    def test_capped_decode_keeps_exact_duration(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        vals = [0] * 576
+        vals[20] = 3
+        stream = M.build_frames([{"values": vals, "table": 5}] * 12)
+        full = M.decode(stream)
+        capped = M.decode(stream, max_samples=1152)
+        assert len(capped["samples"]) <= 1152
+        assert abs(capped["duration_s"] - full["duration_s"]) < 1e-9
+        assert abs(full["duration_s"] - 6 * 1152 / 44100) < 1e-9
+
+    def test_id3_tagged_adts_counts_as_skipped_lossy(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            extract_audio_features, probe_audio_metadata,
+        )
+
+        payload = _build_adts(n_frames=12, id3=True)
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "media_id long, payload binary")
+        row = extract_audio_features(df, decode="real").collect()[0]
+        assert row.decode_status == "skipped-lossy"
+        assert row.features is None
+        probe = probe_audio_metadata(df).collect()[0]
+        assert probe.container == "aac"
+        assert abs(probe.duration_s - 12 * 1024 / 44100) < 1e-6
+
+    def test_builder_rejects_lsf_short_blocks(self):
+        import pytest as _pytest
+
+        from bertrand_spark.pipeline import mp3dec as M
+
+        with _pytest.raises(AssertionError, match="MPEG-1 only"):
+            M.build_frames(
+                [{"values": [0] * 576, "block": "short"}],
+                sample_rate=22050)
