@@ -636,7 +636,13 @@ def _huffman_spectrum(br, g, hdr, part2_start):
     False when exact bit accounting fails (the granule must consume
     exactly part2_3_length bits; overrun/underrun means the stream
     and the decoder disagree and nothing downstream can be trusted).
-    """
+
+    Hot path: bits come from a LOCAL sliding accumulator refilled a
+    byte at a time (zero-padded past the payload end, like
+    Bits.peek) instead of per-symbol Bits method calls — the decode
+    profile was dominated by read()/peek() dispatch.  ``br.pos`` is
+    synced back before every return so the caller's granule-advance
+    arithmetic is unchanged."""
     from . import _mp3huff as H
 
     limit = part2_start + g.part2_3_length
@@ -654,6 +660,20 @@ def _huffman_spectrum(br, g, hdr, part2_start):
         (min(r1, bv2), min(r2, bv2), g.table_select[1]),
         (min(r2, bv2), bv2, g.table_select[2]),
     )
+    data = br.data
+    ndata = len(data)
+    bytepos = br.pos >> 3
+    acc = 0
+    nacc = 0
+    if br.pos & 7:
+        acc = (data[bytepos] if bytepos < ndata else 0) \
+            & ((1 << (8 - (br.pos & 7))) - 1)
+        nacc = 8 - (br.pos & 7)
+        bytepos += 1
+
+    def _sync():
+        br.pos = bytepos * 8 - nacc
+
     for a, b, tid in regions:
         if a >= b:
             continue
@@ -661,48 +681,75 @@ def _huffman_spectrum(br, g, hdr, part2_start):
             continue  # table 0: region is all zeros, no bits
         tab = H.lookup_table(tid)
         if tab is None:
+            _sync()
             return vals, False, True
         maxlen, lut, _ny = tab
         linbits = H.HUFF_LINBITS.get(tid, 0)
         i = a
+        mask = (1 << maxlen) - 1
         while i < b:
-            packed = lut[br.peek(maxlen)]
-            nbits = packed >> 16
-            br.skip(nbits)
+            while nacc < 24:
+                acc = (acc << 8) | (data[bytepos] if bytepos < ndata
+                                    else 0)
+                bytepos += 1
+                nacc += 8
+            packed = lut[(acc >> (nacc - maxlen)) & mask]
+            nacc -= packed >> 16
             x = (packed >> 8) & 0xFF
             y = packed & 0xFF
             if x == 15 and linbits:
-                x += br.read(linbits)
+                while nacc < linbits + 2:
+                    acc = (acc << 8) | (data[bytepos]
+                                        if bytepos < ndata else 0)
+                    bytepos += 1
+                    nacc += 8
+                x += (acc >> (nacc - linbits)) & ((1 << linbits) - 1)
+                nacc -= linbits
             if x:
-                if br.read(1):
+                nacc -= 1
+                if (acc >> nacc) & 1:
                     x = -x
             if y == 15 and linbits:
-                y += br.read(linbits)
+                while nacc < linbits + 1:
+                    acc = (acc << 8) | (data[bytepos]
+                                        if bytepos < ndata else 0)
+                    bytepos += 1
+                    nacc += 8
+                y += (acc >> (nacc - linbits)) & ((1 << linbits) - 1)
+                nacc -= linbits
             if y:
-                if br.read(1):
+                nacc -= 1
+                if (acc >> nacc) & 1:
                     y = -y
             vals[i] = x
             vals[i + 1] = y
             i += 2
-            if br.pos > limit:
+            if bytepos * 8 - nacc > limit:
+                _sync()
                 return vals, False, False
     # count1 region
     tab = H.lookup_table("B" if g.count1table_select else "A")
     maxlen, lut, _ny = tab
+    mask = (1 << maxlen) - 1
     i = bv2
-    while br.pos < limit and i <= 572:
-        packed = lut[br.peek(maxlen)]
-        nbits = packed >> 16
-        br.skip(nbits)
+    while bytepos * 8 - nacc < limit and i <= 572:
+        while nacc < 16:
+            acc = (acc << 8) | (data[bytepos] if bytepos < ndata
+                                else 0)
+            bytepos += 1
+            nacc += 8
+        packed = lut[(acc >> (nacc - maxlen)) & mask]
+        nacc -= packed >> 16
         q = packed & 0xFFFF
-        for k, bitpos in ((0, 8), (1, 4), (2, 2), (3, 1)):
-            v = 1 if q & bitpos else 0
-            if v and br.read(1):
-                v = -1
-            vals[i + k] = v
+        for k, bit in ((0, 8), (1, 4), (2, 2), (3, 1)):
+            if q & bit:
+                nacc -= 1
+                vals[i + k] = -1 if (acc >> nacc) & 1 else 1
         i += 4
-        if br.pos > limit:
+        if bytepos * 8 - nacc > limit:
+            _sync()
             return vals, False, False
+    _sync()
     if br.pos != limit:
         return vals, False, False
     return vals, True, False
