@@ -593,7 +593,8 @@ def _lsf_slens(g, is_intensity_ch: bool):
 def _scalefactors_lsf(br, g, is_intensity_ch: bool):
     """LSF scalefactor decode: fills the same (sf_long, sf_short)
     shapes as the MPEG-1 path.  Also returns the per-partition slens
-    (the intensity-stereo illegal-position marker needs them)."""
+    (kept for symmetry; _apply_stereo re-derives them via _lsf_slens
+    to map each band to ITS partition's illegal-position marker)."""
     slens, tbl, preflag = _lsf_slens(g, is_intensity_ch)
     cls = _block_class(g)
     counts = _LSF_NSFB[tbl][cls]
@@ -856,29 +857,56 @@ def _find_rzero_band(xr_r, sfb_bounds):
     return len(sfb_bounds) - 1
 
 
-def _apply_stereo(xr_pair, g_pair, hdr, sf_r, slens_r):
+def _apply_stereo(xr_pair, g_pair, hdr, sf_r):
     """MS and intensity processing in-place over [left, right]
-    spectra.  MS (mode_ext bit 2) is the exactly-specified common
-    path.  Intensity (mode_ext bit 1) follows 2.4.3.4.9.3 (MPEG-1
-    tan ratio) / 13818-3 (power-of-sqrt2 law); LSF intensity is the
-    least-exercised branch (no real-encoder fixture emits it here) —
-    the builder-based unit covers the MPEG-1 law.  Long blocks only:
-    granules whose right channel switched to short windows skip
-    intensity (the decode stats count them via accounting, never
-    silently-wrong output)."""
+    spectra.  Returns None normally, or ``"gated"`` when the granule
+    pair selects an intensity shape this decoder does not implement
+    (right channel in short/mixed windows) — the caller converts the
+    pair to counted silence, exactly like an out-of-set Huffman
+    table, so coverage < 1 is visible and no silently-wrong PCM
+    escapes (round-10 review: the old path silently applied
+    full-spectrum MS there).
+
+    MS (mode_ext bit 2) is the exactly-specified common path.
+    Intensity (mode_ext bit 1) follows 2.4.3.4.9.3 (MPEG-1 tan
+    ratio) / 13818-3 (power-of-sqrt2 law) over long blocks,
+    INCLUDING the region above the last scalefactor band
+    ([sfb_long[21], 576)), which reuses band 20's is_pos — the
+    round-10 review found that region was left as raw mid/side
+    under mode_ext==3.  The LSF illegal-position marker is
+    per-partition ((1 << slen_of_band) - 1), not slens[0]."""
     import numpy as np
 
     ms = hdr.mode == 1 and (hdr.mode_ext & 2)
     intensity = hdr.mode == 1 and (hdr.mode_ext & 1)
     xl, xr_ = xr_pair
-    if intensity and _block_class(g_pair[1]) == 0:
+    if intensity and _block_class(g_pair[1]) != 0:
+        return "gated"
+    if intensity:
         sfbl = _SFB_LONG[hdr.sample_rate]
+        # sfbl has 23 bounds (band 21 is the above-last-sfb region
+        # ending at 576); _find_rzero_band returns 22 when the right
+        # channel is nonzero into that region (no intensity bands)
         start_band = _find_rzero_band(xr_, sfbl)
-        illegal = 7 if hdr.is_mpeg1 else (1 << slens_r[0]) - 1
-        for sfb in range(start_band, 21):
+        if hdr.is_mpeg1:
+            illegal_of = [7] * 21
+        else:
+            slens, tbl, _pre = _lsf_slens(g_pair[1], True)
+            part_of = []
+            for pi, n in enumerate(_LSF_NSFB[tbl][0]):
+                part_of.extend([pi] * n)
+            illegal_of = [
+                (1 << slens[part_of[i]]) - 1 if i < len(part_of)
+                else 0
+                for i in range(21)
+            ]
+        for sfb in range(start_band, 22):
             a, b = sfbl[sfb], sfbl[sfb + 1]
-            is_pos = sf_r[sfb]
-            if is_pos == illegal:
+            # the band-21 region carries no scalefactor of its own:
+            # reference decoders reuse band 20's is_pos (and its
+            # illegal marker) there
+            is_pos = sf_r[min(sfb, 20)]
+            if is_pos == illegal_of[min(sfb, 20)]:
                 if ms:
                     m = (xl[a:b] + xr_[a:b]) / np.sqrt(2.0)
                     s = (xl[a:b] - xr_[a:b]) / np.sqrt(2.0)
@@ -904,15 +932,16 @@ def _apply_stereo(xr_pair, g_pair, hdr, sf_r, slens_r):
             xl[a:b] = base * l_k
             xr_[a:b] = base * r_k
         if ms:
-            end = sfbl[start_band]
+            end = sfbl[start_band] if start_band < 22 else 576
             m = (xl[:end] + xr_[:end]) / np.sqrt(2.0)
             s = (xl[:end] - xr_[:end]) / np.sqrt(2.0)
             xl[:end], xr_[:end] = m, s
-        return
+        return None
     if ms:
         m = (xl + xr_) / np.sqrt(2.0)
         s = (xl - xr_) / np.sqrt(2.0)
         xl[:], xr_[:] = m, s
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -1159,7 +1188,7 @@ def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
             continue
         br = Bits(bytes(resv), start * 8)
         for gr in range(ngr):
-            xrs, oks, sfr, slensr = [], [], None, (0, 0, 0, 0)
+            xrs, oks, sfr = [], [], None
             for ch in range(nch):
                 g = si.granules[gr][ch]
                 n_granules += 1
@@ -1169,11 +1198,10 @@ def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
                         sfl, sfs = _scalefactors_v1(
                             br, g, gr, si.scfsi[ch], sf_store[ch])
                         preflag = g.preflag
-                        slens = (0, 0, 0, 0)
                     else:
                         is_int = (ch == 1 and hdr.mode == 1
                                   and bool(hdr.mode_ext & 1))
-                        sfl, sfs, preflag, slens = _scalefactors_lsf(
+                        sfl, sfs, preflag, _slens = _scalefactors_lsf(
                             br, g, is_int)
                     vals, ok, gated = _huffman_spectrum(
                         br, g, hdr, part2_start)
@@ -1210,14 +1238,38 @@ def decode(payload: bytes, max_samples: int = _ANALYSIS_MAX_SAMPLES,
                 xrs.append(xr)
                 oks.append(ok)
                 if ch == 1:
-                    sfr, slensr = sfl, slens
+                    sfr = sfl
                 # next granule starts exactly part2_3_length bits in,
                 # regardless of where a failed decode landed
                 br.pos = part2_start + g.part2_3_length
             if nch == 2:
                 if all(oks):
-                    _apply_stereo(xrs, si.granules[gr], hdr, sfr,
-                                  slensr)
+                    st = _apply_stereo(xrs, si.granules[gr], hdr, sfr)
+                    if st == "gated":
+                        # unimplemented intensity shape (short-block
+                        # right channel): convert BOTH channel
+                        # granules from decoded to gated — counted
+                        # silence, same contract as an out-of-set
+                        # Huffman table (round-10 review: the old
+                        # path emitted MS-of-(L,0) as 'decoded')
+                        n_decoded -= 2
+                        n_gated += 2
+                        xrs = [np.zeros(576), np.zeros(576)]
+                        if stop_on_fail:
+                            return {
+                                "sample_rate": hdr0.sample_rate,
+                                "n_channels": hdr0.n_channels,
+                                "samples": np.zeros(0),
+                                "duration_s": 0.0,
+                                "n_granules": n_granules,
+                                "n_decoded": n_decoded,
+                                "n_gated": n_gated,
+                                "n_acct_fail": n_acct,
+                                "n_resv_miss": n_resv,
+                                "n_bad_side": n_bad,
+                                "coverage": (n_decoded / n_granules
+                                             if n_granules else 0.0),
+                            }
                 else:
                     # stereo coupling mixes channels; a failed side
                     # poisons both, so both emit silence

@@ -4064,6 +4064,30 @@ def flac_encode(
     return bytes(out)
 
 
+def _mpeg12_after_id3(p: bytes) -> bool:
+    """True when an ID3v2-tagged payload's first post-tag MPEG sync
+    carries Layer I/II bits — the second sniff blind spot behind a
+    variable-length tag (round-10 review found ADTS; Layer I/II is
+    the same shape).  Bounded: scans at most 4 KiB past the tag."""
+    if p[:3] != b"ID3" or len(p) < 10:
+        return False
+    size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+        | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+    pos = 10 + size
+    end = min(len(p) - 1, pos + 4096)
+    while pos < end:
+        pos = p.find(b"\xff", pos, end)
+        if pos < 0:
+            return False
+        b1 = p[pos + 1]
+        if (b1 & 0xE0) == 0xE0:
+            # layer bits 11 (Layer I) or 10 (Layer II); 01 is Layer
+            # III (decodable), 00 is ADTS/reserved (handled upstream)
+            return (b1 & 0x06) in (0x04, 0x06)
+        pos += 1
+    return False
+
+
 def _mp3_gated_decode(payload: bytes):
     """THE gated MP3 decode (single implementation — _mp3_decode and
     _mp3_features_or_status both route here): returns
@@ -4092,6 +4116,11 @@ def _mp3_gated_decode(payload: bytes):
         return None, "decode-failed"
     if d is None or not d["n_granules"]:
         if _adts_meta(payload) is not None:
+            return None, "skipped-lossy"
+        if _mpeg12_after_id3(payload):
+            # ID3-tagged Layer I/II (bare Layer I/II never enters:
+            # the sniff keys lossy-decodable on Layer III) — real
+            # audio with no decoder, routed-around, not corrupt
             return None, "skipped-lossy"
         return None, "decode-failed"
     if d["coverage"] < 1.0:
@@ -4144,11 +4173,24 @@ def _audio_container_class(p) -> tuple:
         # layer bits 01 -> p[1] & 0x06 == 0x02)
         return "aac", "lossy-no-decoder"
     if p[:3] == b"ID3" or (
-        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE6) == 0xE2
     ):
-        # round 10: the gated mp3dec decoder exists — decode is
-        # ATTEMPTED (full-coverage contract), not skipped
+        # Layer III only (sync 0xFFE + layer bits 01) — round-10
+        # review: the looser 0xE0 mask also matched Layer I/II and
+        # the reserved layer, which would enter the Layer-III-only
+        # gated decoder, pay its 64 KiB resync scan, and come back
+        # 'decode-failed' (a corruption verdict) instead of being
+        # routed around.  ID3-tagged payloads stay here (the native
+        # sniff cannot skip a variable-length tag — parity); the
+        # gated decode unmasks post-tag ADTS/Layer-I/II as
+        # 'skipped-lossy'.  Decode is ATTEMPTED (round 10,
+        # full-coverage contract), not skipped.
         return "mp3", "lossy-decodable"
+    if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0:
+        # MPEG audio sync with Layer I/II/reserved bits: real audio,
+        # no decoder here — the routed-around skip class, same as
+        # AAC/OGG/M4A
+        return "mpeg-audio", "lossy-no-decoder"
     if p[:4] == b"OggS":
         return "ogg", "lossy-no-decoder"
     if p[4:8] == b"ftyp":
@@ -4278,7 +4320,10 @@ def _adts_meta(p: bytes):
         if flen < 7 or pos + flen > len(p):
             break
         r = _ADTS_RATES[sr_idx]
-        c = ch_cfg if ch_cfg else None
+        # channel_configuration 7 means 8 channels (7.1) — ISO
+        # 14496-3 table 1.19 (round-10 review); 0 means "in-band
+        # PCE", unknown here
+        c = 8 if ch_cfg == 7 else (ch_cfg or None)
         if rate is None:
             rate, channels = r, c
         elif r != rate or c != channels:
@@ -4519,8 +4564,9 @@ def audio_format_report(
       decoder — n_decoded counts full-coverage decodes; NULLs here
       are coverage gaps or corruption, split per-row by
       ``decode_status`` 'decode-partial' vs 'decode-failed');
-    - ``ogg``/``m4a`` → ``lossy-no-decoder`` (expected n_null ==
-      n_total without worker codecs — the documented degrade class);
+    - ``ogg``/``m4a``/``mpeg-audio`` (Layer I/II sync) →
+      ``lossy-no-decoder`` (expected n_null == n_total without worker
+      codecs — the documented degrade class);
     - anything else → ``unknown``.
     """
     head4 = F.hex(F.substring(F.col(payload_col).cast("binary"), 1, 4))
@@ -4533,10 +4579,18 @@ def audio_format_report(
         .when(head4 == "664C6143", "flac")
         # ADTS AAC before the mp3 sync: 0xFFF + layer bits 00
         .when(head2.isin("FFF0", "FFF1", "FFF8", "FFF9"), "aac")
+        # Layer III only ((p[1] & 0xE6) == 0xE2 — the 8 second-byte
+        # values below); other sync words are Layer I/II/reserved and
+        # have no decoder (round-10 review)
         .when(
-            (head3 == "494433") | head2.startswith("FFF")
-            | head2.startswith("FFE"),
+            (head3 == "494433")
+            | head2.isin("FFE2", "FFE3", "FFEA", "FFEB",
+                         "FFF2", "FFF3", "FFFA", "FFFB"),
             "mp3",
+        )
+        .when(
+            head2.startswith("FFF") | head2.startswith("FFE"),
+            "mpeg-audio",
         )
         .when(head4 == "4F676753", "ogg")
         .when(ftyp == "66747970", "m4a")  # ISO-BMFF ftyp (M4A/MP4 audio)
@@ -4545,7 +4599,8 @@ def audio_format_report(
     klass = (
         F.when(fmt.isin("wav", "flac"), "lossless-decodable")
         .when(fmt == "mp3", "lossy-decodable")
-        .when(fmt.isin("aac", "ogg", "m4a"), "lossy-no-decoder")
+        .when(fmt.isin("aac", "ogg", "m4a", "mpeg-audio"),
+              "lossy-no-decoder")
         .otherwise("unknown")
     )
     sniffed = df.select(
