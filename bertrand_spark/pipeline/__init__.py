@@ -12,6 +12,9 @@ own ``__all__`` is authoritative):
 * :mod:`.similarity` — brute-force / blocked-GEMM cosine, IVF ANN
 * :mod:`.text` — tokenization, quality features, Gopher rules,
   language-ID, fingerprints
+* :mod:`.htmltext` — HTML→text main-content extraction
+  (:func:`~.htmltext.extract_html_text`), mojibake repair
+  (:func:`~.htmltext.fix_mojibake`)
 * :mod:`.curation` — decontamination, PII redaction, sequence packing,
   deterministic sampling, temperature resampling, repetition scoring
 * :mod:`.multimodal` — binary media columns, sniff/decode/resize/frame
@@ -80,4 +83,8 @@ from .text import (  # noqa: F401
     hashing_embed,
     train_bpe,
     train_char_lm,
+)
+from .htmltext import (  # noqa: F401
+    extract_html_text,
+    fix_mojibake,
 )

@@ -1,0 +1,308 @@
+"""Crawl-text hygiene: HTML→text extraction and encoding repair.
+
+The first two operators every real training-data pipeline runs BEFORE
+any dedup/quality/tokenize step — and the package's text stack (see
+:mod:`.text`) previously assumed someone else had already produced
+clean text.  Not in the reference (its surface stops at the type
+system); these extend the engine per the LLM-pipeline brief, same as
+the rest of :mod:`bertrand_spark.pipeline`.
+
+* :func:`extract_html_text` — stdlib ``html.parser`` walk: drops
+  script/style/nav/comment subtrees, segments into blocks at
+  block-level tags, filters boilerplate blocks by link-density ×
+  block-length, unescapes entities, and joins the surviving blocks
+  with newlines.  Deterministic, no third-party deps, tolerant of
+  malformed markup (the stdlib parser never raises on garbage; a
+  defensive regex-strip fallback guards the impossible case).
+* :func:`fix_mojibake` — detect-and-repair for the deterministic
+  double-encoding classes endemic in crawls (UTF-8 bytes read back as
+  latin-1 / cp1252 and re-encoded).  Repairs only when the byte-level
+  round trip strictly reduces mojibake indicators; ambiguous rows are
+  left untouched and flagged.
+
+Both are Arrow-batched ``pandas_udf`` kernels: the per-document Python
+loop IS the parser/codec (the accepted pattern for non-expressible
+kernels, like :mod:`.multimodal`'s codecs), one narrow map pass at any
+corpus size — no shuffle, no driver collection, scale-safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["extract_html_text", "fix_mojibake"]
+
+
+# --- HTML -> text ----------------------------------------------------------
+
+# subtrees that never contribute body text: scripts/styles/machinery,
+# plus the semantic-boilerplate containers (nav/aside/footer/form).
+# <header> is deliberately KEPT — page titles (<h1>) usually live there;
+# a <nav> inside it is still dropped.
+_DROP_SUBTREE = frozenset({
+    "script", "style", "noscript", "template", "svg", "iframe",
+    "head", "nav", "aside", "footer", "form", "button", "select",
+    "datalist", "object", "embed", "applet",
+})
+
+# tags that delimit text blocks (flush on both open and close)
+_BLOCK_TAGS = frozenset({
+    "address", "article", "blockquote", "body", "br", "caption",
+    "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure",
+    "h1", "h2", "h3", "h4", "h5", "h6", "hr", "html", "legend",
+    "li", "main", "ol", "p", "pre", "section", "summary", "table",
+    "tbody", "td", "tfoot", "th", "thead", "tr", "ul",
+})
+
+_WS = re.compile(r"\s+")
+_TAG_STRIP = re.compile(r"<[^>]*>")
+
+
+class _HtmlTextParser(HTMLParser):
+    """One-pass block extractor.  ``convert_charrefs=True`` (the
+    default) makes the stdlib parser deliver entity-unescaped text to
+    ``handle_data``.  Per block it tracks raw character mass and the
+    portion of it inside ``<a>`` subtrees — the link-density signal
+    the boilerplate filter consumes."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list = []  # (normalized_text, raw_chars, link_chars)
+        self._buf: list = []
+        self._raw = 0
+        self._link = 0
+        self._drop = 0
+        self._a_depth = 0
+
+    def _flush(self):
+        text = _WS.sub(" ", "".join(self._buf)).strip()
+        if text:
+            self.blocks.append((text, self._raw, self._link))
+        self._buf.clear()
+        self._raw = 0
+        self._link = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_SUBTREE:
+            self._drop += 1
+            return
+        if self._drop:
+            return
+        if tag == "a":
+            self._a_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_SUBTREE:
+            if self._drop:
+                self._drop -= 1
+            return
+        if self._drop:
+            return
+        if tag == "a":
+            if self._a_depth:
+                self._a_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        # void form (<br/>): a drop-subtree void tag opens nothing
+        if tag in _DROP_SUBTREE or self._drop:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop or not data:
+            return
+        self._buf.append(data)
+        n = len(data.strip())
+        self._raw += n
+        if self._a_depth:
+            self._link += n
+
+    def finish(self) -> list:
+        self.close()
+        self._flush()
+        return self.blocks
+
+
+def _extract_one(
+    html,
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+    hard_link_density: float = 0.66,
+):
+    """One document through the extractor: parse → blocks →
+    boilerplate filter → newline-joined text.  A block is boilerplate
+    when its link density exceeds ``hard_link_density`` (link farms /
+    nav bars wherever they sit in the tree), or exceeds
+    ``max_link_density`` while shorter than ``min_words`` words
+    (short link-heavy strips: breadcrumbs, pagers, tag clouds).
+    Returns None for NULL input, '' for pages with no body text."""
+    if html is None:
+        return None
+    try:
+        p = _HtmlTextParser()
+        p.feed(html)
+        blocks = p.finish()
+    except Exception:
+        # the stdlib parser does not raise on malformed markup; this
+        # guards the impossible case so a crawl task can never die on
+        # one document — degrade to a flat regex strip
+        return _WS.sub(" ", _TAG_STRIP.sub(" ", html)).strip()
+    kept = []
+    for text, raw, link in blocks:
+        density = link / raw if raw else 0.0
+        if density > hard_link_density:
+            continue
+        if density > max_link_density and len(text.split()) < min_words:
+            continue
+        kept.append(text)
+    return "\n".join(kept)
+
+
+def extract_html_text(
+    html: Column,
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+    hard_link_density: float = 0.66,
+) -> Column:
+    """Main-content text from an HTML column (string → string).
+
+    stdlib ``html.parser`` walk — no third-party extraction deps:
+    script/style/nav/aside/footer/form/comment subtrees are dropped,
+    text is segmented into blocks at block-level tag boundaries,
+    entities are unescaped, in-block whitespace is collapsed, and
+    blocks are joined with ``\\n``.  Boilerplate blocks are removed by
+    link density: > ``hard_link_density`` always (nav bars, link
+    farms), > ``max_link_density`` when under ``min_words`` words
+    (breadcrumbs, pagers).  NULL in → NULL out; no-body pages → ''.
+
+    Arrow-batched kernel; the per-document loop is the parser itself.
+    """
+    mw, mld, hld = int(min_words), float(max_link_density), float(
+        hard_link_density)
+
+    @F.pandas_udf("string")
+    def kernel(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_extract_one(t, mw, mld, hld) for t in texts],
+            dtype=object,
+        )
+
+    return kernel(html)
+
+
+# --- mojibake repair -------------------------------------------------------
+
+# What a UTF-8 continuation byte (0x80..0xBF) looks like after a wrong
+# single-byte decode: itself under latin-1 (C1 controls + signs), or
+# cp1252's remapping of the 0x80..0x9F range (curly quotes, dashes, €,
+# ™, œ...).  A lead byte becomes Â/Ã/Ä/.../â (0xC2..0xEF region); the
+# indicator regex keys on the two-character LEAD+CONTINUATION shape,
+# plus bare C1 controls (never present in clean text).
+_CONTINUATION_CHARS = "".join(
+    sorted({chr(b) for b in range(0x80, 0xC0)}
+           | {bytes([b]).decode("cp1252", "replace")
+              for b in range(0x80, 0xC0)} - {"�"})
+)
+_LEAD_CHARS = "".join(chr(b) for b in range(0xC2, 0xF0))
+_INDICATOR = re.compile(
+    "[%s][%s]|[\\u0080-\\u009F]"
+    % (re.escape(_LEAD_CHARS), re.escape(_CONTINUATION_CHARS))
+)
+
+# cp1252 with the five unmapped bytes (0x81 0x8D 0x8F 0x90 0x9D)
+# falling back to latin-1 — the "sloppy cp1252" every real-world
+# mojibake fixer uses, because encoders emitted those bytes anyway
+_SLOPPY_CP1252_ENC = {}
+for _b in range(256):
+    try:
+        _SLOPPY_CP1252_ENC[bytes([_b]).decode("cp1252")] = _b
+    except UnicodeDecodeError:
+        _SLOPPY_CP1252_ENC[chr(_b)] = _b
+
+
+def _indicator_count(s: str) -> int:
+    return len(_INDICATOR.findall(s))
+
+
+def _reencode_candidates(s: str):
+    """The deterministic inverse transforms, best-first: bytes-as-
+    latin-1 and bytes-as-(sloppy-)cp1252, re-decoded as UTF-8."""
+    try:
+        yield s.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        pass
+    try:
+        b = bytes(_SLOPPY_CP1252_ENC[c] for c in s)
+        yield b.decode("utf-8")
+    except (KeyError, UnicodeDecodeError):
+        pass
+
+
+def _fix_one(s):
+    """(fixed_text, status) for one string.  status: 'clean' (no
+    mojibake indicators — text untouched, guaranteed), 'fixed' (a
+    byte round trip strictly reduced indicators to a fixpoint),
+    'ambiguous' (indicators present but no inverse transform improves
+    the text — left untouched for a human/model to judge)."""
+    if s is None:
+        return None, None
+    score = _indicator_count(s)
+    if score == 0:
+        return s, "clean"
+    cur, cur_score = s, score
+    for _ in range(3):  # at most triple-encoded in practice
+        best, best_score = None, cur_score
+        for cand in _reencode_candidates(cur):
+            c_score = _indicator_count(cand)
+            if c_score < best_score:
+                best, best_score = cand, c_score
+                break  # candidates are ordered best-first
+        if best is None:
+            break
+        cur, cur_score = best, best_score
+        if cur_score == 0:
+            break
+    if cur_score < score:
+        return cur, "fixed"
+    return s, "ambiguous"
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Detect-and-repair the deterministic mojibake classes (UTF-8
+    read as latin-1/cp1252 and re-encoded, up to three layers deep) →
+    ``struct<text string, status string>``.
+
+    Decision rule (all byte-level, fully deterministic): a string with
+    zero mojibake indicators (C1 controls, or a UTF-8-lead-shaped
+    character followed by a continuation-shaped one) is ``'clean'``
+    and returned byte-identical — the no-change guarantee.  Otherwise
+    the two inverse transforms (latin-1 and sloppy-cp1252 byte
+    reinterpretation) are applied while they strictly reduce the
+    indicator count: reaching a reduction is ``'fixed'``; indicators
+    that no transform improves are ``'ambiguous'`` and the text is
+    returned untouched for downstream triage.  Exact recovery holds
+    for constructed mojibake of the known classes (pinned in units).
+
+    Arrow-batched kernel — one narrow map pass, no driver work.
+    """
+
+    @F.pandas_udf("struct<text: string, status: string>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        fixed, status = [], []
+        for t in texts:
+            f, st = _fix_one(t)
+            fixed.append(f)
+            status.append(st)
+        return pd.DataFrame({"text": fixed, "status": status})
+
+    return kernel(text)

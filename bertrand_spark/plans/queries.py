@@ -4489,6 +4489,56 @@ def q60(spark, sf_dir):
     )
 
 
+@query(
+    "x48_html_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                THEN 'Document ' || doc_id || ' & friends'
+                ELSE 'Document ' || doc_id || ' & friends' || chr(10)
+                     || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+           END AS extracted
+    FROM documents
+    """,
+)
+def x48(spark, sf_dir):
+    """HTML→text extraction (round 11): each document is wrapped in a
+    deterministic page — head+script, a nav bar, an entity-bearing
+    <h1>, a short link-heavy pager <p> (the max_link_density rule), the
+    escaped body text in a <p>, a pure-link <div> (the
+    hard_link_density rule), and a footer — and the stdlib-parser
+    extractor must recover EXACTLY title+newline+whitespace-normalized
+    body: every dropped subtree, both boilerplate rules, entity
+    unescape, and block segmentation are on the hash path.  The oracle
+    replays the algebra (escape→parse→unescape is identity on the
+    body; normalization is regexp_replace + trim).  One Arrow-batched
+    map pass, no shuffle — the 100 TB shape is a narrow projection."""
+    from ..pipeline.htmltext import extract_html_text
+
+    d = _t(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"),
+            "<", "&lt;"),
+        ">", "&gt;")
+    html = F.concat(
+        F.lit('<html><head><title>t</title><script>var a=1;'
+              '</script></head><body>'
+              '<nav><a href="/">Home</a> <a href="/about">About</a>'
+              '</nav><h1>Document '),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; friends</h1>'
+              '<p><a href="/next">next</a> page</p><p>'),
+        esc,
+        F.lit('</p><div><a href="/1">alpha</a> <a href="/2">beta</a> '
+              '<a href="/3">gamma</a></div>'
+              '<footer>&copy; 2026</footer></body></html>'),
+    )
+    return d.select(
+        "doc_id", extract_html_text(html).alias("extracted")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -4503,43 +4553,45 @@ def q60(spark, sf_dir):
 # dict order rotates.  A name here that no longer exists in QUERIES raises
 # at import (see below) so a rename cannot silently drop coverage.
 #
-# Round 10: the ten r07-stale TPC-H planner shapes (q41/q43/q45/q46/
-# q47/q48/q49/q52/q53/q55 — their only driver row is the r07 artifact,
-# which leaves the 3-round union after this round) take the leading
-# slots, exactly as round 9's note committed.  The remaining 40 slots
-# re-attest names from the r08 window (the r08 and r09 windows were
-# disjoint, so all 50 r08 names age toward staleness together),
-# preferring the ones whose code round 10 touched (q28 sits atop the
-# anonymous cast's new array-leaf promotion in convert/cast.py;
-# x13/x14 sit atop the probe-gated decode routing in
-# pipeline/multimodal.py).  Ten structurally-stable r08 names
-# (q50/q51/q54/q56 pure join/agg TPC-H shapes; x05/x06/x07 GEMM
-# similarity; x42/x43/x44 model-replay plans — all over code this
-# round does not touch) wait for round 11; the cycle test covers them
-# via the r08 artifact, and round 11's rotation must lead with them.
+# Round 11: the ten r08-stale names (q50/q51/q54/q56 pure join/agg
+# TPC-H shapes; x05/x06/x07 GEMM similarity; x42/x43/x44 model-replay
+# plans — their only driver attestation is the r08 artifact, which
+# leaves the 3-round union after this round) take the leading slots,
+# exactly as round 10's note committed.  x48 is NEW this round (the
+# HTML→text extractor — the oracle set grows 110→111 per the round-10
+# verdict's explicit ask) and needs its first attestation.  The
+# remaining 39 slots re-attest r09-window names (the r09 and r10
+# windows were disjoint, so all 50 r09 names age toward staleness
+# together).  Eleven structurally-stable r09 names (q02/q03/q05/q06/
+# q07/q10 type-system casts; q15/q16/q18/q24b iteration shapes;
+# q57 a pure TPC-H join/agg — all over code this round does not
+# touch) wait for round 12; the cycle test covers them via the r09
+# artifact, and round 12's rotation must lead with them.
 _DRIVER_ROTATION = [
-    # r07-stale re-attestations (10): r07 leaves the 3-round union now
-    "q41_revenue_forecast", "q43_large_orders", "q45_above_average",
-    "q46_late_orders_exists", "q47_supplier_nation_cycle",
-    "q48_priority_class_agg", "q49_supplier_part_counts",
-    "q52_product_profit", "q53_customer_distribution",
-    "q55_disjunctive_revenue",
-    # r08 re-attestations (40): code-touched names first
-    "q28_anonymous_cast", "x13_media_sniff", "x14_media_decode",
-    "q01_detect_tags", "q04_rounding_rules", "q08_epoch_datetime",
-    "q09_radix_format", "q11_datetime_units", "q12_string_to_bool",
-    "q13_parse_temporal", "q14_categorize", "q17_where_ternary",
-    "q17b_where_filter", "q19_concat_sep", "q19b_union_all",
-    "q20_find_replace", "q21_reductions", "q22_stable_sort",
-    "q23_ordered_dedup", "q24_intersect", "q25_dt_td_conversions",
-    "q26_calendar_units", "q27_object_roundtrip", "q31_regex_dialect",
-    "q32_map_ops", "q36_profile",
-    "x01_exact_dedup", "x08_token_stats", "x09_lang_scores",
-    "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
-    "x15_rolling_fingerprints", "x19_stream_rollup", "x21_redact_pii",
-    "x22_pack_sequences", "x23_stratified_sample",
-    "x24_repetition_score", "x27_corpus_stats",
-    "x37_temperature_resample",
+    # r08-stale re-attestations (10): r08 leaves the 3-round union now
+    "q50_nation_trade_volume", "q51_market_share",
+    "q54_small_quantity_revenue", "q56_waiting_supplier",
+    "x05_cosine_topk", "x06_cosine_pairs", "x07_ivf_topk",
+    "x42_lm_perplexity", "x43_semdedup", "x44_overlap_report",
+    # new this round (1): first attestation
+    "x48_html_extract",
+    # r09 re-attestations (39)
+    "x45_dsir_weights", "x46_filter_cascade", "x47_dsir_resample",
+    "x20_decontaminate", "x17_quality_scores",
+    "x39_adaptive_length_filter", "x40_mix_corpus",
+    "q29_asof_join", "q30_range_join", "q33_revenue_by_nation",
+    "q34_rollup_revenue", "q35_window_functions", "q37_promo_share",
+    "q38_semi_anti_join", "q39_pricing_summary",
+    "q40_shipping_priority", "q42_returned_items", "q44_cube_orders",
+    "q58_min_cost_supplier", "q59_important_stock",
+    "q60_potential_promotion",
+    "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
+    "x16_cosine_near_dup", "x18_pipeline_end_to_end",
+    "x25_stream_dedup", "x26_stream_sessions", "x28_stream_stream_join",
+    "x29_foreachbatch_sink", "x30_dedup_clusters",
+    "x31_dedup_canonical", "x32_fuzzy_join", "x33_gopher_rules",
+    "x34_tfidf_top_terms", "x35_chunk_dedup", "x36_incremental_dedup",
+    "x38_knn_graph", "x41_dedup_keep_best",
 ]
 
 

@@ -1,0 +1,490 @@
+"""Round 11 regressions: the four round-10 ADVICE findings.
+
+1 (medium). mp3dec._apply_stereo left the region above the last long
+   scalefactor band ([sfb_long[21], 576)) unprocessed — under
+   mode_ext==3 (MS+intensity) it stayed raw mid/side yet reported
+   coverage 1.0 / 'decoded'.
+2 (low). Intensity with a short-block right channel silently applied
+   full-spectrum MS instead of being counted; the LSF illegal-position
+   marker used slens[0] for every band instead of the per-partition
+   slen.
+3 (low). The mp3 sniff's (p[1] & 0xE0) == 0xE0 mask also matched
+   Layer I/II and reserved-layer sync words, sending undecodable audio
+   into the Layer-III-only decoder to come back 'decode-failed'.
+4 (low). ADTS channel_configuration 7 means 8 channels (7.1).
+"""
+
+import numpy as np
+import pytest
+
+
+def _hdr(mpeg1=True, sr=44100, mode=1, mode_ext=3):
+    from bertrand_spark.pipeline.mp3dec import MP3Header
+
+    return MP3Header(
+        version=3 if mpeg1 else 2, bitrate=128000, sample_rate=sr,
+        padding=0, mode=mode, mode_ext=mode_ext, frame_bytes=417,
+        samples_per_frame=1152 if mpeg1 else 576, protection=False,
+    )
+
+
+def _granule(short=False, sc=0):
+    from bertrand_spark.pipeline.mp3dec import Granule
+
+    g = Granule()
+    g.part2_3_length = 0
+    g.big_values = 0
+    g.global_gain = 210
+    g.scalefac_compress = sc
+    g.window_switching = 1 if short else 0
+    g.block_type = 2 if short else 0
+    g.mixed_block = 0
+    g.table_select = [0, 0, 0]
+    g.subblock_gain = [0, 0, 0]
+    g.region0_count = 0
+    g.region1_count = 0
+    g.preflag = 0
+    g.scalefac_scale = 0
+    g.count1table_select = 0
+    return g
+
+
+class TestIntensityAboveLastSfb:
+    """Finding 1: intensity/MS must cover [sfb_long[21], 576)."""
+
+    def test_unit_region_above_band21_gets_intensity(self):
+        from bertrand_spark.pipeline.mp3dec import _apply_stereo
+
+        hdr = _hdr(mode_ext=3)  # MS + intensity
+        xl = np.zeros(576)
+        xl[100] = 1.0
+        xl[420] = 1.0  # 44.1 kHz: sfb_long[21] = 418
+        xr = np.zeros(576)
+        sf_r = [3] * 21  # is_pos 3 -> tan(pi/4)=1 -> equal split
+        st = _apply_stereo([xl, xr], [_granule(), _granule()], hdr,
+                           sf_r)
+        assert st is None
+        assert xl[100] == pytest.approx(0.5)
+        assert xr[100] == pytest.approx(0.5)
+        # the pre-fix code left line 420 raw: xl 1.0 / xr 0.0
+        assert xl[420] == pytest.approx(0.5)
+        assert xr[420] == pytest.approx(0.5)
+
+    def test_unit_illegal_position_falls_back_to_ms_above_band21(self):
+        from bertrand_spark.pipeline.mp3dec import _apply_stereo
+
+        hdr = _hdr(mode_ext=3)
+        xl = np.zeros(576)
+        xl[420] = 1.0
+        xr = np.zeros(576)
+        sf_r = [3] * 21
+        sf_r[20] = 7  # MPEG-1 illegal marker; band 21 reuses band 20
+        _apply_stereo([xl, xr], [_granule(), _granule()], hdr, sf_r)
+        assert xl[420] == pytest.approx(1.0 / np.sqrt(2.0))
+        assert xr[420] == pytest.approx(1.0 / np.sqrt(2.0))
+
+    def test_end_to_end_pcm_channels_match_under_full_intensity(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        tone = [0] * 576
+        tone[40] = 5
+        tone[420] = 3  # above sfb_long[21] = 418 at 44.1 kHz
+        l_spec = {"values": tone, "table": 8, "global_gain": 240}
+        r_spec = {"values": [0] * 576, "scalefac_long": [3] * 21}
+        d = M.decode(M.build_frames([(l_spec, r_spec)] * 8, mode=1,
+                                    mode_ext=1), _keep_channels=True)
+        assert d["coverage"] == 1.0
+        ch = d["channels"][:, 2304:]
+        # is_pos 3 everywhere (band 21 reuses band 20) -> channels
+        # identical; pre-fix the 420-line content stayed left-only
+        assert float(np.abs(ch[0] - ch[1]).max()) < 1e-9
+        assert float(np.abs(ch[0]).max()) > 0
+
+
+class TestLsfIllegalPerPartition:
+    """Finding 2b: LSF illegal marker is (1<<slen_of_partition)-1."""
+
+    def test_partition2_slen1_band_is_legal_at_zero(self):
+        from bertrand_spark.pipeline.mp3dec import _apply_stereo
+
+        hdr = _hdr(mpeg1=False, sr=22050, mode_ext=1)
+        # intensity-channel layout: si=1 -> slens (0,0,1,0), table 3
+        # (partitions of 7/7/7 long bands): bands 0-6 slen 0 (illegal
+        # marker 0), bands 14-20 slen 1 (illegal marker 1)
+        g_r = _granule(sc=2)
+        xl = np.zeros(576)
+        xl[210] = 1.0  # 22.05 kHz band 15: lines 200..237
+        xr = np.zeros(576)
+        sf_r = [0] * 21
+        _apply_stereo([xl, xr], [_granule(), g_r], hdr, sf_r)
+        # band 15's is_pos 0 is LEGAL (marker is 1 there): LSF law
+        # is_pos 0 -> both channels get the full signal.  The pre-fix
+        # slens[0] marker (0) treated it as illegal and left xr silent.
+        assert xl[210] == pytest.approx(1.0)
+        assert xr[210] == pytest.approx(1.0)
+
+    def test_partition2_slen1_illegal_at_one_stays_raw(self):
+        from bertrand_spark.pipeline.mp3dec import _apply_stereo
+
+        hdr = _hdr(mpeg1=False, sr=22050, mode_ext=1)
+        g_r = _granule(sc=2)
+        xl = np.zeros(576)
+        xl[210] = 1.0
+        xr = np.zeros(576)
+        sf_r = [0] * 21
+        sf_r[15] = 1  # the partition-2 illegal marker
+        _apply_stereo([xl, xr], [_granule(), g_r], hdr, sf_r)
+        assert xl[210] == pytest.approx(1.0)
+        assert xr[210] == 0.0
+
+
+class TestShortBlockIntensityGates:
+    """Finding 2a: unimplemented intensity shapes are COUNTED, never
+    approximated with full-spectrum MS."""
+
+    def test_unit_returns_gated(self):
+        from bertrand_spark.pipeline.mp3dec import _apply_stereo
+
+        hdr = _hdr(mode_ext=1)
+        xl = np.zeros(576)
+        xl[40] = 1.0
+        xr = np.zeros(576)
+        st = _apply_stereo([xl, xr], [_granule(), _granule(short=True)],
+                           hdr, [0] * 21)
+        assert st == "gated"
+        assert xl[40] == 1.0  # untouched: caller zeroes and counts
+
+    def test_decode_counts_gated_and_emits_silence(self):
+        from bertrand_spark.pipeline import mp3dec as M
+
+        tone = [0] * 576
+        tone[40] = 5
+        l_spec = {"values": tone, "table": 8, "global_gain": 240}
+        r_short = {"values": [0] * 576, "block": "short"}
+        d = M.decode(M.build_frames([(l_spec, r_short)] * 8, mode=1,
+                                    mode_ext=1), _keep_channels=True)
+        assert d["coverage"] == 0.0
+        assert d["n_gated"] == d["n_granules"]
+        assert d["n_acct_fail"] == 0
+        assert float(np.abs(d["channels"]).max()) == 0.0
+
+    def test_seam_reports_decode_partial(self):
+        from bertrand_spark.pipeline import mp3dec as M
+        from bertrand_spark.pipeline.multimodal import _mp3_gated_decode
+
+        tone = [0] * 576
+        tone[40] = 5
+        l_spec = {"values": tone, "table": 8, "global_gain": 240}
+        r_short = {"values": [0] * 576, "block": "short"}
+        blob = M.build_frames([(l_spec, r_short)] * 8, mode=1,
+                              mode_ext=1)
+        dec, status = _mp3_gated_decode(blob)
+        assert dec is None
+        assert status == "decode-partial"
+
+
+def _build_adts_frame(ch_cfg, n_frames=4, payload_len=40):
+    out = bytearray()
+    for _ in range(n_frames):
+        flen = 7 + payload_len
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1
+        h[2] = (1 << 6) | (4 << 2) | (ch_cfg >> 2)
+        h[3] = ((ch_cfg & 3) << 6) | (flen >> 11)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 7) << 5) | 0x1F
+        h[6] = 0xFC
+        out += h + bytes(payload_len)
+    return bytes(out)
+
+
+class TestLayer12SniffRouting:
+    """Finding 3: only Layer III is lossy-decodable; Layer I/II sync
+    words are the routed-around 'mpeg-audio' skip class."""
+
+    def test_python_sniff_layers(self):
+        from bertrand_spark.pipeline.multimodal import (
+            _audio_container_class,
+        )
+
+        assert _audio_container_class(b"\xff\xfb\x90" + bytes(32)) == (
+            "mp3", "lossy-decodable")        # Layer III
+        assert _audio_container_class(b"\xff\xfd\x90" + bytes(32)) == (
+            "mpeg-audio", "lossy-no-decoder")  # Layer II
+        assert _audio_container_class(b"\xff\xff\x90" + bytes(32)) == (
+            "mpeg-audio", "lossy-no-decoder")  # Layer I
+        assert _audio_container_class(b"\xff\xe4\x90" + bytes(32)) == (
+            "mpeg-audio", "lossy-no-decoder")  # reserved layer
+
+    def test_native_sniff_parity_and_skip_status(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            _audio_container_class, audio_format_report,
+            extract_audio_features,
+        )
+
+        rows = [
+            (1, bytearray(b"\xff\xfd\x90" + bytes(64))),  # Layer II
+            (2, bytearray(b"\xff\xfb\x90" + bytes(64))),  # Layer III
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        feats = extract_audio_features(df, decode="real")
+        by_id = {r.media_id: r.decode_status for r in feats.collect()}
+        assert by_id[1] == "skipped-lossy"   # never enters the decoder
+        assert by_id[2] == "decode-failed"   # attempted, not a frame
+        native = {
+            r["sniffed_format"]: r["codec_class"]
+            for r in audio_format_report(df, feats).collect()
+        }
+        py = {}
+        for _, p in rows:
+            c, k = _audio_container_class(bytes(p))
+            py[c] = k
+        assert native == py
+        assert native["mpeg-audio"] == "lossy-no-decoder"
+
+    def test_id3_tagged_layer2_unmasks_as_skipped_lossy(self):
+        from bertrand_spark.pipeline.multimodal import (
+            _audio_container_class, _mp3_gated_decode,
+        )
+
+        frame = b"\xff\xfd\x90" + bytes(100)
+        blob = (b"ID3\x03\x00\x00\x00\x00\x00\x0a" + bytes(10)
+                + frame * 4)
+        # the sniff cannot skip the variable-length tag: stays mp3
+        assert _audio_container_class(blob)[0] == "mp3"
+        dec, status = _mp3_gated_decode(blob)
+        assert dec is None
+        assert status == "skipped-lossy"
+
+
+class TestAdtsChannelConfig7:
+    """Finding 4: ADTS channel_configuration 7 is 8 channels (7.1)."""
+
+    def test_ch_cfg_7_reports_8_channels(self):
+        from bertrand_spark.pipeline.multimodal import _adts_meta
+
+        meta = _adts_meta(_build_adts_frame(7))
+        assert meta is not None
+        assert meta[2] == 8
+
+    def test_other_ch_cfgs_verbatim(self):
+        from bertrand_spark.pipeline.multimodal import _adts_meta
+
+        assert _adts_meta(_build_adts_frame(2))[2] == 2
+        assert _adts_meta(_build_adts_frame(6))[2] == 6
+        assert _adts_meta(_build_adts_frame(0))[2] is None
+
+
+class TestHtmlExtract:
+    """Round 11: extract_html_text — the HTML→text main-content
+    extractor (stdlib html.parser; drop subtrees, block segmentation,
+    link-density boilerplate filter, entity unescape)."""
+
+    def test_basic_page(self):
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        html = (
+            '<html><head><title>T</title><script>var x=1;</script>'
+            '<style>p{color:red}</style></head><body>'
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            '<h1>Big &amp; Bold</h1>'
+            '<p>Hello <b>world</b>, the main article body with '
+            'plenty of words to clear the filter.</p>'
+            '<footer><a href="/tos">Terms</a></footer></body></html>'
+        )
+        got = _extract_one(html)
+        assert got == (
+            "Big & Bold\nHello world, the main article body with "
+            "plenty of words to clear the filter."
+        )
+
+    def test_nav_outside_nav_tag_dropped_by_link_density(self):
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        html = (
+            "<p>Real content sentence with enough words to stay in "
+            "the output today.</p>"
+            '<div><a href="/1">alpha</a> <a href="/2">beta</a> '
+            '<a href="/3">gamma</a></div>'
+        )
+        got = _extract_one(html)
+        assert "alpha" not in got
+        assert got.startswith("Real content")
+
+    def test_short_link_heavy_block_dropped_long_one_kept(self):
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        pager = '<p><a href="/next">next</a> page</p>'
+        assert _extract_one(pager) == ""
+        # a long block over the soft threshold survives even with a link
+        longb = (
+            '<p><a href="/x">anchor text here</a> plus a long tail of '
+            "ordinary prose words that keeps the link density low and "
+            "the word count high.</p>"
+        )
+        assert "anchor text here" in _extract_one(longb)
+
+    def test_nested_and_malformed_markup(self):
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        assert _extract_one("<p><b>broken <p>nested <i>tags") == \
+            "broken\nnested tags"
+        assert _extract_one("") == ""
+        assert _extract_one("plain text, no markup") == \
+            "plain text, no markup"
+        assert _extract_one(None) is None
+        # comment and unclosed script subtrees vanish
+        assert _extract_one(
+            "<!-- hidden -->visible<script>var x = 'gone'"
+        ) == "visible"
+
+    def test_entities_and_charrefs(self):
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        assert _extract_one("<p>a &lt;tag&gt; &amp; &#65;&#x42;</p>") \
+            == "a <tag> & AB"
+
+    def test_block_segmentation_joins_with_newlines(self):
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        html = "<h2>one</h2><p>two</p><div>three</div><li>four</li>"
+        assert _extract_one(html) == "one\ntwo\nthree\nfour"
+        assert _extract_one("line a<br>line b") == "line a\nline b"
+
+    def test_whitespace_normalized_within_blocks(self):
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        assert _extract_one("<p>  a\n\t b   c  </p>") == "a b c"
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from bertrand_spark.pipeline.htmltext import _extract_one
+
+        rng = random.Random(1131)
+        alphabet = "<>/ab &;#!=\"'-\x00€\xc3\x82p"
+        for _ in range(400):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 200)))
+            out = _extract_one(s)
+            assert out is None or isinstance(out, str)
+
+    def test_spark_column_udf(self, spark):
+        from bertrand_spark.pipeline.htmltext import extract_html_text
+
+        df = spark.createDataFrame(
+            [(1, "<p>hello world</p>"), (2, None)],
+            "id long, html string",
+        )
+        rows = {r.id: r.out for r in df.select(
+            "id", extract_html_text("html").alias("out")).collect()}
+        assert rows[1] == "hello world"
+        assert rows[2] is None
+
+
+class TestFixMojibake:
+    """Round 11: fix_mojibake — deterministic double-encoding repair
+    with a no-change guarantee on clean text."""
+
+    CASES = [
+        "naïve café — déjà vu",
+        "Größe straße übermäßig",
+        "日本語のテキスト",
+        "curly “quotes” and – dashes…",
+        "mixed ascii + é + 中文",
+    ]
+
+    def test_latin1_class_exact_recovery(self):
+        from bertrand_spark.pipeline.htmltext import _fix_one
+
+        for t in self.CASES:
+            m = t.encode("utf-8").decode("latin-1")
+            fixed, status = _fix_one(m)
+            assert status == "fixed", (t, m)
+            assert fixed == t
+
+    def test_cp1252_class_exact_recovery(self):
+        from bertrand_spark.pipeline.htmltext import _fix_one
+
+        for t in self.CASES:
+            try:
+                m = t.encode("utf-8").decode("cp1252")
+            except UnicodeDecodeError:
+                # bytes unmapped in strict cp1252: the sloppy variant
+                m = "".join(
+                    bytes([b]).decode("cp1252", "ignore") or chr(b)
+                    for b in t.encode("utf-8")
+                )
+            fixed, status = _fix_one(m)
+            assert status == "fixed", (t, m)
+            assert fixed == t
+
+    def test_double_encoded_exact_recovery(self):
+        from bertrand_spark.pipeline.htmltext import _fix_one
+
+        for t in self.CASES:
+            m = t.encode("utf-8").decode("latin-1")
+            dbl = m.encode("utf-8").decode("latin-1")
+            fixed, status = _fix_one(dbl)
+            assert status == "fixed"
+            assert fixed == t
+
+    def test_clean_text_untouched(self):
+        from bertrand_spark.pipeline.htmltext import _fix_one
+
+        for t in self.CASES + [
+            "plain ascii - with hyphens, 100% clean!",
+            "",
+        ]:
+            fixed, status = _fix_one(t)
+            assert status == "clean"
+            assert fixed is t  # byte-identical, not a copy
+
+    def test_ambiguous_flagged_not_altered(self):
+        from bertrand_spark.pipeline.htmltext import _fix_one
+
+        # a bare C1 control is an indicator but no re-encode fixes it
+        s = "text with a stray \x81 control"
+        fixed, status = _fix_one(s)
+        assert status == "ambiguous"
+        assert fixed == s
+
+    def test_none_passthrough(self):
+        from bertrand_spark.pipeline.htmltext import _fix_one
+
+        assert _fix_one(None) == (None, None)
+
+    def test_fuzz_never_raises_and_never_corrupts_clean(self):
+        import random
+
+        from bertrand_spark.pipeline.htmltext import (
+            _INDICATOR, _fix_one,
+        )
+
+        rng = random.Random(48)
+        pool = ("abc déjà ß € — \x81\x92 Ã© Ã¼ â€œ ascii "
+                "中 文 Â ")
+        for _ in range(500):
+            s = "".join(rng.choice(pool)
+                        for _ in range(rng.randrange(0, 60)))
+            fixed, status = _fix_one(s)
+            assert status in ("clean", "fixed", "ambiguous")
+            if status != "fixed":
+                assert fixed == s
+            if not _INDICATOR.search(s):
+                assert status == "clean" and fixed is s
+
+    def test_spark_struct_udf(self, spark):
+        from bertrand_spark.pipeline.htmltext import fix_mojibake
+
+        t = "déjà vu"
+        m = t.encode("utf-8").decode("latin-1")
+        df = spark.createDataFrame(
+            [(1, m), (2, "clean"), (3, None)], "id long, text string"
+        )
+        out = {r.id: r.fixed for r in df.select(
+            "id", fix_mojibake("text").alias("fixed")).collect()}
+        assert out[1].text == t and out[1].status == "fixed"
+        assert out[2].text == "clean" and out[2].status == "clean"
+        assert out[3].text is None and out[3].status is None
