@@ -87,6 +87,13 @@ HEADLINE = [
     "q59_important_stock",
     "q60_potential_promotion",
     "x47_dsir_resample",
+    # round-11 append: the HTML→text extractor (Arrow-batched stdlib
+    # parser — the first operator of any crawl pipeline; per-doc
+    # Python kernel, so its cost scales with corpus bytes and belongs
+    # under per-round watch).  NOTE for total-comparisons: the suite
+    # total grows by this query's time from round 11 on; per-name
+    # deltas remain the comparable signal.
+    "x48_html_extract",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

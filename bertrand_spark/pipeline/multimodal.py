@@ -5078,6 +5078,31 @@ def probe_video_metadata(
     )
 
 
+def _avi_vids_fourcc(payload: bytes):
+    """Codec fourcc of the FIRST vids strh, via an early-stopping RIFF
+    walk over the leading hdrl LIST (the walk also stops on the first
+    movi data chunk, so a headerless file costs a bounded scan).
+    None when no vids strh is found before the data."""
+    found: list = []
+
+    def on_chunk(tag, b0, b1):
+        if (tag == b"strh" and b1 - b0 >= 8
+                and payload[b0:b0 + 4] == b"vids"):
+            found.append(payload[b0 + 4:b0 + 8])
+            return True
+        return len(tag) == 4 and tag[2:] in (b"dc", b"db", b"wb")
+
+    try:
+        _riff_walk(payload, 12, len(payload), on_chunk)
+    except Exception:
+        return None
+    return found[0] if found else None
+
+
+# stream-declared fourccs the MJPEG sampler can actually decode
+_MJPEG_FOURCCS = (b"MJPG", b"mjpg", b"dmb1", b"MJPA")
+
+
 def _avi_mjpeg_frames(payload: bytes, max_needed: int = None):
     """The JPEG bytes of an MJPG AVI's FIRST video stream's frames
     ('00dc'/'00db' chunks — other streams' '01dc'… chunks are a
@@ -5085,9 +5110,20 @@ def _avi_mjpeg_frames(payload: bytes, max_needed: int = None):
     scanning once ``max_needed`` frames are collected (review finding:
     a multi-GB clip must not be copied wholesale when the sampler
     needs the first ~71 frames).  Returns a list (possibly empty) or
-    None when the container isn't an AVI."""
+    None when the container isn't an AVI.
+
+    Round 11 (probe-gate parity with the audio seam): the
+    stream-declared codec is read FIRST from the vids strh (bounded
+    early-stop walk); a declared non-MJPEG codec (H.264, VP9, raw
+    DIB…) is routed AROUND without walking movi, so sampling cost
+    tracks decodable bytes, not corpus bytes.  A missing/garbled strh
+    falls through to the per-chunk JPEG-magic check (degrade, same as
+    before)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
+    cc = _avi_vids_fourcc(payload)
+    if cc is not None and cc not in _MJPEG_FOURCCS:
+        return []
     frames: list = []
 
     def on_chunk(tag, b0, b1):

@@ -1,5 +1,7 @@
-"""Source connectors: schema-aware parquet ingestion."""
+"""Source connectors: schema-aware parquet ingestion, WARC crawl
+archives."""
 
 from .reader import read_table, nanos_timestamp_columns
+from .warc import read_warc
 
-__all__ = ["read_table", "nanos_timestamp_columns"]
+__all__ = ["read_table", "nanos_timestamp_columns", "read_warc"]

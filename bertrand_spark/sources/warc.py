@@ -1,0 +1,234 @@
+"""WARC ingestion — the canonical crawl source format (ISO 28500).
+
+A crawl corpus arrives as many ~1 GB ``.warc.gz`` files, each a
+concatenation of per-record gzip members.  The distributed shape is
+files-as-parallel-unit: ``spark.read.format("binaryFile")`` lists the
+files into a DataFrame (one row per file, contents lazily read inside
+the scan), and an Arrow-batched ``mapInPandas`` walker explodes each
+file into records — at 100 TB that is 100k files spread across
+executors with no shuffle, the same plan Common Crawl processors use.
+The per-file walk is pure stdlib (``zlib`` member iteration + header
+parses); a truncated tail or malformed member ends THAT FILE's walk
+(truncated tails are normal in crawls) — it never kills the task.
+
+Feeds :func:`bertrand_spark.pipeline.htmltext.extract_html_text` (the
+response payloads are the HTML) and the multimodal payload columns.
+
+Output schema (response records by default)::
+
+    url string, warc_ts string (ISO-8601 as written), record_type
+    string, mime string, http_status int, payload binary
+
+Gating follows the codec recipe: an in-repo spec-shaped writer
+(:func:`warc_write`) drives exact round trips, multi-record /
+multi-member / truncation / garbage fuzz units.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_warc", "parse_warc", "warc_write"]
+
+_SCHEMA = ("path string, url string, warc_ts string, "
+           "record_type string, mime string, http_status int, "
+           "payload binary")
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompressed payloads of each gzip member in ``data`` (the
+    standard WARC layout is one member per record; a plain single
+    member — or several concatenated — walks identically).  Stops at
+    the first member that fails to decompress (truncated tail)."""
+    pos = 0
+    while pos + 2 <= len(data) and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out = d.decompress(data[pos:])
+            out += d.flush()
+        except zlib.error:
+            return
+        if not d.eof:
+            return  # truncated member
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def _split_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
+    """(warc_headers, payload) for each record in an UNCOMPRESSED
+    stream: version line, CRLF headers, Content-Length payload bytes,
+    CRLF CRLF separator.  Stops on malformed/truncated structure."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if not blob.startswith(b"WARC/", pos):
+            return
+        end = blob.find(b"\r\n\r\n", pos)
+        if end < 0:
+            return
+        head = blob[pos:end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        hdrs = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                hdrs[k.strip().lower()] = v.strip()
+        try:
+            clen = int(hdrs.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = end + 4
+        if body_start + clen > n:
+            return  # truncated payload
+        yield hdrs, blob[body_start:body_start + clen]
+        pos = body_start + clen
+        # skip the two record-terminating CRLFs (tolerate their
+        # absence at EOF / sloppy writers)
+        while blob.startswith(b"\r\n", pos):
+            pos += 2
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from an HTTP response payload;
+    (None, None, payload) when it does not parse as HTTP."""
+    end = payload.find(b"\r\n\r\n")
+    if end < 0 or not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head = payload[:end].decode("latin-1", "replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    mime = None
+    for line in lines[1:]:
+        k, sep, v = line.partition(":")
+        if sep and k.strip().lower() == "content-type":
+            mime = v.strip().split(";")[0].strip().lower() or None
+            break
+    return status, mime, payload[end + 4:]
+
+
+def parse_warc(data: bytes, record_types: tuple = ("response",)):
+    """All records of the wanted types from one WARC file's bytes
+    (gzipped per-member or plain) as tuples
+    (url, warc_ts, record_type, mime, http_status, body).  For
+    response records the HTTP envelope is split off: ``mime`` is the
+    cleaned Content-Type, ``payload`` the entity body.  Non-HTTP
+    payloads pass through whole with NULL status/mime."""
+    if data[:2] == b"\x1f\x8b":
+        blobs = _gzip_members(data)
+    else:
+        blobs = iter([data])
+    out = []
+    for blob in blobs:
+        for hdrs, payload in _split_records(blob):
+            rtype = hdrs.get("warc-type", "")
+            if record_types and rtype not in record_types:
+                continue
+            status, mime, body = _split_http(payload)
+            if mime is None:
+                ct = hdrs.get("content-type", "")
+                if ct and not ct.lower().startswith("application/http"):
+                    mime = ct.split(";")[0].strip().lower() or None
+            out.append((
+                hdrs.get("warc-target-uri"),
+                hdrs.get("warc-date"),
+                rtype or None,
+                mime,
+                status,
+                body,
+            ))
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+) -> DataFrame:
+    """WARC files → DataFrame[path, url, warc_ts, record_type, mime,
+    http_status, payload].
+
+    ``binaryFile`` lists and reads the files (one input row per file —
+    the parallel unit; Spark spreads files across executors, no
+    shuffle anywhere in the plan), and the stdlib record walk runs as
+    an Arrow-batched ``mapInPandas``.  Malformed or truncated files
+    degrade to however many records parsed before the fault."""
+    rts = tuple(record_types)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = parse_warc(bytes(content), rts)
+                except Exception:
+                    recs = []  # per-file degrade, never a task death
+                rows.extend((p, *r) for r in recs)
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "url", "warc_ts", "record_type",
+                         "mime", "http_status", "payload"],
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(batches, _SCHEMA)
+
+
+def warc_write(
+    records,
+    gzip_members: bool = True,
+) -> bytes:
+    """In-repo WARC writer (the test/gating twin of :func:`read_warc`,
+    NOT a production sink): each record is a dict with ``url``,
+    ``ts`` (ISO-8601 string), ``body`` (bytes), and optionally
+    ``status`` (default 200), ``mime`` (default text/html),
+    ``record_type`` (default response), ``http`` (False to write a
+    raw non-HTTP payload).  One gzip member per record when
+    ``gzip_members`` (the standard layout used by Common Crawl)."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        body = r["body"]
+        if r.get("http", True):
+            status = r.get("status", 200)
+            mime = r.get("mime", "text/html")
+            payload = (
+                b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n"
+                b"Content-Length: %d\r\n\r\n"
+                % (status, mime.encode(), len(body))
+            ) + body
+            ctype = "application/http; msgtype=response"
+        else:
+            payload = body
+            ctype = r.get("mime", "application/octet-stream")
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: %s\r\n"
+            "WARC-Record-ID: <urn:uuid:%08d>\r\n"
+            "WARC-Date: %s\r\n"
+            "WARC-Target-URI: %s\r\n"
+            "Content-Type: %s\r\n"
+            "Content-Length: %d\r\n\r\n"
+            % (r.get("record_type", "response"), i, r["ts"], r["url"],
+               ctype, len(payload))
+        ).encode()
+        rec = head + payload + b"\r\n\r\n"
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)

@@ -488,3 +488,184 @@ class TestFixMojibake:
         assert out[1].text == t and out[1].status == "fixed"
         assert out[2].text == "clean" and out[2].status == "clean"
         assert out[3].text is None and out[3].status is None
+
+
+class TestWarcReader:
+    """Round 11: read_warc — WARC crawl-archive ingestion (gzip member
+    walk, record headers, HTTP envelope split), gated by the in-repo
+    writer per the codec recipe."""
+
+    RECS = [
+        {"url": "http://a.example/", "ts": "2026-01-01T00:00:00Z",
+         "body": b"<html><body><p>hello world page with enough words "
+                 b"to keep</p></body></html>"},
+        {"url": "http://b.example/img", "ts": "2026-01-01T00:00:01Z",
+         "body": b"\x89PNG fakepixels", "mime": "image/png",
+         "status": 404},
+        {"url": "http://c.example/raw", "ts": "2026-01-01T00:00:02Z",
+         "body": b"rawbytes", "http": False,
+         "record_type": "resource", "mime": "text/plain"},
+    ]
+
+    def test_kernel_roundtrip_gz_and_plain(self):
+        from bertrand_spark.sources.warc import parse_warc, warc_write
+
+        for gz in (True, False):
+            blob = warc_write(self.RECS, gzip_members=gz)
+            got = parse_warc(blob, record_types=())
+            assert [r[0] for r in got] == [r["url"] for r in self.RECS]
+            assert got[0][3] == "text/html" and got[0][4] == 200
+            assert got[1][3] == "image/png" and got[1][4] == 404
+            assert got[1][5] == b"\x89PNG fakepixels"
+            assert got[2][2] == "resource" and got[2][4] is None
+            assert got[2][5] == b"rawbytes"
+
+    def test_response_filter_default(self):
+        from bertrand_spark.sources.warc import parse_warc, warc_write
+
+        got = parse_warc(warc_write(self.RECS))
+        assert [r[2] for r in got] == ["response", "response"]
+
+    def test_truncation_degrades_to_parsed_prefix(self):
+        from bertrand_spark.sources.warc import parse_warc, warc_write
+
+        blob = warc_write(self.RECS)
+        # cut mid-way: only complete leading members survive
+        for cut in (len(blob) - 3, len(blob) // 2, 10, 1, 0):
+            got = parse_warc(blob[:cut], record_types=())
+            assert len(got) <= len(self.RECS)
+            for r in got:  # whatever parsed is intact
+                assert r[0].startswith("http://")
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from bertrand_spark.sources.warc import parse_warc, warc_write
+
+        rng = random.Random(1148)
+        blob = bytearray(warc_write(self.RECS))
+        for _ in range(200):
+            b = bytearray(blob)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = parse_warc(bytes(b), record_types=())
+            assert isinstance(out, list)
+        for _ in range(100):
+            junk = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(0, 300)))
+            assert isinstance(parse_warc(junk), list)
+
+    def test_spark_read_warc(self, spark, tmp_path):
+        from bertrand_spark.sources.warc import read_warc, warc_write
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        (d / "a.warc.gz").write_bytes(warc_write(self.RECS))
+        (d / "b.warc.gz").write_bytes(warc_write([self.RECS[0]]))
+        df = read_warc(spark, str(d))
+        rows = df.collect()
+        assert len(rows) == 3  # responses only by default
+        assert {r.url for r in rows} == {
+            "http://a.example/", "http://b.example/img"}
+        r = [x for x in rows if x.url == "http://a.example/"][0]
+        assert r.mime == "text/html" and r.http_status == 200
+        assert bytes(r.payload).startswith(b"<html>")
+        # no shuffle in the plan: file scan -> arrow eval only
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_composes_with_extract_html_text(self, spark, tmp_path):
+        from bertrand_spark.pipeline.htmltext import extract_html_text
+        from bertrand_spark.sources.warc import read_warc, warc_write
+
+        f = tmp_path / "c.warc.gz"
+        f.write_bytes(warc_write(self.RECS))
+        df = read_warc(spark, str(f))
+        out = (
+            df.filter(df.mime == "text/html")
+            .select(
+                "url",
+                extract_html_text(
+                    df.payload.cast("string")).alias("text"),
+            )
+        ).collect()
+        assert len(out) == 1
+        assert out[0].text == ("hello world page with enough words "
+                               "to keep")
+
+
+class TestProbeGatedVideoSampling:
+    """Round 11: sample_video_frames routes through the vids-strh
+    fourcc probe (skip-list parity with the audio seam) — a declared
+    non-MJPEG codec never pays the movi chunk walk."""
+
+    def _mjpeg_avi(self, n=3, w=16, h=8):
+        import numpy as np
+
+        from bertrand_spark.pipeline.multimodal import (
+            avi_mjpeg_encode, jpeg_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        frames = [
+            jpeg_encode(
+                w, h, 3,
+                rng.integers(0, 256, size=(h, w, 3),
+                             dtype=np.uint8).tobytes(),
+                quality=100,
+            )
+            for _ in range(n)
+        ]
+        return avi_mjpeg_encode(frames, w, h)
+
+    def test_fourcc_probe_reads_strh(self):
+        from bertrand_spark.pipeline.multimodal import _avi_vids_fourcc
+
+        avi = self._mjpeg_avi()
+        assert _avi_vids_fourcc(avi) == b"MJPG"
+        assert _avi_vids_fourcc(
+            bytes(avi).replace(b"vidsMJPG", b"vidsH264")) == b"H264"
+        assert _avi_vids_fourcc(b"RIFF\x00\x00\x00\x00AVI ") is None
+
+    def test_declared_h264_routed_around_even_with_jpeg_chunks(self):
+        from bertrand_spark.pipeline.multimodal import _avi_mjpeg_frames
+
+        avi = self._mjpeg_avi()
+        assert len(_avi_mjpeg_frames(avi)) == 3
+        # same chunks (REAL JPEGs) but the stream DECLARES H.264: the
+        # pre-fix path would have decoded them; the gate skips the walk
+        h264 = bytes(avi).replace(b"vidsMJPG", b"vidsH264")
+        assert _avi_mjpeg_frames(h264) == []
+
+    def test_missing_strh_falls_through_to_magic_check(self):
+        import struct
+
+        from bertrand_spark.pipeline.multimodal import (
+            _avi_mjpeg_frames, jpeg_encode,
+        )
+
+        jpeg = jpeg_encode(8, 8, 3, bytes(8 * 8 * 3), quality=90)
+
+        def chunk(tag, body):
+            return tag + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b"")
+
+        movi = chunk(b"LIST", b"movi" + chunk(b"00dc", jpeg))
+        body = b"AVI " + movi  # no hdrl/strh at all
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        got = _avi_mjpeg_frames(avi)
+        assert len(got) == 1 and got[0][:2] == b"\xff\xd8"
+
+    def test_spark_sampler_end_to_end_gate(self, spark):
+        from bertrand_spark.pipeline.multimodal import sample_video_frames
+
+        avi = self._mjpeg_avi()
+        rows = [
+            (1, bytearray(avi)),
+            (2, bytearray(bytes(avi).replace(b"vidsMJPG", b"vidsVP90"))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = sample_video_frames(
+            df, every_n=1, max_frames=8, decode="real").collect()
+        assert {r.media_id for r in got} == {1}
+        assert len(got) == 3
