@@ -85,6 +85,7 @@ from .text import (  # noqa: F401
     train_char_lm,
 )
 from .htmltext import (  # noqa: F401
+    decode_html_bytes,
     extract_html_text,
     fix_mojibake,
 )

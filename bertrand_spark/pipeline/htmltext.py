@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["extract_html_text", "fix_mojibake"]
+__all__ = ["extract_html_text", "decode_html_bytes", "fix_mojibake"]
 
 
 # --- HTML -> text ----------------------------------------------------------
@@ -198,6 +198,81 @@ def extract_html_text(
         )
 
     return kernel(html)
+
+
+# --- charset-aware payload decode ------------------------------------------
+
+_META_CHARSET = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)",
+    re.IGNORECASE,
+)
+
+
+def _sniff_bom(b: bytes):
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if b[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if b[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    return None
+
+
+def _decode_html_one(b, declared=None):
+    """One payload through the WHATWG-ordered charset resolution:
+    BOM > transport-declared (HTTP Content-Type charset) > in-document
+    <meta charset> (first 1024 bytes) > UTF-8; each candidate is tried
+    STRICT and the first that decodes wins; latin-1 (total on bytes)
+    is the final fallback, so the function never fails."""
+    import codecs
+
+    if b is None:
+        return None
+    b = bytes(b)
+    head_meta = _META_CHARSET.search(b[:1024])
+    candidates = [
+        _sniff_bom(b),
+        declared,
+        head_meta.group(1).decode("ascii", "replace").lower()
+        if head_meta else None,
+        "utf-8",
+    ]
+    for enc in candidates:
+        if not enc:
+            continue
+        try:
+            codecs.lookup(enc)
+        except LookupError:
+            continue
+        try:
+            return b.decode(enc)
+        except (UnicodeDecodeError, ValueError):
+            continue
+    return b.decode("latin-1")
+
+
+def decode_html_bytes(payload: Column, charset: Column = None) -> Column:
+    """Binary HTML payload → string via WHATWG-ordered charset
+    resolution (BOM, then the transport-declared charset — pass
+    :func:`bertrand_spark.sources.warc.read_warc`'s ``charset``
+    column — then the in-document ``<meta charset>``, then UTF-8,
+    with a total latin-1 fallback: NULL in → NULL out, otherwise a
+    string ALWAYS comes out).  The byte-level twin of a plain
+    ``cast('string')``, which silently replaces every non-UTF-8 byte.
+
+    Completes the crawl seam: ``read_warc`` → ``decode_html_bytes``
+    → ``extract_html_text`` → ``fix_mojibake``.  Arrow-batched."""
+
+    @F.pandas_udf("string")
+    def kernel(payloads: pd.Series, decls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_decode_html_one(b, d)
+             for b, d in zip(payloads, decls)],
+            dtype=object,
+        )
+
+    return kernel(payload, charset if charset is not None
+                  else F.lit(None).cast("string"))
 
 
 # --- mojibake repair -------------------------------------------------------

@@ -4288,6 +4288,85 @@ def _mp3_meta(p: bytes):
     return dur, rate, n_ch, None
 
 
+# MPEG Layer I/II bitrate tables, kbit/s (ISO 11172-3 / 13818-3):
+# [version-family][layer] — index 0 is the free-format sentinel
+_MPEG12_BITRATES = {
+    # MPEG-1
+    (3, 3): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),           # Layer I
+    (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),                # Layer II
+    # MPEG-2 / 2.5 (LSF)
+    (2, 3): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),                # Layer I
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),                     # Layer II
+}
+_MPEG_RATES_BY_VERSION = {
+    3: (44100, 48000, 32000),          # MPEG-1
+    2: (22050, 24000, 16000),          # MPEG-2
+    0: (11025, 12000, 8000),           # MPEG-2.5
+}
+
+
+def _mpeg12_meta(p: bytes):
+    """Exact MPEG Layer I/II metadata via frame walk → (duration_s,
+    rate, channels, None), or None.  The 'mpeg-audio' sniff class
+    (round 11) gets the same exact-triage treatment as every other
+    container: each header determines its own frame length (Layer I:
+    (12*bitrate/rate + pad)*4 bytes, 384 samples; Layer II:
+    144*bitrate/rate + pad, 1152 samples), so the walk is one struct
+    read per frame.  Headers must stay consistent on layer/rate/
+    channels; a mismatch or truncated tail ends the walk.  Skips a
+    leading ID3v2 tag."""
+    pos = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        size = (
+            (p[6] & 0x7F) << 21 | (p[7] & 0x7F) << 14
+            | (p[8] & 0x7F) << 7 | (p[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    rate = n_ch = spf = None
+    layer0 = None
+    while pos + 4 <= len(p):
+        h = int.from_bytes(p[pos:pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        version = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        if layer not in (2, 3) or version == 1:
+            break  # Layer III / reserved: not this probe's stream
+        fam = 3 if version == 3 else 2
+        br_tab = _MPEG12_BITRATES[(fam, layer)]
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free-format/bad bitrate or reserved rate
+        bitrate = br_tab[br_idx] * 1000
+        r = _MPEG_RATES_BY_VERSION[version][sr_idx]
+        pad = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        c = 1 if mode == 3 else 2
+        if layer == 3:  # Layer I
+            flen = (12 * bitrate // r + pad) * 4
+            s = 384
+        else:           # Layer II
+            flen = 144 * bitrate // r + pad
+            s = 1152
+        if flen <= 4 or pos + flen > len(p):
+            break
+        if rate is None:
+            rate, n_ch, spf, layer0 = r, c, s, layer
+        elif r != rate or c != n_ch or layer != layer0:
+            break
+        n_frames += 1
+        pos += flen
+    if n_frames < 2 or not rate:
+        return None
+    return n_frames * spf / rate, rate, n_ch, None
+
+
 _ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
                22050, 16000, 12000, 11025, 8000, 7350)
 
@@ -4489,6 +4568,16 @@ def probe_audio_metadata(
                         m = _adts_meta(p)
                         if m is not None:
                             got = ("aac", *m)
+                    elif (
+                        len(p) >= 2 and p[0] == 0xFF
+                        and (p[1] & 0xE0) == 0xE0
+                        and (p[1] & 0x06) in (0x04, 0x06)
+                    ):
+                        # MPEG Layer I/II (round 11): exact frame
+                        # walk for the 'mpeg-audio' sniff class
+                        m = _mpeg12_meta(p)
+                        if m is not None:
+                            got = ("mpeg-audio", *m)
                     elif p[4:8] == b"ftyp":
                         # M4A/MP4 audio (round 10): mvhd duration +
                         # mp4a sample-entry rate/channels
@@ -4520,6 +4609,12 @@ def probe_audio_metadata(
                                 m = _adts_meta(p)
                                 if m is not None:
                                     got = ("aac", *m)
+                                else:
+                                    # ...same blind spot for
+                                    # ID3-tagged Layer I/II (round 11)
+                                    m = _mpeg12_meta(p)
+                                    if m is not None:
+                                        got = ("mpeg-audio", *m)
                 except Exception:
                     got = None  # per-row degrade, never a task death
                 if got is None:

@@ -4605,9 +4605,9 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 8: empty — no new queries this round (the oracle set is frozen
-# at 110 per the round-7 verdict; round-8 work is unit-gated extension
-# depth, not query surface).
+# Round 11: empty — the one new query (x48, the round-10 verdict's
+# explicit ask) fits the window; the set is otherwise frozen at the
+# round-7 policy (depth, not query-count padding).
 _DEFERRED_NEW: list = []
 
 _missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]

@@ -17,7 +17,8 @@ response payloads are the HTML) and the multimodal payload columns.
 Output schema (response records by default)::
 
     url string, warc_ts string (ISO-8601 as written), record_type
-    string, mime string, http_status int, payload binary
+    string, mime string, charset string, http_status int,
+    payload binary
 
 Gating follows the codec recipe: an in-repo spec-shaped writer
 (:func:`warc_write`) drives exact round trips, multi-record /
@@ -37,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["read_warc", "parse_warc", "warc_write"]
 
 _SCHEMA = ("path string, url string, warc_ts string, "
-           "record_type string, mime string, http_status int, "
-           "payload binary")
+           "record_type string, mime string, charset string, "
+           "http_status int, payload binary")
 
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
@@ -97,32 +98,40 @@ def _split_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
             pos += 2
 
 
-def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content-type, body) from an HTTP response payload;
-    (None, None, payload) when it does not parse as HTTP."""
+def _split_http(payload: bytes):
+    """(status, content-type, charset, body) from an HTTP response
+    payload; (None, None, None, payload) when it does not parse as
+    HTTP.  ``charset`` is the Content-Type's charset parameter (the
+    transport-declared encoding — feeds
+    :func:`bertrand_spark.pipeline.htmltext.decode_html_bytes`)."""
     end = payload.find(b"\r\n\r\n")
     if end < 0 or not payload.startswith(b"HTTP/"):
-        return None, None, payload
+        return None, None, None, payload
     head = payload[:end].decode("latin-1", "replace")
     lines = head.split("\r\n")
     parts = lines[0].split(None, 2)
     try:
         status = int(parts[1])
     except (IndexError, ValueError):
-        return None, None, payload
-    mime = None
+        return None, None, None, payload
+    mime = charset = None
     for line in lines[1:]:
         k, sep, v = line.partition(":")
         if sep and k.strip().lower() == "content-type":
-            mime = v.strip().split(";")[0].strip().lower() or None
+            pieces = v.split(";")
+            mime = pieces[0].strip().lower() or None
+            for piece in pieces[1:]:
+                pk, psep, pv = piece.partition("=")
+                if psep and pk.strip().lower() == "charset":
+                    charset = pv.strip().strip('"\'').lower() or None
             break
-    return status, mime, payload[end + 4:]
+    return status, mime, charset, payload[end + 4:]
 
 
 def parse_warc(data: bytes, record_types: tuple = ("response",)):
     """All records of the wanted types from one WARC file's bytes
     (gzipped per-member or plain) as tuples
-    (url, warc_ts, record_type, mime, http_status, body).  For
+    (url, warc_ts, record_type, mime, charset, http_status, body).  For
     response records the HTTP envelope is split off: ``mime`` is the
     cleaned Content-Type, ``payload`` the entity body.  Non-HTTP
     payloads pass through whole with NULL status/mime."""
@@ -136,7 +145,7 @@ def parse_warc(data: bytes, record_types: tuple = ("response",)):
             rtype = hdrs.get("warc-type", "")
             if record_types and rtype not in record_types:
                 continue
-            status, mime, body = _split_http(payload)
+            status, mime, charset, body = _split_http(payload)
             if mime is None:
                 ct = hdrs.get("content-type", "")
                 if ct and not ct.lower().startswith("application/http"):
@@ -146,6 +155,7 @@ def parse_warc(data: bytes, record_types: tuple = ("response",)):
                 hdrs.get("warc-date"),
                 rtype or None,
                 mime,
+                charset,
                 status,
                 body,
             ))
@@ -158,7 +168,7 @@ def read_warc(
     record_types: tuple = ("response",),
 ) -> DataFrame:
     """WARC files → DataFrame[path, url, warc_ts, record_type, mime,
-    http_status, payload].
+    charset, http_status, payload].
 
     ``binaryFile`` lists and reads the files (one input row per file —
     the parallel unit; Spark spreads files across executors, no
@@ -179,7 +189,7 @@ def read_warc(
             yield pd.DataFrame(
                 rows,
                 columns=["path", "url", "warc_ts", "record_type",
-                         "mime", "http_status", "payload"],
+                         "mime", "charset", "http_status", "payload"],
             )
 
     files = spark.read.format("binaryFile").load(path)
@@ -203,6 +213,8 @@ def warc_write(
         if r.get("http", True):
             status = r.get("status", 200)
             mime = r.get("mime", "text/html")
+            if r.get("charset"):
+                mime = "%s; charset=%s" % (mime, r["charset"])
             payload = (
                 b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n"
                 b"Content-Length: %d\r\n\r\n"

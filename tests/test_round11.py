@@ -514,11 +514,11 @@ class TestWarcReader:
             blob = warc_write(self.RECS, gzip_members=gz)
             got = parse_warc(blob, record_types=())
             assert [r[0] for r in got] == [r["url"] for r in self.RECS]
-            assert got[0][3] == "text/html" and got[0][4] == 200
-            assert got[1][3] == "image/png" and got[1][4] == 404
-            assert got[1][5] == b"\x89PNG fakepixels"
-            assert got[2][2] == "resource" and got[2][4] is None
-            assert got[2][5] == b"rawbytes"
+            assert got[0][3] == "text/html" and got[0][5] == 200
+            assert got[1][3] == "image/png" and got[1][5] == 404
+            assert got[1][6] == b"\x89PNG fakepixels"
+            assert got[2][2] == "resource" and got[2][5] is None
+            assert got[2][6] == b"rawbytes"
 
     def test_response_filter_default(self):
         from bertrand_spark.sources.warc import parse_warc, warc_write
@@ -669,3 +669,167 @@ class TestProbeGatedVideoSampling:
             df, every_n=1, max_frames=8, decode="real").collect()
         assert {r.media_id for r in got} == {1}
         assert len(got) == 3
+
+
+def _build_mpeg12(layer=2, n_frames=6, bitrate_idx=8, sr_idx=0,
+                  mode=0, id3=False):
+    """Minimal consistent MPEG-1 Layer I/II stream: valid headers +
+    zero payloads of the exact computed frame length."""
+    rates = (44100, 48000, 32000)
+    l1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+          384, 416, 448)
+    l2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+          320, 384)
+    out = bytearray()
+    if id3:
+        out += b"ID3\x03\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    layer_bits = 3 if layer == 1 else 2
+    for _ in range(n_frames):
+        br = (l1 if layer == 1 else l2)[bitrate_idx] * 1000
+        r = rates[sr_idx]
+        if layer == 1:
+            flen = (12 * br // r) * 4
+        else:
+            flen = 144 * br // r
+        h = bytearray(4)
+        h[0] = 0xFF
+        h[1] = 0xE0 | (3 << 3) | (layer_bits << 1) | 1
+        h[2] = (bitrate_idx << 4) | (sr_idx << 2)
+        h[3] = mode << 6
+        out += h + bytes(flen - 4)
+    return bytes(out)
+
+
+class TestMpeg12Probe:
+    """Round 11: exact Layer I/II triage for the 'mpeg-audio' class —
+    the same struct-read frame walk as every other container."""
+
+    def test_layer2_duration_rate_channels(self):
+        from bertrand_spark.pipeline.multimodal import _mpeg12_meta
+
+        dur, rate, ch, bits = _mpeg12_meta(_build_mpeg12(n_frames=9))
+        assert abs(dur - 9 * 1152 / 44100) < 1e-9
+        assert rate == 44100 and ch == 2 and bits is None
+
+    def test_layer1_and_mono_and_id3(self):
+        from bertrand_spark.pipeline.multimodal import _mpeg12_meta
+
+        dur, rate, ch, _ = _mpeg12_meta(
+            _build_mpeg12(layer=1, n_frames=5, bitrate_idx=4,
+                          sr_idx=2, mode=3, id3=True))
+        assert abs(dur - 5 * 384 / 32000) < 1e-9
+        assert rate == 32000 and ch == 1
+
+    def test_rejects_layer3_truncation_and_junk(self):
+        from bertrand_spark.pipeline.multimodal import _mpeg12_meta
+
+        blob = _build_mpeg12(n_frames=6)
+        assert _mpeg12_meta(b"\xff\xfb\x90" + bytes(400)) is None
+        assert _mpeg12_meta(blob[:100]) is None  # <2 complete frames
+        assert _mpeg12_meta(b"junk") is None
+        # truncated tail: walk stops, complete frames still count
+        d_full = _mpeg12_meta(blob)[0]
+        d_cut = _mpeg12_meta(blob[:-50])[0]
+        assert d_cut < d_full
+
+    def test_probe_rows_end_to_end(self, spark):
+        from bertrand_spark.pipeline.multimodal import (
+            probe_audio_metadata,
+        )
+
+        rows = [
+            (1, bytearray(_build_mpeg12(n_frames=8))),
+            (2, bytearray(_build_mpeg12(layer=1, n_frames=4,
+                                        bitrate_idx=4, id3=True))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in
+               probe_audio_metadata(df).collect()}
+        assert got[1].container == "mpeg-audio"
+        assert abs(got[1].duration_s - 8 * 1152 / 44100) < 1e-6
+        assert got[2].container == "mpeg-audio"
+        assert abs(got[2].duration_s - 4 * 384 / 44100) < 1e-6
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from bertrand_spark.pipeline.multimodal import _mpeg12_meta
+
+        rng = random.Random(112)
+        blob = bytearray(_build_mpeg12(n_frames=6))
+        for _ in range(150):
+            b = bytearray(blob)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            r = _mpeg12_meta(bytes(b))
+            assert r is None or r[1] in (44100, 48000, 32000,
+                                         22050, 24000, 16000,
+                                         11025, 12000, 8000)
+
+
+class TestDecodeHtmlBytes:
+    """Round 11: charset-aware payload decode — the byte-level seam
+    between read_warc and extract_html_text (WHATWG order: BOM >
+    transport charset > meta charset > UTF-8 > total latin-1)."""
+
+    def test_utf8_default(self):
+        from bertrand_spark.pipeline.htmltext import _decode_html_one
+
+        t = "déjà vu 中文"
+        assert _decode_html_one(t.encode("utf-8")) == t
+        assert _decode_html_one(None) is None
+
+    def test_transport_charset_wins_over_utf8_guess(self):
+        from bertrand_spark.pipeline.htmltext import _decode_html_one
+
+        assert _decode_html_one("café".encode("latin-1"),
+                                "iso-8859-1") == "café"
+
+    def test_meta_charset_read_from_head(self):
+        from bertrand_spark.pipeline.htmltext import _decode_html_one
+
+        b = (b'<html><meta charset="windows-1252"><body>'
+             b'caf\xe9 \x93q\x94</body>')
+        got = _decode_html_one(b)
+        assert "café" in got and "“q”" in got
+
+    def test_bom_wins_over_declared(self):
+        import codecs
+
+        from bertrand_spark.pipeline.htmltext import _decode_html_one
+
+        t = "déjà"
+        b = codecs.BOM_UTF16_LE + t.encode("utf-16-le")
+        assert _decode_html_one(b, "latin-1").lstrip("﻿") == t
+
+    def test_unknown_charset_and_garbage_never_fail(self):
+        from bertrand_spark.pipeline.htmltext import _decode_html_one
+
+        assert isinstance(
+            _decode_html_one(b"abc", "no-such-charset-xyz"), str)
+        assert isinstance(_decode_html_one(b"\xff\xfe\xfd\x00"), str)
+        out = _decode_html_one(b"caf\xe9")  # bare latin-1, no decl
+        assert out == "café"  # utf-8 fails -> latin-1 fallback
+
+    def test_warc_charset_column_flows_through(self, spark, tmp_path):
+        from bertrand_spark.pipeline.htmltext import (
+            decode_html_bytes, extract_html_text,
+        )
+        from bertrand_spark.sources.warc import read_warc, warc_write
+
+        body = ("<p>résumé naïve crawl page with enough plain words "
+                "to keep the block</p>").encode("latin-1")
+        f = tmp_path / "cs.warc.gz"
+        f.write_bytes(warc_write([
+            {"url": "http://l1.example/", "ts": "2026-01-01T00:00:00Z",
+             "body": body, "charset": "iso-8859-1"},
+        ]))
+        df = read_warc(spark, str(f))
+        row = df.collect()[0]
+        assert row.charset == "iso-8859-1"
+        out = df.select(
+            extract_html_text(
+                decode_html_bytes(df.payload, df.charset)
+            ).alias("text")
+        ).collect()[0]
+        assert out.text.startswith("résumé naïve crawl page")
