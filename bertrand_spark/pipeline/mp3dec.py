@@ -880,7 +880,12 @@ def _apply_stereo(xr_pair, g_pair, hdr, sf_r):
     ms = hdr.mode == 1 and (hdr.mode_ext & 2)
     intensity = hdr.mode == 1 and (hdr.mode_ext & 1)
     xl, xr_ = xr_pair
-    if intensity and _block_class(g_pair[1]) != 0:
+    if intensity and (_block_class(g_pair[0]) != 0
+                      or _block_class(g_pair[1]) != 0):
+        # EITHER channel in short/mixed windows: the long-band
+        # intensity scaling below would multiply a short-reordered
+        # spectrum band-wise — silently wrong on the left channel
+        # exactly as the round-10 review's right-channel case
         return "gated"
     if intensity:
         sfbl = _SFB_LONG[hdr.sample_rate]

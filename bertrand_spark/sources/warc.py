@@ -87,6 +87,8 @@ def _split_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
             clen = int(hdrs.get("content-length", ""))
         except ValueError:
             return
+        if clen < 0:
+            return  # adversarial length must not move pos backward
         body_start = end + 4
         if body_start + clen > n:
             return  # truncated payload

@@ -833,3 +833,40 @@ class TestDecodeHtmlBytes:
             ).alias("text")
         ).collect()[0]
         assert out.text.startswith("résumé naïve crawl page")
+
+
+class TestRound11SelfReview:
+    """Round 11 self-review closures: adversarial negative
+    Content-Length in a WARC record; left-channel short blocks under
+    intensity."""
+
+    def test_warc_negative_content_length_terminates(self):
+        from bertrand_spark.sources.warc import parse_warc
+
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"WARC-Target-URI: http://x/\r\n"
+               b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+               b"Content-Length: -40\r\n\r\n"
+               b"HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\n")
+        # must return (not hang) and yield nothing for the bad record
+        assert parse_warc(rec, record_types=()) == []
+
+    def test_left_short_block_intensity_gates(self):
+        from bertrand_spark.pipeline.mp3dec import _apply_stereo
+
+        hdr = _hdr(mode_ext=1)
+        xl = np.zeros(576)
+        xl[40] = 1.0
+        xr = np.zeros(576)
+        st = _apply_stereo([xl, xr],
+                           [_granule(short=True), _granule()],
+                           hdr, [0] * 21)
+        assert st == "gated"
+        # MS-only (no intensity) stays exact for short blocks
+        hdr2 = _hdr(mode_ext=2)
+        st2 = _apply_stereo([xl, xr],
+                            [_granule(short=True), _granule(short=True)],
+                            hdr2, [0] * 21)
+        assert st2 is None
+        assert xl[40] == pytest.approx(1.0 / np.sqrt(2.0))
