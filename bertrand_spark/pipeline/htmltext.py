@@ -288,7 +288,8 @@ _CONTINUATION_CHARS = "".join(
            | {bytes([b]).decode("cp1252", "replace")
               for b in range(0x80, 0xC0)} - {"�"})
 )
-_LEAD_CHARS = "".join(chr(b) for b in range(0xC2, 0xF0))
+_LEAD_CHARS = "".join(chr(b) for b in range(0xC2, 0xF5))  # incl. 4-byte
+# leads F0-F4 (mojibaked emoji/SMP read back as 'ð...')
 _INDICATOR = re.compile(
     "[%s][%s]|[\\u0080-\\u009F]"
     % (re.escape(_LEAD_CHARS), re.escape(_CONTINUATION_CHARS))

@@ -870,3 +870,11 @@ class TestRound11SelfReview:
                             hdr2, [0] * 21)
         assert st2 is None
         assert xl[40] == pytest.approx(1.0 / np.sqrt(2.0))
+
+    def test_mojibaked_emoji_recovers(self):
+        from bertrand_spark.pipeline.htmltext import _fix_one
+
+        t = "smile 😀 and 🎉 done"
+        m = t.encode("utf-8").decode("latin-1")
+        fixed, status = _fix_one(m)
+        assert status == "fixed" and fixed == t
