@@ -86,6 +86,7 @@ from .text import (  # noqa: F401
 )
 from .htmltext import (  # noqa: F401
     decode_html_bytes,
+    extract_html_metadata,
     extract_html_text,
     fix_mojibake,
 )

@@ -35,7 +35,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["extract_html_text", "decode_html_bytes", "fix_mojibake"]
+__all__ = ["extract_html_text", "extract_html_metadata",
+           "decode_html_bytes", "fix_mojibake"]
 
 
 # --- HTML -> text ----------------------------------------------------------
@@ -196,6 +197,103 @@ def extract_html_text(
             [_extract_one(t, mw, mld, hld) for t in texts],
             dtype=object,
         )
+
+    return kernel(html)
+
+
+# --- page metadata ----------------------------------------------------------
+
+
+class _StopParse(Exception):
+    pass
+
+
+class _HeadMetaParser(HTMLParser):
+    """Head-only metadata collector; raises _StopParse at <body> (or
+    the explicit </head>) so a huge page costs only its head."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.out = {}
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "html" and a.get("lang"):
+            self.out.setdefault("lang", a["lang"].strip())
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            name = (a.get("name") or a.get("property") or "").lower()
+            content = a.get("content")
+            if content is None:
+                return
+            content = content.strip()
+            if name in ("description", "keywords"):
+                self.out.setdefault(name, content)
+            elif name in ("og:title", "og:description"):
+                self.out.setdefault(name.replace(":", "_"), content)
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and a.get("href"):
+                self.out.setdefault("canonical", a["href"].strip())
+        elif tag == "body":
+            raise _StopParse
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+        elif tag == "head":
+            raise _StopParse
+
+    def handle_data(self, data):
+        if self._in_title and data:
+            prev = self.out.get("title", "")
+            self.out["title"] = prev + data
+
+
+_META_FIELDS = ("title", "description", "keywords", "lang",
+                "canonical", "og_title", "og_description")
+
+
+def _page_meta_one(html):
+    if html is None:
+        return (None,) * len(_META_FIELDS)
+    p = _HeadMetaParser()
+    try:
+        p.feed(html)
+        p.close()
+    except _StopParse:
+        pass
+    except Exception:
+        pass  # per-row degrade: whatever was collected stands
+    out = p.out
+    title = out.get("title")
+    if title is not None:
+        title = _WS.sub(" ", title).strip() or None
+    return (title, out.get("description"), out.get("keywords"),
+            out.get("lang"), out.get("canonical"),
+            out.get("og_title"), out.get("og_description"))
+
+
+def extract_html_metadata(html: Column) -> Column:
+    """Head metadata from an HTML column → ``struct<title,
+    description, keywords, lang, canonical, og_title,
+    og_description>`` (all strings, NULL where absent).
+
+    The other half of crawl HTML processing (:func:`extract_html_text`
+    gets the body): <title> text (whitespace-normalized), the
+    description/keywords metas, the <html lang> attribute, the
+    canonical link, and the OpenGraph title/description.  Parsing
+    stops at <body>/</head>, so a huge page costs only its head.
+    Arrow-batched; per-row degrade (a parser error keeps whatever was
+    collected)."""
+
+    @F.pandas_udf("struct<%s>" % ", ".join(
+        "%s: string" % f for f in _META_FIELDS))
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        rows = [_page_meta_one(t) for t in texts]
+        return pd.DataFrame(rows, columns=list(_META_FIELDS))
 
     return kernel(html)
 

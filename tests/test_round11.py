@@ -878,3 +878,59 @@ class TestRound11SelfReview:
         m = t.encode("utf-8").decode("latin-1")
         fixed, status = _fix_one(m)
         assert status == "fixed" and fixed == t
+
+
+class TestExtractHtmlMetadata:
+    """Round 11: head-only page metadata extraction."""
+
+    PAGE = (
+        '<html lang="en-US"><head><title>My  Page\n Title</title>'
+        '<meta name="description" content="A fine page.">'
+        '<meta name="keywords" content="a,b,c">'
+        '<meta property="og:title" content="OG Title">'
+        '<link rel="canonical" href="http://x.example/canon">'
+        '</head><body><title>decoy</title>'
+        '<p>body text</p></body></html>'
+    )
+
+    def test_fields(self):
+        from bertrand_spark.pipeline.htmltext import _page_meta_one
+
+        t = _page_meta_one(self.PAGE)
+        assert t == ("My Page Title", "A fine page.", "a,b,c",
+                     "en-US", "http://x.example/canon", "OG Title",
+                     None)
+
+    def test_body_title_not_collected_and_degrades(self):
+        from bertrand_spark.pipeline.htmltext import _page_meta_one
+
+        assert _page_meta_one("<p>no head</p>")[0] is None
+        assert _page_meta_one(None) == (None,) * 7
+        assert _page_meta_one("<title>unclosed <b>junk")[0] == \
+            "unclosed junk"
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from bertrand_spark.pipeline.htmltext import _page_meta_one
+
+        rng = random.Random(1153)
+        alphabet = "<>/ab &;#!=\"'-meta title link head body lang "
+        for _ in range(300):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 150)))
+            t = _page_meta_one(s)
+            assert len(t) == 7
+
+    def test_spark_struct(self, spark):
+        from bertrand_spark.pipeline.htmltext import (
+            extract_html_metadata,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self.PAGE), (2, None)], "id long, html string")
+        out = {r.id: r.m for r in df.select(
+            "id", extract_html_metadata("html").alias("m")).collect()}
+        assert out[1].title == "My Page Title"
+        assert out[1].lang == "en-US"
+        assert out[2].title is None
