@@ -89,4 +89,6 @@ from .htmltext import (  # noqa: F401
     extract_html_metadata,
     extract_html_text,
     fix_mojibake,
+    normalize_url,
+    url_parts,
 )

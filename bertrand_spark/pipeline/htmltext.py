@@ -36,7 +36,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["extract_html_text", "extract_html_metadata",
-           "decode_html_bytes", "fix_mojibake"]
+           "decode_html_bytes", "fix_mojibake",
+           "normalize_url", "url_parts"]
 
 
 # --- HTML -> text ----------------------------------------------------------
@@ -371,6 +372,66 @@ def decode_html_bytes(payload: Column, charset: Column = None) -> Column:
 
     return kernel(payload, charset if charset is not None
                   else F.lit(None).cast("string"))
+
+
+# --- URL hygiene (fully native: regexp + parse_url, no Python) -------------
+
+# tracking parameters every crawl normalizer strips (public, the
+# usual analytics/click-id set)
+_TRACKING_PARAMS = (
+    "utm_[a-z]+", "fbclid", "gclid", "dclid", "msclkid", "mc_eid",
+    "igshid", "si", "ref_src", "ref_url",
+)
+
+
+from .text import _bind  # evaluated-once binding for column rebuilds
+
+
+def url_parts(url: Column) -> Column:
+    """``struct<scheme, host, path, query>`` via the JVM-native
+    ``parse_url`` (whole-stage codegen; no Python anywhere)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.struct(
+        F.lower(F.parse_url(u, F.lit("PROTOCOL"))).alias("scheme"),
+        F.lower(F.parse_url(u, F.lit("HOST"))).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for dedup/grouping — entirely native regexp
+    (whole-stage codegen, scale-free): drops the fragment, lowercases
+    scheme://authority (case-insensitive by spec; path/query keep
+    case), removes default ports (:80 http / :443 https), strips the
+    standard tracking parameters (utm_*, fbclid, gclid, ...), tidies
+    leftover ``?``/``&`` separators, and removes a bare trailing
+    slash on a rootless path.  NULL-safe."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 1. fragment off
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme://authority, keep the rest as-is
+    sa = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)", 1)
+    u = _bind(
+        F.struct(u.alias("u"), sa.alias("sa")),
+        lambda r: F.concat(
+            F.lower(r["sa"]),
+            F.substring(r["u"], F.length(r["sa"]) + 1, F.lit(1 << 30)),
+        ),
+    )
+    # 3. default ports
+    u = F.regexp_replace(u, r"^(http://[^/?:]*):80(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?:]*):443(?=[/?]|$)", r"$1")
+    # 4. tracking params (value may be empty), then separator tidy-up
+    pat = r"(?:%s)=[^&#]*" % "|".join(_TRACKING_PARAMS)
+    u = F.regexp_replace(u, r"([?&])" + pat + r"(&|$)", r"$1")
+    u = F.regexp_replace(u, r"([?&])" + pat + r"(&|$)", r"$1")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # 5. bare root slash: http://h/ -> http://h
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.\-]*://[^/?]*)/$", r"$1")
+    return u
 
 
 # --- mojibake repair -------------------------------------------------------

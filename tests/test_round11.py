@@ -934,3 +934,51 @@ class TestExtractHtmlMetadata:
         assert out[1].title == "My Page Title"
         assert out[1].lang == "en-US"
         assert out[2].title is None
+
+
+class TestUrlHygiene:
+    """Round 11: normalize_url / url_parts — fully native (regexp +
+    parse_url), the canonicalization that makes URL-level dedup and
+    grouping meaningful."""
+
+    CASES = [
+        ("HTTP://Example.COM:80/Path?utm_source=x&a=1#frag",
+         "http://example.com/Path?a=1"),
+        ("https://h.example:443/", "https://h.example"),
+        ("https://h.example/p?fbclid=abc", "https://h.example/p"),
+        ("https://h.example/p?a=1&gclid=2&b=3",
+         "https://h.example/p?a=1&b=3"),
+        ("https://h.example/p?utm_a=1&utm_b=2&utm_c=3&x=1",
+         "https://h.example/p?x=1"),
+        ("http://plain.example/path?keep=1",
+         "http://plain.example/path?keep=1"),
+        ("https://h.example:8443/p", "https://h.example:8443/p"),
+        (None, None),
+    ]
+
+    def test_normalize(self, spark):
+        from bertrand_spark.pipeline.htmltext import normalize_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)],
+            "id long, url string")
+        got = {r.id: r.n for r in df.select(
+            "id", normalize_url("url").alias("n")).collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (i, got[i], want)
+
+    def test_parts_and_plan_is_native(self, spark):
+        from bertrand_spark.pipeline.htmltext import (
+            normalize_url, url_parts,
+        )
+
+        df = spark.createDataFrame(
+            [("HTTPS://A.Example/P?q=1",)], "url string")
+        p = df.select(url_parts("url").alias("p")).collect()[0].p
+        assert (p.scheme, p.host, p.path, p.query) == (
+            "https", "a.example", "/P", "q=1")
+        plan = df.select(
+            normalize_url("url"), url_parts("url")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # fully JVM-native
