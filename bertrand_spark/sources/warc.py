@@ -35,7 +35,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "parse_warc", "warc_write"]
+__all__ = ["read_warc", "warc_records", "parse_warc", "warc_write"]
 
 _SCHEMA = ("path string, url string, warc_ts string, "
            "record_type string, mime string, charset string, "
@@ -164,19 +164,16 @@ def parse_warc(data: bytes, record_types: tuple = ("response",)):
     return out
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
+def warc_records(
+    files_df: DataFrame,
     record_types: tuple = ("response",),
 ) -> DataFrame:
-    """WARC files → DataFrame[path, url, warc_ts, record_type, mime,
-    charset, http_status, payload].
-
-    ``binaryFile`` lists and reads the files (one input row per file —
-    the parallel unit; Spark spreads files across executors, no
-    shuffle anywhere in the plan), and the stdlib record walk runs as
-    an Arrow-batched ``mapInPandas``.  Malformed or truncated files
-    degrade to however many records parsed before the fault."""
+    """The record-explosion transform over a (path, content) files
+    DataFrame — the shared core of :func:`read_warc` (batch) and
+    :func:`bertrand_spark.streaming.rollup.stream_extract_warc`
+    (per-micro-batch): one Arrow-batched ``mapInPandas``, no
+    shuffle.  Malformed or truncated files degrade to however many
+    records parsed before the fault."""
     rts = tuple(record_types)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -194,8 +191,24 @@ def read_warc(
                          "mime", "charset", "http_status", "payload"],
             )
 
-    files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(batches, _SCHEMA)
+    return files_df.select("path", "content").mapInPandas(
+        batches, _SCHEMA)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+) -> DataFrame:
+    """WARC files → DataFrame[path, url, warc_ts, record_type, mime,
+    charset, http_status, payload].
+
+    ``binaryFile`` lists and reads the files (one input row per file —
+    the parallel unit; Spark spreads files across executors, no
+    shuffle anywhere in the plan), and the stdlib record walk runs as
+    an Arrow-batched ``mapInPandas`` (:func:`warc_records`)."""
+    return warc_records(
+        spark.read.format("binaryFile").load(path), record_types)
 
 
 def warc_write(

@@ -35,6 +35,7 @@ __all__ = [
     "stream_dedup_against_fingerprint_store",
     "stream_curation_pipeline", "stream_ann_enrich", "stream_fuzzy_dedup",
     "stream_decode_media", "stream_extract_audio",
+    "stream_extract_warc",
 ]
 
 
@@ -796,6 +797,89 @@ def stream_extract_audio(
                 batch_df, landed, payload_col=payload_col, id_col=id_col
             ).write.mode("overwrite").parquet(
                 f"{report_dir}/formats/ingest_batch={batch_id}"
+            )
+
+    return handle
+
+
+def stream_extract_warc(
+    out_dir: str,
+    record_types: tuple = ("response",),
+    extract_text: bool = True,
+    report_dir: str | None = None,
+):
+    """Crawl ingest on a stream — the WARC twin of
+    :func:`stream_decode_media`: point ``readStream.format(
+    "binaryFile")`` at the directory where .warc.gz segments land
+    (streaming sources need the schema up front — binaryFile's is the
+    fixed ``path string, modificationTime timestamp, length long,
+    content binary``) and
+    each micro-batch of NEW files explodes into records
+    (:func:`~bertrand_spark.sources.warc.warc_records`) and writes
+    the idempotent per-epoch parquet layout.  With ``extract_text``
+    (default), text/html records additionally run the full round-11
+    text seam — charset-aware byte decode → main-content extraction
+    (:func:`~bertrand_spark.pipeline.htmltext.decode_html_bytes` →
+    :func:`~bertrand_spark.pipeline.htmltext.extract_html_text`) —
+    landing a ``text`` column (NULL for non-HTML records).  When
+    ``report_dir`` is set, each epoch writes one (n_files, n_records,
+    n_html, n_with_text, payload_bytes) row — a parse-failure or
+    non-HTML burst is visible per micro-batch.
+
+    Scale shape: stateless; files are the parallel unit (the
+    binaryFile source hands each micro-batch's new segments to
+    executors whole); the explosion and both text kernels are
+    Arrow-batched map passes with no shuffle.  Replayed epochs
+    overwrite their own directories (extraction is deterministic per
+    payload), preserving exactly-once.
+    """
+    from ..pipeline.htmltext import decode_html_bytes, extract_html_text
+    from ..sources.warc import warc_records
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        recs = warc_records(batch_df, record_types)
+        if extract_text:
+            is_html = F.col("mime").isin("text/html",
+                                         "application/xhtml+xml")
+            recs = recs.withColumn(
+                "text",
+                F.when(
+                    is_html,
+                    extract_html_text(
+                        decode_html_bytes(F.col("payload"),
+                                          F.col("charset"))
+                    ),
+                ),
+            )
+        recs.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={batch_id}"
+        )
+        if report_dir is not None:
+            landed = batch_df.sparkSession.read.parquet(
+                f"{out_dir}/ingest_batch={batch_id}"
+            )
+            n_files = batch_df.count()
+
+            def _n(cond, alias):
+                return F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                ).alias(alias)
+
+            aggs = [
+                F.count(F.lit(1)).alias("n_records"),
+                _n(F.col("mime").isin("text/html",
+                                      "application/xhtml+xml"),
+                   "n_html"),
+                F.coalesce(F.sum(F.length("payload")),
+                           F.lit(0)).alias("payload_bytes"),
+            ]
+            if extract_text:
+                aggs.insert(2, _n(F.col("text").isNotNull(),
+                                  "n_with_text"))
+            landed.agg(*aggs).withColumn(
+                "n_files", F.lit(n_files)
+            ).write.mode("overwrite").parquet(
+                f"{report_dir}/ingest_batch={batch_id}"
             )
 
     return handle

@@ -982,3 +982,79 @@ class TestUrlHygiene:
         )._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan  # fully JVM-native
+
+
+class TestStreamExtractWarc:
+    """Round 11: streaming crawl ingest — the WARC twin of
+    stream_decode_media (idempotent per-epoch layout + per-epoch
+    report; full text seam on html records)."""
+
+    def _warc_dir(self, tmp_path):
+        from bertrand_spark.sources.warc import warc_write
+
+        d = tmp_path / "segments"
+        d.mkdir()
+        (d / "a.warc.gz").write_bytes(warc_write([
+            {"url": "http://a.example/", "ts": "2026-01-01T00:00:00Z",
+             "body": b"<html><body><p>first page body with plenty of "
+                     b"plain words to keep</p></body></html>"},
+            {"url": "http://b.example/x.png",
+             "ts": "2026-01-01T00:00:01Z",
+             "body": b"\x89PNG notreal", "mime": "image/png"},
+        ]))
+        (d / "b.warc.gz").write_bytes(warc_write([
+            {"url": "http://c.example/", "ts": "2026-01-01T00:00:02Z",
+             "body": ("<html><body><p>segunda p\xe1gina con bastantes "
+                      "palabras para mantener el bloque</p></body>"
+                      "</html>").encode("latin-1"),
+             "charset": "iso-8859-1"},
+        ]))
+        return d
+
+    def test_foreachbatch_and_idempotent_replay(self, spark, tmp_path):
+        from bertrand_spark.streaming.rollup import stream_extract_warc
+
+        d = self._warc_dir(tmp_path)
+        out, rep = str(tmp_path / "out"), str(tmp_path / "rep")
+        handle = stream_extract_warc(out, report_dir=rep)
+        files = spark.read.format("binaryFile").load(str(d))
+        handle(files, 0)
+        handle(files, 0)  # replay: same epoch overwrites itself
+        rows = {r.url: r for r in spark.read.parquet(
+            f"{out}/ingest_batch=0").collect()}
+        assert len(rows) == 3
+        assert rows["http://a.example/"].text.startswith(
+            "first page body")
+        # latin-1 page decoded via the declared charset
+        assert "segunda página" in rows["http://c.example/"].text
+        assert rows["http://b.example/x.png"].text is None
+        rep_row = spark.read.parquet(f"{rep}/ingest_batch=0").collect()[0]
+        assert rep_row.n_files == 2
+        assert rep_row.n_records == 3
+        assert rep_row.n_html == 2
+        assert rep_row.n_with_text == 2
+        assert rep_row.payload_bytes > 0
+
+    def test_real_stream_available_now(self, spark, tmp_path):
+        from bertrand_spark.streaming.rollup import stream_extract_warc
+
+        d = self._warc_dir(tmp_path)
+        out = str(tmp_path / "sout")
+        stream = (
+            spark.readStream.format("binaryFile")
+            # streaming sources need the schema up front (binaryFile's
+            # is fixed)
+            .schema("path string, modificationTime timestamp, "
+                    "length long, content binary")
+            .load(str(d))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                stream_extract_warc(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(f"{out}/ingest_batch=*")
+        assert got.count() == 3
