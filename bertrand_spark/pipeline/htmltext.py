@@ -24,6 +24,13 @@ Both are Arrow-batched ``pandas_udf`` kernels: the per-document Python
 loop IS the parser/codec (the accepted pattern for non-expressible
 kernels, like :mod:`.multimodal`'s codecs), one narrow map pass at any
 corpus size — no shuffle, no driver collection, scale-safe at 100 TB.
+
+Pipeline ORDER matters: ``decode_html_bytes`` → ``fix_mojibake`` →
+``extract_html_text``.  Mojibake repair must run BEFORE extraction —
+the extractor's (deliberate, Unicode-aware) whitespace normalization
+folds U+00A0, a common mojibake continuation character, into plain
+spaces, destroying the byte pattern the repair detects (pinned in the
+round-11 composition test).
 """
 
 from __future__ import annotations

