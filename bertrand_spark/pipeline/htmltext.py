@@ -317,10 +317,10 @@ _META_CHARSET = re.compile(
 def _sniff_bom(b: bytes):
     if b[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
-    if b[:2] == b"\xff\xfe":
-        return "utf-16-le"
-    if b[:2] == b"\xfe\xff":
-        return "utf-16-be"
+    if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # 'utf-16' consumes the BOM itself (either endianness), so no
+        # U+FEFF leaks into the decoded text
+        return "utf-16"
     return None
 
 

@@ -793,14 +793,17 @@ class TestDecodeHtmlBytes:
         got = _decode_html_one(b)
         assert "café" in got and "“q”" in got
 
-    def test_bom_wins_over_declared(self):
+    def test_bom_wins_over_declared_and_is_stripped(self):
         import codecs
 
         from bertrand_spark.pipeline.htmltext import _decode_html_one
 
         t = "déjà"
-        b = codecs.BOM_UTF16_LE + t.encode("utf-16-le")
-        assert _decode_html_one(b, "latin-1").lstrip("﻿") == t
+        for bom, enc in ((codecs.BOM_UTF16_LE, "utf-16-le"),
+                         (codecs.BOM_UTF16_BE, "utf-16-be"),
+                         (codecs.BOM_UTF8, "utf-8")):
+            b = bom + t.encode(enc)
+            assert _decode_html_one(b, "latin-1") == t
 
     def test_unknown_charset_and_garbage_never_fail(self):
         from bertrand_spark.pipeline.htmltext import _decode_html_one
