@@ -352,7 +352,11 @@ def _decode_html_one(b, declared=None):
             continue
         try:
             return b.decode(enc)
-        except (UnicodeDecodeError, ValueError):
+        except (UnicodeDecodeError, ValueError, LookupError):
+            # LookupError: the name resolves to a NON-TEXT codec
+            # (hex, base64, rot13, zlib...) — codecs.lookup succeeds
+            # but bytes.decode raises; attacker-controlled <meta
+            # charset=hex> must fall through, never kill the task
             continue
     return b.decode("latin-1")
 
@@ -429,10 +433,13 @@ def normalize_url(url: Column) -> Column:
     # 3. default ports
     u = F.regexp_replace(u, r"^(http://[^/?:]*):80(?=[/?]|$)", r"$1")
     u = F.regexp_replace(u, r"^(https://[^/?:]*):443(?=[/?]|$)", r"$1")
-    # 4. tracking params (value may be empty), then separator tidy-up
+    # 4. tracking params (value may be empty), then separator tidy-up.
+    # The trailing boundary is a LOOKAHEAD — consuming it made a run
+    # of 5+ consecutive tracking params leave one behind (each match
+    # ate the next param's leading '&'); non-consuming, one global
+    # pass strips any run length.
     pat = r"(?:%s)=[^&#]*" % "|".join(_TRACKING_PARAMS)
-    u = F.regexp_replace(u, r"([?&])" + pat + r"(&|$)", r"$1")
-    u = F.regexp_replace(u, r"([?&])" + pat + r"(&|$)", r"$1")
+    u = F.regexp_replace(u, r"([?&])" + pat + r"(?=&|$)", r"$1")
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")

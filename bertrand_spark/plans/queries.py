@@ -4489,17 +4489,29 @@ def q60(spark, sf_dir):
     )
 
 
+# The characters Python's Unicode-aware \s (the extractor kernel's
+# whitespace model) matches but RE2's ASCII \s (the oracle engine's)
+# does not: folding them to a plain space on BOTH sides before the
+# \s+ normalization makes the two whitespace models provably agree —
+# the oracle/engine parity is pinned, not dependent on the documents
+# table happening to be ASCII-whitespace-only.
+_X48_UNIWS = ("[\u000b\u001c-\u001f\u0085\u00a0\u1680"
+              "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+
+
 @query(
     "x48_html_extract",
     """
     SELECT doc_id,
-           CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+           CASE WHEN trim(regexp_replace(regexp_replace(
+                       text, '%(ws)s', ' ', 'g'), '\\s+', ' ', 'g')) = ''
                 THEN 'Document ' || doc_id || ' & friends'
                 ELSE 'Document ' || doc_id || ' & friends' || chr(10)
-                     || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                     || trim(regexp_replace(regexp_replace(
+                          text, '%(ws)s', ' ', 'g'), '\\s+', ' ', 'g'))
            END AS extracted
     FROM documents
-    """,
+    """ % {"ws": _X48_UNIWS},
 )
 def x48(spark, sf_dir):
     """HTML→text extraction (round 11): each document is wrapped in a
@@ -4516,9 +4528,13 @@ def x48(spark, sf_dir):
     from ..pipeline.htmltext import extract_html_text
 
     d = _t(spark, sf_dir, "documents")
+    # fold the Python-\s-only whitespace BEFORE wrapping (mirrored in
+    # the oracle SQL) so the extractor's Unicode \s and the oracle
+    # engine's ASCII \s provably agree — see _X48_UNIWS
+    folded = F.regexp_replace(F.col("text"), _X48_UNIWS, " ")
     esc = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("text"), "&", "&amp;"),
+            F.regexp_replace(folded, "&", "&amp;"),
             "<", "&lt;"),
         ">", "&gt;")
     html = F.concat(

@@ -42,26 +42,43 @@ _SCHEMA = ("path string, url string, warc_ts string, "
            "http_status int, payload binary")
 
 
-def _gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decompressed payloads of each gzip member in ``data`` (the
-    standard WARC layout is one member per record; a plain single
-    member — or several concatenated — walks identically).  Stops at
-    the first member that fails to decompress (truncated tail)."""
-    pos = 0
-    while pos + 2 <= len(data) and data[pos:pos + 2] == b"\x1f\x8b":
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            out = d.decompress(data[pos:])
-            out += d.flush()
-        except zlib.error:
-            return
-        if not d.eof:
-            return  # truncated member
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+# Read size for the decompression loop — bounds each Python-level
+# iteration, not correctness.
+_GZ_CHUNK = 1 << 20
+
+
+def _gunzip_chain(data: bytes) -> bytes:
+    """Decompressed prefix of a chain of concatenated gzip members
+    (the standard WARC layout is one member per record; a plain single
+    member walks identically).
+
+    Linear in total bytes regardless of member count: ``gzip.GzipFile``
+    walks concatenated members natively with an internal buffered
+    reader, so no per-member tail copy ever happens.  (The previous
+    per-member ``decompressobj`` walk re-sliced the remaining tail for
+    every member — O(bytes × members), minutes of pure memcpy at
+    Common Crawl shape: ~1 GB .gz, 30k–150k members.)  Member
+    boundaries are deliberately not surfaced: WARC records are
+    self-delimited by Content-Length, so :func:`_split_records` never
+    needs them.  A truncated tail, mid-stream corruption, or trailing
+    garbage ends the walk with everything decompressed so far — the
+    parsed-prefix degrade the crawl contract requires."""
+    g = gzip.GzipFile(fileobj=io.BytesIO(data))
+    parts = []
+    try:
+        while True:
+            # read1, not read: read(n) loops the buffered reader until
+            # n bytes accumulate, so a corrupt member mid-chain would
+            # discard every clean member buffered in the same call;
+            # read1 surfaces each decompressed span as it is produced,
+            # keeping everything before the fault.
+            chunk = g.read1(_GZ_CHUNK)
+            if not chunk:
+                break
+            parts.append(chunk)
+    except (OSError, EOFError, zlib.error):
+        pass  # truncated / corrupt member — keep the parsed prefix
+    return b"".join(parts)
 
 
 def _split_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -138,7 +155,7 @@ def parse_warc(data: bytes, record_types: tuple = ("response",)):
     cleaned Content-Type, ``payload`` the entity body.  Non-HTTP
     payloads pass through whole with NULL status/mime."""
     if data[:2] == b"\x1f\x8b":
-        blobs = _gzip_members(data)
+        blobs = iter([_gunzip_chain(data)])
     else:
         blobs = iter([data])
     out = []

@@ -817,11 +817,15 @@ def stream_extract_warc(
     each micro-batch of NEW files explodes into records
     (:func:`~bertrand_spark.sources.warc.warc_records`) and writes
     the idempotent per-epoch parquet layout.  With ``extract_text``
-    (default), text/html records additionally run the full round-11
-    text seam — charset-aware byte decode → main-content extraction
+    (default), text/html records additionally run the full text seam
+    in the pinned order — charset-aware byte decode → mojibake repair
+    → main-content extraction
     (:func:`~bertrand_spark.pipeline.htmltext.decode_html_bytes` →
-    :func:`~bertrand_spark.pipeline.htmltext.extract_html_text`) —
-    landing a ``text`` column (NULL for non-HTML records).  When
+    :func:`~bertrand_spark.pipeline.htmltext.fix_mojibake` →
+    :func:`~bertrand_spark.pipeline.htmltext.extract_html_text`;
+    repair MUST precede extraction because the extractor's whitespace
+    folding destroys the byte pattern the repair detects) — landing a
+    ``text`` column (NULL for non-HTML records).  When
     ``report_dir`` is set, each epoch writes one (n_files, n_records,
     n_html, n_with_text, payload_bytes) row — a parse-failure or
     non-HTML burst is visible per micro-batch.
@@ -833,7 +837,8 @@ def stream_extract_warc(
     overwrite their own directories (extraction is deterministic per
     payload), preserving exactly-once.
     """
-    from ..pipeline.htmltext import decode_html_bytes, extract_html_text
+    from ..pipeline.htmltext import (decode_html_bytes,
+                                     extract_html_text, fix_mojibake)
     from ..sources.warc import warc_records
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -841,15 +846,12 @@ def stream_extract_warc(
         if extract_text:
             is_html = F.col("mime").isin("text/html",
                                          "application/xhtml+xml")
+            repaired = fix_mojibake(
+                decode_html_bytes(F.col("payload"), F.col("charset"))
+            )
             recs = recs.withColumn(
                 "text",
-                F.when(
-                    is_html,
-                    extract_html_text(
-                        decode_html_bytes(F.col("payload"),
-                                          F.col("charset"))
-                    ),
-                ),
+                F.when(is_html, extract_html_text(repaired["text"])),
             )
         recs.write.mode("overwrite").parquet(
             f"{out_dir}/ingest_batch={batch_id}"
