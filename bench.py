@@ -94,6 +94,11 @@ HEADLINE = [
     # total grows by this query's time from round 11 on; per-name
     # deltas remain the comparable signal.
     "x48_html_extract",
+    # round-12 append: the PDF→text extractor (typeset + re-extract
+    # round trip per document — the heaviest per-doc Python kernel in
+    # the suite, same per-round-watch rationale as x48; the suite
+    # total grows again from round 12 on).
+    "x49_pdf_extract",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):
@@ -432,26 +437,71 @@ def main() -> None:
         if envelope_median is not None and envelope_median >= 1.25:
             degraded = True
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # per-query timed-sample counts (round 10): the r9 drift
-                # postmortem needs the record to show HOW each number
-                # was measured — sub-1.5s queries carry >=3 samples
-                "samples": n_samples,
-                "sf": sf,
-                "degraded_host": degraded,
-                "host_probe_sec": {
-                    **probes,
-                    "healthy": 0.2,
-                },
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # per-query timed-sample counts (round 10): the r9 drift
+        # postmortem needs the record to show HOW each number
+        # was measured — sub-1.5s queries carry >=3 samples
+        "samples": n_samples,
+        "sf": sf,
+        "degraded_host": degraded,
+        "host_probe_sec": {
+            **probes,
+            "healthy": 0.2,
+        },
+    }
+
+    # Cross-attempt per-query-minimum composite (round 12, from the
+    # round-11 verdict's item 3): when sustained external co-tenancy
+    # denies a clean window, the best evidence is the per-query MINIMUM
+    # across every attempt made this round — each cell the
+    # least-disturbed observation of that query (observed time is
+    # always >= true cost, so the min is the tightest upper bound the
+    # attempts support).  Previous rounds carried that composite only
+    # in SCALE.md prose; it now travels IN the artifact.  Attempt
+    # records live in SPARK_GRAFT_ATTEMPTS_DIR (default
+    # bench_attempts/current — reset each round), and every bench run
+    # appends its own payload there so the driver's run folds in the
+    # builder's idle-host attempts automatically.
+    attempts_dir = os.environ.get(
+        "SPARK_GRAFT_ATTEMPTS_DIR",
+        os.path.join(_REPO, "bench_attempts", "current"),
     )
+    if os.path.isdir(attempts_dir):
+        import glob as _glob
+
+        cross = {n: t for n, t in timings.items() if t >= 0}
+        n_attempts = 1
+        for f in sorted(_glob.glob(os.path.join(attempts_dir, "*.json"))):
+            try:
+                rec = json.load(open(f))
+            except Exception:
+                continue
+            if rec.get("sf") != sf or not rec.get("queries"):
+                continue
+            n_attempts += 1
+            for nq, t in rec["queries"].items():
+                if isinstance(t, (int, float)) and t > 0 and nq in cross:
+                    cross[nq] = min(cross[nq], t)
+        if n_attempts > 1:
+            payload["cross_attempt"] = {
+                "n_attempts": n_attempts,
+                "total_min": round(sum(cross.values()), 3),
+                "queries": cross,
+            }
+        try:
+            out_path = os.path.join(
+                attempts_dir, "attempt_%d.json" % int(time.time())
+            )
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh)
+        except OSError:
+            pass  # read-only checkout: the composite still printed
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

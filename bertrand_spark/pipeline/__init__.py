@@ -15,6 +15,9 @@ own ``__all__`` is authoritative):
 * :mod:`.htmltext` — HTML→text main-content extraction
   (:func:`~.htmltext.extract_html_text`), mojibake repair
   (:func:`~.htmltext.fix_mojibake`)
+* :mod:`.pdftext` — stdlib-subset PDF→text extraction
+  (:func:`~.pdftext.extract_pdf_text`; classic xref + Flate content
+  streams, visible degrade classes for encrypted/CID/xref-stream)
 * :mod:`.curation` — decontamination, PII redaction, sequence packing,
   deterministic sampling, temperature resampling, repetition scoring
 * :mod:`.multimodal` — binary media columns, sniff/decode/resize/frame
@@ -91,4 +94,9 @@ from .htmltext import (  # noqa: F401
     fix_mojibake,
     normalize_url,
     url_parts,
+)
+from .pdftext import (  # noqa: F401
+    extract_pdf_text,
+    pdf_format_report,
+    pdf_write,
 )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -4555,13 +4556,65 @@ def x48(spark, sf_dir):
     )
 
 
+@query(
+    "x49_pdf_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(
+                    regexp_replace(text, '[^ -~\n]', '?', 'g'), '') = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10) ||
+                     regexp_replace(text, '[^ -~\n]', '?', 'g')
+           END AS extracted
+    FROM documents
+    """,
+)
+def x49(spark, sf_dir):
+    """PDF→text extraction (round 12): each document is typeset into a
+    REAL multi-page PDF — classic xref with correct offsets,
+    FlateDecode content streams, a title line plus the body split 20
+    lines per page, show ops cycling Tj / TJ-with-kerning / ``'`` and
+    literal / hex strings (every reader path on the hash path) — and
+    :func:`~bertrand_spark.pipeline.pdftext.extract_pdf_text` must
+    recover EXACTLY title+newline+body.  Simple fonts carry latin-1,
+    so the body is pre-folded to ASCII (non-ASCII → '?') with the
+    IDENTICAL character-class regexp in the oracle — the same pinned
+    two-engine-parity recipe as x48.  Build + extract are one
+    composed Arrow-batched map pass, no shuffle at scale (``_tw``
+    spreads the single-row-group testdata file so the heaviest
+    per-doc kernel in the suite actually parallelizes locally)."""
+    import re as _re
+
+    from ..pipeline.pdftext import extract_pdf_text, pdf_write
+
+    d = _tw(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            fold = _re.sub(r"[^ -~\n]", "?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            lines = page.split("\n")
+            out.append(pdf_write(
+                ["\n".join(lines[k:k + 20])
+                 for k in range(0, len(lines), 20)]))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_pdf_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
 # STANDING POLICY (rotating 50-slot window): the driver's correctness gate
-# runs exactly the FIRST 50 keys of ``queries()``.  With 110 oracle-backed
+# runs exactly the FIRST 50 keys of ``queries()``.  With 112 oracle-backed
 # queries and a 50-slot window, every query must re-enter the window at
-# least every ceil(110/50)=3 rounds so no driver attestation falls out of
+# least every ceil(112/50)=3 rounds so no driver attestation falls out of
 # the 3-round artifact union the cycle test checks.  Each round: (a) the
 # queries whose last attestation is about to age out fill the leading
 # slots; (b) the remaining slots refresh queries whose kernels/plans this
@@ -4569,45 +4622,45 @@ def x48(spark, sf_dir):
 # dict order rotates.  A name here that no longer exists in QUERIES raises
 # at import (see below) so a rename cannot silently drop coverage.
 #
-# Round 11: the ten r08-stale names (q50/q51/q54/q56 pure join/agg
-# TPC-H shapes; x05/x06/x07 GEMM similarity; x42/x43/x44 model-replay
-# plans — their only driver attestation is the r08 artifact, which
-# leaves the 3-round union after this round) take the leading slots,
-# exactly as round 10's note committed.  x48 is NEW this round (the
-# HTML→text extractor — the oracle set grows 110→111 per the round-10
-# verdict's explicit ask) and needs its first attestation.  The
-# remaining 39 slots re-attest r09-window names (the r09 and r10
-# windows were disjoint, so all 50 r09 names age toward staleness
-# together).  Eleven structurally-stable r09 names (q02/q03/q05/q06/
-# q07/q10 type-system casts; q15/q16/q18/q24b iteration shapes;
-# q57 a pure TPC-H join/agg — all over code this round does not
-# touch) wait for round 12; the cycle test covers them via the r09
-# artifact, and round 12's rotation must lead with them.
+# Round 12: the eleven r09-stale names (q02/q03/q05/q06/q07/q10
+# type-system casts; q15/q16/q18/q24b iteration shapes; q57 a pure
+# TPC-H join/agg — the r09 artifact leaves the 3-round union after
+# this round, and these are exactly the names whose only attestation
+# it carries) take the leading slots, as round 11's note committed
+# and the round-11 verdict re-verified.  x49 is NEW this round (the
+# PDF→text extractor — the oracle set grows 111→112 per the round-11
+# verdict's item 5) and needs its first attestation; x48 re-enters
+# because this round changed its plan (the Unicode-whitespace parity
+# fold on both engine sides).  The remaining 37 slots re-attest
+# r10-window names.  Thirteen structurally-stable r10 names (q31/q32
+# regex+map shapes; q36 profile; q41/q43/q45/q46/q47/q48/q49/q52/
+# q53/q55 pure TPC-H join/agg — all over code this round does not
+# touch) wait for round 13; the cycle test covers them via the r10
+# artifact, and round 13's rotation must lead with them.
 _DRIVER_ROTATION = [
-    # r08-stale re-attestations (10): r08 leaves the 3-round union now
-    "q50_nation_trade_volume", "q51_market_share",
-    "q54_small_quantity_revenue", "q56_waiting_supplier",
-    "x05_cosine_topk", "x06_cosine_pairs", "x07_ivf_topk",
-    "x42_lm_perplexity", "x43_semdedup", "x44_overlap_report",
+    # r09-stale re-attestations (11): r09 leaves the 3-round union now
+    "q02_typecheck_bounds", "q03_generic_casts", "q05_boundscheck",
+    "q06_downcast_feasibility", "q07_numeric_widening",
+    "q10_decimal_matrix", "q15_iota", "q16_enumerate", "q18_slice",
+    "q24b_except", "q57_top_supplier",
     # new this round (1): first attestation
+    "x49_pdf_extract",
+    # plan touched this round (1): the x48 whitespace-parity fold
     "x48_html_extract",
-    # r09 re-attestations (39)
-    "x45_dsir_weights", "x46_filter_cascade", "x47_dsir_resample",
-    "x20_decontaminate", "x17_quality_scores",
-    "x39_adaptive_length_filter", "x40_mix_corpus",
-    "q29_asof_join", "q30_range_join", "q33_revenue_by_nation",
-    "q34_rollup_revenue", "q35_window_functions", "q37_promo_share",
-    "q38_semi_anti_join", "q39_pricing_summary",
-    "q40_shipping_priority", "q42_returned_items", "q44_cube_orders",
-    "q58_min_cost_supplier", "q59_important_stock",
-    "q60_potential_promotion",
-    "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
-    "x16_cosine_near_dup", "x18_pipeline_end_to_end",
-    "x25_stream_dedup", "x26_stream_sessions", "x28_stream_stream_join",
-    "x29_foreachbatch_sink", "x30_dedup_clusters",
-    "x31_dedup_canonical", "x32_fuzzy_join", "x33_gopher_rules",
-    "x34_tfidf_top_terms", "x35_chunk_dedup", "x36_incremental_dedup",
-    "x38_knn_graph", "x41_dedup_keep_best",
+    # r10 re-attestations (37)
+    "q01_detect_tags", "q04_rounding_rules", "q08_epoch_datetime",
+    "q09_radix_format", "q11_datetime_units", "q12_string_to_bool",
+    "q13_parse_temporal", "q14_categorize", "q17_where_ternary",
+    "q17b_where_filter", "q19_concat_sep", "q19b_union_all",
+    "q20_find_replace", "q21_reductions", "q22_stable_sort",
+    "q23_ordered_dedup", "q24_intersect", "q25_dt_td_conversions",
+    "q26_calendar_units", "q27_object_roundtrip", "q28_anonymous_cast",
+    "x01_exact_dedup", "x08_token_stats", "x09_lang_scores",
+    "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
+    "x13_media_sniff", "x14_media_decode", "x15_rolling_fingerprints",
+    "x19_stream_rollup", "x21_redact_pii", "x22_pack_sequences",
+    "x23_stratified_sample", "x24_repetition_score", "x27_corpus_stats",
+    "x37_temperature_resample",
 ]
 
 
@@ -4621,8 +4674,8 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 11: empty — the one new query (x48, the round-10 verdict's
-# explicit ask) fits the window; the set is otherwise frozen at the
+# Round 12: empty — the one new query (x49, the round-11 verdict's
+# item 5) fits the window; the set is otherwise frozen at the
 # round-7 policy (depth, not query-count padding).
 _DEFERRED_NEW: list = []
 

@@ -330,3 +330,193 @@ class TestX48UnicodeWhitespaceParity:
                              con.execute(ORACLES["x48_html_extract"])
                              .fetchall()))
         assert spark_out == oracle_out
+
+
+class TestPdfExtract:
+    """Round 12: extract_pdf_text — the stdlib-subset PDF reader
+    (classic xref + object walk, Flate/ASCIIHex streams, Tj/TJ/'/"
+    text ops), gated by the in-repo writer per the codec recipe; every
+    out-of-subset shape degrades to a VISIBLE status class."""
+
+    CASES = [
+        "hello world\nsecond line here\nthird one\nfourth line\nfive",
+        "",
+        "single",
+        "parens (nested (deep)) and \\ backslash",
+        "tabs\there and controls \x01\x02 kept",
+        "a\n\nb",
+        "trailing newline\n",
+        "x" * 5000,
+    ]
+
+    def test_exact_recovery_all_op_paths(self):
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        for t in self.CASES:
+            for flate in (True, False):
+                for op_mix in (True, False):
+                    pdf = pdf_write([t], flate=flate, op_mix=op_mix)
+                    text, status, n = _extract_pdf_one(pdf)
+                    assert status == "extracted"
+                    assert n == 1
+                    assert text == t, (repr(t)[:40], flate, op_mix)
+
+    def test_multipage(self):
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        pages = ["page one line a\nline b", "page two", "", "page four"]
+        text, status, n = _extract_pdf_one(pdf_write(pages))
+        assert status == "extracted" and n == 4
+        assert text == "\n".join(pages)
+
+    def test_degrade_classes(self):
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        t = "classified text"
+        assert _extract_pdf_one(pdf_write([t], encrypt=True)) == (
+            None, "encrypted", None)
+        assert _extract_pdf_one(pdf_write([t], xref_stream=True)) == (
+            None, "xref-stream", None)
+        assert _extract_pdf_one(pdf_write([t], type0_font=True)) == (
+            None, "cid-font", 1)
+        assert _extract_pdf_one(pdf_write([t], bad_filter=True)) == (
+            None, "unsupported-filter", 1)
+        assert _extract_pdf_one(b"not a pdf at all") == (
+            None, "not-pdf", None)
+        assert _extract_pdf_one(None) == (None, None, None)
+
+    def test_broken_xref_recovers_by_scan(self):
+        """Zeroed xref offsets (structurally valid table, useless
+        entries) → the lenient linear object scan recovers the text,
+        visibly labeled extracted-scan."""
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        t = "recovered by the object scan\nsecond line"
+        text, status, n = _extract_pdf_one(
+            pdf_write([t], break_xref=True))
+        assert status == "extracted-scan"
+        assert text == t and n == 1
+
+    def test_asciihex_filter_and_contents_array(self):
+        """Hand-built fixture: /Contents as an ARRAY of two streams,
+        the first ASCIIHexDecode-encoded — both in the documented
+        subset."""
+        from bertrand_spark.pipeline.pdftext import _extract_pdf_one
+
+        c1 = b"BT /F1 12 Tf 72 720 Td (hex part) Tj ET"
+        c2 = b"BT /F1 12 Tf 72 700 Td (flate part) Tj ET"
+        import zlib as _z
+        enc1 = c1.hex().encode() + b">"
+        enc2 = _z.compress(c2)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Resources << /Font "
+            b"<< /F1 6 0 R >> >> /Contents [4 0 R 5 0 R] >>",
+            b"<< /Filter /ASCIIHexDecode /Length %d >>\nstream\n%s"
+            b"\nendstream" % (len(enc1), enc1),
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s"
+            b"\nendstream" % (len(enc2), enc2),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for i, body in enumerate(objs, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xoff = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for o in offs:
+            out += b"%010d 00000 n \n" % o
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % (len(objs) + 1, xoff))
+        text, status, n = _extract_pdf_one(bytes(out))
+        assert status == "extracted" and n == 1
+        assert text == "hex part\nflate part"
+
+    def test_inline_image_skipped(self):
+        """BI..ID <binary> EI between text ops must not corrupt the
+        token walk (the binary could contain fake '(' or 'Tj')."""
+        from bertrand_spark.pipeline.pdftext import _page_text
+
+        content = (b"BT /F1 12 Tf 72 720 Td (before) Tj "
+                   b"BI /W 2 /H 2 /BPC 8 ID \x28\xff(Tj\x00garbage EI "
+                   b"0 -14 Td (after) Tj ET")
+        text, cid, shown = _page_text(None, content, {})
+        assert text == "before\nafter" and shown and not cid
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        rng = random.Random(1249)
+        base = pdf_write(["some stable text\nsecond line of it"],
+                         flate=False)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = _extract_pdf_one(bytes(b))
+            assert isinstance(out, tuple) and len(out) == 3
+        for _ in range(100):
+            junk = b"%PDF-" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+            assert isinstance(_extract_pdf_one(junk), tuple)
+
+    def test_spark_seam_and_report(self, spark):
+        from bertrand_spark.pipeline.pdftext import (extract_pdf_text,
+                                                     pdf_format_report,
+                                                     pdf_write)
+
+        rows = [
+            (1, pdf_write(["alpha text\nbeta line"])),
+            (2, pdf_write(["page a", "page b"])),
+            (3, pdf_write(["secret"], encrypt=True)),
+            (4, pdf_write(["cid"], type0_font=True)),
+            (5, b"plain not pdf"),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        ex = df.select("doc_id",
+                       extract_pdf_text(F.col("payload")).alias("pdf"))
+        got = {r.doc_id: r.pdf for r in ex.collect()}
+        assert got[1].text == "alpha text\nbeta line"
+        assert got[1].status == "extracted" and got[1].n_pages == 1
+        assert got[2].text == "page a\npage b" and got[2].n_pages == 2
+        assert got[3].status == "encrypted" and got[3].text is None
+        assert got[4].status == "cid-font"
+        assert got[5].status == "not-pdf"
+        assert got[6].status is None and got[6].text is None
+        rep = {r.status: r for r in pdf_format_report(df, ex).collect()}
+        assert rep["extracted"].n_docs == 2
+        assert rep["extracted"].n_pages == 3
+        assert rep["encrypted"].n_docs == 1
+        assert rep["cid-font"].n_docs == 1
+        assert rep[None].n_docs == 1  # NULL payload row
+
+    def test_warc_pdf_composition(self, spark, tmp_path):
+        """The crawl seam closes over PDFs too: a WARC carrying an
+        application/pdf payload flows read_warc → extract_pdf_text."""
+        from bertrand_spark.pipeline.pdftext import (extract_pdf_text,
+                                                     pdf_write)
+        from bertrand_spark.sources.warc import read_warc, warc_write
+
+        f = tmp_path / "seg.warc.gz"
+        f.write_bytes(warc_write([
+            {"url": "http://a/doc.pdf", "ts": "2026-01-01T00:00:00Z",
+             "body": pdf_write(["crawled pdf body text"]),
+             "mime": "application/pdf"},
+        ]))
+        df = read_warc(spark, str(f)).filter(
+            F.col("mime") == "application/pdf")
+        row = df.select(
+            extract_pdf_text(F.col("payload")).alias("pdf")
+        ).collect()[0]
+        assert row.pdf.status == "extracted"
+        assert row.pdf.text == "crawled pdf body text"
