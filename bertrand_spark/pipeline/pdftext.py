@@ -3,26 +3,29 @@ crawl-payload class the crawl front did not cover (round 12).
 
 Not in the reference (its surface stops at the type system); this
 extends the engine per the LLM-pipeline brief, sized against public
-PDF 1.4–1.7 structure (ISO 32000): xref table + object walk, page
-tree, FlateDecode/ASCIIHexDecode content streams, and the
-text-showing operators (``Tj``/``TJ``/``'``/``"`` with
-``Td``/``TD``/``T*``/``Tm`` line breaks).  Everything a stdlib parser
-cannot honestly decode degrades to a VISIBLE status class — the same
-contract as every codec in :mod:`.multimodal`:
+PDF 1.4–1.7 structure (ISO 32000): xref walk — classic tables AND
+the PDF 1.5+ cross-reference STREAMS + object streams (``/ObjStm``)
+nearly every modern writer emits, including PNG-predictor-filtered
+xref rows — page tree, FlateDecode/ASCIIHexDecode content streams,
+and the text-showing operators (``Tj``/``TJ``/``'``/``"`` with
+``Td``/``TD``/``T*``/``Tm`` line breaks).  Everything a stdlib
+parser cannot honestly decode degrades to a VISIBLE status class —
+the same contract as every codec in :mod:`.multimodal`:
 
-* ``extracted`` — classic xref walked, all pages decoded.
+* ``extracted`` — xref walked (classic or stream), all pages decoded.
 * ``extracted-scan`` — xref missing/broken; objects recovered by a
-  linear ``N G obj`` scan (the lenient path real crawl PDFs need).
+  linear ``N G obj`` scan (the lenient path real crawl PDFs need),
+  including members of any object streams the scan finds.
 * ``extracted-partial`` — some page's content stream was undecodable
   (unsupported filter, corrupt deflate) or CID-encoded; the readable
   pages' text is kept.
 * ``cid-font`` — every shown string sits under a composite
-  (``/Type0``) font: 2-byte CID codes need font CMaps this subset
-  deliberately does not ship (no conformance ground truth in this
-  container) — NULL text, never silently-wrong text.
+  (``/Type0``) font WITHOUT a ``/ToUnicode`` CMap: bare CID codes
+  are font-private and genuinely undecodable — NULL text, never
+  silently-wrong text.  (Type0 fonts WITH a ``/ToUnicode`` CMap —
+  bfchar/bfrange, the path public extractors take — decode fully,
+  including non-latin text through 2-byte Identity-H codes.)
 * ``unsupported-filter`` — no content stream could be decoded.
-* ``xref-stream`` — PDF 1.5+ cross-reference STREAM (compressed
-  xref): documented out of the subset — NULL text.
 * ``encrypted`` — trailer carries ``/Encrypt``: NULL text.
 * ``parse-failed`` / ``not-pdf`` — structure beyond repair / wrong
   magic.  The kernel NEVER raises: one hostile document must never
@@ -33,10 +36,11 @@ Standard/WinAnsi encodings that dominate simple-font text, and the
 honest documented approximation for the rest.
 
 Gating follows the codec recipe: an in-repo spec-shaped writer
-(:func:`pdf_write` — classic xref, correct offsets, optional Flate /
-hex strings / TJ kerning / multi-page / Type0 / encryption / xref
-streams) drives exact round trips and degrade-class units; fuzz pins
-the never-raise contract.
+(:func:`pdf_write` — classic xref OR real cross-reference streams
+(± PNG predictor) with optional object-stream packing, correct
+offsets, Flate / hex strings / TJ kerning / multi-page / Type0 /
+encryption fixtures) drives exact round trips and degrade-class
+units; fuzz pins the never-raise contract.
 
 Scale shape: :func:`extract_pdf_text` is one Arrow-batched
 ``pandas_udf`` over a binary column (the per-document loop IS the
@@ -235,16 +239,49 @@ def _parse_value(b, i):
     raise _PdfError("bad value at %d" % i)
 
 
+def _stream_payload(data: bytes, dct: dict, i: int, resolve=None):
+    """Raw stream payload following the ``stream`` keyword at ``i``
+    (filter decoding happens in :func:`_apply_filters`).  ``resolve``
+    derefs an indirect /Length when a doc is available; without one
+    (or on failure) the lenient ``endstream`` search applies."""
+    i += 6
+    if data.startswith(b"\r\n", i):
+        i += 2
+    elif i < len(data) and data[i] in (0x0A, 0x0D):
+        i += 1
+    length = dct.get("Length")
+    if isinstance(length, _Ref):
+        try:
+            length = resolve(length) if resolve else None
+        except _PdfError:
+            length = None
+    if isinstance(length, (int, float)):
+        end = i + int(length)
+        if data.startswith(b"endstream", _skip_ws(data, end)):
+            return data[i:end]
+    # lenient: wrong/indirect-unresolvable /Length — search
+    end = data.find(b"endstream", i)
+    if end < 0:
+        raise _PdfError("unterminated stream")
+    raw = data[i:end]
+    return raw[:-2] if raw.endswith(b"\r\n") else (
+        raw[:-1] if raw.endswith(b"\n") else raw)
+
+
 class _Doc:
-    """Parsed PDF: object offsets + lazy fetch with deref."""
+    """Parsed PDF: object offsets (direct + in-object-stream) + lazy
+    fetch with deref."""
 
     def __init__(self, data: bytes, offsets: dict, trailer: dict,
-                 via_scan: bool):
+                 via_scan: bool, compressed: dict | None = None):
         self.data = data
         self.offsets = offsets
+        self.compressed = compressed or {}  # num -> (objstm num, idx)
         self.trailer = trailer
         self.via_scan = via_scan
         self._cache = {}
+        self._objstm_cache: dict[int, dict] = {}
+        self._cmap_cache: dict[int, dict] = {}  # ToUnicode ref → map
 
     def deref(self, v, depth=0):
         if isinstance(v, _Ref):
@@ -256,6 +293,10 @@ class _Doc:
     def obj(self, num):
         if num in self._cache:
             return self._cache[num]
+        if num in self.compressed:
+            val = self._objstm_fetch(self.compressed[num][0], num)
+            self._cache[num] = val
+            return val
         off = self.offsets.get(num)
         if off is None:
             raise _PdfError("missing object %d" % num)
@@ -265,93 +306,203 @@ class _Doc:
         val, i = _parse_value(self.data, m.end())
         i = _skip_ws(self.data, i)
         if self.data.startswith(b"stream", i):
-            val = ("stream", val, self._stream_bytes(val, i))
+            val = ("stream", val,
+                   _stream_payload(self.data, val, i, self.deref))
         self._cache[num] = val
         return val
 
-    def _stream_bytes(self, dct, i):
-        """Raw stream payload following the ``stream`` keyword at
-        ``i`` (decoding happens in :func:`_decode_stream`)."""
-        i += 6
-        if self.data.startswith(b"\r\n", i):
-            i += 2
-        elif i < len(self.data) and self.data[i] in (0x0A, 0x0D):
-            i += 1
-        length = dct.get("Length")
-        if isinstance(length, _Ref):
+    def _objstm_members(self, stm_num: int) -> dict:
+        """All members of object stream ``stm_num`` (PDF 1.5 /ObjStm:
+        a Flate-packed run of non-stream objects — the shape nearly
+        every modern writer uses).  The stream's ``/First`` bytes hold
+        N (objnum, offset) pairs; objects follow."""
+        if stm_num not in self._objstm_cache:
+            if stm_num in self.compressed:
+                raise _PdfError("object stream inside object stream")
+            obj = self.obj(stm_num)
+            if not (isinstance(obj, tuple) and obj[0] == "stream"
+                    and obj[1].get("Type") == "ObjStm"):
+                raise _PdfError("bad object stream %d" % stm_num)
+            dct = obj[1]
+            data = _apply_filters(dct, obj[2], self.deref)
+            n = int(self.deref(dct.get("N", 0)) or 0)
+            first = int(self.deref(dct.get("First", 0)) or 0)
+            pairs = re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
+            loaded = {}
+            for onum, ooff in pairs:
+                try:
+                    v, _ = _parse_value(data, first + int(ooff))
+                except _PdfError:
+                    continue  # one bad member, keep the rest
+                loaded[int(onum)] = v
+            self._objstm_cache[stm_num] = loaded
+        return self._objstm_cache[stm_num]
+
+    def _objstm_fetch(self, stm_num: int, num: int):
+        try:
+            return self._objstm_members(stm_num)[num]
+        except KeyError:
+            raise _PdfError("object %d not in stream %d"
+                            % (num, stm_num)) from None
+
+
+def _apply_predictor(parms: dict, data: bytes) -> bytes:
+    """Undo a /DecodeParms predictor on post-Flate bytes.  PNG
+    predictors (10-15) reuse the codec stack's scanline unfilter;
+    TIFF predictor 2 is out of subset."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, (int, float)) or pred <= 1:
+        return data
+    if pred < 10:
+        raise _UnsupportedFilter("predictor %s" % pred)
+    from .multimodal import _png_unfilter
+
+    columns = int(parms.get("Columns", 1) or 1)
+    colors = int(parms.get("Colors", 1) or 1)
+    bpc = int(parms.get("BitsPerComponent", 8) or 8)
+    rowb = (columns * colors * bpc + 7) // 8
+    bpp = max(1, colors * bpc // 8)
+    h = len(data) // (rowb + 1)
+    img = _png_unfilter(data[:h * (rowb + 1)], h, rowb, bpp)
+    if img is None:
+        raise _PdfError("bad predictor filter byte")
+    return img.tobytes()
+
+
+def _apply_filters(dct: dict, raw: bytes, deref=lambda v: v) -> bytes:
+    """Decode a stream's /Filter chain (+ per-filter /DecodeParms).
+    ``deref`` resolves indirect values when a doc is available; the
+    xref-bootstrap path passes the identity (the spec requires those
+    values direct anyway)."""
+    filt = deref(dct.get("Filter"))
+    parms = deref(dct.get("DecodeParms", dct.get("DP")))
+    filters = ([] if filt is None
+               else filt if isinstance(filt, list) else [filt])
+    parms_list = (parms if isinstance(parms, list) else [parms])
+    for k, f in enumerate(filters):
+        f = deref(f)
+        pm = deref(parms_list[k]) if k < len(parms_list) else None
+        if f in ("FlateDecode", "Fl"):
+            d = zlib.decompressobj()
             try:
-                length = self.deref(length)
-            except _PdfError:
-                length = None
-        if isinstance(length, (int, float)):
-            end = i + int(length)
-            if self.data.startswith(b"endstream",
-                                    _skip_ws(self.data, end)):
-                return self.data[i:end]
-        # lenient: wrong/indirect-unresolvable /Length — search
-        end = self.data.find(b"endstream", i)
-        if end < 0:
-            raise _PdfError("unterminated stream")
-        raw = self.data[i:end]
-        return raw[:-2] if raw.endswith(b"\r\n") else (
-            raw[:-1] if raw.endswith(b"\n") else raw)
+                raw = d.decompress(raw) + d.flush()
+            except zlib.error as e:
+                raise _PdfError("bad deflate") from e
+            if isinstance(pm, dict):
+                raw = _apply_predictor(pm, raw)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            digits = re.sub(rb"[^0-9A-Fa-f]", b"",
+                            raw.split(b">")[0])
+            if len(digits) % 2:
+                digits += b"0"
+            raw = binascii.unhexlify(digits)
+        else:
+            raise _UnsupportedFilter(str(f))
+    return raw
 
 
-class _XrefStreamError(_PdfError):
-    pass
+def _merge_xref_stream(dct: dict, data: bytes, offsets: dict,
+                       compressed: dict) -> None:
+    """Entries of one decoded cross-reference stream (ISO 32000
+    §7.5.8): /W field widths, /Index subsection pairs; type 1 =
+    direct offset, type 2 = (object stream, index), type 0 = free.
+    Newest-first walk: first entry seen wins."""
+    ws = [int(w) for w in dct.get("W", [])]
+    if len(ws) < 3:
+        raise _PdfError("bad /W")
+    size = int(dct.get("Size", 0) or 0)
+    index = dct.get("Index") or [0, size]
+    if len(index) % 2:
+        raise _PdfError("odd /Index")
+    pos = 0
+    ew = sum(ws)
+    for s in range(0, len(index), 2):
+        start, count = int(index[s]), int(index[s + 1])
+        for k in range(count):
+            if pos + ew > len(data):
+                raise _PdfError("short xref stream")
+            fields = []
+            for w in ws:
+                fields.append(
+                    int.from_bytes(data[pos:pos + w], "big") if w
+                    else None)
+                pos += w
+            t = fields[0] if ws[0] else 1
+            num = start + k
+            if num in offsets or num in compressed:
+                continue
+            if t == 1 and fields[1] is not None:
+                offsets[num] = fields[1]
+            elif t == 2 and fields[1] is not None:
+                compressed[num] = (fields[1], fields[2])
 
 
 def _load_doc(data: bytes) -> _Doc:
-    """Classic-xref walk: the last ``startxref``, xref table chains
-    via ``/Prev``.  Raises :class:`_XrefStreamError` when the offset
-    points at a cross-reference STREAM (PDF 1.5 compressed xref — the
-    documented out-of-subset class), plain :class:`_PdfError` when
-    the structure is broken (caller falls back to the object scan)."""
+    """Xref walk from the last ``startxref``, chaining ``/Prev``
+    (incremental updates, newest-first): classic tables AND PDF 1.5+
+    cross-reference streams (the shape nearly every modern writer
+    emits), including PNG-predictor-filtered streams and type-2
+    entries into object streams.  Raises :class:`_PdfError` when the
+    structure is broken (caller falls back to the object scan)."""
     tail = data[-2048:]
     ms = list(re.finditer(rb"startxref\s+(\d+)", tail))
     if not ms:
         raise _PdfError("no startxref")
     off = int(ms[-1].group(1))
     offsets: dict[int, int] = {}
+    compressed: dict[int, tuple] = {}
     trailer: dict = {}
     seen = set()
     while off is not None and off not in seen and off < len(data):
         seen.add(off)
         i = _skip_ws(data, off)
-        if not data.startswith(b"xref", i):
-            if _OBJ_RE.match(data, i):
-                # an object at the xref offset = xref STREAM
-                raise _XrefStreamError("cross-reference stream")
-            raise _PdfError("bad xref offset")
-        i += 4
-        while True:
+        if data.startswith(b"xref", i):
+            i += 4
+            while True:
+                i = _skip_ws(data, i)
+                m = re.compile(rb"(\d+)\s+(\d+)").match(data, i)
+                if not m:
+                    break
+                start, count = int(m.group(1)), int(m.group(2))
+                i = _skip_ws(data, m.end())
+                for k in range(count):
+                    ent = data[i:i + 20]
+                    if len(ent) < 18:
+                        raise _PdfError("short xref entry")
+                    kind = ent[17:18]
+                    num = start + k
+                    # newest-first walk: first entry seen wins
+                    if kind == b"n" and num not in offsets:
+                        offsets[num] = int(ent[:10])
+                    i += 20
             i = _skip_ws(data, i)
-            m = re.compile(rb"(\d+)\s+(\d+)").match(data, i)
+            if not data.startswith(b"trailer", i):
+                raise _PdfError("missing trailer")
+            tdict, _ = _parse_value(data, i + 7)
+        else:
+            # cross-reference STREAM: "N G obj << /Type /XRef ... >>
+            # stream"; its /Length and /Filter are direct by spec
+            # (they must be readable before any xref exists)
+            m = _OBJ_RE.match(data, i)
             if not m:
-                break
-            start, count = int(m.group(1)), int(m.group(2))
-            i = _skip_ws(data, m.end())
-            for k in range(count):
-                ent = data[i:i + 20]
-                if len(ent) < 18:
-                    raise _PdfError("short xref entry")
-                kind = ent[17:18]
-                num = start + k
-                # newest-first walk: first entry seen wins
-                if kind == b"n" and num not in offsets:
-                    offsets[num] = int(ent[:10])
-                i += 20
-        i = _skip_ws(data, i)
-        if not data.startswith(b"trailer", i):
-            raise _PdfError("missing trailer")
-        tdict, _ = _parse_value(data, i + 7)
+                raise _PdfError("bad xref offset")
+            tdict, j = _parse_value(data, m.end())
+            j = _skip_ws(data, j)
+            if not (isinstance(tdict, dict)
+                    and tdict.get("Type") == "XRef"
+                    and data.startswith(b"stream", j)):
+                raise _PdfError("object at xref offset is not /XRef")
+            raw = _stream_payload(data, tdict, j)
+            _merge_xref_stream(tdict, _apply_filters(tdict, raw),
+                               offsets, compressed)
         for k, v in tdict.items():
             trailer.setdefault(k, v)
         prev = tdict.get("Prev")
         off = int(prev) if isinstance(prev, (int, float)) else None
     if "Root" not in trailer:
         raise _PdfError("trailer has no /Root")
-    return _Doc(data, offsets, trailer, via_scan=False)
+    return _Doc(data, offsets, trailer, via_scan=False,
+                compressed=compressed)
 
 
 def _scan_doc(data: bytes) -> _Doc:
@@ -364,8 +515,25 @@ def _scan_doc(data: bytes) -> _Doc:
     if not offsets:
         raise _PdfError("no objects found")
     doc = _Doc(data, offsets, {}, via_scan=True)
+    # explode any object streams the scan found: their members are
+    # invisible to the linear scan, and in modern PDFs the catalog
+    # (and most dict objects) live inside one
+    for num in list(offsets):
+        try:
+            v = doc.obj(num)
+        except _PdfError:
+            continue
+        if (isinstance(v, tuple) and v[0] == "stream"
+                and v[1].get("Type") == "ObjStm"):
+            try:
+                for onum, val in doc._objstm_members(num).items():
+                    if onum not in offsets:
+                        doc._cache.setdefault(onum, val)
+            except _PdfError:
+                continue
     root = None
-    for num in offsets:
+    for num in list(doc._cache) + [n for n in offsets
+                                   if n not in doc._cache]:
         try:
             v = doc.obj(num)
         except _PdfError:
@@ -391,27 +559,7 @@ class _UnsupportedFilter(_PdfError):
 def _decode_stream(doc: _Doc, obj) -> bytes:
     if not (isinstance(obj, tuple) and obj[0] == "stream"):
         raise _PdfError("not a stream")
-    dct, raw = obj[1], obj[2]
-    filt = doc.deref(dct.get("Filter"))
-    filters = ([] if filt is None
-               else filt if isinstance(filt, list) else [filt])
-    for f in filters:
-        f = doc.deref(f)
-        if f in ("FlateDecode", "Fl"):
-            d = zlib.decompressobj()
-            try:
-                raw = d.decompress(raw) + d.flush()
-            except zlib.error as e:
-                raise _PdfError("bad deflate") from e
-        elif f in ("ASCIIHexDecode", "AHx"):
-            digits = re.sub(rb"[^0-9A-Fa-f]", b"",
-                            raw.split(b">")[0])
-            if len(digits) % 2:
-                digits += b"0"
-            raw = binascii.unhexlify(digits)
-        else:
-            raise _UnsupportedFilter(str(f))
-    return raw
+    return _apply_filters(obj[1], obj[2], doc.deref)
 
 
 # --- content-stream tokenizer + text assembly -------------------------------
@@ -475,6 +623,65 @@ def _content_tokens(b: bytes):
 # threshold every public extractor uses (±, commonly 180/1000 em).
 _TJ_SPACE = -180.0
 
+
+def _parse_tounicode(data: bytes) -> dict:
+    """CID → text mapping from a /ToUnicode CMap stream (the
+    bfchar/bfrange sections; destinations are UTF-16BE).  The CMap
+    syntax is content-stream-shaped, so the same tokenizer serves."""
+    cmap: dict[int, str] = {}
+    toks: list = []
+    arr = None
+    for t, v in _content_tokens(data):
+        if t == "mark":
+            if v == "[":
+                arr = []
+            else:
+                toks.append(("arr", arr or []))
+                arr = None
+            continue
+        if arr is not None:
+            arr.append((t, v))
+        else:
+            toks.append((t, v))
+    n = len(toks)
+    i = 0
+    while i < n:
+        if toks[i] != ("op", b"beginbfchar") \
+                and toks[i] != ("op", b"beginbfrange"):
+            i += 1
+            continue
+        is_range = toks[i][1] == b"beginbfrange"
+        end = ("op", b"endbfrange" if is_range else b"endbfchar")
+        j = i + 1
+        while j < n and toks[j] != end:
+            j += 1
+        seg = toks[i + 1:j]
+        step = 3 if is_range else 2
+        for k in range(0, len(seg) - step + 1, step):
+            if seg[k][0] != "str" or seg[k + 1][0] != "str":
+                continue
+            lo = int.from_bytes(seg[k][1], "big")
+            if is_range:
+                hi = int.from_bytes(seg[k + 1][1], "big")
+                dst = seg[k + 2]
+                if hi - lo > 0x10000:
+                    continue  # hostile range: bounded work per entry
+                if dst[0] == "str":
+                    base = int.from_bytes(dst[1], "big")
+                    width = len(dst[1])
+                    for c in range(lo, hi + 1):
+                        cmap[c] = (base + c - lo).to_bytes(
+                            width, "big").decode("utf-16-be", "replace")
+                elif dst[0] == "arr":
+                    for off, (t2, v2) in enumerate(dst[1]):
+                        if t2 == "str" and lo + off <= hi:
+                            cmap[lo + off] = v2.decode(
+                                "utf-16-be", "replace")
+            else:
+                cmap[lo] = seg[k + 1][1].decode("utf-16-be", "replace")
+        i = j + 1
+    return cmap
+
 _LINE_OPS = (b"Td", b"TD", b"T*", b"Tm")
 
 
@@ -489,7 +696,7 @@ def _page_text(doc: _Doc, content: bytes, fonts: dict):
     pending = False
     saw_cid = False
     any_show = False
-    cur_cid = False
+    cur_font = ("simple", None)
     stack: list = []
 
     def flush():
@@ -501,10 +708,16 @@ def _page_text(doc: _Doc, content: bytes, fonts: dict):
 
     def show(raw: bytes):
         nonlocal pending, saw_cid, any_show
-        if cur_cid:
-            saw_cid = True
-            return
-        cur.append(raw.decode("latin-1"))
+        kind, cmap = cur_font
+        if kind == "type0":
+            if cmap is None:
+                saw_cid = True  # no /ToUnicode: undecodable CIDs
+                return
+            cur.append("".join(
+                cmap.get(int.from_bytes(raw[k:k + 2], "big"), "�")
+                for k in range(0, len(raw) - 1, 2)))
+        else:
+            cur.append(raw.decode("latin-1"))
         pending = True
         any_show = True
 
@@ -525,7 +738,7 @@ def _page_text(doc: _Doc, content: bytes, fonts: dict):
         op = val
         if op == b"Tf":
             if len(stack) >= 2 and stack[-2][0] == "name":
-                cur_cid = bool(fonts.get(stack[-2][1], False))
+                cur_font = fonts.get(stack[-2][1], ("simple", None))
         elif op in _LINE_OPS:
             flush()
         elif op == b"Tj":
@@ -552,7 +765,10 @@ def _page_text(doc: _Doc, content: bytes, fonts: dict):
 
 
 def _page_fonts(doc: _Doc, resources) -> dict:
-    """{font-resource-name: is_type0} from a /Resources dict."""
+    """{font-resource-name: ('simple', None) | ('type0', cmap|None)}
+    from a /Resources dict.  A composite (/Type0) font with a
+    /ToUnicode CMap decodes like public extractors do; without one
+    its text is undecodable (the cid degrade class)."""
     fonts = {}
     res = doc.deref(resources) if resources is not None else None
     if isinstance(res, dict):
@@ -563,8 +779,26 @@ def _page_fonts(doc: _Doc, resources) -> dict:
                     fd = doc.deref(v)
                 except _PdfError:
                     continue
-                fonts[k] = (isinstance(fd, dict)
-                            and fd.get("Subtype") == "Type0")
+                if not (isinstance(fd, dict)
+                        and fd.get("Subtype") == "Type0"):
+                    fonts[k] = ("simple", None)
+                    continue
+                cmap = None
+                try:
+                    tu_ref = fd.get("ToUnicode")
+                    key = tu_ref.num if isinstance(tu_ref, _Ref) else None
+                    if key is not None and key in doc._cmap_cache:
+                        cmap = doc._cmap_cache[key]
+                    else:
+                        tu = doc.deref(tu_ref)
+                        if isinstance(tu, tuple) and tu[0] == "stream":
+                            cmap = _parse_tounicode(
+                                _decode_stream(doc, tu))
+                            if key is not None:
+                                doc._cmap_cache[key] = cmap
+                except _PdfError:
+                    cmap = None
+                fonts[k] = ("type0", cmap)
     return fonts
 
 
@@ -641,11 +875,17 @@ def _extract_pdf_one(b):
     try:
         data = bytes(b)
         if not data.startswith(b"%PDF-"):
-            return (None, "not-pdf", None)
+            # readers tolerate junk before the header (ISO 32000
+            # permits it within the first 1024 bytes — common in
+            # crawled payloads); offsets in well-formed writers are
+            # relative to the header, and the scan fallback covers
+            # the rest
+            k = data[:1024].find(b"%PDF-")
+            if k < 0:
+                return (None, "not-pdf", None)
+            data = data[k:]
         try:
             return _try_extract(_load_doc(data))
-        except _XrefStreamError:
-            return (None, "xref-stream", None)
         except _PdfError:
             # broken xref / offsets / page tree: the lenient path —
             # recover objects by linear scan, then re-extract
@@ -675,14 +915,16 @@ def extract_pdf_text(payload: Column) -> Column:
     return kernel(payload)
 
 
-def pdf_format_report(df: DataFrame, extracted: DataFrame,
-                      id_col: str = "doc_id") -> DataFrame:
+def pdf_format_report(extracted: DataFrame) -> DataFrame:
     """Per-status extraction outcomes — the PDF twin of
     :func:`~bertrand_spark.pipeline.multimodal.decode_format_report`:
-    join inputs to outcomes on ``id_col`` and aggregate counts +
-    page totals per status class (one shuffle over the tiny
-    status-cardinality key space)."""
-    e = extracted.select(id_col, "pdf.status", "pdf.n_pages") \
+    counts + page totals per status class over
+    :func:`extract_pdf_text`'s output (either the struct column named
+    ``pdf`` or an already-flattened frame).  The status IS the
+    input-class split here — unlike the image/audio twins no separate
+    input sniff is needed, so there is no join; one shuffle over the
+    tiny status-cardinality key space."""
+    e = extracted.select("pdf.status", "pdf.n_pages") \
         if "pdf" in extracted.columns else extracted
     return (
         e.groupBy("status")
@@ -716,15 +958,30 @@ def _hex_lit(s: str) -> bytes:
     return b"<" + s.encode("latin-1", "replace").hex().encode() + b">"
 
 
-def _content_for(text: str, op_mix: bool) -> bytes:
+def _cid_hex(s: str) -> bytes:
+    """2-byte-per-code hex string for Identity-H CID text (codes =
+    BMP code points, matching the writer's identity ToUnicode)."""
+    return b"<" + b"".join(
+        b"%04x" % min(ord(c), 0xFFFD) for c in s) + b">"
+
+
+def _content_for(text: str, op_mix: bool, cid: bool = False) -> bytes:
     """BT/ET block for one page: one line-positioning op + one show op
     per text line, cycling Tj / TJ-with-kerning / ``'`` and literal /
-    hex strings so every reader path is exercised."""
+    hex strings so every reader path is exercised.  ``cid`` switches
+    every show string to 2-byte Identity-H hex codes (the composite-
+    font wire format)."""
+
+    def tok_of(s: str, use_hex: bool) -> bytes:
+        if cid:
+            return _cid_hex(s)
+        return _hex_lit(s) if use_hex else b"(" + _esc_lit(s) + b")"
+
     parts = [b"BT /F1 12 Tf 72 720 Td"]
     for j, line in enumerate(text.split("\n")):
         mode = (j % 3) if op_mix else 0
         use_hex = op_mix and (j % 4 == 3)
-        tok = _hex_lit(line) if use_hex else b"(" + _esc_lit(line) + b")"
+        tok = tok_of(line, use_hex)
         if mode == 2 and j > 0:
             # ' = T* + show: the op itself is the line break
             parts.append(tok + b" '")
@@ -733,10 +990,8 @@ def _content_for(text: str, op_mix: bool) -> bytes:
             parts.append(b"0 -14 Td")
         if mode == 1 and " " in line:
             a, rest = line.split(" ", 1)
-            ta = _hex_lit(a) if use_hex else b"(" + _esc_lit(a) + b")"
-            tb = (_hex_lit(rest) if use_hex
-                  else b"(" + _esc_lit(rest) + b")")
-            parts.append(b"[" + ta + b" -200 " + tb + b"] TJ")
+            parts.append(b"[" + tok_of(a, use_hex) + b" -200 "
+                         + tok_of(rest, use_hex) + b"] TJ")
         else:
             parts.append(tok + b" Tj")
     parts.append(b"ET")
@@ -750,20 +1005,34 @@ def pdf_write(
     op_mix: bool = True,
     encrypt: bool = False,
     xref_stream: bool = False,
+    objstm: bool = False,
+    predictor: bool = False,
     type0_font: bool = False,
+    tounicode: bool = False,
     bad_filter: bool = False,
     break_xref: bool = False,
 ) -> bytes:
-    """In-repo classic-xref PDF writer (the test/gating twin of
+    """In-repo PDF writer (the test/gating twin of
     :func:`extract_pdf_text`): ``pages`` is a list of page texts.
-    Flags build the degrade-class fixtures: ``encrypt`` adds an
-    ``/Encrypt`` trailer entry, ``xref_stream`` replaces the classic
-    table with a ``/Type /XRef`` stream object, ``type0_font`` makes
-    the page font composite (CID), ``bad_filter`` declares an
-    unsupported ``/JBIG2Decode`` filter, ``break_xref`` zeroes the
-    table offsets (forcing the reader's object scan)."""
+    ``xref_stream`` writes a REAL PDF 1.5 cross-reference stream
+    instead of the classic table (``predictor`` additionally runs its
+    rows through the PNG Up filter with /DecodeParms, the shape real
+    writers emit); ``objstm`` (implies ``xref_stream``) packs the
+    catalog/pages/font dicts into a Flate object stream with type-2
+    xref entries — the modern default layout.  ``type0_font`` makes
+    the page font composite (CID) with text shown as 2-byte
+    Identity-H hex codes; with ``tounicode`` it also carries an
+    identity /ToUnicode CMap (bfrange over the BMP) — the decodable
+    composite-font shape — while without it the text is genuinely
+    undecodable (the cid degrade fixture).  Degrade-class fixture
+    flags: ``encrypt`` adds an ``/Encrypt`` trailer entry,
+    ``bad_filter`` declares an unsupported ``/JBIG2Decode`` filter,
+    ``break_xref`` zeroes the classic table's offsets (forcing the
+    reader's object scan)."""
     if isinstance(pages, str):
         pages = [pages]
+    if objstm:
+        xref_stream = True
     bodies: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -773,14 +1042,28 @@ def pdf_write(
     root = add(b"")  # placeholder, filled below
     pages_obj = add(b"")
     if type0_font:
-        font = add(b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
-                   b"/Encoding /Identity-H >>")
+        if tounicode:
+            cmap_body = (
+                b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+                b"1 begincodespacerange\n<0000> <ffff>\n"
+                b"endcodespacerange\n"
+                b"1 beginbfrange\n<0001> <ffff> <0001>\nendbfrange\n"
+                b"endcmap\n")
+            comp = zlib.compress(cmap_body)
+            tu = add(b"<< /Filter /FlateDecode /Length %d >>\n"
+                     b"stream\n" % len(comp) + comp + b"\nendstream")
+            font = add(b"<< /Type /Font /Subtype /Type0 /BaseFont "
+                       b"/Fake /Encoding /Identity-H "
+                       b"/ToUnicode %d 0 R >>" % tu)
+        else:
+            font = add(b"<< /Type /Font /Subtype /Type0 /BaseFont "
+                       b"/Fake /Encoding /Identity-H >>")
     else:
         font = add(b"<< /Type /Font /Subtype /Type1 "
                    b"/BaseFont /Helvetica >>")
     kid_nums = []
     for text in pages:
-        content = _content_for(text, op_mix)
+        content = _content_for(text, op_mix, cid=type0_font)
         if bad_filter:
             filt, data = b"/Filter /JBIG2Decode ", content
         elif flate:
@@ -801,29 +1084,81 @@ def pdf_write(
         b" ".join(b"%d 0 R" % k for k in kid_nums) +
         b"] /Count %d >>" % len(kid_nums))
 
+    # object-stream membership (dict-only objects; /Encrypt must stay
+    # regular per spec)
+    stm_members: list[int] = []
+    objstm_num = None
+    if objstm:
+        stm_members = [root, pages_obj, font]
+        hdr = bytearray()
+        payload = bytearray()
+        for num in stm_members:
+            hdr += b"%d %d " % (num, len(payload))
+            payload += bodies[num - 1] + b"\n"
+        content = bytes(hdr) + bytes(payload)
+        comp = zlib.compress(content)
+        objstm_num = add(
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n" % (len(stm_members), len(hdr),
+                                          len(comp))
+            + comp + b"\nendstream")
+    stm_set = set(stm_members)
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = []
+    offmap: dict[int, int] = {}
     for i, body in enumerate(bodies, start=1):
-        offsets.append(len(out))
+        if i in stm_set:
+            continue  # lives inside the object stream
+        offmap[i] = len(out)
         out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
 
     trailer_extra = b" /Encrypt %d 0 R" % enc if encrypt else b""
     if xref_stream:
-        # PDF 1.5 compressed-xref shape: startxref points at a
-        # /Type /XRef STREAM object (payload content irrelevant —
-        # the reader must classify, not parse)
+        # real PDF 1.5 cross-reference stream: W [1 3 1] rows (type,
+        # offset-or-objstm, gen-or-index), Flate, optional PNG Up
+        # predictor — the layout modern writers emit
+        xref_num = len(bodies) + 1
+        size = len(bodies) + 2  # + object 0 + the xref object itself
         xoff = len(out)
-        out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 1] "
-                b"/Root %d 0 R /Length 4 >>\nstream\n\x00\x00\x00\x00"
-                b"\nendstream\nendobj\n"
-                % (len(bodies) + 1, len(bodies) + 2, root))
+        rowb = 5
+        rows = []
+        rows.append(bytes([0]) + (0).to_bytes(3, "big") + bytes([255]))
+        for i in range(1, len(bodies) + 1):
+            if i in stm_set:
+                rows.append(bytes([2])
+                            + objstm_num.to_bytes(3, "big")
+                            + bytes([stm_members.index(i)]))
+            else:
+                rows.append(bytes([1]) + offmap[i].to_bytes(3, "big")
+                            + bytes([0]))
+        rows.append(bytes([1]) + xoff.to_bytes(3, "big") + bytes([0]))
+        if predictor:
+            enc_rows = bytearray()
+            prev = bytes(rowb)
+            for r in rows:
+                enc_rows += bytes([2]) + bytes(
+                    (c - p) & 0xFF for c, p in zip(r, prev))
+                prev = r
+            body_rows = bytes(enc_rows)
+            parms = (b" /DecodeParms << /Predictor 12 /Columns %d >>"
+                     % rowb)
+        else:
+            body_rows = b"".join(rows)
+            parms = b""
+        comp = zlib.compress(body_rows)
+        out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 3 1] "
+                b"/Index [0 %d] /Root %d 0 R%s /Filter /FlateDecode%s "
+                b"/Length %d >>\nstream\n"
+                % (xref_num, size, size, root, trailer_extra, parms,
+                   len(comp)))
+        out += comp + b"\nendstream\nendobj\n"
         out += b"startxref\n%d\n%%%%EOF\n" % xoff
         return bytes(out)
     xoff = len(out)
     out += b"xref\n0 %d\n" % (len(bodies) + 1)
     out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += b"%010d 00000 n \n" % (0 if break_xref else off)
+    for i in range(1, len(bodies) + 1):
+        out += b"%010d 00000 n \n" % (0 if break_xref else offmap[i])
     out += (b"trailer\n<< /Size %d /Root %d 0 R" % (len(bodies) + 1, root)
             + trailer_extra + b" >>\nstartxref\n%d\n%%%%EOF\n" % xoff)
     return bytes(out)

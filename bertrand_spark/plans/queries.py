@@ -4571,10 +4571,13 @@ def x48(spark, sf_dir):
 )
 def x49(spark, sf_dir):
     """PDF→text extraction (round 12): each document is typeset into a
-    REAL multi-page PDF — classic xref with correct offsets,
-    FlateDecode content streams, a title line plus the body split 20
-    lines per page, show ops cycling Tj / TJ-with-kerning / ``'`` and
-    literal / hex strings (every reader path on the hash path) — and
+    REAL multi-page PDF — even doc_ids get the classic-xref layout,
+    odd doc_ids the modern PDF 1.5 layout (cross-reference stream
+    with PNG-predictor rows + the catalog/pages/font packed into an
+    object stream), FlateDecode content streams, a title line plus
+    the body split 20 lines per page, show ops cycling Tj /
+    TJ-with-kerning / ``'`` and literal / hex strings (every reader
+    path on the hash path) — and
     :func:`~bertrand_spark.pipeline.pdftext.extract_pdf_text` must
     recover EXACTLY title+newline+body.  Simple fonts carry latin-1,
     so the body is pre-folded to ASCII (non-ASCII → '?') with the
@@ -4596,9 +4599,11 @@ def x49(spark, sf_dir):
             fold = _re.sub(r"[^ -~\n]", "?", t or "")
             page = "Document %d" % i + ("\n" + fold if fold else "")
             lines = page.split("\n")
+            modern = bool(i % 2)
             out.append(pdf_write(
                 ["\n".join(lines[k:k + 20])
-                 for k in range(0, len(lines), 20)]))
+                 for k in range(0, len(lines), 20)],
+                objstm=modern, predictor=modern))
         return pd.Series(out)
 
     return d.select(

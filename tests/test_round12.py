@@ -378,8 +378,6 @@ class TestPdfExtract:
         t = "classified text"
         assert _extract_pdf_one(pdf_write([t], encrypt=True)) == (
             None, "encrypted", None)
-        assert _extract_pdf_one(pdf_write([t], xref_stream=True)) == (
-            None, "xref-stream", None)
         assert _extract_pdf_one(pdf_write([t], type0_font=True)) == (
             None, "cid-font", 1)
         assert _extract_pdf_one(pdf_write([t], bad_filter=True)) == (
@@ -387,6 +385,66 @@ class TestPdfExtract:
         assert _extract_pdf_one(b"not a pdf at all") == (
             None, "not-pdf", None)
         assert _extract_pdf_one(None) == (None, None, None)
+
+    def test_xref_stream_and_objstm_layouts(self):
+        """PDF 1.5+ cross-reference streams and object streams — the
+        layout nearly every modern writer emits — round-trip exactly,
+        with and without the PNG Up predictor on the xref rows."""
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        t = "modern layout body text\nsecond line of it\nthird one"
+        for kwargs in ({"xref_stream": True},
+                       {"xref_stream": True, "predictor": True},
+                       {"objstm": True},
+                       {"objstm": True, "predictor": True},
+                       {"objstm": True, "predictor": True,
+                        "flate": False}):
+            got = _extract_pdf_one(pdf_write([t, "page two"], **kwargs))
+            assert got == (t + "\npage two", "extracted", 2), (
+                kwargs, got)
+        # encryption detected from the xref stream's trailer fields
+        assert _extract_pdf_one(
+            pdf_write([t], xref_stream=True, encrypt=True)) == (
+            None, "encrypted", None)
+
+    def test_cid_tounicode_decodes(self):
+        """Composite (/Type0 Identity-H) fonts WITH a /ToUnicode CMap
+        decode exactly — the path public extractors take; full
+        Unicode flows through the 2-byte CID codes.  Without the
+        CMap the text is genuinely undecodable and keeps the cid
+        degrade."""
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        t = "composite font text\nsecond line with spaces\nthird"
+        assert _extract_pdf_one(pdf_write(
+            [t, "page two"], type0_font=True, tounicode=True)) == (
+            t + "\npage two", "extracted", 2)
+        u = "caf\u00e9 d\u00e9j\u00e0 \u2014 \u03a9\u03bc \u4e2d\u6587"
+        got = _extract_pdf_one(pdf_write(
+            [u], type0_font=True, tounicode=True, op_mix=False))
+        assert got[0] == u and got[1] == "extracted"
+        # CID + the modern layout compose
+        assert _extract_pdf_one(pdf_write(
+            [t], type0_font=True, tounicode=True, objstm=True,
+            predictor=True)) == (t, "extracted", 1)
+        # no /ToUnicode: the degrade class holds
+        assert _extract_pdf_one(pdf_write(
+            [t], type0_font=True)) == (None, "cid-font", 1)
+
+    def test_corrupt_xref_stream_scan_recovers_objstm_members(self):
+        """A clobbered startxref forces the object scan, which must
+        still find the catalog INSIDE the object stream (where modern
+        writers put it)."""
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        pdf = bytearray(pdf_write(["scan me from objstm"], objstm=True))
+        i = pdf.rfind(b"startxref")
+        pdf[i + 11] = ord("1")
+        assert _extract_pdf_one(bytes(pdf)) == (
+            "scan me from objstm", "extracted-scan", 1)
 
     def test_broken_xref_recovers_by_scan(self):
         """Zeroed xref offsets (structurally valid table, useless
@@ -449,6 +507,18 @@ class TestPdfExtract:
         text, cid, shown = _page_text(None, content, {})
         assert text == "before\nafter" and shown and not cid
 
+    def test_junk_prefixed_header(self):
+        """ISO 32000 tolerates bytes before %PDF- (within 1 KiB) —
+        common in crawled payloads; offsets stay header-relative."""
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     pdf_write)
+
+        pdf = pdf_write(["junk prefixed body"])
+        assert _extract_pdf_one(b"\r\nGARBAGE" + pdf) == (
+            "junk prefixed body", "extracted", 1)
+        # beyond the 1 KiB window: not a PDF
+        assert _extract_pdf_one(b"x" * 2000 + pdf)[1] == "not-pdf"
+
     def test_fuzz_never_raises(self):
         import random
 
@@ -456,14 +526,19 @@ class TestPdfExtract:
                                                      pdf_write)
 
         rng = random.Random(1249)
-        base = pdf_write(["some stable text\nsecond line of it"],
-                         flate=False)
-        for _ in range(300):
-            b = bytearray(base)
-            for _ in range(rng.randrange(1, 8)):
-                b[rng.randrange(len(b))] = rng.randrange(256)
-            out = _extract_pdf_one(bytes(b))
-            assert isinstance(out, tuple) and len(out) == 3
+        bases = [
+            pdf_write(["some stable text\nsecond line of it"],
+                      flate=False),
+            pdf_write(["modern layout fuzz base\nline two"],
+                      objstm=True, predictor=True),
+        ]
+        for base in bases:
+            for _ in range(300):
+                b = bytearray(base)
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                out = _extract_pdf_one(bytes(b))
+                assert isinstance(out, tuple) and len(out) == 3
         for _ in range(100):
             junk = b"%PDF-" + bytes(
                 rng.randrange(256) for _ in range(rng.randrange(0, 400)))
@@ -493,7 +568,7 @@ class TestPdfExtract:
         assert got[4].status == "cid-font"
         assert got[5].status == "not-pdf"
         assert got[6].status is None and got[6].text is None
-        rep = {r.status: r for r in pdf_format_report(df, ex).collect()}
+        rep = {r.status: r for r in pdf_format_report(ex).collect()}
         assert rep["extracted"].n_docs == 2
         assert rep["extracted"].n_pages == 3
         assert rep["encrypted"].n_docs == 1
