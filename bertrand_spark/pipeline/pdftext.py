@@ -6,8 +6,10 @@ extends the engine per the LLM-pipeline brief, sized against public
 PDF 1.4–1.7 structure (ISO 32000): xref walk — classic tables AND
 the PDF 1.5+ cross-reference STREAMS + object streams (``/ObjStm``)
 nearly every modern writer emits, including PNG-predictor-filtered
-xref rows — page tree, FlateDecode/ASCIIHexDecode content streams,
-and the text-showing operators (``Tj``/``TJ``/``'``/``"`` with
+xref rows — page tree, Flate/LZW/ASCIIHex/RunLength content
+streams (LZW is the TIFF/PDF MSB-first variant with 9–12-bit codes
+and clear-on-full; filter arrays cascade in order), and the
+text-showing operators (``Tj``/``TJ``/``'``/``"`` with
 ``Td``/``TD``/``T*``/``Tm`` line breaks).  Everything a stdlib
 parser cannot honestly decode degrades to a VISIBLE status class —
 the same contract as every codec in :mod:`.multimodal`:
@@ -369,6 +371,147 @@ def _apply_predictor(parms: dict, data: bytes) -> bytes:
     return img.tobytes()
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000 §7.4.4): MSB-first packing, variable
+    code width 9→12 bits, 256=clear, 257=EOD, EarlyChange=1 (the
+    default: the width bumps one code BEFORE the table fills).  The
+    TIFF/PDF variant — distinct from GIF's LSB-first LZW in the codec
+    stack."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise _PdfError("bad LZW start code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise _PdfError("bad LZW code")
+            out += entry
+            prev = entry
+            # EarlyChange=1: grow one code early
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # missing EOD: lenient, keep what decoded
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Writer twin of :func:`_lzw_decode` (fixture gating only):
+    MSB-first, 9→12-bit codes, clear-on-full; the width bump fires
+    when ``next_code`` reaches the width's capacity — verified
+    aligned with the decoder across every boundary and the 4096
+    table reset."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Writer twin of :func:`_rle_decode`: runs of ≥3 identical bytes
+    as repeats, everything else as ≤128-byte literal chunks."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (ISO 32000 §7.4.5): length byte L —
+    0..127 = copy L+1 literal bytes, 129..255 = repeat next byte
+    257-L times, 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - ln)
+                i += 1
+    return bytes(out)
+
+
 def _apply_filters(dct: dict, raw: bytes, deref=lambda v: v) -> bytes:
     """Decode a stream's /Filter chain (+ per-filter /DecodeParms).
     ``deref`` resolves indirect values when a doc is available; the
@@ -396,6 +539,14 @@ def _apply_filters(dct: dict, raw: bytes, deref=lambda v: v) -> bytes:
             if len(digits) % 2:
                 digits += b"0"
             raw = binascii.unhexlify(digits)
+        elif f in ("LZWDecode", "LZW"):
+            if isinstance(pm, dict) and pm.get("EarlyChange", 1) == 0:
+                raise _UnsupportedFilter("LZW EarlyChange=0")
+            raw = _lzw_decode(raw)
+            if isinstance(pm, dict):
+                raw = _apply_predictor(pm, raw)
+        elif f in ("RunLengthDecode", "RL"):
+            raw = _rle_decode(raw)
         else:
             raise _UnsupportedFilter(str(f))
     return raw
@@ -1009,6 +1160,8 @@ def pdf_write(
     predictor: bool = False,
     type0_font: bool = False,
     tounicode: bool = False,
+    lzw: bool = False,
+    rle: bool = False,
     bad_filter: bool = False,
     break_xref: bool = False,
 ) -> bytes:
@@ -1066,6 +1219,11 @@ def pdf_write(
         content = _content_for(text, op_mix, cid=type0_font)
         if bad_filter:
             filt, data = b"/Filter /JBIG2Decode ", content
+        elif lzw:
+            filt, data = b"/Filter /LZWDecode ", _lzw_encode(content)
+        elif rle:
+            filt, data = (b"/Filter /RunLengthDecode ",
+                          _rle_encode(content))
         elif flate:
             filt, data = b"/Filter /FlateDecode ", zlib.compress(content)
         else:

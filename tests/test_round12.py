@@ -507,6 +507,46 @@ class TestPdfExtract:
         text, cid, shown = _page_text(None, content, {})
         assert text == "before\nafter" and shown and not cid
 
+    def test_lzw_and_rle_filters(self):
+        """LZWDecode (the TIFF/PDF MSB-first variant, 9-12-bit codes,
+        EarlyChange default, clear-on-full) and RunLengthDecode round
+        trip at the kernel level and through whole documents,
+        composing with the modern layout."""
+        import random
+
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     _lzw_decode,
+                                                     _lzw_encode,
+                                                     _rle_decode,
+                                                     _rle_encode,
+                                                     pdf_write)
+
+        rng = random.Random(7)
+        cases = (b"", b"a", b"ab" * 5000, b"z" * 5000,
+                 bytes(rng.randrange(256) for _ in range(30000)),
+                 bytes(rng.randrange(4) for _ in range(25000)))
+        for d in cases:  # crosses every width boundary + table reset
+            assert _lzw_decode(_lzw_encode(d)) == d
+            assert _rle_decode(_rle_encode(d)) == d
+        t = "filter coverage text\nsecond line here\nthird words"
+        for kwargs in ({"lzw": True}, {"rle": True},
+                       {"lzw": True, "objstm": True, "predictor": True}):
+            assert _extract_pdf_one(pdf_write(
+                [t, "page two"], **kwargs)) == (
+                t + "\npage two", "extracted", 2), kwargs
+
+    def test_filter_chain(self):
+        """A /Filter ARRAY decodes in array order (hex wrapper around
+        LZW — the cascade shape real generators emit)."""
+        from bertrand_spark.pipeline.pdftext import (_apply_filters,
+                                                     _lzw_encode)
+
+        content = b"BT (chained) Tj ET payload bytes"
+        wire = _lzw_encode(content).hex().encode() + b">"
+        out = _apply_filters(
+            {"Filter": ["ASCIIHexDecode", "LZWDecode"]}, wire)
+        assert out == content
+
     def test_junk_prefixed_header(self):
         """ISO 32000 tolerates bytes before %PDF- (within 1 KiB) —
         common in crawled payloads; offsets stay header-relative."""
