@@ -15,9 +15,11 @@ own ``__all__`` is authoritative):
 * :mod:`.htmltext` — HTML→text main-content extraction
   (:func:`~.htmltext.extract_html_text`), mojibake repair
   (:func:`~.htmltext.fix_mojibake`)
-* :mod:`.pdftext` — stdlib-subset PDF→text extraction
-  (:func:`~.pdftext.extract_pdf_text`; classic xref + Flate content
-  streams, visible degrade classes for encrypted/CID/xref-stream)
+* :mod:`.pdftext` — stdlib PDF→text extraction
+  (:func:`~.pdftext.extract_pdf_text`; classic + PDF 1.5 xref/object
+  streams, Flate/LZW/ASCIIHex/RunLength, ToUnicode CID text, visible
+  degrade classes) and :func:`~.pdftext.pdf_metadata` (/Info +
+  page count)
 * :mod:`.curation` — decontamination, PII redaction, sequence packing,
   deterministic sampling, temperature resampling, repetition scoring
 * :mod:`.multimodal` — binary media columns, sniff/decode/resize/frame
@@ -98,5 +100,6 @@ from .htmltext import (  # noqa: F401
 from .pdftext import (  # noqa: F401
     extract_pdf_text,
     pdf_format_report,
+    pdf_metadata,
     pdf_write,
 )

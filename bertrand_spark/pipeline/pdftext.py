@@ -61,7 +61,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_pdf_text", "pdf_format_report", "pdf_write"]
+__all__ = ["extract_pdf_text", "pdf_format_report", "pdf_metadata",
+           "pdf_write"]
 
 
 # --- low-level object parser ------------------------------------------------
@@ -969,6 +970,96 @@ def _walk_pages(doc: _Doc, node, inherited_res, out, depth=0):
             _walk_pages(doc, kid, res, out, depth + 1)
 
 
+# document-information dictionary fields surfaced by pdf_metadata —
+# the same head-only shape as htmltext.extract_html_metadata
+_INFO_FIELDS = ("title", "author", "subject", "keywords", "producer",
+                "creator", "creation_date")
+_INFO_KEYS = ("Title", "Author", "Subject", "Keywords", "Producer",
+              "Creator", "CreationDate")
+
+
+def _text_string(raw: bytes) -> str:
+    """A PDF *text string* (ISO 32000 §7.9.2.2 — /Info values,
+    outline titles): UTF-16BE when BOM-prefixed, else
+    PDFDocEncoding ≈ latin-1."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+def _pdf_meta_one(b):
+    """One payload → (title, author, ..., n_pages, status) tuple for
+    :func:`pdf_metadata` — structure-only (no content streams are
+    decoded), so cost is bounded by the xref/Info/page-tree walk.
+    Never raises."""
+    nulls = (None,) * len(_INFO_FIELDS)
+    if b is None:
+        return nulls + (None, None)
+    try:
+        data = bytes(b)
+        if not data.startswith(b"%PDF-"):
+            k = data[:1024].find(b"%PDF-")
+            if k < 0:
+                return nulls + (None, "not-pdf")
+            data = data[k:]
+        try:
+            doc = _load_doc(data)
+        except _PdfError:
+            try:
+                doc = _scan_doc(data)
+            except _PdfError:
+                return nulls + (None, "parse-failed")
+        fields = []
+        try:
+            info = doc.deref(doc.trailer.get("Info"))
+        except _PdfError:
+            info = None
+        for key in _INFO_KEYS:
+            v = None
+            if isinstance(info, dict):
+                try:
+                    v = doc.deref(info.get(key))
+                except _PdfError:
+                    v = None
+            fields.append(_text_string(v) if isinstance(v, bytes)
+                          else None)
+        n_pages = None
+        try:
+            root = doc.deref(doc.trailer.get("Root"))
+            if isinstance(root, dict):
+                pages: list = []
+                _walk_pages(doc, root.get("Pages"), None, pages)
+                n_pages = len(pages)
+        except _PdfError:
+            pass
+        status = ("encrypted"
+                  if doc.trailer.get("Encrypt") is not None else "ok")
+        return tuple(fields) + (n_pages, status)
+    except Exception:
+        return nulls + (None, "parse-failed")
+
+
+def pdf_metadata(payload: Column) -> Column:
+    """Binary PDF payload → ``struct<title, author, subject,
+    keywords, producer, creator, creation_date, n_pages, status>`` —
+    the PDF twin of
+    :func:`~bertrand_spark.pipeline.htmltext.extract_html_metadata`:
+    structure-only (Info dictionary + page-tree count, text strings
+    decoded per the UTF-16BE-BOM/PDFDocEncoding rule), so a huge
+    document costs only its xref walk.  Works on encrypted documents
+    too when the metadata is not itself encrypted (status
+    ``encrypted`` flags them).  Arrow-batched, never raises."""
+
+    @F.pandas_udf("struct<%s, n_pages: int, status: string>" % ", ".join(
+        "%s: string" % f for f in _INFO_FIELDS))
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_pdf_meta_one(p) for p in payloads]
+        return pd.DataFrame(
+            rows, columns=list(_INFO_FIELDS) + ["n_pages", "status"])
+
+    return kernel(payload)
+
+
 def _try_extract(doc: _Doc):
     """(text, status, n_pages) from a loaded doc; raises
     :class:`_PdfError` when root/page-tree resolution fails (so the
@@ -1164,6 +1255,7 @@ def pdf_write(
     rle: bool = False,
     bad_filter: bool = False,
     break_xref: bool = False,
+    info: dict | None = None,
 ) -> bytes:
     """In-repo PDF writer (the test/gating twin of
     :func:`extract_pdf_text`): ``pages`` is a list of page texts.
@@ -1236,6 +1328,22 @@ def pdf_write(
             b"/Contents %d 0 R >>" % (pages_obj, font, cnum)))
     enc = add(b"<< /Filter /Standard /V 1 /R 2 /O (x) /U (x) /P -44 >>") \
         if encrypt else None
+    info_num = None
+    if info:
+        def _txt(v: str) -> bytes:
+            try:
+                v.encode("latin-1")
+            except UnicodeEncodeError:
+                # text-string rule: UTF-16BE with BOM
+                return (b"<" + (b"\xfe\xff"
+                                + v.encode("utf-16-be")).hex().encode()
+                        + b">")
+            return b"(" + _esc_lit(v) + b")"
+
+        info_num = add(
+            b"<< " + b" ".join(
+                b"/" + k.encode() + b" " + _txt(v)
+                for k, v in info.items()) + b" >>")
     bodies[root - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_obj
     bodies[pages_obj - 1] = (
         b"<< /Type /Pages /Kids [" +
@@ -1271,6 +1379,8 @@ def pdf_write(
         out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
 
     trailer_extra = b" /Encrypt %d 0 R" % enc if encrypt else b""
+    if info_num is not None:
+        trailer_extra += b" /Info %d 0 R" % info_num
     if xref_stream:
         # real PDF 1.5 cross-reference stream: W [1 3 1] rows (type,
         # offset-or-objstm, gen-or-index), Flate, optional PNG Up

@@ -559,6 +559,44 @@ class TestPdfExtract:
         # beyond the 1 KiB window: not a PDF
         assert _extract_pdf_one(b"x" * 2000 + pdf)[1] == "not-pdf"
 
+    def test_pdf_metadata(self, spark):
+        """pdf_metadata — the PDF twin of extract_html_metadata:
+        /Info dictionary (text strings per the UTF-16BE-BOM /
+        PDFDocEncoding rule) + page count, structure-only, readable
+        even on encrypted documents."""
+        from bertrand_spark.pipeline.pdftext import (pdf_metadata,
+                                                     pdf_write)
+
+        info = {"Title": "Crawl Report",
+                "Author": "\u03a9 \u2014 \u4e2d\u6587 author",
+                "Producer": "bertrand_spark",
+                "CreationDate": "D:20260101000000Z"}
+        rows = [
+            (1, pdf_write(["body", "page two"], info=info)),
+            (2, pdf_write(["x"], info=info, objstm=True,
+                          predictor=True)),
+            (3, pdf_write(["x"], info=info, encrypt=True)),
+            (4, pdf_write(["x"])),
+            (5, b"junk"),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r.m for r in df.select(
+            "doc_id", pdf_metadata(F.col("payload")).alias("m")
+        ).collect()}
+        assert got[1].title == "Crawl Report"
+        assert got[1].author == "\u03a9 \u2014 \u4e2d\u6587 author"
+        assert got[1].creation_date == "D:20260101000000Z"
+        assert got[1].n_pages == 2 and got[1].status == "ok"
+        # the modern layout carries /Info in the xref-stream dict
+        assert got[2].title == "Crawl Report" and got[2].status == "ok"
+        # encrypted: metadata still readable, visibly flagged
+        assert got[3].title == "Crawl Report"
+        assert got[3].status == "encrypted"
+        assert got[4].title is None and got[4].status == "ok"
+        assert got[5].status == "not-pdf"
+        assert got[6].status is None
+
     def test_fuzz_never_raises(self):
         import random
 
