@@ -71,6 +71,13 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+# Hard per-stream decode ceiling: crafted Flate/LZW/RLE payloads can
+# expand 1000x+ (decompression bombs); one hostile document must cost
+# bounded memory/CPU, never stall a task.  64 MiB decoded is far above
+# any real content stream.
+_MAX_STREAM = 1 << 26
 
 
 class _Ref:
@@ -234,7 +241,7 @@ def _parse_value(b, i):
     m = _NUM_RE.match(b, i)
     if m:
         # "N G R" indirect reference?
-        m2 = re.compile(rb"(\d+)\s+(\d+)\s+R\b").match(b, i)
+        m2 = _REF_RE.match(b, i)
         if m2:
             return _Ref(int(m2.group(1))), m2.end()
         tok = m.group(0)
@@ -397,6 +404,8 @@ def _lzw_decode(data: bytes) -> bytes:
                 continue
             if code == 257:  # EOD
                 return bytes(out)
+            if len(out) > _MAX_STREAM:  # LZW bomb: bounded cost
+                raise _PdfError("stream exceeds decode ceiling")
             if prev is None:
                 if code >= len(table):
                     raise _PdfError("bad LZW start code")
@@ -510,6 +519,8 @@ def _rle_decode(data: bytes) -> bytes:
             if i < n:
                 out += bytes([data[i]]) * (257 - ln)
                 i += 1
+        if len(out) > _MAX_STREAM:  # 128x expansion bomb: bounded
+            raise _PdfError("stream exceeds decode ceiling")
     return bytes(out)
 
 
@@ -529,9 +540,15 @@ def _apply_filters(dct: dict, raw: bytes, deref=lambda v: v) -> bytes:
         if f in ("FlateDecode", "Fl"):
             d = zlib.decompressobj()
             try:
-                raw = d.decompress(raw) + d.flush()
+                # bounded: a deflate bomb stops at the ceiling
+                out = d.decompress(raw, _MAX_STREAM + 1)
+                if len(out) <= _MAX_STREAM:
+                    out += d.flush()
             except zlib.error as e:
                 raise _PdfError("bad deflate") from e
+            if len(out) > _MAX_STREAM:
+                raise _PdfError("stream exceeds decode ceiling")
+            raw = out
             if isinstance(pm, dict):
                 raw = _apply_predictor(pm, raw)
         elif f in ("ASCIIHexDecode", "AHx"):
@@ -812,6 +829,8 @@ def _parse_tounicode(data: bytes) -> dict:
         for k in range(0, len(seg) - step + 1, step):
             if seg[k][0] != "str" or seg[k + 1][0] != "str":
                 continue
+            if len(cmap) > 0x20000:
+                return cmap  # hostile CMap: bounded total work
             lo = int.from_bytes(seg[k][1], "big")
             if is_range:
                 hi = int.from_bytes(seg[k + 1][1], "big")
@@ -922,9 +941,15 @@ def _page_fonts(doc: _Doc, resources) -> dict:
     /ToUnicode CMap decodes like public extractors do; without one
     its text is undecodable (the cid degrade class)."""
     fonts = {}
-    res = doc.deref(resources) if resources is not None else None
+    try:
+        res = doc.deref(resources) if resources is not None else None
+    except _PdfError:
+        return fonts  # broken resources: text still extracts as simple
     if isinstance(res, dict):
-        fdict = doc.deref(res.get("Font"))
+        try:
+            fdict = doc.deref(res.get("Font"))
+        except _PdfError:
+            return fonts
         if isinstance(fdict, dict):
             for k, v in fdict.items():
                 try:
@@ -967,7 +992,10 @@ def _walk_pages(doc: _Doc, node, inherited_res, out, depth=0):
     kids = doc.deref(d.get("Kids"))
     if isinstance(kids, list):
         for kid in kids:
-            _walk_pages(doc, kid, res, out, depth + 1)
+            try:
+                _walk_pages(doc, kid, res, out, depth + 1)
+            except _PdfError:
+                continue  # one broken kid must not kill its siblings
 
 
 # document-information dictionary fields surfaced by pdf_metadata —

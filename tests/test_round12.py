@@ -559,6 +559,28 @@ class TestPdfExtract:
         # beyond the 1 KiB window: not a PDF
         assert _extract_pdf_one(b"x" * 2000 + pdf)[1] == "not-pdf"
 
+    def test_decode_bombs_bounded(self):
+        """Crafted Flate/RLE payloads expanding 1000x+ (decompression
+        bombs) must cost bounded memory and time — one hostile
+        document can never stall a task.  The 64 MiB ceiling raises
+        a visible per-page degrade, not an OOM."""
+        import time
+        import zlib as _z
+
+        import pytest as _pytest
+
+        from bertrand_spark.pipeline.pdftext import (_PdfError,
+                                                     _apply_filters,
+                                                     _rle_decode)
+
+        bomb = _z.compress(b"\x00" * (1 << 28), 9)  # 256 MB of zeros
+        t0 = time.perf_counter()
+        with _pytest.raises(_PdfError):
+            _apply_filters({"Filter": "FlateDecode"}, bomb)
+        assert time.perf_counter() - t0 < 5
+        with _pytest.raises(_PdfError):
+            _rle_decode(b"\x81\x00" * (1 << 21))  # 256 MB expansion
+
     def test_pdf_metadata(self, spark):
         """pdf_metadata — the PDF twin of extract_html_metadata:
         /Info dictionary (text strings per the UTF-16BE-BOM /
