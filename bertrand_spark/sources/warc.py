@@ -35,7 +35,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "warc_records", "parse_warc", "warc_write"]
+__all__ = ["read_warc", "read_warc_streaming", "warc_records",
+           "parse_warc", "warc_write"]
 
 _SCHEMA = ("path string, url string, warc_ts string, "
            "record_type string, mime string, charset string, "
@@ -223,9 +224,117 @@ def read_warc(
     ``binaryFile`` lists and reads the files (one input row per file —
     the parallel unit; Spark spreads files across executors, no
     shuffle anywhere in the plan), and the stdlib record walk runs as
-    an Arrow-batched ``mapInPandas`` (:func:`warc_records`)."""
+    an Arrow-batched ``mapInPandas`` (:func:`warc_records`).  Holds
+    one whole file (plus its decompressed records) per task — fine at
+    test/moderate segment sizes; for crawl-sized ~1 GB segments use
+    :func:`read_warc_streaming`, which is bounded-memory."""
     return warc_records(
         spark.read.format("binaryFile").load(path), record_types)
+
+
+def _iter_warc_records(fobj) -> Iterator[tuple[dict, bytes]]:
+    """(warc_headers, payload) records streamed INCREMENTALLY off a
+    buffered binary reader of the UNCOMPRESSED stream — never more
+    than one record in memory (the bounded-memory twin of
+    :func:`_split_records`).  A truncated/corrupt tail (EOFError /
+    zlib.error mid-read, short payload) ends the walk with the
+    records already yielded."""
+    try:
+        while True:
+            line = fobj.readline()
+            if not line.startswith(b"WARC/"):
+                return
+            hdrs = {}
+            while True:
+                line = fobj.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                k, sep, v = line.decode("utf-8", "replace").partition(":")
+                if sep:
+                    hdrs[k.strip().lower()] = v.strip()
+            try:
+                clen = int(hdrs.get("content-length", ""))
+            except ValueError:
+                return
+            if clen < 0:
+                return
+            payload = fobj.read(clen)
+            if len(payload) < clen:
+                return  # truncated payload
+            yield hdrs, payload
+            # the two record-terminating CRLFs (tolerate sloppiness)
+            while fobj.peek(2)[:2] == b"\r\n":
+                fobj.read(2)
+    except (OSError, EOFError, zlib.error):
+        return  # truncated / corrupt member: keep the parsed prefix
+
+
+def read_warc_streaming(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Bounded-memory :func:`read_warc`: same output schema, but each
+    task holds ~one RECORD at a time instead of a whole segment.
+
+    ``binaryFile`` does the LISTING only — selecting just ``path``
+    prunes the content column, so no file bytes flow through Spark —
+    and each Python worker opens its files directly
+    (``gzip.GzipFile`` over the local/mounted path, concatenated
+    members handled natively), streaming records off the decompressor
+    in ``batch_rows`` chunks.  This is the 100 TB shape for ~1 GB
+    crawl segments: peak memory per task is O(record), not
+    O(segment + decompressed segment).  Paths must be
+    worker-openable (local disk, NFS/FUSE mounts — the usual cluster
+    layouts); for object stores without a mount, use
+    :func:`read_warc`."""
+    rts = tuple(record_types)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "url", "warc_ts", "record_type",
+                "mime", "charset", "http_status", "payload"]
+        for pdf in it:
+            for p in pdf["path"]:
+                local = p[5:] if p.startswith("file:") else p
+                rows = []
+                try:
+                    with open(local, "rb") as fh:
+                        if fh.read(2) == b"\x1f\x8b":
+                            fh.seek(0)
+                            # GzipFile walks concatenated members
+                            # natively and buffers its own reads
+                            fobj = gzip.GzipFile(fileobj=fh)
+                        else:
+                            fh.seek(0)
+                            fobj = fh
+                        for hdrs, payload in _iter_warc_records(fobj):
+                            rtype = hdrs.get("warc-type", "")
+                            if rts and rtype not in rts:
+                                continue
+                            status, mime, charset, body = \
+                                _split_http(payload)
+                            if mime is None:
+                                ct = hdrs.get("content-type", "")
+                                if ct and not ct.lower().startswith(
+                                        "application/http"):
+                                    mime = (ct.split(";")[0].strip()
+                                            .lower() or None)
+                            rows.append((
+                                p, hdrs.get("warc-target-uri"),
+                                hdrs.get("warc-date"), rtype or None,
+                                mime, charset, status, body,
+                            ))
+                            if len(rows) >= batch_rows:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
+                except Exception:
+                    pass  # per-file degrade, never a task death
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(batches, _SCHEMA)
 
 
 def warc_write(

@@ -103,6 +103,72 @@ class TestWarcLinearMemberWalk:
             assert isinstance(got, list) and len(got) <= 20
 
 
+class TestWarcStreamingReader:
+    """read_warc_streaming — the bounded-memory twin of read_warc for
+    crawl-sized segments: binaryFile does the LISTING only (content
+    column pruned from the scan), each worker opens its files
+    directly and streams records off the decompressor one at a time
+    (O(record) peak memory, not O(segment))."""
+
+    def test_parity_with_batch_reader(self, spark, tmp_path):
+        from bertrand_spark.sources.warc import (read_warc,
+                                                 read_warc_streaming,
+                                                 warc_write)
+
+        recs = [{"url": f"http://ex.com/{i}",
+                 "ts": "2026-01-01T00:00:00Z",
+                 "body": b"<p>%d</p>" % i} for i in range(500)]
+        d = tmp_path / "w"
+        d.mkdir()
+        (d / "a.warc.gz").write_bytes(warc_write(recs[:300]))
+        (d / "b.warc").write_bytes(
+            warc_write(recs[300:450], gzip_members=False))
+        blob = warc_write(recs[450:])  # truncated: prefix only
+        (d / "c.warc.gz").write_bytes(blob[:len(blob) // 2])
+
+        batch = read_warc(spark, str(d), record_types=()).collect()
+        stream = read_warc_streaming(
+            spark, str(d), record_types=(), batch_rows=64).collect()
+        assert sorted((r.url, bytes(r.payload)) for r in batch) ==                sorted((r.url, bytes(r.payload)) for r in stream)
+        assert len(batch) == 475  # 300 + 150 + truncated prefix
+
+    def test_listing_scan_prunes_content(self, spark, tmp_path):
+        """No file bytes flow through Spark: the binaryFile scan reads
+        ONLY the path column."""
+        from bertrand_spark.sources.warc import (read_warc_streaming,
+                                                 warc_write)
+
+        d = tmp_path / "w"
+        d.mkdir()
+        (d / "a.warc.gz").write_bytes(warc_write([
+            {"url": "http://a/", "ts": "t", "body": b"x"}]))
+        df = read_warc_streaming(spark, str(d))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "content" not in read_schema
+        assert "path" in read_schema
+
+    def test_incremental_record_iter_degrades(self):
+        import gzip as _gz
+        import io as _io
+
+        from bertrand_spark.sources.warc import (_iter_warc_records,
+                                                 warc_write)
+
+        blob = warc_write(
+            [{"url": f"http://e/{i}", "ts": "t", "body": b"b" * 64}
+             for i in range(20)])
+        fobj = _gz.GzipFile(fileobj=_io.BytesIO(blob))
+        assert len(list(_iter_warc_records(fobj))) == 20
+        # truncated compressed tail: parsed prefix, no raise
+        fobj = _gz.GzipFile(fileobj=_io.BytesIO(blob[:len(blob) // 2]))
+        got = list(_iter_warc_records(fobj))
+        assert 0 < len(got) < 20
+        # garbage: empty, no raise
+        assert list(_iter_warc_records(_io.BufferedReader(
+            _io.BytesIO(b"not a warc at all")))) == []
+
+
 class TestCharsetNonTextCodec:
     """ADVICE r11 (high): a <meta charset> or transport charset naming
     a NON-TEXT codec (hex, base64, rot13, zlib, uu, quopri) makes
