@@ -4613,13 +4613,73 @@ def x49(spark, sf_dir):
     )
 
 
+@query(
+    "x50_warc_roundtrip",
+    """
+    SELECT doc_id,
+           'http://corpus.example/' || doc_id AS url,
+           200 AS http_status,
+           'text/html' AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN 'utf-8' END AS charset,
+           coalesce(text, '') AS body
+    FROM documents
+    """,
+)
+def x50(spark, sf_dir):
+    """WARC ingestion on the oracle hash path (round 12): each
+    document is packaged as a REAL WARC file — a gzip member chain
+    for odd doc_ids, plain for even (both decompression paths), a
+    response record carrying the text as an HTTP entity body (with a
+    Content-Type charset parameter every third doc) PLUS a non-HTTP
+    resource record the default response filter must drop — and
+    re-parsed by the production reader kernel
+    (:func:`~bertrand_spark.sources.warc.parse_warc`).  URL, status,
+    cleaned mime, transport charset, and the byte-exact body are all
+    hashed against the documents-table identity.  One Arrow-batched
+    map pass (``_tw`` spreads the single-row-group testdata file)."""
+    from ..sources.warc import parse_warc, warc_write
+
+    d = _tw(spark, sf_dir, "documents")
+
+    @F.pandas_udf("struct<url: string, http_status: int, mime: string, "
+                  "charset: string, body: string>")
+    def roundtrip(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i, t in zip(ids, texts):
+            rec = {"url": "http://corpus.example/%d" % i,
+                   "ts": "2026-01-01T00:00:00Z",
+                   "body": (t or "").encode("utf-8")}
+            if i % 3 == 0:
+                rec["charset"] = "utf-8"
+            blob = warc_write(
+                [rec,
+                 {"url": "http://corpus.example/%d/raw" % i, "ts": "t",
+                  "body": b"dropped", "http": False,
+                  "record_type": "resource"}],
+                gzip_members=bool(i % 2))
+            (url, _ts, _rt, mime, charset, status, body
+             ) = parse_warc(blob)[0]
+            rows.append((url, status, mime, charset,
+                         body.decode("utf-8")))
+        return pd.DataFrame(rows, columns=[
+            "url", "http_status", "mime", "charset", "body"])
+
+    out = roundtrip("doc_id", "text")
+    return d.select(
+        "doc_id", out["url"].alias("url"),
+        out["http_status"].alias("http_status"),
+        out["mime"].alias("mime"), out["charset"].alias("charset"),
+        out["body"].alias("body"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
 # STANDING POLICY (rotating 50-slot window): the driver's correctness gate
-# runs exactly the FIRST 50 keys of ``queries()``.  With 112 oracle-backed
+# runs exactly the FIRST 50 keys of ``queries()``.  With 113 oracle-backed
 # queries and a 50-slot window, every query must re-enter the window at
-# least every ceil(112/50)=3 rounds so no driver attestation falls out of
+# least every ceil(113/50)=3 rounds so no driver attestation falls out of
 # the 3-round artifact union the cycle test checks.  Each round: (a) the
 # queries whose last attestation is about to age out fill the leading
 # slots; (b) the remaining slots refresh queries whose kernels/plans this
@@ -4634,14 +4694,16 @@ def x49(spark, sf_dir):
 # it carries) take the leading slots, as round 11's note committed
 # and the round-11 verdict re-verified.  x49 is NEW this round (the
 # PDF→text extractor — the oracle set grows 111→112 per the round-11
-# verdict's item 5) and needs its first attestation; x48 re-enters
-# because this round changed its plan (the Unicode-whitespace parity
-# fold on both engine sides).  The remaining 37 slots re-attest
-# r10-window names.  Thirteen structurally-stable r10 names (q31/q32
-# regex+map shapes; q36 profile; q41/q43/q45/q46/q47/q48/q49/q52/
-# q53/q55 pure TPC-H join/agg — all over code this round does not
-# touch) wait for round 13; the cycle test covers them via the r10
-# artifact, and round 13's rotation must lead with them.
+# verdict's item 5) and needs its first attestation, as does x50
+# (the WARC-roundtrip oracle — the reader was unit-gated only); x48
+# re-enters because this round changed its plan (the
+# Unicode-whitespace parity fold on both engine sides).  The
+# remaining 36 slots re-attest r10-window names.  Fourteen
+# structurally-stable r10 names (q31/q32 regex+map shapes; q36
+# profile; q41/q43/q45/q46/q47/q48/q49/q52/q53/q55 pure TPC-H
+# join/agg; x37 temperature resample — all over code this round does
+# not touch) wait for round 13; the cycle test covers them via the
+# r10 artifact, and round 13's rotation must lead with them.
 _DRIVER_ROTATION = [
     # r09-stale re-attestations (11): r09 leaves the 3-round union now
     "q02_typecheck_bounds", "q03_generic_casts", "q05_boundscheck",
@@ -4652,6 +4714,8 @@ _DRIVER_ROTATION = [
     "x49_pdf_extract",
     # plan touched this round (1): the x48 whitespace-parity fold
     "x48_html_extract",
+    # new this round (1): the WARC-roundtrip oracle
+    "x50_warc_roundtrip",
     # r10 re-attestations (37)
     "q01_detect_tags", "q04_rounding_rules", "q08_epoch_datetime",
     "q09_radix_format", "q11_datetime_units", "q12_string_to_bool",
@@ -4665,7 +4729,6 @@ _DRIVER_ROTATION = [
     "x13_media_sniff", "x14_media_decode", "x15_rolling_fingerprints",
     "x19_stream_rollup", "x21_redact_pii", "x22_pack_sequences",
     "x23_stratified_sample", "x24_repetition_score", "x27_corpus_stats",
-    "x37_temperature_resample",
 ]
 
 
@@ -4679,8 +4742,8 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 12: empty — the one new query (x49, the round-11 verdict's
-# item 5) fits the window; the set is otherwise frozen at the
+# Round 12: empty — both new queries (x49 per the round-11 verdict's
+# item 5, and the x50 WARC-roundtrip oracle) fit the window; the set is otherwise frozen at the
 # round-7 policy (depth, not query-count padding).
 _DEFERRED_NEW: list = []
 
