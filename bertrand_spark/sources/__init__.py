@@ -2,6 +2,7 @@
 archives."""
 
 from .reader import read_table, nanos_timestamp_columns
-from .warc import read_warc
+from .warc import read_warc, read_warc_streaming
 
-__all__ = ["read_table", "nanos_timestamp_columns", "read_warc"]
+__all__ = ["read_table", "nanos_timestamp_columns", "read_warc",
+           "read_warc_streaming"]
