@@ -31,6 +31,7 @@ import gzip
 import io
 import zlib
 from typing import Iterator
+from urllib.parse import unquote, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -238,10 +239,24 @@ def _iter_warc_records(fobj) -> Iterator[tuple[dict, bytes]]:
     than one record in memory (the bounded-memory twin of
     :func:`_split_records`).  A truncated/corrupt tail (EOFError /
     zlib.error mid-read, short payload) ends the walk with the
-    records already yielded."""
+    records already yielded.
+
+    Record terminators (the CRLF CRLF after each payload; bare-LF and
+    extra blanks tolerated) are consumed with ``readline``, NOT
+    ``peek``: ``BufferedReader.peek(2)``/``GzipFile.peek(2)`` only
+    guarantee >=1 byte, so at a decompression-chunk boundary that
+    splits a CRLF a peek-based loop saw just ``b'\\r'``, bailed, and
+    the orphaned newline failed the next version check — silently
+    dropping every remaining record in the file (only visible on
+    large single-member streams where chunk boundaries are not
+    record-aligned)."""
     try:
+        line = fobj.readline()
         while True:
-            line = fobj.readline()
+            # skip record-terminating blank lines; at EOF readline
+            # returns b"" which falls through to the version check
+            while line in (b"\r\n", b"\n"):
+                line = fobj.readline()
             if not line.startswith(b"WARC/"):
                 return
             hdrs = {}
@@ -262,11 +277,29 @@ def _iter_warc_records(fobj) -> Iterator[tuple[dict, bytes]]:
             if len(payload) < clen:
                 return  # truncated payload
             yield hdrs, payload
-            # the two record-terminating CRLFs (tolerate sloppiness)
-            while fobj.peek(2)[:2] == b"\r\n":
-                fobj.read(2)
+            line = fobj.readline()
     except (OSError, EOFError, zlib.error):
         return  # truncated / corrupt member: keep the parsed prefix
+
+
+def _worker_local_path(p: str) -> str:
+    """Worker-openable filesystem path for a Spark-emitted file URI.
+
+    ``binaryFile`` emits RFC-8089 ``file:`` URIs (usually the
+    no-authority ``file:/path`` form), so resolve with
+    ``urllib.parse`` rather than a prefix strip: a naive ``p[5:]``
+    mangled ``file://host/path`` (left ``//host/path``) and never
+    decoded percent-escapes.  A non-local authority is returned
+    unchanged — the open fails and the caller's per-file degrade
+    skips that file.  Non-``file`` schemes and plain paths pass
+    through untouched (no unquoting: a raw local path may contain a
+    literal ``%``)."""
+    if not p.startswith("file:"):
+        return p
+    u = urlparse(p)
+    if u.netloc and u.netloc.lower() != "localhost":
+        return p  # file://remote-host/... — not openable here
+    return unquote(u.path) or p
 
 
 def read_warc_streaming(
@@ -296,7 +329,7 @@ def read_warc_streaming(
                 "mime", "charset", "http_status", "payload"]
         for pdf in it:
             for p in pdf["path"]:
-                local = p[5:] if p.startswith("file:") else p
+                local = _worker_local_path(p)
                 rows = []
                 try:
                     with open(local, "rb") as fh:
