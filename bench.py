@@ -127,6 +127,33 @@ COMPOSITES = (
 )
 
 
+def fold_attempts(timings: dict, sf, attempts_dir: str,
+                  round_tag) -> tuple[dict, int]:
+    """(per-query minima, attempt count incl. this run) across the
+    attempt records in ``attempts_dir``.  A record folds only when its
+    ``sf`` matches AND (when this run has a round tag) its
+    ``round_tag`` matches — sf-only filtering let a mis-stamped
+    prior-round file leak into the round-12 composite."""
+    import glob as _glob
+
+    cross = {n: t for n, t in timings.items() if t >= 0}
+    n_attempts = 1
+    for f in sorted(_glob.glob(os.path.join(attempts_dir, "*.json"))):
+        try:
+            rec = json.load(open(f))
+        except Exception:
+            continue
+        if rec.get("sf") != sf or not rec.get("queries"):
+            continue
+        if round_tag and rec.get("round_tag") != round_tag:
+            continue  # prior-round / mis-stamped record: never fold
+        n_attempts += 1
+        for nq, t in rec["queries"].items():
+            if isinstance(t, (int, float)) and t > 0 and nq in cross:
+                cross[nq] = min(cross[nq], t)
+    return cross, n_attempts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
@@ -463,43 +490,48 @@ def main() -> None:
     # attempts support).  Previous rounds carried that composite only
     # in SCALE.md prose; it now travels IN the artifact.  Attempt
     # records live in SPARK_GRAFT_ATTEMPTS_DIR (default
-    # bench_attempts/current — reset each round), and every bench run
-    # appends its own payload there so the driver's run folds in the
-    # builder's idle-host attempts automatically.
+    # bench_attempts/current).
+    #
+    # Round-13 hygiene (round-12 ADVICE): (a) every attempt is stamped
+    # with the round tag (the committed ROUND_TAG file in the attempts
+    # dir, overridable via SPARK_GRAFT_ROUND_TAG) and the fold filters
+    # on it — sf alone let a mis-stamped prior-round record leak into
+    # the round-12 minima; (b) the append is OPT-IN
+    # (SPARK_GRAFT_APPEND_ATTEMPT=1, set by the builder's idle-host
+    # protocol) so merely running the benchmark never dirties a
+    # checkout; (c) filenames carry nanoseconds+pid so same-second
+    # runs cannot overwrite each other.
     attempts_dir = os.environ.get(
         "SPARK_GRAFT_ATTEMPTS_DIR",
         os.path.join(_REPO, "bench_attempts", "current"),
     )
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND_TAG")
+    if not round_tag:
+        try:
+            with open(os.path.join(attempts_dir, "ROUND_TAG")) as fh:
+                round_tag = fh.read().strip() or None
+        except OSError:
+            round_tag = None
+    payload["round_tag"] = round_tag
     if os.path.isdir(attempts_dir):
-        import glob as _glob
-
-        cross = {n: t for n, t in timings.items() if t >= 0}
-        n_attempts = 1
-        for f in sorted(_glob.glob(os.path.join(attempts_dir, "*.json"))):
-            try:
-                rec = json.load(open(f))
-            except Exception:
-                continue
-            if rec.get("sf") != sf or not rec.get("queries"):
-                continue
-            n_attempts += 1
-            for nq, t in rec["queries"].items():
-                if isinstance(t, (int, float)) and t > 0 and nq in cross:
-                    cross[nq] = min(cross[nq], t)
+        cross, n_attempts = fold_attempts(
+            timings, sf, attempts_dir, round_tag)
         if n_attempts > 1:
             payload["cross_attempt"] = {
                 "n_attempts": n_attempts,
                 "total_min": round(sum(cross.values()), 3),
                 "queries": cross,
             }
-        try:
-            out_path = os.path.join(
-                attempts_dir, "attempt_%d.json" % int(time.time())
-            )
-            with open(out_path, "w") as fh:
-                json.dump(payload, fh)
-        except OSError:
-            pass  # read-only checkout: the composite still printed
+        if os.environ.get("SPARK_GRAFT_APPEND_ATTEMPT") == "1":
+            try:
+                out_path = os.path.join(
+                    attempts_dir,
+                    "attempt_%d_%d.json" % (time.time_ns(), os.getpid()),
+                )
+                with open(out_path, "w") as fh:
+                    json.dump(payload, fh)
+            except OSError:
+                pass  # read-only checkout: the composite still printed
 
     print(json.dumps(payload))
 

@@ -114,3 +114,59 @@ class TestWorkerLocalPath:
             [{"url": "http://e/", "ts": "t", "body": b"payload"}]))
         rows = read_warc_streaming(spark, str(d)).collect()
         assert len(rows) == 1 and bytes(rows[0].payload) == b"payload"
+
+
+class TestBenchAttemptFold:
+    """ADVICE r12 (low x2): the cross-attempt fold filters on the
+    round tag, and bench runs never write attempt records unless
+    opted in."""
+
+    def _write(self, d, name, **kw):
+        import json
+        rec = {"sf": 0.1, "queries": {"qa": 2.0, "qb": 3.0}}
+        rec.update(kw)
+        (d / name).write_text(json.dumps(rec))
+
+    def test_same_round_folds_minima(self, tmp_path):
+        from bench import fold_attempts
+        self._write(tmp_path, "attempt_1_1.json",
+                    round_tag="r13", queries={"qa": 1.5, "qb": 9.0})
+        cross, n = fold_attempts(
+            {"qa": 2.0, "qb": 3.0}, 0.1, str(tmp_path), "r13")
+        assert n == 2 and cross == {"qa": 1.5, "qb": 3.0}
+
+    def test_other_round_and_untagged_records_rejected(self, tmp_path):
+        from bench import fold_attempts
+        # the round-12 leak shape: right sf, prior-round payload
+        self._write(tmp_path, "attempt_1_1.json",
+                    round_tag="r12", queries={"qa": 0.1})
+        self._write(tmp_path, "attempt_2_1.json",  # no tag at all
+                    queries={"qa": 0.1})
+        cross, n = fold_attempts(
+            {"qa": 2.0}, 0.1, str(tmp_path), "r13")
+        assert n == 1 and cross == {"qa": 2.0}
+
+    def test_wrong_sf_rejected(self, tmp_path):
+        from bench import fold_attempts
+        self._write(tmp_path, "attempt_1_1.json",
+                    round_tag="r13", sf=0.01, queries={"qa": 0.1})
+        cross, n = fold_attempts(
+            {"qa": 2.0}, 0.1, str(tmp_path), "r13")
+        assert n == 1 and cross == {"qa": 2.0}
+
+    def test_untagged_run_keeps_sf_only_behavior(self, tmp_path):
+        # out-of-repo use without a ROUND_TAG file: old semantics
+        from bench import fold_attempts
+        self._write(tmp_path, "attempt_1_1.json", queries={"qa": 0.5})
+        cross, n = fold_attempts(
+            {"qa": 2.0}, 0.1, str(tmp_path), None)
+        assert n == 2 and cross == {"qa": 0.5}
+
+    def test_append_is_opt_in_and_tag_committed(self):
+        import os
+        src = open("/root/repo/bench.py").read()
+        assert 'os.environ.get("SPARK_GRAFT_APPEND_ATTEMPT") == "1"' in src
+        assert "time.time_ns()" in src and "os.getpid()" in src
+        tag = open(
+            "/root/repo/bench_attempts/current/ROUND_TAG").read().strip()
+        assert tag  # the committed tag the fold filters on
