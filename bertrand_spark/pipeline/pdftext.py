@@ -19,8 +19,15 @@ the same contract as every codec in :mod:`.multimodal`:
   linear ``N G obj`` scan (the lenient path real crawl PDFs need),
   including members of any object streams the scan finds.
 * ``extracted-partial`` — some page's content stream was undecodable
-  (unsupported filter, corrupt deflate) or CID-encoded; the readable
-  pages' text is kept.
+  (unsupported filter, corrupt deflate) or CID-encoded, or the page
+  tree exceeded the hostile-structure caps (10k pages / depth 64);
+  the readable/collected pages' text is kept — truncation is never
+  silently reported as full extraction.
+* ``extracted-decrypted`` — the document was encrypted with the
+  standard security handler's RC4 (V 1/2, R 2/3) and an EMPTY user
+  password (permissions-only encryption, the common crawl case);
+  strings and streams were decrypted per ISO 32000-1 §7.6.3 and all
+  pages extracted.
 * ``cid-font`` — every shown string sits under a composite
   (``/Type0``) font WITHOUT a ``/ToUnicode`` CMap: bare CID codes
   are font-private and genuinely undecodable — NULL text, never
@@ -28,7 +35,9 @@ the same contract as every codec in :mod:`.multimodal`:
   bfchar/bfrange, the path public extractors take — decode fully,
   including non-latin text through 2-byte Identity-H codes.)
 * ``unsupported-filter`` — no content stream could be decoded.
-* ``encrypted`` — trailer carries ``/Encrypt``: NULL text.
+* ``encrypted`` — trailer carries ``/Encrypt`` and the empty-user-
+  password RC4 path did not verify (a real password, or AES/V4+):
+  NULL text, never ciphertext-as-text.
 * ``parse-failed`` / ``not-pdf`` — structure beyond repair / wrong
   magic.  The kernel NEVER raises: one hostile document must never
   kill a Spark task (same rule as the WARC/HTML path).
@@ -54,6 +63,7 @@ pass, no shuffle, no driver collection; feeds the existing text stack
 from __future__ import annotations
 
 import binascii
+import hashlib
 import re
 import zlib
 
@@ -278,6 +288,91 @@ def _stream_payload(data: bytes, dct: dict, i: int, resolve=None):
         raw[:-1] if raw.endswith(b"\n") else raw)
 
 
+# --- standard security handler (ISO 32000-1 §7.6.3, RC4 V1/V2) --------------
+#
+# Round 13: permissions-only encryption (empty user password — the
+# overwhelmingly common case: the document opens in any viewer, only
+# printing/copying flags are set) is DECRYPTED, so /Info strings and
+# page text come back as real text instead of the round-12 behavior of
+# ciphertext-as-latin-1 mojibake.  Scope is the public spec's standard
+# handler with RC4 (V 1/2, R 2/3); AES (V 4/5) and real passwords stay
+# a visible ``encrypted`` degrade — never silently-wrong text.
+# Evidence grade: _rc4 is pinned against the published RC4 test
+# vectors; the Algorithm 2/3/4/5 composition is gated by
+# writer↔reader round trips of :func:`pdf_write`'s real encryption
+# (this container ships no third-party encrypted-PDF ground truth —
+# same honesty rule as the codec tables in pipeline/mp3dec.py).
+
+_CRYPT_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa0108"
+    "2e2e00b6d0683e802f0ca9fe6453697a")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm; symmetric, length-preserving)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(o_value: bytes, p: int, file_id: bytes, rev: int,
+                  n: int, password: bytes = b"") -> bytes:
+    """Algorithm 2: the file encryption key from a (user) password."""
+    padded = (password + _CRYPT_PAD)[:32]
+    h = hashlib.md5(
+        padded + o_value[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_value(key: bytes, file_id: bytes, rev: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U entry for a file key."""
+    if rev == 2:
+        return _rc4(key, _CRYPT_PAD)
+    u = _rc4(key, hashlib.md5(_CRYPT_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _std_owner_value(owner_pw: bytes, user_pw: bytes, rev: int,
+                     n: int) -> bytes:
+    """Algorithm 3: the /O entry (empty owner password falls back to
+    the user password, per spec)."""
+    h = hashlib.md5(((owner_pw or user_pw) + _CRYPT_PAD)[:32]).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _rc4(okey, (user_pw + _CRYPT_PAD)[:32])
+    if rev >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    return o
+
+
+def _obj_rc4_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1's per-object key (RC4 variant)."""
+    h = hashlib.md5(
+        key + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")).digest()
+    return h[:min(len(key) + 5, 16)]
+
+
 class _Doc:
     """Parsed PDF: object offsets (direct + in-object-stream) + lazy
     fetch with deref."""
@@ -292,6 +387,13 @@ class _Doc:
         self._cache = {}
         self._objstm_cache: dict[int, dict] = {}
         self._cmap_cache: dict[int, dict] = {}  # ToUnicode ref → map
+        # standard-security-handler state (_setup_crypt): the file key
+        # when the empty user password verified, else None (visible
+        # `encrypted` degrade).  crypt_exempt holds the /Encrypt
+        # dictionary's own object number — its strings are plaintext
+        # by spec.
+        self.crypt_key: bytes | None = None
+        self.crypt_exempt: set[int] = set()
 
     def deref(self, v, depth=0):
         if isinstance(v, _Ref):
@@ -318,8 +420,36 @@ class _Doc:
         if self.data.startswith(b"stream", i):
             val = ("stream", val,
                    _stream_payload(self.data, val, i, self.deref))
+        if self.crypt_key is not None and num not in self.crypt_exempt:
+            val = self._decrypt(val, num)
         self._cache[num] = val
         return val
+
+    def _decrypt(self, val, num: int):
+        """Per-object RC4 decrypt (gen 0 — the offsets walk keeps no
+        generation numbers; non-zero generations only arise in
+        incrementally-updated files, where the newest object is
+        normally gen 0 again): every string leaf, and stream payloads
+        BEFORE filters.  Cross-reference streams are never encrypted
+        per spec; object-stream MEMBERS come back plaintext once the
+        ObjStm payload itself is decrypted, so :meth:`_objstm_fetch`
+        needs no second pass."""
+        okey = _obj_rc4_key(self.crypt_key, num)
+
+        def walk(v):
+            if isinstance(v, bytes):
+                return _rc4(okey, v)
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items()}
+            return v
+
+        if isinstance(val, tuple) and val[0] == "stream":
+            if val[1].get("Type") == "XRef":
+                return val
+            return ("stream", walk(val[1]), _rc4(okey, val[2]))
+        return walk(val)
 
     def _objstm_members(self, stm_num: int) -> dict:
         """All members of object stream ``stm_num`` (PDF 1.5 /ObjStm:
@@ -606,6 +736,49 @@ def _merge_xref_stream(dct: dict, data: bytes, offsets: dict,
                 compressed[num] = (fields[1], fields[2])
 
 
+def _setup_crypt(doc: _Doc) -> None:
+    """Try the standard security handler with the EMPTY user password
+    (ISO 32000-1 §7.6.3 Algorithms 2/4/5/6) — the permissions-only
+    encryption that dominates real encrypted crawl PDFs.  On verify,
+    arm :meth:`_Doc._decrypt`; anything else (AES / V>=4, a real
+    password, malformed dict) leaves ``crypt_key`` None so callers
+    surface the visible ``encrypted`` class instead of mojibake."""
+    encv = doc.trailer.get("Encrypt")
+    if encv is None or encv is True:  # absent, or scan-detected w/o ref
+        return
+    if isinstance(encv, _Ref):
+        doc.crypt_exempt.add(encv.num)
+    try:
+        enc = doc.deref(encv)
+    except _PdfError:
+        return
+    if not isinstance(enc, dict) or enc.get("Filter") != "Standard":
+        return
+    v, r = enc.get("V"), enc.get("R")
+    if v not in (1, 2) or r not in (2, 3):
+        return  # AES / newer revisions: honest lock, no guessing
+    o_val, u_val, p = enc.get("O"), enc.get("U"), enc.get("P")
+    if not (isinstance(o_val, bytes) and isinstance(u_val, bytes)
+            and isinstance(p, (int, float))):
+        return
+    n = 5 if v == 1 else max(5, min(16, int(enc.get("Length", 40)) // 8))
+    file_id = b""
+    try:
+        ids = doc.deref(doc.trailer.get("ID"))
+        if isinstance(ids, list) and ids:
+            first = doc.deref(ids[0])
+            if isinstance(first, bytes):
+                file_id = first
+    except _PdfError:
+        pass
+    key = _std_file_key(o_val, int(p), file_id, r, n)
+    expect = _std_user_value(key, file_id, r)
+    got = (u_val + b"\x00" * 32)[:32]
+    ok = (got[:16] == expect[:16]) if r >= 3 else (got == expect[:32])
+    if ok:
+        doc.crypt_key = key
+
+
 def _load_doc(data: bytes) -> _Doc:
     """Xref walk from the last ``startxref``, chaining ``/Prev``
     (incremental updates, newest-first): classic tables AND PDF 1.5+
@@ -670,8 +843,10 @@ def _load_doc(data: bytes) -> _Doc:
         off = int(prev) if isinstance(prev, (int, float)) else None
     if "Root" not in trailer:
         raise _PdfError("trailer has no /Root")
-    return _Doc(data, offsets, trailer, via_scan=False,
-                compressed=compressed)
+    doc = _Doc(data, offsets, trailer, via_scan=False,
+               compressed=compressed)
+    _setup_crypt(doc)
+    return doc
 
 
 def _scan_doc(data: bytes) -> _Doc:
@@ -684,6 +859,22 @@ def _scan_doc(data: bytes) -> _Doc:
     if not offsets:
         raise _PdfError("no objects found")
     doc = _Doc(data, offsets, {}, via_scan=True)
+    # encryption is still detectable from the newest trailer dict —
+    # and must be ARMED before the object-stream explosion below, or
+    # plaintext-decoded values would poison the cache (and encrypted
+    # ObjStm payloads would fail to inflate)
+    mi = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", data[-4096:])
+    if mi:
+        doc.trailer["Info"] = _Ref(int(mi.group(1)))
+    m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data[-4096:])
+    if m:
+        doc.trailer["Encrypt"] = _Ref(int(m.group(1)))
+        mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data[-4096:])
+        if mid and len(mid.group(1)) % 2 == 0:
+            doc.trailer["ID"] = [binascii.unhexlify(mid.group(1))]
+        _setup_crypt(doc)
+    elif b"/Encrypt" in data[-4096:]:
+        doc.trailer["Encrypt"] = True  # detectable but unresolvable
     # explode any object streams the scan found: their members are
     # invisible to the linear scan, and in modern PDFs the catalog
     # (and most dict objects) live inside one
@@ -713,11 +904,7 @@ def _scan_doc(data: bytes) -> _Doc:
             break
     if root is None:
         raise _PdfError("no catalog")
-    doc.trailer = {"Root": root}
-    # encryption is still detectable from the newest trailer dict
-    m = re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data[-4096:])
-    if m:
-        doc.trailer["Encrypt"] = True
+    doc.trailer["Root"] = root
     return doc
 
 
@@ -979,23 +1166,29 @@ def _page_fonts(doc: _Doc, resources) -> dict:
     return fonts
 
 
-def _walk_pages(doc: _Doc, node, inherited_res, out, depth=0):
+def _walk_pages(doc: _Doc, node, inherited_res, out, depth=0) -> bool:
+    """Collect (page dict, resources) into ``out``.  Returns True when
+    the walk was TRUNCATED by the hostile-structure caps (10k pages /
+    depth 64) — callers surface that as ``extracted-partial``, never a
+    silent stop that still claims full extraction (round-12 ADVICE)."""
     if depth > 64 or len(out) > 10_000:
-        return
+        return True
     d = doc.deref(node)
     if not isinstance(d, dict):
-        return
+        return False
     res = d.get("Resources", inherited_res)
     if d.get("Type") == "Page":
         out.append((d, res))
-        return
+        return False
+    truncated = False
     kids = doc.deref(d.get("Kids"))
     if isinstance(kids, list):
         for kid in kids:
             try:
-                _walk_pages(doc, kid, res, out, depth + 1)
+                truncated |= _walk_pages(doc, kid, res, out, depth + 1)
             except _PdfError:
                 continue  # one broken kid must not kill its siblings
+    return truncated
 
 
 # document-information dictionary fields surfaced by pdf_metadata —
@@ -1037,20 +1230,41 @@ def _pdf_meta_one(b):
                 doc = _scan_doc(data)
             except _PdfError:
                 return nulls + (None, "parse-failed")
+        if (doc.trailer.get("Encrypt") is not None
+                and doc.crypt_key is None and not doc.via_scan):
+            # same rescue as _extract_pdf_one: broken offsets can hide
+            # a decryptable /Encrypt dict from the xref walk
+            try:
+                rescued = _scan_doc(data)
+                if rescued.crypt_key is not None:
+                    doc = rescued
+            except _PdfError:
+                pass
+        encrypted = doc.trailer.get("Encrypt") is not None
+        locked = encrypted and doc.crypt_key is None
         fields = []
-        try:
-            info = doc.deref(doc.trailer.get("Info"))
-        except _PdfError:
-            info = None
-        for key in _INFO_KEYS:
-            v = None
-            if isinstance(info, dict):
-                try:
-                    v = doc.deref(info.get(key))
-                except _PdfError:
-                    v = None
-            fields.append(_text_string(v) if isinstance(v, bytes)
-                          else None)
+        if locked:
+            # a REALLY encrypted document's /Info strings are RC4/AES
+            # ciphertext — surfacing them through _text_string was
+            # latin-1 mojibake (round-12 verdict); NULL them and let
+            # the status flag carry the story (n_pages still counts:
+            # the page-tree DICTS are plaintext, only strings/streams
+            # encrypt)
+            fields = [None] * len(_INFO_KEYS)
+        else:
+            try:
+                info = doc.deref(doc.trailer.get("Info"))
+            except _PdfError:
+                info = None
+            for key in _INFO_KEYS:
+                v = None
+                if isinstance(info, dict):
+                    try:
+                        v = doc.deref(info.get(key))
+                    except _PdfError:
+                        v = None
+                fields.append(_text_string(v) if isinstance(v, bytes)
+                              else None)
         n_pages = None
         try:
             root = doc.deref(doc.trailer.get("Root"))
@@ -1060,8 +1274,8 @@ def _pdf_meta_one(b):
                 n_pages = len(pages)
         except _PdfError:
             pass
-        status = ("encrypted"
-                  if doc.trailer.get("Encrypt") is not None else "ok")
+        status = ("encrypted" if locked
+                  else "decrypted" if encrypted else "ok")
         return tuple(fields) + (n_pages, status)
     except Exception:
         return nulls + (None, "parse-failed")
@@ -1074,9 +1288,13 @@ def pdf_metadata(payload: Column) -> Column:
     :func:`~bertrand_spark.pipeline.htmltext.extract_html_metadata`:
     structure-only (Info dictionary + page-tree count, text strings
     decoded per the UTF-16BE-BOM/PDFDocEncoding rule), so a huge
-    document costs only its xref walk.  Works on encrypted documents
-    too when the metadata is not itself encrypted (status
-    ``encrypted`` flags them).  Arrow-batched, never raises."""
+    document costs only its xref walk.  Encrypted documents:
+    permissions-only (empty user password) RC4 docs are DECRYPTED —
+    real field text, status ``decrypted``; anything locked gets NULL
+    string fields (their bytes are ciphertext — round 12 surfaced
+    them as latin-1 mojibake) with ``n_pages`` still counted from the
+    plaintext page-tree dicts, status ``encrypted``.  Arrow-batched,
+    never raises."""
 
     @F.pandas_udf("struct<%s, n_pages: int, status: string>" % ", ".join(
         "%s: string" % f for f in _INFO_FIELDS))
@@ -1092,13 +1310,13 @@ def _try_extract(doc: _Doc):
     """(text, status, n_pages) from a loaded doc; raises
     :class:`_PdfError` when root/page-tree resolution fails (so the
     caller can fall back to the object scan)."""
-    if doc.trailer.get("Encrypt") is not None:
-        return (None, "encrypted", None)
+    if doc.trailer.get("Encrypt") is not None and doc.crypt_key is None:
+        return (None, "encrypted", None)  # locked: no empty-pw verify
     root = doc.deref(doc.trailer.get("Root"))
     if not isinstance(root, dict):
         raise _PdfError("bad /Root")
     pages: list = []
-    _walk_pages(doc, root.get("Pages"), None, pages)
+    tree_truncated = _walk_pages(doc, root.get("Pages"), None, pages)
     if not pages:
         raise _PdfError("no pages")
     texts = []
@@ -1133,8 +1351,10 @@ def _try_extract(doc: _Doc):
         return (None, "cid-font", n)
     if bad_pages + cid_pages == n and not text:
         return (None, "unsupported-filter", n)
-    if bad_pages or cid_pages:
+    if bad_pages or cid_pages or tree_truncated:
         return (text, "extracted-partial", n)
+    if doc.crypt_key is not None:
+        return (text, "extracted-decrypted", n)
     return (text, "extracted-scan" if doc.via_scan else "extracted", n)
 
 
@@ -1155,7 +1375,20 @@ def _extract_pdf_one(b):
                 return (None, "not-pdf", None)
             data = data[k:]
         try:
-            return _try_extract(_load_doc(data))
+            doc = _load_doc(data)
+            if (doc.trailer.get("Encrypt") is not None
+                    and doc.crypt_key is None):
+                # a broken-xref encrypted doc can parse a trailer yet
+                # fail to RESOLVE its /Encrypt dict (offsets garbage):
+                # the object scan may still arm the key; a genuinely
+                # locked doc fails the verify either way
+                try:
+                    rescued = _scan_doc(data)
+                    if rescued.crypt_key is not None:
+                        doc = rescued
+                except _PdfError:
+                    pass
+            return _try_extract(doc)
         except _PdfError:
             # broken xref / offsets / page tree: the lenient path —
             # recover objects by linear scan, then re-extract
@@ -1273,7 +1506,7 @@ def pdf_write(
     *,
     flate: bool = True,
     op_mix: bool = True,
-    encrypt: bool = False,
+    encrypt: bool | str = False,
     xref_stream: bool = False,
     objstm: bool = False,
     predictor: bool = False,
@@ -1298,10 +1531,24 @@ def pdf_write(
     identity /ToUnicode CMap (bfrange over the BMP) — the decodable
     composite-font shape — while without it the text is genuinely
     undecodable (the cid degrade fixture).  Degrade-class fixture
-    flags: ``encrypt`` adds an ``/Encrypt`` trailer entry,
-    ``bad_filter`` declares an unsupported ``/JBIG2Decode`` filter,
-    ``break_xref`` zeroes the classic table's offsets (forcing the
-    reader's object scan)."""
+    flags: ``bad_filter`` declares an unsupported ``/JBIG2Decode``
+    filter, ``break_xref`` zeroes the classic table's offsets
+    (forcing the reader's object scan).
+
+    ``encrypt`` (round 13: REAL encryption, so the fixture can catch
+    ciphertext leaks — the round-12 ``encrypt=True`` only *added the
+    trailer key* without encrypting anything, which is why the
+    /Info-mojibake wart was invisible to tests):
+
+    * ``True`` — standard handler RC4 V1 R2, EMPTY user+owner
+      passwords (permissions-only): every string and stream is
+      per-object RC4'd, real /O /U /ID; readers holding no password
+      can decrypt (the common crawl case).
+    * ``"locked"`` — same, but a real user password: genuinely
+      locked, the empty-password verify must fail.
+    * ``"v4"`` — the /Encrypt dict claims /V 4 /R 4 (AES era) while
+      strings/streams carry the same RC4 bytes: the unsupported-
+      revision fixture (reader must stay locked, never guess)."""
     if isinstance(pages, str):
         pages = [pages]
     if objstm:
@@ -1311,6 +1558,24 @@ def pdf_write(
     def add(body: bytes) -> int:
         bodies.append(body)
         return len(bodies)  # 1-based object number
+
+    enc_key = None
+    file_id = b""
+    if encrypt:
+        file_id = hashlib.md5(b"bertrand_spark pdf_write file id").digest()
+        user_pw = b"a real password" if encrypt == "locked" else b""
+        o_val = _std_owner_value(b"", user_pw, rev=2, n=5)
+        enc_key = _std_file_key(o_val, -44, file_id, rev=2, n=5,
+                                password=user_pw)
+        u_val = _std_user_value(enc_key, file_id, rev=2)
+
+    def _enc(data: bytes, num: int) -> bytes:
+        # RC4 is length-preserving, so /Length stays the cipher length
+        return (_rc4(_obj_rc4_key(enc_key, num), data)
+                if enc_key is not None else data)
+
+    def _next() -> int:
+        return len(bodies) + 1  # the number add() will hand out
 
     root = add(b"")  # placeholder, filled below
     pages_obj = add(b"")
@@ -1322,7 +1587,7 @@ def pdf_write(
                 b"endcodespacerange\n"
                 b"1 beginbfrange\n<0001> <ffff> <0001>\nendbfrange\n"
                 b"endcmap\n")
-            comp = zlib.compress(cmap_body)
+            comp = _enc(zlib.compress(cmap_body), _next())
             tu = add(b"<< /Filter /FlateDecode /Length %d >>\n"
                      b"stream\n" % len(comp) + comp + b"\nendstream")
             font = add(b"<< /Type /Font /Subtype /Type0 /BaseFont "
@@ -1348,29 +1613,35 @@ def pdf_write(
             filt, data = b"/Filter /FlateDecode ", zlib.compress(content)
         else:
             filt, data = b"", content
+        data = _enc(data, _next())
         cnum = add(b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
                    + data + b"\nendstream")
         kid_nums.append(add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 %d 0 R >> >> "
             b"/Contents %d 0 R >>" % (pages_obj, font, cnum)))
-    enc = add(b"<< /Filter /Standard /V 1 /R 2 /O (x) /U (x) /P -44 >>") \
-        if encrypt else None
+    enc = None
+    if encrypt:
+        ver = b"/V 4 /R 4" if encrypt == "v4" else b"/V 1 /R 2"
+        enc = add(b"<< /Filter /Standard " + ver
+                  + b" /O <" + o_val.hex().encode()
+                  + b"> /U <" + u_val.hex().encode() + b"> /P -44 >>")
     info_num = None
     if info:
-        def _txt(v: str) -> bytes:
+        def _txt(v: str, num: int) -> bytes:
             try:
-                v.encode("latin-1")
+                raw = v.encode("latin-1")
             except UnicodeEncodeError:
                 # text-string rule: UTF-16BE with BOM
-                return (b"<" + (b"\xfe\xff"
-                                + v.encode("utf-16-be")).hex().encode()
-                        + b">")
-            return b"(" + _esc_lit(v) + b")"
+                raw = b"\xfe\xff" + v.encode("utf-16-be")
+            else:
+                if enc_key is None:
+                    return b"(" + _esc_lit(v) + b")"
+            return b"<" + _enc(raw, num).hex().encode() + b">"
 
         info_num = add(
             b"<< " + b" ".join(
-                b"/" + k.encode() + b" " + _txt(v)
+                b"/" + k.encode() + b" " + _txt(v, _next())
                 for k, v in info.items()) + b" >>")
     bodies[root - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_obj
     bodies[pages_obj - 1] = (
@@ -1390,7 +1661,7 @@ def pdf_write(
             hdr += b"%d %d " % (num, len(payload))
             payload += bodies[num - 1] + b"\n"
         content = bytes(hdr) + bytes(payload)
-        comp = zlib.compress(content)
+        comp = _enc(zlib.compress(content), _next())
         objstm_num = add(
             b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
             b"/Length %d >>\nstream\n" % (len(stm_members), len(hdr),
@@ -1406,7 +1677,11 @@ def pdf_write(
         offmap[i] = len(out)
         out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
 
-    trailer_extra = b" /Encrypt %d 0 R" % enc if encrypt else b""
+    trailer_extra = b""
+    if encrypt:
+        trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                         % (enc, file_id.hex().encode(),
+                            file_id.hex().encode()))
     if info_num is not None:
         trailer_extra += b" /Info %d 0 R" % info_num
     if xref_stream:

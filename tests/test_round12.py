@@ -442,7 +442,10 @@ class TestPdfExtract:
                                                      pdf_write)
 
         t = "classified text"
-        assert _extract_pdf_one(pdf_write([t], encrypt=True)) == (
+        # round 13: encrypt=True is now REAL permissions-only RC4 —
+        # the empty-user-password path decrypts it; "locked" (a real
+        # password) is the un-decryptable degrade fixture
+        assert _extract_pdf_one(pdf_write([t], encrypt="locked")) == (
             None, "encrypted", None)
         assert _extract_pdf_one(pdf_write([t], type0_font=True)) == (
             None, "cid-font", 1)
@@ -471,7 +474,7 @@ class TestPdfExtract:
                 kwargs, got)
         # encryption detected from the xref stream's trailer fields
         assert _extract_pdf_one(
-            pdf_write([t], xref_stream=True, encrypt=True)) == (
+            pdf_write([t], xref_stream=True, encrypt="locked")) == (
             None, "encrypted", None)
 
     def test_cid_tounicode_decodes(self):
@@ -663,10 +666,11 @@ class TestPdfExtract:
             (1, pdf_write(["body", "page two"], info=info)),
             (2, pdf_write(["x"], info=info, objstm=True,
                           predictor=True)),
-            (3, pdf_write(["x"], info=info, encrypt=True)),
+            (3, pdf_write(["x"], info=info, encrypt="locked")),
             (4, pdf_write(["x"])),
             (5, b"junk"),
             (6, None),
+            (7, pdf_write(["x"], info=info, encrypt=True)),
         ]
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         got = {r.doc_id: r.m for r in df.select(
@@ -678,9 +682,15 @@ class TestPdfExtract:
         assert got[1].n_pages == 2 and got[1].status == "ok"
         # the modern layout carries /Info in the xref-stream dict
         assert got[2].title == "Crawl Report" and got[2].status == "ok"
-        # encrypted: metadata still readable, visibly flagged
-        assert got[3].title == "Crawl Report"
-        assert got[3].status == "encrypted"
+        # locked (real password): /Info values are ciphertext — they
+        # must come back NULL (round-12 surfaced them as mojibake),
+        # n_pages still counted from the plaintext page-tree dicts
+        assert got[3].title is None and got[3].author is None
+        assert got[3].status == "encrypted" and got[3].n_pages == 1
+        # permissions-only (empty user password): decrypted for real
+        assert got[7].title == "Crawl Report"
+        assert got[7].author == "\u03a9 \u2014 \u4e2d\u6587 author"
+        assert got[7].status == "decrypted" and got[7].n_pages == 1
         assert got[4].title is None and got[4].status == "ok"
         assert got[5].status == "not-pdf"
         assert got[6].status is None
@@ -718,7 +728,7 @@ class TestPdfExtract:
         rows = [
             (1, pdf_write(["alpha text\nbeta line"])),
             (2, pdf_write(["page a", "page b"])),
-            (3, pdf_write(["secret"], encrypt=True)),
+            (3, pdf_write(["secret"], encrypt="locked")),
             (4, pdf_write(["cid"], type0_font=True)),
             (5, b"plain not pdf"),
             (6, None),
