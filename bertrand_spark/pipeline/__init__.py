@@ -15,6 +15,11 @@ own ``__all__`` is authoritative):
 * :mod:`.htmltext` — HTML→text main-content extraction
   (:func:`~.htmltext.extract_html_text`), mojibake repair
   (:func:`~.htmltext.fix_mojibake`)
+* :mod:`.docxtext` — stdlib DOCX→text extraction
+  (:func:`~.docxtext.extract_docx_text`; zip + WordprocessingML walk,
+  raw-deflate salvage for truncated payloads, encrypted/legacy-doc
+  CFB classing) and :func:`~.docxtext.docx_metadata` (Dublin-Core
+  core properties)
 * :mod:`.pdftext` — stdlib PDF→text extraction
   (:func:`~.pdftext.extract_pdf_text`; classic + PDF 1.5 xref/object
   streams, Flate/LZW/ASCIIHex/RunLength, ToUnicode CID text, visible
@@ -96,6 +101,13 @@ from .htmltext import (  # noqa: F401
     fix_mojibake,
     normalize_url,
     url_parts,
+)
+from .docxtext import (  # noqa: F401
+    docx_format_report,
+    docx_metadata,
+    docx_write,
+    extract_docx_text,
+    ole_write,
 )
 from .pdftext import (  # noqa: F401
     extract_pdf_text,

@@ -1,0 +1,538 @@
+"""DOCX text extraction — the largest crawl-payload text class left
+after HTML (:mod:`.htmltext`) and PDF (:mod:`.pdftext`) closed
+(round 13; round-12 verdict item 2).
+
+Not in the reference (its surface stops at the type system); this
+extends the engine per the LLM-pipeline brief, sized against the
+public OOXML layout (ISO/IEC 29500): a ``.docx`` is a zip (stdlib
+``zipfile``) whose ``word/document.xml`` (stdlib ``xml.etree``)
+carries the body — paragraphs ``w:p``, text runs ``w:t``, explicit
+tabs ``w:tab``, line breaks ``w:br``/``w:cr``; table cells nest
+ordinary ``w:p`` elements, so a document-order walk covers them for
+free.  Both the transitional (schemas.openxmlformats.org) and strict
+(purl.oclc.org) WordprocessingML namespaces are accepted.
+
+Everything a stdlib parser cannot honestly decode degrades to a
+VISIBLE status class — the same contract as every codec in this
+package:
+
+* ``extracted`` — zip opened, ``word/document.xml`` parsed as XML.
+* ``extracted-scan`` — the strict path broke (truncated/corrupt zip
+  central directory, malformed XML) but text was salvaged: the raw
+  deflate stream behind the ``word/document.xml`` local file header
+  is inflated tolerantly and the ``w:t``/``w:tab``/``w:br`` runs are
+  recovered by regex — the lenient path truncated crawl payloads
+  need.
+* ``missing-part`` — valid zip with no ``word/document.xml`` (an
+  xlsx/pptx, or a stripped container).
+* ``encrypted`` — OLE CFB container carrying an
+  ``EncryptedPackage``/``EncryptionInfo`` stream: the standard
+  encrypted-OOXML shape.  NULL text, never ciphertext.
+* ``legacy-doc`` — OLE CFB carrying a ``WordDocument`` stream: a
+  binary pre-2007 ``.doc``, a genuinely different format (out of
+  scope, visibly classed — never silently-wrong text).
+* ``cfb-container`` — CFB magic but neither marker stream found.
+* ``not-docx`` — neither zip nor CFB magic.
+* ``parse-failed`` — structure beyond both the strict and salvage
+  paths.  The kernel NEVER raises: one hostile document must never
+  kill a Spark task (same rule as the WARC/HTML/PDF paths).
+
+Gating follows the codec recipe: an in-repo spec-shaped writer
+(:func:`docx_write` — run splitting, ``w:tab``/``w:br`` elements,
+table-wrapped paragraphs, strict-namespace variant, core-properties
+part — plus :func:`ole_write` for the CFB degrade fixtures) drives
+exact round trips and degrade-class units; fuzz pins the never-raise
+contract; oracle x51 puts typeset→re-extract identity on the
+driver's hash path (the x49 recipe).
+
+Scale shape: :func:`extract_docx_text` is one Arrow-batched
+``pandas_udf`` over a binary column (the per-document loop IS the
+parser, like :mod:`.pdftext`) — a narrow map pass, no shuffle, no
+driver collection; feeds the existing text stack (quality,
+language-ID, dedup) directly.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape as _xml_escape
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["extract_docx_text", "docx_metadata", "docx_format_report",
+           "docx_write", "ole_write"]
+
+# transitional (what Word writes) and strict OOXML namespaces
+_W_NS = ("http://schemas.openxmlformats.org/wordprocessingml/2006/main",
+         "http://purl.oclc.org/ooxml/wordprocessingml/main")
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+# Hard caps: one hostile document must cost bounded memory/CPU (the
+# same rule as pdftext's _MAX_STREAM) — a crafted deflate stream can
+# expand 1000x+.
+_MAX_XML = 1 << 26  # 64 MiB of document.xml is far beyond real docs
+_MAX_PARAS = 200_000
+
+
+class _DocxError(Exception):
+    pass
+
+
+def _local(tag) -> str:
+    """Element localname (namespace stripped); '' for non-str tags
+    (comments/PIs)."""
+    if not isinstance(tag, str):
+        return ""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _para_text(p) -> str:
+    """One ``w:p`` element → its display text: ``w:t`` runs verbatim
+    (whitespace kept — Word marks significant space with
+    ``xml:space='preserve'``, and trimming what it didn't mark loses
+    more than it fixes on real documents), ``w:tab`` → TAB,
+    ``w:br``/``w:cr`` → newline.  ``w:delText`` (tracked deletions)
+    and ``w:instrText`` (field codes) are NOT display text and fall
+    through the localname match."""
+    parts = []
+    for node in p.iter():
+        ln = _local(node.tag)
+        if ln == "t":
+            parts.append(node.text or "")
+        elif ln == "tab":
+            parts.append("\t")
+        elif ln in ("br", "cr"):
+            parts.append("\n")
+    return "".join(parts)
+
+
+def _body_paragraphs(root) -> list[str]:
+    """Document-order paragraph texts from a parsed document.xml.
+    ``iter`` visits table-cell paragraphs in order for free; a
+    ``w:p`` nested inside another (text boxes) is skipped at the
+    outer level by the iterator semantics below."""
+    out = []
+    nested = set()  # w:p inside another w:p (text boxes): their runs
+    for p in root.iter():  # already surfaced by the OUTER paragraph
+        if _local(p.tag) != "p" or id(p) in nested:
+            continue
+        for sub in p.iter():
+            if sub is not p and _local(sub.tag) == "p":
+                nested.add(id(sub))
+        out.append(_para_text(p))
+        if len(out) >= _MAX_PARAS:
+            break
+    return out
+
+
+# longest alternative FIRST ('t' before 'tab' would let <w:tab/>
+# match as a t-run and swallow text up to the next </w:t>), and a
+# lookahead so <w:tc>/<w:tbl> never match the 't' branch
+_T_RUN_RE = re.compile(
+    rb"<w:(tab|br|cr|t)(?=[\s/>])[^>]*?(?:/>|>(.*?)</w:\1\s*>)", re.S)
+_P_END_RE = re.compile(rb"</w:p\s*>")
+_ENT_RE = re.compile(r"&(lt|gt|amp|quot|apos|#\d+|#x[0-9a-fA-F]+);")
+
+
+def _unescape(s: str) -> str:
+    def one(m):
+        e = m.group(1)
+        if e == "lt":
+            return "<"
+        if e == "gt":
+            return ">"
+        if e == "amp":
+            return "&"
+        if e == "quot":
+            return '"'
+        if e == "apos":
+            return "'"
+        try:
+            cp = (int(e[2:], 16) if e[1] in "xX" else int(e[1:]))
+            return chr(cp) if cp <= 0x10FFFF else "?"
+        except ValueError:
+            return m.group(0)
+    return _ENT_RE.sub(one, s)
+
+
+def _salvage_xml_text(xml: bytes) -> list[str]:
+    """Regex recovery of paragraph texts from (possibly truncated or
+    malformed) document.xml bytes — the ``extracted-scan`` path.
+    Paragraph boundaries from ``</w:p>``; runs from ``w:t`` (entity
+    unescape), ``w:tab``, ``w:br``/``w:cr``."""
+    paras = []
+    chunks = _P_END_RE.split(xml)
+    for k, chunk in enumerate(chunks):
+        parts = []
+        for m in _T_RUN_RE.finditer(chunk):
+            kind = m.group(1)
+            if kind == b"t":
+                parts.append(_unescape(
+                    (m.group(2) or b"").decode("utf-8", "replace")))
+            elif kind == b"tab":
+                parts.append("\t")
+            else:
+                parts.append("\n")
+        if k == len(chunks) - 1 and not parts:
+            break  # tail after the last </w:p>: only keep real runs
+            # (a TRUNCATED final paragraph still salvages its text)
+        paras.append("".join(parts))
+        if len(paras) >= _MAX_PARAS:
+            break
+    if not paras:
+        raise _DocxError("no paragraphs salvaged")
+    return paras
+
+
+def _raw_zip_member(data: bytes, name: bytes) -> bytes:
+    """Tolerant extraction of one member's bytes straight off its
+    LOCAL file header (no central directory needed — exactly what a
+    truncated crawl payload is missing): scan ``PK\\x03\\x04``
+    headers, match the name, inflate raw-deflate until the stream
+    ends OR the data runs out, keeping the decoded prefix."""
+    pos = 0
+    while True:
+        pos = data.find(b"PK\x03\x04", pos)
+        if pos < 0 or pos + 30 > len(data):
+            raise _DocxError("member not found")
+        nlen = int.from_bytes(data[pos + 26:pos + 28], "little")
+        elen = int.from_bytes(data[pos + 28:pos + 30], "little")
+        mname = data[pos + 30:pos + 30 + nlen]
+        start = pos + 30 + nlen + elen
+        if mname != name:
+            pos += 4
+            continue
+        method = int.from_bytes(data[pos + 8:pos + 10], "little")
+        blob = data[start:]
+        if method == 0:
+            csize = int.from_bytes(data[pos + 18:pos + 22], "little")
+            return blob[:csize] if csize else blob
+        d = zlib.decompressobj(-15)
+        try:
+            out = d.decompress(blob, _MAX_XML)
+        except zlib.error as e:
+            raise _DocxError("undecodable deflate") from e
+        return out
+
+
+def _classify_cfb(data: bytes) -> str:
+    """CFB (OLE2) containers by marker stream name (UTF-16LE in the
+    directory entries): encrypted OOXML vs legacy binary .doc.  A
+    byte-search heuristic, not a sector walk — names are stored
+    verbatim, and a false positive only moves one degrade class to
+    another (text stays NULL either way)."""
+    for marker, status in (("EncryptedPackage", "encrypted"),
+                           ("EncryptionInfo", "encrypted"),
+                           ("WordDocument", "legacy-doc")):
+        if marker.encode("utf-16-le") in data:
+            return status
+    return "cfb-container"
+
+
+def _extract_docx_one(b):
+    """(text, status, n_paragraphs) for one payload — never raises."""
+    if b is None:
+        return (None, None, None)
+    try:
+        data = bytes(b)
+        if data[:8] == _CFB_MAGIC:
+            return (None, _classify_cfb(data), None)
+        if data[:2] != b"PK":
+            return (None, "not-docx", None)
+        xml = None
+        strict_zip_ok = False
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as z:
+                names = set(z.namelist())
+                strict_zip_ok = True
+                if "word/document.xml" not in names:
+                    return (None, "missing-part", None)
+                with z.open("word/document.xml") as fh:
+                    xml = fh.read(_MAX_XML)
+        except (zipfile.BadZipFile, NotImplementedError, OSError,
+                zlib.error, ValueError, EOFError):
+            pass
+        if xml is None and strict_zip_ok:
+            # central directory fine but the member itself broken:
+            # fall through to the raw salvage below
+            pass
+        if xml is not None:
+            try:
+                root = ET.fromstring(xml)
+                paras = _body_paragraphs(root)
+                return ("\n".join(paras), "extracted", len(paras))
+            except ET.ParseError:
+                try:
+                    paras = _salvage_xml_text(xml)
+                    return ("\n".join(paras), "extracted-scan",
+                            len(paras))
+                except _DocxError:
+                    return (None, "parse-failed", None)
+        # zip structure broken: raw local-header walk, then regex
+        try:
+            raw = _raw_zip_member(data, b"word/document.xml")
+            paras = _salvage_xml_text(raw)
+            return ("\n".join(paras), "extracted-scan", len(paras))
+        except _DocxError:
+            return (None, "parse-failed", None)
+    except Exception:
+        # the never-raise contract (same as pdftext/htmltext)
+        return (None, "parse-failed", None)
+
+
+def extract_docx_text(payload: Column) -> Column:
+    """Binary DOCX payload → ``struct<text, status, n_paragraphs>``
+    (see the module docstring for the status classes).  Paragraphs
+    join with newlines; tabs/breaks decode to TAB/newline.  One
+    Arrow-batched ``pandas_udf`` map pass — no shuffle, scale-free;
+    NULL in → NULL out; one hostile document can never kill the
+    task."""
+
+    @F.pandas_udf(
+        "struct<text: string, status: string, n_paragraphs: int>")
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_extract_docx_one(p) for p in payloads]
+        return pd.DataFrame(
+            rows, columns=["text", "status", "n_paragraphs"])
+
+    return kernel(payload)
+
+
+# core-properties (docProps/core.xml, Dublin Core) fields surfaced by
+# docx_metadata — the DOCX twin of pdftext._INFO_FIELDS
+_CORE_FIELDS = ("title", "subject", "creator", "keywords",
+                "description", "last_modified_by", "revision",
+                "created", "modified")
+_CORE_TAGS = ("title", "subject", "creator", "keywords", "description",
+              "lastModifiedBy", "revision", "created", "modified")
+
+
+def _docx_meta_one(b):
+    """One payload → (*fields, status) for :func:`docx_metadata` —
+    reads only ``docProps/core.xml`` (structure-only; body text never
+    inflates).  Never raises."""
+    nulls = (None,) * len(_CORE_FIELDS)
+    if b is None:
+        return nulls + (None,)
+    try:
+        data = bytes(b)
+        if data[:8] == _CFB_MAGIC:
+            return nulls + (_classify_cfb(data),)
+        if data[:2] != b"PK":
+            return nulls + ("not-docx",)
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as z:
+                if "docProps/core.xml" not in set(z.namelist()):
+                    return nulls + ("no-core-part",)
+                with z.open("docProps/core.xml") as fh:
+                    xml = fh.read(_MAX_XML)
+        except (zipfile.BadZipFile, NotImplementedError, OSError,
+                zlib.error, ValueError, EOFError):
+            return nulls + ("parse-failed",)
+        try:
+            root = ET.fromstring(xml)
+        except ET.ParseError:
+            return nulls + ("parse-failed",)
+        by_local = {}
+        for node in root:
+            by_local.setdefault(_local(node.tag), node.text)
+        fields = tuple(by_local.get(t) for t in _CORE_TAGS)
+        return fields + ("ok",)
+    except Exception:
+        return nulls + ("parse-failed",)
+
+
+def docx_metadata(payload: Column) -> Column:
+    """Binary DOCX payload → ``struct<title, subject, creator,
+    keywords, description, last_modified_by, revision, created,
+    modified, status>`` from the Dublin-Core ``docProps/core.xml``
+    part — the DOCX twin of :func:`~.pdftext.pdf_metadata`:
+    structure-only, Arrow-batched, never raises.  Encrypted/legacy
+    CFB containers surface their class with all-NULL fields."""
+
+    @F.pandas_udf("struct<%s, status: string>" % ", ".join(
+        "%s: string" % f for f in _CORE_FIELDS))
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_docx_meta_one(p) for p in payloads]
+        return pd.DataFrame(rows, columns=list(_CORE_FIELDS)
+                            + ["status"])
+
+    return kernel(payload)
+
+
+def docx_format_report(extracted: DataFrame) -> DataFrame:
+    """Per-status extraction outcomes — the DOCX twin of
+    :func:`~.pdftext.pdf_format_report`: counts + paragraph totals
+    per status class over a frame holding an ``extract_docx_text``
+    struct column named ``docx``.  One partial agg → tiny result."""
+    return (extracted
+            .groupBy(F.col("docx.status").alias("status"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("docx.n_paragraphs").alias("n_paragraphs"),
+                 F.avg(F.length("docx.text")).alias("avg_chars"))
+            .orderBy("status"))
+
+
+# --- in-repo writer (test/gating twin, NOT a production sink) ---------------
+
+_CT_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.wordprocessingml.document.'
+    'main+xml"/>'
+    '<Override PartName="/docProps/core.xml" ContentType="application/'
+    'vnd.openxmlformats-package.core-properties+xml"/>'
+    '</Types>')
+
+_RELS_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/>'
+    '</Relationships>')
+
+
+def _runs_xml(text: str, split_runs: bool, tabs_as_elements: bool) -> str:
+    """Run markup for one paragraph's text: ``\\n`` → ``<w:br/>``,
+    optionally ``\\t`` → ``<w:tab/>``, optionally the text split into
+    multiple short runs (the shape real editors emit after revisions).
+    Every ``w:t`` carries ``xml:space='preserve'`` — the writer always
+    marks, the reader never trims."""
+    out = []
+
+    def emit_t(s: str):
+        if not s:
+            return
+        chunks = ([s[i:i + 16] for i in range(0, len(s), 16)]
+                  if split_runs else [s])
+        for c in chunks:
+            out.append('<w:r><w:t xml:space="preserve">%s</w:t></w:r>'
+                       % _xml_escape(c))
+
+    specials = "\n\t" if tabs_as_elements else "\n"
+    buf = []
+    for ch in text:
+        if ch in specials:
+            emit_t("".join(buf))
+            buf = []
+            out.append("<w:r><w:br/></w:r>" if ch == "\n"
+                       else "<w:r><w:tab/></w:r>")
+        else:
+            buf.append(ch)
+    emit_t("".join(buf))
+    return "".join(out)
+
+
+def docx_write(
+    paragraphs,
+    *,
+    info: dict | None = None,
+    split_runs: bool = False,
+    tabs_as_elements: bool = False,
+    table_after_first: bool = False,
+    strict_ns: bool = False,
+    missing_part: bool = False,
+) -> bytes:
+    """In-repo DOCX writer (the test/gating twin of
+    :func:`extract_docx_text`, NOT a production sink): ``paragraphs``
+    is a list of paragraph texts (``\\n`` inside one becomes a
+    ``<w:br/>``).  ``split_runs`` splits each paragraph into many
+    short ``w:t`` runs; ``tabs_as_elements`` writes TABs as
+    ``<w:tab/>`` elements instead of literal characters;
+    ``table_after_first`` wraps every paragraph after the first into
+    one-cell table rows (the nested ``w:tbl``/``w:tr``/``w:tc``
+    traversal fixture); ``strict_ns`` emits the strict OOXML
+    namespace; ``missing_part`` drops ``word/document.xml`` (the
+    degrade fixture)."""
+    if isinstance(paragraphs, str):
+        paragraphs = [paragraphs]
+    ns = _W_NS[1] if strict_ns else _W_NS[0]
+    ps = ["<w:p>%s</w:p>"
+          % _runs_xml(t, split_runs, tabs_as_elements)
+          for t in paragraphs]
+    if table_after_first and len(ps) > 1:
+        rows = "".join(
+            "<w:tr><w:tc>%s</w:tc></w:tr>" % p for p in ps[1:])
+        body = ps[0] + "<w:tbl>%s</w:tbl>" % rows
+    else:
+        body = "".join(ps)
+    doc_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="%s"><w:body>%s'
+        '<w:sectPr/></w:body></w:document>' % (ns, body))
+    core = None
+    if info:
+        dc = {"title": "dc:title", "subject": "dc:subject",
+              "creator": "dc:creator", "keywords": "cp:keywords",
+              "description": "dc:description",
+              "last_modified_by": "cp:lastModifiedBy",
+              "revision": "cp:revision",
+              "created": "dcterms:created",
+              "modified": "dcterms:modified"}
+        items = []
+        for k, v in info.items():
+            tag = dc.get(k, "dc:" + k)
+            attr = (' xsi:type="dcterms:W3CDTF"'
+                    if tag.startswith("dcterms:") else "")
+            items.append("<%s%s>%s</%s>"
+                         % (tag, attr, _xml_escape(str(v)), tag))
+        core = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<cp:coreProperties '
+            'xmlns:cp="http://schemas.openxmlformats.org/package/2006/'
+            'metadata/core-properties" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+            'xmlns:dcterms="http://purl.org/dc/terms/" '
+            'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+            "%s</cp:coreProperties>" % "".join(items))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CT_XML)
+        z.writestr("_rels/.rels", _RELS_XML)
+        if not missing_part:
+            z.writestr("word/document.xml", doc_xml)
+        if core:
+            z.writestr("docProps/core.xml", core)
+    return buf.getvalue()
+
+
+def ole_write(kind: str = "encrypted") -> bytes:
+    """Minimal CFB (OLE2) container fixture for the encrypted /
+    legacy-doc degrade classes: real magic + header shape + a
+    directory sector whose entry names carry the marker stream
+    (UTF-16LE, the on-disk form).  ``kind``: ``encrypted`` (OOXML
+    EncryptionInfo + EncryptedPackage), ``legacy`` (binary .doc's
+    WordDocument), ``other`` (no marker)."""
+    names = {"encrypted": ["Root Entry", "EncryptionInfo",
+                           "EncryptedPackage"],
+             "legacy": ["Root Entry", "WordDocument", "1Table"],
+             "other": ["Root Entry", "SomeStream"]}[kind]
+    header = bytearray(512)
+    header[:8] = _CFB_MAGIC
+    header[26:28] = (3).to_bytes(2, "little")   # minor/major version
+    header[28:30] = (0xFFFE).to_bytes(2, "little")  # little-endian
+    header[30:32] = (9).to_bytes(2, "little")   # 512-byte sectors
+    out = bytearray(header)
+    for name in names:
+        entry = bytearray(128)
+        enc = name.encode("utf-16-le") + b"\x00\x00"
+        entry[:len(enc)] = enc
+        entry[64:66] = len(enc).to_bytes(2, "little")
+        entry[66] = 1 if name != "Root Entry" else 5  # stream/root
+        out += entry
+    out += bytes(512 - (len(out) % 512 or 512))
+    return bytes(out)

@@ -4673,13 +4673,86 @@ def x50(spark, sf_dir):
     )
 
 
+# The characters a document body must shed before it can live in
+# WordprocessingML: XML 1.0 forbids C0 controls other than TAB/LF/CR,
+# and CR itself is line-end-normalized away by any conforming XML
+# parser, so both are folded to '?' on BOTH engine sides (the pinned
+# two-engine-parity recipe of x48/x49).  Spark side: real characters
+# via Python escapes; oracle side: the same class in RE2 escape
+# syntax (see the SQL below).
+_X51_XMLBAD = "[\x00-\x08\x0b-\x1f￾￿]"
+
+
+@query(
+    "x51_docx_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(regexp_replace(
+                    text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                    '?', 'g'), '') = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10) ||
+                     regexp_replace(
+                        text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                        '?', 'g')
+           END AS extracted
+    FROM documents
+    """,
+)
+def x51(spark, sf_dir):
+    """DOCX→text extraction (round 13): each document is typeset into
+    a REAL .docx — title paragraph plus the body split 3 lines per
+    paragraph (newlines INSIDE a paragraph become ``<w:br/>``
+    elements, so the break path is on the hash path), with layout
+    variety cycling by doc_id: even ids split every paragraph into
+    many short ``w:t`` runs, every 3rd id writes TABs as ``<w:tab/>``
+    elements, every 5th id wraps the body paragraphs into table rows
+    (the nested ``w:tbl``/``w:tr``/``w:tc`` traversal), every 7th id
+    uses the STRICT OOXML namespace — and
+    :func:`~bertrand_spark.pipeline.docxtext.extract_docx_text` must
+    recover EXACTLY title+newline+body.  XML-invalid C0 controls (and
+    CR, which XML parsers normalize away) are pre-folded to '?' with
+    the IDENTICAL character class on both engine sides — the pinned
+    parity recipe of x48/x49.  Build + extract are one composed
+    Arrow-batched map pass, no shuffle at scale (``_tw`` spreads the
+    single-row-group testdata file)."""
+    import re as _re
+
+    from ..pipeline.docxtext import docx_write, extract_docx_text
+
+    d = _tw(spark, sf_dir, "documents")
+    bad = _re.compile(_X51_XMLBAD)
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            fold = bad.sub("?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            lines = page.split("\n")
+            out.append(docx_write(
+                ["\n".join(lines[k:k + 3])
+                 for k in range(0, len(lines), 3)],
+                split_runs=(i % 2 == 0),
+                tabs_as_elements=(i % 3 == 0),
+                table_after_first=(i % 5 == 0),
+                strict_ns=(i % 7 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_docx_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
 # STANDING POLICY (rotating 50-slot window): the driver's correctness gate
-# runs exactly the FIRST 50 keys of ``queries()``.  With 113 oracle-backed
+# runs exactly the FIRST 50 keys of ``queries()``.  With 114 oracle-backed
 # queries and a 50-slot window, every query must re-enter the window at
-# least every ceil(113/50)=3 rounds so no driver attestation falls out of
+# least every ceil(114/50)=3 rounds so no driver attestation falls out of
 # the 3-round artifact union the cycle test checks.  Each round: (a) the
 # queries whose last attestation is about to age out fill the leading
 # slots; (b) the remaining slots refresh queries whose kernels/plans this
@@ -4687,48 +4760,50 @@ def x50(spark, sf_dir):
 # dict order rotates.  A name here that no longer exists in QUERIES raises
 # at import (see below) so a rename cannot silently drop coverage.
 #
-# Round 12: the eleven r09-stale names (q02/q03/q05/q06/q07/q10
-# type-system casts; q15/q16/q18/q24b iteration shapes; q57 a pure
-# TPC-H join/agg — the r09 artifact leaves the 3-round union after
-# this round, and these are exactly the names whose only attestation
-# it carries) take the leading slots, as round 11's note committed
-# and the round-11 verdict re-verified.  x49 is NEW this round (the
-# PDF→text extractor — the oracle set grows 111→112 per the round-11
-# verdict's item 5) and needs its first attestation, as does x50
-# (the WARC-roundtrip oracle — the reader was unit-gated only); x48
-# re-enters because this round changed its plan (the
-# Unicode-whitespace parity fold on both engine sides).  The
-# remaining 36 slots re-attest r10-window names.  Fourteen
-# structurally-stable r10 names (q31/q32 regex+map shapes; q36
-# profile; q41/q43/q45/q46/q47/q48/q49/q52/q53/q55 pure TPC-H
-# join/agg; x37 temperature resample — all over code this round does
-# not touch) wait for round 13; the cycle test covers them via the
-# r10 artifact, and round 13's rotation must lead with them.
+# Round 13: the fourteen r10-stale names lead (q31/q32 regex+map
+# shapes; q36 profile; q41/q43/q45/q46/q47/q48/q49/q52/q53/q55 pure
+# TPC-H join/agg; x37 temperature resample — the r10 artifact leaves
+# the 3-round union after this round, and the round-12 verdict
+# verified this is exactly the set whose only attestation it
+# carries).  x51 is NEW (the DOCX→text extractor — the oracle set
+# grows 113→114 per the round-12 verdict's item 2) and needs its
+# first attestation; x49 re-enters because this round changed its
+# kernel (RC4 decryption of permissions-only encrypted documents +
+# the page-tree-truncation status), and x50 because warc.py's reader
+# file changed (the streaming terminator fix).  The remaining 33
+# slots re-attest r11-window names: all 31 x-pipeline names (their
+# kernels are the highest-churn surface) plus the two custom join
+# operators q29/q30.  The sixteen structurally-stable r11 TPC-H
+# names (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/
+# q59/q60 — pure join/agg shapes over code this round does not
+# touch) wait for round 14; the cycle test covers them via the r11
+# artifact, and round 14's rotation must lead with them.
 _DRIVER_ROTATION = [
-    # r09-stale re-attestations (11): r09 leaves the 3-round union now
-    "q02_typecheck_bounds", "q03_generic_casts", "q05_boundscheck",
-    "q06_downcast_feasibility", "q07_numeric_widening",
-    "q10_decimal_matrix", "q15_iota", "q16_enumerate", "q18_slice",
-    "q24b_except", "q57_top_supplier",
+    # r10-stale re-attestations (14): r10 leaves the 3-round union now
+    "q31_regex_dialect", "q32_map_ops", "q36_profile",
+    "q41_revenue_forecast", "q43_large_orders", "q45_above_average",
+    "q46_late_orders_exists", "q47_supplier_nation_cycle",
+    "q48_priority_class_agg", "q49_supplier_part_counts",
+    "q52_product_profit", "q53_customer_distribution",
+    "q55_disjunctive_revenue", "x37_temperature_resample",
     # new this round (1): first attestation
-    "x49_pdf_extract",
-    # plan touched this round (1): the x48 whitespace-parity fold
-    "x48_html_extract",
-    # new this round (1): the WARC-roundtrip oracle
-    "x50_warc_roundtrip",
-    # r10 re-attestations (37)
-    "q01_detect_tags", "q04_rounding_rules", "q08_epoch_datetime",
-    "q09_radix_format", "q11_datetime_units", "q12_string_to_bool",
-    "q13_parse_temporal", "q14_categorize", "q17_where_ternary",
-    "q17b_where_filter", "q19_concat_sep", "q19b_union_all",
-    "q20_find_replace", "q21_reductions", "q22_stable_sort",
-    "q23_ordered_dedup", "q24_intersect", "q25_dt_td_conversions",
-    "q26_calendar_units", "q27_object_roundtrip", "q28_anonymous_cast",
-    "x01_exact_dedup", "x08_token_stats", "x09_lang_scores",
-    "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
-    "x13_media_sniff", "x14_media_decode", "x15_rolling_fingerprints",
-    "x19_stream_rollup", "x21_redact_pii", "x22_pack_sequences",
-    "x23_stratified_sample", "x24_repetition_score", "x27_corpus_stats",
+    "x51_docx_extract",
+    # kernels touched this round (2): pdftext decryption, warc reader
+    "x49_pdf_extract", "x50_warc_roundtrip",
+    # r11 re-attestations (33): the x-pipeline surface + custom joins
+    "q29_asof_join", "q30_range_join",
+    "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
+    "x05_cosine_topk", "x06_cosine_pairs", "x07_ivf_topk",
+    "x16_cosine_near_dup", "x17_quality_scores",
+    "x18_pipeline_end_to_end", "x20_decontaminate", "x25_stream_dedup",
+    "x26_stream_sessions", "x28_stream_stream_join",
+    "x29_foreachbatch_sink", "x30_dedup_clusters", "x31_dedup_canonical",
+    "x32_fuzzy_join", "x33_gopher_rules", "x34_tfidf_top_terms",
+    "x35_chunk_dedup", "x36_incremental_dedup", "x38_knn_graph",
+    "x39_adaptive_length_filter", "x40_mix_corpus",
+    "x41_dedup_keep_best", "x42_lm_perplexity", "x43_semdedup",
+    "x44_overlap_report", "x45_dsir_weights", "x46_filter_cascade",
+    "x47_dsir_resample",
 ]
 
 
@@ -4742,8 +4817,8 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 12: empty — both new queries (x49 per the round-11 verdict's
-# item 5, and the x50 WARC-roundtrip oracle) fit the window; the set is otherwise frozen at the
+# Round 13: empty — the one new query (x51 per the round-12 verdict's
+# item 2) fits the window; the set is otherwise frozen at the
 # round-7 policy (depth, not query-count padding).
 _DEFERRED_NEW: list = []
 

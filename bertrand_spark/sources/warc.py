@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["read_warc", "read_warc_streaming", "warc_records",
-           "parse_warc", "warc_write"]
+           "warc_records_worker_open", "parse_warc", "warc_write"]
 
 _SCHEMA = ("path string, url string, warc_ts string, "
            "record_type string, mime string, charset string, "
@@ -302,26 +302,19 @@ def _worker_local_path(p: str) -> str:
     return unquote(u.path) or p
 
 
-def read_warc_streaming(
-    spark: SparkSession,
-    path: str,
+def warc_records_worker_open(
+    files_df: DataFrame,
     record_types: tuple = ("response",),
     batch_rows: int = 256,
 ) -> DataFrame:
-    """Bounded-memory :func:`read_warc`: same output schema, but each
-    task holds ~one RECORD at a time instead of a whole segment.
-
-    ``binaryFile`` does the LISTING only — selecting just ``path``
-    prunes the content column, so no file bytes flow through Spark —
-    and each Python worker opens its files directly
-    (``gzip.GzipFile`` over the local/mounted path, concatenated
-    members handled natively), streaming records off the decompressor
-    in ``batch_rows`` chunks.  This is the 100 TB shape for ~1 GB
-    crawl segments: peak memory per task is O(record), not
-    O(segment + decompressed segment).  Paths must be
-    worker-openable (local disk, NFS/FUSE mounts — the usual cluster
-    layouts); for object stores without a mount, use
-    :func:`read_warc`."""
+    """The bounded-memory record explosion over any DataFrame carrying
+    a ``path`` column — the shared core of :func:`read_warc_streaming`
+    (batch) and ``stream_extract_warc(worker_open=True)`` (per
+    micro-batch): only ``path`` is selected (the scan prunes any
+    content column — no file bytes through Spark), each Python worker
+    opens its files directly and streams records off the decompressor
+    in ``batch_rows`` chunks, O(record) peak memory per task.  Paths
+    must be worker-openable (local disk, NFS/FUSE mounts)."""
     rts = tuple(record_types)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -366,8 +359,32 @@ def read_warc_streaming(
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
-    files = spark.read.format("binaryFile").load(path).select("path")
-    return files.mapInPandas(batches, _SCHEMA)
+    return files_df.select("path").mapInPandas(batches, _SCHEMA)
+
+
+def read_warc_streaming(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Bounded-memory :func:`read_warc`: same output schema, but each
+    task holds ~one RECORD at a time instead of a whole segment.
+
+    ``binaryFile`` does the LISTING only — selecting just ``path``
+    prunes the content column, so no file bytes flow through Spark —
+    and each Python worker opens its files directly
+    (``gzip.GzipFile`` over the local/mounted path, concatenated
+    members handled natively), streaming records off the decompressor
+    in ``batch_rows`` chunks (:func:`warc_records_worker_open`).
+    This is the 100 TB shape for ~1 GB crawl segments: peak memory
+    per task is O(record), not O(segment + decompressed segment).
+    Paths must be worker-openable (local disk, NFS/FUSE mounts — the
+    usual cluster layouts); for object stores without a mount, use
+    :func:`read_warc`."""
+    return warc_records_worker_open(
+        spark.read.format("binaryFile").load(path),
+        record_types, batch_rows)
 
 
 def warc_write(

@@ -807,6 +807,7 @@ def stream_extract_warc(
     record_types: tuple = ("response",),
     extract_text: bool = True,
     report_dir: str | None = None,
+    worker_open: bool = False,
 ):
     """Crawl ingest on a stream — the WARC twin of
     :func:`stream_decode_media`: point ``readStream.format(
@@ -836,13 +837,30 @@ def stream_extract_warc(
     Arrow-batched map passes with no shuffle.  Replayed epochs
     overwrite their own directories (extraction is deterministic per
     payload), preserving exactly-once.
+
+    ``worker_open`` (round 13, round-12 verdict item 6): for
+    local/mounted segment layouts, route each micro-batch through
+    the bounded-memory core instead — each worker opens its files
+    directly and streams records at O(record) peak memory
+    (:func:`~bertrand_spark.sources.warc.warc_records_worker_open`)
+    — the ~1 GB-segment shape.  IMPORTANT: prune on the STREAM side
+    (``readStream...load(dir).select("path")`` before
+    ``writeStream``) — that projection reaches the source scan at
+    micro-batch planning, so the binaryFile reader never reads the
+    bytes; a ``foreachBatch``-side select is too late (the batch
+    arrives as a LogicalRDD whose schema is already fixed).  The
+    handler works with either shape.  Default unchanged
+    (whole-segment ``content``, which object stores without a mount
+    require — do NOT prune the stream then).
     """
     from ..pipeline.htmltext import (decode_html_bytes,
                                      extract_html_text, fix_mojibake)
-    from ..sources.warc import warc_records
+    from ..sources.warc import warc_records, warc_records_worker_open
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        recs = warc_records(batch_df, record_types)
+        recs = (warc_records_worker_open(batch_df, record_types)
+                if worker_open
+                else warc_records(batch_df, record_types))
         if extract_text:
             is_html = F.col("mime").isin("text/html",
                                          "application/xhtml+xml")

@@ -343,3 +343,267 @@ class TestPdfTreeTruncationVisible:
         # pages, and zero pages is parse-failed (never a silent empty
         # "extracted")
         assert status == "parse-failed" and text is None
+
+
+class TestDocxExtract:
+    """DOCX→text extraction (round-12 verdict item 2): stdlib
+    zipfile + ElementTree over word/document.xml, the x49 gating
+    recipe — exact recovery over an in-repo writer, visible degrade
+    classes, fuzz never raises, oracle x51 on the hash path."""
+
+    PARAS = ["Title line", "Second\tpara with tab",
+             "Third has\nan inner break", "", "final ünïcode ☃"]
+
+    def test_roundtrip_matrix(self):
+        from bertrand_spark.pipeline.docxtext import (_extract_docx_one,
+                                                      docx_write)
+        expect = "\n".join(self.PARAS)
+        for kw in ({}, {"split_runs": True}, {"tabs_as_elements": True},
+                   {"table_after_first": True}, {"strict_ns": True},
+                   {"split_runs": True, "tabs_as_elements": True,
+                    "table_after_first": True, "strict_ns": True}):
+            got = _extract_docx_one(docx_write(self.PARAS, **kw))
+            assert got == (expect, "extracted", 5), (kw, got)
+
+    def test_degrade_classes(self):
+        from bertrand_spark.pipeline.docxtext import (_extract_docx_one,
+                                                      docx_write,
+                                                      ole_write)
+        assert _extract_docx_one(ole_write("encrypted")) == (
+            None, "encrypted", None)
+        assert _extract_docx_one(ole_write("legacy")) == (
+            None, "legacy-doc", None)
+        assert _extract_docx_one(ole_write("other")) == (
+            None, "cfb-container", None)
+        assert _extract_docx_one(b"not zip not cfb") == (
+            None, "not-docx", None)
+        assert _extract_docx_one(
+            docx_write(["x"], missing_part=True)) == (
+            None, "missing-part", None)
+        assert _extract_docx_one(None) == (None, None, None)
+
+    def test_truncated_payload_salvages(self):
+        """The crawl case: central directory gone — the raw
+        local-header inflate + w:t regex recovers the text prefix
+        with the visible extracted-scan class."""
+        from bertrand_spark.pipeline.docxtext import (_extract_docx_one,
+                                                      docx_write)
+        full = docx_write(self.PARAS)
+        text, status, n = _extract_docx_one(full[:int(len(full) * .9)])
+        assert status == "extracted-scan"
+        assert text.startswith("Title line\nSecond\tpara")
+        # malformed XML inside an intact zip: same salvage class
+        import io as _io
+        import zipfile as _zf
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml",
+                       '<w:document xmlns:w="x"><w:body>'
+                       "<w:p><w:r><w:t>kept &amp; salvaged</w:t>"
+                       "</w:r></w:p><w:p><w:r><w:t>oops")  # truncated
+        text, status, n = _extract_docx_one(buf.getvalue())
+        assert status == "extracted-scan"
+        assert text == "kept & salvaged" and n == 1
+
+    def test_tracked_changes_and_fields_not_display_text(self):
+        # w:delText (tracked deletion) and w:instrText (field code)
+        # must NOT surface
+        import io as _io
+        import zipfile as _zf
+        from bertrand_spark.pipeline.docxtext import _extract_docx_one
+        ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        xml = ('<w:document xmlns:w="%s"><w:body><w:p>'
+               "<w:r><w:t>shown</w:t></w:r>"
+               "<w:del><w:r><w:delText>deleted</w:delText></w:r></w:del>"
+               "<w:r><w:instrText>PAGEREF _Toc1</w:instrText></w:r>"
+               "</w:p></w:body></w:document>" % ns)
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", xml)
+        assert _extract_docx_one(buf.getvalue()) == (
+            "shown", "extracted", 1)
+
+    def test_metadata_core_properties(self):
+        from bertrand_spark.pipeline.docxtext import (_docx_meta_one,
+                                                      docx_write,
+                                                      ole_write)
+        info = {"title": "Doc T", "creator": "Ann ☃", "revision": "3",
+                "created": "2026-01-01T00:00:00Z",
+                "last_modified_by": "Bob"}
+        m = _docx_meta_one(docx_write(["x"], info=info))
+        assert m[0] == "Doc T" and m[2] == "Ann ☃" and m[5] == "Bob"
+        assert m[6] == "3" and m[7] == "2026-01-01T00:00:00Z"
+        assert m[-1] == "ok"
+        assert _docx_meta_one(docx_write(["x"]))[-1] == "no-core-part"
+        assert _docx_meta_one(ole_write("encrypted"))[-1] == "encrypted"
+        assert _docx_meta_one(b"junk")[-1] == "not-docx"
+        assert _docx_meta_one(None)[-1] is None
+
+    def test_fuzz_never_raises(self):
+        import random
+        from bertrand_spark.pipeline.docxtext import (_docx_meta_one,
+                                                      _extract_docx_one,
+                                                      docx_write,
+                                                      ole_write)
+        rng = random.Random(1313)
+        bases = [docx_write(self.PARAS, info={"title": "F"}),
+                 docx_write(self.PARAS, split_runs=True,
+                            table_after_first=True),
+                 ole_write("encrypted")]
+        for base in bases:
+            for _ in range(150):
+                b = bytearray(base)
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                assert isinstance(_extract_docx_one(bytes(b)), tuple)
+                assert isinstance(_docx_meta_one(bytes(b)), tuple)
+        for _ in range(100):
+            junk = b"PK" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+            assert isinstance(_extract_docx_one(junk), tuple)
+
+    def test_spark_seam_and_report(self, spark):
+        from pyspark.sql import functions as F
+        from bertrand_spark.pipeline.docxtext import (docx_format_report,
+                                                      docx_metadata,
+                                                      docx_write,
+                                                      ole_write)
+        from bertrand_spark.pipeline.docxtext import extract_docx_text
+        rows = [
+            (1, docx_write(["alpha", "beta"], info={"title": "A"})),
+            (2, docx_write(["solo"])),
+            (3, ole_write("encrypted")),
+            (4, ole_write("legacy")),
+            (5, b"plain bytes"),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        ex = df.select("doc_id",
+                       extract_docx_text(F.col("payload")).alias("docx"),
+                       docx_metadata(F.col("payload")).alias("m"))
+        got = {r.doc_id: r for r in ex.collect()}
+        assert got[1].docx.text == "alpha\nbeta"
+        assert got[1].docx.status == "extracted"
+        assert got[1].docx.n_paragraphs == 2
+        assert got[1].m.title == "A" and got[1].m.status == "ok"
+        assert got[2].docx.text == "solo"
+        assert got[3].docx.status == "encrypted"
+        assert got[3].m.title is None
+        assert got[4].docx.status == "legacy-doc"
+        assert got[5].docx.status == "not-docx"
+        assert got[6].docx.status is None
+        rep = {r.status: r for r in docx_format_report(
+            ex.select("doc_id", "docx")).collect()}
+        assert rep["extracted"].n_docs == 2
+        assert rep["extracted"].n_paragraphs == 3
+        assert rep["encrypted"].n_docs == 1
+        assert rep["legacy-doc"].n_docs == 1
+
+    def test_warc_docx_composition(self, spark, tmp_path):
+        """The crawl seam closes over DOCX too: a WARC carrying a
+        .docx response flows read_warc → extract_docx_text."""
+        from pyspark.sql import functions as F
+        from bertrand_spark.pipeline.docxtext import (docx_write,
+                                                      extract_docx_text)
+        from bertrand_spark.sources.warc import read_warc, warc_write
+        d = tmp_path / "w"
+        d.mkdir()
+        payload = docx_write(["from the crawl", "second para"])
+        mime = ("application/vnd.openxmlformats-officedocument"
+                ".wordprocessingml.document")
+        (d / "a.warc.gz").write_bytes(warc_write(
+            [{"url": "http://e/doc.docx", "ts": "t", "body": payload,
+              "mime": mime}]))
+        got = (read_warc(spark, str(d))
+               .select("url", "mime",
+                       extract_docx_text(F.col("payload")).alias("docx"))
+               .collect())
+        assert len(got) == 1
+        assert got[0].mime == mime
+        assert got[0].docx.text == "from the crawl\nsecond para"
+        assert got[0].docx.status == "extracted"
+
+
+class TestStreamWarcWorkerOpen:
+    """Round-12 verdict item 6: stream_extract_warc can route each
+    micro-batch through the bounded-memory worker-open core — only
+    the path column read off the stream source, O(record) task
+    memory — with output parity and idempotent replay vs the
+    whole-segment seam (default unchanged)."""
+
+    def _warc_dir(self, tmp_path):
+        d = tmp_path / "segs"
+        d.mkdir()
+        (d / "a.warc.gz").write_bytes(warc_write([
+            {"url": "http://a.example/", "ts": "t",
+             "body": "first page body — crawl text".encode()},
+            {"url": "http://b.example/x.png", "ts": "t",
+             "body": b"\x89PNGfake", "mime": "image/png"},
+        ]))
+        (d / "b.warc.gz").write_bytes(warc_write([
+            {"url": "http://c.example/", "ts": "t",
+             "body": "segunda página".encode("latin-1"),
+             "charset": "latin-1"},
+        ]))
+        return d
+
+    def test_parity_and_idempotent_replay(self, spark, tmp_path):
+        from bertrand_spark.streaming.rollup import stream_extract_warc
+        d = self._warc_dir(tmp_path)
+        files = spark.read.format("binaryFile").load(str(d))
+        out_seg = str(tmp_path / "out_seg")
+        out_wo = str(tmp_path / "out_wo")
+        stream_extract_warc(out_seg)(files, 0)
+        handle = stream_extract_warc(out_wo, worker_open=True)
+        handle(files, 0)
+        handle(files, 0)  # replay: same epoch overwrites itself
+        seg = sorted(
+            (r.url, r.mime, r.text, bytes(r.payload)) for r in
+            spark.read.parquet(f"{out_seg}/ingest_batch=0").collect())
+        wo = sorted(
+            (r.url, r.mime, r.text, bytes(r.payload)) for r in
+            spark.read.parquet(f"{out_wo}/ingest_batch=0").collect())
+        assert seg == wo and len(wo) == 3
+        assert wo[0][2].startswith("first page body")
+        assert "segunda página" in wo[2][2]
+
+    def test_stream_plan_reads_only_path(self, spark, tmp_path):
+        """The real stream, availableNow, pruned on the STREAM side
+        (.select('path') before writeStream — the projection reaches
+        the source scan at micro-batch planning; a foreachBatch-side
+        select is too late, the batch arrives as a schema-fixed
+        LogicalRDD): the micro-batch must carry ONLY the path column,
+        and the worker-open explosion lands the same records."""
+        from bertrand_spark.sources.warc import warc_records_worker_open
+        from bertrand_spark.streaming.rollup import stream_extract_warc
+        d = self._warc_dir(tmp_path)
+        out = str(tmp_path / "out")
+        inner = stream_extract_warc(out, worker_open=True)
+        plans, cols = [], []
+
+        def probe(batch_df, batch_id):
+            cols.append(list(batch_df.columns))
+            recs = warc_records_worker_open(batch_df, ("response",))
+            recs.collect()
+            plans.append(
+                recs._jdf.queryExecution().executedPlan().toString())
+            inner(batch_df, batch_id)
+
+        q = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .load(str(d))
+             .select("path")  # prune HERE: reaches the source scan
+             .writeStream.foreachBatch(probe)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(f"{out}/ingest_batch=*")
+        assert got.count() == 3
+        assert plans and cols
+        assert all(c == ["path"] for c in cols)
+        for plan in plans:
+            scan = [ln for ln in plan.splitlines()
+                    if "Scan ExistingRDD" in ln]
+            assert scan and all("content" not in ln for ln in scan)
