@@ -99,6 +99,13 @@ HEADLINE = [
     # the suite, same per-round-watch rationale as x48; the suite
     # total grows again from round 12 on).
     "x49_pdf_extract",
+    # round-13 append: the DOCX→text extractor (zip+XML typeset +
+    # re-extract round trip per document, same per-round-watch
+    # rationale; the suite total grows again from round 13 on) and
+    # its PPTX/XLSX siblings on the same seam.
+    "x51_docx_extract",
+    "x52_pptx_extract",
+    "x53_xlsx_extract",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

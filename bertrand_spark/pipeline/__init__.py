@@ -107,7 +107,11 @@ from .docxtext import (  # noqa: F401
     docx_metadata,
     docx_write,
     extract_docx_text,
+    extract_pptx_text,
+    extract_xlsx_text,
     ole_write,
+    pptx_write,
+    xlsx_write,
 )
 from .pdftext import (  # noqa: F401
     extract_pdf_text,

@@ -45,6 +45,15 @@ exact round trips and degrade-class units; fuzz pins the never-raise
 contract; oracle x51 puts typeset→re-extract identity on the
 driver's hash path (the x49 recipe).
 
+The sibling OOXML classes ride the same seam (round 13):
+:func:`extract_pptx_text` (DrawingML ``a:t`` runs per ``a:p``,
+slides in numeric order, per-slide salvage; legacy binary PowerPoint
+classes as ``legacy-ppt``) and :func:`extract_xlsx_text`
+(sharedStrings-resolved cell values — shared/inline/literal/boolean/
+numeric — TAB-joined per row; legacy binary Excel as ``legacy-xls``),
+each with its in-repo writer (:func:`pptx_write`, :func:`xlsx_write`)
+and oracles x52/x53 on the driver's hash path.
+
 Scale shape: :func:`extract_docx_text` is one Arrow-batched
 ``pandas_udf`` over a binary column (the per-document loop IS the
 parser, like :mod:`.pdftext`) — a narrow map pass, no shuffle, no
@@ -66,7 +75,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["extract_docx_text", "docx_metadata", "docx_format_report",
-           "docx_write", "ole_write"]
+           "docx_write", "ole_write",
+           "extract_pptx_text", "pptx_write",
+           "extract_xlsx_text", "xlsx_write"]
 
 # transitional (what Word writes) and strict OOXML namespaces
 _W_NS = ("http://schemas.openxmlformats.org/wordprocessingml/2006/main",
@@ -230,7 +241,10 @@ def _classify_cfb(data: bytes) -> str:
     another (text stays NULL either way)."""
     for marker, status in (("EncryptedPackage", "encrypted"),
                            ("EncryptionInfo", "encrypted"),
-                           ("WordDocument", "legacy-doc")):
+                           ("WordDocument", "legacy-doc"),
+                           ("PowerPoint Document", "legacy-ppt"),
+                           ("Workbook", "legacy-xls"),
+                           ("Book", "legacy-xls")):
         if marker.encode("utf-16-le") in data:
             return status
     return "cfb-container"
@@ -536,3 +550,375 @@ def ole_write(kind: str = "encrypted") -> bytes:
         out += entry
     out += bytes(512 - (len(out) % 512 or 512))
     return bytes(out)
+
+
+# --- PPTX / XLSX: the sibling OOXML classes on the same seam -----------------
+# (round 13, sanctioned by the round-12 verdict: "XLSX/PPTX can follow
+# the same seam later".)  Same zip container, same CFB classing, same
+# Arrow-batched never-raise kernels; only the inner XML dialect
+# differs: DrawingML ``a:t`` runs for slides, sharedStrings+sheet
+# cells for workbooks.
+
+# transitional and strict DrawingML namespaces (PPTX text runs)
+_A_NS = ("http://schemas.openxmlformats.org/drawingml/2006/main",
+         "http://purl.oclc.org/ooxml/drawingml/main")
+
+_SLIDE_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+_SHEET_RE = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+_A_T_RE = re.compile(rb"<a:(t|br)(?=[\s/>])[^>]*?(?:/>|>(.*?)</a:\1\s*>)",
+                     re.S)
+_A_P_END_RE = re.compile(rb"</a:p\s*>")
+
+
+def _slide_paragraphs(root) -> list[str]:
+    """Paragraph texts from one slide part: ``a:p`` paragraphs,
+    ``a:t`` runs, ``a:br`` line breaks — shapes/tables/notes all
+    carry their text through the same DrawingML runs, so the
+    document-order walk covers them."""
+    out = []
+    for p in root.iter():
+        if _local(p.tag) != "p":
+            continue
+        parts = []
+        for node in p.iter():
+            ln = _local(node.tag)
+            if ln == "t":
+                parts.append(node.text or "")
+            elif ln == "br":
+                parts.append("\n")
+        out.append("".join(parts))
+        if len(out) >= _MAX_PARAS:
+            break
+    return out
+
+
+def _salvage_slide_text(xml: bytes) -> list[str]:
+    """Regex recovery of slide paragraphs (the extracted-scan path for
+    malformed slide XML)."""
+    paras = []
+    chunks = _A_P_END_RE.split(xml)
+    for k, chunk in enumerate(chunks):
+        parts = []
+        for m in _A_T_RE.finditer(chunk):
+            if m.group(1) == b"t":
+                parts.append(_unescape(
+                    (m.group(2) or b"").decode("utf-8", "replace")))
+            else:
+                parts.append("\n")
+        if k == len(chunks) - 1 and not parts:
+            break
+        paras.append("".join(parts))
+        if len(paras) >= _MAX_PARAS:
+            break
+    if not paras:
+        raise _DocxError("no slide text salvaged")
+    return paras
+
+
+def _extract_pptx_one(b):
+    """(text, status, n_slides) for one payload — never raises.
+    Slides are walked in numeric order (slide2 before slide10); one
+    malformed slide degrades to its regex salvage (status
+    ``extracted-scan``) without losing the rest."""
+    if b is None:
+        return (None, None, None)
+    try:
+        data = bytes(b)
+        if data[:8] == _CFB_MAGIC:
+            return (None, _classify_cfb(data), None)
+        if data[:2] != b"PK":
+            return (None, "not-pptx", None)
+        try:
+            z = zipfile.ZipFile(io.BytesIO(data))
+        except (zipfile.BadZipFile, OSError, ValueError):
+            return (None, "parse-failed", None)
+        with z:
+            slides = sorted(
+                ((int(m.group(1)), n) for n, m in
+                 ((n, _SLIDE_RE.match(n)) for n in z.namelist()) if m))
+            if not slides:
+                return (None, "missing-part", None)
+            texts = []
+            any_scan = False
+            for _num, name in slides:
+                try:
+                    with z.open(name) as fh:
+                        xml = fh.read(_MAX_XML)
+                except Exception:
+                    any_scan = True
+                    continue
+                try:
+                    texts.extend(_slide_paragraphs(ET.fromstring(xml)))
+                except ET.ParseError:
+                    try:
+                        texts.extend(_salvage_slide_text(xml))
+                        any_scan = True
+                    except _DocxError:
+                        any_scan = True
+            if not texts:
+                return (None, "parse-failed", None)
+            return ("\n".join(texts),
+                    "extracted-scan" if any_scan else "extracted",
+                    len(slides))
+    except Exception:
+        return (None, "parse-failed", None)
+
+
+def extract_pptx_text(payload: Column) -> Column:
+    """Binary PPTX payload → ``struct<text, status, n_slides>``:
+    DrawingML ``a:t`` runs per ``a:p`` paragraph, slides concatenated
+    in numeric order.  Same degrade ladder and never-raise contract
+    as :func:`extract_docx_text` (``not-pptx`` for wrong magic;
+    legacy binary PowerPoint classes as ``legacy-ppt``).  One
+    Arrow-batched map pass, no shuffle."""
+
+    @F.pandas_udf("struct<text: string, status: string, n_slides: int>")
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_extract_pptx_one(p) for p in payloads]
+        return pd.DataFrame(rows, columns=["text", "status", "n_slides"])
+
+    return kernel(payload)
+
+
+def _si_text(si) -> str:
+    """One sharedStrings ``si`` item → its text (plain ``t`` or rich
+    ``r``/``t`` runs, concatenated)."""
+    parts = []
+    for node in si.iter():
+        if _local(node.tag) == "t":
+            parts.append(node.text or "")
+    return "".join(parts)
+
+
+def _cell_value(c, sst: list) -> str | None:
+    """One ``c`` element → its display string: shared (``t="s"``),
+    inline (``t="inlineStr"``), literal (``t="str"``), boolean, or
+    the raw numeric ``v``."""
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        for node in c.iter():
+            if _local(node.tag) == "is":
+                return _si_text(node)
+        return None
+    v = None
+    for node in c.iter():
+        if _local(node.tag) == "v":
+            v = node.text or ""
+            break
+    if v is None:
+        return None
+    if t == "s":
+        try:
+            return sst[int(v)]
+        except (ValueError, IndexError):
+            return None
+    if t == "b":
+        return "TRUE" if v.strip() == "1" else "FALSE"
+    return v
+
+
+def _extract_xlsx_one(b):
+    """(text, status, n_cells) for one payload — never raises.  Rows
+    join their non-NULL cells with TAB, rows with newline, sheets (in
+    numeric filename order — the lenient ordering; the
+    workbook-rels indirection is deliberately not resolved) with
+    newline."""
+    if b is None:
+        return (None, None, None)
+    try:
+        data = bytes(b)
+        if data[:8] == _CFB_MAGIC:
+            return (None, _classify_cfb(data), None)
+        if data[:2] != b"PK":
+            return (None, "not-xlsx", None)
+        try:
+            z = zipfile.ZipFile(io.BytesIO(data))
+        except (zipfile.BadZipFile, OSError, ValueError):
+            return (None, "parse-failed", None)
+        with z:
+            names = z.namelist()
+            sst: list = []
+            if "xl/sharedStrings.xml" in names:
+                try:
+                    with z.open("xl/sharedStrings.xml") as fh:
+                        root = ET.fromstring(fh.read(_MAX_XML))
+                    sst = [_si_text(si) for si in root
+                           if _local(si.tag) == "si"]
+                except Exception:
+                    sst = []  # shared cells degrade to NULL, not death
+            sheets = sorted(
+                ((int(m.group(1)), n) for n, m in
+                 ((n, _SHEET_RE.match(n)) for n in names) if m))
+            if not sheets:
+                return (None, "missing-part", None)
+            lines = []
+            n_cells = 0
+            for _num, name in sheets:
+                try:
+                    with z.open(name) as fh:
+                        root = ET.fromstring(fh.read(_MAX_XML))
+                except Exception:
+                    continue  # one bad sheet keeps the rest
+                for row in root.iter():
+                    if _local(row.tag) != "row":
+                        continue
+                    cells = []
+                    for c in row:
+                        if _local(c.tag) != "c":
+                            continue
+                        val = _cell_value(c, sst)
+                        if val is not None:
+                            cells.append(val)
+                            n_cells += 1
+                    lines.append("\t".join(cells))
+                    if len(lines) >= _MAX_PARAS:
+                        break
+            if not lines:
+                return (None, "parse-failed", None)
+            return ("\n".join(lines), "extracted", n_cells)
+    except Exception:
+        return (None, "parse-failed", None)
+
+
+def extract_xlsx_text(payload: Column) -> Column:
+    """Binary XLSX payload → ``struct<text, status, n_cells>``:
+    sharedStrings-resolved cell values (shared / inline / literal /
+    boolean / numeric), cells TAB-joined per row, rows per line,
+    sheets in numeric order.  Same degrade ladder and never-raise
+    contract as :func:`extract_docx_text` (``not-xlsx`` for wrong
+    magic; legacy binary Excel classes as ``legacy-xls``).  One
+    Arrow-batched map pass, no shuffle."""
+
+    @F.pandas_udf("struct<text: string, status: string, n_cells: int>")
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_extract_xlsx_one(p) for p in payloads]
+        return pd.DataFrame(rows, columns=["text", "status", "n_cells"])
+
+    return kernel(payload)
+
+
+# --- PPTX / XLSX in-repo writers (test/gating twins) -------------------------
+
+_PPTX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/ppt/presentation.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.presentationml.'
+    'presentation.main+xml"/>'
+    '</Types>')
+
+
+def pptx_write(slides, *, strict_ns: bool = False) -> bytes:
+    """In-repo PPTX writer: ``slides`` is a list of slides, each a
+    list of paragraph texts (``\\n`` inside one becomes ``<a:br/>``).
+    Spec-shaped minimal package: content types, root rels,
+    ``ppt/presentation.xml``, one ``ppt/slides/slideN.xml`` per
+    slide with the standard shape-tree nesting."""
+    ns = _A_NS[1] if strict_ns else _A_NS[0]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _PPTX_CT)
+        z.writestr("_rels/.rels", _RELS_XML.replace(
+            "word/document.xml", "ppt/presentation.xml"))
+        z.writestr("ppt/presentation.xml",
+                   '<?xml version="1.0"?><p:presentation xmlns:p='
+                   '"http://schemas.openxmlformats.org/presentationml/'
+                   '2006/main"/>')
+        for i, paras in enumerate(slides, start=1):
+            body = []
+            for t in paras:
+                runs = []
+                for k, seg in enumerate(t.split("\n")):
+                    if k:
+                        runs.append("<a:br/>")
+                    if seg:
+                        runs.append("<a:r><a:t>%s</a:t></a:r>"
+                                    % _xml_escape(seg))
+                body.append("<a:p>%s</a:p>" % "".join(runs))
+            z.writestr(
+                "ppt/slides/slide%d.xml" % i,
+                '<?xml version="1.0"?>'
+                '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+                'presentationml/2006/main" xmlns:a="%s">'
+                "<p:cSld><p:spTree><p:sp><p:txBody>%s</p:txBody>"
+                "</p:sp></p:spTree></p:cSld></p:sld>"
+                % (ns, "".join(body)))
+    return buf.getvalue()
+
+
+_XLSX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '</Types>')
+
+
+def _col_letter(idx: int) -> str:
+    s = ""
+    idx += 1
+    while idx:
+        idx, r = divmod(idx - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def xlsx_write(sheets, *, shared: bool = True) -> bytes:
+    """In-repo XLSX writer: ``sheets`` is a list of sheets, each a
+    list of rows, each a list of cell strings.  ``shared`` routes
+    string cells through ``xl/sharedStrings.xml`` (``t="s"`` index
+    cells — what real writers emit); otherwise inline strings
+    (``t="inlineStr"``)."""
+    sst: list[str] = []
+    sst_index: dict[str, int] = {}
+
+    def cell_xml(r: int, ci: int, val: str) -> str:
+        ref = "%s%d" % (_col_letter(ci), r)
+        if shared:
+            if val not in sst_index:
+                sst_index[val] = len(sst)
+                sst.append(val)
+            return '<c r="%s" t="s"><v>%d</v></c>' % (ref,
+                                                      sst_index[val])
+        return ('<c r="%s" t="inlineStr"><is><t xml:space="preserve">'
+                "%s</t></is></c>" % (ref, _xml_escape(val)))
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _XLSX_CT)
+        z.writestr("_rels/.rels", _RELS_XML.replace(
+            "word/document.xml", "xl/workbook.xml"))
+        z.writestr("xl/workbook.xml",
+                   '<?xml version="1.0"?><workbook xmlns='
+                   '"http://schemas.openxmlformats.org/spreadsheetml/'
+                   '2006/main"/>')
+        for si, rows in enumerate(sheets, start=1):
+            body = []
+            for ri, cells in enumerate(rows, start=1):
+                body.append('<row r="%d">%s</row>' % (ri, "".join(
+                    cell_xml(ri, ci, v)
+                    for ci, v in enumerate(cells))))
+            z.writestr(
+                "xl/worksheets/sheet%d.xml" % si,
+                '<?xml version="1.0"?><worksheet xmlns='
+                '"http://schemas.openxmlformats.org/spreadsheetml/'
+                '2006/main"><sheetData>%s</sheetData></worksheet>'
+                % "".join(body))
+        if shared and sst:
+            z.writestr(
+                "xl/sharedStrings.xml",
+                '<?xml version="1.0"?><sst xmlns='
+                '"http://schemas.openxmlformats.org/spreadsheetml/'
+                '2006/main" count="%d" uniqueCount="%d">%s</sst>'
+                % (len(sst), len(sst), "".join(
+                    '<si><t xml:space="preserve">%s</t></si>'
+                    % _xml_escape(s) for s in sst)))
+    return buf.getvalue()

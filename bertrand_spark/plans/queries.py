@@ -4746,13 +4746,118 @@ def x51(spark, sf_dir):
     )
 
 
+@query(
+    "x52_pptx_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(regexp_replace(
+                    text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                    '?', 'g'), '') = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10) ||
+                     regexp_replace(
+                        text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                        '?', 'g')
+           END AS extracted
+    FROM documents
+    """,
+)
+def x52(spark, sf_dir):
+    """PPTX→text extraction (round 13, the x51 sibling on the OOXML
+    seam): each document is typeset into a REAL .pptx — title plus
+    the body packed 2 lines per paragraph (the intra-paragraph
+    newline becomes an ``<a:br/>``), 3 paragraphs per slide, every
+    7th id in the STRICT DrawingML namespace — and
+    :func:`~bertrand_spark.pipeline.docxtext.extract_pptx_text` must
+    recover EXACTLY title+newline+body across the slide boundaries.
+    Same two-engine control-character fold as x51."""
+    import re as _re
+
+    from ..pipeline.docxtext import extract_pptx_text, pptx_write
+
+    d = _tw(spark, sf_dir, "documents")
+    bad = _re.compile(_X51_XMLBAD)
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            fold = bad.sub("?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            lines = page.split("\n")
+            paras = ["\n".join(lines[k:k + 2])
+                     for k in range(0, len(lines), 2)]
+            slides = [paras[k:k + 3] for k in range(0, len(paras), 3)]
+            out.append(pptx_write(slides, strict_ns=(i % 7 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_pptx_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
+@query(
+    "x53_xlsx_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(regexp_replace(
+                    text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                    '?', 'g'), '') = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10) ||
+                     regexp_replace(
+                        text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                        '?', 'g')
+           END AS extracted
+    FROM documents
+    """,
+)
+def x53(spark, sf_dir):
+    """XLSX→text extraction (round 13, the x51 sibling on the OOXML
+    seam): each document's lines become worksheet rows — each line
+    TAB-split into CELLS (the extractor's TAB re-join makes the round
+    trip exact even for tab-bearing text), 40 rows per sheet — with
+    string storage cycling by doc_id: even ids through
+    ``xl/sharedStrings.xml`` (``t="s"`` index cells, what real
+    writers emit — dedup of repeated lines is on the hash path), odd
+    ids as inline strings.
+    :func:`~bertrand_spark.pipeline.docxtext.extract_xlsx_text` must
+    recover EXACTLY title+newline+body across sheet boundaries.
+    Same two-engine control-character fold as x51."""
+    import re as _re
+
+    from ..pipeline.docxtext import extract_xlsx_text, xlsx_write
+
+    d = _tw(spark, sf_dir, "documents")
+    bad = _re.compile(_X51_XMLBAD)
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            fold = bad.sub("?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            rows = [line.split("\t") for line in page.split("\n")]
+            sheets = [rows[k:k + 40] for k in range(0, len(rows), 40)]
+            out.append(xlsx_write(sheets, shared=(i % 2 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_xlsx_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
 # STANDING POLICY (rotating 50-slot window): the driver's correctness gate
-# runs exactly the FIRST 50 keys of ``queries()``.  With 114 oracle-backed
+# runs exactly the FIRST 50 keys of ``queries()``.  With 116 oracle-backed
 # queries and a 50-slot window, every query must re-enter the window at
-# least every ceil(114/50)=3 rounds so no driver attestation falls out of
+# least every ceil(116/50)=3 rounds so no driver attestation falls out of
 # the 3-round artifact union the cycle test checks.  Each round: (a) the
 # queries whose last attestation is about to age out fill the leading
 # slots; (b) the remaining slots refresh queries whose kernels/plans this
@@ -4765,19 +4870,22 @@ def x51(spark, sf_dir):
 # TPC-H join/agg; x37 temperature resample — the r10 artifact leaves
 # the 3-round union after this round, and the round-12 verdict
 # verified this is exactly the set whose only attestation it
-# carries).  x51 is NEW (the DOCX→text extractor — the oracle set
-# grows 113→114 per the round-12 verdict's item 2) and needs its
-# first attestation; x49 re-enters because this round changed its
+# carries).  x51/x52/x53 are NEW (the DOCX extractor per the
+# round-12 verdict's item 2, plus its sanctioned PPTX/XLSX siblings
+# on the same seam — the oracle set grows 113→116) and need their
+# first attestations; x49 re-enters because this round changed its
 # kernel (RC4 decryption of permissions-only encrypted documents +
 # the page-tree-truncation status), and x50 because warc.py's reader
-# file changed (the streaming terminator fix).  The remaining 33
-# slots re-attest r11-window names: all 31 x-pipeline names (their
+# file changed (the streaming terminator fix).  The remaining 31
+# slots re-attest r11-window names: 29 x-pipeline names (their
 # kernels are the highest-churn surface) plus the two custom join
-# operators q29/q30.  The sixteen structurally-stable r11 TPC-H
-# names (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/
-# q59/q60 — pure join/agg shapes over code this round does not
-# touch) wait for round 14; the cycle test covers them via the r11
-# artifact, and round 14's rotation must lead with them.
+# operators q29/q30.  Round 14 must lead with the EIGHTEEN remaining
+# r11-only names: the sixteen structurally-stable TPC-H shapes
+# (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/q59/q60)
+# plus x39_adaptive_length_filter and x44_overlap_report (displaced
+# here by the two new oracles — both pure relational shapes over
+# untouched code); the cycle test covers all eighteen via the r11
+# artifact until then.
 _DRIVER_ROTATION = [
     # r10-stale re-attestations (14): r10 leaves the 3-round union now
     "q31_regex_dialect", "q32_map_ops", "q36_profile",
@@ -4786,11 +4894,11 @@ _DRIVER_ROTATION = [
     "q48_priority_class_agg", "q49_supplier_part_counts",
     "q52_product_profit", "q53_customer_distribution",
     "q55_disjunctive_revenue", "x37_temperature_resample",
-    # new this round (1): first attestation
-    "x51_docx_extract",
+    # new this round (3): first attestations
+    "x51_docx_extract", "x52_pptx_extract", "x53_xlsx_extract",
     # kernels touched this round (2): pdftext decryption, warc reader
     "x49_pdf_extract", "x50_warc_roundtrip",
-    # r11 re-attestations (33): the x-pipeline surface + custom joins
+    # r11 re-attestations (31): the x-pipeline surface + custom joins
     "q29_asof_join", "q30_range_join",
     "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
     "x05_cosine_topk", "x06_cosine_pairs", "x07_ivf_topk",
@@ -4800,9 +4908,8 @@ _DRIVER_ROTATION = [
     "x29_foreachbatch_sink", "x30_dedup_clusters", "x31_dedup_canonical",
     "x32_fuzzy_join", "x33_gopher_rules", "x34_tfidf_top_terms",
     "x35_chunk_dedup", "x36_incremental_dedup", "x38_knn_graph",
-    "x39_adaptive_length_filter", "x40_mix_corpus",
-    "x41_dedup_keep_best", "x42_lm_perplexity", "x43_semdedup",
-    "x44_overlap_report", "x45_dsir_weights", "x46_filter_cascade",
+    "x40_mix_corpus", "x41_dedup_keep_best", "x42_lm_perplexity",
+    "x43_semdedup", "x45_dsir_weights", "x46_filter_cascade",
     "x47_dsir_resample",
 ]
 
@@ -4817,9 +4924,10 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 13: empty — the one new query (x51 per the round-12 verdict's
-# item 2) fits the window; the set is otherwise frozen at the
-# round-7 policy (depth, not query-count padding).
+# Round 13: empty — all three new queries (x51 per the round-12
+# verdict's item 2, and its sanctioned x52/x53 OOXML siblings) fit
+# the window; the set is otherwise frozen at the round-7 policy
+# (depth, not query-count padding).
 _DEFERRED_NEW: list = []
 
 _missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]

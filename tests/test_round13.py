@@ -607,3 +607,141 @@ class TestStreamWarcWorkerOpen:
             scan = [ln for ln in plan.splitlines()
                     if "Scan ExistingRDD" in ln]
             assert scan and all("content" not in ln for ln in scan)
+
+
+class TestPptxXlsxExtract:
+    """The OOXML siblings on the docx seam (round 13; sanctioned by
+    the round-12 verdict: 'XLSX/PPTX can follow the same seam
+    later'): DrawingML slide text and sharedStrings-resolved cell
+    values, same degrade ladder, writers, and never-raise contract;
+    oracles x52/x53 on the hash path."""
+
+    def test_pptx_roundtrip(self):
+        from bertrand_spark.pipeline.docxtext import (_extract_pptx_one,
+                                                      pptx_write)
+        slides = [["title para", "two\nlines"], ["second ☃ slide"]]
+        for strict in (False, True):
+            got = _extract_pptx_one(pptx_write(slides, strict_ns=strict))
+            assert got == ("title para\ntwo\nlines\nsecond ☃ slide",
+                           "extracted", 2), (strict, got)
+
+    def test_pptx_slide_numeric_order(self):
+        # slide2 must come before slide10 (string sort would invert)
+        from bertrand_spark.pipeline.docxtext import (_extract_pptx_one,
+                                                      pptx_write)
+        b = pptx_write([["s%d" % i] for i in range(1, 12)])
+        text, status, n = _extract_pptx_one(b)
+        assert text == "\n".join("s%d" % i for i in range(1, 12))
+        assert n == 11
+
+    def test_pptx_per_slide_salvage(self):
+        import io as _io
+        import zipfile as _zf
+        from bertrand_spark.pipeline.docxtext import (_extract_pptx_one,
+                                                      pptx_write)
+        base = pptx_write([["good one"], ["broken"], ["good two"]])
+        # corrupt slide2's XML inside an intact zip
+        src = _zf.ZipFile(_io.BytesIO(base))
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            for n in src.namelist():
+                data = src.read(n)
+                if n == "ppt/slides/slide2.xml":
+                    data = data.replace(b"</p:sld>", b"")  # truncate
+                z.writestr(n, data)
+        text, status, n = _extract_pptx_one(buf.getvalue())
+        assert status == "extracted-scan"
+        assert "good one" in text and "good two" in text
+        assert "broken" in text  # regex salvage still got the run
+
+    def test_xlsx_roundtrip_shared_and_inline(self):
+        from bertrand_spark.pipeline.docxtext import (_extract_xlsx_one,
+                                                      xlsx_write)
+        sheets = [[["a1", "b1 ☃"], ["a2"]], [["x", "", "z"]]]
+        expect = "a1\tb1 ☃\na2\nx\t\tz"
+        for shared in (True, False):
+            got = _extract_xlsx_one(xlsx_write(sheets, shared=shared))
+            assert got == (expect, "extracted", 6), (shared, got)
+
+    def test_xlsx_cell_types(self):
+        # literal str, boolean, and numeric cells alongside shared
+        import io as _io
+        import zipfile as _zf
+        from bertrand_spark.pipeline.docxtext import _extract_xlsx_one
+        sheet = ('<?xml version="1.0"?><worksheet xmlns='
+                 '"http://schemas.openxmlformats.org/spreadsheetml/'
+                 '2006/main"><sheetData>'
+                 '<row r="1">'
+                 '<c r="A1" t="str"><v>lit</v></c>'
+                 '<c r="B1" t="b"><v>1</v></c>'
+                 '<c r="C1"><v>42.5</v></c>'
+                 '<c r="D1" t="s"><v>0</v></c>'
+                 "</row></sheetData></worksheet>")
+        sst = ('<?xml version="1.0"?><sst xmlns='
+               '"http://schemas.openxmlformats.org/spreadsheetml/2006/'
+               'main"><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>')
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+            z.writestr("xl/sharedStrings.xml", sst)
+        got = _extract_xlsx_one(buf.getvalue())
+        assert got == ("lit\tTRUE\t42.5\trich", "extracted", 4)
+
+    def test_degrade_classes(self):
+        from bertrand_spark.pipeline.docxtext import (_extract_pptx_one,
+                                                      _extract_xlsx_one,
+                                                      docx_write,
+                                                      ole_write)
+        assert _extract_pptx_one(ole_write("encrypted"))[1] == "encrypted"
+        assert _extract_xlsx_one(ole_write("encrypted"))[1] == "encrypted"
+        assert _extract_pptx_one(b"junk")[1] == "not-pptx"
+        assert _extract_xlsx_one(b"junk")[1] == "not-xlsx"
+        # a docx is a valid zip with no slides/sheets: missing-part
+        d = docx_write(["x"])
+        assert _extract_pptx_one(d)[1] == "missing-part"
+        assert _extract_xlsx_one(d)[1] == "missing-part"
+        assert _extract_pptx_one(None) == (None, None, None)
+        assert _extract_xlsx_one(None) == (None, None, None)
+
+    def test_legacy_cfb_markers(self):
+        import io as _io
+        from bertrand_spark.pipeline.docxtext import (_classify_cfb,
+                                                      _CFB_MAGIC)
+        def cfb_with(name):
+            return _CFB_MAGIC + bytes(120) + name.encode("utf-16-le")
+        assert _classify_cfb(cfb_with("PowerPoint Document")) == \
+            "legacy-ppt"
+        assert _classify_cfb(cfb_with("Workbook")) == "legacy-xls"
+        assert _classify_cfb(cfb_with("WordDocument")) == "legacy-doc"
+
+    def test_fuzz_never_raises(self):
+        import random
+        from bertrand_spark.pipeline.docxtext import (_extract_pptx_one,
+                                                      _extract_xlsx_one,
+                                                      pptx_write,
+                                                      xlsx_write)
+        rng = random.Random(1352)
+        pb = pptx_write([["fuzz base", "two\nlines"], ["slide 2"]])
+        xb = xlsx_write([[["a", "b"], ["c"]]], shared=True)
+        for base, fn in ((pb, _extract_pptx_one), (xb, _extract_xlsx_one)):
+            for _ in range(150):
+                b = bytearray(base)
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                assert isinstance(fn(bytes(b)), tuple)
+
+    def test_spark_seam(self, spark):
+        from pyspark.sql import functions as F
+        from bertrand_spark.pipeline.docxtext import (extract_pptx_text,
+                                                      extract_xlsx_text,
+                                                      pptx_write,
+                                                      xlsx_write)
+        rows = [(1, pptx_write([["deck text"]]),
+                 xlsx_write([[["c1", "c2"]]]))]
+        df = spark.createDataFrame(
+            rows, "doc_id long, pptx binary, xlsx binary")
+        got = df.select(
+            extract_pptx_text(F.col("pptx")).alias("p"),
+            extract_xlsx_text(F.col("xlsx")).alias("x")).collect()[0]
+        assert got.p.text == "deck text" and got.p.status == "extracted"
+        assert got.x.text == "c1\tc2" and got.x.n_cells == 2
