@@ -1546,6 +1546,9 @@ def pdf_write(
       can decrypt (the common crawl case).
     * ``"locked"`` — same, but a real user password: genuinely
       locked, the empty-password verify must fail.
+    * ``"r3"`` — V2 R3 with a 128-bit key: the 50-iteration key
+      derivation and Algorithm-5 /U path (empty passwords, so still
+      decryptable).
     * ``"v4"`` — the /Encrypt dict claims /V 4 /R 4 (AES era) while
       strings/streams carry the same RC4 bytes: the unsupported-
       revision fixture (reader must stay locked, never guess)."""
@@ -1564,10 +1567,13 @@ def pdf_write(
     if encrypt:
         file_id = hashlib.md5(b"bertrand_spark pdf_write file id").digest()
         user_pw = b"a real password" if encrypt == "locked" else b""
-        o_val = _std_owner_value(b"", user_pw, rev=2, n=5)
-        enc_key = _std_file_key(o_val, -44, file_id, rev=2, n=5,
+        # "r3": V2 R3 with a 128-bit key — the 50-iteration key
+        # derivation and Algorithm-5 /U (vs the V1 R2 default)
+        rev, nbytes = (3, 16) if encrypt == "r3" else (2, 5)
+        o_val = _std_owner_value(b"", user_pw, rev=rev, n=nbytes)
+        enc_key = _std_file_key(o_val, -44, file_id, rev=rev, n=nbytes,
                                 password=user_pw)
-        u_val = _std_user_value(enc_key, file_id, rev=2)
+        u_val = _std_user_value(enc_key, file_id, rev=rev)
 
     def _enc(data: bytes, num: int) -> bytes:
         # RC4 is length-preserving, so /Length stays the cipher length
@@ -1622,7 +1628,12 @@ def pdf_write(
             b"/Contents %d 0 R >>" % (pages_obj, font, cnum)))
     enc = None
     if encrypt:
-        ver = b"/V 4 /R 4" if encrypt == "v4" else b"/V 1 /R 2"
+        if encrypt == "v4":
+            ver = b"/V 4 /R 4"
+        elif encrypt == "r3":
+            ver = b"/V 2 /R 3 /Length 128"
+        else:
+            ver = b"/V 1 /R 2"
         enc = add(b"<< /Filter /Standard " + ver
                   + b" /O <" + o_val.hex().encode()
                   + b"> /U <" + u_val.hex().encode() + b"> /P -44 >>")

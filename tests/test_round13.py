@@ -294,6 +294,23 @@ class TestPdfEncryption:
         assert got[2][0].status == "encrypted"
         assert got[2][1].title is None and got[2][1].status == "encrypted"
 
+    def test_r3_v2_128bit_path(self):
+        """V2 R3 (128-bit key): the 50-iteration key derivation and
+        Algorithm-5 /U verify — the branches the V1 R2 default never
+        touches — decrypt end-to-end."""
+        from bertrand_spark.pipeline.pdftext import (_extract_pdf_one,
+                                                     _pdf_meta_one,
+                                                     pdf_write)
+        info = {"Title": "R3 Doc"}
+        b = pdf_write(["r3 body", "page two"], encrypt="r3", info=info)
+        assert _extract_pdf_one(b) == ("r3 body\npage two",
+                                       "extracted-decrypted", 2)
+        m = _pdf_meta_one(b)
+        assert m[0] == "R3 Doc" and m[-1] == "decrypted"
+        # and the modern layout through the same R3 key
+        b = pdf_write(["x"], encrypt="r3", objstm=True)
+        assert _extract_pdf_one(b) == ("x", "extracted-decrypted", 1)
+
 
 class TestPdfTreeTruncationVisible:
     """ADVICE r12 (low): the hostile-structure caps (10k pages / depth
