@@ -381,16 +381,23 @@ def docx_metadata(payload: Column) -> Column:
     return kernel(payload)
 
 
-def docx_format_report(extracted: DataFrame) -> DataFrame:
-    """Per-status extraction outcomes — the DOCX twin of
-    :func:`~.pdftext.pdf_format_report`: counts + paragraph totals
-    per status class over a frame holding an ``extract_docx_text``
-    struct column named ``docx``.  One partial agg → tiny result."""
+def docx_format_report(extracted: DataFrame, col: str = "docx") -> DataFrame:
+    """Per-status extraction outcomes — the OOXML twin of
+    :func:`~.pdftext.pdf_format_report`: counts + unit totals per
+    status class over a frame holding an ``extract_docx_text`` /
+    ``extract_pptx_text`` / ``extract_xlsx_text`` struct column
+    (default name ``docx``; the struct's own count field —
+    n_paragraphs / n_slides / n_cells — is discovered from its
+    schema, so one report serves all three extractors).  One partial
+    agg → tiny result."""
+    struct_field = extracted.schema[col].dataType
+    n_field = next(f.name for f in struct_field.fields
+                   if f.name.startswith("n_"))
     return (extracted
-            .groupBy(F.col("docx.status").alias("status"))
+            .groupBy(F.col(f"{col}.status").alias("status"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("docx.n_paragraphs").alias("n_paragraphs"),
-                 F.avg(F.length("docx.text")).alias("avg_chars"))
+                 F.sum(f"{col}.{n_field}").alias(n_field),
+                 F.avg(F.length(f"{col}.text")).alias("avg_chars"))
             .orderBy("status"))
 
 

@@ -762,3 +762,23 @@ class TestPptxXlsxExtract:
             extract_xlsx_text(F.col("xlsx")).alias("x")).collect()[0]
         assert got.p.text == "deck text" and got.p.status == "extracted"
         assert got.x.text == "c1\tc2" and got.x.n_cells == 2
+
+    def test_format_report_serves_all_three(self, spark):
+        from pyspark.sql import functions as F
+        from bertrand_spark.pipeline.docxtext import (docx_format_report,
+                                                      extract_pptx_text,
+                                                      extract_xlsx_text,
+                                                      pptx_write,
+                                                      xlsx_write)
+        rows = [(1, pptx_write([["s1"], ["s2"]]),
+                 xlsx_write([[["a", "b"]]]))]
+        df = spark.createDataFrame(
+            rows, "doc_id long, pptx binary, xlsx binary")
+        prep = {r.status: r for r in docx_format_report(
+            df.select(extract_pptx_text(F.col("pptx")).alias("p")),
+            col="p").collect()}
+        assert prep["extracted"].n_slides == 2
+        xrep = {r.status: r for r in docx_format_report(
+            df.select(extract_xlsx_text(F.col("xlsx")).alias("x")),
+            col="x").collect()}
+        assert xrep["extracted"].n_cells == 2
