@@ -261,22 +261,15 @@ def _extract_docx_one(b):
         if data[:2] != b"PK":
             return (None, "not-docx", None)
         xml = None
-        strict_zip_ok = False
         try:
             with zipfile.ZipFile(io.BytesIO(data)) as z:
-                names = set(z.namelist())
-                strict_zip_ok = True
-                if "word/document.xml" not in names:
+                if "word/document.xml" not in set(z.namelist()):
                     return (None, "missing-part", None)
                 with z.open("word/document.xml") as fh:
                     xml = fh.read(_MAX_XML)
         except (zipfile.BadZipFile, NotImplementedError, OSError,
                 zlib.error, ValueError, EOFError):
-            pass
-        if xml is None and strict_zip_ok:
-            # central directory fine but the member itself broken:
-            # fall through to the raw salvage below
-            pass
+            pass  # broken central dir OR broken member: raw salvage
         if xml is not None:
             try:
                 root = ET.fromstring(xml)
