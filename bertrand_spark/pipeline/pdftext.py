@@ -1240,45 +1240,63 @@ def _pdf_meta_one(b):
                     doc = rescued
             except _PdfError:
                 pass
-        encrypted = doc.trailer.get("Encrypt") is not None
-        locked = encrypted and doc.crypt_key is None
-        fields = []
-        if locked:
-            # a REALLY encrypted document's /Info strings are RC4/AES
-            # ciphertext — surfacing them through _text_string was
-            # latin-1 mojibake (round-12 verdict); NULL them and let
-            # the status flag carry the story (n_pages still counts:
-            # the page-tree DICTS are plaintext, only strings/streams
-            # encrypt)
-            fields = [None] * len(_INFO_KEYS)
-        else:
+        out = _meta_from_doc(doc)
+        if (not doc.via_scan and out[-2] is None
+                and all(f is None for f in out[:len(_INFO_FIELDS)])):
+            # the xref walk parsed a trailer but resolved NOTHING
+            # (break-xref shape: offsets garbage) — the result would
+            # read as a blank-but-'ok' document; retry via the object
+            # scan before settling for that (same rescue as the
+            # encrypted path above)
             try:
-                info = doc.deref(doc.trailer.get("Info"))
+                return _meta_from_doc(_scan_doc(data))
             except _PdfError:
-                info = None
-            for key in _INFO_KEYS:
-                v = None
-                if isinstance(info, dict):
-                    try:
-                        v = doc.deref(info.get(key))
-                    except _PdfError:
-                        v = None
-                fields.append(_text_string(v) if isinstance(v, bytes)
-                              else None)
-        n_pages = None
-        try:
-            root = doc.deref(doc.trailer.get("Root"))
-            if isinstance(root, dict):
-                pages: list = []
-                _walk_pages(doc, root.get("Pages"), None, pages)
-                n_pages = len(pages)
-        except _PdfError:
-            pass
-        status = ("encrypted" if locked
-                  else "decrypted" if encrypted else "ok")
-        return tuple(fields) + (n_pages, status)
+                pass
+        return out
     except Exception:
         return nulls + (None, "parse-failed")
+
+
+def _meta_from_doc(doc: _Doc):
+    """(*fields, n_pages, status) from a loaded doc — the shared core
+    of :func:`_pdf_meta_one`'s strict and scan-rescue paths."""
+    encrypted = doc.trailer.get("Encrypt") is not None
+    locked = encrypted and doc.crypt_key is None
+    fields = []
+    if locked:
+        # a REALLY encrypted document's /Info strings are RC4/AES
+        # ciphertext — surfacing them through _text_string was
+        # latin-1 mojibake (round-12 verdict); NULL them and let
+        # the status flag carry the story (n_pages still counts:
+        # the page-tree DICTS are plaintext, only strings/streams
+        # encrypt)
+        fields = [None] * len(_INFO_KEYS)
+    else:
+        try:
+            info = doc.deref(doc.trailer.get("Info"))
+        except _PdfError:
+            info = None
+        for key in _INFO_KEYS:
+            v = None
+            if isinstance(info, dict):
+                try:
+                    v = doc.deref(info.get(key))
+                except _PdfError:
+                    v = None
+            fields.append(_text_string(v) if isinstance(v, bytes)
+                          else None)
+    n_pages = None
+    try:
+        root = doc.deref(doc.trailer.get("Root"))
+        if isinstance(root, dict):
+            pages: list = []
+            _walk_pages(doc, root.get("Pages"), None, pages)
+            n_pages = len(pages)
+    except _PdfError:
+        pass
+    status = ("encrypted" if locked
+              else "decrypted" if encrypted else "ok")
+    return tuple(fields) + (n_pages, status)
 
 
 def pdf_metadata(payload: Column) -> Column:

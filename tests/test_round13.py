@@ -311,6 +311,19 @@ class TestPdfEncryption:
         b = pdf_write(["x"], encrypt="r3", objstm=True)
         assert _extract_pdf_one(b) == ("x", "extracted-decrypted", 1)
 
+    def test_meta_scan_rescue_on_broken_xref(self):
+        """A plain broken-xref doc used to read as blank-but-'ok'
+        (every deref failed against garbage offsets, fields all NULL,
+        n_pages NULL, status 'ok'): the object scan now rescues the
+        metadata the same way it rescues the encrypted path."""
+        from bertrand_spark.pipeline.pdftext import (_pdf_meta_one,
+                                                     pdf_write)
+        b = pdf_write(["scan body"], break_xref=True,
+                      info={"Title": "P", "Author": "A"})
+        m = _pdf_meta_one(b)
+        assert m[0] == "P" and m[1] == "A"
+        assert m[-2] == 1 and m[-1] == "ok"
+
 
 class TestPdfTreeTruncationVisible:
     """ADVICE r12 (low): the hostile-structure caps (10k pages / depth
