@@ -106,6 +106,7 @@ HEADLINE = [
     "x51_docx_extract",
     "x52_pptx_extract",
     "x53_xlsx_extract",
+    "x54_epub_extract",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

@@ -20,6 +20,10 @@ own ``__all__`` is authoritative):
   raw-deflate salvage for truncated payloads, encrypted/legacy-doc
   CFB classing) and :func:`~.docxtext.docx_metadata` (Dublin-Core
   core properties)
+* :mod:`.epubtext` — EPUB→text by composition
+  (:func:`~.epubtext.extract_epub_text`: container→OPF→spine walk,
+  each chapter through the htmltext kernel) and
+  :func:`~.epubtext.epub_metadata` (OPF Dublin Core)
 * :mod:`.pdftext` — stdlib PDF→text extraction
   (:func:`~.pdftext.extract_pdf_text`; classic + PDF 1.5 xref/object
   streams, Flate/LZW/ASCIIHex/RunLength, ToUnicode CID text, visible
@@ -112,6 +116,11 @@ from .docxtext import (  # noqa: F401
     ole_write,
     pptx_write,
     xlsx_write,
+)
+from .epubtext import (  # noqa: F401
+    epub_metadata,
+    epub_write,
+    extract_epub_text,
 )
 from .pdftext import (  # noqa: F401
     extract_pdf_text,

@@ -1,0 +1,303 @@
+"""EPUB text extraction — the book-shaped crawl class, closed by
+COMPOSITION (round 13): an ``.epub`` is a zip (stdlib ``zipfile``)
+whose ``META-INF/container.xml`` names an OPF package document; the
+OPF's *spine* orders XHTML chapter files; each chapter is ordinary
+HTML, so the per-chapter text extraction IS
+:func:`~bertrand_spark.pipeline.htmltext._extract_one` — the same
+block-segmentation + boilerplate-density kernel the crawl front
+already gates (x48).  No new parser class, only the container walk.
+
+Status ladder (the package contract):
+
+* ``extracted`` — container → OPF → spine resolved; chapters decoded
+  through the HTML kernel in spine order.
+* ``extracted-scan`` — container/OPF missing or unparseable: every
+  ``*.xhtml``/``*.html``/``*.htm`` member is walked in name order
+  instead (the lenient path for sloppily-built files).
+* ``encrypted`` — ``META-INF/encryption.xml`` present: DRM'd or
+  font-obfuscated content (distinguishing font-only obfuscation from
+  content DRM needs the retrieval-method walk; the honest blanket
+  class never surfaces ciphertext).
+* ``missing-part`` — valid zip, but no spine documents and no
+  XHTML members at all.
+* ``not-epub`` — not a zip container.
+* ``parse-failed`` — structure beyond both paths.  Never raises.
+
+Gated by the in-repo writer :func:`epub_write` (real container/OPF/
+spine, manifest order deliberately decoupled from spine order,
+non-spine manifest items, DRM/no-container fixture flags) and oracle
+**x54** (typeset→re-extract through the x48 whitespace algebra).
+
+Scale shape: one Arrow-batched ``pandas_udf`` map pass over a binary
+column — no shuffle, per-row degrade, same as every crawl kernel.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+from urllib.parse import unquote
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape as _xml_escape
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .docxtext import _local, _MAX_XML
+from .htmltext import _extract_one
+
+__all__ = ["extract_epub_text", "epub_metadata", "epub_write"]
+
+_HTML_MEMBER_RE = re.compile(r"\.(xhtml|html|htm)$", re.I)
+_MAX_CHAPTERS = 10_000
+
+
+def _decode_chapter(b: bytes) -> str:
+    """EPUB content documents are UTF-8 or UTF-16 by spec; honor a
+    BOM, else UTF-8 with replacement."""
+    if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return b.decode("utf-16", "replace")
+    return b.decode("utf-8", "replace")
+
+
+def _spine_hrefs(z: zipfile.ZipFile) -> list[str]:
+    """Chapter member names in SPINE order: container.xml →
+    rootfile full-path → OPF manifest (id→href) + spine (idref
+    order), hrefs resolved against the OPF directory and
+    percent-unquoted.  Raises on any structural break (caller falls
+    back to the member scan)."""
+    container = ET.fromstring(z.read("META-INF/container.xml"))
+    opf_path = None
+    for node in container.iter():
+        if _local(node.tag) == "rootfile":
+            opf_path = node.get("full-path")
+            break
+    if not opf_path:
+        raise KeyError("no rootfile")
+    opf = ET.fromstring(z.read(opf_path))
+    base = posixpath.dirname(opf_path)
+    manifest: dict[str, str] = {}
+    spine: list[str] = []
+    for node in opf.iter():
+        ln = _local(node.tag)
+        if ln == "item":
+            iid, href = node.get("id"), node.get("href")
+            if iid and href:
+                manifest[iid] = href
+        elif ln == "itemref":
+            idref = node.get("idref")
+            if idref:
+                spine.append(idref)
+    hrefs = []
+    for idref in spine[:_MAX_CHAPTERS]:
+        href = manifest.get(idref)
+        if href:
+            hrefs.append(posixpath.normpath(
+                posixpath.join(base, unquote(href))))
+    if not hrefs:
+        raise KeyError("empty spine")
+    return hrefs
+
+
+def _extract_epub_one(b):
+    """(text, status, n_chapters) — never raises."""
+    if b is None:
+        return (None, None, None)
+    try:
+        data = bytes(b)
+        if data[:2] != b"PK":
+            return (None, "not-epub", None)
+        try:
+            z = zipfile.ZipFile(io.BytesIO(data))
+        except (zipfile.BadZipFile, OSError, ValueError):
+            return (None, "parse-failed", None)
+        with z:
+            names = z.namelist()
+            if "META-INF/encryption.xml" in names:
+                return (None, "encrypted", None)
+            status = "extracted"
+            try:
+                hrefs = [h for h in _spine_hrefs(z) if h in set(names)]
+                if not hrefs:
+                    raise KeyError("spine resolves to nothing")
+            except Exception:
+                # lenient path: no/broken container or OPF
+                hrefs = sorted(n for n in names
+                               if _HTML_MEMBER_RE.search(n))
+                status = "extracted-scan"
+                if not hrefs:
+                    return (None, "missing-part", None)
+            texts = []
+            for href in hrefs[:_MAX_CHAPTERS]:
+                try:
+                    with z.open(href) as fh:
+                        html = _decode_chapter(fh.read(_MAX_XML))
+                except Exception:
+                    status = "extracted-scan"
+                    continue  # one bad chapter keeps the rest
+                t = _extract_one(html)
+                if t:
+                    texts.append(t)
+            if not texts:
+                return (None, "parse-failed", None)
+            return ("\n".join(texts), status, len(hrefs))
+    except Exception:
+        return (None, "parse-failed", None)
+
+
+def extract_epub_text(payload: Column) -> Column:
+    """Binary EPUB payload → ``struct<text, status, n_chapters>``:
+    spine-ordered chapters, each through the crawl front's HTML
+    main-content kernel (block segmentation, entity unescape,
+    boilerplate link-density rules — identical semantics to
+    :func:`~.htmltext.extract_html_text`), chapter texts joined with
+    newlines.  One Arrow-batched map pass; NULL in → NULL out; one
+    hostile book can never kill the task."""
+
+    @F.pandas_udf("struct<text: string, status: string, n_chapters: int>")
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_extract_epub_one(p) for p in payloads]
+        return pd.DataFrame(rows, columns=["text", "status",
+                                           "n_chapters"])
+
+    return kernel(payload)
+
+
+# Dublin-Core fields surfaced from the OPF <metadata> block
+_EPUB_META_FIELDS = ("title", "creator", "language", "identifier",
+                     "publisher", "date", "description")
+
+
+def _epub_meta_one(b):
+    nulls = (None,) * len(_EPUB_META_FIELDS)
+    if b is None:
+        return nulls + (None,)
+    try:
+        data = bytes(b)
+        if data[:2] != b"PK":
+            return nulls + ("not-epub",)
+        try:
+            z = zipfile.ZipFile(io.BytesIO(data))
+        except (zipfile.BadZipFile, OSError, ValueError):
+            return nulls + ("parse-failed",)
+        with z:
+            if "META-INF/encryption.xml" in z.namelist():
+                # the OPF itself is normally plaintext even under DRM,
+                # but keep the blanket class consistent with extract
+                status = "encrypted"
+            else:
+                status = "ok"
+            try:
+                container = ET.fromstring(
+                    z.read("META-INF/container.xml"))
+                opf_path = next(
+                    (n.get("full-path") for n in container.iter()
+                     if _local(n.tag) == "rootfile"), None)
+                opf = ET.fromstring(z.read(opf_path))
+            except Exception:
+                return nulls + ("no-opf",)
+            by_local: dict[str, str] = {}
+            for node in opf.iter():
+                ln = _local(node.tag)
+                if ln in _EPUB_META_FIELDS:
+                    by_local.setdefault(ln, node.text)
+            return tuple(by_local.get(f)
+                         for f in _EPUB_META_FIELDS) + (status,)
+    except Exception:
+        return nulls + ("parse-failed",)
+
+
+def epub_metadata(payload: Column) -> Column:
+    """Binary EPUB payload → ``struct<title, creator, language,
+    identifier, publisher, date, description, status>`` from the
+    OPF's Dublin-Core metadata block — structure-only (no chapter is
+    decoded), Arrow-batched, never raises."""
+
+    @F.pandas_udf("struct<%s, status: string>" % ", ".join(
+        "%s: string" % f for f in _EPUB_META_FIELDS))
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_epub_meta_one(p) for p in payloads]
+        return pd.DataFrame(rows, columns=list(_EPUB_META_FIELDS)
+                            + ["status"])
+
+    return kernel(payload)
+
+
+def epub_write(
+    chapters,
+    *,
+    info: dict | None = None,
+    reversed_manifest: bool = False,
+    extra_items: bool = False,
+    no_container: bool = False,
+    drm: bool = False,
+) -> bytes:
+    """In-repo EPUB writer (the test/gating twin of
+    :func:`extract_epub_text`): ``chapters`` is a list of XHTML BODY
+    fragments (each becomes one spine document).  Spec-shaped:
+    ``mimetype`` stored first, real container.xml → OPF →
+    manifest/spine, chapters under ``OEBPS/``.  ``reversed_manifest``
+    declares manifest items in reverse while the SPINE keeps reading
+    order (spine governs — the structural trap for naive readers);
+    ``extra_items`` adds css/cover manifest entries the spine must
+    skip; ``no_container`` drops META-INF (the extracted-scan
+    fixture); ``drm`` adds ``META-INF/encryption.xml``."""
+    if isinstance(chapters, str):
+        chapters = [chapters]
+    ids = ["ch%d" % i for i in range(1, len(chapters) + 1)]
+    items = ['<item id="%s" href="text/%s.xhtml" '
+             'media-type="application/xhtml+xml"/>' % (i, i)
+             for i in ids]
+    if extra_items:
+        items.insert(0, '<item id="css" href="style.css" '
+                        'media-type="text/css"/>')
+        items.append('<item id="cover" href="cover.png" '
+                     'media-type="image/png"/>')
+    if reversed_manifest:
+        items = items[::-1]
+    meta = ""
+    if info:
+        meta = "".join(
+            "<dc:%s>%s</dc:%s>" % (k, _xml_escape(str(v)), k)
+            for k, v in info.items())
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">%s'
+        "</metadata>"
+        "<manifest>%s</manifest>"
+        "<spine>%s</spine></package>"
+        % (meta, "".join(items),
+           "".join('<itemref idref="%s"/>' % i for i in ids)))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(zipfile.ZipInfo("mimetype"),
+                   "application/epub+zip")  # stored-first convention
+        if not no_container:
+            z.writestr(
+                "META-INF/container.xml",
+                '<?xml version="1.0"?>'
+                '<container version="1.0" xmlns="urn:oasis:names:tc:'
+                'opendocument:xmlns:container"><rootfiles>'
+                '<rootfile full-path="OEBPS/content.opf" media-type='
+                '"application/oebps-package+xml"/>'
+                "</rootfiles></container>")
+        if drm:
+            z.writestr("META-INF/encryption.xml",
+                       '<?xml version="1.0"?><encryption/>')
+        z.writestr("OEBPS/content.opf", opf)
+        if extra_items:
+            z.writestr("OEBPS/style.css", "body{}")
+            z.writestr("OEBPS/cover.png", b"\x89PNGfake")
+        for cid, body in zip(ids, chapters):
+            z.writestr(
+                "OEBPS/text/%s.xhtml" % cid,
+                '<?xml version="1.0" encoding="utf-8"?>'
+                '<html xmlns="http://www.w3.org/1999/xhtml">'
+                "<head><title>%s</title></head><body>%s</body></html>"
+                % (cid, body))
+    return buf.getvalue()

@@ -4851,13 +4851,68 @@ def x53(spark, sf_dir):
     )
 
 
+@query(
+    "x54_epub_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(regexp_replace(regexp_replace(
+                       text, '%(ws)s', ' ', 'g'), '\\s+', ' ', 'g')) = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10)
+                     || trim(regexp_replace(regexp_replace(
+                          text, '%(ws)s', ' ', 'g'), '\\s+', ' ', 'g'))
+           END AS extracted
+    FROM documents
+    """ % {"ws": _X48_UNIWS},
+)
+def x54(spark, sf_dir):
+    """EPUB→text extraction (round 13): each document is bound into a
+    REAL .epub — a title chapter plus a body chapter (the escaped
+    body text in a ``<p>``), with container→OPF→spine structure on
+    the hash path and layout variety cycling by doc_id: odd ids
+    declare the MANIFEST in reverse order (the spine, not the
+    manifest, governs reading order), every 3rd id carries non-spine
+    css/cover manifest items the reader must skip — and
+    :func:`~bertrand_spark.pipeline.epubtext.extract_epub_text` must
+    recover EXACTLY title+newline+whitespace-normalized body.  The
+    per-chapter kernel IS the x48 HTML extractor, so the oracle is
+    x48's exact whitespace algebra (pre-fold the Python-\\s-minus-
+    RE2-\\s set on both sides, collapse, trim)."""
+    import re as _re
+    from xml.sax.saxutils import escape as _esc
+
+    from ..pipeline.epubtext import epub_write, extract_epub_text
+
+    d = _tw(spark, sf_dir, "documents")
+    uniws = _re.compile(_X48_UNIWS)
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            folded = uniws.sub(" ", t or "")
+            out.append(epub_write(
+                ["<p>Document %d</p>" % i,
+                 "<p>%s</p>" % _esc(folded)],
+                info={"title": "Document %d" % i},
+                reversed_manifest=bool(i % 2),
+                extra_items=(i % 3 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_epub_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
 # STANDING POLICY (rotating 50-slot window): the driver's correctness gate
-# runs exactly the FIRST 50 keys of ``queries()``.  With 116 oracle-backed
+# runs exactly the FIRST 50 keys of ``queries()``.  With 117 oracle-backed
 # queries and a 50-slot window, every query must re-enter the window at
-# least every ceil(116/50)=3 rounds so no driver attestation falls out of
+# least every ceil(117/50)=3 rounds so no driver attestation falls out of
 # the 3-round artifact union the cycle test checks.  Each round: (a) the
 # queries whose last attestation is about to age out fill the leading
 # slots; (b) the remaining slots refresh queries whose kernels/plans this
@@ -4870,22 +4925,23 @@ def x53(spark, sf_dir):
 # TPC-H join/agg; x37 temperature resample — the r10 artifact leaves
 # the 3-round union after this round, and the round-12 verdict
 # verified this is exactly the set whose only attestation it
-# carries).  x51/x52/x53 are NEW (the DOCX extractor per the
-# round-12 verdict's item 2, plus its sanctioned PPTX/XLSX siblings
-# on the same seam — the oracle set grows 113→116) and need their
-# first attestations; x49 re-enters because this round changed its
-# kernel (RC4 decryption of permissions-only encrypted documents +
-# the page-tree-truncation status), and x50 because warc.py's reader
-# file changed (the streaming terminator fix).  The remaining 31
-# slots re-attest r11-window names: 29 x-pipeline names (their
+# carries).  x51/x52/x53/x54 are NEW (the DOCX extractor per the
+# round-12 verdict's item 2, its sanctioned PPTX/XLSX siblings on
+# the same seam, and the EPUB composition over the x48 HTML kernel —
+# the oracle set grows 113→117) and need their first attestations;
+# x49 re-enters because this round changed its kernel (RC4
+# decryption of permissions-only encrypted documents + the
+# page-tree-truncation status), and x50 because warc.py's reader
+# file changed (the streaming terminator fix).  The remaining 30
+# slots re-attest r11-window names: 28 x-pipeline names (their
 # kernels are the highest-churn surface) plus the two custom join
-# operators q29/q30.  Round 14 must lead with the EIGHTEEN remaining
+# operators q29/q30.  Round 14 must lead with the NINETEEN remaining
 # r11-only names: the sixteen structurally-stable TPC-H shapes
 # (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/q59/q60)
-# plus x39_adaptive_length_filter and x44_overlap_report (displaced
-# here by the two new oracles — both pure relational shapes over
-# untouched code); the cycle test covers all eighteen via the r11
-# artifact until then.
+# plus x33_gopher_rules, x39_adaptive_length_filter and
+# x44_overlap_report (displaced here by the new oracles — all pure
+# shapes over untouched code); the cycle test covers all nineteen
+# via the r11 artifact until then.
 _DRIVER_ROTATION = [
     # r10-stale re-attestations (14): r10 leaves the 3-round union now
     "q31_regex_dialect", "q32_map_ops", "q36_profile",
@@ -4894,11 +4950,12 @@ _DRIVER_ROTATION = [
     "q48_priority_class_agg", "q49_supplier_part_counts",
     "q52_product_profit", "q53_customer_distribution",
     "q55_disjunctive_revenue", "x37_temperature_resample",
-    # new this round (3): first attestations
+    # new this round (4): first attestations
     "x51_docx_extract", "x52_pptx_extract", "x53_xlsx_extract",
+    "x54_epub_extract",
     # kernels touched this round (2): pdftext decryption, warc reader
     "x49_pdf_extract", "x50_warc_roundtrip",
-    # r11 re-attestations (31): the x-pipeline surface + custom joins
+    # r11 re-attestations (30): the x-pipeline surface + custom joins
     "q29_asof_join", "q30_range_join",
     "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
     "x05_cosine_topk", "x06_cosine_pairs", "x07_ivf_topk",
@@ -4906,7 +4963,7 @@ _DRIVER_ROTATION = [
     "x18_pipeline_end_to_end", "x20_decontaminate", "x25_stream_dedup",
     "x26_stream_sessions", "x28_stream_stream_join",
     "x29_foreachbatch_sink", "x30_dedup_clusters", "x31_dedup_canonical",
-    "x32_fuzzy_join", "x33_gopher_rules", "x34_tfidf_top_terms",
+    "x32_fuzzy_join", "x34_tfidf_top_terms",
     "x35_chunk_dedup", "x36_incremental_dedup", "x38_knn_graph",
     "x40_mix_corpus", "x41_dedup_keep_best", "x42_lm_perplexity",
     "x43_semdedup", "x45_dsir_weights", "x46_filter_cascade",
@@ -4924,10 +4981,10 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 13: empty — all three new queries (x51 per the round-12
-# verdict's item 2, and its sanctioned x52/x53 OOXML siblings) fit
-# the window; the set is otherwise frozen at the round-7 policy
-# (depth, not query-count padding).
+# Round 13: empty — all four new queries (x51 per the round-12
+# verdict's item 2, its sanctioned x52/x53 OOXML siblings, and the
+# x54 EPUB composition) fit the window; the set is otherwise frozen
+# at the round-7 policy (depth, not query-count padding).
 _DEFERRED_NEW: list = []
 
 _missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]

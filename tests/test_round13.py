@@ -795,3 +795,100 @@ class TestPptxXlsxExtract:
             df.select(extract_xlsx_text(F.col("xlsx")).alias("x")),
             col="x").collect()}
         assert xrep["extracted"].n_cells == 2
+
+
+class TestEpubExtract:
+    """EPUB→text by composition (round 13): container→OPF→spine walk,
+    each chapter through the EXISTING x48 HTML kernel — no new parser
+    class; oracle x54 on the hash path."""
+
+    def test_roundtrip_spine_order(self):
+        from bertrand_spark.pipeline.epubtext import (_extract_epub_one,
+                                                      epub_write)
+        chapters = ["<p>alpha chapter</p>", "<p>beta &amp; gamma</p>",
+                    "<p>third ☃</p>"]
+        expect = "alpha chapter\nbeta & gamma\nthird ☃"
+        for kw in ({}, {"reversed_manifest": True},
+                   {"extra_items": True},
+                   {"reversed_manifest": True, "extra_items": True}):
+            got = _extract_epub_one(epub_write(chapters, **kw))
+            # the SPINE governs reading order, whatever the manifest
+            # declaration order; non-spine items (css/cover) are
+            # skipped
+            assert got == (expect, "extracted", 3), (kw, got)
+
+    def test_boilerplate_rules_apply_per_chapter(self):
+        # the chapter kernel IS the x48 extractor: a pure-link nav
+        # div inside a chapter is dropped by the density rules
+        from bertrand_spark.pipeline.epubtext import (_extract_epub_one,
+                                                      epub_write)
+        ch = ('<div><a href="/1">alpha</a> <a href="/2">beta</a></div>'
+              "<p>real body text that stays in the extraction here</p>")
+        text, status, n = _extract_epub_one(epub_write([ch]))
+        assert "real body text" in text and "alpha" not in text
+
+    def test_no_container_scan_path(self):
+        from bertrand_spark.pipeline.epubtext import (_extract_epub_one,
+                                                      epub_write)
+        b = epub_write(["<p>one</p>", "<p>two</p>"], no_container=True)
+        text, status, n = _extract_epub_one(b)
+        assert status == "extracted-scan"
+        assert text == "one\ntwo"  # name order == spine order here
+
+    def test_drm_and_degrade_classes(self):
+        from bertrand_spark.pipeline.epubtext import (_epub_meta_one,
+                                                      _extract_epub_one,
+                                                      epub_write)
+        b = epub_write(["<p>x</p>"], drm=True)
+        assert _extract_epub_one(b) == (None, "encrypted", None)
+        assert _epub_meta_one(b)[-1] == "encrypted"
+        assert _extract_epub_one(b"not zip") == (None, "not-epub", None)
+        assert _extract_epub_one(None) == (None, None, None)
+        import io as _io
+        import zipfile as _zf
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("mimetype", "application/epub+zip")
+        assert _extract_epub_one(buf.getvalue()) == (
+            None, "missing-part", None)
+
+    def test_metadata_dublin_core(self):
+        from bertrand_spark.pipeline.epubtext import (_epub_meta_one,
+                                                      epub_write)
+        m = _epub_meta_one(epub_write(
+            ["<p>x</p>"],
+            info={"title": "A Book ☃", "creator": "Ann",
+                  "language": "en", "identifier": "urn:x:1"}))
+        assert m[0] == "A Book ☃" and m[1] == "Ann"
+        assert m[2] == "en" and m[3] == "urn:x:1" and m[-1] == "ok"
+        assert _epub_meta_one(b"junk")[-1] == "not-epub"
+
+    def test_fuzz_never_raises(self):
+        import random
+        from bertrand_spark.pipeline.epubtext import (_epub_meta_one,
+                                                      _extract_epub_one,
+                                                      epub_write)
+        rng = random.Random(1354)
+        base = epub_write(["<p>fuzz base</p>", "<p>two</p>"],
+                          info={"title": "F"})
+        for _ in range(200):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            assert isinstance(_extract_epub_one(bytes(b)), tuple)
+            assert isinstance(_epub_meta_one(bytes(b)), tuple)
+
+    def test_spark_seam(self, spark):
+        from pyspark.sql import functions as F
+        from bertrand_spark.pipeline.epubtext import (epub_metadata,
+                                                      epub_write,
+                                                      extract_epub_text)
+        rows = [(1, epub_write(["<p>book body</p>"],
+                               info={"title": "T"}))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = df.select(
+            extract_epub_text(F.col("payload")).alias("e"),
+            epub_metadata(F.col("payload")).alias("m")).collect()[0]
+        assert got.e.text == "book body"
+        assert got.e.status == "extracted" and got.e.n_chapters == 1
+        assert got.m.title == "T" and got.m.status == "ok"
