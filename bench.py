@@ -107,6 +107,7 @@ HEADLINE = [
     "x52_pptx_extract",
     "x53_xlsx_extract",
     "x54_epub_extract",
+    "x55_rtf_extract",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

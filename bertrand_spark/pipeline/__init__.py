@@ -24,6 +24,9 @@ own ``__all__`` is authoritative):
   (:func:`~.epubtext.extract_epub_text`: container→OPF→spine walk,
   each chapter through the htmltext kernel) and
   :func:`~.epubtext.epub_metadata` (OPF Dublin Core)
+* :mod:`.rtftext` — RTF→text extraction
+  (:func:`~.rtftext.extract_rtf_text`: group-stack tokenizer,
+  codepage + ``\\uN``/surrogate-pair escapes, skip destinations)
 * :mod:`.pdftext` — stdlib PDF→text extraction
   (:func:`~.pdftext.extract_pdf_text`; classic + PDF 1.5 xref/object
   streams, Flate/LZW/ASCIIHex/RunLength, ToUnicode CID text, visible
@@ -121,6 +124,10 @@ from .epubtext import (  # noqa: F401
     epub_metadata,
     epub_write,
     extract_epub_text,
+)
+from .rtftext import (  # noqa: F401
+    extract_rtf_text,
+    rtf_write,
 )
 from .pdftext import (  # noqa: F401
     extract_pdf_text,

@@ -892,3 +892,104 @@ class TestEpubExtract:
         assert got.e.text == "book body"
         assert got.e.status == "extracted" and got.e.n_chapters == 1
         assert got.m.title == "T" and got.m.status == "ok"
+
+
+class TestRtfExtract:
+    """RTF→text (round 13): the last major crawl text class — a real
+    group-stack tokenizer over the public RTF grammar, identity-gated
+    with NO character folding (every code point round-trips through
+    the escape grammar); oracle x55 on the hash path."""
+
+    TEXTS = [
+        "plain ascii text",
+        "line one\nline two\tand a tab",
+        "unicode: Jérôme ☃ — 中文 ‘quote’",
+        "astral: \U0001F600 \U0001D518",
+        "braces {and} back\\slash",
+        "",
+        "\x01control\x02chars\rand\x00nul",
+    ]
+
+    def test_identity_matrix(self):
+        from bertrand_spark.pipeline.rtftext import (_extract_rtf_one,
+                                                     rtf_write)
+        for t in self.TEXTS:
+            for kw in ({}, {"codepage_escapes": True}, {"table": True},
+                       {"with_skips": False}):
+                got, status, n = _extract_rtf_one(rtf_write(t, **kw))
+                assert status == "extracted" and got == t, (t, kw, got)
+
+    def test_field_results_kept_instructions_dropped(self):
+        from bertrand_spark.pipeline.rtftext import _extract_rtf_one
+        doc = (rb"{\rtf1\ansi {\field{\*\fldinst HYPERLINK http://x}"
+               rb"{\fldrslt shown link}} after}")
+        assert _extract_rtf_one(doc)[0] == "shown link after"
+
+    def test_skip_destinations_and_uc_fallbacks(self):
+        from bertrand_spark.pipeline.rtftext import _extract_rtf_one
+        doc = (rb"{\rtf1\ansi\ansicpg1252\uc2 "
+               rb"{\fonttbl{\f0 Arial;}}{\stylesheet{\s1 Heading;}}"
+               rb"\u233AB after}")  # uc2: TWO fallback chars ("AB")
+        assert _extract_rtf_one(doc)[0] == "é after"
+
+    def test_codepage_switch(self):
+        from bertrand_spark.pipeline.rtftext import _extract_rtf_one
+        # cp1251: \'e6 is ж
+        doc = rb"{\rtf1\ansi\ansicpg1251 \'e6}"
+        assert _extract_rtf_one(doc)[0] == "ж"
+
+    def test_bin_skip_with_brace_bytes(self):
+        from bertrand_spark.pipeline.rtftext import _extract_rtf_one
+        doc = rb"{\rtf1 A{\*\pict\bin5 }}}}} tail}B}"
+        got = _extract_rtf_one(doc)[0]
+        assert got.startswith("A") and "tail" not in got
+
+    def test_truncated_is_partial(self):
+        from bertrand_spark.pipeline.rtftext import (_extract_rtf_one,
+                                                     rtf_write)
+        b = rtf_write("kept text here\nlost paragraph",
+                      with_skips=False)
+        cut = b[:b.find(b"lost")]
+        text, status, n = _extract_rtf_one(cut)
+        assert status == "extracted-partial"
+        assert text.startswith("kept text here")
+
+    def test_not_rtf_and_null(self):
+        from bertrand_spark.pipeline.rtftext import _extract_rtf_one
+        assert _extract_rtf_one(b"hello") == (None, "not-rtf", None)
+        assert _extract_rtf_one(None) == (None, None, None)
+        # junk before the magic within 1 KiB is tolerated
+        assert _extract_rtf_one(
+            b"JUNK" + rb"{\rtf1 ok}")[0] == "ok"
+
+    def test_fuzz_never_raises(self):
+        import random
+        from bertrand_spark.pipeline.rtftext import (_extract_rtf_one,
+                                                     rtf_write)
+        rng = random.Random(1355)
+        base = rtf_write("fuzz base — Jérôme\nsecond ☃ line")
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = _extract_rtf_one(bytes(b))
+            assert isinstance(out, tuple) and len(out) == 3
+        for _ in range(100):
+            junk = b"{\\rtf1" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+            assert isinstance(_extract_rtf_one(junk), tuple)
+
+    def test_spark_seam(self, spark):
+        from pyspark.sql import functions as F
+        from bertrand_spark.pipeline.rtftext import (extract_rtf_text,
+                                                     rtf_write)
+        rows = [(1, rtf_write("doc body ☃")), (2, b"not rtf"),
+                (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r.rtf for r in df.select(
+            "doc_id",
+            extract_rtf_text(F.col("payload")).alias("rtf")).collect()}
+        assert got[1].text == "doc body ☃"
+        assert got[1].status == "extracted"
+        assert got[2].status == "not-rtf"
+        assert got[3].status is None
