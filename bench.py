@@ -108,6 +108,7 @@ HEADLINE = [
     "x53_xlsx_extract",
     "x54_epub_extract",
     "x55_rtf_extract",
+    "x56_odt_extract",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

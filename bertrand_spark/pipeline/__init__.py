@@ -114,8 +114,10 @@ from .docxtext import (  # noqa: F401
     docx_metadata,
     docx_write,
     extract_docx_text,
+    extract_odt_text,
     extract_pptx_text,
     extract_xlsx_text,
+    odt_write,
     ole_write,
     pptx_write,
     xlsx_write,

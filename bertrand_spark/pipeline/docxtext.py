@@ -45,6 +45,13 @@ exact round trips and degrade-class units; fuzz pins the never-raise
 contract; oracle x51 puts typeset→re-extract identity on the
 driver's hash path (the x49 recipe).
 
+The OpenDocument sibling rides the same seam too:
+:func:`extract_odt_text` (ODF 1.2 ``text:p``/``text:h`` paragraphs
+with the mixed-content inline walk — spans, ``text:tab``,
+``text:line-break``, run-length ``text:s`` spaces; manifest
+``encryption-data`` → ``encrypted``) with writer :func:`odt_write`
+and oracle x56.
+
 The sibling OOXML classes ride the same seam (round 13):
 :func:`extract_pptx_text` (DrawingML ``a:t`` runs per ``a:p``,
 slides in numeric order, per-slide salvage; legacy binary PowerPoint
@@ -77,7 +84,8 @@ from pyspark.sql import functions as F
 __all__ = ["extract_docx_text", "docx_metadata", "docx_format_report",
            "docx_write", "ole_write",
            "extract_pptx_text", "pptx_write",
-           "extract_xlsx_text", "xlsx_write"]
+           "extract_xlsx_text", "xlsx_write",
+           "extract_odt_text", "odt_write"]
 
 # transitional (what Word writes) and strict OOXML namespaces
 _W_NS = ("http://schemas.openxmlformats.org/wordprocessingml/2006/main",
@@ -921,4 +929,228 @@ def xlsx_write(sheets, *, shared: bool = True) -> bytes:
                 % (len(sst), len(sst), "".join(
                     '<si><t xml:space="preserve">%s</t></si>'
                     % _xml_escape(s) for s in sst)))
+    return buf.getvalue()
+
+
+# --- ODT: the OpenDocument sibling (round 13) --------------------------------
+# Same zip seam, different XML dialect (ODF 1.2, OASIS — the public
+# LibreOffice/OpenOffice format): content.xml carries text:p / text:h
+# paragraphs with text:span runs, text:tab / text:line-break
+# elements, and run-length-encoded spaces (text:s text:c="N").
+# Encryption is per-entry via META-INF/manifest.xml encryption-data.
+
+_ODT_MAGIC_MIME = b"application/vnd.oasis.opendocument"
+
+
+def _odt_para_text(p) -> str:
+    """One text:p / text:h element → display text.  ODF is MIXED
+    content (text in .text and .tail around inline elements), so this
+    is a recursive walk, unlike the WordprocessingML run model:
+    text:tab → TAB, text:line-break → newline, text:s → its run of
+    spaces (text:c count, default 1); note/annotation subtrees
+    (footnote bodies, comments) are not inline display text."""
+    parts: list[str] = []
+
+    def walk(node):
+        ln = _local(node.tag)
+        if ln == "tab":
+            parts.append("\t")
+        elif ln == "line-break":
+            parts.append("\n")
+        elif ln == "s":
+            c = next((v for k, v in node.attrib.items()
+                      if k.rsplit("}", 1)[-1] == "c"), None)
+            try:
+                parts.append(" " * max(1, int(c)) if c else " ")
+            except ValueError:
+                parts.append(" ")
+        elif ln in ("note", "annotation"):
+            pass  # skip the subtree, keep the tail (below)
+        else:
+            if node.text:
+                parts.append(node.text)
+            for ch in node:
+                walk(ch)
+        if node.tail:
+            parts.append(node.tail)
+
+    if p.text:
+        parts.append(p.text)
+    for ch in p:
+        walk(ch)
+    return "".join(parts)
+
+
+def _extract_odt_one(b):
+    """(text, status, n_paragraphs) — never raises.  Paragraphs are
+    text:p AND text:h in document order (table-cell paragraphs
+    included by the same walk)."""
+    if b is None:
+        return (None, None, None)
+    try:
+        data = bytes(b)
+        if data[:8] == _CFB_MAGIC:
+            return (None, _classify_cfb(data), None)
+        if data[:2] != b"PK":
+            return (None, "not-odt", None)
+        try:
+            z = zipfile.ZipFile(io.BytesIO(data))
+        except (zipfile.BadZipFile, OSError, ValueError):
+            return (None, "parse-failed", None)
+        with z:
+            names = set(z.namelist())
+            if "META-INF/manifest.xml" in names:
+                try:
+                    with z.open("META-INF/manifest.xml") as fh:
+                        if b"encryption-data" in fh.read(_MAX_XML):
+                            return (None, "encrypted", None)
+                except Exception:
+                    pass
+            if "content.xml" not in names:
+                return (None, "missing-part", None)
+            try:
+                with z.open("content.xml") as fh:
+                    xml = fh.read(_MAX_XML)
+            except Exception:
+                return (None, "parse-failed", None)
+        try:
+            root = ET.fromstring(xml)
+        except ET.ParseError:
+            return (None, "parse-failed", None)
+        paras = []
+        excluded = set()  # p/h inside notes/annotations (not display
+        for node in root.iter():  # text) or inside another p (frames)
+            ln = _local(node.tag)
+            if ln in ("note", "annotation"):
+                for sub in node.iter():
+                    if _local(sub.tag) in ("p", "h"):
+                        excluded.add(id(sub))
+            elif ln in ("p", "h") and id(node) not in excluded:
+                for sub in node.iter():
+                    if sub is not node and _local(sub.tag) in ("p", "h"):
+                        excluded.add(id(sub))
+                paras.append(_odt_para_text(node))
+                if len(paras) >= _MAX_PARAS:
+                    break
+        if not paras:
+            return ("", "extracted", 0)
+        return ("\n".join(paras), "extracted", len(paras))
+    except Exception:
+        return (None, "parse-failed", None)
+
+
+def extract_odt_text(payload: Column) -> Column:
+    """Binary ODT payload → ``struct<text, status, n_paragraphs>``:
+    OpenDocument text:p/text:h paragraphs in document order with the
+    mixed-content inline walk (spans, tabs, line breaks, run-length
+    spaces).  Encrypted packages (manifest encryption-data) class as
+    ``encrypted``; same never-raise contract as the whole seam."""
+
+    @F.pandas_udf(
+        "struct<text: string, status: string, n_paragraphs: int>")
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_extract_odt_one(p) for p in payloads]
+        return pd.DataFrame(
+            rows, columns=["text", "status", "n_paragraphs"])
+
+    return kernel(payload)
+
+
+_ODT_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODT_OFFICE_NS = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+
+def odt_write(
+    paragraphs,
+    *,
+    spans: bool = False,
+    rle_spaces: bool = False,
+    table_after_first: bool = False,
+    encrypted: bool = False,
+) -> bytes:
+    """In-repo ODT writer: ``paragraphs`` is a list of paragraph
+    texts (``\\n`` inside one becomes ``<text:line-break/>``, TAB
+    becomes ``<text:tab/>``).  ``spans`` wraps alternating 12-char
+    chunks in ``text:span``; ``rle_spaces`` encodes runs of 2+
+    spaces as ``<text:s text:c="N"/>`` (the ODF whitespace rule);
+    ``table_after_first`` wraps later paragraphs in table cells;
+    ``encrypted`` writes a manifest with encryption-data (degrade
+    fixture)."""
+    if isinstance(paragraphs, str):
+        paragraphs = [paragraphs]
+
+    def runs(t: str) -> str:
+        out = []
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            s = _xml_escape("".join(buf))
+            buf.clear()
+            if spans:
+                chunks = [s[i:i + 12] for i in range(0, len(s), 12)]
+                out.append("".join(
+                    "<text:span>%s</text:span>" % c if k % 2
+                    else c for k, c in enumerate(chunks)))
+            else:
+                out.append(s)
+
+        i = 0
+        while i < len(t):
+            ch = t[i]
+            if ch == "\t":
+                flush()
+                out.append("<text:tab/>")
+            elif ch == "\n":
+                flush()
+                out.append("<text:line-break/>")
+            elif ch == " " and rle_spaces and t[i:i + 2] == "  ":
+                j = i
+                while j < len(t) and t[j] == " ":
+                    j += 1
+                flush()
+                out.append(' <text:s text:c="%d"/>' % (j - i - 1))
+                i = j
+                continue
+            else:
+                buf.append(ch)
+            i += 1
+        flush()
+        return "".join(out)
+
+    ps = ["<text:p>%s</text:p>" % runs(t) for t in paragraphs]
+    if table_after_first and len(ps) > 1:
+        rows = "".join(
+            "<table:table-row><table:table-cell>%s"
+            "</table:table-cell></table:table-row>" % p
+            for p in ps[1:])
+        body = (ps[0] + '<table:table table:name="T1">%s</table:table>'
+                % rows)
+    else:
+        body = "".join(ps)
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content xmlns:office="%s" xmlns:text="%s" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:'
+        'table:1.0" office:version="1.2">'
+        "<office:body><office:text>%s</office:text></office:body>"
+        "</office:document-content>" % (_ODT_OFFICE_NS, _ODT_TEXT_NS,
+                                        body))
+    manifest_extra = (
+        '<manifest:encryption-data manifest:checksum-type="x" '
+        'manifest:checksum="x"/>' if encrypted else "")
+    manifest = (
+        '<?xml version="1.0"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml">%s</manifest:file-entry>'
+        "</manifest:manifest>" % manifest_extra)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype",
+                   "application/vnd.oasis.opendocument.text")
+        z.writestr("META-INF/manifest.xml", manifest)
+        z.writestr("content.xml", content)
     return buf.getvalue()

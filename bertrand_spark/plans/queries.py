@@ -4953,13 +4953,71 @@ def x55(spark, sf_dir):
     )
 
 
+@query(
+    "x56_odt_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(regexp_replace(
+                    text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                    '?', 'g'), '') = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10) ||
+                     regexp_replace(
+                        text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                        '?', 'g')
+           END AS extracted
+    FROM documents
+    """,
+)
+def x56(spark, sf_dir):
+    """ODT→text extraction (round 13, the OpenDocument sibling on the
+    office seam): each document is typeset into a REAL .odt — title
+    paragraph plus the body 3 lines per paragraph (intra-paragraph
+    newlines become ``<text:line-break/>``), with layout variety
+    cycling by doc_id: even ids wrap runs in nested ``text:span``
+    elements (the mixed-content .text/.tail walk is on the hash
+    path), every 3rd id run-length-encodes space runs as
+    ``<text:s text:c="N"/>`` (the ODF whitespace rule), every 5th id
+    wraps body paragraphs into table cells — and
+    :func:`~bertrand_spark.pipeline.docxtext.extract_odt_text` must
+    recover EXACTLY title+newline+body.  Same two-engine
+    control-character fold as x51."""
+    import re as _re
+
+    from ..pipeline.docxtext import extract_odt_text, odt_write
+
+    d = _tw(spark, sf_dir, "documents")
+    bad = _re.compile(_X51_XMLBAD)
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            fold = bad.sub("?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            lines = page.split("\n")
+            out.append(odt_write(
+                ["\n".join(lines[k:k + 3])
+                 for k in range(0, len(lines), 3)],
+                spans=(i % 2 == 0),
+                rle_spaces=(i % 3 == 0),
+                table_after_first=(i % 5 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_odt_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
 # STANDING POLICY (rotating 50-slot window): the driver's correctness gate
-# runs exactly the FIRST 50 keys of ``queries()``.  With 118 oracle-backed
+# runs exactly the FIRST 50 keys of ``queries()``.  With 119 oracle-backed
 # queries and a 50-slot window, every query must re-enter the window at
-# least every ceil(118/50)=3 rounds so no driver attestation falls out of
+# least every ceil(119/50)=3 rounds so no driver attestation falls out of
 # the 3-round artifact union the cycle test checks.  Each round: (a) the
 # queries whose last attestation is about to age out fill the leading
 # slots; (b) the remaining slots refresh queries whose kernels/plans this
@@ -4972,24 +5030,25 @@ def x55(spark, sf_dir):
 # TPC-H join/agg; x37 temperature resample — the r10 artifact leaves
 # the 3-round union after this round, and the round-12 verdict
 # verified this is exactly the set whose only attestation it
-# carries).  x51/x52/x53/x54/x55 are NEW (the DOCX extractor per
-# the round-12 verdict's item 2, its sanctioned PPTX/XLSX siblings
-# on the same seam, the EPUB composition over the x48 HTML kernel,
-# and the RTF parser — the oracle set grows 113→118) and need their
-# first attestations;
+# carries).  x51-x56 are NEW (the DOCX extractor per the round-12
+# verdict's item 2, its sanctioned PPTX/XLSX siblings on the same
+# seam, the EPUB composition over the x48 HTML kernel, the RTF
+# parser, and the ODT sibling — the oracle set grows 113→119) and
+# need their first attestations;
 # x49 re-enters because this round changed its kernel (RC4
 # decryption of permissions-only encrypted documents + the
 # page-tree-truncation status), and x50 because warc.py's reader
-# file changed (the streaming terminator fix).  The remaining 29
-# slots re-attest r11-window names: 27 x-pipeline names (their
+# file changed (the streaming terminator fix).  The remaining 28
+# slots re-attest r11-window names: 26 x-pipeline names (their
 # kernels are the highest-churn surface) plus the two custom join
-# operators q29/q30.  Round 14 must lead with the TWENTY remaining
-# r11-only names: the sixteen structurally-stable TPC-H shapes
-# (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/q59/q60)
-# plus x33_gopher_rules, x34_tfidf_top_terms,
-# x39_adaptive_length_filter and x44_overlap_report (displaced here
-# by the new oracles — all pure shapes over untouched code); the
-# cycle test covers all twenty via the r11 artifact until then.
+# operators q29/q30.  Round 14 must lead with the TWENTY-ONE
+# remaining r11-only names: the sixteen structurally-stable TPC-H
+# shapes (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/
+# q59/q60) plus x33_gopher_rules, x34_tfidf_top_terms,
+# x35_chunk_dedup, x39_adaptive_length_filter and x44_overlap_report
+# (displaced here by the new oracles — all pure shapes over
+# untouched code); the cycle test covers all twenty-one via the r11
+# artifact until then.
 _DRIVER_ROTATION = [
     # r10-stale re-attestations (14): r10 leaves the 3-round union now
     "q31_regex_dialect", "q32_map_ops", "q36_profile",
@@ -4998,12 +5057,12 @@ _DRIVER_ROTATION = [
     "q48_priority_class_agg", "q49_supplier_part_counts",
     "q52_product_profit", "q53_customer_distribution",
     "q55_disjunctive_revenue", "x37_temperature_resample",
-    # new this round (5): first attestations
+    # new this round (6): first attestations
     "x51_docx_extract", "x52_pptx_extract", "x53_xlsx_extract",
-    "x54_epub_extract", "x55_rtf_extract",
+    "x54_epub_extract", "x55_rtf_extract", "x56_odt_extract",
     # kernels touched this round (2): pdftext decryption, warc reader
     "x49_pdf_extract", "x50_warc_roundtrip",
-    # r11 re-attestations (29): the x-pipeline surface + custom joins
+    # r11 re-attestations (28): the x-pipeline surface + custom joins
     "q29_asof_join", "q30_range_join",
     "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
     "x05_cosine_topk", "x06_cosine_pairs", "x07_ivf_topk",
@@ -5012,7 +5071,7 @@ _DRIVER_ROTATION = [
     "x26_stream_sessions", "x28_stream_stream_join",
     "x29_foreachbatch_sink", "x30_dedup_clusters", "x31_dedup_canonical",
     "x32_fuzzy_join",
-    "x35_chunk_dedup", "x36_incremental_dedup", "x38_knn_graph",
+    "x36_incremental_dedup", "x38_knn_graph",
     "x40_mix_corpus", "x41_dedup_keep_best", "x42_lm_perplexity",
     "x43_semdedup", "x45_dsir_weights", "x46_filter_cascade",
     "x47_dsir_resample",
@@ -5029,11 +5088,11 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 13: empty — all five new queries (x51 per the round-12
+# Round 13: empty — all six new queries (x51 per the round-12
 # verdict's item 2, its sanctioned x52/x53 OOXML siblings, the x54
-# EPUB composition, and the x55 RTF parser) fit the window; the set
-# is otherwise frozen at the round-7 policy (depth, not query-count
-# padding).
+# EPUB composition, the x55 RTF parser, and the x56 ODT sibling) fit
+# the window; the set is otherwise frozen at the round-7 policy
+# (depth, not query-count padding).
 _DEFERRED_NEW: list = []
 
 _missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]

@@ -993,3 +993,106 @@ class TestRtfExtract:
         assert got[1].status == "extracted"
         assert got[2].status == "not-rtf"
         assert got[3].status is None
+
+
+class TestOdtExtract:
+    """ODT→text (round 13): the OpenDocument sibling — ODF mixed
+    content (.text/.tail around inline elements) is a genuinely
+    different walk from the WordprocessingML run model; oracle x56
+    on the hash path."""
+
+    PARAS = ["Title", "tab\there", "break\nhere", "spaced    out",
+             "", "fin ☃"]
+
+    def test_roundtrip_matrix(self):
+        from bertrand_spark.pipeline.docxtext import (_extract_odt_one,
+                                                      odt_write)
+        expect = "\n".join(self.PARAS)
+        for kw in ({}, {"spans": True}, {"rle_spaces": True},
+                   {"table_after_first": True},
+                   {"spans": True, "rle_spaces": True,
+                    "table_after_first": True}):
+            got = _extract_odt_one(odt_write(self.PARAS, **kw))
+            assert got == (expect, "extracted", 6), (kw, got)
+
+    def test_mixed_content_tails_and_notes(self):
+        # text AROUND inline elements (tails) must survive; footnote
+        # bodies must not leak into display text
+        import io as _io
+        import zipfile as _zf
+        from bertrand_spark.pipeline.docxtext import _extract_odt_one
+        content = (
+            '<?xml version="1.0"?>'
+            '<office:document-content xmlns:office="urn:oasis:names:'
+            'tc:opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:'
+            'names:tc:opendocument:xmlns:text:1.0">'
+            "<office:body><office:text>"
+            "<text:p>before <text:span>inside</text:span> after"
+            "<text:note><text:note-body><text:p>footnote text"
+            "</text:p></text:note-body></text:note> tail</text:p>"
+            "</office:text></office:body></office:document-content>")
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("content.xml", content)
+        text, status, n = _extract_odt_one(buf.getvalue())
+        assert text == "before inside after tail"
+        assert "footnote" not in text
+
+    def test_headings_counted_as_paragraphs(self):
+        import io as _io
+        import zipfile as _zf
+        from bertrand_spark.pipeline.docxtext import _extract_odt_one
+        content = (
+            '<office:document-content xmlns:office="urn:oasis:names:'
+            'tc:opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:'
+            'names:tc:opendocument:xmlns:text:1.0"><office:body>'
+            '<office:text><text:h text:outline-level="1">Head</text:h>'
+            "<text:p>body</text:p></office:text></office:body>"
+            "</office:document-content>")
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("content.xml", content)
+        assert _extract_odt_one(buf.getvalue()) == (
+            "Head\nbody", "extracted", 2)
+
+    def test_degrade_classes(self):
+        from bertrand_spark.pipeline.docxtext import (_extract_odt_one,
+                                                      odt_write,
+                                                      ole_write)
+        assert _extract_odt_one(odt_write(["x"], encrypted=True)) == (
+            None, "encrypted", None)
+        assert _extract_odt_one(b"junk") == (None, "not-odt", None)
+        assert _extract_odt_one(ole_write("legacy")) == (
+            None, "legacy-doc", None)
+        assert _extract_odt_one(None) == (None, None, None)
+        import io as _io
+        import zipfile as _zf
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("mimetype",
+                       "application/vnd.oasis.opendocument.text")
+        assert _extract_odt_one(buf.getvalue()) == (
+            None, "missing-part", None)
+
+    def test_fuzz_never_raises(self):
+        import random
+        from bertrand_spark.pipeline.docxtext import (_extract_odt_one,
+                                                      odt_write)
+        rng = random.Random(1356)
+        base = odt_write(self.PARAS, spans=True, rle_spaces=True)
+        for _ in range(200):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            assert isinstance(_extract_odt_one(bytes(b)), tuple)
+
+    def test_spark_seam(self, spark):
+        from pyspark.sql import functions as F
+        from bertrand_spark.pipeline.docxtext import (extract_odt_text,
+                                                      odt_write)
+        rows = [(1, odt_write(["odt body ☃"]))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = df.select(
+            extract_odt_text(F.col("payload")).alias("o")).collect()[0]
+        assert got.o.text == "odt body ☃"
+        assert got.o.status == "extracted" and got.o.n_paragraphs == 1
