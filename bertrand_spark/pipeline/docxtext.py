@@ -71,6 +71,7 @@ language-ID, dedup) directly.
 from __future__ import annotations
 
 import io
+import math
 import re
 import zipfile
 import zlib
@@ -698,10 +699,31 @@ def _si_text(si) -> str:
     return "".join(parts)
 
 
+def _num_text(v: str) -> str:
+    """Numeric-cell storage text → display text: shortest-roundtrip
+    float formatting (``repr(float)``), so an Excel float stored as
+    ``1.1000000000000001`` surfaces as the ``1.1`` a human saw —
+    training-text-shaped, not storage-shaped.  Integer-stored cells
+    (no ``.``/exponent in storage) keep their integer form; anything
+    that does not parse as a finite float passes through verbatim."""
+    s = v.strip()
+    try:
+        f = float(s)
+    except ValueError:
+        return v
+    if not math.isfinite(f):
+        return v
+    r = repr(f)
+    if r.endswith(".0") and "." not in s and "e" not in s.lower():
+        return r[:-2]
+    return r
+
+
 def _cell_value(c, sst: list) -> str | None:
     """One ``c`` element → its display string: shared (``t="s"``),
     inline (``t="inlineStr"``), literal (``t="str"``), boolean, or
-    the raw numeric ``v``."""
+    the numeric ``v`` normalized to shortest-roundtrip form
+    (:func:`_num_text`)."""
     t = c.get("t", "n")
     if t == "inlineStr":
         for node in c.iter():
@@ -722,6 +744,8 @@ def _cell_value(c, sst: list) -> str | None:
             return None
     if t == "b":
         return "TRUE" if v.strip() == "1" else "FALSE"
+    if t == "n":
+        return _num_text(v)
     return v
 
 
@@ -762,6 +786,10 @@ def _extract_xlsx_one(b):
             lines = []
             n_cells = 0
             for _num, name in sheets:
+                if len(lines) >= _MAX_PARAS:
+                    break  # the cap is global per DOCUMENT, not per
+                    # sheet — a many-sheet hostile workbook must not
+                    # accumulate n_sheets × _MAX_PARAS lines
                 try:
                     with z.open(name) as fh:
                         root = ET.fromstring(fh.read(_MAX_XML))
@@ -884,12 +912,22 @@ def xlsx_write(sheets, *, shared: bool = True) -> bytes:
     list of rows, each a list of cell strings.  ``shared`` routes
     string cells through ``xl/sharedStrings.xml`` (``t="s"`` index
     cells — what real writers emit); otherwise inline strings
-    (``t="inlineStr"``)."""
+    (``t="inlineStr"``).  A cell that is an ``int``/``float`` (not a
+    string) is written as a numeric cell (default ``t``): floats in
+    NOISY full-precision ``%.17g`` storage (what Excel itself emits,
+    e.g. ``1.1000000000000001``) so the reader's shortest-roundtrip
+    normalization is on the round-trip path; ints as plain digits."""
     sst: list[str] = []
     sst_index: dict[str, int] = {}
 
-    def cell_xml(r: int, ci: int, val: str) -> str:
+    def cell_xml(r: int, ci: int, val) -> str:
         ref = "%s%d" % (_col_letter(ci), r)
+        if isinstance(val, bool):
+            return '<c r="%s" t="b"><v>%d</v></c>' % (ref, int(val))
+        if isinstance(val, int):
+            return '<c r="%s"><v>%d</v></c>' % (ref, val)
+        if isinstance(val, float):
+            return '<c r="%s"><v>%s</v></c>' % (ref, "%.17g" % val)
         if shared:
             if val not in sst_index:
                 sst_index[val] = len(sst)
@@ -1086,15 +1124,19 @@ def odt_write(
         def flush():
             if not buf:
                 return
-            s = _xml_escape("".join(buf))
+            raw = "".join(buf)
             buf.clear()
             if spans:
-                chunks = [s[i:i + 12] for i in range(0, len(s), 12)]
+                # chunk the UNescaped text, then escape each chunk —
+                # chunking after escaping could split an entity like
+                # &amp; across a span boundary (malformed content.xml)
+                chunks = [_xml_escape(raw[i:i + 12])
+                          for i in range(0, len(raw), 12)]
                 out.append("".join(
                     "<text:span>%s</text:span>" % c if k % 2
                     else c for k, c in enumerate(chunks)))
             else:
-                out.append(s)
+                out.append(_xml_escape(raw))
 
         i = 0
         while i < len(t):

@@ -140,6 +140,10 @@ def _rtf_parse(data: bytes):
         elif c == 0x7D:  # }
             if stack:
                 skip, uc = stack.pop()
+            # the \uc fallback-skip is group-scoped (RTF 1.9 §Unicode
+            # RTF): a \uN that ends a group must not swallow text
+            # AFTER the closing brace — e.g. {\*\foo䙠}Hello
+            uc_pending = 0
             i += 1
         elif c == 0x5C:  # backslash
             i += 1

@@ -4802,15 +4802,17 @@ def x52(spark, sf_dir):
     "x53_xlsx_extract",
     r"""
     SELECT doc_id,
-           CASE WHEN coalesce(regexp_replace(
-                    text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
-                    '?', 'g'), '') = ''
-                THEN 'Document ' || doc_id
-                ELSE 'Document ' || doc_id || chr(10) ||
-                     regexp_replace(
+           'Document ' || doc_id || chr(9)
+             || cast(doc_id + cast(0.1 as double) as varchar)
+             || chr(9) || cast(doc_id * 100 as varchar)
+             || CASE WHEN coalesce(regexp_replace(
+                        text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                        '?', 'g'), '') = ''
+                     THEN ''
+                     ELSE chr(10) || regexp_replace(
                         text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
                         '?', 'g')
-           END AS extracted
+                END AS extracted
     FROM documents
     """,
 )
@@ -4822,7 +4824,14 @@ def x53(spark, sf_dir):
     string storage cycling by doc_id: even ids through
     ``xl/sharedStrings.xml`` (``t="s"`` index cells, what real
     writers emit — dedup of repeated lines is on the hash path), odd
-    ids as inline strings.
+    ids as inline strings.  Round 14: the title row additionally
+    carries a FLOAT cell (``doc_id + 0.1``, written in Excel's noisy
+    ``%.17g`` storage, e.g. ``7.0999999999999996``) and an INT cell
+    (``doc_id * 100``) — the extractor's shortest-roundtrip numeric
+    normalization must surface ``7.1`` / ``700``; the oracle pins
+    the same values via DuckDB's shortest-roundtrip double→varchar
+    cast (verified bit-identical to Python ``repr`` over the id
+    range).
     :func:`~bertrand_spark.pipeline.docxtext.extract_xlsx_text` must
     recover EXACTLY title+newline+body across sheet boundaries.
     Same two-engine control-character fold as x51."""
@@ -4840,6 +4849,7 @@ def x53(spark, sf_dir):
             fold = bad.sub("?", t or "")
             page = "Document %d" % i + ("\n" + fold if fold else "")
             rows = [line.split("\t") for line in page.split("\n")]
+            rows[0] = rows[0] + [float(int(i) + 0.1), int(i) * 100]
             sheets = [rows[k:k + 40] for k in range(0, len(rows), 40)]
             out.append(xlsx_write(sheets, shared=(i % 2 == 0)))
         return pd.Series(out)

@@ -849,7 +849,9 @@ def stream_extract_warc(
     micro-batch planning, so the binaryFile reader never reads the
     bytes; a ``foreachBatch``-side select is too late (the batch
     arrives as a LogicalRDD whose schema is already fixed).  The
-    handler works with either shape.  Default unchanged
+    handler ENFORCES this (round 14): a ``worker_open`` batch that
+    still carries ``content`` raises with the prune recipe rather
+    than silently paying full segment I/O.  Default unchanged
     (whole-segment ``content``, which object stores without a mount
     require — do NOT prune the stream then).
     """
@@ -858,6 +860,24 @@ def stream_extract_warc(
     from ..sources.warc import warc_records, warc_records_worker_open
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if worker_open and "content" in batch_df.columns:
+            # guard the silent 100×-scale footgun (round-13 verdict):
+            # with worker_open the workers re-open files themselves,
+            # so a stream still carrying `content` means the
+            # binaryFile source read EVERY segment's bytes anyway —
+            # correct results at full I/O cost, invisible until
+            # cluster scale.  A foreachBatch-side select cannot fix
+            # it (the source scan already happened), so refuse here.
+            raise ValueError(
+                "stream_extract_warc(worker_open=True) received a "
+                "micro-batch that still carries the `content` column: "
+                "the binaryFile source has already read every "
+                "segment's bytes, defeating the worker-open I/O "
+                "savings. Prune on the STREAM side before "
+                "writeStream — readStream.format('binaryFile')..."
+                ".load(dir).select('path') — so the projection "
+                "reaches the source scan at micro-batch planning."
+            )
         recs = (warc_records_worker_open(batch_df, record_types)
                 if worker_open
                 else warc_records(batch_df, record_types))

@@ -585,8 +585,9 @@ class TestStreamWarcWorkerOpen:
         out_wo = str(tmp_path / "out_wo")
         stream_extract_warc(out_seg)(files, 0)
         handle = stream_extract_warc(out_wo, worker_open=True)
-        handle(files, 0)
-        handle(files, 0)  # replay: same epoch overwrites itself
+        pruned = files.select("path")  # r14 guard: worker_open
+        handle(pruned, 0)              # batches must not carry bytes
+        handle(pruned, 0)  # replay: same epoch overwrites itself
         seg = sorted(
             (r.url, r.mime, r.text, bytes(r.payload)) for r in
             spark.read.parquet(f"{out_seg}/ingest_batch=0").collect())
