@@ -14,10 +14,16 @@ Status ladder (the package contract):
 * ``extracted-scan`` — container/OPF missing or unparseable: every
   ``*.xhtml``/``*.html``/``*.htm`` member is walked in name order
   instead (the lenient path for sloppily-built files).
-* ``encrypted`` — ``META-INF/encryption.xml`` present: DRM'd or
-  font-obfuscated content (distinguishing font-only obfuscation from
-  content DRM needs the retrieval-method walk; the honest blanket
-  class never surfaces ciphertext).
+* ``extracted-font-obfuscated`` — ``META-INF/encryption.xml``
+  present but EVERY ``EncryptedData`` uses a font-obfuscation
+  algorithm (IDPF ``http://www.idpf.org/2008/embedding`` or Adobe
+  ``http://ns.adobe.com/pdf/enc#RC``): only embedded fonts are
+  mangled, content documents are plaintext — extraction proceeds
+  normally, the distinct status records the container state (round
+  14; the round-13 blanket class threw these books away).
+* ``encrypted`` — ``META-INF/encryption.xml`` carries any
+  non-font-obfuscation method (or is unreadable/empty): real content
+  DRM; the honest class never surfaces ciphertext.
 * ``missing-part`` — valid zip, but no spine documents and no
   XHTML members at all.
 * ``not-epub`` — not a zip container.
@@ -53,6 +59,29 @@ __all__ = ["extract_epub_text", "epub_metadata", "epub_write"]
 
 _HTML_MEMBER_RE = re.compile(r"\.(xhtml|html|htm)$", re.I)
 _MAX_CHAPTERS = 10_000
+
+# Font-obfuscation algorithm URIs (EPUB OCF §"Font obfuscation"):
+# these mangle ONLY embedded font files; content documents stay
+# plaintext, so a book whose encryption.xml lists nothing else is
+# fully extractable.
+_FONT_OBF_ALGOS = frozenset({
+    "http://www.idpf.org/2008/embedding",
+    "http://ns.adobe.com/pdf/enc#RC",
+})
+
+
+def _font_only_encryption(z: zipfile.ZipFile) -> bool:
+    """True iff every ``EncryptedData`` in META-INF/encryption.xml
+    declares a font-obfuscation ``EncryptionMethod``.  Unreadable,
+    empty, or mixed manifests are conservatively treated as real
+    content DRM (the caller classes ``encrypted``)."""
+    try:
+        root = ET.fromstring(z.read("META-INF/encryption.xml"))
+    except Exception:
+        return False
+    algos = [node.get("Algorithm") for node in root.iter()
+             if _local(node.tag) == "EncryptionMethod"]
+    return bool(algos) and all(a in _FONT_OBF_ALGOS for a in algos)
 
 
 def _decode_chapter(b: bytes) -> str:
@@ -116,8 +145,11 @@ def _extract_epub_one(b):
             return (None, "parse-failed", None)
         with z:
             names = z.namelist()
+            font_obf = False
             if "META-INF/encryption.xml" in names:
-                return (None, "encrypted", None)
+                if not _font_only_encryption(z):
+                    return (None, "encrypted", None)
+                font_obf = True  # fonts mangled, content plaintext
             status = "extracted"
             try:
                 hrefs = [h for h in _spine_hrefs(z) if h in set(names)]
@@ -143,6 +175,8 @@ def _extract_epub_one(b):
                     texts.append(t)
             if not texts:
                 return (None, "parse-failed", None)
+            if font_obf and status == "extracted":
+                status = "extracted-font-obfuscated"
             return ("\n".join(texts), status, len(hrefs))
     except Exception:
         return (None, "parse-failed", None)
@@ -185,9 +219,10 @@ def _epub_meta_one(b):
             return nulls + ("parse-failed",)
         with z:
             if "META-INF/encryption.xml" in z.namelist():
-                # the OPF itself is normally plaintext even under DRM,
-                # but keep the blanket class consistent with extract
-                status = "encrypted"
+                # the OPF itself is normally plaintext even under
+                # DRM; font-only obfuscation is not DRM at all
+                status = ("ok" if _font_only_encryption(z)
+                          else "encrypted")
             else:
                 status = "ok"
             try:
@@ -234,6 +269,7 @@ def epub_write(
     extra_items: bool = False,
     no_container: bool = False,
     drm: bool = False,
+    font_obfuscation: bool = False,
 ) -> bytes:
     """In-repo EPUB writer (the test/gating twin of
     :func:`extract_epub_text`): ``chapters`` is a list of XHTML BODY
@@ -244,7 +280,11 @@ def epub_write(
     order (spine governs — the structural trap for naive readers);
     ``extra_items`` adds css/cover manifest entries the spine must
     skip; ``no_container`` drops META-INF (the extracted-scan
-    fixture); ``drm`` adds ``META-INF/encryption.xml``."""
+    fixture); ``drm`` adds ``META-INF/encryption.xml`` with a real
+    content-DRM method (AES-128-CBC over a chapter);
+    ``font_obfuscation`` adds one whose only ``EncryptedData`` is the
+    IDPF font-embedding algorithm over a font file — content stays
+    plaintext and the reader must extract through it (round 14)."""
     if isinstance(chapters, str):
         chapters = [chapters]
     ids = ["ch%d" % i for i in range(1, len(chapters) + 1)]
@@ -286,9 +326,28 @@ def epub_write(
                 '<rootfile full-path="OEBPS/content.opf" media-type='
                 '"application/oebps-package+xml"/>'
                 "</rootfiles></container>")
-        if drm:
-            z.writestr("META-INF/encryption.xml",
-                       '<?xml version="1.0"?><encryption/>')
+        if drm or font_obfuscation:
+            if drm:  # real content DRM: chapter under AES-128-CBC
+                ed = ('<enc:EncryptedData>'
+                      '<enc:EncryptionMethod Algorithm="http://www.'
+                      'w3.org/2001/04/xmlenc#aes128-cbc"/>'
+                      '<enc:CipherData><enc:CipherReference '
+                      'URI="OEBPS/text/ch1.xhtml"/></enc:CipherData>'
+                      '</enc:EncryptedData>')
+            else:  # IDPF font obfuscation: fonts only, content clear
+                ed = ('<enc:EncryptedData>'
+                      '<enc:EncryptionMethod Algorithm='
+                      '"http://www.idpf.org/2008/embedding"/>'
+                      '<enc:CipherData><enc:CipherReference '
+                      'URI="OEBPS/fonts/f.otf"/></enc:CipherData>'
+                      '</enc:EncryptedData>')
+            z.writestr(
+                "META-INF/encryption.xml",
+                '<?xml version="1.0"?>'
+                '<encryption xmlns="urn:oasis:names:tc:opendocument:'
+                'xmlns:container" xmlns:enc='
+                '"http://www.w3.org/2001/04/xmlenc#">%s</encryption>'
+                % ed)
         z.writestr("OEBPS/content.opf", opf)
         if extra_items:
             z.writestr("OEBPS/style.css", "body{}")

@@ -146,6 +146,72 @@ class TestXlsxNumericNormalization:
         assert "7.0999999999999996" in xml
 
 
+class TestEpubFontObfuscation:
+    """Round-13 verdict item 5: walk encryption.xml retrieval methods
+    to distinguish font-only obfuscation (IDPF/Adobe font keys —
+    content still plaintext) from real content DRM, instead of the
+    blanket `encrypted` class that threw those books away."""
+
+    def test_font_only_extracts_with_distinct_status(self):
+        from bertrand_spark.pipeline.epubtext import (_extract_epub_one,
+                                                      epub_write)
+        b = epub_write(["<p>readable body text here</p>"],
+                       font_obfuscation=True)
+        text, status, n = _extract_epub_one(b)
+        assert status == "extracted-font-obfuscated"
+        assert "readable body text" in text
+
+    def test_content_drm_still_encrypted(self):
+        from bertrand_spark.pipeline.epubtext import (_extract_epub_one,
+                                                      epub_write)
+        b = epub_write(["<p>x</p>"], drm=True)
+        assert _extract_epub_one(b) == (None, "encrypted", None)
+
+    def test_mixed_methods_conservative(self):
+        # a manifest carrying BOTH a font key and a content method
+        # must class encrypted (all-font-only is the requirement)
+        import io
+        import zipfile
+        from bertrand_spark.pipeline.epubtext import (_extract_epub_one,
+                                                      epub_write)
+        b = epub_write(["<p>x</p>"], font_obfuscation=True)
+        buf = io.BytesIO(b)
+        with zipfile.ZipFile(buf, "a") as z:
+            z.writestr(
+                "META-INF/encryption.xml",  # shadow: mixed manifest
+                '<encryption xmlns:enc="http://www.w3.org/2001/04/'
+                'xmlenc#"><enc:EncryptedData><enc:EncryptionMethod '
+                'Algorithm="http://www.idpf.org/2008/embedding"/>'
+                '</enc:EncryptedData><enc:EncryptedData>'
+                '<enc:EncryptionMethod Algorithm="http://www.w3.org/'
+                '2001/04/xmlenc#aes128-cbc"/></enc:EncryptedData>'
+                '</encryption>')
+        # zipfile.read returns the LAST entry for duplicate names
+        assert _extract_epub_one(buf.getvalue())[1] == "encrypted"
+
+    def test_empty_or_unreadable_manifest_conservative(self):
+        from bertrand_spark.pipeline.epubtext import _font_only_encryption
+        import io
+        import zipfile
+
+        def zip_with(content):
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("META-INF/encryption.xml", content)
+            return zipfile.ZipFile(io.BytesIO(buf.getvalue()))
+
+        assert not _font_only_encryption(zip_with("<encryption/>"))
+        assert not _font_only_encryption(zip_with("not xml <<<"))
+
+    def test_metadata_status_ok_under_font_obfuscation(self):
+        from bertrand_spark.pipeline.epubtext import (_epub_meta_one,
+                                                      epub_write)
+        b = epub_write(["<p>x</p>"], info={"title": "T"},
+                       font_obfuscation=True)
+        row = _epub_meta_one(b)
+        assert row[0] == "T" and row[-1] == "ok"
+
+
 class TestWorkerOpenContentGuard:
     """Round-13 verdict "what's wrong" item 1: a worker_open batch
     that still carries `content` means the binaryFile source already
