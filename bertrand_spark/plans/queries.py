@@ -5021,6 +5021,179 @@ def x56(spark, sf_dir):
     )
 
 
+@query(
+    "x57_document_router",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             coalesce(regexp_replace(text, '[^ -~\n]', '?', 'g'),
+                      '') AS fold
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+             WHEN 2 THEN 'xlsx' WHEN 3 THEN 'epub'
+             WHEN 4 THEN 'rtf'  WHEN 5 THEN 'odt'
+             WHEN 6 THEN 'pdf'  ELSE 'html' END AS fmt,
+           CASE WHEN doc_id % 8 IN (3, 7) THEN
+             CASE WHEN trim(regexp_replace(fold, '\s+', ' ', 'g')) = ''
+                  THEN 'Document ' || doc_id
+                  ELSE 'Document ' || doc_id || chr(10) ||
+                       trim(regexp_replace(fold, '\s+', ' ', 'g'))
+             END
+           ELSE
+             CASE WHEN fold = ''
+                  THEN 'Document ' || doc_id
+                  ELSE 'Document ' || doc_id || chr(10) || fold
+             END
+           END AS extracted
+    FROM f
+    """,
+)
+def x57(spark, sf_dir):
+    """Unified document router (round 14, round-13 verdict item 2):
+    each document is typeset into a REAL container with the FORMAT
+    CYCLING by doc_id % 8 — docx, pptx, xlsx, epub, rtf, odt, pdf,
+    html — and
+    :func:`~bertrand_spark.pipeline.docrouter.extract_document_text`
+    must (a) sniff every format from payload MAGIC alone (no mime
+    hint passed — the format column itself is on the hash path) and
+    (b) recover EXACTLY title+newline+body through the right kernel.
+    One parity fold serves all eight formats: non-printables →
+    ``?`` (the x49 ASCII recipe, a superset of the x51 XML fold, so
+    every writer accepts the result), with the block-level
+    whitespace collapse of the x48 algebra applied only to the two
+    HTML-kernel formats (epub, html).  Build + route are one
+    composed Arrow-batched map pass — the single-operator crawl
+    pipeline a 100 TB user actually calls."""
+    import re as _re
+    from xml.sax.saxutils import escape as _esc
+
+    from ..pipeline.docrouter import extract_document_text
+    from ..pipeline.docxtext import (docx_write, odt_write,
+                                     pptx_write, xlsx_write)
+    from ..pipeline.epubtext import epub_write
+    from ..pipeline.pdftext import pdf_write
+    from ..pipeline.rtftext import rtf_write
+
+    d = _tw(spark, sf_dir, "documents")
+    ascii_bad = _re.compile(r"[^ -~\n]")
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            fold = ascii_bad.sub("?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            lines = page.split("\n")
+            m = i % 8
+            if m == 0:
+                out.append(docx_write(
+                    ["\n".join(lines[k:k + 3])
+                     for k in range(0, len(lines), 3)]))
+            elif m == 1:
+                paras = ["\n".join(lines[k:k + 2])
+                         for k in range(0, len(lines), 2)]
+                out.append(pptx_write(
+                    [paras[k:k + 3] for k in range(0, len(paras), 3)]))
+            elif m == 2:
+                rows = [ln.split("\t") for ln in lines]
+                out.append(xlsx_write(
+                    [rows[k:k + 40] for k in range(0, len(rows), 40)]))
+            elif m == 3:
+                out.append(epub_write(
+                    ["<p>Document %d</p>" % i,
+                     "<p>%s</p>" % _esc(fold)]))
+            elif m == 4:
+                out.append(rtf_write(page))
+            elif m == 5:
+                out.append(odt_write(
+                    ["\n".join(lines[k:k + 3])
+                     for k in range(0, len(lines), 3)]))
+            elif m == 6:
+                out.append(pdf_write(
+                    ["\n".join(lines[k:k + 20])
+                     for k in range(0, len(lines), 20)]))
+            else:
+                out.append((
+                    "<html><head><title>t</title></head><body>"
+                    "<h1>Document %d</h1><p>%s</p></body></html>"
+                    % (i, _esc(fold))).encode("utf-8"))
+        return pd.Series(out)
+
+    routed = extract_document_text(build("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        routed["format"].alias("fmt"),
+        routed["text"].alias("extracted"),
+    )
+
+
+@query(
+    "x58_doc_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(regexp_replace(
+                    text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                    '?', 'g'), '') = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10) ||
+                     regexp_replace(
+                        text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                        '?', 'g')
+           END AS extracted
+    FROM documents
+    """,
+)
+def x58(spark, sf_dir):
+    """Legacy binary .doc extraction (round 14, round-13 verdict item
+    3): each document is written into a REAL CFB container — FAT,
+    header DIFAT, directory, miniFAT + mini stream (both streams ride
+    the mini path unless padded past the 4096 cutoff) — holding a
+    real Word-97 FIB and a CONTENT-DRIVEN piece table (CP1252-able
+    runs as compressed pieces, everything else UTF-16, astral chars
+    as surrogate pairs), with storage cycling by doc_id: odd ids
+    store the piece table in ``1Table`` (fWhichTblStm), every 3rd id
+    prepends Prc property blocks the Clx walk must skip, every 5th id
+    force-splits pieces every 11 code units (piece boundaries mid-
+    text, including mid-surrogate-pair), every 7th id pads the
+    WordDocument stream past the mini cutoff (regular-FAT path) —
+    and :func:`~bertrand_spark.pipeline.doctext.extract_doc_text`
+    must recover EXACTLY title+newline+body.  Controls that collide
+    with Word's in-text codes are pre-folded with the x51 XML class
+    on both engine sides (TAB and LF survive: TAB passes through
+    storage, LF becomes the CR paragraph mark and back)."""
+    import re as _re
+
+    from ..pipeline.doctext import doc_write, extract_doc_text
+
+    d = _tw(spark, sf_dir, "documents")
+    bad = _re.compile(_X51_XMLBAD)
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            fold = bad.sub("?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            out.append(doc_write(
+                page,
+                table1=bool(i % 2),
+                prc_blocks=(i % 3 == 0),
+                piece_cap=(11 if i % 5 == 0 else 0),
+                pad_word_stream=(i % 7 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_doc_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -5035,56 +5208,56 @@ def x56(spark, sf_dir):
 # dict order rotates.  A name here that no longer exists in QUERIES raises
 # at import (see below) so a rename cannot silently drop coverage.
 #
-# Round 13: the fourteen r10-stale names lead (q31/q32 regex+map
-# shapes; q36 profile; q41/q43/q45/q46/q47/q48/q49/q52/q53/q55 pure
-# TPC-H join/agg; x37 temperature resample — the r10 artifact leaves
-# the 3-round union after this round, and the round-12 verdict
-# verified this is exactly the set whose only attestation it
-# carries).  x51-x56 are NEW (the DOCX extractor per the round-12
-# verdict's item 2, its sanctioned PPTX/XLSX siblings on the same
-# seam, the EPUB composition over the x48 HTML kernel, the RTF
-# parser, and the ODT sibling — the oracle set grows 113→119) and
-# need their first attestations;
-# x49 re-enters because this round changed its kernel (RC4
-# decryption of permissions-only encrypted documents + the
-# page-tree-truncation status), and x50 because warc.py's reader
-# file changed (the streaming terminator fix).  The remaining 28
-# slots re-attest r11-window names: 26 x-pipeline names (their
-# kernels are the highest-churn surface) plus the two custom join
-# operators q29/q30.  Round 14 must lead with the TWENTY-ONE
-# remaining r11-only names: the sixteen structurally-stable TPC-H
+# Round 14: the TWENTY-ONE r11-stale names lead exactly as round 13
+# committed (the r11 artifact leaves the 3-round union after this
+# round; the round-13 verdict verified this is exactly the set whose
+# only attestation it carries): sixteen structurally-stable TPC-H
 # shapes (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/
-# q59/q60) plus x33_gopher_rules, x34_tfidf_top_terms,
-# x35_chunk_dedup, x39_adaptive_length_filter and x44_overlap_report
-# (displaced here by the new oracles — all pure shapes over
-# untouched code); the cycle test covers all twenty-one via the r11
-# artifact until then.
+# q59/q60) plus x33/x34/x35/x39/x44.  x57 (the unified document
+# router, verdict item 2) and x58 (legacy binary .doc, verdict item
+# 3) are NEW — the oracle set grows 119→121 — and take their first
+# attestations.  Six extractor oracles re-enter because their kernel
+# files changed this round: x51/x52/x53 (docxtext: global line cap +
+# numeric-cell normalization), x54 (epubtext: font-obfuscation
+# walk), x55 (rtftext: group-scoped \uc fix), x56 (the ODT writer
+# escape-order fix).  The remaining 21 slots begin re-attesting the
+# FORTY-EIGHT r12-stale names: all sixteen r12-stale x-pipeline
+# names (x01/x08/x09/x10/x11/x12/x13/x14/x15/x19/x21/x22/x23/x24/
+# x27/x48 — x19 also rides the changed rollup.py; x48's HTML kernel
+# is now additionally on the router path) plus q01–q05.  Round 15
+# must lead with the TWENTY-SEVEN remaining r12-only names
+# (q06/q07/q08/q09/q10/q11/q12/q13/q14/q15/q16/q17/q17b/q18/q19/
+# q19b/q20/q21/q22/q23/q24/q24b/q25/q26/q27/q28/q57); the cycle
+# test covers them via the r12 artifact until then.  x25/x26/x28/
+# x29 stay on their r13 attestations: rollup.py changed only inside
+# stream_extract_warc (the worker_open guard + router wiring),
+# which none of their code paths touch.
 _DRIVER_ROTATION = [
-    # r10-stale re-attestations (14): r10 leaves the 3-round union now
-    "q31_regex_dialect", "q32_map_ops", "q36_profile",
-    "q41_revenue_forecast", "q43_large_orders", "q45_above_average",
-    "q46_late_orders_exists", "q47_supplier_nation_cycle",
-    "q48_priority_class_agg", "q49_supplier_part_counts",
-    "q52_product_profit", "q53_customer_distribution",
-    "q55_disjunctive_revenue", "x37_temperature_resample",
-    # new this round (6): first attestations
+    # r11-stale re-attestations (21): r11 leaves the 3-round union now
+    "q33_revenue_by_nation", "q34_rollup_revenue",
+    "q35_window_functions", "q37_promo_share", "q38_semi_anti_join",
+    "q39_pricing_summary", "q40_shipping_priority",
+    "q42_returned_items", "q44_cube_orders",
+    "q50_nation_trade_volume", "q51_market_share",
+    "q54_small_quantity_revenue", "q56_waiting_supplier",
+    "q58_min_cost_supplier", "q59_important_stock",
+    "q60_potential_promotion", "x33_gopher_rules",
+    "x34_tfidf_top_terms", "x35_chunk_dedup",
+    "x39_adaptive_length_filter", "x44_overlap_report",
+    # new this round (2): first attestations
+    "x57_document_router", "x58_doc_extract",
+    # kernels touched this round (6): docxtext/epubtext/rtftext
     "x51_docx_extract", "x52_pptx_extract", "x53_xlsx_extract",
     "x54_epub_extract", "x55_rtf_extract", "x56_odt_extract",
-    # kernels touched this round (2): pdftext decryption, warc reader
-    "x49_pdf_extract", "x50_warc_roundtrip",
-    # r11 re-attestations (28): the x-pipeline surface + custom joins
-    "q29_asof_join", "q30_range_join",
-    "x02_minhash_near_dup", "x03_ngram_jaccard", "x04_simhash_near_dup",
-    "x05_cosine_topk", "x06_cosine_pairs", "x07_ivf_topk",
-    "x16_cosine_near_dup", "x17_quality_scores",
-    "x18_pipeline_end_to_end", "x20_decontaminate", "x25_stream_dedup",
-    "x26_stream_sessions", "x28_stream_stream_join",
-    "x29_foreachbatch_sink", "x30_dedup_clusters", "x31_dedup_canonical",
-    "x32_fuzzy_join",
-    "x36_incremental_dedup", "x38_knn_graph",
-    "x40_mix_corpus", "x41_dedup_keep_best", "x42_lm_perplexity",
-    "x43_semdedup", "x45_dsir_weights", "x46_filter_cascade",
-    "x47_dsir_resample",
+    # r12 re-attestations (21): the full r12-stale x surface + q01-q05
+    "x01_exact_dedup", "x08_token_stats", "x09_lang_scores",
+    "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
+    "x13_media_sniff", "x14_media_decode", "x15_rolling_fingerprints",
+    "x19_stream_rollup", "x21_redact_pii", "x22_pack_sequences",
+    "x23_stratified_sample", "x24_repetition_score",
+    "x27_corpus_stats", "x48_html_extract",
+    "q01_detect_tags", "q02_typecheck_bounds", "q03_generic_casts",
+    "q04_rounding_rules", "q05_boundscheck",
 ]
 
 
@@ -5098,11 +5271,10 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 13: empty — all six new queries (x51 per the round-12
-# verdict's item 2, its sanctioned x52/x53 OOXML siblings, the x54
-# EPUB composition, the x55 RTF parser, and the x56 ODT sibling) fit
-# the window; the set is otherwise frozen at the round-7 policy
-# (depth, not query-count padding).
+# Round 14: empty — both new queries (x57 router, x58 legacy .doc,
+# per round-13 verdict items 2–3) fit the window; the set is
+# otherwise frozen at the round-7 policy (depth, not query-count
+# padding).
 _DEFERRED_NEW: list = []
 
 _missing = [k for k in _DRIVER_ROTATION if k not in QUERIES]

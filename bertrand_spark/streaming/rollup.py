@@ -808,6 +808,7 @@ def stream_extract_warc(
     extract_text: bool = True,
     report_dir: str | None = None,
     worker_open: bool = False,
+    route_documents: bool = False,
 ):
     """Crawl ingest on a stream — the WARC twin of
     :func:`stream_decode_media`: point ``readStream.format(
@@ -838,6 +839,18 @@ def stream_extract_warc(
     overwrite their own directories (extraction is deterministic per
     payload), preserving exactly-once.
 
+    ``route_documents`` (round 14, round-13 verdict item 2): HTML is
+    not the only thing a crawl serves — with this flag every record
+    runs through the unified magic-sniff router
+    (:func:`~bertrand_spark.pipeline.docrouter.extract_document_text`)
+    instead of the html-only gate, so PDF / Office / EPUB / RTF /
+    legacy-.doc payloads land extracted ``text`` too, plus
+    ``doc_status`` and ``doc_format`` columns carrying each format's
+    degrade ladder.  Same Arrow-batched no-shuffle shape; the
+    transport ``mime``/``charset`` ride along as tiebreak hints only
+    (payload magic wins).  Default off: the html-only seam stays
+    byte-identical for existing pipelines.
+
     ``worker_open`` (round 13, round-12 verdict item 6): for
     local/mounted segment layouts, route each micro-batch through
     the bounded-memory core instead — each worker opens its files
@@ -855,6 +868,7 @@ def stream_extract_warc(
     (whole-segment ``content``, which object stores without a mount
     require — do NOT prune the stream then).
     """
+    from ..pipeline.docrouter import extract_document_text
     from ..pipeline.htmltext import (decode_html_bytes,
                                      extract_html_text, fix_mojibake)
     from ..sources.warc import warc_records, warc_records_worker_open
@@ -881,7 +895,16 @@ def stream_extract_warc(
         recs = (warc_records_worker_open(batch_df, record_types)
                 if worker_open
                 else warc_records(batch_df, record_types))
-        if extract_text:
+        if route_documents:
+            routed = extract_document_text(
+                F.col("payload"), F.col("mime"), F.col("charset"))
+            recs = (recs
+                    .withColumn("_doc", routed)
+                    .withColumn("text", F.col("_doc.text"))
+                    .withColumn("doc_status", F.col("_doc.status"))
+                    .withColumn("doc_format", F.col("_doc.format"))
+                    .drop("_doc"))
+        elif extract_text:
             is_html = F.col("mime").isin("text/html",
                                          "application/xhtml+xml")
             repaired = fix_mojibake(
@@ -913,7 +936,7 @@ def stream_extract_warc(
                 F.coalesce(F.sum(F.length("payload")),
                            F.lit(0)).alias("payload_bytes"),
             ]
-            if extract_text:
+            if extract_text or route_documents:
                 aggs.insert(2, _n(F.col("text").isNotNull(),
                                   "n_with_text"))
             landed.agg(*aggs).withColumn(
