@@ -109,6 +109,18 @@ HEADLINE = [
     "x54_epub_extract",
     "x55_rtf_extract",
     "x56_odt_extract",
+    # round-14 appends: the unified document router (typeset format
+    # cycling across all eleven container formats → magic-sniff
+    # dispatch — the single-operator crawl pipeline; its cost is
+    # roughly the per-format extractor mean) and the legacy binary
+    # Office family: .doc piece-table, .xls BIFF8 record walk, .ppt
+    # record-tree text atoms (CFB build + walk each, same
+    # per-round-watch rationale; the suite total grows again from
+    # round 14 on).
+    "x57_document_router",
+    "x58_doc_extract",
+    "x59_xls_extract",
+    "x60_ppt_extract",
 ]
 
 # BENCH-SET POLICY for store-backed paths (round 6, VERDICT item 7):

@@ -14,10 +14,13 @@ Sniff order (first match wins):
 1. ``%PDF-`` within the first 1 KiB → ``pdf`` (ISO 32000 permits
    junk before the header; the PDF kernel re-finds it).
 2. ``{\\rtf`` within the first 1 KiB → ``rtf``.
-3. CFB/OLE2 magic → legacy binary Office: ``doc`` routes to the
-   piece-table reader (:mod:`~bertrand_spark.pipeline.doctext`);
-   ``xls``/``ppt`` keep their honest ``legacy-*`` classes (text
-   NULL), encrypted OOXML classes ``encrypted``.
+3. CFB/OLE2 magic → legacy binary Office, each with a real reader:
+   ``doc`` → the [MS-DOC] piece-table reader
+   (:mod:`~bertrand_spark.pipeline.doctext`), ``xls`` → the BIFF8
+   record walk (:mod:`~bertrand_spark.pipeline.xlstext`), ``ppt`` →
+   the record-tree text-atom walk
+   (:mod:`~bertrand_spark.pipeline.ppttext`); encrypted OOXML
+   classes ``encrypted``, other CFB stays honestly ``cfb-container``.
 4. ``PK`` zip → member discrimination: the stored-first ``mimetype``
    (EPUB / OpenDocument), else marker parts (``word/document.xml`` →
    docx, ``ppt/`` → pptx, ``xl/`` → xlsx, ``META-INF/container.xml``
@@ -178,9 +181,16 @@ def _route_one(b, mime=None, charset=None):
                 from .doctext import _extract_doc_one
                 text, status, _ = _extract_doc_one(data)
                 return (text, status, "doc")
-            fmt = {"legacy-xls": "xls", "legacy-ppt": "ppt",
-                   "encrypted": "ooxml"}.get(cls, "cfb")
-            return (None, cls, fmt)
+            if cls == "legacy-xls":
+                from .xlstext import _extract_xls_one
+                text, status, _ = _extract_xls_one(data)
+                return (text, status, "xls")
+            if cls == "legacy-ppt":
+                from .ppttext import _extract_ppt_one
+                text, status, _ = _extract_ppt_one(data)
+                return (text, status, "ppt")
+            return (None, cls,
+                    "ooxml" if cls == "encrypted" else "cfb")
         if fmt == "docx":
             text, status, _ = _extract_docx_one(data)
             return (text, status, "docx")

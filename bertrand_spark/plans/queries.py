@@ -5031,12 +5031,14 @@ def x56(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           CASE doc_id % 8
+           CASE doc_id % 11
              WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
              WHEN 2 THEN 'xlsx' WHEN 3 THEN 'epub'
              WHEN 4 THEN 'rtf'  WHEN 5 THEN 'odt'
-             WHEN 6 THEN 'pdf'  ELSE 'html' END AS fmt,
-           CASE WHEN doc_id % 8 IN (3, 7) THEN
+             WHEN 6 THEN 'pdf'  WHEN 7 THEN 'html'
+             WHEN 8 THEN 'doc'  WHEN 9 THEN 'xls'
+             ELSE 'ppt' END AS fmt,
+           CASE WHEN doc_id % 11 IN (3, 7) THEN
              CASE WHEN trim(regexp_replace(fold, '\s+', ' ', 'g')) = ''
                   THEN 'Document ' || doc_id
                   ELSE 'Document ' || doc_id || chr(10) ||
@@ -5054,15 +5056,18 @@ def x56(spark, sf_dir):
 def x57(spark, sf_dir):
     """Unified document router (round 14, round-13 verdict item 2):
     each document is typeset into a REAL container with the FORMAT
-    CYCLING by doc_id % 8 — docx, pptx, xlsx, epub, rtf, odt, pdf,
-    html — and
+    CYCLING by doc_id % 11 — docx, pptx, xlsx, epub, rtf, odt, pdf,
+    html, plus the legacy binary family doc (CFB piece table), xls
+    (BIFF8), ppt (record tree) — and
     :func:`~bertrand_spark.pipeline.docrouter.extract_document_text`
     must (a) sniff every format from payload MAGIC alone (no mime
-    hint passed — the format column itself is on the hash path) and
-    (b) recover EXACTLY title+newline+body through the right kernel.
-    One parity fold serves all eight formats: non-printables →
-    ``?`` (the x49 ASCII recipe, a superset of the x51 XML fold, so
-    every writer accepts the result), with the block-level
+    hint passed — the format column itself is on the hash path,
+    including the CFB marker-stream discrimination between the three
+    legacy formats) and (b) recover EXACTLY title+newline+body
+    through the right kernel.  One parity fold serves all eleven
+    formats: non-printables → ``?`` (the x49 ASCII recipe, a
+    superset of the x51 XML fold and of the Word/PPT control codes,
+    so every writer accepts the result), with the block-level
     whitespace collapse of the x48 algebra applied only to the two
     HTML-kernel formats (epub, html).  Build + route are one
     composed Arrow-batched map pass — the single-operator crawl
@@ -5071,11 +5076,14 @@ def x57(spark, sf_dir):
     from xml.sax.saxutils import escape as _esc
 
     from ..pipeline.docrouter import extract_document_text
+    from ..pipeline.doctext import doc_write
     from ..pipeline.docxtext import (docx_write, odt_write,
                                      pptx_write, xlsx_write)
     from ..pipeline.epubtext import epub_write
     from ..pipeline.pdftext import pdf_write
+    from ..pipeline.ppttext import ppt_write
     from ..pipeline.rtftext import rtf_write
+    from ..pipeline.xlstext import xls_write
 
     d = _tw(spark, sf_dir, "documents")
     ascii_bad = _re.compile(r"[^ -~\n]")
@@ -5088,7 +5096,7 @@ def x57(spark, sf_dir):
             fold = ascii_bad.sub("?", t or "")
             page = "Document %d" % i + ("\n" + fold if fold else "")
             lines = page.split("\n")
-            m = i % 8
+            m = i % 11
             if m == 0:
                 out.append(docx_write(
                     ["\n".join(lines[k:k + 3])
@@ -5116,11 +5124,21 @@ def x57(spark, sf_dir):
                 out.append(pdf_write(
                     ["\n".join(lines[k:k + 20])
                      for k in range(0, len(lines), 20)]))
-            else:
+            elif m == 7:
                 out.append((
                     "<html><head><title>t</title></head><body>"
                     "<h1>Document %d</h1><p>%s</p></body></html>"
                     % (i, _esc(fold))).encode("utf-8"))
+            elif m == 8:
+                out.append(doc_write(page))
+            elif m == 9:
+                rows = [ln.split("\t") for ln in lines]
+                out.append(xls_write(
+                    [rows[k:k + 40] for k in range(0, len(rows), 40)]))
+            else:
+                out.append(ppt_write(
+                    ["\n".join(lines[k:k + 4])
+                     for k in range(0, len(lines), 4)]))
         return pd.Series(out)
 
     routed = extract_document_text(build("doc_id", "text"))
@@ -5194,6 +5212,121 @@ def x58(spark, sf_dir):
     )
 
 
+@query(
+    "x59_xls_extract",
+    """
+    SELECT doc_id,
+           'Document ' || doc_id || chr(9)
+             || cast(doc_id + cast(0.1 as double) as varchar)
+             || chr(9) || cast(doc_id * 100 as varchar)
+             || CASE WHEN coalesce(text, '') = ''
+                     THEN ''
+                     ELSE chr(10) || text
+                END AS extracted
+    FROM documents
+    """,
+)
+def x59(spark, sf_dir):
+    """Legacy BIFF8 .xls extraction (round 14, the .doc sibling the
+    round-13 verdict sanctioned): each document's lines become BIFF
+    worksheet rows — TAB-split into cells like x53, 40 rows per
+    sheet — inside a REAL CFB+BIFF8 workbook, storage cycling by
+    doc_id: even ids through a real SST (LABELSST cells), odd ids as
+    inline LABEL records; every 5th id splits the SST character data
+    across CONTINUE records every 16 bytes (the fresh-flag-byte
+    continue rule, compression switches mid-string, on the hash
+    path); the title row carries a FLOAT cell (``doc_id + 0.1``, raw
+    IEEE double storage → shortest-roundtrip display) and an INT
+    cell (``doc_id * 100``, RK-packed every 3rd id, NUMBER double
+    otherwise — both surface as plain integers).  BIFF strings are
+    raw UTF-16/latin-1 (no XML), so the identity needs NO character
+    folding.
+    :func:`~bertrand_spark.pipeline.xlstext.extract_xls_text` must
+    recover EXACTLY title+newline+body."""
+    from ..pipeline.xlstext import extract_xls_text, xls_write
+
+    d = _tw(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            page = "Document %d" % i + ("\n" + t if t else "")
+            rows = [ln.split("\t") for ln in page.split("\n")]
+            rows[0] = rows[0] + [float(i + 0.1), i * 100]
+            sheets = [rows[k:k + 40] for k in range(0, len(rows), 40)]
+            out.append(xls_write(
+                sheets,
+                shared=(i % 2 == 0),
+                continue_split=(16 if i % 5 == 0 else 0),
+                rk_numbers=(i % 3 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_xls_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
+@query(
+    "x60_ppt_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(regexp_replace(
+                    text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                    '?', 'g'), '') = ''
+                THEN 'Document ' || doc_id
+                ELSE 'Document ' || doc_id || chr(10) ||
+                     regexp_replace(
+                        text, '[\x00-\x08\x0b-\x1f\x{fffe}\x{ffff}]',
+                        '?', 'g')
+           END AS extracted
+    FROM documents
+    """,
+)
+def x60(spark, sf_dir):
+    """Legacy binary .ppt extraction (round 14, completing the
+    legacy-Office family): each document is packed into a REAL
+    [MS-PPT] record tree — Document container → SlideListWithText →
+    TextHeaderAtom + text atom per slide, 4 lines per slide
+    (intra-slide newlines become CR paragraph marks), atom encoding
+    CONTENT-DRIVEN (TextBytesAtom low-byte form when the slide fits
+    latin-1, TextCharsAtom UTF-16 otherwise; every 3rd id forces the
+    UTF-16 form) — and
+    :func:`~bertrand_spark.pipeline.ppttext.extract_ppt_text` must
+    recover EXACTLY title+newline+body.  CR and VT collide with
+    PPT's in-text paragraph/line codes, so controls are pre-folded
+    with the x51 class on both engine sides (TAB and LF survive)."""
+    import re as _re
+
+    from ..pipeline.ppttext import extract_ppt_text, ppt_write
+
+    d = _tw(spark, sf_dir, "documents")
+    bad = _re.compile(_X51_XMLBAD)
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            fold = bad.sub("?", t or "")
+            page = "Document %d" % i + ("\n" + fold if fold else "")
+            lines = page.split("\n")
+            out.append(ppt_write(
+                ["\n".join(lines[k:k + 4])
+                 for k in range(0, len(lines), 4)],
+                force_chars=(i % 3 == 0)))
+        return pd.Series(out)
+
+    return d.select(
+        "doc_id",
+        extract_ppt_text(build("doc_id", "text"))["text"]
+        .alias("extracted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver coverage rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -5214,24 +5347,26 @@ def x58(spark, sf_dir):
 # only attestation it carries): sixteen structurally-stable TPC-H
 # shapes (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/
 # q59/q60) plus x33/x34/x35/x39/x44.  x57 (the unified document
-# router, verdict item 2) and x58 (legacy binary .doc, verdict item
-# 3) are NEW — the oracle set grows 119→121 — and take their first
-# attestations.  Six extractor oracles re-enter because their kernel
-# files changed this round: x51/x52/x53 (docxtext: global line cap +
-# numeric-cell normalization), x54 (epubtext: font-obfuscation
-# walk), x55 (rtftext: group-scoped \uc fix), x56 (the ODT writer
-# escape-order fix).  The remaining 21 slots begin re-attesting the
-# FORTY-EIGHT r12-stale names: all sixteen r12-stale x-pipeline
-# names (x01/x08/x09/x10/x11/x12/x13/x14/x15/x19/x21/x22/x23/x24/
-# x27/x48 — x19 also rides the changed rollup.py; x48's HTML kernel
-# is now additionally on the router path) plus q01–q05.  Round 15
-# must lead with the TWENTY-SEVEN remaining r12-only names
-# (q06/q07/q08/q09/q10/q11/q12/q13/q14/q15/q16/q17/q17b/q18/q19/
-# q19b/q20/q21/q22/q23/q24/q24b/q25/q26/q27/q28/q57); the cycle
-# test covers them via the r12 artifact until then.  x25/x26/x28/
-# x29 stay on their r13 attestations: rollup.py changed only inside
-# stream_extract_warc (the worker_open guard + router wiring),
-# which none of their code paths touch.
+# router, verdict item 2), x58 (legacy binary .doc, verdict item 3),
+# and the sanctioned same-recipe siblings x59 (BIFF8 .xls) and x60
+# (binary .ppt) are NEW — the oracle set grows 119→123 — and take
+# their first attestations.  Six extractor oracles re-enter because
+# their kernel files changed this round: x51/x52/x53 (docxtext:
+# global line cap + numeric-cell normalization), x54 (epubtext:
+# font-obfuscation walk), x55 (rtftext: group-scoped \uc fix), x56
+# (the ODT writer escape-order fix).  The remaining 19 slots begin
+# re-attesting the FORTY-EIGHT r12-stale names: all sixteen
+# r12-stale x-pipeline names (x01/x08/x09/x10/x11/x12/x13/x14/x15/
+# x19/x21/x22/x23/x24/x27/x48 — x19 also rides the changed
+# rollup.py; x48's HTML kernel is now additionally on the router
+# path) plus q01–q03.  Round 15 must lead with the TWENTY-NINE
+# remaining r12-only names (q04/q05/q06/q07/q08/q09/q10/q11/q12/
+# q13/q14/q15/q16/q17/q17b/q18/q19/q19b/q20/q21/q22/q23/q24/q24b/
+# q25/q26/q27/q28/q57); the cycle test covers them via the r12
+# artifact until then.  x25/x26/x28/x29 stay on their r13
+# attestations: rollup.py changed only inside stream_extract_warc
+# (the worker_open guard + router wiring), which none of their code
+# paths touch.
 _DRIVER_ROTATION = [
     # r11-stale re-attestations (21): r11 leaves the 3-round union now
     "q33_revenue_by_nation", "q34_rollup_revenue",
@@ -5244,12 +5379,13 @@ _DRIVER_ROTATION = [
     "q60_potential_promotion", "x33_gopher_rules",
     "x34_tfidf_top_terms", "x35_chunk_dedup",
     "x39_adaptive_length_filter", "x44_overlap_report",
-    # new this round (2): first attestations
+    # new this round (4): first attestations
     "x57_document_router", "x58_doc_extract",
+    "x59_xls_extract", "x60_ppt_extract",
     # kernels touched this round (6): docxtext/epubtext/rtftext
     "x51_docx_extract", "x52_pptx_extract", "x53_xlsx_extract",
     "x54_epub_extract", "x55_rtf_extract", "x56_odt_extract",
-    # r12 re-attestations (21): the full r12-stale x surface + q01-q05
+    # r12 re-attestations (19): the full r12-stale x surface + q01-q03
     "x01_exact_dedup", "x08_token_stats", "x09_lang_scores",
     "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
     "x13_media_sniff", "x14_media_decode", "x15_rolling_fingerprints",
@@ -5257,7 +5393,6 @@ _DRIVER_ROTATION = [
     "x23_stratified_sample", "x24_repetition_score",
     "x27_corpus_stats", "x48_html_extract",
     "q01_detect_tags", "q02_typecheck_bounds", "q03_generic_casts",
-    "q04_rounding_rules", "q05_boundscheck",
 ]
 
 

@@ -258,6 +258,116 @@ class TestDocExtract:
             assert len(r) == 3
 
 
+class TestXlsExtract:
+    """BIFF8 .xls text (round 14, the sanctioned .doc sibling): SST
+    with the fresh-flag-byte CONTINUE rule, inline LABEL, NUMBER/RK
+    packed numbers, FILEPASS encryption class."""
+
+    def test_roundtrip_shared_and_inline(self):
+        from bertrand_spark.pipeline.xlstext import (_extract_xls_one,
+                                                     xls_write)
+        sheets = [[["hello", "wörld — ünicode 🎉"], ["row", "two"]]]
+        for shared in (True, False):
+            r = _extract_xls_one(xls_write(sheets, shared=shared))
+            assert r == ("hello\twörld — ünicode 🎉\nrow\ttwo",
+                         "extracted", 4), (shared, r)
+
+    def test_sst_continue_splits_switch_compression(self):
+        from bertrand_spark.pipeline.xlstext import (_extract_xls_one,
+                                                     xls_write)
+        s = ("ascii" * 8) + "Ünï©ødé✓🎉" + ("tail" * 10)
+        for split in (4, 16, 64):
+            r = _extract_xls_one(
+                xls_write([[[s]]], continue_split=split))
+            assert r[0] == s, (split, r[0][:40])
+
+    def test_numeric_cells(self):
+        from bertrand_spark.pipeline.xlstext import (_extract_xls_one,
+                                                     _rk_text,
+                                                     xls_write)
+        r = _extract_xls_one(
+            xls_write([[[7.1, 700, 1.1000000000000001, True]]]))
+        assert r[0] == "7.1\t700\t1.1\tTRUE"
+        r = _extract_xls_one(
+            xls_write([[[42, -7]]], rk_numbers=True))
+        assert r[0] == "42\t-7"
+        # RK x100 and high-30-bit-double decodings
+        assert _rk_text((200 << 2) | 0x02 | 0x01) == "2"
+        import struct
+        bits = struct.unpack("<Q", struct.pack("<d", 2.5))[0]
+        assert _rk_text((bits >> 32) & 0xFFFFFFFC) == "2.5"
+
+    def test_degrade_ladder(self):
+        from bertrand_spark.pipeline.doctext import cfb_write
+        from bertrand_spark.pipeline.xlstext import (_extract_xls_one,
+                                                     xls_write)
+        assert _extract_xls_one(
+            xls_write([[["x"]]], encrypted=True))[1] == "encrypted"
+        assert _extract_xls_one(b"junk")[1] == "not-xls"
+        assert _extract_xls_one(
+            cfb_write({"Book": b"\x00" * 32}))[1] == "legacy-xls-biff5"
+        assert _extract_xls_one(None) == (None, None, None)
+
+    def test_multi_sheet_order(self):
+        from bertrand_spark.pipeline.xlstext import (_extract_xls_one,
+                                                     xls_write)
+        assert _extract_xls_one(
+            xls_write([[["a"]], [["b"]], [["c"]]]))[0] == "a\nb\nc"
+
+    def test_fuzz_never_raises(self):
+        import random
+        from bertrand_spark.pipeline.xlstext import (_extract_xls_one,
+                                                     xls_write)
+        rng = random.Random(59)
+        base = xls_write([[["fuzz", 1.5, "target"]]], continue_split=8)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = b[:rng.randrange(len(b))]
+            assert len(_extract_xls_one(bytes(b))) == 3
+
+
+class TestPptExtract:
+    """Binary .ppt text (round 14): record-tree walk collecting
+    TextBytesAtom/TextCharsAtom, CR/VT mapping, encryption class."""
+
+    def test_roundtrip_bytes_and_chars_atoms(self):
+        from bertrand_spark.pipeline.ppttext import (_extract_ppt_one,
+                                                     ppt_write)
+        t1, t2 = "Title\nsecond line", "Ünicode slide 🎉"
+        r = _extract_ppt_one(ppt_write([t1, t2]))
+        assert r == (t1 + "\n" + t2, "extracted", 2)
+        r = _extract_ppt_one(ppt_write([t1], force_chars=True))
+        assert r == (t1, "extracted", 1)
+
+    def test_degrade_ladder(self):
+        from bertrand_spark.pipeline.doctext import cfb_write
+        from bertrand_spark.pipeline.ppttext import (_extract_ppt_one,
+                                                     ppt_write)
+        assert _extract_ppt_one(
+            ppt_write(["x"], encrypted=True))[1] == "encrypted"
+        assert _extract_ppt_one(b"junk")[1] == "not-ppt"
+        assert _extract_ppt_one(cfb_write(
+            {"PowerPoint Document": b"\x00" * 8}))[1] == "parse-failed"
+        assert _extract_ppt_one(None) == (None, None, None)
+
+    def test_fuzz_never_raises(self):
+        import random
+        from bertrand_spark.pipeline.ppttext import (_extract_ppt_one,
+                                                     ppt_write)
+        rng = random.Random(60)
+        base = ppt_write(["fuzz slide one", "slide twö 🎉"])
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = b[:rng.randrange(len(b))]
+            assert len(_extract_ppt_one(bytes(b))) == 3
+
+
 class TestDocumentRouter:
     """Round-13 verdict item 2: one magic-sniff operator over every
     extractor the engine ships."""
@@ -270,7 +380,9 @@ class TestDocumentRouter:
                                                       xlsx_write)
         from bertrand_spark.pipeline.epubtext import epub_write
         from bertrand_spark.pipeline.pdftext import pdf_write
+        from bertrand_spark.pipeline.ppttext import ppt_write
         from bertrand_spark.pipeline.rtftext import rtf_write
+        from bertrand_spark.pipeline.xlstext import xls_write
         return {
             "docx": docx_write(["Hello docx"]),
             "pptx": pptx_write([["Slide text"]]),
@@ -280,6 +392,8 @@ class TestDocumentRouter:
             "rtf": rtf_write("Rtf text"),
             "pdf": pdf_write(["Pdf page text"]),
             "doc": doc_write("Legacy doc text"),
+            "xls": xls_write([[["Biff cell text"]]]),
+            "ppt": ppt_write(["Ppt slide text"]),
         }
 
     def test_all_binary_formats_sniffed_and_extracted(self):
@@ -309,14 +423,22 @@ class TestDocumentRouter:
         # a server lying about the type must not reroute the payload
         assert _route_one(pdf, "text/html")[2] == "pdf"
 
-    def test_legacy_cfb_classes(self):
+    def test_legacy_cfb_formats_extract(self):
         from bertrand_spark.pipeline.docrouter import _route_one
         from bertrand_spark.pipeline.doctext import cfb_write
-        xls = cfb_write({"Workbook": b"\x00" * 64})
-        t, s, f = _route_one(xls)
-        assert (t, s, f) == (None, "legacy-xls", "xls")
-        ppt = cfb_write({"PowerPoint Document": b"\x00" * 64})
-        assert _route_one(ppt)[1:] == ("legacy-ppt", "ppt")
+        from bertrand_spark.pipeline.ppttext import ppt_write
+        from bertrand_spark.pipeline.xlstext import xls_write
+        assert _route_one(xls_write([[["cell text"]]])) == (
+            "cell text", "extracted", "xls")
+        assert _route_one(ppt_write(["Slide text"])) == (
+            "Slide text", "extracted", "ppt")
+        # a Workbook-marked CFB with no parsable records degrades
+        # WITHIN the xls class, never routes elsewhere
+        broken = cfb_write({"Workbook": b"\x00" * 64})
+        assert _route_one(broken)[1:] == ("parse-failed", "xls")
+        # unrecognized CFB stays honestly classed
+        other = cfb_write({"SomeStream": b"\x00" * 64})
+        assert _route_one(other) == (None, "cfb-container", "cfb")
 
     def test_unknown_and_null(self):
         from bertrand_spark.pipeline.docrouter import _route_one
