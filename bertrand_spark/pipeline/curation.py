@@ -1062,6 +1062,7 @@ def train_dsir(
     text_col: str = "text",
     buckets: int = 4096,
     alpha: float = 1.0,
+    target_pred: Column | None = None,
 ) -> DsirModel:
     """Fit the DSIR log-ratio table from a target (in-domain) corpus
     sample and the raw corpus (or a sample — only bucket FREQUENCIES
@@ -1072,8 +1073,19 @@ def train_dsir(
 
     λ_b = log( (cnt_target(b)+α) / (N_target+αB) )
         − log( (cnt_raw(b)+α)    / (N_raw+αB) )
+
+    ``target_pred``: when the target IS a slice of ``raw``
+    (``target ≡ raw.filter(target_pred)`` — the caller asserts this),
+    pass the predicate and training collapses to ONE pass over ``raw``:
+    the feature stream is exploded once and both profiles come out of
+    the same ≤``buckets``-group aggregate (count(*) and a conditional
+    count), halving the scan/tokenize work (guide §2.3: aggregate in
+    one pass instead of two).  Counts are identical by construction —
+    the target profile is the conditional count over exactly the rows
+    the filter would have kept.  ``target`` is ignored in this mode
+    (pass it anyway for call-site readability, or ``None``).
     """
-    spark = target.sparkSession
+    spark = raw.sparkSession
     B = int(buckets)
 
     def side_counts(df) -> tuple[dict, int]:
@@ -1091,8 +1103,28 @@ def train_dsir(
 
     import math
 
-    t_cnt, t_n = side_counts(target)
-    r_cnt, r_n = side_counts(raw)
+    if target_pred is not None:
+        rows = (
+            raw.select(
+                target_pred.alias("__t"),
+                F.explode(_dsir_features(F.col(text_col))).alias("__feat"),
+            )
+            .select(
+                "__t", _dsir_bucket(F.col("__feat"), B).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("__r"),
+                F.count_if(F.col("__t")).alias("__tc"),
+            )
+            .collect()
+        )
+        r_cnt = {r["bucket"]: r["__r"] for r in rows}
+        t_cnt = {r["bucket"]: r["__tc"] for r in rows if r["__tc"]}
+        t_n, r_n = sum(t_cnt.values()), sum(r_cnt.values())
+    else:
+        t_cnt, t_n = side_counts(target)
+        r_cnt, r_n = side_counts(raw)
     lam_rows = [
         (
             b,

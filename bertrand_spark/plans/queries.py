@@ -874,8 +874,20 @@ def x02(spark, sf_dir):
     """,
 )
 def x03(spark, sf_dir):
-    """Word 3-gram Jaccard near-dup via distributed inverted index."""
-    d = _t(spark, sf_dir, "documents").filter(F.size(T.tokenize(F.col("text"))) >= 3)
+    """Word 3-gram Jaccard near-dup via distributed inverted index.
+
+    The ≥3-token gate is ``text RLIKE '\\S+\\s+\\S+\\s+\\S+'`` — exactly
+    ``size(tokenize(text)) >= 3``: tokens ARE the maximal ``\\S+`` runs
+    under Java's ASCII ``\\s`` (case-folding cannot change run count),
+    and a string contains three whitespace-separated runs iff it has
+    ≥3 tokens.  One codegen regex probe that stops at the third token,
+    instead of the interpreted per-element HOF filter (r14; the
+    ``regexp_count`` spelling materializes every match via
+    ``regexp_extract_all`` — measured 0.13 s HOF / 0.10 s count /
+    0.06 s rlike over the sf0.1 corpus single-task)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(r"\S+\s+\S+\s+\S+")
+    )
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
@@ -1555,19 +1567,39 @@ def x18(spark, sf_dir, checkpoint_dir=None):
     fp = T.fingerprint(F.col("text"))
     with_fp = filtered.withColumn("__fp", fp)
     keepers = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    # spread BEFORE the checkpoint: the broadcast-joined survivor frame
+    # inherits the scan's partition count (ONE task on the single-row-
+    # group testdata), and the checkpoint pins that layout for every
+    # downstream consumer — r14 measured the decontaminate gram kernel
+    # running 0.72 s on one task off the 1-partition checkpoint.  At
+    # real scale the survivor join is already ≥slots partitions and
+    # spread is a no-op (sources.reader.spread stats the input files).
+    from ..sources.reader import spread as _spread_df
+
     exact = CU.materialize_stage(
-        with_fp.join(keepers, ["__fp", "doc_id"], "inner").drop("__fp"),
+        _spread_df(with_fp.join(keepers, ["__fp", "doc_id"], "inner").drop("__fp")),
         checkpoint_dir=checkpoint_dir,
     )
 
     pairs = D.near_dup_pairs_minhash(
         exact, "doc_id", "text", threshold=0.6, k=770, num_bands=154, shingle_n=5
     )
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    # decontaminate consumes its corpus three times (gram explode,
-    # short-text containment, final anti-join) — cut lineage here too
+    # measure-then-broadcast (the _minhash_prep pattern): the drop list
+    # is bounded by the verified near-dup pair count; materialize it,
+    # and when it is provably broadcast-sized anti-join it map-side so
+    # the survivor corpus is NOT reshuffled (r14: the unhinted plan
+    # shuffled `exact` for a sort-merge anti-join and AQE coalesced the
+    # tiny exchange to ONE partition, which the checkpoint then pinned —
+    # the decontaminate gram kernel downstream ran single-task, 0.7 s).
+    # Beyond the budget the plain keyed anti-join shape returns — the
+    # corpus-scale fallback.
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
+    n_dropped = dropped.count()
     kept = CU.materialize_stage(
-        exact.join(dropped, "doc_id", "left_anti"),
+        exact.join(
+            F.broadcast(dropped) if n_dropped < 5_000_000 else dropped,
+            "doc_id", "left_anti",
+        ),
         checkpoint_dir=checkpoint_dir,
     )
 
@@ -4055,12 +4087,15 @@ def x45(spark, sf_dir):
     text.  The oracle replays the ENTIRE method — feature stream,
     hashing, both count profiles, smoothing, λ table, per-doc sums —
     so training and scoring are both gated, the x42-CharLM standard.
-    Scale shape: training is two bounded word-count jobs (≤512 groups);
-    the λ table is 512 rows broadcast; scoring is explode → broadcast
+    Scale shape: training is ONE bounded word-count job (≤512 groups —
+    the target slice is a filter of the corpus, so both profiles come
+    out of a single conditional aggregate; r14, guide §2.3); the λ
+    table is 512 rows broadcast; scoring is explode → broadcast
     join → one map-side-combined groupBy — a single corpus pass."""
     d = _tw(spark, sf_dir, "documents")
     model = CU.train_dsir(
-        d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0
+        d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0,
+        target_pred=F.col("lang") == "en",
     )
     return model.log_weights(d).orderBy("doc_id")
 
@@ -4200,7 +4235,8 @@ def x47(spark, sf_dir):
     kernel is parity-gated against it in tests."""
     d = _tw(spark, sf_dir, "documents")
     model = CU.train_dsir(
-        d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0
+        d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0,
+        target_pred=F.col("lang") == "en",
     )
     return CU.dsir_resample(d, model, 100, vectorized=False)
 
@@ -4525,10 +4561,13 @@ def x48(spark, sf_dir):
     unescape, and block segmentation are on the hash path.  The oracle
     replays the algebra (escape→parse→unescape is identity on the
     body; normalization is regexp_replace + trim).  One Arrow-batched
-    map pass, no shuffle — the 100 TB shape is a narrow projection."""
+    map pass, no shuffle — the 100 TB shape is a narrow projection
+    (``_tw`` spreads the single-row-group testdata file so the per-doc
+    kernel parallelizes locally; a no-op on real multi-split inputs —
+    r14: the ``_t`` read ran the whole extraction as ONE task)."""
     from ..pipeline.htmltext import extract_html_text
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     # fold the Python-\s-only whitespace BEFORE wrapping (mirrored in
     # the oracle SQL) so the extractor's Unicode \s and the oracle
     # engine's ASCII \s provably agree — see _X48_UNIWS
