@@ -428,7 +428,12 @@ def minhash_signature_vectorized(
             out.append(sig.view(np.int64))
         return pd.Series(out)
 
-    return kernel
+    # non-deterministic: stops the optimizer duplicating the kernel below
+    # a repartition to evaluate a pushed-down null filter (guide §4.4 —
+    # r14 caught the twin ArrowEvalPython running the whole kernel
+    # single-task on the exchange's map side; the kernel is pure, only
+    # the optimizer's licence to copy/reorder it changes)
+    return kernel.asNondeterministic()
 
 
 def minhash_prep_vectorized(
@@ -464,7 +469,12 @@ def minhash_prep_vectorized(
             hsets.append(hs.view(np.int64))
         return pd.DataFrame({"sig": sigs, "hs": hsets})
 
-    return kernel
+    # non-deterministic: stops the optimizer duplicating the kernel below
+    # a repartition to evaluate a pushed-down null filter (guide §4.4 —
+    # r14 caught the twin ArrowEvalPython running the whole kernel
+    # single-task on the exchange's map side; the kernel is pure, only
+    # the optimizer's licence to copy/reorder it changes)
+    return kernel.asNondeterministic()
 
 
 def minhash_banded_vectorized(
@@ -504,7 +514,12 @@ def minhash_banded_vectorized(
             hsets.append(hs.view(np.int64))
         return pd.DataFrame({"bk": bks, "hs": hsets})
 
-    return kernel
+    # non-deterministic: stops the optimizer duplicating the kernel below
+    # a repartition to evaluate a pushed-down null filter (guide §4.4 —
+    # r14 caught the twin ArrowEvalPython running the whole kernel
+    # single-task on the exchange's map side; the kernel is pure, only
+    # the optimizer's licence to copy/reorder it changes)
+    return kernel.asNondeterministic()
 
 
 def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -1077,6 +1092,11 @@ def simhash64_vectorized(
             out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
         return pd.Series(out, dtype="Int64")
 
+    # non-deterministic: the isNotNull below otherwise gets pushed past
+    # the spread exchange WITH a duplicated kernel evaluation (guide
+    # §4.4 — r14 measured the twin ArrowEvalPython hashing every doc
+    # single-task on the map side and again 32-way above)
+    kernel = kernel.asNondeterministic()
     return (
         _spread(df)
         .select(F.col(id_col), kernel(F.col(text_col)).alias("simhash"))
@@ -1207,7 +1227,12 @@ def word_gram_hashes_vectorized(n: int = 3):
             )
         return pd.Series(out)
 
-    return kernel
+    # non-deterministic: stops the optimizer duplicating the kernel below
+    # a repartition to evaluate a pushed-down null filter (guide §4.4 —
+    # r14 caught the twin ArrowEvalPython running the whole kernel
+    # single-task on the exchange's map side; the kernel is pure, only
+    # the optimizer's licence to copy/reorder it changes)
+    return kernel.asNondeterministic()
 
 
 def ngram_jaccard_pairs(

@@ -129,7 +129,12 @@ def hyperplane_signatures_vectorized(
                 out[pos] = sig
         return pd.Series(out, dtype=object)
 
-    return kernel
+    # non-deterministic: stops the optimizer duplicating the kernel below
+    # a repartition to evaluate a pushed-down null filter (guide §4.4 —
+    # r14 caught the twin ArrowEvalPython running the whole kernel
+    # single-task on the exchange's map side; the kernel is pure, only
+    # the optimizer's licence to copy/reorder it changes)
+    return kernel.asNondeterministic()
 
 
 def cosine_all_pairs_blocked(

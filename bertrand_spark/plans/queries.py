@@ -100,8 +100,17 @@ _ISO_RE_SQL = r"^\s*\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?([+-]\d{2}
 )
 def q01(spark, sf_dir):
     """Elementwise type inference (R2/R3): distributed CASE WHEN rlike
-    classification — reference detect() meta.py:1946."""
-    li = _tw(spark, sf_dir, "lineitem")
+    classification — reference detect() meta.py:1946.
+
+    The cheap CASE materializes the ONE short string the classifier
+    needs BELOW the spread exchange, so the shuffle carries ~6-byte
+    values instead of the five source columns (r14, guide §2.3 project
+    before the exchange: 12 MB → 4 MB at sf0.1); the regex-heavy
+    classification stays above the exchange where it runs one task per
+    slot."""
+    from ..sources.reader import spread as _spread_df
+
+    li = _t(spark, sf_dir, "lineitem")
     s = (
         F.when(F.abs(F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4 == 0,
                F.col("l_linenumber").cast("string"))
@@ -112,7 +121,8 @@ def q01(spark, sf_dir):
         .otherwise(F.date_format("l_shipdate", "yyyy-MM-dd"))
     )
     return (
-        li.select(type_tag_column(s).alias("tag"))
+        _spread_df(li.select(s.alias("__s")))
+        .select(type_tag_column(F.col("__s")).alias("tag"))
         .groupBy("tag")
         .agg(F.count("*").alias("cnt"))
         .orderBy("tag")
@@ -1739,8 +1749,11 @@ def x20(spark, sf_dir):
     than 8 tokens are matched whole by token-boundary containment (they
     have no 8-gram — n-gram-only matching would silently never flag
     them).  Corpus explodes to (id, gram-hash) only; the eval gram set
-    and short-text list broadcast — map-side at any corpus size."""
-    d = _t(spark, sf_dir, "documents")
+    and short-text list broadcast — map-side at any corpus size.
+    ``_tw`` spreads the single-row-group testdata scan so the per-doc
+    gram kernel parallelizes (r14: it ran 0.59 s single-task); a no-op
+    on real multi-split inputs."""
+    d = _tw(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text")
     bench = corpus.filter(F.col("doc_id") % 97 == 0)
     return (
@@ -2641,11 +2654,13 @@ def x34(spark, sf_dir):
     hundreds of millions of terms, far past any broadcast budget — so
     AQE picks broadcast at bench scale and a term-key shuffle join at
     corpus scale) → per-doc window; the window partitions by doc_id,
-    so no global sort.
+    so no global sort.  ``_tw`` spreads the single-row-group testdata
+    scan so the interpreted tokenize HOF parallelizes (r14; no-op on
+    real multi-split inputs).
     """
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(T.tokenize(F.col("text"))).alias("term")
     )
@@ -2706,11 +2721,14 @@ def x35(spark, sf_dir):
     until the dedup shuffle), first-occurrence is one window partitioned
     by chunk (shuffle on chunk — at 100 TB hash the chunk to 16 bytes
     first; here the chunk IS the join key so the oracle can mirror it),
-    reassembly is groupBy(doc_id) with an in-group sort_array.
+    reassembly is groupBy(doc_id) with an in-group sort_array.  ``_tw``
+    spreads the single-row-group testdata scan so the interpreted
+    chunking HOFs parallelize (r14: 0.72 s single-task; no-op on real
+    multi-split inputs).
     """
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     toks = T.tokenize(F.col("text"))
     n = F.size(toks)
     nchunks = F.ceil(n / F.lit(10.0)).cast("long")
