@@ -57,13 +57,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _tw(spark: SparkSession, sf_dir: str, name: str, *key: str) -> DataFrame:
     """Read + spread: for CPU-heavy per-row work (regex classification,
     multi-format parsing) over the single-row-group testdata files, which
-    otherwise scan in one task."""
+    otherwise scan in one task.  Optional ``key`` columns make the spread
+    a hash repartition so downstream aggregates/windows keyed the same
+    way reuse the one exchange (guide §2.4)."""
     from ..sources.reader import read_table, spread
 
-    return spread(read_table(spark, sf_dir, name))
+    return spread(read_table(spark, sf_dir, name), *key)
 
 
 # ---------------------------------------------------------------------------
@@ -1750,10 +1752,14 @@ def x20(spark, sf_dir):
     have no 8-gram — n-gram-only matching would silently never flag
     them).  Corpus explodes to (id, gram-hash) only; the eval gram set
     and short-text list broadcast — map-side at any corpus size.
-    ``_tw`` spreads the single-row-group testdata scan so the per-doc
-    gram kernel parallelizes (r14: it ran 0.59 s single-task); a no-op
-    on real multi-split inputs."""
-    d = _tw(spark, sf_dir, "documents")
+
+    NOT spread: ``decontaminate`` references the corpus five times
+    (gram explode, containment probe, final join, and the two bench
+    derivations), and a spread exchange is re-planned per consumer with
+    different pushed-down projections — five REAL round-robin shuffles
+    of the full corpus, no exchange reuse (r14 audit: 10 exchanges).
+    The plain scan is re-read instead; parquet re-scans are cheap."""
+    d = _t(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text")
     bench = corpus.filter(F.col("doc_id") % 97 == 0)
     return (
@@ -2656,11 +2662,14 @@ def x34(spark, sf_dir):
     corpus scale) → per-doc window; the window partitions by doc_id,
     so no global sort.  ``_tw`` spreads the single-row-group testdata
     scan so the interpreted tokenize HOF parallelizes (r14; no-op on
-    real multi-split inputs).
+    real multi-split inputs); the spread is KEYED on doc_id so the tf
+    groupBy and the per-doc window both reuse that one exchange instead
+    of adding their own (guide §2.4 — hash(doc_id) satisfies the
+    ClusteredDistribution of groupBy(doc_id, term) and of the window).
     """
     from pyspark.sql import Window
 
-    d = _tw(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents", "doc_id")
     toks = d.select(
         "doc_id", F.explode(T.tokenize(F.col("text"))).alias("term")
     )

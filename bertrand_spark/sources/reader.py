@@ -242,7 +242,7 @@ def write_partitioned(
     w.save(path)
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, *key: str) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than the
     cluster has slots.  Single-row-group parquet files (every testdata
     table) admit exactly ONE scan task no matter what
@@ -255,7 +255,22 @@ def spread(df: DataFrame) -> DataFrame:
     input files (``df.rdd.getNumPartitions()`` re-plans the query into an
     RDD, ~1 s of driver time PER CALL); only computed frames fall back to
     the RDD probe.
+
+    ``key`` columns switch the spread from round-robin to a hash
+    repartition on those columns: when the downstream plan aggregates or
+    windows on (a superset of) the key, the single spread exchange
+    satisfies their ClusteredDistribution and Spark inserts no further
+    shuffle — one exchange does both jobs (guide §2.4: two operations
+    keyed the same way share one exchange).  Round-robin additionally
+    pays a local sort of its input (sortBeforeRepartition, guide §2.5);
+    the keyed form does not.
     """
+
+    def _repart(frame: DataFrame) -> DataFrame:
+        if key:
+            return frame.repartition(target, *[F.col(k) for k in key])
+        return frame.repartition(target)
+
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
@@ -277,10 +292,10 @@ def spread(df: DataFrame) -> DataFrame:
         # per file / row group) and the shuffle payload is modest.  Large
         # inputs split fine natively — never reshuffle those.
         if len(files) < target and total < (256 << 20):
-            return df.repartition(target)
+            return _repart(df)
         return df
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return _repart(df)
     return df
 
 
