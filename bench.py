@@ -195,6 +195,18 @@ def main() -> None:
         # 20 queries x many codegen units blow through the default 100-entry
         # generated-class LRU; evictions force Janino recompiles mid-bench
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # let AQE coalesce exchanges that feed persist()/cache() plans
+        # (default false only to keep a cached plan's output partitioning
+        # stable for downstream repartition-sensitive consumers, which
+        # nothing here relies on).  Without it every cached
+        # materialization runs ALL spark.sql.shuffle.partitions tasks —
+        # x18's 3 MB drop-list distinct ran 128 tiny tasks (r14 profile).
+        # Scale-neutral: AQE only merges below-advisory-size partitions,
+        # so at 100 TB the same setting is a no-op on big exchanges.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # reclaim driver-side RDD/broadcast refs promptly so the context
         # cleaner drops prior queries' shuffle files during the run
         .config("spark.cleaner.periodicGC.interval", "30s")

@@ -930,6 +930,13 @@ class DsirModel:
         self.lam = lam          # DataFrame (bucket int, lam double)
         self.buckets = int(buckets)
         self.alpha = float(alpha)
+        # dense λ copy when the model was fit driver-side this session
+        # (train_dsir sets it): the scoring kernel then skips the
+        # lam.collect() round-trip — a whole Spark job whose only work
+        # is re-reading 512 rows the driver just created (r14, guide
+        # §1.2: don't compute things you already have).  save()/load()
+        # paths leave it None and collect as before.
+        self._lam_np = None
 
     def log_weights(
         self,
@@ -986,9 +993,12 @@ class DsirModel:
         before split — parity-gated on tab/newline/NBSP text."""
         import numpy as np
 
-        lam_np = np.zeros(self.buckets, dtype=np.float64)
-        for r in self.lam.collect():  # bounded: exactly `buckets` rows
-            lam_np[r["bucket"]] = r["lam"]
+        if self._lam_np is not None:
+            lam_np = self._lam_np
+        else:
+            lam_np = np.zeros(self.buckets, dtype=np.float64)
+            for r in self.lam.collect():  # bounded: exactly `buckets` rows
+                lam_np[r["bucket"]] = r["lam"]
         B = self.buckets
         id_field = df.schema[id_col].dataType.simpleString()
 
@@ -1071,6 +1081,75 @@ class DsirModel:
         return cls(spark.read.parquet(f"{path}/lam"), p["buckets"], p["alpha"])
 
 
+def _dsir_profile_kernel(
+    raw: DataFrame, target_pred: Column, text_col: str, B: int
+) -> list:
+    """One Arrow pass → per-task partial (bucket, raw-count,
+    target-count) profiles → one ≤``B``-group aggregate → collect.
+
+    Tokenization and the md5-prefix bucket are the scorer kernel's
+    exact semantics (ASCII-space trim, ASCII ``\\s+`` split, lower
+    before split, unigrams+bigrams), which are parity-gated against
+    the expression path; counts are integers, so the profiles equal
+    the explode path's exactly.  The predicate is evaluated in the
+    JVM (coalesced to false — ``count_if`` never counts NULL) so the
+    kernel sees a plain boolean column.  Per-task state: two ``B``-long
+    int64 arrays plus the Zipfian feature→bucket memo (bounded)."""
+
+    def profile(batches):
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        split = _re.compile(r"\s+", _re.ASCII).split
+        r_acc = np.zeros(B, dtype=np.int64)
+        t_acc = np.zeros(B, dtype=np.int64)
+        memo: dict = {}
+        _MEMO_MAX = 1 << 20
+        for pdf in batches:
+            for is_t, text in zip(pdf["__t"], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [w for w in split(text.strip(" ").lower()) if w]
+                feats = toks + [
+                    a + " " + b for a, b in zip(toks, toks[1:])
+                ]
+                for f in feats:
+                    b = memo.get(f)
+                    if b is None:
+                        b = (
+                            int(
+                                hashlib.md5(
+                                    f.encode("utf-8")
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % B
+                        )
+                        if len(memo) < _MEMO_MAX:
+                            memo[f] = b
+                    r_acc[b] += 1
+                    if is_t:
+                        t_acc[b] += 1
+        nz = np.nonzero(r_acc)[0]
+        yield pd.DataFrame(
+            {"bucket": nz, "__r": r_acc[nz], "__tc": t_acc[nz]}
+        )
+
+    return (
+        raw.select(
+            F.coalesce(target_pred, F.lit(False)).alias("__t"),
+            F.col(text_col),
+        )
+        .mapInPandas(profile, "bucket int, __r long, __tc long")
+        .groupBy("bucket")
+        .agg(F.sum("__r").alias("__r"), F.sum("__tc").alias("__tc"))
+        .collect()
+    )
+
+
 def train_dsir(
     target: DataFrame,
     raw: DataFrame,
@@ -1078,6 +1157,7 @@ def train_dsir(
     buckets: int = 4096,
     alpha: float = 1.0,
     target_pred: Column | None = None,
+    vectorized: bool = True,
 ) -> DsirModel:
     """Fit the DSIR log-ratio table from a target (in-domain) corpus
     sample and the raw corpus (or a sample — only bucket FREQUENCIES
@@ -1099,6 +1179,19 @@ def train_dsir(
     the target profile is the conditional count over exactly the rows
     the filter would have kept.  ``target`` is ignored in this mode
     (pass it anyway for call-site readability, or ``None``).
+
+    ``vectorized`` (pred mode only): count the bucket profiles in the
+    same Arrow kernel shape the scorer uses — tokenize → md5-bucket →
+    two int accumulators per task, ≤``buckets`` partial rows per task
+    into one map-side-combined groupBy — instead of the native
+    explode → md5 expression chain, whose array HOFs are
+    CodegenFallback (interpreted per element, the measured 24×-family
+    slowdown the scoring kernel already avoids; r14, guide §4.2).
+    Counts are exact integers from the identical tokenization and the
+    identical md5-prefix bucket arithmetic, so the λ table is
+    bit-identical to the expression path (parity-pinned in
+    tests/test_round14_opt.py); the explode's feature-occurrence rows
+    never exist, and the shuffle carries ≤``buckets`` rows per task.
     """
     spark = raw.sparkSession
     B = int(buckets)
@@ -1119,21 +1212,26 @@ def train_dsir(
     import math
 
     if target_pred is not None:
-        rows = (
-            raw.select(
-                target_pred.alias("__t"),
-                F.explode(_dsir_features(F.col(text_col))).alias("__feat"),
+        if vectorized:
+            rows = _dsir_profile_kernel(raw, target_pred, text_col, B)
+        else:
+            rows = (
+                raw.select(
+                    target_pred.alias("__t"),
+                    F.explode(
+                        _dsir_features(F.col(text_col))
+                    ).alias("__feat"),
+                )
+                .select(
+                    "__t", _dsir_bucket(F.col("__feat"), B).alias("bucket")
+                )
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("__r"),
+                    F.count_if(F.col("__t")).alias("__tc"),
+                )
+                .collect()
             )
-            .select(
-                "__t", _dsir_bucket(F.col("__feat"), B).alias("bucket")
-            )
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("__r"),
-                F.count_if(F.col("__t")).alias("__tc"),
-            )
-            .collect()
-        )
         r_cnt = {r["bucket"]: r["__r"] for r in rows}
         t_cnt = {r["bucket"]: r["__tc"] for r in rows if r["__tc"]}
         t_n, r_n = sum(t_cnt.values()), sum(r_cnt.values())
@@ -1149,7 +1247,16 @@ def train_dsir(
         for b in range(B)
     ]
     lam = spark.createDataFrame(lam_rows, "bucket int, lam double")
-    return DsirModel(lam, B, alpha)
+    model = DsirModel(lam, B, alpha)
+    # the λ values already live driver-side — hand the scorer its dense
+    # copy so it never runs the lam.collect() job
+    import numpy as _np
+
+    dense = _np.zeros(B, dtype=_np.float64)
+    for b, v in lam_rows:
+        dense[b] = v
+    model._lam_np = dense
+    return model
 
 
 # TakeOrdered selection-regime HARD ceiling: orderBy().limit(k) keeps a

@@ -4257,15 +4257,22 @@ def x47(spark, sf_dir):
     ((md5-bucket + 0.5)/2^32 uniforms), and the top-k cutoff.  Scale
     shape: scoring is one corpus pass; the top-k is
     TakeOrderedAndProject (per-partition heap of n, then merge) — no
-    global sort, no single-partition funnel.  Native scoring path
-    (vectorized=False) so DuckDB replays the identical plan; the Arrow
-    kernel is parity-gated against it in tests."""
+    global sort, no single-partition funnel.  Arrow-kernel scoring
+    (r14; was vectorized=False): per-doc λ sums can differ from the
+    expression path only by ulp-order summation noise, and the
+    rank-100 Gumbel boundary gap is ~1e-2 absolute (min adjacent gap
+    in the top-101 ~4e-5, measured at sf0.01 AND sf0.1 — 11 orders
+    above ulp; pinned in tests/test_round14_opt.py), so the selected
+    set and its order cannot differ from the native plan's.  The
+    explode → broadcast-join → groupBy scoring shuffle this drops was
+    the single largest job in the query (interpreted HOF explode of
+    every unigram+bigram occurrence)."""
     d = _tw(spark, sf_dir, "documents")
     model = CU.train_dsir(
         d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0,
         target_pred=F.col("lang") == "en",
     )
-    return CU.dsir_resample(d, model, 100, vectorized=False)
+    return CU.dsir_resample(d, model, 100)
 
 
 # ---------------------------------------------------------------------------

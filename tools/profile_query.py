@@ -40,6 +40,10 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 4, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.retainedJobs", "10000")
@@ -68,7 +72,9 @@ def main() -> int:
 
         best = None
         for r in range(runs):
-            jid0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            jid0 = sc._jsc.sc().dagScheduler().nextJobId()
+            if hasattr(jid0, "get"):
+                jid0 = jid0.get()
             t0 = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.monotonic() - t0
