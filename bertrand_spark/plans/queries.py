@@ -1568,7 +1568,12 @@ def x18(spark, sf_dir, checkpoint_dir=None):
     exchanges; with it, downstream stages start from the materialized
     stage.  ``checkpoint_dir`` (kwarg) switches the cut from
     executor-local blocks to a reliable checkpoint for cluster runs."""
-    d = _t(spark, sf_dir, "documents")
+    # corpus chain reads through the spread wrapper; the bench slice is
+    # a SEPARATE read below so this spread has exactly one consumer
+    # (two consumers re-plan the exchange per consumer — the x20
+    # lesson) and the quality/fingerprint map parallelizes off the
+    # single-row-group testdata file.  No-op on multi-split inputs.
+    d = _tw(spark, sf_dir, "documents")
     feats = T.quality_features(F.col("text"))
     filtered = d.select(
         "doc_id", "text",
@@ -1578,18 +1583,35 @@ def x18(spark, sf_dir, checkpoint_dir=None):
 
     fp = T.fingerprint(F.col("text"))
     with_fp = filtered.withColumn("__fp", fp)
-    keepers = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    # spread BEFORE the checkpoint: the broadcast-joined survivor frame
-    # inherits the scan's partition count (ONE task on the single-row-
-    # group testdata), and the checkpoint pins that layout for every
-    # downstream consumer — r14 measured the decontaminate gram kernel
-    # running 0.72 s on one task off the 1-partition checkpoint.  At
-    # real scale the survivor join is already ≥slots partitions and
-    # spread is a no-op (sources.reader.spread stats the input files).
+    # exact dedup as ONE min_by aggregate (r14, guide §2.3/§2.4): keep
+    # the whole min-doc_id row per fingerprint instead of groupBy →
+    # min(doc_id) → join-back.  doc_id is unique, so min_by is
+    # deterministic and the survivors are identical rows.  The old
+    # shape paid the quality+fingerprint scan TWICE (once per join
+    # side) plus a keeper shuffle and a broadcast build; this shape is
+    # one pass and one exchange — and at corpus scale, where the
+    # keeper list stops broadcasting and the join would shuffle the
+    # text a second time, the map-side partial min_by also shuffles
+    # only one candidate row per (partition, fingerprint).
+    # spread BEFORE the checkpoint: AQE coalesces the post-agg
+    # exchange to ~1 partition at testdata size and the checkpoint
+    # would pin that layout for every downstream consumer (r14
+    # measured the decontaminate gram kernel running 0.72 s on one
+    # task off a 1-partition checkpoint).  At real scale the agg is
+    # already ≥slots partitions and the RDD-probe branch of spread
+    # keeps it unchanged.
     from ..sources.reader import spread as _spread_df
 
     exact = CU.materialize_stage(
-        _spread_df(with_fp.join(keepers, ["__fp", "doc_id"], "inner").drop("__fp")),
+        _spread_df(
+            with_fp.groupBy("__fp")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "text", "n_tok", "punct"), "doc_id"
+                ).alias("__row")
+            )
+            .select("__row.doc_id", "__row.text", "__row.n_tok", "__row.punct")
+        ),
         checkpoint_dir=checkpoint_dir,
     )
 
@@ -1615,7 +1637,14 @@ def x18(spark, sf_dir, checkpoint_dir=None):
         checkpoint_dir=checkpoint_dir,
     )
 
-    bench = d.select("doc_id", "text").filter(F.col("doc_id") % 97 == 0)
+    # separate read: keeps the corpus spread single-consumer; the
+    # bench slice is 1/97th of the corpus and its gram kernel feeds a
+    # broadcast, so an unspread scan is the right shape for it
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 97 == 0)
+    )
     clean = CU.decontaminate(
         kept.select("doc_id", "text", "n_tok"), bench, "doc_id", "text", n=8
     )
