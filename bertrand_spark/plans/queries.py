@@ -4153,7 +4153,15 @@ def x45(spark, sf_dir):
         d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0,
         target_pred=F.col("lang") == "en",
     )
-    return model.log_weights(d).orderBy("doc_id")
+    # persist the scored rows (3 numbers + id per doc — tiny at any
+    # corpus size) before the global sort: the range exchange's
+    # sampling pass otherwise re-executes its narrow child, i.e. the
+    # whole scoring kernel runs TWICE per action (profiled r14: a
+    # 0.44 s sampling job duplicating the 0.9 s kernel job).  With the
+    # cache the kernel runs once and both the sampler and the shuffle
+    # read cached rows; at 100 TB this also means the sort shuffles
+    # scored rows, never re-tokenizes the corpus (guide §2.2/§1.2).
+    return model.log_weights(d).persist().orderBy("doc_id")
 
 
 # --- x46: quality-filter cascade attrition funnel ---------------------------
