@@ -267,3 +267,31 @@ class TestX47GumbelBoundaryGap:
         # measured gaps sit ≥ 1e6 ulps above it
         assert boundary > 1e-9 * scale, (boundary, scale)
         assert min_adj > 1e-9 * scale, (min_adj, scale)
+
+
+class TestX45SortSamplesCacheNotKernel:
+    """r14: x45's final orderBy(doc_id) sits over the narrow Arrow
+    scoring-kernel chain, so the range exchange's reservoir-sampling
+    pass re-executed the WHOLE kernel — scan + tokenize + score ran
+    twice per action.  The fix persists the scored rows (id + 3
+    numbers per doc) so the sampler and the shuffle both read the
+    cache.  Pin the shape: the kernel lives under an InMemoryRelation
+    and the sort's exchange reads the cache, not the kernel."""
+
+    def test_plan_kernel_under_cache_and_order_kept(self, spark, sf_dir):
+        from bertrand_spark.plans.queries import QUERIES
+
+        df = QUERIES["x45_dsir_weights"](spark, sf_dir)
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, plan[:2000]
+            # the cached relation wraps the kernel: every MapInPandas
+            # print sits BELOW the first InMemoryTableScan node
+            first_scan = plan.index("InMemoryTableScan")
+            first_kernel = plan.index("MapInPandas")
+            assert first_scan < first_kernel, plan[:2000]
+            rows = df.collect()
+            ids = [r["doc_id"] for r in rows]
+            assert len(ids) > 0 and ids == sorted(ids)
+        finally:
+            spark.catalog.clearCache()
