@@ -148,6 +148,15 @@ COMPOSITES = (
     "x18_pipeline_end_to_end",
 )
 
+# healthy-host probe baselines (min-of-2 on an idle window; the checks
+# allow 15% slack on top).  The JVM range-sum baseline is the round-7
+# value; the pandas-UDF round-trip baseline was measured r15 when the
+# probe was added (verdict item 2: the JVM probe provably misses
+# Python-worker degradation) — steady-state 0.45-0.60 s over 8
+# calibration calls on a JVM-healthy window (probe 0.13-0.19).
+_JVM_HEALTHY = 0.2
+_PY_HEALTHY = 0.50
+
 
 def fold_attempts(timings: dict, sf, attempts_dir: str,
                   round_tag) -> tuple[dict, int]:
@@ -195,18 +204,6 @@ def main() -> None:
         # 20 queries x many codegen units blow through the default 100-entry
         # generated-class LRU; evictions force Janino recompiles mid-bench
         .config("spark.sql.codegen.cache.maxEntries", "5000")
-        # let AQE coalesce exchanges that feed persist()/cache() plans
-        # (default false only to keep a cached plan's output partitioning
-        # stable for downstream repartition-sensitive consumers, which
-        # nothing here relies on).  Without it every cached
-        # materialization runs ALL spark.sql.shuffle.partitions tasks —
-        # x18's 3 MB drop-list distinct ran 128 tiny tasks (r14 profile).
-        # Scale-neutral: AQE only merges below-advisory-size partitions,
-        # so at 100 TB the same setting is a no-op on big exchanges.
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
         # reclaim driver-side RDD/broadcast refs promptly so the context
         # cleaner drops prior queries' shuffle files during the run
         .config("spark.cleaner.periodicGC.interval", "30s")
@@ -214,6 +211,14 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # the engine's recommended runtime confs (cached-plan AQE
+    # coalescing, …) come from the ONE shared recipe the declared
+    # queries also apply — bertrand_spark/session.py (r15; the conf
+    # lived inline here in r14, which made it harness-only)
+    from bertrand_spark.session import tune_session
+
+    tune_session(spark)
 
     from bertrand_spark.plans.queries import QUERIES
 
@@ -254,17 +259,42 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
+    # Python-boundary probe (r15, verdict item 2): the JVM range-sum
+    # probe provably misses Python-worker degradation — r14 attempt 1
+    # read degraded_host=false while the two most Python-boundary-heavy
+    # queries ran 2.2x over their folds.  This probe times a fixed
+    # pandas-UDF round trip (Arrow IPC + worker latency, the exact
+    # constant the Arrow-kernel queries pay per stage) so the record
+    # distinguishes JVM-clean/Python-degraded windows.  Additions-only:
+    # recorded under py_* keys beside the JVM probes.
+    def py_probe() -> float:
+        pr = spark.range(0, 2_000_000, 1, int(cpus)).select(
+            _warm("id").alias("v")
+        )
+        pr.select(F.sum("v")).collect()  # untimed: absorb worker ramp
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            pr.select(F.sum("v")).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     # if the run STARTS inside a degraded host phase (documented: this
     # VM has minutes-long uniform 1.3-30x slowdowns), every min-of-N
     # below is polluted at once.  Wait — bounded to ~2 min — for a
     # healthy probe before timing anything; record how long we waited.
     probe_before = host_probe()
+    py_before = py_probe()
     waited = 0.0
-    while probe_before > 0.2 * 1.15 and waited < 120:
+    while (
+        probe_before > _JVM_HEALTHY * 1.15 or py_before > _PY_HEALTHY * 1.15
+    ) and waited < 120:
         time.sleep(20)
         waited += 20
         probe_before = host_probe()
-    probes: dict[str, float] = {"before": probe_before}
+        py_before = py_probe()
+    probes: dict[str, float] = {"before": probe_before, "py_before": py_before}
     if waited:
         probes["healthy_wait_sec"] = waited
 
@@ -345,8 +375,10 @@ def main() -> None:
         # the JSON.
         if name == "x32_fuzzy_join":
             probes["after_heavies"] = host_probe()
+            probes["py_after_heavies"] = py_probe()
         elif name == _MID_SUITE_NAME:
             probes["mid_suite"] = host_probe()
+            probes["py_mid_suite"] = py_probe()
         spark.catalog.clearCache()
         # drop dead generated classes + unreferenced shuffles between
         # queries (untimed) so later queries don't pay earlier queries' GC
@@ -374,6 +406,7 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
     probes["after"] = host_probe()
+    probes["py_after"] = py_probe()
     # mid-run degradation handling, two independent signals (round-7,
     # from the r5 postmortem): (1) the host probe — catches sys%-burst
     # phases where the 6M-row range-sum itself slows; (2) the ENVELOPE
@@ -385,9 +418,14 @@ def main() -> None:
     # healthy probe, re-run one timed pass over every query, min it in;
     # if the record still looks degraded it is explicitly marked
     # instead of silently shipping inflated numbers.
-    _healthy = 0.2 * 1.15
+    _healthy = _JVM_HEALTHY * 1.15
+    _py_h = _PY_HEALTHY * 1.15
     degraded = any(
-        v > _healthy for k, v in probes.items() if k != "healthy_wait_sec"
+        v > _healthy
+        for k, v in probes.items()
+        if k != "healthy_wait_sec" and not k.startswith("py_")
+    ) or any(
+        v > _py_h for k, v in probes.items() if k.startswith("py_")
     )
     if degraded:
         waited = 0.0
@@ -397,6 +435,7 @@ def main() -> None:
             waited += 15
             p = host_probe()
         probes["resample_probe"] = p
+        probes["py_resample_probe"] = py_probe()
         if p <= _healthy:
             for name in HEADLINE:
                 fn = QUERIES.get(name)
@@ -415,7 +454,11 @@ def main() -> None:
                     pass
                 spark.catalog.clearCache()
             probes["after_resample"] = host_probe()
-            degraded = probes["after_resample"] > _healthy
+            probes["py_after_resample"] = py_probe()
+            degraded = (
+                probes["after_resample"] > _healthy
+                or probes["py_after_resample"] > _py_h
+            )
 
     # envelope check: median ratio of this run's timings to the prior
     # recorded round over common queries.  Uniform host slowness lifts
@@ -511,7 +554,8 @@ def main() -> None:
         "degraded_host": degraded,
         "host_probe_sec": {
             **probes,
-            "healthy": 0.2,
+            "healthy": _JVM_HEALTHY,
+            "py_healthy": _PY_HEALTHY,
         },
     }
 

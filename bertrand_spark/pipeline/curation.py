@@ -50,7 +50,8 @@ __all__ = [
     "repetition_score",
     "temperature_resample", "mix_corpus",
     "QualityClassifier", "train_quality_classifier",
-    "DsirModel", "train_dsir", "dsir_resample", "dsir_resample_tokens",
+    "DsirModel", "train_dsir", "dsir_fit_score", "dsir_resample",
+    "dsir_resample_tokens",
     "filter_cascade", "cascade_report",
 ]
 
@@ -1209,8 +1210,6 @@ def train_dsir(
         cnt = {r["bucket"]: r["count"] for r in rows}
         return cnt, sum(cnt.values())
 
-    import math
-
     if target_pred is not None:
         if vectorized:
             rows = _dsir_profile_kernel(raw, target_pred, text_col, B)
@@ -1234,10 +1233,22 @@ def train_dsir(
             )
         r_cnt = {r["bucket"]: r["__r"] for r in rows}
         t_cnt = {r["bucket"]: r["__tc"] for r in rows if r["__tc"]}
-        t_n, r_n = sum(t_cnt.values()), sum(r_cnt.values())
     else:
-        t_cnt, t_n = side_counts(target)
-        r_cnt, r_n = side_counts(raw)
+        t_cnt, _ = side_counts(target)
+        r_cnt, _ = side_counts(raw)
+    return _model_from_counts(spark, t_cnt, r_cnt, B, alpha)
+
+
+def _model_from_counts(
+    spark, t_cnt: dict, r_cnt: dict, B: int, alpha: float
+) -> DsirModel:
+    """λ table + model from integer bucket-count profiles — the ONE
+    smoothing arithmetic (shared by :func:`train_dsir` and
+    :func:`dsir_fit_score` so the two paths cannot drift; counts are
+    exact ints, so identical profiles give a bit-identical table)."""
+    import math
+
+    t_n, r_n = sum(t_cnt.values()), sum(r_cnt.values())
     lam_rows = [
         (
             b,
@@ -1257,6 +1268,149 @@ def train_dsir(
         dense[b] = v
     model._lam_np = dense
     return model
+
+
+def dsir_fit_score(
+    raw: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    out_col: str = "dsir_logw",
+) -> tuple[DsirModel, DataFrame]:
+    """Train DSIR *and* score the same corpus from ONE tokenize pass
+    (r15, guide §8: decide with small rows, move heavy work once).
+
+    ``train_dsir(target_pred=...)`` + ``log_weights`` tokenizes and
+    md5-buckets the corpus TWICE — once for the count profiles, once
+    for scoring — paying the Python boundary two full corpus passes.
+    Here a single Arrow kernel pass emits each document's sparse bucket
+    HISTOGRAM (≤ min(n_feats, buckets) (int, long) pairs per doc — the
+    lightweight proxy), which is persisted and serves both halves
+    natively:
+
+    * training: explode the histograms → one ≤``buckets``-group integer
+      aggregate (map-side combined) → bounded collect.  Counts are the
+      same exact integers as the explode/profile-kernel paths, so the λ
+      table is BIT-IDENTICAL (pinned in tests/test_round15_opt.py).
+    * scoring: explode the histograms → broadcast-join the λ table →
+      ``sum(count × λ)`` per doc.  All JVM codegen — no second Python
+      pass, no re-tokenization; partial aggregation collapses each
+      doc's rows before the one id-keyed exchange.
+
+    Per-doc scores are ``Σ_b count_b·λ_b`` instead of the occurrence-
+    order ``Σ_i λ_{b_i}`` — equal up to float64 summation-order noise
+    (~1e-15 relative), the same noise class already accepted between
+    the Spark and DuckDB engines; the ``keep`` sign boundary and the
+    Gumbel top-k boundary both sit ≥9 orders above it (re-measured
+    per run in tests).  ``n_feats`` stays an exact integer.
+
+    At 100 TB this halves the corpus passes and the Python-boundary
+    work; the persisted proxy is bounded per doc and spills to disk
+    under the default storage level.  Returns ``(model, scored)`` with
+    the same scored schema as :meth:`DsirModel.log_weights`.
+    """
+    spark = raw.sparkSession
+    B = int(buckets)
+    id_field = raw.schema[id_col].dataType.simpleString()
+
+    def hist(batches):
+        import hashlib
+        import re as _re
+        from collections import Counter
+
+        import pandas as pd
+
+        split = _re.compile(r"\s+", _re.ASCII).split
+        # feature→bucket memo, same bound + Zipfian rationale as the
+        # profile/scoring kernels (guide §4.5)
+        memo: dict = {}
+        _MEMO_MAX = 1 << 20
+        for pdf in batches:
+            ids, ts, bks, cts = [], [], [], []
+            for did, is_t, text in zip(
+                pdf[id_col], pdf["__t"], pdf[text_col]
+            ):
+                if text is None:
+                    continue
+                toks = [w for w in split(text.strip(" ").lower()) if w]
+                feats = toks + [
+                    a + " " + b for a, b in zip(toks, toks[1:])
+                ]
+                if not feats:
+                    continue
+                acc: dict = {}
+                # md5 once per DISTINCT feature per doc (Counter), not
+                # per occurrence — strictly less hashing than the
+                # per-occurrence kernels
+                for f, c in Counter(feats).items():
+                    b = memo.get(f)
+                    if b is None:
+                        b = (
+                            int(
+                                hashlib.md5(
+                                    f.encode("utf-8")
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % B
+                        )
+                        if len(memo) < _MEMO_MAX:
+                            memo[f] = b
+                    acc[b] = acc.get(b, 0) + c
+                ids.append(did)
+                ts.append(bool(is_t))
+                bks.append(list(acc.keys()))
+                cts.append(list(acc.values()))
+            if ids:  # an empty batch's list columns confuse Arrow
+                yield pd.DataFrame(
+                    {id_col: ids, "__t": ts, "__bk": bks, "__ct": cts}
+                )
+
+    hist_df = (
+        raw.select(
+            F.col(id_col),
+            F.coalesce(target_pred, F.lit(False)).alias("__t"),
+            F.col(text_col),
+        )
+        .mapInPandas(
+            hist,
+            f"{id_col} {id_field}, __t boolean, "
+            "__bk array<int>, __ct array<long>",
+        )
+        .persist()
+    )
+
+    z = F.explode(F.arrays_zip("__bk", "__ct")).alias("z")
+    rows = (
+        hist_df.select("__t", z)
+        .groupBy(F.col("z.__bk").alias("bucket"))
+        .agg(
+            F.sum("z.__ct").alias("__r"),
+            F.sum(
+                F.when(F.col("__t"), F.col("z.__ct")).otherwise(F.lit(0))
+            ).alias("__tc"),
+        )
+        .collect()
+    )
+    r_cnt = {r["bucket"]: r["__r"] for r in rows}
+    t_cnt = {r["bucket"]: r["__tc"] for r in rows if r["__tc"]}
+    model = _model_from_counts(spark, t_cnt, r_cnt, B, alpha)
+
+    scored = (
+        hist_df.select(id_col, z)
+        .join(F.broadcast(model.lam), F.col("z.__bk") == F.col("bucket"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("z.__ct").cast("double") * F.col("lam")).alias(
+                out_col
+            ),
+            F.sum("z.__ct").alias("n_feats"),
+        )
+        .withColumn("keep", F.col(out_col) > 0.0)
+    )
+    return model, scored
 
 
 # TakeOrdered selection-regime HARD ceiling: orderBy().limit(k) keeps a
@@ -1292,6 +1446,7 @@ def dsir_resample(
     salt: str = "gumbel",
     vectorized: bool = True,
     max_candidates: int = _SELECTION_FAST_PATH_MAX,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """The RESAMPLING half of DSIR (Xie et al. 2023 §2.3): draw ``n``
     documents with probability proportional to their importance weight
@@ -1324,7 +1479,11 @@ def dsir_resample(
     bisection is faster AND keeps driver state bounded, so the big
     driver collect is opt-in, never the default.
     """
-    scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
+    # ``scored``: a pre-computed scoring frame (e.g. from
+    # :func:`dsir_fit_score`, which shares one tokenize pass between
+    # training and scoring) — skips the model's own scoring pass
+    if scored is None:
+        scored = model.log_weights(df, id_col, text_col, out_col, vectorized)
     # uniforms via THE bucket convention (md5_bucket, 2^32 buckets =
     # the full 8-hex-digit range), same (b + 0.5)/M pattern as
     # pareto_filter — one spelling, one SQL-oracle translation

@@ -44,7 +44,21 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        # every declared query applies the engine's recommended session
+        # recipe (bertrand_spark.session) to the session it is handed:
+        # the driver's verify session and any library session get the
+        # same runtime confs the bench session sets at build time (r15,
+        # guide §9 — one recipe, not a harness-only speedup).
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir, **kwargs):
+            from ..session import tune_session
+
+            tune_session(spark)
+            return fn(spark, sf_dir, **kwargs)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn
@@ -2762,11 +2776,16 @@ def x35(spark, sf_dir):
     reassembly is groupBy(doc_id) with an in-group sort_array.  ``_tw``
     spreads the single-row-group testdata scan so the interpreted
     chunking HOFs parallelize (r14: 0.72 s single-task; no-op on real
-    multi-split inputs).
+    multi-split inputs).  r15 (verdict item 6): the spread is KEYED on
+    doc_id (round-robin also paid sortBeforeRepartition) and feeds ONLY
+    the chunking consumer — the reassembly join's left side is a
+    separate plain read (the x18/x20 lesson: a spread with two
+    consumers is re-planned into two full-corpus shuffles).
     """
     from pyspark.sql import Window
 
-    d = _tw(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents", "doc_id")
+    base = _t(spark, sf_dir, "documents")
     toks = T.tokenize(F.col("text"))
     n = F.size(toks)
     nchunks = F.ceil(n / F.lit(10.0)).cast("long")
@@ -2799,7 +2818,7 @@ def x35(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
     )
     return (
-        d.select("doc_id")
+        base.select("doc_id")
         .join(r, "doc_id", "left")
         .select(
             "doc_id",
@@ -3996,11 +4015,16 @@ def q56(spark, sf_dir):
     distinct LATE suppliers per order; a late l1 row qualifies iff its
     order has n_supp > 1 (the EXISTS: someone else supplied it) and
     n_late_supp = 1 (the NOT EXISTS: nobody ELSE was late — l1's own
-    supplier being late is the one).  That turns two correlated
-    self-joins (three lineitem shuffles) into one groupBy(orderkey)
-    reused by a single join — the canonical Q21 rewrite.  At 100 TB:
-    lineitem shuffles on l_orderkey once for the aggregate and once as
-    the probe side; supplier/nation broadcast."""
+    supplier being late is the one).  r15 (guide §2.4): the per-order
+    counts come from a WINDOW over l_orderkey instead of a
+    groupBy+join-back — the r14 shape computed ``flagged`` twice (once
+    under the aggregate, once as the probe side: two lineitem scans,
+    two l_orderkey exchanges); the window shape scans lineitem ONCE
+    and partitions it on l_orderkey once.  At 100 TB the orders join
+    is a sort-merge on the same key, so the window reuses its
+    partitioning outright; supplier/nation broadcast."""
+    from pyspark.sql import Window
+
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select("n_nationkey")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
@@ -4009,22 +4033,26 @@ def q56(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     # one pass over the order's lineitems: who supplied, who was late
     flagged = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_orderkey", "l_suppkey",
         (
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("is_late"),
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    )
-    l1 = (
-        flagged.filter(F.col("is_late"))
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-        )
+    w = Window.partitionBy("l_orderkey")
+    # collect_set ignores NULLs, so the when() filter makes the second
+    # set exactly the distinct LATE suppliers — same semantics as the
+    # old countDistinct pair, row-local instead of join-back
+    l1 = flagged.select(
+        "l_orderkey", "l_suppkey", "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supp"),
+    ).filter(
+        F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     return (
         l1.join(s, l1["l_suppkey"] == s["s_suppkey"])
@@ -4143,25 +4171,19 @@ def x45(spark, sf_dir):
     text.  The oracle replays the ENTIRE method — feature stream,
     hashing, both count profiles, smoothing, λ table, per-doc sums —
     so training and scoring are both gated, the x42-CharLM standard.
-    Scale shape: training is ONE bounded word-count job (≤512 groups —
-    the target slice is a filter of the corpus, so both profiles come
-    out of a single conditional aggregate; r14, guide §2.3); the λ
-    table is 512 rows broadcast; scoring is explode → broadcast
-    join → one map-side-combined groupBy — a single corpus pass."""
+    Scale shape (r15, guide §8): ONE Arrow pass emits per-doc sparse
+    bucket histograms (the lightweight proxy — the corpus text is
+    tokenized exactly once); training aggregates the histograms to the
+    ≤512-group integer profile, scoring explodes them against the
+    broadcast λ table natively — no second Python pass, no
+    re-tokenization.  The final sort sits above the scoring
+    aggregate's exchange, so the range sampler re-reads the
+    materialized shuffle, never the kernel (r14 lesson)."""
     d = _tw(spark, sf_dir, "documents")
-    model = CU.train_dsir(
-        d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0,
-        target_pred=F.col("lang") == "en",
+    _, scored = CU.dsir_fit_score(
+        d, F.col("lang") == "en", buckets=512, alpha=1.0,
     )
-    # persist the scored rows (3 numbers + id per doc — tiny at any
-    # corpus size) before the global sort: the range exchange's
-    # sampling pass otherwise re-executes its narrow child, i.e. the
-    # whole scoring kernel runs TWICE per action (profiled r14: a
-    # 0.44 s sampling job duplicating the 0.9 s kernel job).  With the
-    # cache the kernel runs once and both the sampler and the shuffle
-    # read cached rows; at 100 TB this also means the sort shuffles
-    # scored rows, never re-tokenizes the corpus (guide §2.2/§1.2).
-    return model.log_weights(d).persist().orderBy("doc_id")
+    return scored.orderBy("doc_id")
 
 
 # --- x46: quality-filter cascade attrition funnel ---------------------------
@@ -4303,13 +4325,16 @@ def x47(spark, sf_dir):
     set and its order cannot differ from the native plan's.  The
     explode → broadcast-join → groupBy scoring shuffle this drops was
     the single largest job in the query (interpreted HOF explode of
-    every unigram+bigram occurrence)."""
+    every unigram+bigram occurrence).  r15: training and scoring now
+    share ONE tokenize pass (``dsir_fit_score`` — per-doc bucket
+    histograms as the proxy, scored natively against the broadcast λ
+    table); per-doc sums reorder by ≤ float64 noise, 9+ orders below
+    the re-measured rank-100 boundary gap."""
     d = _tw(spark, sf_dir, "documents")
-    model = CU.train_dsir(
-        d.filter(F.col("lang") == "en"), d, buckets=512, alpha=1.0,
-        target_pred=F.col("lang") == "en",
+    model, scored = CU.dsir_fit_score(
+        d, F.col("lang") == "en", buckets=512, alpha=1.0,
     )
-    return CU.dsir_resample(d, model, 100)
+    return CU.dsir_resample(d, model, 100, scored=scored)
 
 
 # ---------------------------------------------------------------------------

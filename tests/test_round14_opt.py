@@ -270,13 +270,14 @@ class TestX47GumbelBoundaryGap:
 
 
 class TestX45SortSamplesCacheNotKernel:
-    """r14: x45's final orderBy(doc_id) sits over the narrow Arrow
-    scoring-kernel chain, so the range exchange's reservoir-sampling
-    pass re-executed the WHOLE kernel — scan + tokenize + score ran
-    twice per action.  The fix persists the scored rows (id + 3
-    numbers per doc) so the sampler and the shuffle both read the
-    cache.  Pin the shape: the kernel lives under an InMemoryRelation
-    and the sort's exchange reads the cache, not the kernel."""
+    """r14 found x45's final orderBy(doc_id) re-running its narrow
+    Arrow chain via the range exchange's sampling pass; r15 replaced
+    the whole scoring path with ``dsir_fit_score`` — ONE histogram
+    kernel (persisted) + native scoring whose groupBy(doc_id) exchange
+    sits between the kernel and the sort.  Pin the r15 shape: the
+    kernel lives under an InMemoryRelation (histogram cache), exactly
+    one MapInPandas in the plan (training and scoring share the pass),
+    and the output order is kept."""
 
     def test_plan_kernel_under_cache_and_order_kept(self, spark, sf_dir):
         from bertrand_spark.plans.queries import QUERIES
@@ -285,8 +286,8 @@ class TestX45SortSamplesCacheNotKernel:
         try:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "InMemoryTableScan" in plan, plan[:2000]
-            # the cached relation wraps the kernel: every MapInPandas
-            # print sits BELOW the first InMemoryTableScan node
+            # the cached relation wraps the histogram kernel: every
+            # MapInPandas print sits BELOW the first InMemoryTableScan
             first_scan = plan.index("InMemoryTableScan")
             first_kernel = plan.index("MapInPandas")
             assert first_scan < first_kernel, plan[:2000]
