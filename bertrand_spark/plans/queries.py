@@ -5476,58 +5476,49 @@ def x60(spark, sf_dir):
 # dict order rotates.  A name here that no longer exists in QUERIES raises
 # at import (see below) so a rename cannot silently drop coverage.
 #
-# Round 14: the TWENTY-ONE r11-stale names lead exactly as round 13
-# committed (the r11 artifact leaves the 3-round union after this
-# round; the round-13 verdict verified this is exactly the set whose
-# only attestation it carries): sixteen structurally-stable TPC-H
-# shapes (q33/q34/q35/q37/q38/q39/q40/q42/q44/q50/q51/q54/q56/q58/
-# q59/q60) plus x33/x34/x35/x39/x44.  x57 (the unified document
-# router, verdict item 2), x58 (legacy binary .doc, verdict item 3),
-# and the sanctioned same-recipe siblings x59 (BIFF8 .xls) and x60
-# (binary .ppt) are NEW — the oracle set grows 119→123 — and take
-# their first attestations.  Six extractor oracles re-enter because
-# their kernel files changed this round: x51/x52/x53 (docxtext:
-# global line cap + numeric-cell normalization), x54 (epubtext:
-# font-obfuscation walk), x55 (rtftext: group-scoped \uc fix), x56
-# (the ODT writer escape-order fix).  The remaining 19 slots begin
-# re-attesting the FORTY-EIGHT r12-stale names: all sixteen
-# r12-stale x-pipeline names (x01/x08/x09/x10/x11/x12/x13/x14/x15/
-# x19/x21/x22/x23/x24/x27/x48 — x19 also rides the changed
-# rollup.py; x48's HTML kernel is now additionally on the router
-# path) plus q01–q03.  Round 15 must lead with the TWENTY-NINE
-# remaining r12-only names (q04/q05/q06/q07/q08/q09/q10/q11/q12/
-# q13/q14/q15/q16/q17/q17b/q18/q19/q19b/q20/q21/q22/q23/q24/q24b/
-# q25/q26/q27/q28/q57); the cycle test covers them via the r12
-# artifact until then.  x25/x26/x28/x29 stay on their r13
-# attestations: rollup.py changed only inside stream_extract_warc
-# (the worker_open guard + router wiring), which none of their code
-# paths touch.
+# Round 15: the TWENTY-NINE r12-stale names lead exactly as round 14
+# committed (q04–q28 incl. the b-variants, plus q57 — the r12
+# artifact leaves the 3-round union after this round, and the r14
+# verdict re-verified this is exactly the set whose only attestation
+# it carries).  The next TWELVE slots are clause (b) — queries whose
+# kernels/plans changed in the r14 optimization round on r13-vintage
+# attestations (r14 verdict item 1: min_by rewrite, one-pass/fused
+# DSIR training, ulp-sensitive kernel scoring, asNondeterministic
+# marks) or whose plans change THIS round: q56 (window rewrite), x45/
+# x47 (fused histogram-kernel DSIR), x35 (keyed single-consumer
+# spread), x30/x31/x41 (CC round-0 probe fusion), x18, x02, x03, x04,
+# x20.  Then x32/x16 (r14-touched, same owed set) and SEVEN r13-stale
+# names biased toward the curation module this round's diff touches
+# (x36/x37/x40/x42/x43/x46 + x17).  Round 16 must lead with the
+# TWENTY-FIVE remaining r13-only names (q29/q30/q31/q32/q36/q41/q43/
+# q45/q46/q47/q48/q49/q52/q53/q55/x05/x06/x07/x25/x26/x28/x29/x38/
+# x49/x50); the cycle test covers them via the r13 artifact until
+# then.
 _DRIVER_ROTATION = [
-    # r11-stale re-attestations (21): r11 leaves the 3-round union now
-    "q33_revenue_by_nation", "q34_rollup_revenue",
-    "q35_window_functions", "q37_promo_share", "q38_semi_anti_join",
-    "q39_pricing_summary", "q40_shipping_priority",
-    "q42_returned_items", "q44_cube_orders",
-    "q50_nation_trade_volume", "q51_market_share",
-    "q54_small_quantity_revenue", "q56_waiting_supplier",
-    "q58_min_cost_supplier", "q59_important_stock",
-    "q60_potential_promotion", "x33_gopher_rules",
-    "x34_tfidf_top_terms", "x35_chunk_dedup",
-    "x39_adaptive_length_filter", "x44_overlap_report",
-    # new this round (4): first attestations
-    "x57_document_router", "x58_doc_extract",
-    "x59_xls_extract", "x60_ppt_extract",
-    # kernels touched this round (6): docxtext/epubtext/rtftext
-    "x51_docx_extract", "x52_pptx_extract", "x53_xlsx_extract",
-    "x54_epub_extract", "x55_rtf_extract", "x56_odt_extract",
-    # r12 re-attestations (19): the full r12-stale x surface + q01-q03
-    "x01_exact_dedup", "x08_token_stats", "x09_lang_scores",
-    "x10_lang_detect", "x11_events_rollup", "x12_json_extract",
-    "x13_media_sniff", "x14_media_decode", "x15_rolling_fingerprints",
-    "x19_stream_rollup", "x21_redact_pii", "x22_pack_sequences",
-    "x23_stratified_sample", "x24_repetition_score",
-    "x27_corpus_stats", "x48_html_extract",
-    "q01_detect_tags", "q02_typecheck_bounds", "q03_generic_casts",
+    # r12-stale re-attestations (29): r12 leaves the 3-round union now
+    "q04_rounding_rules", "q05_boundscheck",
+    "q06_downcast_feasibility", "q07_numeric_widening",
+    "q08_epoch_datetime", "q09_radix_format", "q10_decimal_matrix",
+    "q11_datetime_units", "q12_string_to_bool", "q13_parse_temporal",
+    "q14_categorize", "q15_iota", "q16_enumerate",
+    "q17_where_ternary", "q17b_where_filter", "q18_slice",
+    "q19_concat_sep", "q19b_union_all", "q20_find_replace",
+    "q21_reductions", "q22_stable_sort", "q23_ordered_dedup",
+    "q24_intersect", "q24b_except", "q25_dt_td_conversions",
+    "q26_calendar_units", "q27_object_roundtrip",
+    "q28_anonymous_cast", "q57_top_supplier",
+    # clause (b): plans/kernels changed r14-opt or r15 (12)
+    "q56_waiting_supplier", "x45_dsir_weights", "x47_dsir_resample",
+    "x35_chunk_dedup", "x30_dedup_clusters", "x31_dedup_canonical",
+    "x41_dedup_keep_best", "x18_pipeline_end_to_end",
+    "x02_minhash_near_dup", "x03_ngram_jaccard",
+    "x04_simhash_near_dup", "x20_decontaminate",
+    # r14-touched remainder (2)
+    "x32_fuzzy_join", "x16_cosine_near_dup",
+    # r13-stale refresh, curation-module biased (7)
+    "x36_incremental_dedup", "x37_temperature_resample",
+    "x40_mix_corpus", "x42_lm_perplexity", "x43_semdedup",
+    "x46_filter_cascade", "x17_quality_scores",
 ]
 
 
@@ -5541,8 +5532,7 @@ def _rotated(d: dict) -> dict:
 # accepts an unattested query outside the window ONLY if it is named
 # here, and next round's rotation edit must move these into the leading
 # slots (emptying the queue re-tightens the test automatically).
-# Round 14: empty — both new queries (x57 router, x58 legacy .doc,
-# per round-13 verdict items 2–3) fit the window; the set is
+# Round 15: empty — no new queries (optimization round); the set is
 # otherwise frozen at the round-7 policy (depth, not query-count
 # padding).
 _DEFERRED_NEW: list = []
