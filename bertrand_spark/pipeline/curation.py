@@ -1290,9 +1290,11 @@ def dsir_fit_score(
     lightweight proxy), which is persisted and serves both halves
     natively:
 
-    * training: explode the histograms → one ≤``buckets``-group integer
-      aggregate (map-side combined) → bounded collect.  Counts are the
-      same exact integers as the explode/profile-kernel paths, so the λ
+    * training: the kernel also emits TWO per-task marker rows (the
+      task's summed target / non-target histograms, ``__p=true``), so
+      the profile aggregate reads ≤ 2·min(task rows, buckets) tiny rows
+      per task — never re-explodes the documents.  Counts are the same
+      exact integers as the explode/profile-kernel paths, so the λ
       table is BIT-IDENTICAL (pinned in tests/test_round15_opt.py).
     * scoring: explode the histograms → broadcast-join the λ table →
       ``sum(count × λ)`` per doc.  All JVM codegen — no second Python
@@ -1320,6 +1322,7 @@ def dsir_fit_score(
         import re as _re
         from collections import Counter
 
+        import numpy as np
         import pandas as pd
 
         split = _re.compile(r"\s+", _re.ASCII).split
@@ -1327,6 +1330,9 @@ def dsir_fit_score(
         # profile/scoring kernels (guide §4.5)
         memo: dict = {}
         _MEMO_MAX = 1 << 20
+        # per-task profile accumulators (emitted as marker rows below)
+        r_acc = np.zeros(B, dtype=np.int64)
+        t_acc = np.zeros(B, dtype=np.int64)
         for pdf in batches:
             ids, ts, bks, cts = [], [], [], []
             for did, is_t, text in zip(
@@ -1359,14 +1365,41 @@ def dsir_fit_score(
                         if len(memo) < _MEMO_MAX:
                             memo[f] = b
                     acc[b] = acc.get(b, 0) + c
+                    r_acc[b] += c
+                    if is_t:
+                        t_acc[b] += c
                 ids.append(did)
                 ts.append(bool(is_t))
                 bks.append(list(acc.keys()))
                 cts.append(list(acc.values()))
             if ids:  # an empty batch's list columns confuse Arrow
                 yield pd.DataFrame(
-                    {id_col: ids, "__t": ts, "__bk": bks, "__ct": cts}
+                    {
+                        id_col: ids,
+                        "__t": ts,
+                        "__p": [False] * len(ids),
+                        "__bk": bks,
+                        "__ct": cts,
+                    }
                 )
+        # per-task PROFILE marker rows (__p=true): the task's summed
+        # target / non-target bucket histograms.  Training then
+        # aggregates ≤ 2·min(rows, buckets) tiny rows per task instead
+        # of re-exploding every document's histogram (r15 profile: the
+        # explode-everything training agg was the largest post-kernel
+        # stage).  Exact integers — the per-task sums ARE the profile.
+        marker = []
+        for flag, arr in ((True, t_acc), (False, r_acc - t_acc)):
+            nz = np.nonzero(arr)[0]
+            if len(nz):
+                marker.append(
+                    (None, flag, True, [int(b) for b in nz],
+                     [int(c) for c in arr[nz]])
+                )
+        if marker:
+            yield pd.DataFrame(
+                marker, columns=[id_col, "__t", "__p", "__bk", "__ct"]
+            )
 
     hist_df = (
         raw.select(
@@ -1376,7 +1409,7 @@ def dsir_fit_score(
         )
         .mapInPandas(
             hist,
-            f"{id_col} {id_field}, __t boolean, "
+            f"{id_col} {id_field}, __t boolean, __p boolean, "
             "__bk array<int>, __ct array<long>",
         )
         .persist()
@@ -1384,7 +1417,8 @@ def dsir_fit_score(
 
     z = F.explode(F.arrays_zip("__bk", "__ct")).alias("z")
     rows = (
-        hist_df.select("__t", z)
+        hist_df.filter(F.col("__p"))
+        .select("__t", z)
         .groupBy(F.col("z.__bk").alias("bucket"))
         .agg(
             F.sum("z.__ct").alias("__r"),
@@ -1399,7 +1433,8 @@ def dsir_fit_score(
     model = _model_from_counts(spark, t_cnt, r_cnt, B, alpha)
 
     scored = (
-        hist_df.select(id_col, z)
+        hist_df.filter(~F.col("__p"))
+        .select(id_col, z)
         .join(F.broadcast(model.lam), F.col("z.__bk") == F.col("bucket"))
         .groupBy(id_col)
         .agg(
